@@ -1,0 +1,220 @@
+"""Read/write StarTable data from/to CSV.
+
+Parity with reference ``pdtable/io/csv.py``:
+- ``read_csv``  (io/csv.py:21-117) — stream blocks from a file/stream; ``;``
+  default separator; early block filter plumbed through.
+- ``write_csv`` (io/csv.py:120-207) — ``**name`` header, destinations line,
+  names, units, formatted rows, ``na_rep='-'``, transposed layout,
+  ``ColumnFormat`` applied.
+
+Scale paths beyond the reference (SURVEY §2.1 S1):
+- ``scan_csv`` — ONE logical table spread over MANY StarTable CSV files,
+  parsed inside executors (a StarTable file holds multiple tables per file,
+  so stock ``spark.read.csv`` cannot tokenize it; per-FILE parallelism is the
+  right grain because block structure spans lines).  The block filter means
+  non-matching tables in each file cost one top-left-cell peek — the format's
+  native predicate pushdown.
+- ``write_csv`` with a DataFrame-sized table falls back to
+  ``toLocalIterator`` (constant driver memory) rather than ``collect``.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import nullcontext
+from pathlib import Path
+from typing import Callable, Iterable, Optional, TextIO, Union
+
+from pdtable_spark.auxiliary import CSV_SEP
+from pdtable_spark.io._represent import represent_col_elements, represent_row_elements
+from pdtable_spark.model.origin import (
+    FilesystemLocationFile,
+    InputIssueTracker,
+    LocationSheet,
+    NullLocationFile,
+)
+from pdtable_spark.parsers.blocks import BlockIterator, BlockType, parse_blocks
+from pdtable_spark.parsers.fixer import ParseFixer
+
+
+def read_csv(
+    source: Union[str, os.PathLike, TextIO],
+    sep: Optional[str] = None,
+    *,
+    origin: Optional[str] = None,
+    location_sheet: Optional[LocationSheet] = None,
+    fixer: Optional[ParseFixer] = None,
+    to: str = "pdtable",
+    filter: Optional[Callable[[BlockType, str], bool]] = None,
+    issue_tracker: Optional[InputIssueTracker] = None,
+) -> BlockIterator:
+    """Stream StarTable blocks from a CSV file or text stream.
+
+    Driver-side entry point (bundle-scale inputs).  For one big logical table
+    across many files use :func:`scan_csv` (distributed).  ``to`` selects the
+    block payload type: 'pdtable' (Spark-backed Table), 'parsed' (pure-Python
+    ParsedTable), 'jsondata', or 'cellgrid'.
+    """
+    source_is_stream = hasattr(source, "readline")
+    if location_sheet is None:
+        if not source_is_stream:
+            location_sheet = FilesystemLocationFile(
+                local_path=Path(source), load_specification=origin
+            ).make_location_sheet()
+        elif origin is not None:
+            location_sheet = NullLocationFile(str(origin)).make_location_sheet()
+    if sep is None:
+        sep = CSV_SEP
+
+    with nullcontext(source) if source_is_stream else open(source) as f:
+        cell_rows = (line.rstrip("\n").split(sep) for line in f)
+        yield from parse_blocks(
+            cell_rows,
+            location_sheet=location_sheet,
+            fixer=fixer,
+            to=to,
+            filter=filter,
+            issue_tracker=issue_tracker,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Distributed scan: one logical table over many StarTable files
+# ---------------------------------------------------------------------------
+
+
+def scan_csv(
+    spark,
+    paths: Union[str, Iterable[str]],
+    table_name: str,
+    sep: Optional[str] = None,
+    min_partitions: Optional[int] = None,
+):
+    """Parse ``table_name`` out of every StarTable CSV under ``paths`` into a
+    single Spark-backed ``Table`` — the 100 TB path for S1.
+
+    Design: per-file parallelism (block structure spans lines, so a file must
+    be tokenized whole); the early block filter skips non-matching tables at
+    one-cell cost; the schema (column names + units) is taken from the first
+    file on the driver, then executors emit plain row tuples — no pandas, no
+    Table objects cross the wire.
+    """
+    from pdtable_spark.frame import schema_for_units
+    from pdtable_spark.model.metadata import TableMetadata
+    from pdtable_spark.table import Table
+
+    if sep is None:
+        sep = CSV_SEP
+    if isinstance(paths, (str, os.PathLike)):
+        path_spec = str(paths)
+    else:
+        path_spec = ",".join(str(p) for p in paths)
+
+    sc = spark.sparkContext
+    files = sc.wholeTextFiles(path_spec, minPartitions=min_partitions)
+
+    # -- driver: schema from the first file containing the table -------------
+    first_text = files.values().first()
+    probe = _parse_named_tables(first_text, table_name, sep)
+    try:
+        first = next(probe)
+    except StopIteration:
+        raise LookupError(f"Table '{table_name}' not found in first file of {path_spec}")
+    column_names, units = first.column_names, first.units
+    schema = schema_for_units(column_names, units)
+
+    # -- executors: parse + emit row tuples ----------------------------------
+    def rows_of(kv):
+        _, text = kv
+        for parsed in _parse_named_tables(text, table_name, sep):
+            cols = [parsed.columns[c] for c in parsed.column_names]
+            yield from zip(*cols)
+
+    rdd = files.flatMap(rows_of)
+    df = spark.createDataFrame(rdd, schema=schema)
+    meta = TableMetadata(name=table_name)
+    return Table(df, metadata=meta)
+
+
+def _parse_named_tables(text: str, table_name: str, sep: str):
+    """Tokenize one StarTable CSV text, yielding ParsedTables matching name.
+
+    Pure Python — safe inside executors (no SparkSession access).
+    """
+    cell_rows = (line.rstrip("\n").split(sep) for line in text.splitlines())
+    blocks = parse_blocks(
+        cell_rows,
+        to="parsed",
+        filter=lambda bt, name: bt == BlockType.TABLE and name == table_name,
+    )
+    for block_type, block in blocks:
+        if block_type == BlockType.TABLE and block is not None:
+            yield block
+
+
+# ---------------------------------------------------------------------------
+# Write
+# ---------------------------------------------------------------------------
+
+
+def write_csv(
+    tables,
+    to: Union[str, os.PathLike, TextIO],
+    sep: Optional[str] = None,
+    na_rep: str = "-",
+) -> None:
+    """Write one or more Tables to a CSV file or text stream
+    (io/csv.py:120-207).
+
+    Rows stream through ``toLocalIterator`` — constant driver memory; Excel /
+    bundle-style CSV output is inherently a driver-side, ordered format.  For
+    cluster-scale single-table dumps prefer ``table.df.write.parquet``.
+    """
+    from pdtable_spark.table import Table
+
+    if sep is None:
+        sep = CSV_SEP
+    if isinstance(tables, Table):
+        tables = [tables]
+
+    if isinstance(to, (str, os.PathLike)):
+        with open(to, "w") as stream:
+            for t in tables:
+                _table_to_csv(t, stream, sep, na_rep)
+    else:
+        for t in tables:
+            _table_to_csv(t, to, sep, na_rep)
+
+
+def _table_to_csv(table, stream: TextIO, sep: str, na_rep: str) -> None:
+    cm = table.column_metadata
+    names = table.column_names
+    units = table.units
+    fmts = [cm[c].display_format for c in names]
+
+    def fmt(value, f) -> str:
+        if isinstance(value, str):
+            return value
+        if f is not None and isinstance(value, (int, float)) and not isinstance(value, bool):
+            return f.format(value)
+        return str(value)
+
+    if table.metadata.transposed:
+        # one output line per column: name;unit;v1;v2;...
+        rows = [tuple(r) for r in table.df.toLocalIterator()]
+        stream.write(f"**{table.name}*{sep}\n")
+        stream.write(" ".join(str(d) for d in sorted(table.destinations)) + "\n")
+        for i, (name, unit, f) in enumerate(zip(names, units, fmts)):
+            vals = represent_col_elements((r[i] for r in rows), unit, na_rep)
+            stream.write(name + sep + unit + sep + sep.join(fmt(v, f) for v in vals) + "\n")
+        stream.write("\n")
+        return
+
+    stream.write(f"**{table.name}{sep}\n")
+    stream.write(" ".join(str(d) for d in sorted(table.destinations)) + "\n")
+    stream.write(sep.join(names) + "\n")
+    stream.write(sep.join(units) + "\n")
+    for row in table.df.toLocalIterator():
+        vals = represent_row_elements(tuple(row), units, na_rep)
+        stream.write(sep.join(fmt(v, f) for v, f in zip(vals, fmts)) + "\n")
+    stream.write("\n")

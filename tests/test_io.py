@@ -1,0 +1,116 @@
+"""CSV / JSON I/O tests: golden-string writes, round-trips, distributed scan."""
+
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdtable_spark import Table, read_csv, write_csv
+from pdtable_spark.io.csv import scan_csv
+from pdtable_spark.io.json import json_data_to_table, table_to_json_data
+from pdtable_spark.parsers.blocks import BlockType
+from pdtable_spark.store import TableBundle
+
+CSV = """**places;
+all
+place;distance;is_hot
+text;km;onoff
+home;0.0;1
+work;14.5;0
+mars;-;-
+
+**other;
+all
+x
+-
+1
+2
+
+"""
+
+
+def test_read_csv_stream(spark):
+    blocks = list(read_csv(io.StringIO(CSV)))
+    tables = [b for bt, b in blocks if bt == BlockType.TABLE]
+    assert [t.name for t in tables] == ["places", "other"]
+    t = tables[0]
+    assert t.units == ["text", "km", "onoff"]
+    assert t.count() == 3
+    # missing numeric is Spark null
+    assert t.df.filter(F.col("distance").isNull()).count() == 1
+
+
+def test_write_csv_golden(spark):
+    blocks = read_csv(io.StringIO(CSV), filter=lambda bt, n: n == "places")
+    bundle = TableBundle(blocks)
+    out = io.StringIO()
+    write_csv(bundle["places"], out)
+    expected = (
+        "**places;\n"
+        "all\n"
+        "place;distance;is_hot\n"
+        "text;km;onoff\n"
+        "home;0.0;1\n"
+        "work;14.5;0\n"
+        "mars;-;-\n"
+        "\n"
+    )
+    assert out.getvalue() == expected
+
+
+def test_csv_roundtrip_equality(spark):
+    blocks = read_csv(io.StringIO(CSV))
+    bundle = TableBundle(blocks)
+    out = io.StringIO()
+    write_csv([bundle["places"], bundle["other"]], out)
+    out.seek(0)
+    bundle2 = TableBundle(read_csv(out))
+    assert bundle["places"].equals(bundle2["places"])
+    assert bundle["other"].equals(bundle2["other"])
+
+
+def test_write_transposed(spark):
+    t_csv = "**flipped*;\nall\nnumbers;-;1;2;3\ntexts;text;a;b;c\n\n"
+    bundle = TableBundle(read_csv(io.StringIO(t_csv)))
+    t = bundle["flipped"]
+    assert t.metadata.transposed
+    out = io.StringIO()
+    write_csv(t, out)
+    assert out.getvalue() == "**flipped*;\nall\nnumbers;-;1.0;2.0;3.0\ntexts;text;a;b;c\n\n"
+
+
+def test_display_format_applied_on_write(spark):
+    from pdtable_spark.model.metadata import ColumnFormat
+
+    bundle = TableBundle(read_csv(io.StringIO(CSV), filter=lambda bt, n: n == "places"))
+    t = bundle["places"]
+    cm = t.column_metadata["distance"]
+    cm.display_format = ColumnFormat(2)
+    t._df = t.df.withMetadata("distance", cm.to_field_metadata())
+    out = io.StringIO()
+    write_csv(t, out)
+    assert "14.50" in out.getvalue()
+
+
+def test_json_roundtrip(spark):
+    bundle = TableBundle(read_csv(io.StringIO(CSV)))
+    t = bundle["places"]
+    jd = table_to_json_data(t)
+    assert jd["columns"]["distance"]["unit"] == "km"
+    assert jd["columns"]["distance"]["values"] == [0.0, 14.5, None]
+    t2 = json_data_to_table(jd, spark=spark)
+    assert t.equals(t2)
+
+
+def test_scan_csv_distributed(spark, tmp_path):
+    # one logical table spread over several StarTable files
+    for i in range(3):
+        (tmp_path / f"part{i}.csv").write_text(
+            "**measurements;\nall\nrun;value\n-;kg\n"
+            + "".join(f"{i * 10 + j};{j}.5\n" for j in range(4))
+            + "\n**noise;\nall\nz\n-\n9\n\n"
+        )
+    t = scan_csv(spark, str(tmp_path / "*.csv"), "measurements")
+    assert t.count() == 12
+    assert t.units == ["-", "kg"]
+    assert t.df.agg(F.sum("value")).collect()[0][0] == pytest.approx(3 * (0.5 + 1.5 + 2.5 + 3.5))
