@@ -1,0 +1,5 @@
+"""Beyond-reference operators for large-scale training-data pipelines:
+deduplication, similarity search, text analysis, as-of joins, multimodal
+columns.  All designed Spark-first: built-in column expressions (JVM-side,
+codegen-friendly) wherever possible; Arrow-batched pandas only where
+semantics demand it (SURVEY §7 step 11)."""

@@ -1,0 +1,122 @@
+"""Text-analysis operators over a document table: token counting, quality
+scoring, language ID, fingerprinting.
+
+Every operator is a pure column-expression builder (no UDFs) so the whole
+pipeline stays inside WholeStageCodegen and scales linearly with executors —
+at 100 TB these run as a single scan + project, no shuffle at all.
+
+The functions return (and accept) plain DataFrames/Columns so they compose
+with both raw Spark code and the ``Table`` wrapper.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the cheap, universal proxy for doc length)."""
+    return F.size(tokens(text))
+
+
+#: A BPE-ish sub-word segmentation regex: runs of letters, runs of digits,
+#: or single non-space symbols — approximates tokenizer piece counts without
+#: shipping a vocab to executors.
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via regexp extraction (still JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH), F.lit(0)))
+
+
+#: Small per-language stopword lists for the n-gram/stopword language
+#: heuristic.  Order matters: ties resolve to the earlier language.
+LANG_STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is", "in", "that"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est"],
+    "de": ["der", "die", "und", "das", "ein", "nicht", "ist", "zu"],
+    "es": ["el", "los", "de", "y", "que", "una", "es", "en"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+
+def stopword_count(text: Column, stopwords: Iterable[str]) -> Column:
+    """Number of tokens that are in the stopword list (JVM higher-order fn)."""
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column, languages: Optional[List[str]] = None) -> Column:
+    """Heuristic language ID: the language whose stopword list matches the
+    most tokens; ties resolve to the earlier language in ``languages``;
+    zero matches everywhere → 'und' (undetermined)."""
+    langs = languages or list(LANG_STOPWORDS)
+    counts = {lang: stopword_count(text, LANG_STOPWORDS[lang]) for lang in langs}
+    best = F.greatest(*counts.values()) if len(counts) > 1 else counts[langs[0]]
+    expr = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties: evaluate last → first
+        expr = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Length/punctuation/stopword quality heuristic in [0, 1].
+
+    score = 0.4·length_band + 0.3·(1 − punct_ratio) + 0.3·stopword_band —
+    the standard cheap pre-filters of a training-data pipeline, expressed as
+    one codegen-able column expression.
+    """
+    n_tok = token_count(text).cast("double")
+    n_chars = F.length(text).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("double")
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(1.0))
+    sw = stopword_count(text, LANG_STOPWORDS["en"]).cast("double")
+    sw_ratio = F.when(n_tok > 0, sw / n_tok).otherwise(F.lit(0.0))
+    length_band = F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(1.0)).otherwise(
+        F.when(n_tok > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    sw_band = F.when((sw_ratio >= 0.01) & (sw_ratio <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return 0.4 * length_band + 0.3 * (1.0 - punct_ratio) + 0.3 * sw_band
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingles as an array of strings (deduplicated).
+
+    Built from the token array with ``transform`` + ``slice`` — stays JVM-side.
+    """
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    # shorter-than-n docs: single shingle of the whole text
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def fingerprint(text: Column, n: int = 5) -> Column:
+    """Document fingerprint: the minimum md5 over word n-gram shingles — a
+    deterministic, locality-sensitive-ish content signature (rolling-hash
+    family).  Identical (even partially re-ordered) content collides."""
+    return F.array_min(F.transform(shingles(text, n), lambda s: F.md5(s)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the full stat block to a document DataFrame."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_bpe_ish", bpe_ish_token_count(t))
+        .withColumn("lang_pred", lang_id(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

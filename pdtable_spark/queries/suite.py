@@ -1,0 +1,640 @@
+"""Declared query suite: TPC-H-ish relational coverage + LLM-pipeline
+operators, each entry a Spark DataFrame builder with (where expressible) a
+DuckDB-equivalent ANSI-SQL oracle.
+
+Cross-engine determinism rules used throughout (the reason these hash-match):
+
+- **Sums of doubles are order-dependent** → every aggregated double is first
+  cast to DECIMAL (exact, order-independent sum), then the sum is cast back
+  to double: identical bits on both engines.  Per-row double arithmetic
+  (products, ratios, cosines) is IEEE-deterministic and safe as long as both
+  sides evaluate the same expression tree.
+- **Top-k needs a total order** → every rank/limit has an id tie-break.
+- **Counts** are BIGINT on both sides (Spark `count`, DuckDB `count`/`len`
+  cast); Spark `size()` is INT and gets an explicit `long` cast.
+- Column names are aliased identically in both dialects (driver sorts
+  columns by name before hashing).
+
+Scale notes are on each query: broadcasts for dimension tables, single-shuffle
+window tricks, digest-only dedup shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdtable_spark.operators import dedup, similarity, text
+from pdtable_spark.operators.asof import asof_join
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def q(name: str, oracle: str = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read nanos as long and truncate to microseconds
+        # (integer `div` — the ns epoch exceeds double's exact-int range).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def dsum(col, alias: str, prec: str = "decimal(18,4)"):
+    """Order-independent double sum: exact decimal accumulate → double."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.sum(c.cast(prec)).cast("double").alias(alias)
+
+
+def _sql_dsum(expr: str, alias: str, prec: str = "DECIMAL(18,4)") -> str:
+    return f"CAST(SUM(CAST({expr} AS {prec})) AS DOUBLE) AS {alias}"
+
+
+# =============================================================================
+# Relational suite (TPC-H-ish) — R1-R19 exercised at scale
+# =============================================================================
+
+@q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_dsum('l_quantity', 'sum_qty')},
+           {_sql_dsum('l_extendedprice', 'sum_base_price')},
+           {_sql_dsum('l_extendedprice * (1.0 - l_discount)', 'sum_disc_price', 'DECIMAL(18,6)')},
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 family: scan + filter + hash aggregate.  One shuffle on the
+    (tiny) group key; partial aggregation map-side; filter pushed to parquet."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "sum_disc_price",
+                "decimal(18,6)",
+            ),
+            (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           {_sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)', 'revenue', 'DECIMAL(18,6)')}
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 family: selective dim filter → join → agg → top-k.
+    customer is broadcast (dimension); orders⋈lineitem shuffles on orderkey;
+    top-k is sort+limit (TakeOrderedAndProject, no full sort)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+                "decimal(18,6)",
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q5_region_volume",
+    f"""
+    SELECT n.n_name,
+           {_sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)', 'revenue', 'DECIMAL(18,6)')}
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_volume(spark, sf_dir):
+    """TPC-H Q5 family: star join.  region/nation/customer broadcast
+    (dimensions), the fact-side join shuffles once on orderkey; AQE picks
+    broadcast for the filtered orders side when it fits."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+                "decimal(18,6)",
+            )
+        )
+    )
+
+
+@q(
+    "q_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q_top_orders_per_customer(spark, sf_dir):
+    """Window top-n per group: ONE shuffle on the partition key; rank runs
+    inside each partition (no global sort)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@q(
+    "q_orders_by_month",
+    f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n_orders,
+           {_sql_dsum('o_totalprice', 'revenue')}
+    FROM orders GROUP BY 1
+    """,
+)
+def q_orders_by_month(spark, sf_dir):
+    """Time bucketing via date_trunc — pure hash aggregate."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue")
+    )
+
+
+@q(
+    "q_part_brand_stats",
+    f"""
+    SELECT p_brand, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           MAX(p_size) AS max_size, MIN(p_size) AS min_size
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_part_brand_stats(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_price"),
+        F.max("p_size").alias("max_size"),
+        F.min("p_size").alias("min_size"),
+    )
+
+
+@q(
+    "q_rollup_returns",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_returns(spark, sf_dir):
+    """Grouping sets / rollup — free in Spark (R-extension; absent in the
+    reference, SURVEY §2.4 note)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@q(
+    "q_pivot_order_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_order_status(spark, sf_dir):
+    """Pivot (R16) with explicit pivot values — avoids the extra distinct
+    scan Spark runs to discover them."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@q(
+    "q_unpivot_measures",
+    f"""
+    SELECT 'l_quantity' AS measure, {_sql_dsum('l_quantity', 'total')} FROM lineitem
+    UNION ALL
+    SELECT 'l_discount' AS measure, {_sql_dsum('l_discount', 'total')} FROM lineitem
+    UNION ALL
+    SELECT 'l_tax' AS measure, {_sql_dsum('l_tax', 'total')} FROM lineitem
+    """,
+)
+def q_unpivot_measures(spark, sf_dir):
+    """Melt / unpivot (R17) then aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    melted = li.melt(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return melted.groupBy("measure").agg(dsum("value", "total"))
+
+
+@q(
+    "q_customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q_customers_without_orders(spark, sf_dir):
+    """Set op (EXCEPT) — distinct anti-semantics, one shuffle."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+@q(
+    "q_top_suppliers",
+    f"""
+    SELECT s.s_name,
+           {_sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)', 'revenue', 'DECIMAL(18,6)')}
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY revenue DESC, s_name
+    LIMIT 5
+    """,
+)
+def q_top_suppliers(spark, sf_dir):
+    """Broadcast-join fact→dim + top-k."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+                "decimal(18,6)",
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("s_name"))
+        .limit(5)
+    )
+
+
+# =============================================================================
+# Events (stream-shaped table): time windows, sessionization, as-of join
+# =============================================================================
+
+@q(
+    "q_events_hourly",
+    f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+           COUNT(*) AS n, {_sql_dsum('value', 'total_value')}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch spelling; streaming variant in
+    pdtable_spark.streaming uses the same grouping with a watermark)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+
+
+@q(
+    "q_events_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def q_events_sessions(spark, sf_dir):
+    """Sessionization via gap detection: ONE shuffle on user_id; the
+    cumulative trick avoids any self-join."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@q(
+    "q_purchase_last_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q_purchase_last_click(spark, sf_dir):
+    """As-of join (operator Spark lacks — pdtable_spark.operators.asof):
+    every purchase gets the user's most recent prior click.  Union+window
+    implementation: one shuffle on user_id, no range-explosion."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(purchases, clicks, on="ts", by="user_id", right_cols=[])
+    return out.select("event_id", "user_id", "ts", F.col("ts_right").alias("click_ts"))
+
+
+# =============================================================================
+# LLM-pipeline: dedup / text analysis / similarity
+# =============================================================================
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups on the 16-byte digest, not the body (SURVEY ext)."""
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_SQL_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_SQL_SHINGLES = (
+    f"list_distinct(CASE WHEN len({_SQL_TOKS}) >= 5 THEN "
+    f"list_transform(generate_series(1, greatest(len({_SQL_TOKS}) - 4, 1)), "
+    f"i -> array_to_string(list_slice({_SQL_TOKS}, i, i + 4), ' ')) "
+    f"ELSE [array_to_string({_SQL_TOKS}, ' ')] END)"
+)
+
+
+@q(
+    "text_token_count",
+    f"""
+    SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+def _sql_stopword_count(words) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter({_SQL_TOKS}, x -> list_contains([{lst}], x))) AS BIGINT)"
+
+
+@q(
+    "text_lang_id",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             {_sql_stopword_count(text.LANG_STOPWORDS['en'])} AS c_en,
+             {_sql_stopword_count(text.LANG_STOPWORDS['fr'])} AS c_fr,
+             {_sql_stopword_count(text.LANG_STOPWORDS['de'])} AS c_de,
+             {_sql_stopword_count(text.LANG_STOPWORDS['es'])} AS c_es,
+             {_sql_stopword_count(text.LANG_STOPWORDS['zh'])} AS c_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN c_en > 0 AND c_en = greatest(c_en, c_fr, c_de, c_es, c_zh) THEN 'en'
+                WHEN c_fr > 0 AND c_fr = greatest(c_en, c_fr, c_de, c_es, c_zh) THEN 'fr'
+                WHEN c_de > 0 AND c_de = greatest(c_en, c_fr, c_de, c_es, c_zh) THEN 'de'
+                WHEN c_es > 0 AND c_es = greatest(c_en, c_fr, c_de, c_es, c_zh) THEN 'es'
+                WHEN c_zh > 0 AND c_zh = greatest(c_en, c_fr, c_de, c_es, c_zh) THEN 'zh'
+                ELSE 'und' END AS lang_pred
+    FROM c
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.lang_id(F.col("text"), ["en", "fr", "de", "es", "zh"]).alias("lang_pred"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_aggregate(list_transform({_SQL_SHINGLES}, s -> md5(s)), 'min') AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text"), 5).alias("fingerprint"))
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+             CAST({_sql_stopword_count(text.LANG_STOPWORDS['en'])} AS DOUBLE) AS sw
+      FROM documents
+    )
+    SELECT doc_id,
+           0.4 * (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0
+                       WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END)
+         + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 1.0 END))
+         + 0.3 * (CASE WHEN (CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0.0 END) >= 0.01
+                        AND (CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0.0 END) <= 0.6
+                       THEN 1.0 ELSE 0.5 END) AS quality
+    FROM s
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH base AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    sized AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+    posts AS (SELECT doc_id, sz, unnest(sh) AS g FROM sized),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+             COUNT(*) AS n_common
+      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact near-dup pairs via shingle inverted index (no O(n²) cross join)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, shingle_n=5, threshold=0.5)
+
+
+@q("minhash_candidates")  # xxhash64 has no DuckDB analog → rows-only check
+def minhash_candidates(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (banded signature buckets)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(d, num_hashes=16, bands=4, jaccard_threshold=0.5)
+
+
+@q("simhash_fingerprints")  # xxhash64-based → rows-only check
+def simhash_fingerprints(spark, sf_dir):
+    """64-bit SimHash per document."""
+    return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+# Explicit sequential-fold cosine (NOT list_cosine_similarity: DuckDB's
+# native kernel accumulates in a different order → last-ulp drift vs Spark's
+# aggregate() fold; list_sum over list_transform is element-order sequential
+# and matches Spark bit-for-bit).
+_COSINE_SQL = (
+    "list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i]*ca[i]))"
+    " / sqrt(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i]*qa[i]))"
+    "      * list_sum(list_transform(generate_series(1, len(ca)), i -> ca[i]*ca[i])))"
+)
+
+
+@q(
+    "embedding_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id, {_COSINE_SQL} AS cosine_sim
+      FROM c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 probe vectors — the exact baseline;
+    rhp_lsh_topk is the approximate scale path."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+@q("embedding_lsh_topk")  # approximate → rows-only check vs exact oracle impossible
+def embedding_lsh_topk(spark, sf_dir):
+    """RHP-LSH bucketed ANN top-k (approximate; compare recall offline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.rhp_lsh_topk(emb, queries, k=10, dim=64, bits_per_table=8, num_tables=4)

@@ -1,0 +1,181 @@
+"""Tests for the LLM-pipeline operators: text stats, dedup, similarity,
+as-of join, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from pdtable_spark.operators import dedup, similarity, text
+from pdtable_spark.operators.asof import asof_join
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "src0"),
+        (1, "the quick brown fox jumps over the lazy dog", "src0"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "src0"),  # near dup
+        (3, "completely different content about spark engines here", "src1"),
+        (4, "le chat est sur la table et le chien dort", "src1"),
+        (5, "", "src1"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_token_count_and_quality(spark, docs):
+    out = docs.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()
+    got = {r["doc_id"]: r["n"] for r in out}
+    assert got[0] == 9 and got[3] == 7
+    q = docs.select("doc_id", text.quality_score(F.col("text")).alias("q")).collect()
+    qm = {r["doc_id"]: r["q"] for r in q}
+    assert 0.0 <= qm[5] <= 0.5 < qm[0] <= 1.0
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["l"] for r in docs.select("doc_id", text.lang_id(F.col("text")).alias("l")).collect()}
+    assert out[0] == "en"
+    assert out[4] == "fr"
+    assert out[5] == "und"
+
+
+def test_fingerprint_matches_for_identical_docs(spark, docs):
+    fp = {r["doc_id"]: r["f"] for r in docs.select("doc_id", text.fingerprint(F.col("text")).alias("f")).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[3]
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup(docs).collect()
+    dup_group = [g for g in groups if g["n_dups"] == 2]
+    assert len(dup_group) == 1 and dup_group[0]["keep_id"] == 0
+    survivors = dedup.exact_dedup_keep_first(docs)
+    assert survivors.count() == 5
+    assert survivors.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_minhash_dedup_finds_near_dup(spark, docs):
+    pairs = dedup.minhash_dedup(
+        docs, num_hashes=16, bands=8, shingle_n=3, jaccard_threshold=0.3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got  # exact dup always collides
+    assert (0, 2) in got or (1, 2) in got  # near dup found
+    assert all(p[0] < 4 and p[1] < 4 for p in got)  # unrelated docs not paired
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = dedup.simhash_near_dups(docs, max_hamming=8, block_bits=4).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 1)) == 0  # identical docs: distance 0
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got
+
+
+@pytest.fixture()
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        angle = i * 0.1
+        rows.append((i, [math.cos(angle), math.sin(angle)] + [0.0] * 6))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(vectors, queries, k=3).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [0, 1, 2]
+    assert out[0]["cosine_sim"] == pytest.approx(1.0)
+
+
+def test_rhp_lsh_topk_recalls_self(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.rhp_lsh_topk(vectors, queries, k=3, dim=8, bits_per_table=4, num_tables=4)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in [0, 1, 2]:
+        top1 = min(by_q[q], key=lambda r: r["rank"])
+        assert top1["vec_id"] == q  # a vector's nearest neighbor is itself
+        assert top1["cosine_sim"] == pytest.approx(1.0)
+
+
+def test_embedding_near_dups(spark, vectors):
+    pairs = similarity.embedding_near_dups(
+        vectors, threshold=0.995, bits=4, dim=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # only vectors 0.1 rad apart clear the 0.995 threshold (cos 0.1 ~ 0.9950,
+    # cos 0.2 ~ 0.980): every reported pair must be adjacent ids...
+    assert got and all(b - a == 1 for a, b in got)
+    # ...and bucketing must find most of them (recall loss at bucket borders
+    # is inherent to single-table LSH)
+    assert len(got) >= 25
+
+
+def test_asof_join(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    quotes = spark.createDataFrame(
+        [
+            (1, t0, 100.0),
+            (1, t0 + dt.timedelta(minutes=10), 101.0),
+            (2, t0 + dt.timedelta(minutes=5), 50.0),
+        ],
+        ["sym", "ts", "price"],
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=1), 10),
+            (1, t0 + dt.timedelta(minutes=10), 20),  # equal ts -> matches (<=)
+            (1, t0 + dt.timedelta(minutes=30), 30),
+            (2, t0, 40),  # before any quote -> null
+        ],
+        ["sym", "ts", "qty"],
+    )
+    out = asof_join(trades, quotes, on="ts", by="sym")
+    got = {r["qty"]: r["price"] for r in out.collect()}
+    assert got[10] == 100.0
+    assert got[20] == 101.0
+    assert got[30] == 101.0
+    assert got[40] is None
+    # strict: equal-timestamp quote no longer matches
+    strict = asof_join(trades, quotes, on="ts", by="sym", strict=True)
+    got_s = {r["qty"]: r["price"] for r in strict.collect()}
+    assert got_s[20] == 100.0
+
+
+def test_multimodal_plumbing(spark):
+    from pdtable_spark.operators import multimodal as mm
+
+    rows = [
+        (0, "image", "image/fake", b"imgbytes0", None, 4, 4, None),
+        (1, "image", "image/fake", b"imgbytes1", None, 4, 4, None),
+        (2, "video", "video/fake", b"vidbytes", None, None, None, 3.0),
+    ]
+    assets = spark.createDataFrame(rows, schema=mm.ASSET_SCHEMA)
+    feats = mm.extract_features(assets.filter(F.col("modality") == "image"), dim=8, fake=True)
+    out = feats.collect()
+    assert {r["asset_id"] for r in out} == {0, 1}
+    assert all(len(r["feature"]) == 8 for r in out)
+    # deterministic fake: same payload -> same features
+    again = mm.extract_features(assets.filter(F.col("modality") == "image"), dim=8, fake=True)
+    assert again.collect() == out
+    frames = mm.sample_frames(assets.filter(F.col("modality") == "video"), fake=True).collect()
+    assert len(frames) == 3
+    # real decode path raises cleanly
+    with pytest.raises(Exception):
+        mm.extract_features(assets, dim=8, fake=False).collect()
+    stats = mm.asset_stats(assets).collect()
+    assert {r["modality"]: r["n_assets"] for r in stats} == {"image": 2, "video": 1}
