@@ -1,0 +1,217 @@
+"""Excel workbook I/O for StarTable data (import-gated on openpyxl).
+
+Parity with reference ``pdtable/io/excel.py``:
+- ``read_excel``  (excel.py:28-108) — stream blocks from all sheets of an
+  xlsx workbook via openpyxl ``read_only=True`` streaming; optional
+  ``sheet_name_pattern`` pre-filter skips whole sheets before parsing
+  (excel.py:91-99).
+- ``write_excel`` (excel.py:116-212) — Table(s) or dict-of-sheets → xlsx,
+  with the StarTable block layout (``**name`` / destinations / names /
+  units / values), ``na_rep='-'``, transposed layout, optional styling spec
+  (fonts / fills / alignment per table part).
+
+Excel is inherently driver-sized: the writer streams rows from
+``toLocalIterator`` (constant driver memory) but the workbook itself lives
+on one machine.  Parallelism across *many* workbooks belongs in the load
+orchestrator (one load item per file).  Without openpyxl installed, both
+entry points raise an informative ImportError (reference
+``test/test_optional_dependencies.py`` semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import warnings
+from pathlib import Path
+from typing import Callable, Dict, Iterable, Optional, Union
+
+from pdtable_spark.io._represent import represent_col_elements, represent_row_elements
+from pdtable_spark.model.origin import (
+    FilesystemLocationFile,
+    InputIssueTracker,
+    LocationFile,
+    NullLocationFile,
+)
+from pdtable_spark.parsers.blocks import BlockIterator, BlockType, parse_blocks
+from pdtable_spark.parsers.fixer import ParseFixer
+
+#: Default styling applied when ``styles=True`` (reference
+#: ``io/_excel_write_helper.py:6-15`` — neutral greys + dark blue).
+DEFAULT_STYLE_SPEC = {
+    "table_name": {
+        "font": {"color": "1F4E78", "bold": True},
+        "fill": {"color": "D9D9D9"},
+    },
+    "destinations": {
+        "font": {"color": "808080", "italic": True},
+        "fill": {"color": "D9D9D9"},
+    },
+    "column_names": {"fill": {"color": "F2F2F2"}, "font": {"bold": True}},
+    "units": {"fill": {"color": "F2F2F2"}},
+}
+
+
+def _require_openpyxl():
+    try:
+        import openpyxl  # noqa: F401
+
+        return openpyxl
+    except ImportError as err:
+        raise ImportError(
+            "Unable to find a usable Excel engine. Tried using: 'openpyxl'.\n"
+            "Please install openpyxl for Excel I/O support."
+        ) from err
+
+
+def read_excel(
+    source: Union[str, os.PathLike, Path],
+    *,
+    origin: Optional[str] = None,
+    location_file: Optional[LocationFile] = None,
+    sheet_name_pattern: Optional[re.Pattern] = None,
+    fixer: Optional[ParseFixer] = None,
+    to: str = "pdtable",
+    filter: Optional[Callable[[BlockType, str], bool]] = None,
+    issue_tracker: Optional[InputIssueTracker] = None,
+) -> BlockIterator:
+    """Stream StarTable blocks from every (matching) sheet of a workbook.
+
+    ``sheet_name_pattern`` is matched with ``.match`` (anchored at start);
+    non-matching sheets are skipped before any parsing (excel.py:91-99).
+    """
+    openpyxl = _require_openpyxl()
+
+    source_is_stream = hasattr(source, "read")
+    if not source_is_stream:
+        source = Path(source)
+    if location_file is None:
+        location_file = (
+            FilesystemLocationFile(local_path=source)
+            if not source_is_stream
+            else NullLocationFile(str(origin) if origin else "<stream>")
+        )
+    elif origin is not None:
+        warnings.warn(f"Input 'origin': {origin} is shadowed by 'location_file'.")
+
+    wb = openpyxl.load_workbook(source, read_only=True, data_only=True, keep_links=False)
+    try:
+        for ws in wb.worksheets:
+            if sheet_name_pattern is not None and sheet_name_pattern.match(ws.title) is None:
+                continue
+            yield from parse_blocks(
+                ws.iter_rows(values_only=True),
+                location_sheet=location_file.make_location_sheet(ws.title),
+                fixer=fixer,
+                to=to,
+                filter=filter,
+                issue_tracker=issue_tracker,
+            )
+    finally:
+        wb.close()
+
+
+def write_excel(
+    tables,
+    to: Union[str, os.PathLike, Path],
+    na_rep: str = "-",
+    sep_lines: int = 1,
+    styles: Union[bool, Dict] = False,
+) -> None:
+    """Write Table(s) to an xlsx workbook (excel.py:116-212).
+
+    ``tables`` may be a single Table, an iterable of Tables (one default
+    sheet), or a ``{sheet_name: Table | Iterable[Table]}`` dict.
+    """
+    openpyxl = _require_openpyxl()
+    from pdtable_spark.table import Table
+
+    if isinstance(tables, Table):
+        sheets: Dict[Optional[str], list] = {None: [tables]}
+    elif isinstance(tables, dict):
+        sheets = {
+            name: [ts] if isinstance(ts, Table) else list(ts) for name, ts in tables.items()
+        }
+    else:
+        sheets = {None: list(tables)}
+
+    style_spec = DEFAULT_STYLE_SPEC if styles is True else (styles or None)
+
+    wb = openpyxl.Workbook()
+    default_ws = wb.active
+    first = True
+    for sheet_name, sheet_tables in sheets.items():
+        if first and sheet_name is None:
+            ws = default_ws
+        elif first:
+            ws = default_ws
+            ws.title = sheet_name
+        else:
+            ws = wb.create_sheet(title=sheet_name)
+        first = False
+        for t in sheet_tables:
+            _append_table(ws, t, na_rep, style_spec)
+            for _ in range(sep_lines):
+                ws.append([])
+    wb.save(str(to))
+
+
+def _append_table(ws, table, na_rep: str, style_spec: Optional[Dict]) -> None:
+    cm = table.column_metadata
+    names = table.column_names
+    units = table.units
+    fmts = [cm[c].display_format for c in names]
+
+    def fmt(value, f):
+        if isinstance(value, str) or value is None:
+            return value
+        if f is not None and isinstance(value, (int, float)) and not isinstance(value, bool):
+            return f.format(value)
+        return value
+
+    part_rows = []  # (part_name, worksheet row index 1-based)
+    if table.metadata.transposed:
+        ws.append([f"**{table.name}*"])
+        part_rows.append(("table_name", ws.max_row))
+        ws.append([" ".join(str(d) for d in sorted(table.destinations))])
+        part_rows.append(("destinations", ws.max_row))
+        rows = [tuple(r) for r in table.df.toLocalIterator()]
+        for i, (name, unit, f) in enumerate(zip(names, units, fmts)):
+            vals = represent_col_elements((r[i] for r in rows), unit, na_rep)
+            ws.append([name, unit] + [fmt(v, f) for v in vals])
+    else:
+        ws.append([f"**{table.name}"])
+        part_rows.append(("table_name", ws.max_row))
+        ws.append([" ".join(str(d) for d in sorted(table.destinations))])
+        part_rows.append(("destinations", ws.max_row))
+        ws.append(list(names))
+        part_rows.append(("column_names", ws.max_row))
+        ws.append(list(units))
+        part_rows.append(("units", ws.max_row))
+        for row in table.df.toLocalIterator():
+            vals = represent_row_elements(tuple(row), units, na_rep)
+            ws.append([fmt(v, f) for v, f in zip(vals, fmts)])
+
+    if style_spec:
+        _apply_styles(ws, part_rows, len(names), style_spec)
+
+
+def _apply_styles(ws, part_rows, n_cols: int, style_spec: Dict) -> None:
+    from openpyxl.styles import Alignment, Font, PatternFill
+
+    for part, row_idx in part_rows:
+        spec = style_spec.get(part)
+        if not spec:
+            continue
+        for col in range(1, n_cols + 1):
+            cell = ws.cell(row=row_idx, column=col)
+            if "font" in spec:
+                f = dict(spec["font"])
+                if "color" in f:
+                    f["color"] = f["color"][-6:]
+                cell.font = Font(**f)
+            if "fill" in spec:
+                color = spec["fill"]["color"][-6:]
+                cell.fill = PatternFill(start_color=color, end_color=color, fill_type="solid")
+            if "alignment" in spec:
+                cell.alignment = Alignment(**spec["alignment"])

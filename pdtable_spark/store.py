@@ -73,8 +73,13 @@ class TableBundle:
     def __contains__(self, name: str) -> bool:
         return name in self._index
 
-    def __iter__(self) -> Iterator[str]:
-        """Iterates over table *names* (reference parity, store.py:122-126)."""
+    def __iter__(self) -> Iterator[Any]:
+        """Iterates over the tables in stream order (reference parity,
+        store.py:125-127)."""
+        return iter(self._tables)
+
+    def keys(self) -> Iterator[str]:
+        """Iterates over table names (insertion order, unique)."""
         return iter(self._index)
 
     def __len__(self) -> int:

@@ -36,7 +36,8 @@ def bundle(spark):
 
 def test_len_iter_contains(bundle):
     assert len(bundle) == 3
-    assert set(bundle) == {"alpha", "beta"}
+    assert {t.name for t in bundle} == {"alpha", "beta"}
+    assert set(bundle.keys()) == {"alpha", "beta"}
     assert "alpha" in bundle and "gamma" not in bundle
 
 
