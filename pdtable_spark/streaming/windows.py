@@ -1,0 +1,138 @@
+"""Watermarked window aggregations over an event stream.
+
+All builders take a DataFrame with columns
+``(event_id long, ts timestamp, user_id long, event_type string,
+value double, props string)`` — the `events` testdata schema — and work
+identically on batch and streaming inputs (Structured Streaming's
+unified-API guarantee).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-source stream over a directory of events parquet.
+
+    At 100 TB this is the replayable-backfill pattern: the same code points
+    at a Kafka source by swapping ``format``; file source gives exactly-once
+    via the checkpointed file log.
+    """
+    if schema is None:
+        # nanosecond timestamps in the testdata parquet: read ns as long
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = (
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        df = reader.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_hourly_by_type(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event_type with late-data watermark.
+
+    State per (window, type) only — bounded by watermark horizon; partial
+    aggregation happens map-side before the single shuffle on the group key.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in window/slide panes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"),
+                "event_type", "n")
+    )
+
+
+def stream_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows with a dynamic-close gap — Spark's native
+    ``session_window`` (state merges adjacent windows; closes at watermark).
+
+    This is the scale path for sessionization: no per-user Python state, all
+    JVM state-store backed.  ``q_events_sessions`` in the suite is the batch
+    gap-detection spelling of the same semantics.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` keeps state bounded (plain
+    ``dropDuplicates`` on a stream would grow state forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append",
+    timeout: Optional[int] = 120,
+):
+    """Run a streaming plan to completion on the available input
+    (``trigger(availableNow)``) into an in-memory table; returns the query.
+
+    Use ``output_mode="complete"`` for aggregations when the full result is
+    wanted regardless of watermark progress (append only emits
+    watermark-closed windows).  Test/backfill helper — production sinks are
+    ``writeStream.format("parquet"/"kafka")`` with a checkpoint location.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q

