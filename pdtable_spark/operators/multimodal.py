@@ -117,7 +117,7 @@ def sample_frames(
                     rows["asset_id"].append(aid)
                     rows["frame_idx"].append(i)
                     rows["frame_payload"].append(
-                        hashlib.sha256((payload or b"") + i.to_bytes(4, "big")).digest()
+                        hashlib.sha256((payload or b"") + str(i).encode()).digest()
                     )
             yield pd.DataFrame(rows)
 
