@@ -362,6 +362,301 @@ def q_top_suppliers(spark, sf_dir):
     )
 
 
+@q(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 family: EXISTS → left-semi join (no row duplication, the
+    semi-join short-circuits per key) then a tiny hash aggregate."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    late = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q(
+    "q_idle_customers",
+    """
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > 1000.0
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    """,
+)
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 family: NOT EXISTS → left-anti join."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000.0)
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return c.join(recent, c.c_custkey == recent.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@q(
+    "q_min_price_supplier",
+    """
+    WITH mn AS (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice AS price
+    FROM lineitem l JOIN mn ON l.l_partkey = mn.l_partkey
+                           AND l.l_extendedprice = mn.min_price
+    """,
+)
+def q_min_price_supplier(spark, sf_dir):
+    """TPC-H Q2 family shape: group-min then join back on (key, min) —
+    the aggregate side is small post-agg, AQE turns the join broadcast."""
+    l = load(spark, sf_dir, "lineitem").alias("l")
+    mn = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("mn_partkey"))
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    return (
+        l.join(
+            mn,
+            (F.col("l.l_partkey") == F.col("mn_partkey"))
+            & (F.col("l.l_extendedprice") == F.col("min_price")),
+        )
+        .select(
+            F.col("l.l_partkey").alias("l_partkey"),
+            F.col("l.l_suppkey").alias("l_suppkey"),
+            F.col("l.l_extendedprice").alias("price"),
+        )
+    )
+
+
+@q(
+    "q_cube_returns",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_returns(spark, sf_dir):
+    """CUBE grouping sets (superset of rollup; all 4 grouping combinations)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@q(
+    "q_both_status_customers",
+    """
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_both_status_customers(spark, sf_dir):
+    """Set op (INTERSECT) — distinct semantics, single shuffle per side."""
+    o = load(spark, sf_dir, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    o_side = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    return f_side.intersect(o_side)
+
+
+@q(
+    "q_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           p_brand || '/' || p_type AS brand_type,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green,
+           replace(p_type, ' ', '_') AS type_snake
+    FROM part
+    WHERE p_name LIKE '%ol%'
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """Scalar string-function coverage (R-extension; pandas supplies these in
+    the reference) — all JVM-side, whole-stage codegen."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%ol%"))
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("has_green"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+    )
+
+
+@q(
+    "q_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           sqrt(l_extendedprice) AS price_sqrt,
+           abs(l_discount - 0.05) AS disc_dev,
+           round(l_extendedprice * 0.1, 2) AS price_tithe,
+           floor(l_quantity / 7.0) AS qty_floor7,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey % 10 = 0
+    """,
+)
+def q_math_funcs(spark, sf_dir):
+    """Scalar math coverage restricted to IEEE-exact ops (sqrt/abs/floor/
+    round/mod) so both engines produce identical bits."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 10 == 0)
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.col("l_extendedprice") * 0.1, 2).alias("price_tithe"),
+        F.floor(F.col("l_quantity") / 7.0).cast("double").alias("qty_floor7"),
+        (F.col("l_orderkey") % 97).cast("bigint").alias("key_mod"),
+    )
+
+
+@q(
+    "q_big_spenders_having",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {_sql_dsum('o_totalprice', 'spend')}
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    """,
+)
+def q_big_spenders_having(spark, sf_dir):
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spend"))
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+@q(
+    "q_nation_customer_counts",
+    """
+    SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_nation_customer_counts(spark, sf_dir):
+    """LEFT OUTER join preserving empty groups (COUNT(col) skips nulls)."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@q(
+    "q_running_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    """,
+)
+def q_running_spend(spark, sf_dir):
+    """Cumulative window sum — one shuffle on the partition key; decimal
+    accumulation keeps the running prefix sums bit-identical cross-engine."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+        .alias("running_spend"),
+    )
+
+
+@q(
+    "q_distinct_ship_modes",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_linestatus) AS n_statuses,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_ship_modes(spark, sf_dir):
+    """Multi-column DISTINCT aggregation (expand + two-phase agg in Spark)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@q(
+    "q10_returned_revenue",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {_sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)', 'revenue', 'DECIMAL(18,6)')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 family: returned-item revenue per customer, top 20."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+                "decimal(18,6)",
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 # =============================================================================
 # Events (stream-shaped table): time windows, sessionization, as-of join
 # =============================================================================
