@@ -56,6 +56,22 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = 
 # ---------------------------------------------------------------------------
 
 
+def _signature_cols(sh_col, num_hashes: int):
+    """MinHash signature as per-row array expressions: for each seed,
+    ``array_min(transform(shingles, s -> xxhash64(seed, s)))``.
+
+    Pure narrow JVM expressions — NO explode, NO groupBy: the naive
+    explode+aggregate spelling shuffles every (doc, shingle) pair (at 100 TB
+    that shuffle is larger than the corpus); this computes the same minima
+    inside the row."""
+    return [
+        F.array_min(F.transform(sh_col, lambda s: F.xxhash64(F.lit(seed), s))).alias(
+            f"mh_{seed}"
+        )
+        for seed in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -65,17 +81,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: for each seed, min(xxhash64(seed, shingle)).
 
-    One explode + one groupBy — the signature computation is a single shuffle
-    keyed on the doc id; signature width is ``num_hashes``×8 bytes.
-    """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    Shuffle-free (see ``_signature_cols``); signature width is
+    ``num_hashes``×8 bytes.  The shingle array is projected in its own step
+    so codegen evaluates the tokenize+shingle pipeline ONCE per row — inlining
+    it into each of the ``num_hashes`` lambdas re-tokenizes per seed (measured
+    10×+ slowdown)."""
+    sets_ = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh"))
+    return sets_.select(F.col(id_col), *_signature_cols(F.col("__sh"), num_hashes))
 
 
 def minhash_lsh_candidates(
@@ -94,8 +106,24 @@ def minhash_lsh_candidates(
     ``num_hashes`` at higher dup rates).  Returns distinct (id_a, id_b) with
     id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    return _lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+
+
+def _lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band the signature, then emit all id pairs per (band, bucket).
+
+    NOT a self-join: grouping doc ids per bucket and expanding pair
+    combinations with array expressions costs ONE shuffle total (on the
+    bucket key) versus the self-join's two exchanges — and it sidesteps
+    Spark re-evaluating the (unmaterialized) signature pipeline on both join
+    sides, which profiling showed dominates wall time.  A pathological
+    bucket of k docs yields k²/2 pairs under either strategy; raise
+    ``bands``/``num_hashes`` if buckets grow.
+    """
+    rows_per_band = num_hashes // bands
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -108,21 +136,24 @@ def minhash_lsh_candidates(
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
+    ids = F.col("ids")
+    pair_combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    return (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_combos).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def minhash_dedup(
@@ -136,10 +167,13 @@ def minhash_dedup(
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH, optionally verified with exact Jaccard
     over shingle sets.  Returns (id_a, id_b, jaccard)."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sets_ = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sig = sets_.select(F.col(id_col), *_signature_cols(F.col("sh"), num_hashes))
+    cand = _lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     if jaccard_threshold is None:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
-    sets_ = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
     j = (
         cand.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
