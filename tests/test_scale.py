@@ -1,0 +1,78 @@
+"""Scale-utility tests: parquet metadata round-trip (incl. partitioned
+writes), salted joins/aggs equivalence with unsalted plans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdtable_spark.io.parquet import read_parquet, write_parquet
+from pdtable_spark.operators.skew import salted_agg, salted_join, top_frequent_keys
+from pdtable_spark.table import Table
+
+
+@pytest.fixture
+def places(spark):
+    df = spark.createDataFrame(
+        [("home", 0.0, 1), ("work", 14.5, 0), ("beach", 2.0, 1)],
+        "place string, distance double, segment int",
+    )
+    t = Table(df, name="places", destinations={"all"})
+    t._set_unit("distance", "km")
+    return t
+
+
+def test_parquet_round_trip(spark, places, tmp_path):
+    path = str(tmp_path / "places.parquet")
+    write_parquet(places, path)
+    back = read_parquet(spark, path)
+    assert back.name == "places"
+    assert back.destinations == {"all"}
+    assert back.column_metadata["distance"].unit == "km"
+    assert places.equals(back)
+
+
+def test_parquet_partitioned_write_prunes(spark, places, tmp_path):
+    path = str(tmp_path / "places_part.parquet")
+    write_parquet(places, path, partition_by=["segment"])
+    back = read_parquet(spark, path)
+    # unit survives even for the partition column (sidecar restore)
+    assert back.column_metadata["distance"].unit == "km"
+    assert back.count() == 3
+    plan = back.df.filter(F.col("segment") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(segment" in plan
+
+
+def test_salted_join_matches_plain(spark, sf_dir="/root/testdata/sf0.001"):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_name")
+    plain = o.join(c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+    salted = salted_join(o, c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"], salt=4)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    right = spark.createDataFrame([(1, "x")], "k int, w string")
+    out = salted_join(left, right, ["k"], how="left", salt=4).collect()
+    assert len(out) == 3
+    assert {r.k: r.w for r in out} == {1: "x", 2: None, 3: None}
+
+
+def test_salted_agg_collect(spark):
+    df = spark.createDataFrame(
+        [("hot", i % 5) for i in range(100)] + [("cold", 99)], "k string, v int"
+    )
+    out = salted_agg(
+        df,
+        ["k"],
+        salt=8,
+        partial_aggs=[F.collect_set("v").alias("vs")],
+        final_aggs=[F.array_sort(F.array_distinct(F.flatten(F.collect_list("vs")))).alias("vs")],
+    ).collect()
+    got = {r.k: list(r.vs) for r in out}
+    assert got == {"hot": [0, 1, 2, 3, 4], "cold": [99]}
+
+
+def test_top_frequent_keys(spark):
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2 + [(None,)], "k string")
+    rows = top_frequent_keys(df, "k", 2).collect()
+    assert rows[0].k == "a" and rows[0].n_rows == 5
