@@ -732,6 +732,89 @@ def q_purchase_last_click(spark, sf_dir):
     return out.select("event_id", "user_id", "ts", F.col("ts_right").alias("click_ts"))
 
 
+@q(
+    "q_events_in_windows",
+    f"""
+    WITH iv AS (
+      SELECT CAST(i AS INT) AS win_id,
+             TIMESTAMP '2024-01-01 02:00:00' + i * INTERVAL 1 DAY AS start,
+             TIMESTAMP '2024-01-01 06:00:00' + i * INTERVAL 1 DAY AS "end"
+      FROM generate_series(0, 29) t(i)
+    )
+    SELECT iv.win_id, COUNT(*) AS n_events, {_sql_dsum('e.value', 'total_value')}
+    FROM events e JOIN iv ON e.ts >= iv.start AND e.ts < iv."end"
+    GROUP BY iv.win_id
+    """,
+)
+def q_events_in_windows(spark, sf_dir):
+    """Point-in-interval join (operators/range_join): events bucketed into
+    daily 02:00-06:00 maintenance windows.  The bucketing turns Spark's
+    would-be nested-loop range join into an equi-join on the grain id."""
+    from pdtable_spark.operators.range_join import interval_join
+
+    e = load(spark, sf_dir, "events")
+    iv = spark.range(30).select(
+        F.col("id").cast("int").alias("win_id"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 02:00:00").cast("timestamp"))
+            + F.col("id") * 86400
+        ).alias("start"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 06:00:00").cast("timestamp"))
+            + F.col("id") * 86400
+        ).alias("end"),
+    )
+    joined = interval_join(e, iv, "ts", grain_seconds=4 * 3600)
+    return joined.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")
+    )
+
+
+@q(
+    "q_events_props_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_props_json(spark, sf_dir):
+    """Semi-structured columns: JSON path extraction inside codegen
+    (get_json_object), then plain aggregation — no schema declaration
+    needed, the common shape for event `props` payloads."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@q(
+    "q_quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.9) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quantity_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`: same linear-interpolation definition, deterministic on
+    identical multisets).  The approximate scale path is
+    `approx_percentile` (t-digest) — kept out of the oracle-checked suite
+    because sketches are engine-specific."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90"),
+    )
+
+
 # =============================================================================
 # LLM-pipeline: dedup / text analysis / similarity
 # =============================================================================

@@ -179,3 +179,51 @@ def test_multimodal_plumbing(spark):
         mm.extract_features(assets, dim=8, fake=False).collect()
     stats = mm.asset_stats(assets).collect()
     assert {r["modality"]: r["n_assets"] for r in stats} == {"image": 2, "video": 1}
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_matches_naive(spark):
+    from pdtable_spark.operators.range_join import interval_join
+
+    points = spark.createDataFrame(
+        [(i, float(i * 37 % 1000)) for i in range(200)], "pid int, t double"
+    )
+    intervals = spark.createDataFrame(
+        [(j, float(j * 100), float(j * 100 + 150)) for j in range(12)],
+        "iid int, start double, end double",
+    )
+    got = interval_join(points, intervals, "t", grain_seconds=100).select("pid", "iid")
+    naive = points.crossJoin(intervals).filter(
+        (F.col("start") <= F.col("t")) & (F.col("t") < F.col("end"))
+    ).select("pid", "iid")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    assert got.count() > 0
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    from pdtable_spark.operators.range_join import interval_join
+
+    points = spark.createDataFrame([(1, 5.0), (2, 500.0)], "pid int, t double")
+    intervals = spark.createDataFrame([(7, 0.0, 10.0)], "iid int, start double, end double")
+    out = interval_join(points, intervals, "t", grain_seconds=10, how="left").collect()
+    by_pid = {r.pid: r.iid for r in out}
+    assert by_pid == {1: 7, 2: None}
+
+
+def test_interval_join_timestamps(spark):
+    from pdtable_spark.operators.range_join import interval_join
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=30 * i)) for i in range(10)], "pid int, t timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(0, base, base + dt.timedelta(hours=2))], "iid int, start timestamp, end timestamp"
+    )
+    got = interval_join(points, intervals, "t", grain_seconds=3600)
+    assert got.count() == 4  # minutes 0, 30, 60, 90 (end exclusive)
