@@ -25,13 +25,16 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
+    "q10_returned_revenue",
     "q_top_orders_per_customer",
     "q_events_sessions",
     "q_purchase_last_click",
+    "q_events_in_windows",
     "dedup_exact",
     "minhash_candidates",
     "text_fingerprint",
     "embedding_topk",
+    "multimodal_features",
 ]
 
 
@@ -55,8 +58,11 @@ def main():
 
     from pdtable_spark.queries.suite import QUERIES
 
-    # warm the JVM + parquet footers once (not timed)
+    # warm the JVM + parquet footers + Python/Arrow workers once (not timed)
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    spark.range(64).repartition(int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings = {}
     for name in HEADLINE:

@@ -114,3 +114,37 @@ def test_scan_csv_distributed(spark, tmp_path):
     assert t.count() == 12
     assert t.units == ["-", "kg"]
     assert t.df.agg(F.sum("value")).collect()[0][0] == pytest.approx(3 * (0.5 + 1.5 + 2.5 + 3.5))
+
+
+def test_read_bundle_from_csv_normalized(spark, tmp_path):
+    from pdtable_spark.units import simple_converter
+    from pdtable_spark.utils import read_bundle_from_csv
+
+    p = tmp_path / "b.csv"
+    p.write_text(CSV)
+    bundle = read_bundle_from_csv(
+        p,
+        convert_units_to={"places": {"distance": "m"}},
+        unit_converter=simple_converter,
+    )
+    t = bundle["places"]
+    assert t["distance"].unit == "m"
+    vals = sorted(v for v in t["distance"].values if v is not None)
+    assert vals == [0.0, 14500.0]
+    # tables without a dispatcher entry pass through untouched
+    assert bundle["other"]["x"].unit == "-"
+
+
+def test_read_bundle_requires_converter(tmp_path):
+    from pdtable_spark.utils import read_bundle_from_csv
+    import pdtable_spark.units as units
+
+    old = units.get_converter()
+    units.set_converter(None)
+    try:
+        p = tmp_path / "b.csv"
+        p.write_text(CSV)
+        with pytest.raises(ValueError, match="converter"):
+            read_bundle_from_csv(p, convert_units_to={"places": {"distance": "m"}})
+    finally:
+        units.set_converter(old)
