@@ -66,10 +66,14 @@ def main():
 
     timings = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):  # min-of-2: first run pays codegen/JIT compile
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
