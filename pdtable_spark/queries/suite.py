@@ -193,6 +193,103 @@ def q5_region_volume(spark, sf_dir):
 
 
 @q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 family: pure filter + global aggregate — every predicate
+    reaches the parquet scan (PushedFilters), zero shuffles, one row out."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue", "decimal(18,6)"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q14_promo_share",
+    """
+    SELECT CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1.0 - l.l_discount)
+                              ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 family: conditional aggregation over a broadcast dim join."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(promo.cast("decimal(18,6)")).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+@q(
+    "q18_large_orders",
+    f"""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           {_sql_dsum('l.l_quantity', 'total_qty')}
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,4))) > 250
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 family: big-order detection — join, agg, HAVING, top-k."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(
+            dsum("l_quantity", "total_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__qty_dec"),
+        )
+        .filter(F.col("__qty_dec") > 250)
+        .drop("__qty_dec")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@q(
     "q_top_orders_per_customer",
     """
     SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
