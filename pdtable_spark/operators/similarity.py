@@ -178,13 +178,105 @@ def embedding_near_dups(
     d = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).withColumn(
         "bkt", rhp_bucket(F.col("v"), planes)
     )
-    a, b = d.alias("a"), d.alias("b")
+    # Pair expansion per bucket (one shuffle) instead of a bucket self-join —
+    # same rationale as dedup._lsh_candidate_pairs: two exchanges avoided and
+    # the hyperplane pipeline never re-evaluates per join side.
+    ids = F.col("entries")
+    pair_combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("ea"), y.alias("eb")),
+            ),
+        )
+    )
     return (
-        a.join(b, on=[F.col("a.bkt") == F.col("b.bkt"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        d.groupBy("bkt")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("v").alias("v")))
+            ).alias("entries")
+        )
+        .filter(F.size("entries") > 1)
+        .select(F.explode(pair_combos).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+            F.col("p.ea.id").alias("id_a"),
+            F.col("p.eb.id").alias("id_b"),
+            cosine(F.col("p.ea.v"), F.col("p.eb.v")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF approximate top-k: k-means cells over the corpus, queries probe
+    the ``nprobe`` nearest cells, exact cosine re-rank inside probed cells.
+
+    Centroids are trained with ``pyspark.ml`` KMeans (on a sample at scale)
+    and travel to executors as column literals (n_cells×dim floats — KBs).
+    At 100 TB: persist the corpus partitioned by cell id once
+    (``partitionBy("cell")``), and each query batch becomes a
+    partition-pruned scan of ``nprobe/n_cells`` of the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(_as_double(F.col(vec_col)).alias("arr"))
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features")
+    model = km.fit(train.select(array_to_vector("arr").alias("features")))
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def dist2(vec, center: List[float]):
+        c = F.array(*[F.lit(x) for x in center])
+        diff = F.zip_with(vec, c, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+    def cell_ranking(vec):
+        """array of cell ids sorted by ascending distance to ``vec``."""
+        scored = F.array(
+            *[
+                F.struct(dist2(vec, cents[i]).alias("d"), F.lit(i).alias("cell"))
+                for i in range(len(cents))
+            ]
+        )
+        return F.transform(F.sort_array(scored), lambda s: s["cell"])
+
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec"))
+    c = c.withColumn("cell", F.element_at(cell_ranking(F.col("c_vec")), 1))
+
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("q_vec"))
+    q = q.select(
+        query_id_col,
+        "q_vec",
+        F.explode(F.slice(cell_ranking(F.col("q_vec")), 1, nprobe)).alias("cell"),
+    )
+
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .select(query_id_col, id_col, cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
     )

@@ -1225,3 +1225,23 @@ def embedding_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.rhp_lsh_topk(emb, queries, k=10, dim=64, bits_per_table=8, num_tables=4)
+
+
+@q("embedding_ivf_topk")  # approximate (k-means cells) → rows-only check
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k: k-means cells + nprobe probing + exact re-rank —
+    the partition-pruned scale path for similarity search."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
+
+
+@q("embedding_near_dups")  # LSH-bucketed recall → rows-only check
+def embedding_near_dups_q(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (bucketed, exact-verified).
+    Threshold tuned to the synthetic corpus (random-ish vectors: pairwise
+    cosine tops out ≈0.44)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, threshold=0.3, bits=6)

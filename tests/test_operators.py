@@ -227,3 +227,45 @@ def test_interval_join_timestamps(spark):
     )
     got = interval_join(points, intervals, "t", grain_seconds=3600)
     assert got.count() == 4  # minutes 0, 30, 60, 90 (end exclusive)
+
+
+# ---------------------------------------------------------------------------
+# IVF / embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_topk_recall(spark):
+    from pdtable_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)
+    exact_ids = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_ids = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.5  # nprobe=half the cells: high recall expected
+    # every query returns k results and the self-match ranks first
+    rows = approx.filter(F.col("rank") == 1).collect()
+    assert all(r.query_id == r.vec_id for r in rows)
+
+
+def test_embedding_near_dups_pairs_verified(spark):
+    from pdtable_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = similarity.embedding_near_dups(emb, threshold=0.5, bits=4, dim=64)
+    rows = out.collect()
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(r.cosine_sim >= 0.5 for r in rows)
+    # verify a sample pair against a directly-computed cosine
+    if rows:
+        import math
+        vecs = {r.vec_id: r.embedding for r in emb.filter(
+            F.col("vec_id").isin([rows[0].id_a, rows[0].id_b])).collect()}
+        a, b = vecs[rows[0].id_a], vecs[rows[0].id_b]
+        d = sum(x*y for x, y in zip(a, b))
+        n = math.sqrt(sum(x*x for x in a) * sum(y*y for y in b))
+        assert abs(d / n - rows[0].cosine_sim) < 1e-9
