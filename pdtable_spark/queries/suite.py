@@ -1065,6 +1065,90 @@ def simhash_fingerprints(spark, sf_dir):
     return dedup.simhash(load(spark, sf_dir, "documents"))
 
 
+@q(
+    "q_custkey_median_pandas",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_custkey_median_pandas(spark, sf_dir):
+    """Grouped-map Pandas path (applyInPandas): per-customer order stats
+    computed in pandas per Arrow batch.  Deliberately restricted to
+    order-insensitive statistics (count/max/interpolated median) so the
+    result is bit-identical to the SQL oracle — the point is proving the
+    grouped Arrow plumbing, the same shape a custom per-group model-feature
+    UDF would use.  One shuffle on the group key."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf["o_totalprice"]
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "median_price": [p.quantile(0.5, interpolation="linear")],
+                "max_price": [p.max()],
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        stats,
+        schema="o_custkey long, n_orders long, median_price double, max_price double",
+    )
+
+
+# =============================================================================
+# Streaming (Structured Streaming; non-SQL-expressible → rows-only checks).
+# Each entry runs the watermarked streaming plan to completion on the file
+# source with trigger(availableNow) and returns the sink table — the same
+# plan incrementalizes over Kafka/file feeds in production.
+# =============================================================================
+
+_STREAM_SEQ = [0]
+
+
+def _events_stream(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pdtable_spark.streaming import read_events_stream
+
+    d = tempfile.mkdtemp(prefix="pdtable_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+    return read_events_stream(spark, d)
+
+
+@q("stream_hourly_counts")
+def stream_hourly_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation, run incrementally."""
+    from pdtable_spark.streaming import run_to_memory, stream_hourly_by_type
+
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_hourly_{_STREAM_SEQ[0]}"
+    q_ = run_to_memory(
+        stream_hourly_by_type(_events_stream(spark, sf_dir)), name, output_mode="complete"
+    )
+    q_.stop()
+    return spark.table(name)
+
+
+@q("stream_sessionize_stateful")
+def stream_sessionize_stateful(spark, sf_dir):
+    """applyInPandasWithState custom sessionizer (closed sessions emitted)."""
+    from pdtable_spark.streaming import run_to_memory, sessionize_with_state
+
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_sessions_{_STREAM_SEQ[0]}"
+    q_ = run_to_memory(sessionize_with_state(_events_stream(spark, sf_dir)), name)
+    q_.stop()
+    return spark.table(name)
+
+
 # =============================================================================
 # Multimodal: opaque binary payloads + typed metadata (SURVEY §7.11)
 # =============================================================================
