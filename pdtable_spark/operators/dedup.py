@@ -24,7 +24,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdtable_spark.operators.text import shingles, tokens
+from pdtable_spark.operators.text import shingle_hashes, shingles, tokens
 
 
 def exact_dedup(
@@ -58,14 +58,16 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = 
 
 def _signature_cols(sh_col, num_hashes: int):
     """MinHash signature as per-row array expressions: for each seed,
-    ``array_min(transform(shingles, s -> xxhash64(seed, s)))``.
+    ``array_min(transform(shingle_hashes, h -> xxhash64(seed, h)))``.
 
     Pure narrow JVM expressions — NO explode, NO groupBy: the naive
     explode+aggregate spelling shuffles every (doc, shingle) pair (at 100 TB
     that shuffle is larger than the corpus); this computes the same minima
-    inside the row."""
+    inside the row.  ``sh_col`` holds 64-bit shingle hashes (not strings):
+    the per-seed rehash is a fixed-width hash, so seed passes cost long-ops,
+    not string scans."""
     return [
-        F.array_min(F.transform(sh_col, lambda s: F.xxhash64(F.lit(seed), s))).alias(
+        F.array_min(F.transform(sh_col, lambda h: F.xxhash64(F.lit(seed), h))).alias(
             f"mh_{seed}"
         )
         for seed in range(num_hashes)
@@ -82,11 +84,13 @@ def minhash_signatures(
     """Per-doc MinHash signature: for each seed, min(xxhash64(seed, shingle)).
 
     Shuffle-free (see ``_signature_cols``); signature width is
-    ``num_hashes``×8 bytes.  The shingle array is projected in its own step
-    so codegen evaluates the tokenize+shingle pipeline ONCE per row — inlining
+    ``num_hashes``×8 bytes.  The shingle-hash array is projected in its own
+    step so codegen evaluates the tokenize pipeline ONCE per row — inlining
     it into each of the ``num_hashes`` lambdas re-tokenizes per seed (measured
-    10×+ slowdown)."""
-    sets_ = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh"))
+    10×+ slowdown).  Shingle identity = 64-bit hash (no gram strings built)."""
+    sets_ = df.select(
+        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("__sh")
+    )
     return sets_.select(F.col(id_col), *_signature_cols(F.col("__sh"), num_hashes))
 
 
@@ -167,8 +171,11 @@ def minhash_dedup(
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH, optionally verified with exact Jaccard
     over shingle sets.  Returns (id_a, id_b, jaccard)."""
+    # hash-identity shingles: jaccard verification over 64-bit hash sets is
+    # statistically identical to string sets (collision odds ~n²/2⁶⁴) and
+    # skips building gram strings entirely
     sets_ = df.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("sh")
     )
     sig = sets_.select(F.col(id_col), *_signature_cols(F.col("sh"), num_hashes))
     cand = _lsh_candidate_pairs(sig, id_col, num_hashes, bands)
