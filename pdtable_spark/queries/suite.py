@@ -1137,6 +1137,34 @@ def stream_hourly_counts(spark, sf_dir):
     return spark.table(name)
 
 
+@q(
+    "stream_attribution",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.click_ts <= p.purchase_ts
+                 AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_attribution(spark, sf_dir):
+    """Stream-stream time-range join (watermark-bounded state on both
+    sides), run incrementally with availableNow — the emitted matches equal
+    the batch join, so this streaming operator gets a FULL value oracle."""
+    from pdtable_spark.streaming import run_to_memory, stream_attribution_join
+
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_attrib_{_STREAM_SEQ[0]}"
+    s = _events_stream(spark, sf_dir)
+    s_p = s.filter(F.col("event_type") == "purchase")
+    s_c = s.filter(F.col("event_type") == "click")
+    q_ = run_to_memory(stream_attribution_join(s_p, s_c), name, output_mode="append")
+    q_.stop()
+    return spark.table(name)
+
+
 @q("stream_sessionize_stateful")
 def stream_sessionize_stateful(spark, sf_dir):
     """applyInPandasWithState custom sessionizer (closed sessions emitted)."""

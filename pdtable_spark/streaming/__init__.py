@@ -19,6 +19,7 @@ incrementally under ``readStream`` (the suite's ``q_events_hourly`` /
 
 from .windows import (
     read_events_stream,
+    stream_attribution_join,
     stream_dedup,
     stream_hourly_by_type,
     stream_session_windows,
@@ -31,6 +32,7 @@ __all__ = [
     "read_events_stream",
     "run_to_memory",
     "sessionize_with_state",
+    "stream_attribution_join",
     "stream_dedup",
     "stream_hourly_by_type",
     "stream_session_windows",

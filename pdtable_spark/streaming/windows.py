@@ -108,6 +108,39 @@ def stream_session_windows(
     )
 
 
+def stream_attribution_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    clicks within the preceding ``window`` (attribution).
+
+    Both sides carry watermarks and the join has a time-range condition, so
+    Spark bounds the state store on both sides (clicks older than
+    watermark+window are evicted).  This is the streaming analog of the
+    batch as-of join (`operators/asof.py`) with a bounded lookback.
+    """
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (p.user_id == c.click_user)
+        & (c.click_ts <= p.purchase_ts)
+        & (c.click_ts >= p.purchase_ts - F.expr(f"INTERVAL {window}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "user_id", "purchase_ts", "click_ts"
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
     ``dropDuplicatesWithinWatermark`` keeps state bounded (plain

@@ -109,3 +109,33 @@ def test_stateful_sessionizer(spark, events_dir, events_batch):
         assert r.session_end >= r.session_start
         assert r.n_events >= 1
     assert len(rows) > 0
+
+
+def test_stream_stream_attribution_join(spark, events_dir, events_batch):
+    from pdtable_spark.streaming import stream_attribution_join
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "purchase"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    s_p = read_events_stream(spark, events_dir).filter(F.col("event_type") == "purchase")
+    s_c = read_events_stream(spark, events_dir).filter(F.col("event_type") == "click")
+    out = stream_attribution_join(s_p, s_c)
+    q = run_to_memory(out, "attribution_stream", output_mode="append")
+    try:
+        got = {
+            (r.purchase_id, r.click_ts) for r in spark.table("attribution_stream").collect()
+        }
+    finally:
+        q.stop()
+    b_p, b_c = split(events_batch)
+    want = {
+        (r.purchase_id, r.click_ts)
+        for r in stream_attribution_join(b_p, b_c).collect()
+    }
+    # stream-stream inner join with watermarks emits matches as both sides
+    # arrive; on availableNow over one file all matches land in-batch
+    assert got == want
+    assert len(got) > 0
