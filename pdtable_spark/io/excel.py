@@ -52,16 +52,13 @@ DEFAULT_STYLE_SPEC = {
 }
 
 
-def _require_openpyxl():
+def _openpyxl_or_none():
     try:
-        import openpyxl  # noqa: F401
+        import openpyxl
 
         return openpyxl
-    except ImportError as err:
-        raise ImportError(
-            "Unable to find a usable Excel engine. Tried using: 'openpyxl'.\n"
-            "Please install openpyxl for Excel I/O support."
-        ) from err
+    except ImportError:
+        return None
 
 
 def read_excel(
@@ -79,9 +76,11 @@ def read_excel(
 
     ``sheet_name_pattern`` is matched with ``.match`` (anchored at start);
     non-matching sheets are skipped before any parsing (excel.py:91-99).
-    """
-    openpyxl = _require_openpyxl()
 
+    Engine: openpyxl when installed (streaming ``read_only`` mode); else the
+    built-in stdlib engine (``_excel_stdlib``) — Excel I/O has no hard
+    dependency.
+    """
     source_is_stream = hasattr(source, "read")
     if not source_is_stream:
         source = Path(source)
@@ -94,21 +93,39 @@ def read_excel(
     elif origin is not None:
         warnings.warn(f"Input 'origin': {origin} is shadowed by 'location_file'.")
 
-    wb = openpyxl.load_workbook(source, read_only=True, data_only=True, keep_links=False)
-    try:
-        for ws in wb.worksheets:
-            if sheet_name_pattern is not None and sheet_name_pattern.match(ws.title) is None:
-                continue
-            yield from parse_blocks(
-                ws.iter_rows(values_only=True),
-                location_sheet=location_file.make_location_sheet(ws.title),
-                fixer=fixer,
-                to=to,
-                filter=filter,
-                issue_tracker=issue_tracker,
+    openpyxl = _openpyxl_or_none()
+    if openpyxl is not None:
+        wb = openpyxl.load_workbook(source, read_only=True, data_only=True, keep_links=False)
+        try:
+            sheet_iter = ((ws.title, ws.iter_rows(values_only=True)) for ws in wb.worksheets)
+            yield from _parse_sheets(
+                sheet_iter, sheet_name_pattern, location_file, fixer, to, filter, issue_tracker
             )
-    finally:
-        wb.close()
+        finally:
+            wb.close()
+    else:
+        from pdtable_spark.io._excel_stdlib import read_sheets
+
+        yield from _parse_sheets(
+            read_sheets(source), sheet_name_pattern, location_file, fixer, to, filter,
+            issue_tracker,
+        )
+
+
+def _parse_sheets(
+    sheet_iter, sheet_name_pattern, location_file, fixer, to, filter, issue_tracker
+) -> BlockIterator:
+    for title, row_iter in sheet_iter:
+        if sheet_name_pattern is not None and sheet_name_pattern.match(title) is None:
+            continue
+        yield from parse_blocks(
+            row_iter,
+            location_sheet=location_file.make_location_sheet(title),
+            fixer=fixer,
+            to=to,
+            filter=filter,
+            issue_tracker=issue_tracker,
+        )
 
 
 def write_excel(
@@ -122,8 +139,10 @@ def write_excel(
 
     ``tables`` may be a single Table, an iterable of Tables (one default
     sheet), or a ``{sheet_name: Table | Iterable[Table]}`` dict.
+
+    Engine: openpyxl when installed; else the stdlib engine (values only —
+    a non-empty ``styles`` spec warns and is ignored without openpyxl).
     """
-    openpyxl = _require_openpyxl()
     from pdtable_spark.table import Table
 
     if isinstance(tables, Table):
@@ -136,6 +155,22 @@ def write_excel(
         sheets = {None: list(tables)}
 
     style_spec = DEFAULT_STYLE_SPEC if styles is True else (styles or None)
+    openpyxl = _openpyxl_or_none()
+
+    if openpyxl is None:
+        if style_spec:
+            warnings.warn("styles require openpyxl; writing values only")
+        from pdtable_spark.io._excel_stdlib import write_workbook
+
+        out_sheets = []
+        for i, (sheet_name, sheet_tables) in enumerate(sheets.items()):
+            rows: list = []
+            for t in sheet_tables:
+                rows.extend(_table_rows(t, na_rep))
+                rows.extend([[]] * sep_lines)
+            out_sheets.append((sheet_name or f"Sheet{i + 1}", rows))
+        write_workbook(out_sheets, str(to))
+        return
 
     wb = openpyxl.Workbook()
     default_ws = wb.active
@@ -154,6 +189,39 @@ def write_excel(
             for _ in range(sep_lines):
                 ws.append([])
     wb.save(str(to))
+
+
+def _table_rows(table, na_rep: str) -> list:
+    """StarTable block layout of one table as a list of cell rows."""
+    cm = table.column_metadata
+    names = table.column_names
+    units = table.units
+    fmts = [cm[c].display_format for c in names]
+
+    def fmt(value, f):
+        if isinstance(value, str) or value is None:
+            return value
+        if f is not None and isinstance(value, (int, float)) and not isinstance(value, bool):
+            return f.format(value)
+        return value
+
+    rows: list = []
+    if table.metadata.transposed:
+        rows.append([f"**{table.name}*"])
+        rows.append([" ".join(str(d) for d in sorted(table.destinations))])
+        data = [tuple(r) for r in table.df.toLocalIterator()]
+        for i, (name, unit, f) in enumerate(zip(names, units, fmts)):
+            vals = represent_col_elements((r[i] for r in data), unit, na_rep)
+            rows.append([name, unit] + [fmt(v, f) for v in vals])
+    else:
+        rows.append([f"**{table.name}"])
+        rows.append([" ".join(str(d) for d in sorted(table.destinations))])
+        rows.append(list(names))
+        rows.append(list(units))
+        for row in table.df.toLocalIterator():
+            vals = represent_row_elements(tuple(row), units, na_rep)
+            rows.append([fmt(v, f) for v, f in zip(vals, fmts)])
+    return rows
 
 
 def _append_table(ws, table, na_rep: str, style_spec: Optional[Dict]) -> None:

@@ -23,6 +23,7 @@ reports a clear issue instead of crashing the whole load.
 from __future__ import annotations
 
 import re
+import zipfile
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, Optional
@@ -94,9 +95,9 @@ class FileReader(Reader):
                     issue_tracker=orchestrator.issue_tracker,
                     to=self.to,
                 )
-            except ImportError as e:
-                # openpyxl absent: degrade to a tracked issue so one xlsx
-                # member doesn't kill a whole input-set load
+            except (ImportError, OSError, zipfile.BadZipFile) as e:
+                # engine absent or workbook unreadable: degrade to a tracked
+                # issue so one bad xlsx doesn't kill a whole input-set load
                 orchestrator.issue_tracker.add_error(
                     f"Cannot read '{path}': {e}", location_file=location_file
                 )

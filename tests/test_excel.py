@@ -1,0 +1,84 @@
+"""Excel I/O tests (stdlib engine; openpyxl used instead when installed).
+
+Models reference ``pdtable/test/io/test_excel.py``: round trips, multi-sheet
+workbooks, transposed tables, sheet-name filtering, value types.
+"""
+
+import datetime as dt
+import io
+import re
+
+import pytest
+
+from pdtable_spark.io.csv import read_csv
+from pdtable_spark.io.excel import read_excel, write_excel
+from pdtable_spark.io._excel_stdlib import read_sheets, write_workbook
+from pdtable_spark.parsers.blocks import BlockType
+from pdtable_spark.store import TableBundle
+
+CSV = """**places;
+all
+place;distance;is_hot;since
+text;km;onoff;datetime
+home;0.0;1;2020-01-01 00:00:00
+work;14.5;0;2021-06-15 12:30:00
+mars;-;-;-
+
+"""
+
+
+@pytest.fixture
+def places(spark):
+    return TableBundle(read_csv(io.StringIO(CSV)))["places"]
+
+
+def test_stdlib_workbook_round_trip(tmp_path):
+    rows = [
+        ["text", 1.5, True, None, -3],
+        [],
+        ["<&escaped>", False, 2.0],
+    ]
+    write_workbook([("S1", rows), ("S2", [["x"]])], tmp_path / "wb.xlsx")
+    sheets = {name: list(rit) for name, rit in read_sheets(tmp_path / "wb.xlsx")}
+    assert list(sheets) == ["S1", "S2"]
+    assert sheets["S1"][0] == ["text", 1.5, True, None, -3]
+    assert sheets["S1"][1] == []
+    assert sheets["S1"][2] == ["<&escaped>", False, 2.0]
+    assert sheets["S2"] == [["x"]]
+
+
+def test_excel_table_round_trip(spark, places, tmp_path):
+    write_excel(places, tmp_path / "t.xlsx")
+    back = TableBundle(read_excel(tmp_path / "t.xlsx"))["places"]
+    assert back.units == places.units
+    assert places.equals(back)
+
+
+def test_excel_transposed_round_trip(spark, tmp_path):
+    csv_t = "**flipped*;\nall\na;-;1;2;3\nb;text;x;y;z\n\n"
+    t = TableBundle(read_csv(io.StringIO(csv_t)))["flipped"]
+    assert t.metadata.transposed
+    write_excel(t, tmp_path / "t.xlsx")
+    back = TableBundle(read_excel(tmp_path / "t.xlsx"))["flipped"]
+    assert back.metadata.transposed
+    assert t.equals(back)
+
+
+def test_excel_multi_sheet_and_pattern(spark, places, tmp_path):
+    write_excel({"input_a": places, "other": places}, tmp_path / "m.xlsx")
+    all_blocks = [b for bt, b in read_excel(tmp_path / "m.xlsx") if bt == BlockType.TABLE]
+    assert len(all_blocks) == 2
+    filtered = [
+        b
+        for bt, b in read_excel(tmp_path / "m.xlsx", sheet_name_pattern=re.compile(r"^input_"))
+        if bt == BlockType.TABLE
+    ]
+    assert len(filtered) == 1
+
+
+def test_excel_datetime_cells(spark, places, tmp_path):
+    write_excel(places, tmp_path / "d.xlsx")
+    back = TableBundle(read_excel(tmp_path / "d.xlsx"))["places"]
+    since = sorted(v for v in back["since"].values if v is not None)
+    assert since[0] == dt.datetime(2020, 1, 1)
+    assert since[1] == dt.datetime(2021, 6, 15, 12, 30)

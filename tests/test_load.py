@@ -133,31 +133,25 @@ def test_parquet_load_item(spark, tmp_path):
     assert bundle["region"].count() == 5
 
 
-def test_excel_gated_without_openpyxl(tmp_path):
-    pytest.importorskip_not = None
-    try:
-        import openpyxl  # noqa: F401
-
-        pytest.skip("openpyxl installed; gating path not reachable")
-    except ImportError:
-        pass
-    from pdtable_spark.io.excel import read_excel
-
-    with pytest.raises(ImportError, match="openpyxl"):
-        list(read_excel(tmp_path / "nope.xlsx"))
-
-
-def test_excel_load_item_reports_issue(tmp_path):
-    try:
-        import openpyxl  # noqa: F401
-
-        pytest.skip("openpyxl installed")
-    except ImportError:
-        pass
-    (tmp_path / "wb.xlsx").write_bytes(b"")
+def test_corrupt_excel_load_item_reports_issue(tmp_path):
+    (tmp_path / "wb.xlsx").write_bytes(b"not a zip")
     tracker = CollectingInputIssueTracker()
     list(load_files([str(tmp_path / "wb.xlsx")], issue_tracker=tracker))
     assert not tracker.is_ok
+
+
+def test_excel_in_input_set(spark, tmp_path):
+    from pdtable_spark.io.excel import write_excel
+
+    import io as _io
+
+    from pdtable_spark.io.csv import read_csv
+
+    csv = "**wb_table;\nall\na;b\n-;text\n1.5;x\n2.5;y\n\n"
+    bundle = TableBundle(read_csv(_io.StringIO(csv)))
+    write_excel(bundle["wb_table"], tmp_path / "wb.xlsx")
+    out = TableBundle(load_files([str(tmp_path / "wb.xlsx")]))
+    assert bundle["wb_table"].equals(out["wb_table"])
 
 
 def test_filtered_blocks_pass_through(spark, input_folder):
