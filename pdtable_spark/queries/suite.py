@@ -290,6 +290,151 @@ def q18_large_orders(spark, sf_dir):
 
 
 @q(
+    "q13_order_count_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 family: two-level aggregation over an outer join with a
+    join-side predicate (customers with zero qualifying orders count as 0)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {_sql_dsum('l_extendedprice * (1.0 - l_discount)', 'total_revenue', 'DECIMAL(18,6)')}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 family: aggregate 'view' + scalar-subquery max filter —
+    expressed as a rank-1 window over the aggregated side (one extra tiny
+    shuffle instead of a recompute-the-view self-join)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "total_revenue",
+            "decimal(18,6)",
+        )
+    )
+    top = rev.withColumn(
+        "rnk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
+    ).filter(F.col("rnk") == 1)
+    s = load(spark, sf_dir, "supplier")
+    return s.join(F.broadcast(top), s.s_suppkey == top.l_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    WITH avg_qty AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 family: correlated average via aggregate-then-join-back.
+    AVG(double) is order-dependent in general, but each part's lineitems fit
+    one aggregation buffer and both engines sum in ascending-row order per
+    group on this data layout; the comparison `quantity < half_avg` is far
+    from ties, so the predicate is stable cross-engine."""
+    l = load(spark, sf_dir, "lineitem")
+    avg_qty = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg(
+            (
+                F.lit(0.5)
+                * (
+                    F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("half_avg")
+        )
+    )
+    j = l.join(avg_qty, l.l_partkey == avg_qty.a_partkey).filter(
+        F.col("l_quantity") < F.col("half_avg")
+    )
+    return j.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0)
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@q(
+    "q19_discounted_revenue",
+    f"""
+    SELECT {_sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)', 'revenue', 'DECIMAL(18,6)')},
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 family: disjunctive multi-branch predicate across the join
+    — Catalyst pushes the common l_quantity/p_size bounds below the join."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+                "decimal(18,6)",
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
     "q_top_orders_per_customer",
     """
     SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
