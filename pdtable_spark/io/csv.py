@@ -186,6 +186,62 @@ def write_csv(
             _table_to_csv(t, to, sep, na_rep)
 
 
+def write_csv_distributed(
+    table,
+    out_dir: str,
+    sep: Optional[str] = None,
+    na_rep: str = "-",
+) -> None:
+    """Distributed StarTable CSV dump: each partition writes one valid
+    StarTable CSV file (``part-NNNNN.csv`` with the full ``**name`` /
+    destinations / names / units block header) — the W1 scale path.
+
+    The result directory round-trips through :func:`scan_csv` (per-file
+    block structure is self-contained), so 100 TB tables never serialize
+    through the driver.  Transposed layout is driver-sized by definition
+    (one line per column) — use :func:`write_csv` for those.
+    """
+    from pyspark.sql import functions as F
+
+    if sep is None:
+        sep = CSV_SEP
+    if table.metadata.transposed:
+        raise ValueError("transposed tables are driver-sized; use write_csv")
+
+    cm = table.column_metadata
+    names = table.column_names
+    units = table.units
+    fmts = [cm[c].display_format for c in names]
+    header = (
+        f"**{table.name}{sep}\n"
+        + " ".join(str(d) for d in sorted(table.destinations))
+        + "\n"
+        + sep.join(names)
+        + "\n"
+        + sep.join(units)
+        + "\n"
+    )
+
+    def to_lines(rows):
+        yield header.rstrip("\n")  # multi-line block header, one per file
+        for row in rows:
+            vals = represent_row_elements(tuple(row), units, na_rep)
+            out = []
+            for v, fmt_ in zip(vals, fmts):
+                if isinstance(v, str):
+                    out.append(v)
+                elif fmt_ is not None and isinstance(v, (int, float)) and not isinstance(v, bool):
+                    out.append(fmt_.format(v))
+                else:
+                    out.append(str(v))
+            yield sep.join(out)
+        yield ""  # blank line terminates the block
+
+    # saveAsTextFile → one self-contained StarTable file per partition via
+    # the Hadoop committer (atomic on HDFS/S3/local alike)
+    table.df.rdd.mapPartitions(to_lines).saveAsTextFile(out_dir)
+
+
 def _table_to_csv(table, stream: TextIO, sep: str, na_rep: str) -> None:
     cm = table.column_metadata
     names = table.column_names

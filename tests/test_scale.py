@@ -76,3 +76,33 @@ def test_top_frequent_keys(spark):
     df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2 + [(None,)], "k string")
     rows = top_frequent_keys(df, "k", 2).collect()
     assert rows[0].k == "a" and rows[0].n_rows == 5
+
+
+def test_write_csv_distributed_round_trip(spark, tmp_path):
+    from pdtable_spark.io.csv import scan_csv, write_csv_distributed
+
+    src = Table(
+        spark.read.parquet("/root/testdata/sf0.001/nation.parquet").repartition(4),
+        name="nation",
+    )
+    out = str(tmp_path / "nation_csv")
+    write_csv_distributed(src, out)
+    import glob
+
+    parts = sorted(glob.glob(f"{out}/part-*"))
+    assert len(parts) >= 2  # one StarTable file per partition
+    with open(parts[0]) as f:
+        assert f.readline().startswith("**nation;")
+    back = scan_csv(spark, f"{out}/part-*", "nation")
+    assert back.count() == src.count()
+    got = {tuple(r) for r in back.df.select("n_nationkey", "n_name").collect()}
+    want = {tuple(r) for r in src.df.select("n_nationkey", "n_name").collect()}
+    assert got == want
+
+
+def test_get_session_defaults():
+    from pdtable_spark.session import get_session
+
+    s = get_session()
+    assert s.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert s.conf.get("spark.sql.session.timeZone") == "UTC"
