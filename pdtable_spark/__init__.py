@@ -32,8 +32,13 @@ from pdtable_spark.parsers.blocks import BlockType, make_table
 from pdtable_spark.parsers.fixer import ParseFixer
 from pdtable_spark.store import Bundle, TableBundle, TableNameNotUniqueInBundleError
 from pdtable_spark.table import Column, Table
-from pdtable_spark.io.csv import read_csv, write_csv
+from pdtable_spark.io.csv import read_csv, scan_csv, write_csv, write_csv_distributed
+from pdtable_spark.io.excel import read_excel, write_excel
 from pdtable_spark.io.json import json_data_to_table, table_to_json_data
+from pdtable_spark.io.load import load_files, make_location_trees
+from pdtable_spark.io.parquet import read_parquet, write_parquet
+from pdtable_spark.session import get_session
+from pdtable_spark.utils import read_bundle_from_csv
 
 __version__ = "0.1.0"
 
@@ -54,9 +59,19 @@ __all__ = [
     "TableMetadata",
     "TableNameNotUniqueInBundleError",
     "TableOrigin",
+    "get_session",
     "json_data_to_table",
+    "load_files",
+    "make_location_trees",
     "make_table",
+    "read_bundle_from_csv",
     "read_csv",
+    "read_excel",
+    "read_parquet",
+    "scan_csv",
     "table_to_json_data",
+    "write_csv_distributed",
+    "write_excel",
+    "write_parquet",
     "write_csv",
 ]
