@@ -225,3 +225,22 @@ def test_get_row_and_repr(spark):
     row = t.get_row(1)
     assert row[0] == "work"
     assert "**places" in repr(t)
+
+
+def test_transpose_metadata_reset(spark):
+    t = make_places(spark)
+    flipped = t.transpose()
+    # reference semantics (test_pdtable.py:400-407): all columns become text
+    assert all(u == "text" for u in flipped.units[1:]) or all(
+        u in ("text", "-") for u in flipped.units
+    )
+    assert flipped.count() == len(t.column_names)
+
+
+def test_distinct_and_limit(spark):
+    t = make_places(spark)
+    doubled = t.union(t)
+    assert doubled.count() == 6
+    assert doubled.distinct().count() == 3
+    assert doubled.limit(2).count() == 2
+    assert doubled.distinct()["distance"].unit == "km"
