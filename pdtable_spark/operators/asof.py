@@ -1,14 +1,16 @@
 """As-of (point-in-time) join — an operator Spark lacks natively.
 
 ``asof_join(left, right, on=ts, by=keys)``: for each left row, attach the
-most recent right row with ``right.ts <= left.ts`` within the same key group.
+most recent right row with ``right.ts <= left.ts`` within the same key group
+(or the earliest after / the nearest, per ``direction``).
 
 Spark-first implementation (no pandas, no UDF): union the two sides tagged,
 sort within each key partition once, and carry the right side's values
 forward with ``last(..., ignorenulls=True)`` over an unbounded-preceding
-window.  Cost = ONE shuffle on the key (the window sort), versus the naive
-range-join which explodes to O(n·m) pairs.  Skew: the window partitions by
-``by`` keys; salt the key upstream if one key dominates.
+window (backward), or backward with ``first(...)`` over unbounded-following
+(forward).  Cost = ONE shuffle on the key (the window sort), versus the
+naive range-join which explodes to O(n·m) pairs.  Skew: the window
+partitions by ``by`` keys; salt the key upstream if one key dominates.
 
 (Equivalent semantics to pandas ``merge_asof`` / QuestDB ASOF JOIN;
 DuckDB's ``ASOF JOIN`` is the oracle in tests.)
@@ -30,21 +32,31 @@ def asof_join(
     right_cols: Optional[List[str]] = None,
     suffix: str = "_right",
     strict: bool = False,
+    direction: str = "backward",
+    tolerance: Optional[float] = None,
 ) -> DataFrame:
-    """For each left row, the latest right row with ``right.on <= left.on``
-    (``<`` if strict), matched within ``by`` groups.
+    """pandas ``merge_asof``-style join, single-shuffle.
 
-    ``right_cols`` limits which right columns are attached (default: all
-    non-key, non-ts columns).  Attached columns are suffixed on collision.
-    Right ``on`` is attached as ``{on}{suffix}``.
+    - ``direction``: 'backward' (most recent right at/before; default),
+      'forward' (earliest right at/after), or 'nearest' (the closer of the
+      two; backward wins exact ties).  All three are window passes over the
+      same ``by``-partitioning — nearest costs one extra in-partition sort,
+      no extra shuffle.
+    - ``strict``: exclude equal timestamps (``<`` / ``>`` instead of
+      ``<=`` / ``>=``).
+    - ``tolerance``: maximum |left.on − right.on| in the column's native
+      units (seconds for timestamps); matches further away become nulls.
+    - ``right_cols`` limits which right columns attach (default: all
+      non-key, non-ts).  Collisions get ``suffix``; right's ``on`` is
+      attached as ``{on}{suffix}``.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     by = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by]
 
-    out_names = {}
-    for c in right_cols:
-        out_names[c] = c + suffix if c in left.columns else c
+    out_names = {c: (c + suffix if c in left.columns else c) for c in right_cols}
     ts_right = on + suffix
 
     tag = "__is_left__"
@@ -55,7 +67,11 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in right_cols],
     )
     r_tagged = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on and c not in by],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c != on and c not in by
+        ],
         *[F.col(c) for c in by],
         F.col(on),
         F.lit(0).alias(tag),
@@ -64,18 +80,53 @@ def asof_join(
     ).select(*l_tagged.columns)  # align column order
 
     unioned = l_tagged.unionByName(r_tagged)
-    # Right rows sort before left rows at the same timestamp unless strict:
-    # tag asc (0=right first) gives <=; tag desc gives <.
-    order = [F.col(on).asc(), F.col(tag).asc() if not strict else F.col(tag).desc()]
-    w = (
-        Window.partitionBy(*by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-        if by
-        else Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = unioned.select(
-        *[c for c in unioned.columns if c not in (tag, ts_right, *out_names.values())],
-        F.col(tag),
-        F.last(ts_right, ignorenulls=True).over(w).alias(ts_right),
-        *[F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c]) for c in right_cols],
-    )
-    return filled.filter(F.col(tag) == 1).drop(tag)
+
+    def window(reverse_ties: bool, following: bool):
+        # Tie order decides <= vs <: for backward, right-before-left at the
+        # same ts includes equal timestamps; for forward, right-after-left.
+        tie = F.col(tag).asc() if not reverse_ties else F.col(tag).desc()
+        w = Window.partitionBy(*by) if by else Window.partitionBy()
+        w = w.orderBy(F.col(on).asc(), tie)
+        if following:
+            return w.rowsBetween(0, Window.unboundedFollowing)
+        return w.rowsBetween(Window.unboundedPreceding, 0)
+
+    w_back = window(reverse_ties=strict, following=False)
+    w_fwd = window(reverse_ties=not strict, following=True)
+
+    def fills(col_name):
+        """(backward_fill, forward_fill) expressions for one attached col."""
+        return (
+            F.last(col_name, ignorenulls=True).over(w_back),
+            F.first(col_name, ignorenulls=True).over(w_fwd),
+        )
+
+    attached = [ts_right] + [out_names[c] for c in right_cols]
+    base_cols = [c for c in unioned.columns if c not in (tag, *attached)]
+
+    if direction in ("backward", "forward"):
+        pick = (lambda b, f: b) if direction == "backward" else (lambda b, f: f)
+        filled = unioned.select(
+            *base_cols, F.col(tag), *[pick(*fills(c)).alias(c) for c in attached]
+        )
+    else:  # nearest
+        tb, tf = fills(ts_right)
+        d_back = F.abs(F.col(on).cast("double") - tb.cast("double"))
+        d_fwd = F.abs(F.col(on).cast("double") - tf.cast("double"))
+        use_back = tb.isNotNull() & (tf.isNull() | (d_back <= d_fwd))
+        filled = unioned.select(
+            *base_cols,
+            F.col(tag),
+            *[F.when(use_back, fills(c)[0]).otherwise(fills(c)[1]).alias(c) for c in attached],
+        )
+
+    out = filled.filter(F.col(tag) == 1).drop(tag)
+    if tolerance is not None:
+        in_tol = (
+            F.abs(F.col(on).cast("double") - F.col(ts_right).cast("double")) <= tolerance
+        )
+        out = out.select(
+            *[c for c in out.columns if c not in attached],
+            *[F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c) for c in attached],
+        )
+    return out

@@ -269,3 +269,77 @@ def test_embedding_near_dups_pairs_verified(spark):
         d = sum(x*y for x, y in zip(a, b))
         n = math.sqrt(sum(x*x for x in a) * sum(y*y for y in b))
         assert abs(d / n - rows[0].cosine_sim) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# as-of join directions / tolerance
+# ---------------------------------------------------------------------------
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 25.0), (2, 5.0)], "k int, t double"
+    )
+    right = spark.createDataFrame(
+        [(1, 8.0, "a"), (1, 20.0, "b"), (1, 26.0, "c"), (2, 50.0, "z")],
+        "k int, t double, v string",
+    )
+    return left, right
+
+
+def test_asof_directions(spark):
+    from pdtable_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    back = {(r.k, r.t): r.v for r in asof_join(left, right, "t", by="k").collect()}
+    assert back == {(1, 10.0): "a", (1, 25.0): "b", (2, 5.0): None}
+    fwd = {
+        (r.k, r.t): r.v
+        for r in asof_join(left, right, "t", by="k", direction="forward").collect()
+    }
+    assert fwd == {(1, 10.0): "b", (1, 25.0): "c", (2, 5.0): "z"}
+    near = {
+        (r.k, r.t): r.v
+        for r in asof_join(left, right, "t", by="k", direction="nearest").collect()
+    }
+    # t=10: back a (d=2) vs fwd b (d=10) -> a; t=25: b (d=5) vs c (d=1) -> c
+    assert near == {(1, 10.0): "a", (1, 25.0): "c", (2, 5.0): "z"}
+
+
+def test_asof_tolerance_and_strict(spark):
+    from pdtable_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    tol = {
+        (r.k, r.t): r.v
+        for r in asof_join(left, right, "t", by="k", tolerance=3.0).collect()
+    }
+    assert tol == {(1, 10.0): "a", (1, 25.0): None, (2, 5.0): None}
+    # strict excludes equal timestamps
+    eq_left = spark.createDataFrame([(1, 8.0)], "k int, t double")
+    non_strict = asof_join(eq_left, right, "t", by="k").collect()[0]
+    assert non_strict.v == "a"
+    strict = asof_join(eq_left, right, "t", by="k", strict=True).collect()[0]
+    assert strict.v is None
+
+
+def test_asof_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from pdtable_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    got = sorted(
+        (r.k, r.t, r.v) for r in asof_join(left, right, "t", by="k").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l AS SELECT * FROM (VALUES (1,10.0),(1,25.0),(2,5.0)) t(k,t)")
+    con.execute(
+        "CREATE TABLE r AS SELECT * FROM (VALUES (1,8.0,'a'),(1,20.0,'b'),(1,26.0,'c'),(2,50.0,'z')) t(k,t,v)"
+    )
+    want = sorted(
+        con.execute(
+            "SELECT l.k, l.t, r.v FROM l ASOF LEFT JOIN r ON l.k = r.k AND r.t <= l.t"
+        ).fetchall()
+    )
+    assert got == want
