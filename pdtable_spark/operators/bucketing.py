@@ -1,0 +1,70 @@
+"""Bucketed tables: pay the shuffle once at write time, join for free after.
+
+At 100 TB the dominant cost of repeated fact⋈fact joins is re-shuffling the
+same data every query.  Hive-style bucketing persists the hash-partitioning:
+``write_bucketed`` shuffles once into N buckets on the join key; every later
+equi-join (or aggregation) on that key between same-bucketed tables runs
+with NO exchange — Spark's planner proves the co-location from catalog
+metadata.
+
+Local/test note: bucketed tables are managed tables in the session
+warehouse (``spark.sql.warehouse.dir``); on a cluster back them with an
+external metastore path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Union[str, Sequence[str]],
+    num_buckets: int = 32,
+    sort_cols: Optional[Union[str, Sequence[str]]] = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist ``df`` as a bucketed (optionally sorted) managed table.
+
+    ``sort_cols`` additionally sorts within buckets — upgrades downstream
+    sort-merge joins to zero-sort streams.  Choose ``num_buckets`` so one
+    bucket ≈ a comfortable task (100-500 MB at scale).
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).format(format).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols is not None:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: Union[str, List[str]],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key.
+
+    With matching bucket counts and keys the physical plan contains no
+    Exchange on either side (verify with ``assert_no_shuffle``).  Broadcast
+    is disabled for this join so the planner demonstrates the bucket path
+    even on small test data.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.hint("merge").join(right, on=on, how=how)
+
+
+def assert_no_shuffle(df: DataFrame) -> None:
+    """Raise if the physical plan contains a shuffle exchange — used by
+    tests (and pipeline authors) to pin the bucket-join guarantee."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange hashpartitioning" in plan:
+        raise AssertionError(f"plan contains a shuffle exchange:\n{plan}")

@@ -106,3 +106,28 @@ def test_get_session_defaults():
     s = get_session()
     assert s.conf.get("spark.sql.adaptive.enabled") == "true"
     assert s.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    from pdtable_spark.operators.bucketing import (
+        assert_no_shuffle,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(o, "b_orders", "o_orderkey", num_buckets=4)
+    write_bucketed(l, "b_lineitem", "o_orderkey", num_buckets=4)
+    try:
+        j = bucketed_join(spark, "b_orders", "b_lineitem", on="o_orderkey")
+        assert_no_shuffle(j)  # co-located: no exchange on either side
+        assert j.count() == l.count()
+        # and an aggregation on the bucket key also skips the shuffle
+        agg = spark.table("b_lineitem").groupBy("o_orderkey").count()
+        assert_no_shuffle(agg)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
