@@ -899,6 +899,84 @@ def q10_returned_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "q_sql_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_sql_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — exercised through the ``spark.sql`` entry
+    point over a registered temp view (the SQL-text API surface, same
+    Catalyst plan as the DataFrame spelling)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@q(
+    "q_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_order_gaps(spark, sf_dir):
+    """lead/lag navigation — one shuffle on the partition key."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.datediff(F.col("o_orderdate"), prev_date).cast("long").alias("days_since_prev"),
+    )
+
+
+@q(
+    "q_range_frame_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_90d_spend
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    """,
+)
+def q_range_frame_spend(spark, sf_dir):
+    """RANGE-frame window: trailing-90-day spend per customer — value-based
+    frame bounds (all orders within 90 days), not row counts."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+        .alias("trailing_90d_spend"),
+    )
+
+
 # =============================================================================
 # Events (stream-shaped table): time windows, sessionization, as-of join
 # =============================================================================
