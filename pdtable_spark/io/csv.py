@@ -89,6 +89,8 @@ def scan_csv(
     table_name: str,
     sep: Optional[str] = None,
     min_partitions: Optional[int] = None,
+    permissive: bool = False,
+    fix_counter=None,
 ):
     """Parse ``table_name`` out of every StarTable CSV under ``paths`` into a
     single Spark-backed ``Table`` — the 100 TB path for S1.
@@ -98,6 +100,16 @@ def scan_csv(
     one-cell cost; the schema (column names + units) is taken from the first
     file on the driver, then executors emit plain row tuples — no pandas, no
     Table objects cross the wire.
+
+    Error accounting at scale (SURVEY §7 watch-list): with
+    ``permissive=True`` illegal cells are fixed to type defaults inside
+    executors (≈ Spark CSV PERMISSIVE mode) and the number of fixes is
+    tallied into ``fix_counter`` — a ``spark.sparkContext.accumulator(0)``
+    supplied by the caller (per-table *ordering* of fix messages is
+    deliberately not reconstructed across executors; inspect single files
+    driver-side with ``read_csv`` + a collecting fixer when provenance
+    matters).  Default (strict) mode fails the task on the first illegal
+    cell, surfacing the executor error to the driver.
     """
     from pdtable_spark.frame import schema_for_units
     from pdtable_spark.model.metadata import TableMetadata
@@ -115,7 +127,7 @@ def scan_csv(
 
     # -- driver: schema from the first file containing the table -------------
     first_text = files.values().first()
-    probe = _parse_named_tables(first_text, table_name, sep)
+    probe = _parse_named_tables(first_text, table_name, sep, permissive)
     try:
         first = next(probe)
     except StopIteration:
@@ -126,7 +138,9 @@ def scan_csv(
     # -- executors: parse + emit row tuples ----------------------------------
     def rows_of(kv):
         _, text = kv
-        for parsed in _parse_named_tables(text, table_name, sep):
+        for parsed in _parse_named_tables(text, table_name, sep, permissive):
+            if fix_counter is not None and parsed.n_fixes:
+                fix_counter.add(parsed.n_fixes)
             cols = [parsed.columns[c] for c in parsed.column_names]
             yield from zip(*cols)
 
@@ -136,19 +150,29 @@ def scan_csv(
     return Table(df, metadata=meta)
 
 
-def _parse_named_tables(text: str, table_name: str, sep: str):
-    """Tokenize one StarTable CSV text, yielding ParsedTables matching name.
+def _parse_named_tables(text: str, table_name: str, sep: str, permissive: bool = False):
+    """Tokenize one StarTable CSV text, yielding ParsedTables matching name
+    (each annotated with ``n_fixes`` applied while parsing it).
 
     Pure Python — safe inside executors (no SparkSession access).
     """
+    fixer = None
+    if permissive:
+        fixer = ParseFixer()
+        fixer.stop_on_errors = False
     cell_rows = (line.rstrip("\n").split(sep) for line in text.splitlines())
     blocks = parse_blocks(
         cell_rows,
         to="parsed",
+        fixer=fixer,
         filter=lambda bt, name: bt == BlockType.TABLE and name == table_name,
     )
+    seen_fixes = 0
     for block_type, block in blocks:
         if block_type == BlockType.TABLE and block is not None:
+            total = fixer.fixes if fixer is not None else 0
+            block.n_fixes = total - seen_fixes
+            seen_fixes = total
             yield block
 
 

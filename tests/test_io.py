@@ -148,3 +148,32 @@ def test_read_bundle_requires_converter(tmp_path):
             read_bundle_from_csv(p, convert_units_to={"places": {"distance": "m"}})
     finally:
         units.set_converter(old)
+
+
+def test_scan_csv_permissive_counts_fixes(spark, tmp_path):
+    from pdtable_spark.io.csv import scan_csv
+
+    good = "**m;\nall\na;b\n-;text\n1.0;x\n2.0;y\n\n"
+    bad = "**m;\nall\na;b\n-;text\nnot_a_number;x\n3.0;y\n\n"
+    (tmp_path / "f1.csv").write_text(good)
+    (tmp_path / "f2.csv").write_text(bad)
+
+    acc = spark.sparkContext.accumulator(0)
+    t = scan_csv(spark, f"{tmp_path}/f*.csv", "m", permissive=True, fix_counter=acc)
+    rows = t.df.collect()
+    assert len(rows) == 4
+    # the illegal cell became the float default (None/NaN), not a crash
+    vals = sorted((r.a for r in rows), key=lambda v: (v is None, v))
+    assert vals[0] in (None, float("nan")) or vals[-1] is None or any(
+        v is None or v != v for v in (r.a for r in rows)
+    )
+    assert acc.value == 1
+
+
+def test_scan_csv_strict_fails_on_illegal_cell(spark, tmp_path):
+    from pdtable_spark.io.csv import scan_csv
+    from py4j.protocol import Py4JJavaError
+
+    (tmp_path / "f1.csv").write_text("**m;\nall\na\n-\nbogus\n\n")
+    with pytest.raises(Exception):
+        scan_csv(spark, f"{tmp_path}/f1.csv", "m").df.collect()
