@@ -102,7 +102,15 @@ def attach_units(
         resolved.update(unit_map)
     for f in df.schema.fields:
         unit = resolved.get(f.name)
-        cm = ColumnMetadata(unit=unit) if unit is not None else ColumnMetadata.from_dtype(f.dataType)
+        if unit is not None:
+            cm = ColumnMetadata(unit=unit)
+        else:
+            # unspecified columns KEEP their existing metadata (a derived
+            # table must not relabel untouched columns); dtype inference is
+            # the fallback for genuinely metadata-less fields
+            cm = ColumnMetadata.from_field_metadata(f.metadata)
+            if cm is None:
+                cm = ColumnMetadata.from_dtype(f.dataType)
         df = df.withMetadata(f.name, cm.to_field_metadata())
     return df
 

@@ -98,6 +98,80 @@ class Column:
     def __repr__(self) -> str:
         return f"Column(name='{self._name}', unit='{self.unit}')"
 
+    # -- unit-aware arithmetic (beyond reference parity; units/algebra.py) ----
+
+    def _binop(self, other, expr_op, unit_op) -> "UnitExpr":
+        from pdtable_spark.units.algebra import NO_UNIT
+
+        if isinstance(other, Column):
+            o_expr, o_unit = other.expr, other.unit
+        elif isinstance(other, UnitExpr):
+            o_expr, o_unit = other.expr, other.unit
+        else:  # bare literal: dimensionless
+            o_expr, o_unit = F.lit(other), NO_UNIT
+        return UnitExpr(expr_op(self.expr, o_expr), unit_op(self.unit, o_unit))
+
+    def __mul__(self, other):
+        from pdtable_spark.units.algebra import mul_units
+
+        return self._binop(other, lambda a, b: a * b, mul_units)
+
+    def __truediv__(self, other):
+        from pdtable_spark.units.algebra import div_units
+
+        return self._binop(other, lambda a, b: a / b, div_units)
+
+    def __add__(self, other):
+        from pdtable_spark.units.algebra import addsub_units
+
+        return self._binop(other, lambda a, b: a + b, addsub_units)
+
+    def __sub__(self, other):
+        from pdtable_spark.units.algebra import addsub_units
+
+        return self._binop(other, lambda a, b: a - b, addsub_units)
+
+
+class UnitExpr:
+    """A Spark expression carrying a derived unit — composable result of
+    Column arithmetic; consumed by ``Table.with_column`` (unit inferred)."""
+
+    def __init__(self, expr: SparkColumn, unit: str):
+        self.expr = expr
+        self.unit = unit
+
+    def _binop(self, other, expr_op, unit_op) -> "UnitExpr":
+        from pdtable_spark.units.algebra import NO_UNIT
+
+        if isinstance(other, (Column, UnitExpr)):
+            o_expr, o_unit = other.expr, other.unit
+        else:
+            o_expr, o_unit = F.lit(other), NO_UNIT
+        return UnitExpr(expr_op(self.expr, o_expr), unit_op(self.unit, o_unit))
+
+    def __mul__(self, other):
+        from pdtable_spark.units.algebra import mul_units
+
+        return self._binop(other, lambda a, b: a * b, mul_units)
+
+    def __truediv__(self, other):
+        from pdtable_spark.units.algebra import div_units
+
+        return self._binop(other, lambda a, b: a / b, div_units)
+
+    def __add__(self, other):
+        from pdtable_spark.units.algebra import addsub_units
+
+        return self._binop(other, lambda a, b: a + b, addsub_units)
+
+    def __sub__(self, other):
+        from pdtable_spark.units.algebra import addsub_units
+
+        return self._binop(other, lambda a, b: a - b, addsub_units)
+
+    def __repr__(self) -> str:
+        return f"UnitExpr(unit='{self.unit}')"
+
 
 #: Aggregate → unit rule: which aggregates preserve the input column's unit.
 #: (The reference has no aggregate layer — pandas supplies it; these rules
@@ -283,9 +357,15 @@ class Table:
         """R3 derived column with unit inference (frame.py:294-314,
         proxy.py:240-251).
 
-        ``values`` may be a pyspark Column expression (scale path) or a
-        driver-side sequence/scalar (parity path, bundle-scale only).
+        ``values`` may be a pyspark Column expression (scale path), a
+        :class:`UnitExpr` from Column arithmetic (unit derived
+        automatically), or a driver-side sequence/scalar (parity path,
+        bundle-scale only).
         """
+        if isinstance(values, UnitExpr):
+            if unit is None:
+                unit = values.unit
+            values = values.expr
         if isinstance(values, SparkColumn):
             df = self._df.withColumn(name, values)
         elif isinstance(values, (list, tuple)):

@@ -244,3 +244,35 @@ def test_distinct_and_limit(spark):
     assert doubled.distinct().count() == 3
     assert doubled.limit(2).count() == 2
     assert doubled.distinct()["distance"].unit == "km"
+
+
+def test_unit_arithmetic(spark):
+    from pdtable_spark.units.algebra import UnitMismatchError
+
+    t = (
+        make_places(spark)
+        .filter(F.col("distance") > 0)  # ANSI mode: avoid 0/0 in speed
+        .with_column("hours", F.col("distance") / 10.0, unit="h")
+    )
+    speed = t["distance"] / t["hours"]
+    assert speed.unit == "km/h"
+    t2 = t.with_column("speed", speed)
+    assert t2["speed"].unit == "km/h"
+    assert t2.df.filter(F.col("speed") > 0).count() == 2
+
+    area = t["distance"] * t["distance"]
+    assert area.unit == "km*km"
+    ratio = t["distance"] / t["distance"]
+    assert ratio.unit == "-"
+    scaled = t["distance"] * 2
+    assert scaled.unit == "km"
+    total = t["distance"] + t["distance"]
+    assert total.unit == "km"
+    # compound composition parenthesizes
+    accel = speed / t["hours"]
+    assert accel.unit == "(km/h)/h"
+
+    with pytest.raises(UnitMismatchError):
+        t["distance"] + t["hours"]
+    with pytest.raises(UnitMismatchError):
+        t["place"] * t["distance"]
