@@ -49,11 +49,18 @@ _ONOFF_FALSE = {"0", "false"}
 def _parse_onoff_column(
     values: Sequence, fixer: Optional[ParseFixer] = None
 ) -> List[Optional[bool]]:
-    """onoff: accepts 0/1/false/true in any case (columns.py:41-68)."""
+    """onoff: accepts 0/1/false/true in any case (columns.py:41-68).
+
+    Missing markers are ILLEGAL here — reference parity
+    (test_column_parsers.py:55-60 pins that '-' in onoff raises); the fixer
+    default is False.  Nulls can still *enter* onoff columns through Spark
+    ops (outer joins, filters) — the writer renders them as na_rep, but
+    StarTable input is strict.
+    """
     out: List[Optional[bool]] = []
     for row, v in enumerate(values):
-        if is_missing_marker(v):
-            out.append(None)
+        if v is None or is_missing_marker(v):
+            out.append(_fix_illegal(fixer, row, v, "onoff"))
             continue
         if isinstance(v, bool):
             out.append(v)

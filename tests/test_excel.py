@@ -22,7 +22,7 @@ place;distance;is_hot;since
 text;km;onoff;datetime
 home;0.0;1;2020-01-01 00:00:00
 work;14.5;0;2021-06-15 12:30:00
-mars;-;-;-
+mars;-;0;-
 
 """
 

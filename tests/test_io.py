@@ -17,7 +17,7 @@ place;distance;is_hot
 text;km;onoff
 home;0.0;1
 work;14.5;0
-mars;-;-
+mars;-;0
 
 **other;
 all
@@ -52,7 +52,7 @@ def test_write_csv_golden(spark):
         "text;km;onoff\n"
         "home;0.0;1\n"
         "work;14.5;0\n"
-        "mars;-;-\n"
+        "mars;-;0\n"
         "\n"
     )
     assert out.getvalue() == expected

@@ -36,7 +36,7 @@ place;distance;is_hot;when
 text;km;onoff;datetime
 home;0.0;1;2020-08-11 00:00:00
 work;14.5;0;2020-08-12 00:00:00
-mars;-;-;-
+mars;-;0;-
 
 **empty_like;
 all
@@ -75,7 +75,7 @@ def test_table_parse():
     assert t.units == ["text", "km", "onoff", "datetime"]
     assert t.columns["place"] == ["home", "work", "mars"]
     assert t.columns["distance"] == [0.0, 14.5, None]
-    assert t.columns["is_hot"] == [True, False, None]
+    assert t.columns["is_hot"] == [True, False, False]
     assert t.columns["when"][0] == dt.datetime(2020, 8, 11)
     assert t.columns["when"][2] is None
     assert t.destinations == ["all"]
@@ -90,13 +90,27 @@ def test_numeric_missing_markers():
 
 
 def test_onoff_variants():
-    assert parse_column("onoff", ["0", "1", "true", "FALSE", "-"]) == [
+    assert parse_column("onoff", ["0", "1", "true", "FALSE"]) == [
         False,
         True,
         True,
         False,
-        None,
     ]
+
+
+def test_onoff_rejects_missing_markers():
+    # reference parity (test_column_parsers.py:55-60): '-' in onoff is
+    # ILLEGAL, not missing; the permissive fixer defaults it to False
+    import pytest as _pytest
+
+    from pdtable_spark.model.origin import InputError
+
+    with _pytest.raises((ValueError, InputError)):
+        parse_column("onoff", ["-"])
+    fixer = ParseFixer()
+    fixer.stop_on_errors = False
+    assert parse_column("onoff", ["-", "nan"], fixer) == [False, False]
+    assert fixer.fixes == 2
 
 
 def test_early_filter_skips_parsing():

@@ -36,7 +36,9 @@ float_cell = st.one_of(
         lambda v: float(f"{v:.6g}")  # writer round-trips shortest repr; pin precision
     ),
 )
-onoff_cell = st.one_of(st.none(), st.booleans())
+# no None: missing markers in onoff are illegal (reference parity —
+# test_column_parsers.py:55-60)
+onoff_cell = st.booleans()
 
 
 @st.composite
