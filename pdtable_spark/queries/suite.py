@@ -1135,6 +1135,39 @@ def q_quantity_percentiles(spark, sf_dir):
     )
 
 
+@q(
+    "q_purchase_nearest_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+         ranked AS (
+           SELECT p.event_id, p.user_id, p.ts, c.click_ts,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY p.event_id
+                    ORDER BY abs(epoch(p.ts) - epoch(c.click_ts)),
+                             CASE WHEN c.click_ts <= p.ts THEN 0 ELSE 1 END,
+                             c.click_ts) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id
+         )
+    SELECT event_id, user_id, ts, click_ts FROM ranked WHERE rn = 1
+    """,
+)
+def q_purchase_nearest_click(spark, sf_dir):
+    """As-of join, direction='nearest': each purchase matched to the
+    user's temporally closest click (backward wins exact-distance ties).
+    The oracle brute-forces argmin over the per-user cross join; our
+    operator does it in one shuffle with dual window passes.  Purchases
+    with no clicks at all drop (oracle inner-joins), hence the inner
+    filter."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(purchases, clicks, on="ts", by="user_id", right_cols=[], direction="nearest")
+    return out.filter(F.col("ts_right").isNotNull()).select(
+        "event_id", "user_id", "ts", F.col("ts_right").alias("click_ts")
+    )
+
+
 # =============================================================================
 # LLM-pipeline: dedup / text analysis / similarity
 # =============================================================================
@@ -1286,6 +1319,14 @@ def minhash_candidates(spark, sf_dir):
 def simhash_fingerprints(spark, sf_dir):
     """64-bit SimHash per document."""
     return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+@q("simhash_near_dups")  # xxhash64-based → rows-only check
+def simhash_near_dups_q(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 6 within top-bit blocks)."""
+    return dedup.simhash_near_dups(
+        load(spark, sf_dir, "documents"), max_hamming=6, block_bits=8
+    )
 
 
 @q(
