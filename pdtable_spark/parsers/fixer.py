@@ -64,9 +64,10 @@ class ParseFixer:
     # -- fix hooks (override in subclasses) -----------------------------------
 
     def fix_duplicate_column_name(self, column_name: str, input_columns: List[str]) -> str:
-        """Rename a duplicate column to ``{name}_fixed_00N`` (fixer.py:70-88)."""
+        """Rename a duplicate column to ``{name}_fixed_00N``, N starting at
+        000 (fixer.py:70-88 — numbering pinned by the reference corpus)."""
         self._dup_column_count += 1
-        for i in range(1, 1000):
+        for i in range(0, 1000):
             candidate = f"{column_name}_fixed_{i:03d}"
             if candidate not in input_columns:
                 self._add_error(

@@ -110,3 +110,62 @@ CORNER_CASES = [
 @pytest.mark.parametrize("csv_text", CORNER_CASES)
 def test_corner_cases_parse_identically(csv_text):
     assert_tables_match(csv_text)
+
+
+# ---------------------------------------------------------------------------
+# The reference's OWN fixture corpus (read in place — never copied)
+# ---------------------------------------------------------------------------
+
+import glob
+import os
+
+REF_INPUT = "/root/reference/pdtable/test/io/input"
+
+CORPUS = sorted(
+    glob.glob(f"{REF_INPUT}/*.csv")
+    + glob.glob(f"{REF_INPUT}/with_errors/*.csv")
+    + glob.glob("/root/reference/pdtable/test/input/*.csv")
+)
+
+
+def _permissive_ref_fixer():
+    f = pdtable_ref.ParseFixer()
+    f.stop_on_errors = False
+    return f
+
+
+def _permissive_our_fixer():
+    from pdtable_spark.parsers.fixer import ParseFixer
+
+    f = ParseFixer()
+    f.stop_on_errors = False
+    return f
+
+
+@pytest.mark.parametrize("path", CORPUS, ids=[os.path.basename(p) for p in CORPUS])
+def test_reference_corpus_parses_identically(path):
+    """Every CSV fixture the reference ships parses to the same tables,
+    units, and values in both engines (permissive fixer: the with_errors/
+    corpus exists to exercise fix-ups)."""
+    text = open(path, encoding="utf-8-sig").read()
+    ref_tables = [
+        b
+        for k, b in pdtable_ref.read_csv(io.StringIO(text), fixer=_permissive_ref_fixer())
+        if str(k).endswith("TABLE")
+    ]
+    our_tables = [
+        b
+        for k, b in our_read_csv(io.StringIO(text), to="parsed", fixer=_permissive_our_fixer())
+        if k == BlockType.TABLE
+    ]
+    assert len(ref_tables) == len(our_tables)
+    for rt, ot in zip(ref_tables, our_tables):
+        assert rt.name == ot.name
+        assert list(rt.column_names) == list(ot.column_names)
+        assert list(rt.units) == list(ot.units)
+        for col in rt.column_names:
+            ref_vals = list(rt.df[col].values)
+            our_vals = list(ot.columns[col])
+            assert len(ref_vals) == len(our_vals), (rt.name, col)
+            for rv, ov in zip(ref_vals, our_vals):
+                assert same_value(ov, rv), (rt.name, col, ov, rv)

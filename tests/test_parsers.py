@@ -154,7 +154,7 @@ a;a;b
     fixer = ParseFixer()
     fixer.stop_on_errors = False
     t = make_parsed_table(grid, fixer=fixer)
-    assert t.column_names == ["a", "a_fixed_001", "b"]
+    assert t.column_names == ["a", "a_fixed_000", "b"]
     assert fixer.fixes == 1
 
 
