@@ -999,6 +999,37 @@ def q_events_hourly(spark, sf_dir):
 
 
 @q(
+    "q_events_sliding",
+    f"""
+    WITH panes AS (
+      SELECT e.event_type, e.value,
+             to_timestamp(
+               (CAST(floor(epoch(e.ts) / 900) AS BIGINT) - i) * 900
+             ) AS win_start
+      FROM events e, generate_series(0, 3) t(i)
+      WHERE (CAST(floor(epoch(e.ts) / 900) AS BIGINT) - i) * 900 + 3600 > epoch(e.ts)
+    )
+    SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+           COUNT(*) AS n, {_sql_dsum('value', 'total_value')}
+    FROM panes GROUP BY 1, 2
+    """,
+)
+def q_events_sliding(spark, sf_dir):
+    """Sliding-window aggregation (1h window, 15min slide) in batch mode —
+    each event lands in window/slide = 4 panes; the oracle expands panes
+    with generate_series.  Same grouping runs incrementally under
+    readStream (streaming/windows.stream_sliding_counts)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@q(
     "q_events_sessions",
     """
     WITH g AS (
@@ -1282,6 +1313,63 @@ def text_fingerprint(spark, sf_dir):
 def text_quality(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+@q(
+    "text_bpe_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_bpe_count(spark, sf_dir):
+    """Sub-word-ish token counting (BPE approximation via regex runs)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish")
+    )
+
+
+@q(
+    "pipeline_clean_corpus",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             md5(text) AS digest
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 10
+        AND doc_id = (SELECT MIN(s2.doc_id) FROM scored s2 WHERE s2.digest = scored.digest)
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """A composed training-data pipeline stage: length filter → exact dedup
+    (keep min doc_id) → per-language corpus stats.  Window-based dedup: one
+    shuffle on the digest, no join back."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    ).filter(F.col("n_tokens") >= 10)
+    w = Window.partitionBy("digest")
+    kept = (
+        scored.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
 
 
 @q(
