@@ -900,6 +900,42 @@ def q10_returned_revenue(spark, sf_dir):
 
 
 @q(
+    "q_table_facade_units",
+    f"""
+    SELECT l_returnflag,
+           {_sql_dsum('l_quantity * 1000.0', 'total_qty_g', 'DECIMAL(22,4)')},
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_quantity * 1000.0 > 5000.0
+    GROUP BY l_returnflag
+    """,
+)
+def q_table_facade_units(spark, sf_dir):
+    """The Table facade in the graded path: wrap the scan with StarTable
+    units, convert kg→g (R20 — converter resolved driver-side, executed as
+    a column expression), filter and aggregate through the unit-checked
+    wrapper.  The returned plan is identical to raw DataFrame code —
+    metadata bookkeeping costs nothing at runtime."""
+    from pdtable_spark.frame import attach_units
+    from pdtable_spark.table import Table
+    from pdtable_spark.units import simple_converter
+
+    df = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    t = Table(
+        attach_units(df, unit_map={"l_quantity": "kg", "l_returnflag": "text"}),
+        name="lineitem",
+    )
+    t = t.convert_units({"l_quantity": "g"}, converter=simple_converter)
+    assert t["l_quantity"].unit == "g"
+    t = t.filter(F.col("l_quantity") > 5000.0)
+    g = t.group_by("l_returnflag").agg(
+        dsum("l_quantity", "total_qty_g", "decimal(22,4)"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.df.select("l_returnflag", "total_qty_g", "n")
+
+
+@q(
     "q_sql_grouping_sets",
     f"""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_sql_dsum('l_quantity', 'sum_qty')}
