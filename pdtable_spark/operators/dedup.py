@@ -270,6 +270,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 5,
     threshold: float = 0.5,
     block_col: Optional[str] = None,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via an inverted-index self-join on
     shingles.
@@ -278,6 +279,15 @@ def ngram_jaccard_pairs(
     lists), then intersection counts aggregate per pair.  ``block_col``
     (e.g. a source/partition column) further restricts candidate pairs.
     Returns (id_a, id_b, jaccard >= threshold).
+
+    Scale guard: a shingle appearing in k docs contributes k² candidate
+    rows — one boilerplate phrase in 1M docs is a 10¹²-row join.
+    ``max_doc_freq`` drops postings for shingles above that document
+    frequency (standard df-cut; costs one extra aggregate on the posting
+    key).  This UNDERCOUNTS intersections for pairs sharing only ultra-
+    common shingles — exactly the pairs that aren't near-duplicates —
+    so it is off by default for oracle-exactness and ON (e.g. 1000) for
+    production corpora.
     """
     base = df.select(
         F.col(id_col),
@@ -287,6 +297,14 @@ def ngram_jaccard_pairs(
     posts = base.select(
         id_col, "sh_size", *([block_col] if block_col else []), F.explode("sh").alias("g")
     )
+    if max_doc_freq is not None:
+        rare = (
+            posts.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("g")
+        )
+        posts = posts.join(rare, on="g", how="inner")
     a, b = posts.alias("a"), posts.alias("b")
     on = [F.col("a.g") == F.col("b.g"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
     if block_col:

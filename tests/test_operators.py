@@ -343,3 +343,28 @@ def test_asof_matches_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_ngram_jaccard_df_cut(spark):
+    from pdtable_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "common common common common common filler"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, boiler),
+            (4, boiler),
+            (5, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    # without the cut: the boilerplate triple yields all 3 pairs
+    full = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in full.collect()} >= {(3, 4), (3, 5), (4, 5), (1, 2)}
+    # df-cut at 2: boilerplate shingles (df=3) dropped -> those pairs gone;
+    # the 1/2 pair's shared shingles (df=2) survive
+    cut = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5, max_doc_freq=2)
+    pairs = {(r.id_a, r.id_b) for r in cut.collect()}
+    assert not pairs & {(3, 4), (3, 5), (4, 5)}
+    assert (1, 2) in pairs
