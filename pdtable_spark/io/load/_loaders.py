@@ -283,13 +283,14 @@ def make_loader(
     additional_protocol_loaders: Optional[Dict[str, Loader]] = None,
     allow_include: bool = True,
     spark=None,
+    to: str = "pdtable",
 ) -> Loader:
     """Compose the standard loader stack (``_loaders.py:294-377``):
     ``IncludeLoader(ProtocolLoader?(FileSystemLoader(FileReader, FolderReader)))``.
     """
     if file_reader is None:
         file_reader = FileReader(
-            csv_sep=csv_sep, sheet_name_pattern=sheet_name_pattern, spark=spark
+            csv_sep=csv_sep, sheet_name_pattern=sheet_name_pattern, spark=spark, to=to
         )
     elif csv_sep is not None or sheet_name_pattern is not None:
         raise ValueError("csv_sep and sheet_name_pattern cannot be used with file_reader")

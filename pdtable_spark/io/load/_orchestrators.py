@@ -73,6 +73,7 @@ def load_files(
     additional_protocol_loaders: Optional[Dict[str, Loader]] = None,
     allow_include: bool = True,
     spark=None,
+    to: str = "pdtable",
 ) -> BlockIterator:
     """Load a complete StarTable input set (``_orchestrators.py:55-112``).
 
@@ -90,6 +91,7 @@ def load_files(
         additional_protocol_loaders=additional_protocol_loaders,
         allow_include=allow_include,
         spark=spark,
+        to=to,
     )
     if roots is None and root_folder is not None:
         roots = ["/"]
