@@ -250,3 +250,25 @@ def test_reference_include_corpus_load_parity():
     # both engines flag the duplicate inclusion, neither dies on it
     assert any("multiple times" in str(i) for i in ref_tracker.issues)
     assert any("multiple times" in str(i.issue) for i in our_tracker.issues)
+
+
+def test_reference_bundle_write_csv_byte_identical(spark):
+    """Writer parity: both engines emit byte-identical StarTable CSV for the
+    reference's bundle.csv tables (block layout, destinations line, units,
+    na_rep, value formatting)."""
+    from pdtable import write_csv as ref_write
+
+    import pdtable_spark as pt
+
+    text = open(f"{REF_INPUT}/bundle.csv", encoding="utf-8-sig").read()
+    ref_tables = ref_parse(text)
+    out_ref = io.StringIO()
+    for t in ref_tables:
+        ref_write(t, out_ref)
+
+    our_tables = [b for k, b in pt.read_csv(io.StringIO(text)) if k == BlockType.TABLE]
+    out_our = io.StringIO()
+    for t in our_tables:
+        pt.write_csv(t, out_our)
+
+    assert out_our.getvalue() == out_ref.getvalue()
