@@ -21,10 +21,86 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdtable_spark.operators.text import shingle_hashes, shingles, tokens
+
+
+def md5_60(col: Column) -> Column:
+    """60-bit hash from the first 15 hex chars of md5 — the cross-engine
+    hash: DuckDB computes the identical value as
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``, so operators built on
+    it get FULL value oracles.  xxhash64 (JVM codegen, no string round-trip)
+    stays the production default; md5_60 is the verification mode."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _pair_combos(entries: Column) -> Column:
+    """All unordered pairs (ea, eb) of a sorted entry array, in-row."""
+    return F.flatten(
+        F.transform(
+            entries,
+            lambda x, i: F.transform(
+                F.slice(entries, i + F.lit(2), F.greatest(F.size(entries) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("ea"), y.alias("eb")),
+            ),
+        )
+    )
+
+
+def bucket_pairs(
+    df: DataFrame,
+    key_cols: List[str],
+    entry: Column,
+    max_bucket: Optional[int] = 1000,
+) -> DataFrame:
+    """All unordered pairs of entries sharing a bucket key → (ea, eb) structs
+    with ea < eb (entry structs must lead with the id field).
+
+    Two regimes, split by a per-bucket count (window over the bucket key —
+    the same hash partitioning the downstream aggregate/join needs, so the
+    shuffle happens ONCE and Spark's ReuseExchange serves every branch):
+
+    - **small buckets** (``≤ max_bucket``): ``collect_list`` + in-row array
+      pair expansion — no self-join, no second exchange (the measured-fast
+      path; see ``_lsh_candidate_pairs``).
+    - **oversized buckets**: per-bucket *self-join* fallback.  A k-row bucket
+      still yields k²/2 pairs (that is what the semantics demand) but they
+      stream through join tasks instead of materializing inside ONE
+      aggregation-row buffer — the hot-bucket OOM guard for skewed corpora
+      (boilerplate documents, all-zero embeddings).
+
+    ``max_bucket=None`` disables the guard (single-path, no window count).
+    """
+    if max_bucket is None:
+        return (
+            df.select(*key_cols, entry.alias("e"))
+            .groupBy(*key_cols)
+            .agg(F.sort_array(F.collect_list("e")).alias("entries"))
+            .filter(F.size("entries") > 1)
+            .select(F.explode(_pair_combos(F.col("entries"))).alias("p"))
+            .select(F.col("p.ea").alias("ea"), F.col("p.eb").alias("eb"))
+        )
+    w = Window.partitionBy(*key_cols)
+    base = df.select(*key_cols, entry.alias("e")).withColumn(
+        "__bsz", F.count(F.lit(1)).over(w)
+    )
+    small = (
+        base.filter((F.col("__bsz") <= max_bucket) & (F.col("__bsz") > 1))
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("e")).alias("entries"))
+        .select(F.explode(_pair_combos(F.col("entries"))).alias("p"))
+        .select(F.col("p.ea").alias("ea"), F.col("p.eb").alias("eb"))
+    )
+    big = base.filter(F.col("__bsz") > max_bucket)
+    a, b = big.alias("a"), big.alias("b")
+    big_pairs = a.join(
+        b,
+        on=[F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}")) for k in key_cols]
+        + [F.col("a.e") < F.col("b.e")],
+    ).select(F.col("a.e").alias("ea"), F.col("b.e").alias("eb"))
+    return small.unionByName(big_pairs)
 
 
 def exact_dedup(
@@ -56,16 +132,28 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = 
 # ---------------------------------------------------------------------------
 
 
-def _signature_cols(sh_col, num_hashes: int):
+def _signature_cols(sh_col, num_hashes: int, hash_fn: str = "xxhash64"):
     """MinHash signature as per-row array expressions: for each seed,
     ``array_min(transform(shingle_hashes, h -> xxhash64(seed, h)))``.
 
     Pure narrow JVM expressions — NO explode, NO groupBy: the naive
     explode+aggregate spelling shuffles every (doc, shingle) pair (at 100 TB
     that shuffle is larger than the corpus); this computes the same minima
-    inside the row.  ``sh_col`` holds 64-bit shingle hashes (not strings):
-    the per-seed rehash is a fixed-width hash, so seed passes cost long-ops,
-    not string scans."""
+    inside the row.
+
+    ``hash_fn="xxhash64"`` (production): ``sh_col`` holds 64-bit shingle
+    hashes (not strings) — the per-seed rehash is a fixed-width hash, so
+    seed passes cost long-ops, not string scans.
+    ``hash_fn="md5_60"`` (verification): ``sh_col`` holds shingle STRINGS and
+    each seed hashes ``"s<seed>:" + shingle`` with :func:`md5_60` — byte-
+    reproducible in DuckDB SQL, giving MinHash a full value oracle."""
+    if hash_fn == "md5_60":
+        return [
+            F.array_min(
+                F.transform(sh_col, lambda s: md5_60(F.concat(F.lit(f"s{seed}:"), s)))
+            ).alias(f"mh_{seed}")
+            for seed in range(num_hashes)
+        ]
     return [
         F.array_min(F.transform(sh_col, lambda h: F.xxhash64(F.lit(seed), h))).alias(
             f"mh_{seed}"
@@ -74,24 +162,30 @@ def _signature_cols(sh_col, num_hashes: int):
     ]
 
 
+def _shingle_sets(df, text_col: str, id_col: str, shingle_n: int, hash_fn: str, out: str):
+    """Per-doc shingle set — 64-bit hash identities in production, gram
+    strings in md5_60 verification mode (what DuckDB can rebuild)."""
+    mk = shingles if hash_fn == "md5_60" else shingle_hashes
+    return df.select(F.col(id_col), mk(F.col(text_col), shingle_n).alias(out))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Per-doc MinHash signature: for each seed, min(xxhash64(seed, shingle)).
+    """Per-doc MinHash signature: for each seed, min(hash(seed, shingle)).
 
     Shuffle-free (see ``_signature_cols``); signature width is
-    ``num_hashes``×8 bytes.  The shingle-hash array is projected in its own
+    ``num_hashes``×8 bytes.  The shingle array is projected in its own
     step so codegen evaluates the tokenize pipeline ONCE per row — inlining
     it into each of the ``num_hashes`` lambdas re-tokenizes per seed (measured
-    10×+ slowdown).  Shingle identity = 64-bit hash (no gram strings built)."""
-    sets_ = df.select(
-        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("__sh")
-    )
-    return sets_.select(F.col(id_col), *_signature_cols(F.col("__sh"), num_hashes))
+    10×+ slowdown)."""
+    sets_ = _shingle_sets(df, text_col, id_col, shingle_n, hash_fn, "__sh")
+    return sets_.select(F.col(id_col), *_signature_cols(F.col("__sh"), num_hashes, hash_fn))
 
 
 def minhash_lsh_candidates(
@@ -101,63 +195,61 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 5,
+    hash_fn: str = "xxhash64",
+    max_bucket: Optional[int] = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band.
 
     Bands the signature into ``bands`` groups of ``num_hashes/bands`` rows;
-    docs agreeing on a full band land in the same bucket.  The self-join is
-    per-bucket — skew-safe as long as buckets stay small (raise ``bands``/
-    ``num_hashes`` at higher dup rates).  Returns distinct (id_a, id_b) with
-    id_a < id_b.
+    docs agreeing on a full band land in the same bucket.  Pair emission is
+    per-bucket with a hot-bucket guard (see :func:`bucket_pairs`).  Returns
+    distinct (id_a, id_b) with id_a < id_b.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    return _lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_fn)
+    return _lsh_candidate_pairs(sig, id_col, num_hashes, bands, hash_fn, max_bucket)
 
 
 def _lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    hash_fn: str = "xxhash64",
+    max_bucket: Optional[int] = 1000,
 ) -> DataFrame:
     """Band the signature, then emit all id pairs per (band, bucket).
 
-    NOT a self-join: grouping doc ids per bucket and expanding pair
+    NOT a bare self-join: grouping doc ids per bucket and expanding pair
     combinations with array expressions costs ONE shuffle total (on the
     bucket key) versus the self-join's two exchanges — and it sidesteps
     Spark re-evaluating the (unmaterialized) signature pipeline on both join
-    sides, which profiling showed dominates wall time.  A pathological
-    bucket of k docs yields k²/2 pairs under either strategy; raise
-    ``bands``/``num_hashes`` if buckets grow.
+    sides, which profiling showed dominates wall time.  Buckets above
+    ``max_bucket`` fall back to a per-bucket join so no single aggregation
+    row buffers a k² expansion (:func:`bucket_pairs`).
+
+    Bucket identity: production hashes the band's signature values down to
+    one 64-bit key (``xxhash64`` — compact shuffle key); md5_60 verification
+    mode keeps the exact value tuple as a string so DuckDB reproduces the
+    grouping byte-for-byte (no cross-band hash collisions to model).
     """
     rows_per_band = num_hashes // bands
+
+    def band_key(b):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "md5_60":
+            return F.concat_ws(",", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols).cast("string")
+
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
+        F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket")) for b in range(bands)
     ]
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    ids = F.col("ids")
-    pair_combos = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    pairs = bucket_pairs(
+        buckets, ["band", "bucket"], F.col(id_col), max_bucket=max_bucket
     )
-    return (
-        buckets.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(pair_combos).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
-    )
+    return pairs.select(F.col("ea").alias("id_a"), F.col("eb").alias("id_b")).distinct()
 
 
 def minhash_dedup(
@@ -168,17 +260,18 @@ def minhash_dedup(
     bands: int = 4,
     shingle_n: int = 5,
     jaccard_threshold: Optional[float] = 0.8,
+    hash_fn: str = "xxhash64",
+    max_bucket: Optional[int] = 1000,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH, optionally verified with exact Jaccard
     over shingle sets.  Returns (id_a, id_b, jaccard)."""
-    # hash-identity shingles: jaccard verification over 64-bit hash sets is
-    # statistically identical to string sets (collision odds ~n²/2⁶⁴) and
-    # skips building gram strings entirely
-    sets_ = df.select(
-        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("sh")
-    )
-    sig = sets_.select(F.col(id_col), *_signature_cols(F.col("sh"), num_hashes))
-    cand = _lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    # hash-identity shingles (production): jaccard verification over 64-bit
+    # hash sets is statistically identical to string sets (collision odds
+    # ~n²/2⁶⁴) and skips building gram strings entirely.  md5_60 mode keeps
+    # gram strings so the whole pipeline is DuckDB-reproducible.
+    sets_ = _shingle_sets(df, text_col, id_col, shingle_n, hash_fn, "sh")
+    sig = sets_.select(F.col(id_col), *_signature_cols(F.col("sh"), num_hashes, hash_fn))
+    cand = _lsh_candidate_pairs(sig, id_col, num_hashes, bands, hash_fn, max_bucket)
     if jaccard_threshold is None:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
     j = (
@@ -198,15 +291,29 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: sign-aggregate token hash bits.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document: sign-aggregate token hash bits.
 
     Implemented as explode → per-bit sign sum → reassemble.  The per-bit sums
-    are one aggregate keyed on the doc id; bit extraction is ``shiftright``/
-    ``&`` JVM expressions.
+    are one aggregate keyed on the doc id (map-side partial combine ⇒ the
+    shuffle is doc_count × bits × 8 B, not token-count-sized); bit extraction
+    is ``shiftright``/``&`` JVM expressions.
+
+    ``hash_fn="md5_60"`` (use with ``bits<=60``) makes the fingerprint
+    DuckDB-reproducible for value oracles; xxhash64/64-bit is production.
     """
+    if hash_fn == "md5_60" and bits > 60:
+        raise ValueError("md5_60 provides 60 hash bits; use bits <= 60")
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = tok.withColumn("h", F.xxhash64("tok"))
+    h = tok.withColumn(
+        "h", md5_60(F.col("tok")) if hash_fn == "md5_60" else F.xxhash64("tok")
+    )
     bit_sums = h.groupBy(id_col).agg(
         *[
             F.sum(
@@ -215,11 +322,22 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             for i in range(bits)
         ]
     )
+    # top bit of a full 64-bit fingerprint wraps to the long sign bit
+    top = (
+        F.when(F.col(f"b{bits-1}") > 0, F.lit(-(2 ** (bits - 1))).cast("long"))
+        if bits == 64
+        else F.when(F.col(f"b{bits-1}") > 0, F.lit(2 ** (bits - 1)).cast("long"))
+    )
     sim = bit_sums.select(
         F.col(id_col),
         sum(
-            [F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long")) for i in range(bits - 1)],
-            F.when(F.col(f"b{bits-1}") > 0, F.lit(-(2 ** (bits - 1))).cast("long")).otherwise(F.lit(0).cast("long")),
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(bits - 1)
+            ],
+            top.otherwise(F.lit(0).cast("long")),
         ).alias("simhash"),
     )
     return sim
@@ -235,26 +353,57 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    block_bits: int = 16,
+    num_blocks: Optional[int] = None,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+    max_bucket: Optional[int] = 1000,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+    """ALL pairs with Hamming(simhash) <= max_hamming — exact, at bucket cost.
 
-    Blocking on the top ``block_bits`` bits keeps the self-join bucket-sized
-    (docs differing inside the block are missed — standard SimHash-LSH
-    recall/cost tradeoff; lower block_bits for higher recall).
+    Multi-block LSH with a completeness guarantee: the fingerprint is split
+    into ``num_blocks`` (default ``max_hamming + 1``) contiguous bit blocks.
+    By pigeonhole, two fingerprints differing in ≤ max_hamming bits MUST
+    agree on at least one full block, so candidates = "pairs agreeing on any
+    block" have 100% recall, and exact ``bit_count(xor)`` verification makes
+    the output identical to the all-pairs O(n²) join — the Manku/Google
+    simhash-dedup decomposition.  Cost: ``num_blocks`` bucket groupings of
+    ~bits/num_blocks bits each (more blocks = shorter keys = bigger buckets;
+    ``max_hamming+1`` is the smallest complete count).  Hot buckets fall
+    back to per-bucket joins (:func:`bucket_pairs`).
     """
-    s = simhash(df, text_col, id_col)
-    s = s.withColumn("block", F.shiftrightunsigned(F.col("simhash"), 64 - block_bits))
-    a, b = s.alias("a"), s.alias("b")
-    return (
-        a.join(b, on=[F.col("a.block") == F.col("b.block"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .withColumn("hamming", hamming64(F.col("a.simhash"), F.col("b.simhash")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
+    if num_blocks is None:
+        num_blocks = max_hamming + 1
+    if num_blocks > bits:
+        raise ValueError("num_blocks cannot exceed fingerprint bits")
+    s = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    # block b covers [off_b, off_{b+1}) with widths as even as possible
+    widths = [bits // num_blocks + (1 if i < bits % num_blocks else 0) for i in range(num_blocks)]
+    offs = [sum(widths[:i]) for i in range(num_blocks)]
+    block_cols = [
+        F.struct(
+            F.lit(b).alias("block"),
+            F.shiftrightunsigned(F.col("simhash"), offs[b])
+            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+            .alias("key"),
         )
+        for b in range(num_blocks)
+    ]
+    buckets = s.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*block_cols)).alias("bb")
+    ).select(
+        F.col("bb.block").alias("block"),
+        F.col("bb.key").alias("key"),
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("ent"),
+    )
+    pairs = bucket_pairs(buckets, ["block", "key"], F.col("ent"), max_bucket=max_bucket)
+    return (
+        pairs.select(
+            F.col("ea.id").alias("id_a"),
+            F.col("eb.id").alias("id_b"),
+            hamming64(F.col("ea.sh"), F.col("eb.sh")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

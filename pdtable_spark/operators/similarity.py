@@ -171,39 +171,35 @@ def embedding_near_dups(
     bits: int = 12,
     seed: int = 7,
     dim: int = 64,
+    max_bucket: Optional[int] = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via one RHP-LSH table + exact
-    verification — the embedding-space analog of minhash_dedup."""
+    verification — the embedding-space analog of minhash_dedup.
+
+    Pair expansion per bucket (one shuffle) instead of a bucket self-join —
+    same rationale as dedup._lsh_candidate_pairs: two exchanges avoided and
+    the hyperplane pipeline never re-evaluates per join side.  Buckets above
+    ``max_bucket`` (each entry carries a dim-sized vector, so one oversized
+    collect_list row would hold k vectors AND emit k²/2 pairs) fall back to
+    a per-bucket join — see :func:`pdtable_spark.operators.dedup.bucket_pairs`.
+    """
+    from pdtable_spark.operators.dedup import bucket_pairs
+
     planes = _lcg_hyperplanes(dim, bits, seed)
     d = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).withColumn(
         "bkt", rhp_bucket(F.col("v"), planes)
     )
-    # Pair expansion per bucket (one shuffle) instead of a bucket self-join —
-    # same rationale as dedup._lsh_candidate_pairs: two exchanges avoided and
-    # the hyperplane pipeline never re-evaluates per join side.
-    ids = F.col("entries")
-    pair_combos = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("ea"), y.alias("eb")),
-            ),
-        )
+    pairs = bucket_pairs(
+        d,
+        ["bkt"],
+        F.struct(F.col(id_col).alias("id"), F.col("v").alias("v")),
+        max_bucket=max_bucket,
     )
     return (
-        d.groupBy("bkt")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("v").alias("v")))
-            ).alias("entries")
-        )
-        .filter(F.size("entries") > 1)
-        .select(F.explode(pair_combos).alias("p"))
-        .select(
-            F.col("p.ea.id").alias("id_a"),
-            F.col("p.eb.id").alias("id_b"),
-            cosine(F.col("p.ea.v"), F.col("p.eb.v")).alias("cosine_sim"),
+        pairs.select(
+            F.col("ea.id").alias("id_a"),
+            F.col("eb.id").alias("id_b"),
+            cosine(F.col("ea.v"), F.col("eb.v")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -225,25 +221,32 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     sample_fraction: float = 1.0,
+    centroids: Optional[List[List[float]]] = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means cells over the corpus, queries probe
     the ``nprobe`` nearest cells, exact cosine re-rank inside probed cells.
 
     Centroids are trained with ``pyspark.ml`` KMeans (on a sample at scale)
     and travel to executors as column literals (n_cells×dim floats — KBs).
-    At 100 TB: persist the corpus partitioned by cell id once
-    (``partitionBy("cell")``), and each query batch becomes a
+    Pass ``centroids`` explicitly to skip training (IVF-flat with fixed
+    seeds — e.g. FAISS-style sampled init without Lloyd refinement; also
+    what makes the suite query deterministic enough for a cross-engine
+    value oracle).  At 100 TB: persist the corpus partitioned by cell id
+    once (``partitionBy("cell")``), and each query batch becomes a
     partition-pruned scan of ``nprobe/n_cells`` of the data.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(_as_double(F.col(vec_col)).alias("arr"))
-    if sample_fraction < 1.0:
-        train = train.sample(fraction=sample_fraction, seed=seed)
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features")
-    model = km.fit(train.select(array_to_vector("arr").alias("features")))
-    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+        train = corpus.select(_as_double(F.col(vec_col)).alias("arr"))
+        if sample_fraction < 1.0:
+            train = train.sample(fraction=sample_fraction, seed=seed)
+        km = KMeans(k=n_cells, seed=seed, featuresCol="features")
+        model = km.fit(train.select(array_to_vector("arr").alias("features")))
+        cents = [[float(x) for x in c] for c in model.clusterCenters()]
 
     def dist2(vec, center: List[float]):
         c = F.array(*[F.lit(x) for x in center])

@@ -63,9 +63,58 @@ def test_minhash_dedup_finds_near_dup(spark, docs):
 
 
 def test_simhash_near_dups(spark, docs):
-    pairs = dedup.simhash_near_dups(docs, max_hamming=8, block_bits=4).collect()
+    pairs = dedup.simhash_near_dups(docs, max_hamming=8).collect()
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert got.get((0, 1)) == 0  # identical docs: distance 0
+
+
+def test_simhash_near_dups_exact_recall(spark, docs):
+    """Pigeonhole blocking must equal the brute-force all-pairs result —
+    including pairs whose simhashes differ only in the TOP byte (the case
+    single-block top-bits LSH misses)."""
+    s = dedup.simhash(docs)
+    rows = {r["doc_id"]: r["simhash"] for r in s.collect()}
+    want = set()
+    for a in rows:
+        for b in rows:
+            if a < b and bin((rows[a] ^ rows[b]) & (2**64 - 1)).count("1") <= 12:
+                want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dups(docs, max_hamming=12).collect()
+    }
+    assert got == want
+
+
+def test_bucket_pairs_hot_bucket_fallback(spark):
+    """A pathological all-duplicate bucket must route through the join
+    fallback (no single collect_list row holding the k² expansion) and still
+    produce every pair; small buckets keep the in-row expansion path."""
+    n_hot = 1200
+    rows = [(i, "hot") for i in range(n_hot)] + [(10_000, "cold"), (10_001, "cold")]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    pairs = dedup.bucket_pairs(df, ["key"], F.col("id"), max_bucket=100)
+    assert pairs.count() == n_hot * (n_hot - 1) // 2 + 1
+    # physical plan: the aggregate path must never see the hot bucket
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_max_bucket_equivalence(spark, docs):
+    """Guarded and unguarded pair emission agree on the same corpus."""
+    kw = dict(num_hashes=16, bands=8, shingle_n=3, jaccard_threshold=0.3)
+    a = {(r["id_a"], r["id_b"]) for r in dedup.minhash_dedup(docs, max_bucket=1, **kw).collect()}
+    b = {(r["id_a"], r["id_b"]) for r in dedup.minhash_dedup(docs, max_bucket=None, **kw).collect()}
+    assert a == b and a
+
+
+def test_embedding_near_dups_hot_bucket(spark):
+    """Identical vectors all share one LSH bucket — the guard must still
+    return every pair, exact-verified."""
+    n = 80
+    df = spark.createDataFrame([(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)], ["vec_id", "embedding"])
+    out = similarity.embedding_near_dups(df, threshold=0.99, dim=4, bits=4, max_bucket=10)
+    assert out.count() == n * (n - 1) // 2
 
 
 def test_ngram_jaccard_pairs(spark, docs):
