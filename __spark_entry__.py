@@ -21,9 +21,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q5_region_volume"](spark, "/root/testdata/sf0.001")
 
 
+#: Queries the round-1 driver run never reached (it reported exactly the
+#: first 50 of 64 in registration order) — listed FIRST so every declared
+#: operator gets a hard correctness row across rounds.
+_PRIORITY = [
+    "minhash_candidates",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "q_custkey_median_pandas",
+    "stream_hourly_counts",
+    "stream_attribution",
+    "stream_sessionize_stateful",
+    "multimodal_asset_stats",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "embedding_topk",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "embedding_near_dups",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in _PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _ordered(dict(ORACLES))

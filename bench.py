@@ -56,7 +56,15 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from pdtable_spark.queries.suite import QUERIES
+    from pdtable_spark.operators import dedup
+    from pdtable_spark.queries.suite import QUERIES, load
+
+    BENCH_QUERIES = dict(QUERIES)
+    # the suite's minhash query runs hash_fn="md5_60" (the DuckDB-checkable
+    # verification mode); the headline benchmarks the PRODUCTION hash path
+    BENCH_QUERIES["minhash_candidates"] = lambda s, d: dedup.minhash_dedup(
+        load(s, d, "documents"), num_hashes=16, bands=4, jaccard_threshold=0.5
+    )
 
     # warm the JVM + parquet footers + Python/Arrow workers once (not timed)
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
@@ -69,7 +77,7 @@ def main():
         best, n = None, 0
         for _ in range(2):  # min-of-2: first run pays codegen/JIT compile
             t0 = time.time()
-            df = QUERIES[name](spark, sf_dir)
+            df = BENCH_QUERIES[name](spark, sf_dir)
             n = df.count()
             el = time.time() - t0
             best = el if best is None or el < best else best

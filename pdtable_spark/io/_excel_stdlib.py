@@ -121,6 +121,15 @@ def _sheet_parts(z: zipfile.ZipFile) -> List[Tuple[str, str]]:
 def _parse_sheet(data: bytes, shared: List[str], date_styles: set) -> List[List[Any]]:
     rows: List[List[Any]] = []
     for row_el in ET.fromstring(data).iter(f"{_NS}row"):
+        # honor the row's r attribute: Excel omits cell-less rows from the
+        # sheet XML, but a blank row TERMINATES a StarTable block — emit the
+        # gap rows (as openpyxl does) or content after a blank line would be
+        # absorbed into the preceding block
+        r_attr = row_el.get("r")
+        if r_attr is not None:
+            target = int(r_attr) - 1  # 1-based row index
+            while len(rows) < target:
+                rows.append([])
         row: List[Any] = []
         for c in row_el.iter(f"{_NS}c"):
             ref = c.get("r") or ""
@@ -146,6 +155,10 @@ def _cell_value(c, shared: List[str], date_styles: set):
     if t == "b":
         return text == "1"
     if t == "str":
+        return text
+    if t == "e":
+        # error cells (#DIV/0!, #N/A, …): surface the error literal instead
+        # of crashing in float()
         return text
     num = float(text)
     if int(c.get("s", "0") or 0) in date_styles:

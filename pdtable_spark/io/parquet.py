@@ -26,6 +26,25 @@ from pyspark.sql import SparkSession
 _META_FILE = "_pdtable_meta.json"
 
 
+def read_nanos_parquet(spark: SparkSession, path: str, ts_col: str = "ts"):
+    """Read parquet whose ``ts_col`` is TIMESTAMP(NANOS) — which Spark's
+    vectorized reader rejects — as microsecond timestamps.
+
+    Reader-scoped concern (kept out of query code): flips the session's
+    ``nanosAsLong`` reader conf, reads the ns epoch as long, and truncates
+    to µs with integer ``div`` (the ns epoch exceeds double's exact-int
+    range, so no float path).  ``get_session`` also sets the conf by
+    default; this helper makes the read correct under any caller-built
+    session (driver harness, notebooks)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return df
+
+
 def write_parquet(
     table,
     path: str,

@@ -313,8 +313,14 @@ class TableOrigin:
 # ---------------------------------------------------------------------------
 
 
-class InputError(Exception):
-    """Raised by NullInputIssueTracker on ERROR severity (table_origin.py:538-549)."""
+class InputError(ValueError):
+    """Raised by NullInputIssueTracker on ERROR severity (table_origin.py:538-549).
+
+    A ``ValueError`` subclass so fixer-reported errors raised inside block
+    handlers route into the issue tracker in ``parse_blocks`` (the reference
+    raises plain ValueError there — blocks.py:402's ``except ValueError``
+    must see these; otherwise one fixable table aborts a whole
+    ``load_files`` run instead of being recorded as an issue)."""
 
 
 @dataclass

@@ -28,9 +28,13 @@ from pyspark.sql import functions as F
 _BUCKET = "__bucket"
 
 
-def _to_long(c: Column) -> Column:
-    """Seconds-since-epoch for timestamps; pass numerics through."""
-    return F.when(F.lit(True), c).cast("long")
+def _to_num(c: Column) -> Column:
+    """Fractional seconds-since-epoch for timestamps; numerics pass through.
+
+    Double, NOT truncated long: truncation would misplace fractional points
+    (and trunc≠floor for negatives), silently dropping matches whose point
+    bucket differs from every interval bucket."""
+    return F.when(F.lit(True), c).cast("double")
 
 
 def interval_join(
@@ -52,11 +56,14 @@ def interval_join(
     """
     by = [by] if isinstance(by, str) else list(by or [])
 
-    p = points.withColumn(_BUCKET, (_to_long(F.col(point_col)) / grain_seconds).cast("long"))
-    b0 = (_to_long(F.col(start_col)) / grain_seconds).cast("long")
-    # end is exclusive: an interval ending exactly on a grain boundary does
-    # not occupy the next bucket
-    b1 = ((_to_long(F.col(end_col)) - 1) / grain_seconds).cast("long")
+    # floor() on the un-truncated value: correct for fractional domains,
+    # sub-second timestamps, and negative values (floor ≠ trunc there)
+    p = points.withColumn(_BUCKET, F.floor(_to_num(F.col(point_col)) / grain_seconds))
+    b0 = F.floor(_to_num(F.col(start_col)) / grain_seconds)
+    # explode through floor(end/grain) inclusive; an interval whose exclusive
+    # end sits exactly on a grain boundary costs one extra candidate bucket,
+    # and the exact containment predicate discards those rows
+    b1 = F.floor(_to_num(F.col(end_col)) / grain_seconds)
     iv = intervals.withColumn(_BUCKET, F.explode(F.sequence(b0, F.greatest(b1, b0))))
 
     cond = (

@@ -131,6 +131,12 @@ def _parse_datetime_column(
     """datetime: digit-leading strings parsed; '-'/'nan' → None (columns.py:115-164)."""
     out: List[Optional[_dt.datetime]] = []
     for row, v in enumerate(values):
+        if v is None:
+            # a None cell (e.g. an empty Excel cell) is an ILLEGAL datetime in
+            # the reference, not a missing marker — it must count a fix (and
+            # fail strict parsing); only '-'/'nan' strings mean missing
+            out.append(_fix_illegal(fixer, row, v, "datetime"))
+            continue
         if is_missing_marker(v):
             out.append(None)
             continue

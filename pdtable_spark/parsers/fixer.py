@@ -79,10 +79,12 @@ class ParseFixer:
     def fix_missing_rows_in_column_data(
         self, row: int, row_data: List, num_columns: int
     ) -> List:
-        """Pad a short row with missing markers (fixer.py:90-104)."""
+        """Pad a short row with 'NaN' cells — the reference's pad value
+        (fixer.py:90-104): missing for float/datetime columns, the literal
+        string 'NaN' in text columns."""
         self._missing_rows_count += 1
         self._add_error(f"Missing data in row {row} padded to {num_columns} columns")
-        return list(row_data) + ["-"] * (num_columns - len(row_data))
+        return list(row_data) + ["NaN"] * (num_columns - len(row_data))
 
     def fix_illegal_cell_value(self, dtype: str, value):
         """Replace an unparseable cell with the type default (fixer.py:106-125)."""

@@ -45,12 +45,11 @@ def q(name: str, oracle: str = None):
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read nanos as long and truncate to microseconds
-        # (integer `div` — the ns epoch exceeds double's exact-int range).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.parquet stores ts as TIMESTAMP(NANOS); the ns→µs handling
+        # lives with the reader, not the query path
+        from pdtable_spark.io.parquet import read_nanos_parquet
+
+        return read_nanos_parquet(spark, f"{sf_dir}/{table}.parquet")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -359,7 +358,9 @@ def q15_top_supplier(spark, sf_dir):
     "q17_small_quantity_revenue",
     """
     WITH avg_qty AS (
-      SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+      SELECT l_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+               AS half_avg
       FROM lineitem GROUP BY l_partkey
     )
     SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
@@ -371,10 +372,9 @@ def q15_top_supplier(spark, sf_dir):
 )
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 family: correlated average via aggregate-then-join-back.
-    AVG(double) is order-dependent in general, but each part's lineitems fit
-    one aggregation buffer and both engines sum in ascending-row order per
-    group on this data layout; the comparison `quantity < half_avg` is far
-    from ties, so the predicate is stable cross-engine."""
+    Both sides spell the per-part average as an exact decimal sum divided by
+    the count, so the `quantity < half_avg` predicate is layout- and
+    partitioning-independent (tested with perturbed shuffle partitions)."""
     l = load(spark, sf_dir, "lineitem")
     avg_qty = (
         load(spark, sf_dir, "lineitem")
@@ -1432,24 +1432,115 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, shingle_n=5, threshold=0.5)
 
 
-@q("minhash_candidates")  # xxhash64 has no DuckDB analog → rows-only check
+# --- MinHash / SimHash with FULL value oracles -----------------------------
+#
+# The production hash is xxhash64 (JVM codegen, no DuckDB analog); the suite
+# queries run the SAME operator code in ``hash_fn="md5_60"`` mode — a 60-bit
+# hash from the first 15 hex chars of md5, which DuckDB reproduces exactly as
+# ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``.  Every stage (shingles,
+# per-seed minima, band buckets, jaccard/hamming verification) is therefore
+# value-checked end-to-end; bench.py keeps timing the xxhash64 path.
+
+_SQL_MD5_60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _sql_minhash_pairs(num_hashes: int, bands: int, threshold: float) -> str:
+    rpb = num_hashes // bands
+    seed_hash = _SQL_MD5_60.format(x="'s' || CAST(seed AS VARCHAR) || ':' || s")
+    return f"""
+    WITH base AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    mh AS (
+      SELECT doc_id, seed,
+             list_aggregate(list_transform(sh, s -> {seed_hash}), 'min') AS mh
+      FROM base, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed) seeds
+    ),
+    bands AS (
+      SELECT doc_id, seed // {rpb} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+      FROM mh GROUP BY doc_id, seed // {rpb}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT cand.id_a, cand.id_b,
+             CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
+               / CAST(len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
+               AS jaccard
+      FROM cand
+      JOIN base ba ON ba.doc_id = cand.id_a
+      JOIN base bb ON bb.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+    """
+
+
+@q("minhash_candidates", _sql_minhash_pairs(num_hashes=16, bands=4, threshold=0.5))
 def minhash_candidates(spark, sf_dir):
-    """MinHash-LSH near-dup candidate pairs (banded signature buckets)."""
+    """MinHash-LSH near-dup pairs (banded signature buckets + exact-Jaccard
+    verification), in md5_60 verification mode so the whole pipeline —
+    shingling, per-seed minima, band bucketing, verification — hash-matches
+    the DuckDB oracle.  Production corpora run hash_fn="xxhash64"."""
     d = load(spark, sf_dir, "documents")
-    return dedup.minhash_dedup(d, num_hashes=16, bands=4, jaccard_threshold=0.5)
+    return dedup.minhash_dedup(
+        d, num_hashes=16, bands=4, jaccard_threshold=0.5, hash_fn="md5_60"
+    )
 
 
-@q("simhash_fingerprints")  # xxhash64-based → rows-only check
+_SIMHASH_BITS = 60  # md5_60 provides 60 hash bits
+
+
+def _sql_simhash(bits: int = _SIMHASH_BITS) -> str:
+    tok_hash = _SQL_MD5_60.format(x="tok")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return f"""
+      SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM (
+        SELECT doc_id, {bit_sums}
+        FROM (SELECT doc_id, {tok_hash} AS h
+              FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents))
+        GROUP BY doc_id
+      )
+    """
+
+
+@q("simhash_fingerprints", f"SELECT doc_id, simhash FROM ({_sql_simhash()})")
 def simhash_fingerprints(spark, sf_dir):
-    """64-bit SimHash per document."""
-    return dedup.simhash(load(spark, sf_dir, "documents"))
+    """60-bit SimHash per document (md5_60 verification mode; production is
+    64-bit xxhash64).  Sign-aggregated token-hash bits, one partial-agg
+    shuffle of doc_count×bits sums."""
+    return dedup.simhash(
+        load(spark, sf_dir, "documents"), bits=_SIMHASH_BITS, hash_fn="md5_60"
+    )
 
 
-@q("simhash_near_dups")  # xxhash64-based → rows-only check
+@q(
+    "simhash_near_dups",
+    f"""
+    WITH sims AS ({_sql_simhash()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
 def simhash_near_dups_q(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming <= 6 within top-bit blocks)."""
+    """ALL SimHash pairs with Hamming <= 6 — pigeonhole multi-block LSH
+    (max_hamming+1 blocks: any qualifying pair agrees on a full block, so
+    recall is exactly 100%) + bit_count verification.  The oracle is the
+    brute-force all-pairs join: identical output, bucket-join cost."""
     return dedup.simhash_near_dups(
-        load(spark, sf_dir, "documents"), max_hamming=6, block_bits=8
+        load(spark, sf_dir, "documents"),
+        max_hamming=6,
+        bits=_SIMHASH_BITS,
+        hash_fn="md5_60",
     )
 
 
@@ -1511,9 +1602,19 @@ def _events_stream(spark, sf_dir):
     return read_events_stream(spark, d)
 
 
-@q("stream_hourly_counts")
+@q(
+    "stream_hourly_counts",
+    f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+           COUNT(*) AS n, {_sql_dsum('value', 'total_value')}
+    FROM events GROUP BY 1, 2
+    """,
+)
 def stream_hourly_counts(spark, sf_dir):
-    """Watermarked tumbling-window aggregation, run incrementally."""
+    """Watermarked tumbling-window aggregation, run incrementally.  With
+    trigger(availableNow) + complete output the streaming result equals the
+    batch grouping exactly (decimal-accumulated sums are fold-order
+    independent), so this streaming operator carries a FULL value oracle."""
     from pdtable_spark.streaming import run_to_memory, stream_hourly_by_type
 
     _STREAM_SEQ[0] += 1
@@ -1553,9 +1654,53 @@ def stream_attribution(spark, sf_dir):
     return spark.table(name)
 
 
-@q("stream_sessionize_stateful")
+@q(
+    "stream_sessionize_stateful",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    mx AS (SELECT MAX(ts) AS m FROM e),
+    g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events,
+             list_sum(list(value ORDER BY ts, event_id)) AS total_value
+      FROM s GROUP BY user_id, sid
+    ),
+    ranked AS (
+      SELECT sess.*,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY session_end DESC) AS rk
+      FROM sess
+    )
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM ranked, mx
+    WHERE rk > 1
+       OR epoch_ms(session_end) + 1800000 < epoch_ms(m) - 7200000
+    """,
+)
 def stream_sessionize_stateful(spark, sf_dir):
-    """applyInPandasWithState custom sessionizer (closed sessions emitted)."""
+    """applyInPandasWithState custom sessionizer.
+
+    Emission semantics (what the oracle reproduces): a session is emitted
+    when the next event of the same user opens a new session (gap-closed —
+    with availableNow all gap-closed sessions emit in the data batch), or
+    when the event-time timeout fires: last_event_ms + gap_ms strictly below
+    the final watermark (max_event_ms − 2 h).  Each user's final session
+    inside the watermark horizon stays open in the state store — exactly the
+    rows the oracle's WHERE clause excludes.  Per-session ``total_value``
+    folds doubles in event-time order on both engines (pandas ts-sorted
+    accumulation ≡ DuckDB ``list_sum(list(... ORDER BY ts))``)."""
     from pdtable_spark.streaming import run_to_memory, sessionize_with_state
 
     _STREAM_SEQ[0] += 1
@@ -1717,31 +1862,189 @@ def embedding_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, queries, k=10)
 
 
-@q("embedding_lsh_topk")  # approximate → rows-only check vs exact oracle impossible
+# --- Approximate ANN with FULL value oracles -------------------------------
+#
+# The LSH hyperplanes are generated by a seeded driver-side LCG
+# (similarity._lcg_hyperplanes) and travel into the Spark plan as column
+# literals — so the SAME float literals can be embedded in the oracle SQL at
+# import time, and DuckDB recomputes the identical buckets (both engines
+# fold the dot product sequentially: Spark `aggregate`, DuckDB
+# `list_sum(list_transform(...))`).  The approximate queries are therefore
+# exactly reproducible, not merely "rows-only approximate".
+
+
+def _sql_vec_list(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _sql_dot_plane(vec: str, plane) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {len(plane)}), "
+        f"i -> {vec}[i] * ({_sql_vec_list(plane)})[i]))"
+    )
+
+
+def _sql_rhp_bucket(vec: str, planes) -> str:
+    bits = [
+        f"(CASE WHEN {_sql_dot_plane(vec, p)} >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _sql_cos(a: str, b: str, dim: int = 64) -> str:
+    gs = f"generate_series(1, {dim})"
+    return (
+        f"list_sum(list_transform({gs}, i -> {a}[i]*{b}[i]))"
+        f" / sqrt(list_sum(list_transform({gs}, i -> {a}[i]*{a}[i]))"
+        f" * list_sum(list_transform({gs}, i -> {b}[i]*{b}[i])))"
+    )
+
+
+def _sql_dist2(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+    )
+
+
+def _sql_lsh_topk(k: int, dim: int, bits_per_table: int, num_tables: int, seed: int) -> str:
+    tables = [
+        similarity._lcg_hyperplanes(dim, bits_per_table, seed + 1000 * t)
+        for t in range(num_tables)
+    ]
+    cb = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sql_rhp_bucket('ca', tables[t])} AS bkt FROM c"
+        for t in range(num_tables)
+    )
+    qb = "\n      UNION ALL ".join(
+        f"SELECT query_id, {t} AS tbl, {_sql_rhp_bucket('qa', tables[t])} AS bkt FROM q"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
+          FROM embeddings WHERE vec_id < 5),
+    cb AS ({cb}),
+    qb AS ({qb}),
+    cand AS (
+      SELECT DISTINCT qb.query_id, cb.vec_id
+      FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bkt = qb.bkt
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, {_sql_cos('qa', 'ca', dim)} AS cosine_sim
+      FROM cand JOIN c ON c.vec_id = cand.vec_id JOIN q ON q.query_id = cand.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("embedding_lsh_topk", _sql_lsh_topk(k=10, dim=64, bits_per_table=8, num_tables=4, seed=42))
 def embedding_lsh_topk(spark, sf_dir):
-    """RHP-LSH bucketed ANN top-k (approximate; compare recall offline)."""
+    """RHP-LSH bucketed ANN top-k.  Deterministic seeded hyperplanes make
+    the approximate result exactly reproducible — the oracle recomputes the
+    same buckets from the same plane literals and must match value-for-value."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.rhp_lsh_topk(emb, queries, k=10, dim=64, bits_per_table=8, num_tables=4)
+    return similarity.rhp_lsh_topk(
+        emb, queries, k=10, dim=64, bits_per_table=8, num_tables=4, seed=42
+    )
 
 
-@q("embedding_ivf_topk")  # approximate (k-means cells) → rows-only check
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+def _sql_ivf_topk(k: int, dim: int = 64) -> str:
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
+          FROM embeddings WHERE vec_id < 5),
+    cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    cd AS (
+      SELECT c.vec_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY {_sql_dist2('ca', 'ce', dim)}, cent.cid) AS rn
+      FROM c CROSS JOIN cent
+    ),
+    cassign AS (SELECT vec_id, cid AS cell FROM cd WHERE rn = 1),
+    qd AS (
+      SELECT q.query_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY {_sql_dist2('qa', 'ce', dim)}, cent.cid) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    qprobe AS (SELECT query_id, cid AS cell FROM qd WHERE rn <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT qprobe.query_id, cassign.vec_id, {_sql_cos('qa', 'ca', dim)} AS cosine_sim
+      FROM cassign JOIN qprobe ON cassign.cell = qprobe.cell
+      JOIN c ON c.vec_id = cassign.vec_id
+      JOIN q ON q.query_id = qprobe.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("embedding_ivf_topk", _sql_ivf_topk(k=10))
 def embedding_ivf_topk(spark, sf_dir):
-    """IVF ANN top-k: k-means cells + nprobe probing + exact re-rank —
-    the partition-pruned scale path for similarity search."""
+    """IVF ANN top-k: cell assignment + nprobe probing + exact cosine
+    re-rank — the partition-pruned scale path for similarity search.
+
+    The suite runs IVF-flat with FIXED seed centroids (the first
+    ``_IVF_CELLS`` corpus vectors, FAISS-style sampled init without Lloyd
+    refinement) so cell assignment is deterministic and the oracle can
+    recompute it; production training uses pyspark.ml KMeans
+    (``centroids=None``)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    return similarity.ivf_topk(
+        emb, queries, k=10, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, centroids=cents
+    )
 
 
-@q("embedding_near_dups")  # LSH-bucketed recall → rows-only check
+def _sql_near_dups(threshold: float, bits: int, seed: int, dim: int = 64) -> str:
+    planes = similarity._lcg_hyperplanes(dim, bits, seed)
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    b AS (SELECT vec_id, ca, {_sql_rhp_bucket('ca', planes)} AS bkt FROM c)
+    SELECT id_a, id_b, cosine_sim FROM (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             {_sql_cos('x.ca', 'y.ca', dim)} AS cosine_sim
+      FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+    )
+    WHERE cosine_sim >= CAST({threshold!r} AS DOUBLE)
+    """
+
+
+@q("embedding_near_dups", _sql_near_dups(threshold=0.3, bits=6, seed=7))
 def embedding_near_dups_q(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (bucketed, exact-verified).
+    Seeded hyperplanes → deterministic buckets → full value oracle.
     Threshold tuned to the synthetic corpus (random-ish vectors: pairwise
     cosine tops out ≈0.44)."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(emb, threshold=0.3, bits=6)
+    return similarity.embedding_near_dups(emb, threshold=0.3, bits=6, seed=7)

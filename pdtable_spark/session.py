@@ -55,6 +55,9 @@ def get_session(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # TIMESTAMP(NANOS) parquet (e.g. the events table) reads as long +
+        # explicit µs truncation instead of erroring (io.parquet.read_nanos_parquet)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

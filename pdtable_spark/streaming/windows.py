@@ -56,7 +56,10 @@ def stream_hourly_by_type(events: DataFrame, watermark: str = "2 hours") -> Data
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total_value"),
+            # decimal accumulation: exact, hence independent of the order in
+            # which micro-batches / partial aggregates fold the doubles in —
+            # the streaming result is bit-identical to the batch grouping
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("win.start").alias("hour"),

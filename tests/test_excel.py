@@ -47,6 +47,50 @@ def test_stdlib_workbook_round_trip(tmp_path):
     assert sheets["S2"] == [["x"]]
 
 
+def test_stdlib_omitted_rows_and_error_cells(tmp_path):
+    """Excel omits cell-less rows from sheet XML entirely; the row ``r``
+    attribute must resurface them (blank rows are StarTable block
+    terminators).  Error cells (t="e") surface their literal, not a crash."""
+    import zipfile
+
+    # hand-build a minimal xlsx: rows 1 and 4 present, 2-3 omitted; one error cell
+    sheet_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="str"><v>top</v></c></row>'
+        '<row r="4"><c r="A4" t="str"><v>after_gap</v></c>'
+        '<c r="B4" t="e"><v>#DIV/0!</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    p = tmp_path / "gap.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            "</Types>",
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    sheets = {name: list(rit) for name, rit in read_sheets(p)}
+    assert sheets["S1"][0] == ["top"]
+    assert sheets["S1"][1] == [] and sheets["S1"][2] == []  # the omitted gap
+    assert sheets["S1"][3] == ["after_gap", "#DIV/0!"]
+
+
 def test_excel_table_round_trip(spark, places, tmp_path):
     write_excel(places, tmp_path / "t.xlsx")
     back = TableBundle(read_excel(tmp_path / "t.xlsx"))["places"]

@@ -253,6 +253,27 @@ def test_interval_join_matches_naive(spark):
     assert got.count() > 0
 
 
+def test_interval_join_fractional_and_negative(spark):
+    """Fractional endpoints and negative values: floor-based bucketing must
+    not drop matches (trunc-based bucketing placed point 7200.2 in a bucket
+    the interval [7199.5, 7200.5) never exploded into)."""
+    from pdtable_spark.operators.range_join import interval_join
+
+    points = spark.createDataFrame(
+        [(0, 7200.2), (1, -0.5), (2, 0.25), (3, 3599.999)], "pid int, t double"
+    )
+    intervals = spark.createDataFrame(
+        [(0, 7199.5, 7200.5), (1, -1.0, 0.5), (2, 3599.5, 3600.0)],
+        "iid int, start double, end double",
+    )
+    got = interval_join(points, intervals, "t", grain_seconds=3600).select("pid", "iid")
+    naive = points.crossJoin(intervals).filter(
+        (F.col("start") <= F.col("t")) & (F.col("t") < F.col("end"))
+    ).select("pid", "iid")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    assert got.count() == 4  # pids 0,1 (x2 via overlap set),2,3 all matched
+
+
 def test_interval_join_left_keeps_unmatched(spark):
     from pdtable_spark.operators.range_join import interval_join
 

@@ -197,6 +197,72 @@ bogus
         make_parsed_table(grid, fixer=ParseFixer())
 
 
+def test_fixer_error_routes_to_issue_tracker():
+    """A fixer-reported error under strict parsing must be COLLECTED by a
+    CollectingInputIssueTracker (InputError is a ValueError subclass routed
+    by the block emitter) — one bad table must not abort the block stream."""
+    from pdtable_spark.model.origin import CollectingInputIssueTracker
+
+    grid = rows(
+        """
+**bad;
+all
+a
+-
+bogus
+
+**good;
+all
+x
+-
+1
+"""
+    )
+    tracker = CollectingInputIssueTracker()
+    blocks = list(parse_blocks(grid, issue_tracker=tracker, to="parsed"))
+    names = [b.name for bt, b in blocks if bt == BlockType.TABLE]
+    assert names == ["good"]  # stream survived the bad table
+    assert any("Illegal" in str(i.issue) for i in tracker.issues)
+
+
+def test_fixer_pads_with_nan_literal():
+    """Reference parity: short rows pad with 'NaN' — missing in float
+    columns, the literal string 'NaN' in text columns."""
+    grid = rows(
+        """
+**short;
+all
+name;b
+text;-
+x;2
+y
+"""
+    )
+    fixer = ParseFixer()
+    fixer.stop_on_errors = False
+    t = make_parsed_table(grid, fixer=fixer)
+    assert t.columns["b"] == [2.0, None]
+    assert t.columns["name"] == ["x", "y"]
+    # direct hook check: the pad cell is the reference's 'NaN'
+    f2 = ParseFixer()
+    assert f2.fix_missing_rows_in_column_data(0, ["a"], 3) == ["a", "NaN", "NaN"]
+
+
+def test_datetime_none_cell_is_illegal():
+    """A None datetime cell (empty Excel cell) routes through
+    fix_illegal_cell_value — counted, and fatal under strict parsing."""
+    fixer = ParseFixer()
+    fixer.stop_on_errors = False
+    out = parse_column("datetime", ["2020-01-02", None, "-"], fixer)
+    assert out[0] == dt.datetime(2020, 1, 2)
+    assert out[1] is None and out[2] is None
+    assert fixer.fixes == 1  # only the None counted; '-' is a legal marker
+    with pytest.raises(InputError):
+        strict = ParseFixer()
+        parse_column("datetime", [None], strict)
+        strict.report()
+
+
 def test_comment_columns_after_blank_header_cell():
     grid = rows(
         """
