@@ -91,6 +91,8 @@ def scan_csv(
     min_partitions: Optional[int] = None,
     permissive: bool = False,
     fix_counter=None,
+    max_file_bytes: int = 512 * 2 ** 20,
+    batch_rows: int = 1 << 16,
 ):
     """Parse ``table_name`` out of every StarTable CSV under ``paths`` into a
     single Spark-backed ``Table`` — the 100 TB path for S1.
@@ -100,6 +102,13 @@ def scan_csv(
     one-cell cost; the schema (column names + units) is taken from the first
     file on the driver, then executors emit plain row tuples — no pandas, no
     Table objects cross the wire.
+
+    Memory bounds: lines stream from disk (no whole-file string) and output
+    flows in ``batch_rows`` Arrow batches, so peak executor memory is
+    O(target-table rows in one file).  A file above ``max_file_bytes``
+    (default 512 MiB) fails fast with guidance instead of risking an
+    executor OOM — StarTable CSVs are bundle-grain by design; split outsized
+    exports or raise the bound explicitly alongside executor memory.
 
     Error accounting at scale (SURVEY §7 watch-list): with
     ``permissive=True`` illegal cells are fixed to type defaults inside
@@ -126,15 +135,22 @@ def scan_csv(
     local_paths = _expand_local_paths(path_spec)
 
     if local_paths:
+        # streaming probe: reads only up to the first matching table
         with open(local_paths[0]) as f:
-            first_text = f.read()
+            probe = _parse_named_tables_lines(f, table_name, sep, permissive)
+            try:
+                first = next(probe)
+            except StopIteration:
+                raise LookupError(
+                    f"Table '{table_name}' not found in first file of {path_spec}"
+                )
     else:
         first_text = spark.sparkContext.wholeTextFiles(path_spec).values().first()
-    probe = _parse_named_tables(first_text, table_name, sep, permissive)
-    try:
-        first = next(probe)
-    except StopIteration:
-        raise LookupError(f"Table '{table_name}' not found in first file of {path_spec}")
+        probe = _parse_named_tables(first_text, table_name, sep, permissive)
+        try:
+            first = next(probe)
+        except StopIteration:
+            raise LookupError(f"Table '{table_name}' not found in first file of {path_spec}")
     column_names, units = first.column_names, first.units
     schema = schema_for_units(column_names, units)
 
@@ -157,14 +173,31 @@ def scan_csv(
 
             for pdf in batches:
                 for path in pdf["__path"]:
-                    with open(path) as f:
-                        text = f.read()
-                    for parsed in _parse_named_tables(text, table_name, sep, permissive):
-                        if fix_counter is not None and parsed.n_fixes:
-                            fix_counter.add(parsed.n_fixes)
-                        yield pd.DataFrame(
-                            {c: parsed.columns[c] for c in parsed.column_names}
+                    size = os.path.getsize(path)
+                    if size > max_file_bytes:
+                        raise ValueError(
+                            f"StarTable CSV {path!r} is {size} bytes, over scan_csv's "
+                            f"max_file_bytes={max_file_bytes}: the per-file tokenizer "
+                            "buffers the target table's parsed rows, so an outsized "
+                            "file risks an executor OOM. Split the export into "
+                            "bundle-grain files, or pass a higher max_file_bytes "
+                            "sized alongside executor memory."
                         )
+                    with open(path) as f:
+                        for parsed in _parse_named_tables_lines(
+                            f, table_name, sep, permissive
+                        ):
+                            if fix_counter is not None and parsed.n_fixes:
+                                fix_counter.add(parsed.n_fixes)
+                            cols = parsed.column_names
+                            n = len(parsed.columns[cols[0]]) if cols else 0
+                            for lo in range(0, max(n, 1), batch_rows):
+                                yield pd.DataFrame(
+                                    {
+                                        c: parsed.columns[c][lo : lo + batch_rows]
+                                        for c in cols
+                                    }
+                                )
 
         df = paths_df.mapInPandas(parse_files, schema=schema)
     else:
@@ -205,7 +238,17 @@ def _expand_local_paths(path_spec: str):
 
 def _parse_named_tables(text: str, table_name: str, sep: str, permissive: bool = False):
     """Tokenize one StarTable CSV text, yielding ParsedTables matching name
-    (each annotated with ``n_fixes`` applied while parsing it).
+    (each annotated with ``n_fixes`` applied while parsing it)."""
+    yield from _parse_named_tables_lines(text.splitlines(), table_name, sep, permissive)
+
+
+def _parse_named_tables_lines(
+    line_iter, table_name: str, sep: str, permissive: bool = False
+):
+    """Streaming variant: tokenize lazily from an iterator of lines (e.g. an
+    open file object) — the input is never materialized as one string, and
+    the early block filter drops non-matching blocks at one-cell cost, so
+    peak memory is O(target-table rows in the file), not O(file size).
 
     Pure Python — safe inside executors (no SparkSession access).
     """
@@ -213,7 +256,7 @@ def _parse_named_tables(text: str, table_name: str, sep: str, permissive: bool =
     if permissive:
         fixer = ParseFixer()
         fixer.stop_on_errors = False
-    cell_rows = (line.rstrip("\n").split(sep) for line in text.splitlines())
+    cell_rows = (line.rstrip("\r\n").split(sep) for line in line_iter)
     blocks = parse_blocks(
         cell_rows,
         to="parsed",

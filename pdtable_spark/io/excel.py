@@ -259,6 +259,7 @@ def _append_table(ws, table, na_rep: str, style_spec: Optional[Dict]) -> None:
         for row in table.df.toLocalIterator():
             vals = represent_row_elements(tuple(row), units, na_rep)
             ws.append([fmt(v, f) for v, f in zip(vals, fmts)])
+            part_rows.append(("values", ws.max_row))
 
     if style_spec:
         _apply_styles(ws, part_rows, len(names), style_spec)

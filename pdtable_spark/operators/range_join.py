@@ -28,13 +28,19 @@ from pyspark.sql import functions as F
 _BUCKET = "__bucket"
 
 
-def _to_num(c: Column) -> Column:
-    """Fractional seconds-since-epoch for timestamps; numerics pass through.
+def _to_num(df: DataFrame, name: str) -> Column:
+    """Fractional seconds-since-epoch for timestamp columns (tz'd or NTZ);
+    numerics pass through as double.
 
     Double, NOT truncated long: truncation would misplace fractional points
     (and trunc≠floor for negatives), silently dropping matches whose point
     bucket differs from every interval bucket."""
-    return F.when(F.lit(True), c).cast("double")
+    c = F.col(name)
+    if dict(df.dtypes).get(name, "").startswith("timestamp"):
+        # NTZ casts to timestamp in the session zone; unix_micros keeps
+        # sub-second precision (a straight double cast rejects NTZ)
+        return F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000.0)
+    return c.cast("double")
 
 
 def interval_join(
@@ -58,12 +64,12 @@ def interval_join(
 
     # floor() on the un-truncated value: correct for fractional domains,
     # sub-second timestamps, and negative values (floor ≠ trunc there)
-    p = points.withColumn(_BUCKET, F.floor(_to_num(F.col(point_col)) / grain_seconds))
-    b0 = F.floor(_to_num(F.col(start_col)) / grain_seconds)
+    p = points.withColumn(_BUCKET, F.floor(_to_num(points, point_col) / grain_seconds))
+    b0 = F.floor(_to_num(intervals, start_col) / grain_seconds)
     # explode through floor(end/grain) inclusive; an interval whose exclusive
     # end sits exactly on a grain boundary costs one extra candidate bucket,
     # and the exact containment predicate discards those rows
-    b1 = F.floor(_to_num(F.col(end_col)) / grain_seconds)
+    b1 = F.floor(_to_num(intervals, end_col) / grain_seconds)
     iv = intervals.withColumn(_BUCKET, F.explode(F.sequence(b0, F.greatest(b1, b0))))
 
     cond = (

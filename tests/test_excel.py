@@ -47,6 +47,52 @@ def test_stdlib_workbook_round_trip(tmp_path):
     assert sheets["S2"] == [["x"]]
 
 
+def test_styled_write_matches_reference_spec(spark, places, tmp_path):
+    """Styled write parity vs the reference's documented style structure
+    (reference io/excel.py:152-191): per-part font/fill/alignment land on
+    the right worksheet rows.  Requires openpyxl (skipped otherwise — the
+    stdlib engine is values-only and warns on a styles request)."""
+    openpyxl = pytest.importorskip("openpyxl")
+    from pdtable_spark.io.excel import DEFAULT_STYLE_SPEC, write_excel
+
+    spec = dict(DEFAULT_STYLE_SPEC)
+    spec["values"] = {"alignment": {"horizontal": "center"}}
+    p = tmp_path / "styled.xlsx"
+    write_excel(places, p, styles=spec)
+
+    ws = openpyxl.load_workbook(p).active
+    # row 1 = **name, row 2 = destinations, 3 = column names, 4 = units, 5+ = values
+    name_cell = ws.cell(row=1, column=1)
+    assert name_cell.font.bold and name_cell.font.color.rgb[-6:] == "1F4E78"
+    assert name_cell.fill.start_color.rgb[-6:] == "D9D9D9"
+    dest_cell = ws.cell(row=2, column=1)
+    assert dest_cell.font.italic and dest_cell.font.color.rgb[-6:] == "808080"
+    col_cell = ws.cell(row=3, column=1)
+    assert col_cell.font.bold and col_cell.fill.start_color.rgb[-6:] == "F2F2F2"
+    unit_cell = ws.cell(row=4, column=1)
+    assert unit_cell.fill.start_color.rgb[-6:] == "F2F2F2"
+    val_cell = ws.cell(row=5, column=1)
+    assert val_cell.alignment.horizontal == "center"
+
+
+def test_styles_warn_without_openpyxl(spark, places, tmp_path):
+    """Without openpyxl the stdlib engine writes values and warns that the
+    styles request is ignored."""
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl installed; stdlib fallback not in play")
+    except ImportError:
+        pass
+    from pdtable_spark.io.excel import read_excel, write_excel
+
+    p = tmp_path / "plain.xlsx"
+    with pytest.warns(UserWarning, match="styles require openpyxl"):
+        write_excel(places, p, styles=True)
+    got = TableBundle(read_excel(p))["places"]
+    assert got.equals(places)
+
+
 def test_stdlib_omitted_rows_and_error_cells(tmp_path):
     """Excel omits cell-less rows from sheet XML entirely; the row ``r``
     attribute must resurface them (blank rows are StarTable block

@@ -116,6 +116,30 @@ def test_scan_csv_distributed(spark, tmp_path):
     assert t.df.agg(F.sum("value")).collect()[0][0] == pytest.approx(3 * (0.5 + 1.5 + 2.5 + 3.5))
 
 
+def test_scan_csv_file_size_bound(spark, tmp_path):
+    """A file over max_file_bytes fails fast with actionable guidance
+    instead of risking an executor OOM."""
+    (tmp_path / "big.csv").write_text(
+        "**m;\nall\nrun;value\n-;kg\n" + "".join(f"{j};{j}.5\n" for j in range(200)) + "\n"
+    )
+    t = scan_csv(spark, str(tmp_path / "big.csv"), "m", max_file_bytes=100)
+    with pytest.raises(Exception, match="max_file_bytes"):
+        t.count()
+
+
+def test_scan_csv_batch_rows_chunking(spark, tmp_path):
+    """Small Arrow batches (batch_rows) must not change the parsed result —
+    a file larger than the batch bound parses across several batches."""
+    (tmp_path / "chunks.csv").write_text(
+        "**m;\nall\nrun;value\n-;kg\n"
+        + "".join(f"{j};{j}.5\n" for j in range(1000))
+        + "\n"
+    )
+    t = scan_csv(spark, str(tmp_path / "chunks.csv"), "m", batch_rows=64)
+    assert t.count() == 1000
+    assert t.df.agg(F.sum("run")).collect()[0][0] == pytest.approx(sum(range(1000)))
+
+
 def test_read_bundle_from_csv_normalized(spark, tmp_path):
     from pdtable_spark.units import simple_converter
     from pdtable_spark.utils import read_bundle_from_csv

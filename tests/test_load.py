@@ -65,6 +65,46 @@ def test_load_files_with_includes(spark, input_folder):
     assert bundle["gamma"]["c"].unit == "-"
 
 
+def test_demo_directive_handlers(spark, input_folder):
+    """The worked demo handlers: ***include expansion as a plain stream
+    transform over read_csv, and a stateful custom ***context directive."""
+    import io as _io
+
+    from pdtable_spark.demo import handle_includes
+    from pdtable_spark.demo.directive_handlers import handle_context
+    from pdtable_spark.io.csv import read_csv
+    from pdtable_spark.parsers.blocks import BlockType
+
+    # include expansion (demo form, no loader machinery)
+    blocks = list(handle_includes(read_csv(input_folder / "input_foo.csv"), input_folder, recursive=True))
+    names = [b.name for bt, b in blocks if bt == BlockType.TABLE]
+    assert sorted(names) == ["alpha", "beta", "gamma"]
+    assert not any(bt == BlockType.DIRECTIVE and b.name == "include" for bt, b in blocks)
+
+    # custom stateful directive: context lines attach to following tables
+    src = _io.StringIO(
+        "***context;\nproject_x;\nrev_2;\n\n**t1;\nall;\na;\n-;\n1;\n\n"
+    )
+    blocks2 = list(handle_context(read_csv(src)))
+    tables = [b for bt, b in blocks2 if bt == BlockType.TABLE]
+    assert tables and tables[0].metadata.context == ["project_x", "rev_2"]
+
+
+def test_custom_directive_through_load_files(spark, input_folder):
+    """Directives other than ***include flow through load_files untouched,
+    so client handlers compose downstream of the production loader."""
+    from pdtable_spark.demo.directive_handlers import handle_context
+    from pdtable_spark.parsers.blocks import BlockType
+
+    (input_folder / "ctx.csv").write_text(
+        "***context;\nfrom_load_files;\n\n**delta;\nall;\nd;\n-;\n4.0;\n\n"
+    )
+    blocks = list(handle_context(load_files([str(input_folder / "ctx.csv")])))
+    tables = [b for bt, b in blocks if bt == BlockType.TABLE]
+    assert [t.name for t in tables] == ["delta"]
+    assert tables[0].metadata.context == ["from_load_files"]
+
+
 def test_folder_scan_with_root(spark, input_folder):
     # root scan: only input_* matches at top level; includes pull in the rest
     blocks = load_files(
