@@ -144,13 +144,19 @@ def _signature_cols(sh_col, num_hashes: int, hash_fn: str = "xxhash64"):
     ``hash_fn="xxhash64"`` (production): ``sh_col`` holds 64-bit shingle
     hashes (not strings) — the per-seed rehash is a fixed-width hash, so
     seed passes cost long-ops, not string scans.
-    ``hash_fn="md5_60"`` (verification): ``sh_col`` holds shingle STRINGS and
-    each seed hashes ``"s<seed>:" + shingle`` with :func:`md5_60` — byte-
-    reproducible in DuckDB SQL, giving MinHash a full value oracle."""
+    ``hash_fn="md5_60"`` (verification): ``sh_col`` holds shingle STRINGS.
+    Two md5-based base hashes per shingle (projected ONCE — see
+    ``_md5_hash_pairs``) combine per seed as ``(h1 + seed·h2) mod 2⁶⁰`` —
+    the Kirsch-Mitzenmacher double-hashing family, byte-reproducible in
+    DuckDB SQL, so MinHash gets a full value oracle at ~2 string hashes per
+    shingle instead of ``num_hashes``."""
     if hash_fn == "md5_60":
         return [
             F.array_min(
-                F.transform(sh_col, lambda s: md5_60(F.concat(F.lit(f"s{seed}:"), s)))
+                F.transform(
+                    sh_col,
+                    lambda p: (p["h1"] + F.lit(seed) * p["h2"]) % F.lit(1 << 60),
+                )
             ).alias(f"mh_{seed}")
             for seed in range(num_hashes)
         ]
@@ -160,6 +166,22 @@ def _signature_cols(sh_col, num_hashes: int, hash_fn: str = "xxhash64"):
         )
         for seed in range(num_hashes)
     ]
+
+
+def _md5_hash_pairs(sh_strings: Column) -> Column:
+    """Per-shingle (h1, h2) base-hash structs for md5_60 double hashing.
+
+    h1 = md5_60(s); h2 = md5_60('x'||s) mod 2⁵² (the modulus keeps
+    seed·h2 + h1 < 2⁶¹, overflow-free in engines with checked BIGINT
+    arithmetic).  Projected as its own column so the two md5s evaluate once
+    per shingle, not once per seed."""
+    return F.transform(
+        sh_strings,
+        lambda s: F.struct(
+            md5_60(s).alias("h1"),
+            (md5_60(F.concat(F.lit("x"), s)) % F.lit(1 << 52)).alias("h2"),
+        ),
+    )
 
 
 def _shingle_sets(df, text_col: str, id_col: str, shingle_n: int, hash_fn: str, out: str):
@@ -185,6 +207,8 @@ def minhash_signatures(
     it into each of the ``num_hashes`` lambdas re-tokenizes per seed (measured
     10×+ slowdown)."""
     sets_ = _shingle_sets(df, text_col, id_col, shingle_n, hash_fn, "__sh")
+    if hash_fn == "md5_60":
+        sets_ = sets_.select(F.col(id_col), _md5_hash_pairs(F.col("__sh")).alias("__sh"))
     return sets_.select(F.col(id_col), *_signature_cols(F.col("__sh"), num_hashes, hash_fn))
 
 
@@ -270,7 +294,11 @@ def minhash_dedup(
     # ~n²/2⁶⁴) and skips building gram strings entirely.  md5_60 mode keeps
     # gram strings so the whole pipeline is DuckDB-reproducible.
     sets_ = _shingle_sets(df, text_col, id_col, shingle_n, hash_fn, "sh")
-    sig = sets_.select(F.col(id_col), *_signature_cols(F.col("sh"), num_hashes, hash_fn))
+    if hash_fn == "md5_60":
+        sig_in = sets_.select(F.col(id_col), _md5_hash_pairs(F.col("sh")).alias("__hp"))
+        sig = sig_in.select(F.col(id_col), *_signature_cols(F.col("__hp"), num_hashes, hash_fn))
+    else:
+        sig = sets_.select(F.col(id_col), *_signature_cols(F.col("sh"), num_hashes, hash_fn))
     cand = _lsh_candidate_pairs(sig, id_col, num_hashes, bands, hash_fn, max_bucket)
     if jaccard_threshold is None:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))

@@ -1368,6 +1368,63 @@ def text_bpe_count(spark, sf_dir):
     )
 
 
+#: PII patterns shared by the Spark query and the oracle — RE2/Java-regex
+#: common subset (no backrefs, no lookaround).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+@q(
+    "text_pii_redact",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                          '{_PII_PHONE}', '[PHONE]', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones
+    FROM documents
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing — the standard pre-training redaction pass: emails and
+    phone-shaped digit runs replaced with placeholder tags, plus per-doc
+    match counts for pipeline accounting.  Pure codegen regex (RE2/Java
+    common subset), no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "[EMAIL]"), _PII_PHONE, "[PHONE]"
+        ).alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0))).cast("long").alias("n_phones"),
+    )
+
+
+@q(
+    "text_repetition",
+    f"""
+    SELECT doc_id,
+           1.0 - CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE)
+                   / CAST(len({_SQL_TOKS}) AS DOUBLE) AS repetition_ratio
+    FROM documents
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Token-repetition ratio (1 − distinct/total) — the cheap boilerplate /
+    spam signal of a training-data quality stack; codegen-only."""
+    d = load(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+        ).alias("repetition_ratio"),
+    )
+
+
 @q(
     "pipeline_clean_corpus",
     f"""
@@ -1432,6 +1489,100 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, shingle_n=5, threshold=0.5)
 
 
+@q(
+    "q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           {_sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)', 'revenue', 'DECIMAL(18,6)')}
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 family: cross-nation shipping volume.  The fact table
+    shuffles twice (orderkey join, custkey via orders); supplier and both
+    nation sides broadcast; the nation filter prunes BEFORE the big joins
+    (Catalyst pushes the disjunction into the dimension scans)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "revenue",
+            "decimal(18,6)",
+        )
+    )
+
+
+@q(
+    "q9_product_profit",
+    f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {_sql_dsum('l.l_extendedprice * (1.0 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity', 'sum_profit', 'DECIMAL(18,6)')}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 family: product-line profit by supplier nation and year
+    (testdata has no partsupp, so supply cost is proxied at half retail).
+    The part-name filter prunes the part dimension before its broadcast;
+    lineitem shuffles once on orderkey."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(dsum(profit, "sum_profit", "decimal(18,6)"))
+
+
 # --- MinHash / SimHash with FULL value oracles -----------------------------
 #
 # The production hash is xxhash64 (JVM codegen, no DuckDB analog); the suite
@@ -1446,13 +1597,21 @@ _SQL_MD5_60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
 def _sql_minhash_pairs(num_hashes: int, bands: int, threshold: float) -> str:
     rpb = num_hashes // bands
-    seed_hash = _SQL_MD5_60.format(x="'s' || CAST(seed AS VARCHAR) || ':' || s")
+    h1 = _SQL_MD5_60.format(x="s")
+    h2 = _SQL_MD5_60.format(x="'x' || s")
     return f"""
     WITH base AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    hp AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> struct_pack(
+               h1 := {h1}, h2 := ({h2}) % {1 << 52})) AS pairs
+      FROM base
+    ),
     mh AS (
       SELECT doc_id, seed,
-             list_aggregate(list_transform(sh, s -> {seed_hash}), 'min') AS mh
-      FROM base, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed) seeds
+             list_aggregate(list_transform(pairs, p -> (p.h1 + seed * p.h2) % {1 << 60}),
+                            'min') AS mh
+      FROM hp, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed) seeds
     ),
     bands AS (
       SELECT doc_id, seed // {rpb} AS band,
@@ -1706,6 +1865,105 @@ def stream_sessionize_stateful(spark, sf_dir):
     _STREAM_SEQ[0] += 1
     name = f"q_stream_sessions_{_STREAM_SEQ[0]}"
     q_ = run_to_memory(sessionize_with_state(_events_stream(spark, sf_dir)), name)
+    q_.stop()
+    return spark.table(name)
+
+
+@q(
+    "stream_sliding_counts",
+    """
+    WITH panes AS (
+      SELECT e.event_type,
+             to_timestamp(
+               (CAST(floor(epoch(e.ts) / 900) AS BIGINT) - i) * 900
+             ) AS win_start
+      FROM events e, generate_series(0, 3) t(i)
+      WHERE (CAST(floor(epoch(e.ts) / 900) AS BIGINT) - i) * 900 + 3600 > epoch(e.ts)
+    )
+    SELECT CAST(win_start AS TIMESTAMP) AS win_start,
+           CAST(win_start AS TIMESTAMP) + INTERVAL 1 HOUR AS win_end,
+           event_type, COUNT(*) AS n
+    FROM panes GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_counts_q(spark, sf_dir):
+    """Sliding-window counts (1 h window / 15 min slide) run incrementally —
+    each event lands in 4 panes; availableNow + complete output equals the
+    batch pane expansion, so the streaming operator gets a full oracle."""
+    from pdtable_spark.streaming import run_to_memory, stream_sliding_counts
+
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_sliding_{_STREAM_SEQ[0]}"
+    q_ = run_to_memory(
+        stream_sliding_counts(_events_stream(spark, sf_dir)), name, output_mode="complete"
+    )
+    q_.stop()
+    return spark.table(name)
+
+
+@q(
+    "stream_session_windows",
+    f"""
+    WITH g AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events, {_sql_dsum('value', 'total_value')}
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows_q(spark, sf_dir):
+    """Native ``session_window`` sessionization (30 min gap) run
+    incrementally.  Two windows merge only when they OVERLAP, so an event
+    exactly gap seconds after the previous one starts a NEW session (the
+    oracle's ``>=`` gap test); ``session_end`` is last event + gap.  This is
+    the JVM-state scale path; ``stream_sessionize_stateful`` is the custom
+    Pandas-state spelling of the same pipeline stage."""
+    from pdtable_spark.streaming import run_to_memory, stream_session_windows
+
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_sesswin_{_STREAM_SEQ[0]}"
+    q_ = run_to_memory(
+        stream_session_windows(_events_stream(spark, sf_dir)), name, output_mode="complete"
+    )
+    q_.stop()
+    return spark.table(name)
+
+
+@q(
+    "stream_dedup",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+    FROM events
+    """,
+)
+def stream_dedup_q(spark, sf_dir):
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark`` on
+    event_id): the source directory holds the events file TWICE, and the
+    deduped stream must equal the single copy — watermark-bounded state, the
+    streaming analog of ``dedup_exact``."""
+    import shutil
+    import tempfile
+
+    from pdtable_spark.streaming import read_events_stream, run_to_memory, stream_dedup
+
+    d = tempfile.mkdtemp(prefix="pdtable_stream_dup_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-001.parquet")
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_dedup_{_STREAM_SEQ[0]}"
+    q_ = run_to_memory(stream_dedup(read_events_stream(spark, d)), name)
     q_.stop()
     return spark.table(name)
 

@@ -99,7 +99,9 @@ def stream_session_windows(
         .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # decimal accumulation: fold-order independent (cross-engine and
+            # batch/streaming deterministic)
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
         .select(
             "user_id",
