@@ -26,6 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: guarantees every declared operator a correctness row across rounds.
 #: Round-2 additions (never reported) lead, then round-1's unreported 14.
 _PRIORITY = [
+    "dedup_clusters",
     "q7_nation_volume",
     "q9_product_profit",
     "stream_sliding_counts",

@@ -436,6 +436,61 @@ def simhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# Dedup clustering: connected components over a near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph → (id, component),
+    component = the smallest vertex id reachable from each vertex.
+
+    The dedup-clustering step of a training-data pipeline: near-dup PAIRS
+    (MinHash/SimHash/Jaccard/embedding) become CLUSTERS, and "keep one per
+    cluster" is then ``component == id``.
+
+    Iterative label propagation: each round every vertex takes the min label
+    among itself and its neighbors — one join + one aggregate per round,
+    O(graph diameter) rounds.  Near-dup graphs are unions of near-cliques
+    (LSH buckets expand to full pair sets), so real corpora converge in 2-3
+    rounds.  Each round materializes via ``localCheckpoint`` — lineage stays
+    flat and the convergence check (`any label decreased?`) reads the
+    materialized result.  At 100 TB: same loop with
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` (HDFS-backed)
+    instead of localCheckpoint, and alternating large-star/small-star
+    rounds if hub vertices skew the join.
+    """
+    sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    for _ in range(max_iterations):
+        nbr = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("component")
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("component").alias("component"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (inverted-index join)
 # ---------------------------------------------------------------------------
 

@@ -1636,6 +1636,52 @@ def _sql_minhash_pairs(num_hashes: int, bands: int, threshold: float) -> str:
     """
 
 
+@q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    base AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    sized AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+    posts AS (SELECT doc_id, sz, unnest(sh) AS g FROM sized),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+             COUNT(*) AS n_common
+      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_common AS DOUBLE) / CAST(size_a + size_b - n_common AS DOUBLE) >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    walk(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+    )
+    SELECT id AS doc_id, MIN(comp) AS component,
+           (MIN(comp) = id) AS is_root
+    FROM walk GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Dedup CLUSTERING: near-dup pairs (exact n-gram Jaccard >= 0.5) →
+    connected components via iterative min-label propagation; survivors =
+    component roots.  The oracle computes the same closure with a recursive
+    CTE — an iterative Spark algorithm value-checked end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, shingle_n=5, threshold=0.5).select("id_a", "id_b")
+    comp = dedup.connected_components(
+        pairs, d.select(F.col("doc_id").alias("id"))
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component"),
+        (F.col("component") == F.col("id")).alias("is_root"),
+    )
+
+
 @q("minhash_candidates", _sql_minhash_pairs(num_hashes=16, bands=4, threshold=0.5))
 def minhash_candidates(spark, sf_dir):
     """MinHash-LSH near-dup pairs (banded signature buckets + exact-Jaccard

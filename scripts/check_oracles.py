@@ -41,9 +41,13 @@ def main():
 
     import __spark_entry__ as entry
 
+    import os
+
+    # perturb via env to prove layout independence (e.g. PARTS=7 or 64)
+    parts = os.environ.get("CHECK_ORACLES_PARTS", "8")
     spark = (
         SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

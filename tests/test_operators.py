@@ -117,6 +117,29 @@ def test_embedding_near_dups_hot_bucket(spark):
     assert out.count() == n * (n - 1) // 2
 
 
+def test_bucket_pairs_guarded_equals_unguarded_random(spark):
+    """Property check over a random-ish key distribution: the guarded
+    (max_bucket routes some buckets to the join fallback) and unguarded
+    paths must produce identical pair sets."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice("abcdefg")) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    a = {(r["ea"], r["eb"]) for r in dedup.bucket_pairs(df, ["key"], F.col("id"), max_bucket=20).collect()}
+    b = {(r["ea"], r["eb"]) for r in dedup.bucket_pairs(df, ["key"], F.col("id"), max_bucket=None).collect()}
+    assert a == b and len(a) > 1000
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """A diameter-3 chain needs several propagation rounds; isolated
+    vertices keep their own label."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], ["id"])
+    got = {r["id"]: r["component"] for r in dedup.connected_components(edges, verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.4).collect()
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}

@@ -82,6 +82,45 @@ def test_session_windows_append_subset_of_batch(spark, events_dir, events_batch)
         assert want[k] == v
 
 
+def test_hourly_windows_incremental_multi_batch(spark, events_batch, tmp_path):
+    """TRUE incremental execution: the input split into 4 files processed
+    one file per trigger (maxFilesPerTrigger=1) — the watermark advances
+    between micro-batches and the complete-mode result must still equal the
+    batch grouping.  Stronger than the single-batch availableNow check."""
+    d = tmp_path / "ev_split"
+    d.mkdir()
+    events_batch.repartition(4).write.parquet(str(d / "parts"))
+    src = read_events_stream(
+        spark,
+        str(d / "parts"),
+        schema="event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+        max_files_per_trigger=1,
+    )
+    q = run_to_memory(
+        stream_hourly_by_type(src), "t_hourly_multi", output_mode="complete"
+    )
+    n_batches = len(q.recentProgress)
+    q.stop()
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("t_hourly_multi").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], r["total_value"])
+        for r in events_batch.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert n_batches >= 4  # genuinely incremental, not one mega-batch
+
+
 def test_stream_dedup(spark, events_dir, tmp_path):
     # duplicate the input file → every event appears twice across files
     shutil.copy(f"{events_dir}/part-000.parquet", tmp_path / "a.parquet")
