@@ -27,6 +27,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Round-2 additions (never reported) lead, then round-1's unreported 14.
 _PRIORITY = [
     "dedup_clusters",
+    "pipeline_decontaminate",
+    "doc_chunks",
+    "pipeline_train_split",
     "q7_nation_volume",
     "q9_product_profit",
     "stream_sliding_counts",

@@ -435,6 +435,45 @@ def simhash_near_dups(
     )
 
 
+def contamination_report(
+    df: DataFrame,
+    bench_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    min_containment: float = 0.3,
+) -> DataFrame:
+    """Eval-set decontamination: training docs sharing n-gram shingles with
+    any benchmark doc, scored by containment = |common| / |benchmark doc's
+    shingles| (the standard eval-leakage metric — a train doc that CONTAINS
+    the benchmark item scores 1.0 regardless of its own length).
+
+    ``bench_pred`` is a Column predicate selecting the benchmark rows.  The
+    benchmark side is small by construction, so its posting list broadcasts:
+    the training corpus is scanned once and only shingle matches shuffle.
+    Returns (train_id, bench_id, n_common, containment >= min_containment).
+    """
+    base = df.select(
+        F.col(id_col), F.col(text_col), bench_pred.alias("__is_bench")
+    ).select(
+        id_col, "__is_bench", shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    bench = base.filter(F.col("__is_bench")).select(
+        F.col(id_col).alias("bench_id"), F.size("sh").alias("bench_size"), F.explode("sh").alias("g")
+    )
+    train = base.filter(~F.col("__is_bench")).select(
+        F.col(id_col).alias("train_id"), F.explode("sh").alias("g")
+    )
+    return (
+        train.join(F.broadcast(bench), on="g")
+        .groupBy("train_id", "bench_id", "bench_size")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn("containment", F.col("n_common").cast("double") / F.col("bench_size").cast("double"))
+        .filter(F.col("containment") >= min_containment)
+        .select("train_id", "bench_id", F.col("n_common").cast("long").alias("n_common"), "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering: connected components over a near-dup pair graph
 # ---------------------------------------------------------------------------

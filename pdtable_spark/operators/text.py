@@ -164,6 +164,76 @@ def fingerprint(text: Column, n: int = 5) -> Column:
     return F.array_min(F.transform(shingles(text, n), lambda s: F.md5(s)))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into token-window chunks with overlap — the context-
+    window packing step of a training pipeline: (id, chunk_idx, chunk_text,
+    chunk_n_tokens), one output row per chunk.
+
+    Pure codegen: chunk starts are an integer ``sequence``, each chunk a
+    ``slice``+``concat_ws`` over the (once-evaluated) token array; the
+    explode fans rows out JVM-side.  n_chunks = 1 + ceil(max(L−chunk,0)/stride),
+    stride = chunk − overlap, so every token lands in ≥1 chunk and short
+    docs yield exactly one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def chunks(toks):
+        n_tok = F.size(toks)
+        n_chunks = F.lit(1) + F.floor(
+            (F.greatest(n_tok - chunk_tokens, F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias(
+                    "chunk_text"
+                ),
+                F.least(n_tok - i * stride, F.lit(chunk_tokens))
+                .cast("long")
+                .alias("chunk_n_tokens"),
+            ),
+        )
+
+    return (
+        df.select(F.col(id_col), _let(tokens(F.col(text_col)), chunks).alias("__c"))
+        .select(F.col(id_col), F.explode("__c").alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.chunk_n_tokens").alias("chunk_n_tokens"),
+        )
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/val split: bucket = md5-hash(id) mod ``buckets``;
+    rows below ``train_pct`` are 'train'.  Content-stable (re-runs and
+    engine changes never reshuffle the split — the property a training
+    pipeline needs for reproducible eval sets); no shuffle, no RNG."""
+    from pdtable_spark.operators.dedup import md5_60
+
+    bucket = md5_60(F.col(id_col).cast("string")) % F.lit(buckets)
+    return df.withColumn("split_bucket", bucket.cast("int")).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_pct, F.lit("train")).otherwise(F.lit("val")),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full stat block to a document DataFrame."""
     t = F.col(text_col)

@@ -1426,6 +1426,77 @@ def text_repetition(spark, sf_dir):
 
 
 @q(
+    "pipeline_decontaminate",
+    f"""
+    WITH base AS (SELECT doc_id, source = 'src0' AS is_bench, {_SQL_SHINGLES} AS sh
+                  FROM documents),
+    bench AS (SELECT doc_id AS bench_id, len(sh) AS bench_size, unnest(sh) AS g
+              FROM base WHERE is_bench),
+    train AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM base WHERE NOT is_bench),
+    m AS (
+      SELECT train_id, bench_id, bench_size, COUNT(*) AS n_common
+      FROM train JOIN bench USING (g) GROUP BY 1, 2, 3
+    )
+    SELECT train_id, bench_id, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / CAST(bench_size AS DOUBLE) AS containment
+    FROM m
+    WHERE CAST(n_common AS DOUBLE) / CAST(bench_size AS DOUBLE) >= 0.3
+    """,
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: training docs whose shingle overlap CONTAINS
+    a benchmark doc (here: source='src0' plays the eval set) at >= 0.3
+    containment.  Benchmark postings broadcast; one scan of the corpus."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.contamination_report(
+        d, F.col("source") == "src0", shingle_n=5, min_containment=0.3
+    ).select(
+        F.col("train_id"), F.col("bench_id"), F.col("n_common"), F.col("containment")
+    )
+
+
+@q(
+    "doc_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    meta AS (SELECT doc_id, toks, len(toks) AS L,
+                    1 + CAST(floor((greatest(len(toks) - 50, 0) + 39) / 40) AS INT) AS n
+             FROM t),
+    ch AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS chunk_idx, toks, L
+           FROM meta)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, chunk_idx*40 + 1, chunk_idx*40 + 50), ' ')
+             AS chunk_text,
+           CAST(least(L - chunk_idx*40, 50) AS BIGINT) AS chunk_n_tokens
+    FROM ch
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Context-window packing: 50-token chunks, 10-token overlap (stride
+    40), one row per chunk — pure codegen sequence/slice fan-out."""
+    d = load(spark, sf_dir, "documents")
+    return text.chunk_documents(d, chunk_tokens=50, overlap=10)
+
+
+@q(
+    "pipeline_train_split",
+    """
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+                AS INT) AS split_bucket,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def pipeline_train_split(spark, sf_dir):
+    """Deterministic hash-based train/val split (content-stable across
+    re-runs and engines — reproducible eval sets, no RNG, no shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    return text.hash_split(d, train_pct=90).select("doc_id", "split_bucket", "split")
+
+
+@q(
     "pipeline_clean_corpus",
     f"""
     WITH scored AS (

@@ -117,6 +117,54 @@ def test_embedding_near_dups_hot_bucket(spark):
     assert out.count() == n * (n - 1) // 2
 
 
+def test_chunk_documents_covers_all_tokens(spark):
+    rows = [(0, " ".join(f"t{i}" for i in range(95))), (1, "a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.chunk_documents(df, chunk_tokens=50, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 95 tokens, stride 40 -> chunks at 0, 40, 80 (3 chunks)
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c0] == [0, 1, 2]
+    assert c0[0]["chunk_text"].split()[:2] == ["t0", "t1"]
+    assert c0[1]["chunk_text"].split()[0] == "t40"  # overlap: starts 10 back from 50
+    assert c0[2]["chunk_n_tokens"] == 15  # tail chunk: tokens 80..94
+    covered = set()
+    for r in c0:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(95)}  # no token dropped
+    # short doc: exactly one chunk
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "a b c"
+
+
+def test_hash_split_deterministic_ratio(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    out = text.hash_split(df, train_pct=90)
+    frac = out.filter(F.col("split") == "train").count() / 2000
+    assert 0.85 < frac < 0.95
+    # content-stable: same ids -> same split on re-run
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in text.hash_split(df, train_pct=90).collect()}
+    assert a == b
+
+
+def test_contamination_report_finds_containment(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench_text, "bench"),
+        (1, "intro words " + bench_text + " trailing words here", "train"),  # contains bench
+        (2, "totally unrelated content about engines and shuffles", "train"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = dedup.contamination_report(
+        df, F.col("source") == "bench", shingle_n=3, min_containment=0.9
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["train_id"], r["bench_id"]) == (1, 0) and r["containment"] == 1.0
+
+
 def test_bucket_pairs_guarded_equals_unguarded_random(spark):
     """Property check over a random-ish key distribution: the guarded
     (max_bucket routes some buckets to the join fallback) and unguarded
