@@ -1,0 +1,73 @@
+"""Physical-plan contracts for the scale-critical queries.
+
+These pin the *shape* Catalyst must keep choosing — pushed filters, broadcast
+dimensions, shuffle counts, codegen-only pipelines — so a refactor that
+silently degrades a plan (lost pushdown, broadcast falling back to
+sort-merge, an extra exchange) fails CI instead of only showing up at 100 TB.
+Assertions use stable plan-string invariants, not exact plan text.
+"""
+
+import re
+
+import pytest
+
+from pdtable_spark.queries.suite import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    return qe.executedPlan().toString(), qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def n_exchanges(plan):
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_q1_pushes_date_filter_single_shuffle(spark):
+    plan, formatted = plan_of(spark, "q1_pricing_summary")
+    assert "l_shipdate" in " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", formatted))
+    assert n_exchanges(plan) == 1
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan, _ = plan_of(spark, "q5_region_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # dims never shuffle the fact side
+    assert n_exchanges(plan) <= 1  # one fact-side shuffle at most
+    assert "SortMergeJoin" not in plan
+
+
+def test_q7_broadcasts_dimensions(spark):
+    plan, formatted = plan_of(spark, "q7_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "l_shipdate" in " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", formatted))
+
+
+def test_text_stats_zero_shuffle(spark):
+    for name in ("text_token_count", "text_quality", "text_fingerprint", "text_pii_redact"):
+        plan, _ = plan_of(spark, name)
+        assert n_exchanges(plan) == 0, name  # pure scan+project pipelines
+
+
+def test_dedup_exact_single_digest_shuffle(spark):
+    plan, _ = plan_of(spark, "dedup_exact")
+    assert n_exchanges(plan) == 1
+    # the shuffle key is the md5 digest, not the document body
+    assert "md5" in plan
+
+
+def test_embedding_topk_no_sort_merge(spark):
+    plan, _ = plan_of(spark, "embedding_topk")
+    assert "SortMergeJoin" not in plan  # query side broadcasts
+    assert "TakeOrdered" in plan or "Window" in plan
+
+
+def test_scan_column_pruning(spark):
+    _, formatted = plan_of(spark, "q_top_orders_per_customer")
+    # the orders scan must not read all 6 columns for a 3-column query
+    widths = [len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", formatted)]
+    assert widths and max(widths) <= 4
