@@ -26,6 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: guarantees every declared operator a correctness row across rounds.
 #: Round-2 additions (never reported) lead, then round-1's unreported 14.
 _PRIORITY = [
+    "q8_market_share",
+    "q11_part_value",
+    "q12_latency_priority",
+    "q16_supplier_part_counts",
+    "q20_excess_suppliers",
+    "q21_late_sole_supplier",
     "dedup_clusters",
     "pipeline_decontaminate",
     "doc_chunks",

@@ -2423,3 +2423,287 @@ def embedding_near_dups_q(spark, sf_dir):
     cosine tops out ≈0.44)."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dups(emb, threshold=0.3, bits=6, seed=7)
+
+
+# =============================================================================
+# Round-2b: completing the 22 TPC-H query families (adapted to the testdata
+# schema — no partsupp table, no shipmode/commit/receipt columns; each query
+# keeps the family's *shape*: the joins, correlation pattern, and agg form).
+# =============================================================================
+
+@q(
+    "q8_market_share",
+    f"""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_3'
+                     THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END
+                     AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share,
+           {_sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)', 'total_revenue', 'DECIMAL(18,6)')}
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+    JOIN region r    ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 family: national market share — the revenue fraction supplied
+    by one nation, per year, among customers of one region.  Both nation legs
+    and region broadcast; the only shuffles are the orderkey fact join and the
+    tiny per-year aggregate.  Numerator/denominator are decimal-accumulated
+    then divided as doubles (order-independent on both engines)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = load(spark, sf_dir, "supplier")
+    cust_dim = (
+        c.join(F.broadcast(n.alias("nc")), c.c_nationkey == F.col("nc.n_nationkey"))
+        .join(F.broadcast(r), F.col("nc.n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_dim = s.join(F.broadcast(n.alias("ns")), s.s_nationkey == F.col("ns.n_nationkey")).select(
+        "s_suppkey", F.col("ns.n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_dim), o.o_custkey == cust_dim.c_custkey)
+        .join(F.broadcast(supp_dim), l.l_suppkey == supp_dim.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev)
+                    .otherwise(F.lit(0.0))
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double")
+            ).alias("mkt_share"),
+            dsum(rev, "total_revenue", "decimal(18,6)"),
+        )
+    )
+
+
+@q(
+    "q11_part_value",
+    """
+    WITH pv AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS part_value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = 3
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM pv
+    WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE)
+                               * 0.001 FROM pv)
+    """,
+)
+def q11_part_value(spark, sf_dir):
+    """TPC-H Q11 family: per-part inventory value restricted to one region's
+    suppliers, HAVING value above a fraction of the global total (correlated
+    scalar subquery → broadcast cross-join of a 1-row aggregate).  The
+    threshold compares doubles derived from exact decimal sums, so the
+    boundary is bit-identical across engines."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    pv = (
+        l.join(F.broadcast(supp), l.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("part_value")
+        )
+    )
+    total = pv.agg(
+        (F.sum(F.col("part_value").cast("decimal(18,4)")).cast("double") * F.lit(0.001)).alias(
+            "threshold"
+        )
+    )
+    return pv.join(F.broadcast(total)).filter(F.col("part_value") > F.col("threshold")).select(
+        "l_partkey", "part_value"
+    )
+
+
+@q(
+    "q12_latency_priority",
+    """
+    SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) // 30 AS BIGINT)
+             AS latency_bucket,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY 1
+    """,
+)
+def q12_latency_priority(spark, sf_dir):
+    """TPC-H Q12 family: shipping-latency buckets (the schema has no
+    l_shipmode, so the categorical axis is days-to-ship // 30) × conditional
+    priority counts.  Single orderkey shuffle join, then a tiny aggregate;
+    CASE counts are integers — no float ordering concerns at all."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(
+            F.floor(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) / 30)
+            .cast("long")
+            .alias("latency_bucket")
+        )
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 2, 3, 4, 5)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 family: distinct supplier counts per (brand, size), with a
+    NOT IN supplier exclusion (→ broadcast left-anti join; the reference's
+    partsupp is played by lineitem's (partkey, suppkey) pairs).  The distinct
+    agg is Spark's two-phase partial-distinct — one shuffle."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q20_excess_suppliers",
+    """
+    WITH sq AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS supp_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    pt AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS part_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM sq
+    JOIN pt ON sq.l_partkey = pt.l_partkey
+    JOIN supplier s ON sq.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE sq.supp_qty > 0.12 * pt.part_qty
+      AND n.n_regionkey = 2
+    """,
+)
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 family: suppliers in one region who moved >12% of any
+    part's total quantity.  Both aggregates share the same grouping parent
+    (partkey), so the sq⋈pt join is AQE-broadcast after the agg shrinks the
+    pt side; the supplier/nation legs broadcast.  Quantities are
+    decimal-accumulated; the >0.12× comparison is double-deterministic."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    dq = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+    sq = l.groupBy("l_partkey", "l_suppkey").agg(dq.alias("supp_qty"))
+    pt = l.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(dq.alias("part_qty"))
+    sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
+    return (
+        sq.join(pt, sq.l_partkey == pt.pt_partkey)
+        .filter(F.col("supp_qty") > F.lit(0.12) * F.col("part_qty"))
+        .join(F.broadcast(sup), sq.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@q(
+    "q21_late_sole_supplier",
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    per AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+      FROM lo GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(DISTINCT lo.l_orderkey) AS numwait
+    FROM lo
+    JOIN per ON lo.l_orderkey = per.l_orderkey
+    JOIN supplier s ON lo.l_suppkey = s.s_suppkey
+    WHERE lo.is_late AND per.n_supp > 1 AND per.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_late_sole_supplier(spark, sf_dir):
+    """TPC-H Q21 family: the EXISTS/NOT-EXISTS double-correlation —
+    finished orders with ≥2 suppliers where exactly ONE shipped late
+    (late := shipdate > orderdate + 60 days; the schema has no
+    commit/receipt dates).  Expressed as one per-order distinct-count
+    aggregate joined back to the late rows: two orderkey shuffles total,
+    no correlated subquery re-scans.  Counts only → fully deterministic."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "is_late"
+        ),
+    )
+    per = lo.groupBy(F.col("l_orderkey").alias("p_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        lo.filter(F.col("is_late"))
+        .join(per, (F.col("l_orderkey") == F.col("p_orderkey")))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
