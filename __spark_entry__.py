@@ -26,6 +26,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: guarantees every declared operator a correctness row across rounds.
 #: Round-2 additions (never reported) lead, then round-1's unreported 14.
 _PRIORITY = [
+    "q_events_funnel",
+    "q_user_retention",
+    "q_customer_quartiles",
+    "q_events_outliers",
+    "text_tfidf_keywords",
+    "text_top_bigrams",
+    "pipeline_stratified_sample",
+    "pipeline_source_stats",
+    "q_corr_stats",
     "q8_market_share",
     "q11_part_value",
     "q12_latency_priority",

@@ -1,0 +1,69 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling (``df.sample``) is non-reproducible across re-runs, engine
+versions, and partitionings — a training pipeline needs *content-stable*
+sampling: whether a row is kept must be a pure function of the row, never of
+the execution.  These operators hash a stable id into buckets (same trick as
+:func:`pdtable_spark.operators.text.hash_split`) so the sample is identical
+on every engine, at every parallelism, forever.
+
+All pure column expressions — no shuffle, no RNG, no UDFs; at 100 TB these
+run inside the scan's WholeStageCodegen projection.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdtable_spark.operators.dedup import md5_60
+
+
+def hash_bucket(id_col: Column, buckets: int = 1000, salt: str = "") -> Column:
+    """Deterministic bucket in [0, buckets): md5_60(salt ‖ id) mod buckets.
+
+    The ``salt`` decorrelates independent sampling decisions made from the
+    same id (e.g. a 10% eval sample that must not align with the train/val
+    split buckets)."""
+    key = F.concat(F.lit(salt), id_col.cast("string"))
+    return (md5_60(key) % F.lit(buckets)).cast("int")
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    buckets: int = 1000,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows (bucket < rate·buckets)."""
+    keep = int(round(rate * buckets))
+    return df.filter(hash_bucket(F.col(id_col), buckets, salt) < keep)
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    buckets: int = 1000,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum (e.g. language,
+    source domain) keeps its own fraction — the up-/down-weighting step of a
+    data-mixing pipeline (e.g. keep 100% of rare languages, 10% of crawl).
+
+    The keep-threshold is a CASE expression over ``strata_col``; membership
+    is the same content-stable hash-bucket test as :func:`hash_sample`, so
+    re-runs, engines, and partitionings all agree row-for-row.  Zero
+    shuffles: the filter is evaluated in the scan projection, and at 100 TB
+    the dropped rows never leave the scan stage.
+    """
+    threshold = F.lit(int(round(default_rate * buckets)))
+    for stratum, rate in sorted(rates.items()):
+        keep = F.lit(int(round(rate * buckets)))
+        threshold = F.when(F.col(strata_col) == stratum, keep).otherwise(threshold)
+    bucket = hash_bucket(F.col(id_col), buckets, salt)
+    return df.withColumn("sample_bucket", bucket).filter(F.col("sample_bucket") < threshold)

@@ -234,6 +234,77 @@ def hash_split(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms: (id, term, tf, df, score, rank).
+
+    score = tf · ln(N / df) with ties broken by term (total order → stable
+    top-k).  Plan shape: one explode + (id, term) partial-count shuffle builds
+    the postings; document frequency is a second aggregate over the postings
+    (term-keyed shuffle); the df table is vocabulary-sized — orders of
+    magnitude smaller than the corpus — so its join back onto postings is a
+    broadcast at any corpus scale where the vocabulary fits an executor
+    (standard for word-level terms; for unbounded vocab swap in a sort-merge
+    join on term).  The final per-doc rank is one window over the id key.
+
+    ``round_digits`` is the cross-engine verification mode: JVM ``Math.log``
+    and libm ``log`` may differ in the last ulp, so for value-oracle
+    comparison the score is rounded (and RANKED) at a fixed decimal
+    precision on both engines; production keeps the raw double (None).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy(F.col("term").alias("df_term")).agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), F.col("term") == F.col("df_term"))
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), round_digits))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def ngram_doc_freq(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 50,
+) -> DataFrame:
+    """Corpus-level n-gram document frequency: the ``top`` n-grams by number
+    of documents containing them (ties → lexicographic).  Shingles are
+    per-doc deduplicated (array_distinct inside :func:`shingles`), so a plain
+    COUNT after the explode IS the document frequency.  One explode + one
+    count shuffle + TakeOrdered top-k — no joins, no full sort."""
+    return (
+        df.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(top)
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full stat block to a document DataFrame."""
     t = F.col(text_col)

@@ -2707,3 +2707,367 @@ def q21_late_sole_supplier(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# =============================================================================
+# Round-2b: pipeline operators — TF-IDF, corpus n-grams, deterministic
+# sampling, per-source corpus stats, decimal-moment correlation.
+# =============================================================================
+
+from pdtable_spark.operators import sampling  # noqa: E402
+
+
+@q(
+    "text_tfidf_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+             round(CAST(tf.tf AS DOUBLE)
+                   * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfx.df AS DOUBLE)), 9) AS score
+      FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords in round_digits=9 verification mode:
+    JVM Math.log and libm log differ in the last ulp, so the score is rounded
+    (and ranked) at 9 decimals on both engines.  Rank ties break on term
+    (total order)."""
+    return text.tfidf_keywords(load(spark, sf_dir, "documents"), k=3, round_digits=9)
+
+
+_SQL_BIGRAMS = (
+    f"list_distinct(CASE WHEN len({_SQL_TOKS}) >= 2 THEN "
+    f"list_transform(generate_series(1, greatest(len({_SQL_TOKS}) - 1, 1)), "
+    f"i -> array_to_string(list_slice({_SQL_TOKS}, i, i + 1), ' ')) "
+    f"ELSE [array_to_string({_SQL_TOKS}, ' ')] END)"
+)
+
+
+@q(
+    "text_top_bigrams",
+    f"""
+    SELECT ngram, COUNT(*) AS doc_freq FROM (
+      SELECT doc_id, unnest({_SQL_BIGRAMS}) AS ngram FROM documents
+    )
+    GROUP BY ngram
+    ORDER BY doc_freq DESC, ngram
+    LIMIT 50
+    """,
+)
+def text_top_bigrams(spark, sf_dir):
+    """Corpus top-50 bigrams by document frequency (the boilerplate-detection
+    scan of a crawl pipeline).  Per-doc dedup happens inside the shingle
+    expression, so the count after explode IS the doc frequency."""
+    return text.ngram_doc_freq(load(spark, sf_dir, "documents"), n=2, top=50)
+
+
+@q(
+    "pipeline_stratified_sample",
+    """
+    SELECT doc_id, lang,
+           CAST(CAST('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                % 1000 AS INT) AS sample_bucket
+    FROM documents
+    WHERE CAST('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
+          < CASE lang WHEN 'en' THEN 250 WHEN 'zh' THEN 900 ELSE 500 END
+    """,
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling (data-mixing): en down to 25%,
+    zh up to 90%, everything else 50%.  Content-stable md5 buckets — the
+    same rows survive on every engine and partitioning; zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        d,
+        strata_col="lang",
+        rates={"en": 0.25, "zh": 0.9},
+        default_rate=0.5,
+        salt="mix1",
+    ).select("doc_id", "lang", "sample_bucket")
+
+
+@q(
+    "pipeline_source_stats",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_ratio,
+           {_sql_dsum(f'len({_SQL_TOKS})', 'total_tokens', 'DECIMAL(18,0)')},
+           CAST(SUM(CAST(len({_SQL_TOKS}) AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+             AS avg_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def pipeline_source_stats(spark, sf_dir):
+    """Per-source corpus health: doc counts, exact-dup ratio (distinct md5
+    digests — 16 B/doc shuffle, never bodies), token totals.  The per-domain
+    triage report every crawl pipeline starts from."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = text.token_count(F.col("text")).cast("decimal(18,0)")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_ratio"),
+        F.sum(n_tok).cast("double").alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+@q(
+    "q_corr_stats",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty
+    FROM m
+    """,
+)
+def q_corr_stats(spark, sf_dir):
+    """Correlation/stddev via decimal moment sums.  Native corr()/stddev()
+    aggregates are order-dependent in floating point (Welford updates), so
+    cross-engine bits differ; accumulating the five moments as exact
+    decimals and applying the closed formula to the resulting doubles is
+    bit-identical on both engines AND still one map-side-combined shuffle.
+    Products are formed decimal×decimal (NOT double-multiplied then cast):
+    rounding an arbitrary double product to a decimal can land on a .5
+    boundary where the engines' rounding disagrees; casting each factor
+    first is exact (currency/quantity values round unambiguously)."""
+    l = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(14,4)")
+    y = F.col("l_extendedprice").cast("decimal(14,4)")
+    dm = lambda c: F.sum(c).cast("double")  # noqa: E731
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dm(x).alias("sx"),
+        dm(y).alias("sy"),
+        dm(x * y).alias("sxy"),
+        dm(x * x).alias("sxx"),
+        dm(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1)))).alias("stddev_qty"),
+    )
+
+
+# =============================================================================
+# Round-2b: product-analytics battery — funnel, cohort retention, quartiles,
+# robust outliers.  All integer/count-dominated → trivially deterministic.
+# =============================================================================
+
+@q(
+    "q_events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM p) AS n_purchased
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """Strict-ordering funnel (view → click after it → purchase after that):
+    per-stage first-timestamp aggregates, each stage a user-keyed join onto
+    the previous stage's min-ts.  Every stage shuffles on user_id, so AQE
+    reuses one exchange; stage outputs are user-count-sized (small) and the
+    final counts collapse to one row.  Min-of-timestamps + counts — no float
+    arithmetic anywhere."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .join(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .join(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+
+
+@q(
+    "q_user_retention",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_week,
+           CAST((epoch(a.wk) - epoch(f.cohort)) / 604800 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_user_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, counted in each
+    later activity week.  first-seen is a user-keyed min; activity weeks a
+    user-keyed distinct — the join is small×small after both aggregates.
+    Week offsets are exact integer divisions of epoch seconds (both engines
+    truncate weeks to Monday 00:00 UTC)."""
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    a = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            ((F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@q(
+    "q_customer_quartiles",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey AS c_custkey, {_sql_dsum('o_totalprice', 'spend')}
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, spend,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pr
+    FROM spend
+    WINDOW w AS (ORDER BY spend DESC, c_custkey)
+    """,
+)
+def q_customer_quartiles(spark, sf_dir):
+    """Global ranking window (ntile + percent_rank) over per-customer spend.
+    A single-partition window is the one legitimately non-scalable shape —
+    at 100 TB you bucket by range first (range-partitioned sort) — but the
+    input here is post-aggregate (one row per customer), 1000× smaller than
+    the fact table, which is the standard way this stays viable.  Total
+    order via (spend DESC, custkey) tie-break; percent_rank is an exact
+    small-integer ratio."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        dsum("o_totalprice", "spend")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return spend.select(
+        "c_custkey",
+        "spend",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+@q(
+    "q_events_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS median_value
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.median_value), 0.5) AS mad_value
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE abs(e.value - m.median_value) > 3.0 * d.mad_value)
+             AS n_outliers
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_events_outliers(spark, sf_dir):
+    """Robust (median/MAD) outlier counts per event type — the skew-immune
+    anomaly screen.  Medians via interpolated percentile (identical linear
+    interpolation both engines); the two median tables are group-count-sized
+    → broadcast back onto the fact scan; outlier test is per-row IEEE
+    arithmetic.  Two percentile shuffles + one count shuffle total."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - median_value), 0.5)").alias("mad_value")
+        )
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("median_value"))
+                    > F.lit(3.0) * F.col("mad_value"),
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+    )

@@ -509,3 +509,50 @@ def test_ngram_jaccard_df_cut(spark):
     pairs = {(r.id_a, r.id_b) for r in cut.collect()}
     assert not pairs & {(3, 4), (3, 5), (4, 5)}
     assert (1, 2) in pairs
+
+
+def test_tfidf_keywords(spark, docs):
+    out = text.tfidf_keywords(docs.filter(F.col("text") != ""), k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc gets ≤ k rows, ranks are 1..k, scores non-increasing
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # doc 0: 'the' (tf=2, df=3) outscores 'dog' (tf=1, df=2): 2·ln(5/3) > ln(5/2)
+    d0 = sorted((r for r in out if r["doc_id"] == 0), key=lambda r: r["rank"])
+    assert d0[0]["term"] == "the" and d0[0]["tf"] == 2 and d0[0]["df"] == 3
+    assert d0[1]["term"] == "dog" and d0[1]["df"] == 2
+
+
+def test_ngram_doc_freq(spark, docs):
+    top = text.ngram_doc_freq(docs.filter(F.col("text") != ""), n=2, top=5).collect()
+    counts = {r["ngram"]: r["doc_freq"] for r in top}
+    # "the quick" occurs in docs 0,1,2 → doc_freq 3, the max
+    assert counts[top[0]["ngram"]] == 3
+    assert top[0]["doc_freq"] >= top[-1]["doc_freq"]
+
+
+def test_hash_sample_deterministic_and_stratified(spark, docs):
+    from pdtable_spark.operators import sampling
+
+    full = docs.withColumn("lang", F.lit("en"))
+    a = sorted(r["doc_id"] for r in sampling.hash_sample(full, 0.5, salt="s").collect())
+    b = sorted(r["doc_id"] for r in sampling.hash_sample(full, 0.5, salt="s").collect())
+    assert a == b  # re-run identical
+    c = sorted(r["doc_id"] for r in sampling.hash_sample(full.repartition(7), 0.5, salt="s").collect())
+    assert a == c  # partitioning-independent
+    # rate=1 keeps everything, rate=0 keeps nothing
+    assert sampling.hash_sample(full, 1.0).count() == full.count()
+    assert sampling.hash_sample(full, 0.0).count() == 0
+    # stratified: per-stratum thresholds honored
+    strat = docs.withColumn("lang", F.when(F.col("doc_id") < 3, "en").otherwise("fr"))
+    out = sampling.stratified_hash_sample(
+        strat, "lang", rates={"en": 1.0}, default_rate=0.0
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0, 1, 2]
+    assert "sample_bucket" in out.columns
