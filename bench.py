@@ -35,6 +35,9 @@ HEADLINE = [
     "text_fingerprint",
     "embedding_topk",
     "multimodal_features",
+    "q8_market_share",
+    "q_events_funnel",
+    "text_tfidf_keywords",
 ]
 
 

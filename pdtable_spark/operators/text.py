@@ -305,6 +305,39 @@ def ngram_doc_freq(
     )
 
 
+def pack_budget(
+    df: DataFrame,
+    capacity: int,
+    n_tokens_col: str = "chunk_n_tokens",
+    order_cols: tuple = ("doc_id", "chunk_idx"),
+) -> DataFrame:
+    """Token-budget sharding: assign each row a ``pack_id`` so consecutive
+    rows (in ``order_cols`` order) accumulate ~``capacity`` tokens per pack —
+    the contiguous approximation of sequence packing used to shard a corpus
+    into trainer work units.  pack_id = floor((running_total − n) / capacity):
+    a row starts the pack its *preceding* tokens fill up to, so packs can
+    overhang by at most one row (never split a row).
+
+    Deterministic given the explicit total order.  The window is global; at
+    100 TB you run it per shard key (date, source bucket) — compose with
+    ``partition_cols`` — or accept the range-partitioned sort Spark plans for
+    a global window (one skew-free range shuffle, no single-task bottleneck
+    for the sort itself; the cumsum runs within range partitions after
+    Spark's two-phase window optimization... rank-based windows over a full
+    sort are the documented cost).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*[F.asc(c) for c in order_cols]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = F.sum(F.col(n_tokens_col)).over(w)
+    return df.withColumn(
+        "pack_id",
+        F.floor((running - F.col(n_tokens_col)) / F.lit(capacity)).cast("long"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full stat block to a document DataFrame."""
     t = F.col(text_col)

@@ -3071,3 +3071,37 @@ def q_events_outliers(spark, sf_dir):
             ).alias("n_outliers"),
         )
     )
+
+
+@q(
+    "pipeline_pack_budget",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    meta AS (SELECT doc_id, toks, len(toks) AS L,
+                    1 + CAST(floor((greatest(len(toks) - 50, 0) + 39) / 40) AS INT) AS n
+             FROM t),
+    ch AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS chunk_idx, L
+           FROM meta),
+    chunks AS (
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(least(L - chunk_idx*40, 50) AS BIGINT) AS chunk_n_tokens
+      FROM ch
+    )
+    SELECT doc_id, chunk_idx, chunk_n_tokens,
+           CAST(floor((SUM(chunk_n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - chunk_n_tokens) / 200.0) AS BIGINT) AS pack_id
+    FROM chunks
+    """,
+)
+def pipeline_pack_budget(spark, sf_dir):
+    """Chunk → token-budget sharding: 50-token chunks packed into ~200-token
+    trainer work units by running-total bucketing (a row never splits; packs
+    overhang by at most one row).  Integer cumsum over an explicit total
+    order — deterministic; see pack_budget's docstring for the global-window
+    scale note (shard by key at 100 TB)."""
+    d = load(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(d, chunk_tokens=50, overlap=10).select(
+        "doc_id", "chunk_idx", "chunk_n_tokens"
+    )
+    return text.pack_budget(chunks, capacity=200, order_cols=("doc_id", "chunk_idx"))

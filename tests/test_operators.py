@@ -556,3 +556,14 @@ def test_hash_sample_deterministic_and_stratified(spark, docs):
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [0, 1, 2]
     assert "sample_bucket" in out.columns
+
+
+def test_pack_budget(spark):
+    rows = [(i, 0, 60) for i in range(10)]  # 10 chunks x 60 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_idx", "chunk_n_tokens"])
+    out = text.pack_budget(df, capacity=100, order_cols=("doc_id", "chunk_idx")).collect()
+    packs = {r["doc_id"]: r["pack_id"] for r in out}
+    # running totals 60,120,... → pack = floor((total-60)/100): 0,0,1,1,2,3,3,4,4,5
+    assert [packs[i] for i in range(10)] == [0, 0, 1, 1, 2, 3, 3, 4, 4, 5]
+    # pack ids are non-decreasing in order and every row is assigned
+    assert len(out) == 10
