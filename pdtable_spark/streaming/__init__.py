@@ -27,9 +27,12 @@ from .windows import (
     run_to_memory,
 )
 from .stateful import sessionize_with_state
+from .sinks import idempotent_parquet_sink, run_foreach_batch
 
 __all__ = [
+    "idempotent_parquet_sink",
     "read_events_stream",
+    "run_foreach_batch",
     "run_to_memory",
     "sessionize_with_state",
     "stream_attribution_join",

@@ -178,3 +178,31 @@ def test_stream_stream_attribution_join(spark, events_dir, events_batch):
     # arrive; on availableNow over one file all matches land in-batch
     assert got == want
     assert len(got) > 0
+
+
+def test_foreach_batch_idempotent_sink(spark, events_dir, events_batch, tmp_path):
+    """The foreachBatch parquet sink must (a) deliver the aggregation result
+    and (b) replace — not duplicate — a re-delivered batch id."""
+    from pdtable_spark.streaming import idempotent_parquet_sink, run_foreach_batch
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = stream_hourly_by_type(read_events_stream(spark, events_dir))
+    run_foreach_batch(stream, out, ckpt, output_mode="update")
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert "batch_id" in got.columns
+    # batch-equivalence on the final values: same (hour, type) → same counts
+    want = (
+        events_batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n")
+    )
+    latest = got.orderBy(F.desc("batch_id")).dropDuplicates(["hour", "event_type"])
+    a = {(r["hour"], r["event_type"]): r["n"] for r in latest.collect()}
+    b = {(r["hour"], r["event_type"]): r["n"] for r in want.collect()}
+    assert a == b
+    # idempotence: re-delivering batch 0's frame overwrites, never appends
+    n_before = spark.read.parquet(out).count()
+    batch0 = got.filter(F.col("batch_id") == 0).drop("batch_id")
+    idempotent_parquet_sink(out)(batch0, 0)
+    assert spark.read.parquet(out).count() == n_before
