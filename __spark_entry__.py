@@ -26,6 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: guarantees every declared operator a correctness row across rounds.
 #: Round-2 additions (never reported) lead, then round-1's unreported 14.
 _PRIORITY = [
+    "q_fuzzy_part_names",
+    "q_price_histogram",
+    "q_events_interpolate",
     "pipeline_pack_budget",
     "q_events_funnel",
     "q_user_retention",

@@ -3105,3 +3105,102 @@ def pipeline_pack_budget(spark, sf_dir):
         "doc_id", "chunk_idx", "chunk_n_tokens"
     )
     return text.pack_budget(chunks, capacity=200, order_cols=("doc_id", "chunk_idx"))
+
+
+# =============================================================================
+# Round-2b: fuzzy matching, histograms, time-series interpolation.
+# =============================================================================
+
+from pdtable_spark.operators import fuzzy  # noqa: E402
+from pdtable_spark.operators.interpolate import interpolate_at  # noqa: E402
+
+
+@q(
+    "q_fuzzy_part_names",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_fuzzy_part_names(spark, sf_dir):
+    """Fuzzy self-match: distinct part names within 2 edits of each other
+    (the catalog-cleanup / entity-resolution primitive).  Length-band
+    blocking replaces the oracle's all-pairs join — candidates only meet
+    inside a band, the levenshtein filter runs on band-mates (JVM codegen,
+    no UDF).  The distinct-names input is vocabulary-sized, so even the
+    exploded side stays tiny relative to the fact tables."""
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    pairs = fuzzy.fuzzy_self_pairs(
+        names.withColumn("__id", F.col("p_name")), "p_name", "__id", max_dist=2
+    )
+    return pairs.select(
+        F.col("p_name_a").alias("name_a"), F.col("p_name_b").alias("name_b"), "dist"
+    )
+
+
+@q(
+    "q_price_histogram",
+    f"""
+    SELECT CAST(floor(p_retailprice / 10.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           {_sql_dsum('p_retailprice', 'total_price')}
+    FROM part
+    GROUP BY 1
+    """,
+)
+def q_price_histogram(spark, sf_dir):
+    """Fixed-width histogram (the profiling primitive): bucket index is
+    per-row integer arithmetic, the aggregate one map-side-combined
+    shuffle on a small key domain."""
+    p = load(spark, sf_dir, "part")
+    return p.groupBy(
+        F.floor(F.col("p_retailprice") / 10.0).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("p_retailprice", "total_price"))
+
+
+@q(
+    "q_events_interpolate",
+    """
+    WITH v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    pb AS (
+      SELECT p.event_id, p.user_id, p.ts,
+        (SELECT v.ts FROM v WHERE v.user_id = p.user_id AND v.ts <= p.ts
+          ORDER BY v.ts DESC LIMIT 1) AS prev_ts,
+        (SELECT v.value FROM v WHERE v.user_id = p.user_id AND v.ts <= p.ts
+          ORDER BY v.ts DESC LIMIT 1) AS prev_val,
+        (SELECT v.ts FROM v WHERE v.user_id = p.user_id AND v.ts > p.ts
+          ORDER BY v.ts ASC LIMIT 1) AS next_ts,
+        (SELECT v.value FROM v WHERE v.user_id = p.user_id AND v.ts > p.ts
+          ORDER BY v.ts ASC LIMIT 1) AS next_val
+      FROM p
+    )
+    SELECT event_id, user_id,
+           CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+                WHEN prev_ts IS NULL THEN next_val
+                WHEN next_ts IS NULL THEN prev_val
+                ELSE prev_val + (next_val - prev_val) *
+                     (CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE)
+                      / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE))
+           END AS interp_value
+    FROM pb
+    """,
+)
+def q_events_interpolate(spark, sf_dir):
+    """Linear interpolation of each user's 'view' value series at their
+    purchase timestamps (two as-of passes — ONE user_id shuffle — vs the
+    oracle's brute-force correlated min/max scans).  Microsecond deltas are
+    exact integers; the blend is one IEEE expression tree — deterministic
+    (view timestamps are unique per user in this dataset)."""
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interpolate_at(views, purchases, on="ts", by="user_id", value_col="value")
+    return out.select("event_id", "user_id", "interp_value")

@@ -567,3 +567,55 @@ def test_pack_budget(spark):
     assert [packs[i] for i in range(10)] == [0, 0, 1, 1, 2, 3, 3, 4, 4, 5]
     # pack ids are non-decreasing in order and every row is assigned
     assert len(out) == 10
+
+
+def test_fuzzy_join_blocking_is_complete(spark):
+    """Length-band blocking must find every pair the brute-force cross join
+    finds (the necessary-condition guarantee), across band boundaries."""
+    from pdtable_spark.operators import fuzzy
+
+    words = ["cat", "cart", "carts", "dog", "dig", "dug", "elephant", "elephants", ""]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)], ["id", "w"])
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy.fuzzy_self_pairs(df, "w", "id", max_dist=2).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        d = [[max(i, j) if 0 in (i, j) else 0 for j in range(len(b) + 1)] for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i][j] = min(d[i-1][j] + 1, d[i][j-1] + 1, d[i-1][j-1] + (a[i-1] != b[j-1]))
+        return d[len(a)][len(b)]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(words), 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want
+
+
+def test_interpolate_at(spark):
+    from datetime import datetime
+
+    from pdtable_spark.operators.interpolate import interpolate_at
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    pts = spark.createDataFrame(
+        [(1, t(10), 10.0), (1, t(20), 30.0), (2, t(5), 1.0)],
+        ["user_id", "ts", "value"],
+    )
+    qs = spark.createDataFrame(
+        [(100, 1, t(15)), (101, 1, t(10)), (102, 1, t(25)), (103, 1, t(3)),
+         (104, 2, t(5)), (105, 3, t(9))],
+        ["event_id", "user_id", "ts"],
+    )
+    out = {r["event_id"]: r["interp_value"] for r in interpolate_at(pts, qs).collect()}
+    assert out[100] == 20.0      # midpoint of 10..30
+    assert out[101] == 10.0      # exact hit -> frac 0
+    assert out[102] == 30.0      # after last point -> flat-forward
+    assert out[103] == 10.0      # before first point -> flat-backward
+    assert out[104] == 1.0       # exact single-point hit
+    assert out[105] is None      # unknown key -> null
