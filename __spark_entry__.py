@@ -26,6 +26,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: guarantees every declared operator a correctness row across rounds.
 #: Round-2 additions (never reported) lead, then round-1's unreported 14.
 _PRIORITY = [
+    "pipeline_weighted_sample",
+    "q_events_rolling",
     "q_fuzzy_part_names",
     "q_price_histogram",
     "q_events_interpolate",

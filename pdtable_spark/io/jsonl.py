@@ -86,6 +86,26 @@ def bad_lines_df(
     )
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[T.StructType] = None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Continuous corpus ingestion: a Structured Streaming file source over
+    a JSONL landing directory — new files picked up per micro-batch,
+    exactly-once via checkpointed file tracking.  ``max_files_per_trigger``
+    bounds batch size for backpressure.  Compose with the corpus operators
+    (they are plain column expressions, so the same pipeline runs batch or
+    streaming) and a checkpointed sink (``streaming.sinks``)."""
+    reader = spark.readStream.schema(schema or DOCUMENT_SCHEMA).option(
+        "mode", "DROPMALFORMED"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,

@@ -42,6 +42,23 @@ def hash_sample(
     keep = int(round(rate * buckets))
     return df.filter(hash_bucket(F.col(id_col), buckets, salt) < keep)
 
+def weighted_hash_sample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    buckets: int = 100_000,
+    salt: str = "",
+) -> DataFrame:
+    """Per-row deterministic acceptance: keep a row iff
+    bucket/buckets < weight (weight ∈ [0,1], e.g. a quality score) — the
+    importance-resampling step of a data-mixing pipeline, with the same
+    content-stable guarantee as :func:`hash_sample` (a row's fate depends
+    only on its id and weight, never on execution order or RNG state).
+    Zero shuffles; the comparison folds into the scan projection."""
+    bucket = (md5_60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % F.lit(buckets))
+    return df.filter(bucket.cast("double") < weight * F.lit(float(buckets)))
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,

@@ -3204,3 +3204,53 @@ def q_events_interpolate(spark, sf_dir):
     )
     out = interpolate_at(views, purchases, on="ts", by="user_id", value_col="value")
     return out.select("event_id", "user_id", "interp_value")
+
+
+@q(
+    "pipeline_weighted_sample",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE CAST(CAST('0x' || substr(md5('w1' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 100000 AS DOUBLE)
+          < least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 100000.0
+    """,
+)
+def pipeline_weighted_sample(spark, sf_dir):
+    """Importance resampling: acceptance probability proportional to doc
+    length (capped at 1) — longer docs kept preferentially, decided by a
+    content-stable hash so every engine/run keeps the same rows.  Zero
+    shuffles."""
+    d = load(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 500.0)
+    return sampling.weighted_hash_sample(d, w, salt="w1").select("doc_id", "n_chars")
+
+
+@q(
+    "q_events_rolling",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS rolling_sum_5,
+           COUNT(*) OVER w AS n_in_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_rolling(spark, sf_dir):
+    """Rolling per-user feature (sum/count over the trailing 5 events) —
+    the online-feature-engineering primitive.  One user_id shuffle for the
+    window sort; decimal accumulation keeps the rolling sum
+    order-independent across engines; (ts, event_id) is a total order."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-4, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("rolling_sum_5"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )

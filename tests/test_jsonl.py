@@ -48,3 +48,28 @@ def test_jsonl_gzip_round_trip(spark, tmp_path):
     parts = [f for f in os.listdir(out) if f.startswith("part-")]
     assert parts and parts[0].endswith(".gz")
     assert jsonl.read_jsonl(spark, out).count() == 20
+
+
+def test_jsonl_stream_ingestion(spark, tmp_path):
+    """Streaming JSONL ingestion: files landed in the directory flow through
+    a (batch-identical) text-stats pipeline into a memory sink."""
+    from pdtable_spark.io.jsonl import read_jsonl_stream
+    from pdtable_spark.operators import text as text_ops
+    from pdtable_spark.streaming import run_to_memory
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    docs.coalesce(1).write.mode("overwrite").json(str(tmp_path / "stage"))
+    import glob as g
+    import shutil
+
+    for i, f in enumerate(g.glob(str(tmp_path / "stage" / "part-*"))):
+        shutil.copy(f, land / f"batch-{i}.jsonl")
+    stream = read_jsonl_stream(spark, str(land)).withColumn(
+        "n_tokens", text_ops.token_count(F.col("text"))
+    )
+    assert stream.isStreaming
+    run_to_memory(stream, "jsonl_ingest")
+    got = spark.sql("SELECT count(*) AS n FROM jsonl_ingest").collect()[0]["n"]
+    assert got == 50

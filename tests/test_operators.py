@@ -619,3 +619,19 @@ def test_interpolate_at(spark):
     assert out[103] == 10.0      # before first point -> flat-backward
     assert out[104] == 1.0       # exact single-point hit
     assert out[105] is None      # unknown key -> null
+
+
+def test_weighted_hash_sample(spark):
+    from pdtable_spark.operators import sampling
+
+    df = spark.createDataFrame([(i, i % 2) for i in range(2000)], ["doc_id", "grp"])
+    # weight 1 keeps all, weight 0 keeps none
+    assert sampling.weighted_hash_sample(df, F.lit(1.0)).count() == 2000
+    assert sampling.weighted_hash_sample(df, F.lit(0.0)).count() == 0
+    # weight 0.3 keeps ~30%, deterministically
+    a = sorted(r["doc_id"] for r in sampling.weighted_hash_sample(df, F.lit(0.3)).collect())
+    b = sorted(r["doc_id"] for r in sampling.weighted_hash_sample(df, F.lit(0.3)).collect())
+    assert a == b and 0.25 < len(a) / 2000 < 0.35
+    # per-row weights: grp 1 at weight 1.0, grp 0 at 0.0
+    out = sampling.weighted_hash_sample(df, F.col("grp").cast("double"))
+    assert out.count() == 1000 and out.filter(F.col("grp") == 0).count() == 0

@@ -71,38 +71,3 @@ def test_scan_column_pruning(spark):
     # the orders scan must not read all 6 columns for a 3-column query
     widths = [len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", formatted)]
     assert widths and max(widths) <= 4
-
-
-def test_bucketed_join_no_shuffle(spark, tmp_path):
-    """Bucketing both join sides on the key makes the join shuffle-free —
-    THE co-location technique for repeated 100 TB fact⋈fact joins: pay the
-    bucketed write once, every later join skips both exchanges.  Contract:
-    the joined plan contains a SortMergeJoin with NO Exchange above either
-    scan."""
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
-    spark.sql("DROP TABLE IF EXISTS bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS bkt_customer")
-    try:
-        (o.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
-         .mode("overwrite").format("parquet").saveAsTable("bkt_orders"))
-        (c.write.bucketBy(4, "c_custkey").sortBy("c_custkey")
-         .mode("overwrite").format("parquet").saveAsTable("bkt_customer"))
-        bo, bc = spark.table("bkt_orders"), spark.table("bkt_customer")
-        # broadcast would hide the point at this size — force SMJ
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try:
-            joined = bo.join(bc, bo.o_custkey == bc.c_custkey).groupBy("c_mktsegment").count()
-            plan = joined._jdf.queryExecution().executedPlan().toString()
-            assert "SortMergeJoin" in plan
-            # no exchange between the scans and the join
-            before_join = plan[plan.index("SortMergeJoin"):]
-            assert "Exchange hashpartitioning" not in before_join
-            # and the result is right
-            assert joined.count() > 0
-        finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    finally:
-        spark.sql("DROP TABLE IF EXISTS bkt_orders")
-        spark.sql("DROP TABLE IF EXISTS bkt_customer")
