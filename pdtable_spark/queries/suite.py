@@ -161,9 +161,13 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_region_volume(spark, sf_dir):
-    """TPC-H Q5 family: star join.  region/nation/customer broadcast
-    (dimensions), the fact-side join shuffles once on orderkey; AQE picks
-    broadcast for the filtered orders side when it fits."""
+    """TPC-H Q5 family: star join.  nation/region carry explicit broadcast
+    hints (bounded-size dimensions, safe at any scale); the customer-derived
+    ``dims`` side is deliberately UNhinted — AQE broadcasts it while it fits
+    and falls back to a shuffle join when customers outgrow the threshold at
+    100× (an explicit hint there would force a driver-OOM-sized broadcast
+    instead; `tests/test_plans.py::test_q5_broadcast_fallback_still_correct`
+    pins the fallback)."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -179,7 +183,7 @@ def q5_region_volume(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(
             dsum(
@@ -3253,4 +3257,50 @@ def q_events_rolling(spark, sf_dir):
         "user_id",
         F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("rolling_sum_5"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+@q(
+    "q_price_trend_by_brand",
+    """
+    WITH m AS (
+      SELECT p_brand,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(p_size AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(p_size AS DECIMAL(19,4))
+                      * CAST(p_retailprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(p_size AS DECIMAL(19,4))
+                      * CAST(p_size AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+    FROM m
+    """,
+)
+def q_price_trend_by_brand(spark, sf_dir):
+    """Per-group closed-form linear regression (price ~ size per brand) from
+    exact decimal moment sums — the grouped-ML primitive without any ML
+    runtime: one map-side-combined shuffle, deterministic across engines
+    (same moment technique as q_corr_stats; DuckDB decimal→double routed
+    via VARCHAR because its direct cast is not correctly rounded)."""
+    p = load(spark, sf_dir, "part")
+    x = F.col("p_size").cast("decimal(19,4)")
+    y = F.col("p_retailprice").cast("decimal(19,4)")
+    m = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "p_brand",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
     )

@@ -35,10 +35,16 @@ def test_q1_pushes_date_filter_single_shuffle(spark):
 
 
 def test_q5_broadcasts_dimensions(spark):
-    plan, _ = plan_of(spark, "q5_region_volume")
-    assert plan.count("BroadcastHashJoin") >= 3  # dims never shuffle the fact side
-    assert n_exchanges(plan) <= 1  # one fact-side shuffle at most
-    assert "SortMergeJoin" not in plan
+    """nation/region broadcast via explicit hints; the customer-derived dims
+    edge is unhinted (scale safety — see the query docstring), so its
+    broadcast is AQE's runtime decision: assert on the FINAL adaptive plan
+    after execution, where it must have converted to broadcast at this size."""
+    df = QUERIES["q5_region_volume"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE toString appends the pre-adaptive plan
+    assert final.count("BroadcastHashJoin") >= 3  # dims never shuffle the fact side
+    assert "SortMergeJoin" not in final
 
 
 def test_q7_broadcasts_dimensions(spark):
@@ -71,3 +77,25 @@ def test_scan_column_pruning(spark):
     # the orders scan must not read all 6 columns for a 3-column query
     widths = [len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", formatted)]
     assert widths and max(widths) <= 4
+
+
+def test_q5_broadcast_fallback_still_correct(spark):
+    """VERDICT r1 watch item: at 100× customers the q5 dims broadcast
+    exceeds the threshold and AQE must fall back to a shuffle join — prove
+    the query gives identical results with broadcasts disabled entirely
+    (the worst-case fallback plan), not just that the happy path works."""
+    want = {
+        (r["n_name"], r["revenue"])
+        for r in QUERIES["q5_region_volume"](spark, SF_DIR).collect()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got_df = QUERIES["q5_region_volume"](spark, SF_DIR)
+        got = {(r["n_name"], r["revenue"]) for r in got_df.collect()}
+        # the dims side is unhinted, so with the threshold off the plan must
+        # genuinely degrade to a non-broadcast join for that edge
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert got == want and got
