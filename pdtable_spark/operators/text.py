@@ -264,7 +264,10 @@ def tfidf_keywords(
     )
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), F.col("term") == F.col("df_term"))
+        # dfreq is vocabulary-sized (sub-linear, Heaps' law) but unbounded —
+        # no forced broadcast; AQE broadcasts it while it fits and degrades
+        # to a term-keyed shuffle join beyond
+        tf.join(dfreq, F.col("term") == F.col("df_term"))
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",

@@ -130,7 +130,7 @@ def q3_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -252,7 +252,7 @@ def q14_promo_share(spark, sf_dir):
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (
                 F.sum(promo.cast("decimal(18,6)")).cast("double")
@@ -425,7 +425,7 @@ def q19_discounted_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             dsum(
@@ -594,7 +594,7 @@ def q_top_suppliers(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(
             dsum(
@@ -1599,7 +1599,7 @@ def q7_nation_volume(spark, sf_dir):
     n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     j = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -1645,8 +1645,8 @@ def q9_product_profit(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     n = load(spark, sf_dir, "nation")
     j = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
@@ -2479,8 +2479,8 @@ def q8_market_share(spark, sf_dir):
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_dim), o.o_custkey == cust_dim.c_custkey)
-        .join(F.broadcast(supp_dim), l.l_suppkey == supp_dim.s_suppkey)
+        .join(cust_dim, o.o_custkey == cust_dim.c_custkey)
+        .join(supp_dim, l.l_suppkey == supp_dim.s_suppkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             (
@@ -2526,7 +2526,7 @@ def q11_part_value(spark, sf_dir):
     n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
     supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     pv = (
-        l.join(F.broadcast(supp), l.l_suppkey == supp.s_suppkey)
+        l.join(supp, l.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(
             F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)"))
@@ -2604,8 +2604,8 @@ def q16_supplier_part_counts(spark, sf_dir):
     )
     bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -2649,7 +2649,7 @@ def q20_excess_suppliers(spark, sf_dir):
     return (
         sq.join(pt, sq.l_partkey == pt.pt_partkey)
         .filter(F.col("supp_qty") > F.lit(0.12) * F.col("part_qty"))
-        .join(F.broadcast(sup), sq.l_suppkey == sup.s_suppkey)
+        .join(sup, sq.l_suppkey == sup.s_suppkey)
         .select("s_suppkey", "s_name")
         .distinct()
     )
@@ -2705,7 +2705,7 @@ def q21_late_sole_supplier(spark, sf_dir):
         lo.filter(F.col("is_late"))
         .join(per, (F.col("l_orderkey") == F.col("p_orderkey")))
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -48,8 +48,16 @@ def test_q5_broadcasts_dimensions(spark):
 
 
 def test_q7_broadcasts_dimensions(spark):
-    plan, formatted = plan_of(spark, "q7_nation_volume")
-    assert plan.count("BroadcastHashJoin") >= 3
+    # sf0.01, not sf0.001: q7's filters yield zero rows at the smaller
+    # scale and AQE short-circuits the whole plan to EmptyRelation
+    df = QUERIES["q7_nation_volume"](spark, "/root/testdata/sf0.01")
+    _, formatted = plan_of(spark, "q7_nation_volume")
+    rows = df.collect()
+    assert rows
+    final = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # nation legs are hinted; the unhinted supplier leg must convert to
+    # broadcast at runtime (AQE) at this size
+    assert final.count("BroadcastHashJoin") >= 3
     assert "l_shipdate" in " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", formatted))
 
 
