@@ -73,3 +73,37 @@ def read_bundle_from_csv(
     if convert_units_to is not None:
         inputs = normalized_table_generator(inputs, convert_units_to, unit_converter)
     return TableBundle(inputs)
+
+
+def plan_summary(df, executed: bool = False) -> dict:
+    """Physical-plan health check for a DataFrame: shuffle-exchange count,
+    broadcast/sort-merge join counts, pushed filters, and scan column widths
+    — the numbers to eyeball before a 100 TB run (is the filter pushed? did
+    the dimension broadcast? how many shuffles am I paying?).
+
+    ``executed=True`` runs the frame first and reports the FINAL adaptive
+    plan (AQE conversions applied); otherwise the static plan, where
+    unhinted joins may still show as sort-merge.
+    """
+    import re
+
+    qe = df._jdf.queryExecution()
+    spark = df.sparkSession
+    formatted = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    if executed:
+        df.collect()
+    plan = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+    pushed = [p.strip() for p in re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)]
+    return {
+        "shuffles": len(re.findall(r"Exchange hashpartitioning", plan)),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "scans_with_pushdown": sum(1 for p in pushed if p),
+        "pushed_filters": [p for p in pushed if p],
+        "scan_column_counts": [
+            len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+        ],
+        "final_adaptive": executed,
+    }

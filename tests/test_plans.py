@@ -107,3 +107,15 @@ def test_q5_broadcast_fallback_still_correct(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     assert got == want and got
+
+
+def test_plan_summary_utility(spark):
+    from pdtable_spark.utils import plan_summary
+
+    s = plan_summary(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+    assert s["shuffles"] == 1 and s["scans_with_pushdown"] == 1
+    assert any("l_shipdate" in p for p in s["pushed_filters"])
+    assert s["final_adaptive"] is False
+    s2 = plan_summary(QUERIES["q5_region_volume"](spark, SF_DIR), executed=True)
+    assert s2["broadcast_joins"] >= 3 and s2["sort_merge_joins"] == 0
+    assert s2["final_adaptive"] is True
