@@ -1,0 +1,97 @@
+"""Table-maintenance primitives for a parquet lake: upsert, small-file
+compaction, sorted (data-skipping) writes.
+
+Plain-parquet answers to what table formats (Delta/Iceberg/Hudi) provide —
+expressed as explicit copy-on-write jobs so the mechanics (and their costs)
+are visible.  All three are the operations a 100 TB corpus actually needs
+between query rounds:
+
+- **upsert**: merge a (small) batch of updated/new rows into a large table
+  by key — full-outer-join copy-on-write, the Delta MERGE equivalent.
+- **compact**: a streaming ingest leaves thousands of tiny part-files;
+  scan cost at scale is dominated by per-file overhead (footer reads, task
+  scheduling), so compaction to ~target-sized files is routine hygiene.
+- **sorted write**: parquet footers carry per-row-group min/max stats;
+  writing sorted by a filter column makes those ranges disjoint so readers
+  skip row groups wholesale (poor-man's clustering / Z-order for the
+  1-column case).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+    out_path: Optional[str] = None,
+) -> str:
+    """Copy-on-write MERGE: rows of ``updates`` replace same-key rows of the
+    table at ``path``; new keys append.  Writes the merged table to
+    ``out_path`` (default: ``path + ".new"`` — atomic swap is the caller's
+    rename, never an in-place overwrite of data being read).
+
+    Plan shape: existing LEFT ANTI updates (drop replaced rows) UNION ALL
+    updates — one shuffle on the key for the anti join; the updates side is
+    typically batch-sized and broadcasts.  Returns the output path.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    existing = spark.read.parquet(path)
+    merged = existing.join(updates.select(*keys), on=keys, how="left_anti").unionByName(
+        updates
+    )
+    out = out_path or path.rstrip("/") + ".new"
+    merged.write.mode("overwrite").parquet(out)
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: Optional[str] = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> str:
+    """Rewrite a many-small-files dataset into ~``target_file_bytes`` files.
+
+    File count = ceil(on-disk bytes / target); coalesce-style repartition
+    (round-robin) balances rows.  Run it on a partition directory after
+    each streaming-ingest window, not on the whole lake.
+    """
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") or f.startswith("part-")
+    )
+    n_files = max(1, -(-size // target_file_bytes))
+    out = out_path or path.rstrip("/") + ".compacted"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(out)
+    return out
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: Union[str, Sequence[str]],
+    partitions: Optional[int] = None,
+) -> None:
+    """Write with rows range-partitioned AND sorted by ``sort_cols`` so each
+    part-file covers a disjoint range: parquet min/max footer stats then let
+    any reader skip whole files/row-groups for selective filters on those
+    columns.  ``repartitionByRange`` gives the cross-file disjointness
+    (plain ``sortWithinPartitions`` alone would leave every file spanning
+    the full range after a round-robin shuffle)."""
+    cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    parted = (
+        df.repartitionByRange(partitions, *cols)
+        if partitions is not None
+        else df.repartitionByRange(*cols)
+    )
+    parted.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
