@@ -141,3 +141,68 @@ def test_excel_stdlib_round_trip_property(tmp_path_factory, table):
                 assert g in ("", None)
             else:
                 assert values_equal(None, g, w), (w, g)
+
+
+# ---------------------------------------------------------------------------
+# Operator properties (round 2b)
+# ---------------------------------------------------------------------------
+
+def _lev(a, b):
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, d[0] = d[0], i
+        for j, cb in enumerate(b, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+    return d[len(b)]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=7), min_size=2, max_size=12, unique=True
+    )
+)
+def test_fuzzy_join_complete_property(spark, words):
+    """Length-band blocking finds EXACTLY the brute-force pair set for any
+    corpus (completeness is a theorem — |len diff| ≤ k — but the band
+    arithmetic has off-by-one surface worth fuzzing)."""
+    import itertools
+
+    from pdtable_spark.operators import fuzzy
+
+    df = spark.createDataFrame(list(enumerate(words)), ["id", "w"])
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy.fuzzy_self_pairs(df, "w", "id", max_dist=2).collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(words), 2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=30),
+    st.integers(min_value=10, max_value=200),
+)
+def test_pack_budget_invariants(spark, sizes, capacity):
+    """pack ids are contiguous from 0, non-decreasing in row order, and no
+    pack's PRECEDING-rows total reaches the capacity boundary out of order —
+    i.e. a row starts the pack its prefix sum lands in."""
+    from pdtable_spark.operators import text as text_ops
+
+    rows = [(i, 0, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_idx", "chunk_n_tokens"])
+    out = sorted(
+        text_ops.pack_budget(df, capacity=capacity, order_cols=("doc_id", "chunk_idx")).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    run = 0
+    for r in out:
+        assert r["pack_id"] == run // capacity  # prefix-sum bucketing
+        run += r["chunk_n_tokens"]
+    packs = [r["pack_id"] for r in out]
+    assert packs == sorted(packs)
