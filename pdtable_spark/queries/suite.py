@@ -3304,3 +3304,49 @@ def q_price_trend_by_brand(spark, sf_dir):
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+@q(
+    "stream_funnel_stateful",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+    mx AS (SELECT MAX(ts) AS m FROM e),
+    u  AS (SELECT user_id, MAX(ts) AS last_ts FROM e GROUP BY user_id),
+    fv AS (SELECT user_id, MIN(ts) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+    fc AS (SELECT e.user_id, MIN(e.ts) AS t
+           FROM e JOIN fv ON e.user_id = fv.user_id AND e.ts > fv.t
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    fp AS (SELECT e.user_id, MIN(e.ts) AS t
+           FROM e JOIN fc ON e.user_id = fc.user_id AND e.ts > fc.t
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN fv.t IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN fc.t IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN fp.t IS NULL THEN 0 ELSE 1 END AS INT) AS stage,
+           fv.t AS first_view, fc.t AS first_click, fp.t AS first_purchase
+    FROM u
+    LEFT JOIN fv ON u.user_id = fv.user_id
+    LEFT JOIN fc ON u.user_id = fc.user_id
+    LEFT JOIN fp ON u.user_id = fp.user_id
+    CROSS JOIN mx
+    WHERE epoch_ms(u.last_ts) + 86400000 < epoch_ms(mx.m) - 7200000
+    """,
+)
+def stream_funnel_stateful(spark, sf_dir):
+    """applyInPandasWithState conversion funnel — the streaming spelling of
+    ``q_events_funnel``, finalized per user when the watermark passes their
+    last view/click/purchase plus a 24 h horizon (timeout fires iff
+    last_ms + horizon_ms is strictly below max_event_ms − 2 h — users still
+    inside the horizon stay open in state; the oracle's WHERE excludes
+    exactly those).  Stages are computed over the full buffered event list
+    in event-time order, so batching order cannot change the answer."""
+    from pdtable_spark.streaming.stateful import funnel_with_state
+
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_funnel_{_STREAM_SEQ[0]}"
+    from pdtable_spark.streaming import run_to_memory
+
+    q_ = run_to_memory(funnel_with_state(_events_stream(spark, sf_dir)), name)
+    q_.stop()
+    return spark.table(name)

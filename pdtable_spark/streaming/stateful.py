@@ -96,3 +96,90 @@ def sessionize_with_state(events: DataFrame, watermark: str = "2 hours") -> Data
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful funnel: view → click → purchase per user, finalized on timeout
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, stage int, first_view timestamp, first_click timestamp, "
+    "first_purchase timestamp"
+)
+FUNNEL_STATE_SCHEMA = "ts_us array<long>, kind array<string>, last long"
+
+_FUNNEL_HORIZON_US = 24 * 3600 * 1_000_000  # observation horizon: 24 h
+
+
+def _funnel_stages(ts_us, kinds):
+    """Strict-order funnel over a (ts-sorted) event list: first view, first
+    click AFTER it, first purchase AFTER that.  Returns µs or None per stage."""
+    fv = fc = fp = None
+    for t, k in sorted(zip(ts_us, kinds)):
+        if fv is None:
+            if k == "view":
+                fv = t
+        elif fc is None:
+            if k == "click" and t > fv:
+                fc = t
+        elif fp is None:
+            if k == "purchase" and t > fc:
+                fp = t
+    return fv, fc, fp
+
+
+def _funnel(key, pdfs, state: GroupState):
+    (user_id,) = key
+    if state.hasTimedOut:
+        ts_us, kinds, _last = state.get
+        state.remove()
+        fv, fc, fp = _funnel_stages(ts_us, kinds)
+        stage = (fv is not None) + (fc is not None) + (fp is not None)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "stage": [stage],
+                "first_view": [pd.Timestamp(fv, unit="us") if fv else pd.NaT],
+                "first_click": [pd.Timestamp(fc, unit="us") if fc else pd.NaT],
+                "first_purchase": [pd.Timestamp(fp, unit="us") if fp else pd.NaT],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs))
+    ts_new = [int(pd.Timestamp(t).value // 1_000) for t in rows["ts"]]
+    kind_new = list(rows["event_type"])
+    if state.exists:
+        ts_us, kinds, last = state.get
+        ts_us, kinds = list(ts_us) + ts_new, list(kinds) + kind_new
+    else:
+        ts_us, kinds = ts_new, kind_new
+    last = max(ts_us)
+    state.update((ts_us, kinds, last))
+    state.setTimeoutTimestamp(last // 1_000 + _FUNNEL_HORIZON_US // 1_000)
+
+
+def funnel_with_state(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user conversion funnel (view → click → purchase, strict event-time
+    order) finalized when the watermark passes the user's last activity plus
+    a 24 h horizon — the streaming spelling of ``q_events_funnel``.
+
+    State is the user's event buffer within the horizon (bounded by
+    rate × horizon; the watermark lets Spark drop anything older), which
+    makes the stage computation exact under ANY batch arrival order — a
+    transition-only state would silently miss re-orderings that arrive in
+    later micro-batches."""
+    ev = events.filter(
+        events.event_type.isin("view", "click", "purchase")
+    ).select("user_id", "ts", "event_type")
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

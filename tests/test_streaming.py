@@ -206,3 +206,38 @@ def test_foreach_batch_idempotent_sink(spark, events_dir, events_batch, tmp_path
     batch0 = got.filter(F.col("batch_id") == 0).drop("batch_id")
     idempotent_parquet_sink(out)(batch0, 0)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_stateful_funnel(spark, events_dir, events_batch):
+    """The stateful funnel must agree with the batch funnel computation for
+    every user it finalizes, and only finalize users whose last activity
+    plus the 24 h horizon cleared the final watermark."""
+    from pdtable_spark.streaming import run_to_memory
+    from pdtable_spark.streaming.stateful import funnel_with_state
+    from pdtable_spark.streaming.windows import read_events_stream
+
+    run_to_memory(funnel_with_state(read_events_stream(spark, events_dir)), "t_funnel").stop()
+    got = {r["user_id"]: r for r in spark.table("t_funnel").collect()}
+    assert got  # some users finalize at this sf
+
+    e = events_batch.filter(F.col("event_type").isin("view", "click", "purchase"))
+    rows = sorted(
+        ((r["user_id"], r["ts"], r["event_type"]) for r in e.collect()),
+        key=lambda x: (x[0], x[1]),
+    )
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for u, ts, k in rows:
+        by_user[u].append((ts, k))
+    max_ts = max(ts for _, ts, _ in rows)
+    for u, r in got.items():
+        evs = by_user[u]
+        # finalization condition
+        assert (evs[-1][0].timestamp() * 1000 + 86_400_000
+                < max_ts.timestamp() * 1000 - 7_200_000)
+        fv = next((t for t, k in evs if k == "view"), None)
+        fc = next((t for t, k in evs if k == "click" and fv and t > fv), None)
+        fp = next((t for t, k in evs if k == "purchase" and fc and t > fc), None)
+        assert r["stage"] == sum(x is not None for x in (fv, fc, fp))
+        assert r["first_view"] == fv and r["first_click"] == fc and r["first_purchase"] == fp
