@@ -759,7 +759,7 @@ def q_string_funcs(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            sqrt(l_extendedprice) AS price_sqrt,
            abs(l_discount - 0.05) AS disc_dev,
-           round(l_extendedprice * 0.1, 2) AS price_tithe,
+           floor((l_extendedprice * 0.1) * 100.0 + 0.5) / 100.0 AS price_tithe,
            floor(l_quantity / 7.0) AS qty_floor7,
            CAST(l_orderkey % 97 AS BIGINT) AS key_mod
     FROM lineitem
@@ -768,7 +768,11 @@ def q_string_funcs(spark, sf_dir):
 )
 def q_math_funcs(spark, sf_dir):
     """Scalar math coverage restricted to IEEE-exact ops (sqrt/abs/floor/
-    round/mod) so both engines produce identical bits."""
+    mod) so both engines produce identical bits.  Rounding is spelled
+    binary-faithfully as floor(x·100 + 0.5)/100 on BOTH sides: native
+    round() disagrees across engines at .005 boundaries (Spark rounds the
+    shortest decimal repr of the double, DuckDB the binary value — found at
+    sf0.1 where one lineitem hits such a boundary)."""
     l = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 10 == 0)
     )
@@ -777,7 +781,9 @@ def q_math_funcs(spark, sf_dir):
         "l_linenumber",
         F.sqrt("l_extendedprice").alias("price_sqrt"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-        F.round(F.col("l_extendedprice") * 0.1, 2).alias("price_tithe"),
+        (F.floor((F.col("l_extendedprice") * 0.1) * 100.0 + 0.5) / 100.0).alias(
+            "price_tithe"
+        ),
         F.floor(F.col("l_quantity") / 7.0).cast("double").alias("qty_floor7"),
         (F.col("l_orderkey") % 97).cast("bigint").alias("key_mod"),
     )
@@ -1845,13 +1851,19 @@ def q_custkey_median_pandas(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        p = pdf["o_totalprice"]
+        # even-count median spelled EXACTLY as DuckDB's quantile_cont
+        # evaluates it at frac=0.5 — (lo + hi)·0.5.  Both numpy's quantile
+        # (upper-end lerp b − diff·(1−t)) and the textbook lo + (hi−lo)·frac
+        # differ from it in the last ulp on some pairs — found at sf0.1.
+        s = sorted(pdf["o_totalprice"].values)
+        n = len(s)
+        med = (s[n // 2 - 1] + s[n // 2]) * 0.5 if n % 2 == 0 else float(s[n // 2])
         return pd.DataFrame(
             {
                 "o_custkey": [pdf["o_custkey"].iloc[0]],
                 "n_orders": [len(pdf)],
-                "median_price": [p.quantile(0.5, interpolation="linear")],
-                "max_price": [p.max()],
+                "median_price": [med],
+                "max_price": [float(s[-1])],
             }
         )
 
