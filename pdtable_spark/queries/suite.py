@@ -3362,3 +3362,30 @@ def stream_funnel_stateful(spark, sf_dir):
     q_ = run_to_memory(funnel_with_state(_events_stream(spark, sf_dir)), name)
     q_.stop()
     return spark.table(name)
+
+
+@q(
+    "q_discount_rank_ties",
+    """
+    SELECT l_orderkey, l_linenumber, l_discount,
+           CAST(rank()       OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk
+    FROM lineitem
+    WHERE l_orderkey % 1000 = 0
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_discount DESC)
+    """,
+)
+def q_discount_rank_ties(spark, sf_dir):
+    """rank()/dense_rank() tie semantics (vs row_number's total order —
+    the one window family the suite didn't yet pin): discounts repeat
+    within an order, so ranks skip and dense ranks don't.  Deterministic
+    WITHOUT a tie-break because ties share the rank value by definition."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 1000 == 0)
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_discount"))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_discount",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
