@@ -3389,3 +3389,50 @@ def q_discount_rank_ties(spark, sf_dir):
         F.rank().over(w).cast("int").alias("rnk"),
         F.dense_rank().over(w).cast("int").alias("drnk"),
     )
+
+
+@q(
+    "pipeline_mix_report",
+    f"""
+    WITH kept AS (
+      SELECT d.*
+      FROM documents d
+      WHERE d.doc_id = (SELECT MIN(d2.doc_id) FROM documents d2
+                        WHERE md5(d2.text) = md5(d.text))
+        AND CAST('0x' || substr(md5('mix1' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+              % 1000
+            < CASE d.lang WHEN 'en' THEN 250 WHEN 'zh' THEN 900 ELSE 500 END
+    ),
+    split AS (
+      SELECT *,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+      FROM kept
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len({_SQL_TOKS}) AS DECIMAL(18,0))) AS BIGINT) AS total_tokens
+    FROM split
+    GROUP BY lang, split
+    """,
+)
+def pipeline_mix_report(spark, sf_dir):
+    """The end-to-end mixing report a training run starts from: exact-dedup
+    (keep min doc_id per digest) → per-language stratified sampling →
+    hash split → per-(lang, split) doc/token totals.  Composes four
+    operators in one plan: the dedup semi-join is the only body-keyed
+    shuffle (on digests), sampling/splitting are scan-side expressions, and
+    the final rollup is a tiny two-key aggregate."""
+    d = load(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup_keep_first(d)
+    sampled = sampling.stratified_hash_sample(
+        kept, strata_col="lang", rates={"en": 0.25, "zh": 0.9}, default_rate=0.5, salt="mix1"
+    )
+    split = text.hash_split(sampled, train_pct=90)
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text")).cast("decimal(18,0)"))
+        .cast("long")
+        .alias("total_tokens"),
+    )
