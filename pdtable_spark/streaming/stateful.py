@@ -24,6 +24,19 @@ STATE_SCHEMA = "start long, last long, n long, total double"
 _GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
 
 
+def _set_timeout(state: GroupState, desired_ms: int) -> None:
+    """Set an event-time timeout, clamped above the current watermark.
+
+    A micro-batch can deliver only OLD rows for a group (file sources batch
+    in arbitrary order), making last_event + horizon fall below the
+    already-advanced watermark — Spark rejects that with
+    INVALID_TIMEOUT_TIMESTAMP.  Clamping to watermark+1 finalizes the group
+    at the next watermark advance instead: the group's episode closes, and
+    any genuinely newer events later open a fresh episode (standard
+    watermark late-data semantics)."""
+    state.setTimeoutTimestamp(max(desired_ms, state.getCurrentWatermarkMs() + 1))
+
+
 def _us(ts) -> int:
     return int(pd.Timestamp(ts).value // 1_000)
 
@@ -68,7 +81,7 @@ def _sessionize(
             total += float(value)
 
     state.update((start, last, n, total))
-    state.setTimeoutTimestamp(last // 1_000 + _GAP_US // 1_000)
+    _set_timeout(state, last // 1_000 + _GAP_US // 1_000)
 
     if out:
         yield pd.DataFrame(
@@ -156,7 +169,7 @@ def _funnel(key, pdfs, state: GroupState):
         ts_us, kinds = ts_new, kind_new
     last = max(ts_us)
     state.update((ts_us, kinds, last))
-    state.setTimeoutTimestamp(last // 1_000 + _FUNNEL_HORIZON_US // 1_000)
+    _set_timeout(state, last // 1_000 + _FUNNEL_HORIZON_US // 1_000)
 
 
 def funnel_with_state(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -164,11 +177,16 @@ def funnel_with_state(events: DataFrame, watermark: str = "2 hours") -> DataFram
     order) finalized when the watermark passes the user's last activity plus
     a 24 h horizon — the streaming spelling of ``q_events_funnel``.
 
-    State is the user's event buffer within the horizon (bounded by
-    rate × horizon; the watermark lets Spark drop anything older), which
-    makes the stage computation exact under ANY batch arrival order — a
-    transition-only state would silently miss re-orderings that arrive in
-    later micro-batches."""
+    State is the user's event buffer (bounded by rate × horizon; the
+    watermark lets Spark drop anything older), so within an episode the
+    stage computation is exact regardless of how events interleave across
+    micro-batches — a transition-only state would silently miss
+    re-orderings.  Across a watermark that has already passed a user's
+    horizon, standard late-data semantics apply: the episode finalizes and
+    later events open a NEW episode, so a multi-batch run over historical
+    data emits one row per activity episode where a single availableNow
+    batch (watermark still at zero) emits one row per user — both are
+    correct streaming answers for their arrival orders."""
     ev = events.filter(
         events.event_type.isin("view", "click", "purchase")
     ).select("user_id", "ts", "event_type")

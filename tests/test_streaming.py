@@ -241,3 +241,32 @@ def test_stateful_funnel(spark, events_dir, events_batch):
         fp = next((t for t, k in evs if k == "purchase" and fc and t > fc), None)
         assert r["stage"] == sum(x is not None for x in (fv, fc, fp))
         assert r["first_view"] == fv and r["first_click"] == fc and r["first_purchase"] == fp
+
+
+def test_stateful_funnel_multi_batch_episodes(spark, events_batch, tmp_path):
+    """Multi-batch arrival over historical data: no INVALID_TIMEOUT crash
+    (later batches can deliver only old rows for a user — the timeout clamp),
+    and every emitted episode row is internally consistent."""
+    from pdtable_spark.streaming import run_to_memory
+    from pdtable_spark.streaming.stateful import funnel_with_state
+    from pdtable_spark.streaming.windows import read_events_stream
+
+    d = tmp_path / "ev4"
+    events_batch.repartition(4).write.parquet(str(d))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = read_events_stream(spark, str(d), schema=schema, max_files_per_trigger=1)
+    q = run_to_memory(funnel_with_state(src), "t_funnel_multi")
+    n_batches = len(q.recentProgress)
+    q.stop()
+    rows = spark.table("t_funnel_multi").collect()
+    assert n_batches >= 4  # genuinely incremental
+    assert rows
+    for r in rows:
+        # stage k implies exactly the first k stage timestamps set, in order
+        stamps = [r["first_view"], r["first_click"], r["first_purchase"]]
+        assert [s is not None for s in stamps] == [i < r["stage"] for i in range(3)]
+        present = [s for s in stamps if s is not None]
+        assert present == sorted(present)
