@@ -49,6 +49,12 @@ def asof_join(
     - ``right_cols`` limits which right columns attach (default: all
       non-key, non-ts).  Collisions get ``suffix``; right's ``on`` is
       attached as ``{on}{suffix}``.
+
+    Determinism contract: if the RIGHT side has duplicate ``on`` values
+    within a key, which duplicate's attributes attach is unspecified (the
+    window tie-break covers only left-vs-right at equal ts, not
+    right-vs-right).  Deduplicate the right side on (key, on) first — the
+    usual time-series contract — when attached values must be reproducible.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
