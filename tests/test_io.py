@@ -201,3 +201,38 @@ def test_scan_csv_strict_fails_on_illegal_cell(spark, tmp_path):
     (tmp_path / "f1.csv").write_text("**m;\nall\na\n-\nbogus\n\n")
     with pytest.raises(Exception):
         scan_csv(spark, f"{tmp_path}/f1.csv", "m").df.collect()
+
+
+def test_startable_datasource_format(spark, tmp_path):
+    """spark.read.format('startable'): multi-file read, schema from units,
+    per-file partitions, SQL USING integration."""
+    from pdtable_spark.io.datasource import register
+
+    csv = (
+        "**measurements;;\nall;;\nsite;temp;when\ntext;degC;datetime\n"
+        "A;{t};2024-01-0{d} 00:00:00\n\n**other;;\nall;;\nx;\ntext;\nv;\n"
+    )
+    for i in range(1, 4):
+        (tmp_path / f"b{i}.csv").write_text(csv.format(t=20.0 + i, d=i))
+    register(spark)
+    df = (
+        spark.read.format("startable")
+        .option("table", "measurements")
+        .load(str(tmp_path / "*.csv"))
+    )
+    assert [f.name for f in df.schema.fields] == ["site", "temp", "when"]
+    rows = df.collect()
+    assert len(rows) == 3
+    assert sorted(r["temp"] for r in rows) == [21.0, 22.0, 23.0]
+    assert df.rdd.getNumPartitions() == 3  # one partition per file
+    # missing table option is a clear error
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="option"):
+        spark.read.format("startable").load(str(tmp_path / "*.csv")).collect()
+    # and the format works from SQL
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW st_ds USING startable "
+        f"OPTIONS (path '{tmp_path}/*.csv', table 'measurements')"
+    )
+    assert spark.sql("SELECT count(*) AS n FROM st_ds").collect()[0]["n"] == 3
