@@ -3436,3 +3436,40 @@ def pipeline_mix_report(spark, sf_dir):
         .cast("long")
         .alias("total_tokens"),
     )
+
+
+@q(
+    "q_embedding_norms",
+    """
+    WITH n AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+               AS nrm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(floor(nrm * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / (1000000000.0 * COUNT(*)) AS mean_norm,
+           MAX(nrm) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def q_embedding_norms(spark, sf_dir):
+    """Per-label embedding-norm profile (the vector-column health check).
+    Per-row norms are identical folds on both engines; their SUM is made
+    order-independent by integer quantization — floor(norm·1e9) summed as
+    exact BIGINTs — the pattern for aggregating arbitrary doubles where
+    decimal CASTs would themselves hit cross-engine rounding boundaries
+    (floor on the shared binary value is boundary-free)."""
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = similarity.norm(F.transform("embedding", lambda x: x.cast("double")))
+    n = emb.select("label", nrm.alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(F.floor(F.col("nrm") * 1e9).cast("long")).cast("double")
+            / (F.lit(1e9) * F.count(F.lit(1)))
+        ).alias("mean_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
