@@ -65,6 +65,8 @@ class StarTableDataSource(DataSource):
         return table, sep, permissive
 
     def schema(self):
+        from pyspark.sql import types as T
+
         from pdtable_spark.frame import schema_for_units
 
         table, sep, permissive = self._opts()
@@ -73,7 +75,16 @@ class StarTableDataSource(DataSource):
             raise FileNotFoundError(f"no files match {self.options.get('path')!r}")
         with open(paths[0]) as f:
             for parsed in _parse_named_tables_lines(f, table, sep, permissive):
-                return schema_for_units(parsed.column_names, parsed.units)
+                full = schema_for_units(parsed.column_names, parsed.units)
+                # metadata-free copy: Spark 4.1's Python STREAMING source
+                # runner fails its arrow-stream assertion when StructField
+                # metadata is present (verified with a minimal reader), and
+                # batch/streaming share this schema.  Unit metadata stays a
+                # scan_csv/read_csv feature; the data source exposes plain
+                # types.
+                return T.StructType(
+                    [T.StructField(f.name, f.dataType, f.nullable) for f in full.fields]
+                )
         raise LookupError(f"Table {table!r} not found in first file {paths[0]!r}")
 
     def reader(self, schema) -> "StarTableReader":
@@ -81,6 +92,16 @@ class StarTableDataSource(DataSource):
         return StarTableReader(
             _expand(self.options.get("path", "")), schema, table, sep, permissive
         )
+
+    def simpleStreamReader(self, schema) -> "StarTableStreamReader":
+        table, sep, permissive = self._opts()
+        path = self.options.get("path", "")
+        if not os.path.isdir(path):
+            raise ValueError(
+                "streaming format('startable') expects a landing DIRECTORY "
+                f"path, got {path!r}"
+            )
+        return StarTableStreamReader(path, table, sep, permissive)
 
 
 class StarTableReader(DataSourceReader):
@@ -106,3 +127,62 @@ class StarTableReader(DataSourceReader):
 def register(spark) -> None:
     """Register the 'startable' format on this session (idempotent)."""
     spark.dataSource.register(StarTableDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: a StarTable landing directory as a structured-streaming source
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class StarTableStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch source over a landing directory of StarTable CSVs.
+
+    Offsets are the sorted list of file names already ingested — bundle
+    files are the natural exactly-once grain (same contract as Spark's file
+    source, spelled through the Python DataSource API).  ``read`` picks up
+    every new ``*.csv`` since the last offset; ``readBetweenOffsets``
+    replays a committed range deterministically after restart."""
+
+    def __init__(self, dir_path, table, sep, permissive):
+        self.dir = dir_path
+        self.table = table
+        self.sep = sep
+        self.permissive = permissive
+
+    def initialOffset(self) -> dict:
+        return {"seen": "[]"}
+
+    def _rows_of(self, files):
+        import json as _json
+
+        for path in files:
+            with open(path) as f:
+                for parsed in _parse_named_tables_lines(
+                    f, self.table, self.sep, self.permissive
+                ):
+                    cols = [parsed.columns[c] for c in parsed.column_names]
+                    yield from zip(*cols)
+
+    def read(self, start: dict):
+        import json as _json
+
+        seen = set(_json.loads(start["seen"]))
+        present = sorted(
+            os.path.join(self.dir, f)
+            for f in os.listdir(self.dir)
+            if f.endswith(".csv")
+        )
+        new = [p for p in present if p not in seen]
+        end = {"seen": _json.dumps(sorted(seen | set(new)))}
+        return iter(list(self._rows_of(new))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        import json as _json
+
+        delta = sorted(set(_json.loads(end["seen"])) - set(_json.loads(start["seen"])))
+        return iter(list(self._rows_of(delta)))
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -236,3 +236,40 @@ def test_startable_datasource_format(spark, tmp_path):
         f"OPTIONS (path '{tmp_path}/*.csv', table 'measurements')"
     )
     assert spark.sql("SELECT count(*) AS n FROM st_ds").collect()[0]["n"] == 3
+
+
+def test_startable_streaming_source(spark, tmp_path):
+    """Streaming 'startable': files landing in the directory arrive as
+    micro-batches; a restarted query (same checkpoint) ingests ONLY files
+    landed since — exactly-once across restarts (parquet sink; the memory
+    sink does not support checkpoint recovery)."""
+    from pdtable_spark.io.datasource import register
+
+    register(spark)
+    land = tmp_path / "land"
+    land.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    csv = "**readings;;\nall;;\nsensor;val;\ntext;-;\n{s};{v};\n\n"
+    (land / "a.csv").write_text(csv.format(s="s1", v=1.0))
+    (land / "b.csv").write_text(csv.format(s="s2", v=2.0))
+
+    def run_once():
+        stream = (
+            spark.readStream.format("startable")
+            .option("table", "readings")
+            .load(str(land))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return sorted((r["sensor"], r["val"]) for r in spark.read.parquet(out).collect())
+
+    assert run_once() == [("s1", 1.0), ("s2", 2.0)]
+    (land / "c.csv").write_text(csv.format(s="s3", v=3.0))
+    assert run_once() == [("s1", 1.0), ("s2", 2.0), ("s3", 3.0)]
