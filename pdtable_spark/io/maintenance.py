@@ -95,3 +95,48 @@ def write_sorted_parquet(
         else df.repartitionByRange(*cols)
     )
     parted.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Union[str, Sequence[str]],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Keyed dataset diff between two snapshots: one row per key that was
+    ``added``, ``removed``, or ``changed`` (same key, different compared
+    values) — the audit step between pipeline runs (what did yesterday's
+    ingest actually do?).
+
+    Full-outer join on the key; change detection uses null-safe equality
+    over ``compare_cols`` (default: all shared non-key columns), so NULL→
+    value and value→NULL count as changes.  One key shuffle; at scale run
+    per partition-directory like the other maintenance ops.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in keys
+        ]
+    o = old.select(*keys, *compare_cols).alias("o")
+    n = new.select(*keys, *compare_cols).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    j = o.join(n, cond, "full_outer")
+    o_key, n_key = F.col(f"o.{keys[0]}"), F.col(f"n.{keys[0]}")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(o_key.isNull(), F.lit("added"))
+        .when(n_key.isNull(), F.lit("removed"))
+        .when(same if same is not None else F.lit(True), F.lit(None))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(
+            *[F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys],
+            change.alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

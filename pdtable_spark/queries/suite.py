@@ -3473,3 +3473,64 @@ def q_embedding_norms(spark, sf_dir):
         ).alias("mean_norm"),
         F.max("nrm").alias("max_norm"),
     )
+
+
+@q(
+    "q_session_conversion",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+    FROM sess
+    """,
+)
+def q_session_conversion(spark, sf_dir):
+    """Session-level conversion rate: gap-detected sessions (30-min), a
+    session converts if it contains a purchase.  Composition of the
+    sessionization trick with a per-session flag rollup — both window
+    passes and the session aggregate share ONE user_id shuffle; the final
+    global rollup is a single row.  Integer counts → exact."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800), 1
+    ).otherwise(0)
+    sid = F.sum(new_s).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    sess = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "converted"
+            )
+        )
+    )
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("conversion_rate"),
+    )

@@ -61,3 +61,26 @@ def test_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2
     # and the data is intact
     assert spark.read.parquet(out).count() == 100_000
+
+
+def test_diff_snapshots(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "id long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 3.0), (4, "D", 4.0), (5, "e", 5.0)],
+        "id long, name string, v double",
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in maintenance.diff_snapshots(old, new, "id").collect()
+    }
+    # 1 removed, 2 unchanged (absent), 3 changed (NULL→3.0), 4 changed, 5 added
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+    # compare_cols restriction: only v → the name-only change on 4 vanishes
+    got_v = {
+        r["id"]: r["change_type"]
+        for r in maintenance.diff_snapshots(old, new, "id", compare_cols=["v"]).collect()
+    }
+    assert got_v == {1: "removed", 3: "changed", 5: "added"}
