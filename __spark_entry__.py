@@ -26,6 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: guarantees every declared operator a correctness row across rounds.
 #: Round-2 additions (never reported) lead, then round-1's unreported 14.
 _PRIORITY = [
+    "text_surprisal",
     "q_session_conversion",
     "q_embedding_norms",
     "pipeline_mix_report",

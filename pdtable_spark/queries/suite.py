@@ -3534,3 +3534,53 @@ def q_session_conversion(spark, sf_dir):
         F.sum("converted").cast("long").alias("n_converted"),
         (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("conversion_rate"),
     )
+
+
+@q(
+    "text_surprisal",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    total AS (SELECT COUNT(*) AS n_total FROM toks),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor(round(-ln(CAST(f.cnt AS DOUBLE) / CAST(x.n_total AS DOUBLE)), 9)
+                        * 1000000000.0) AS BIGINT) AS q_surprisal
+      FROM toks t JOIN freq f ON t.term = f.term CROSS JOIN total x
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(q_surprisal) AS DOUBLE) / (1000000000.0 * COUNT(*))
+             AS mean_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_surprisal(spark, sf_dir):
+    """Unigram surprisal score: mean −ln p(token) per document under the
+    corpus's own unigram distribution — the statistics-based quality signal
+    (gibberish and boilerplate sit at the distribution's tails).  Plan:
+    explode → term-keyed count (the vocabulary) joined back onto postings
+    (AQE-broadcast while the vocab fits) → per-doc rollup.  Cross-engine
+    determinism stacks both patterns: ln rounds at 9 decimals (JVM/libm
+    last-ulp), then the per-token values sum as quantized BIGINTs
+    (order-independent)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    freq = toks.groupBy(F.col("term").alias("f_term")).agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    q_surprisal = F.floor(
+        F.round(-F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double")), 9)
+        * 1e9
+    ).cast("long")
+    scored = (
+        toks.join(freq, F.col("term") == F.col("f_term"))
+        .join(F.broadcast(total))
+        .select("doc_id", q_surprisal.alias("q_surprisal"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("q_surprisal").cast("double") / (F.lit(1e9) * F.count(F.lit(1)))).alias(
+            "mean_surprisal"
+        ),
+    )
