@@ -14,6 +14,24 @@ Cross-engine determinism rules used throughout (the reason these hash-match):
   cast); Spark `size()` is INT and gets an explicit `long` cast.
 - Column names are aliased identically in both dialects (driver sorts
   columns by name before hashing).
+- **Native round() is engine-specific at .5 boundaries** (Spark rounds the
+  shortest decimal repr of a double, DuckDB the binary value) → spell
+  rounding binary-faithfully: ``floor(x·10^k + 0.5)/10^k`` (q_math_funcs).
+- **Decimal casts of arbitrary doubles round differently too** → form
+  products decimal×decimal (exact), and when a decimal must become a double
+  in DuckDB with ≥6 significant decimals, route ``CAST(CAST(x AS VARCHAR)
+  AS DOUBLE)`` (its direct decimal→double is not correctly rounded;
+  q_corr_stats, q_price_trend_by_brand).
+- **Sums of arbitrary doubles** (norms, log-probs — where decimal casts
+  would themselves hit boundaries) → quantize per row as
+  ``floor(x·1e9)`` BIGINT and sum exactly (q_embedding_norms,
+  text_surprisal).
+- **ln/log differ by 1 ulp between JVM and libm** → round at a fixed
+  decimal precision on BOTH sides before comparing or ranking
+  (text_tfidf_keywords round_digits=9, text_surprisal).
+- **Interpolated medians**: DuckDB's quantile_cont evaluates the even-count
+  case as (lo+hi)·0.5 — numpy's lerp and lo+(hi−lo)·frac differ in the
+  last ulp (q_custkey_median_pandas).
 
 Scale notes are on each query: broadcasts for dimension tables, single-shuffle
 window tricks, digest-only dedup shuffles.
