@@ -26,7 +26,12 @@ import glob as _glob
 import os
 from typing import Iterator, List
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from pdtable_spark.io.csv import CSV_SEP, _parse_named_tables_lines
 
@@ -89,9 +94,19 @@ class StarTableDataSource(DataSource):
 
     def reader(self, schema) -> "StarTableReader":
         table, sep, permissive = self._opts()
-        return StarTableReader(
-            _expand(self.options.get("path", "")), schema, table, sep, permissive
+        paths = _expand(self.options.get("path", ""))
+        from pyspark.sql import SparkSession
+
+        session = SparkSession.getActiveSession()
+        enabled = (
+            session is not None
+            and str(
+                session.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            ).lower()
+            == "true"
         )
+        cls = StarTablePushdownReader if enabled else StarTableReader
+        return cls(paths, schema, table, sep, permissive)
 
     def simpleStreamReader(self, schema) -> "StarTableStreamReader":
         table, sep, permissive = self._opts()
@@ -111,6 +126,7 @@ class StarTableReader(DataSourceReader):
         self.table = table
         self.sep = sep
         self.permissive = permissive
+        self._pushed = []
 
     def partitions(self) -> List[InputPartition]:
         return [InputPartition(p) for p in self.paths]
@@ -120,20 +136,91 @@ class StarTableReader(DataSourceReader):
             for parsed in _parse_named_tables_lines(
                 f, self.table, self.sep, self.permissive
             ):
-                cols = [parsed.columns[c] for c in parsed.column_names]
-                yield from zip(*cols)
+                names = parsed.column_names
+                cols = [parsed.columns[c] for c in names]
+                if not self._pushed:
+                    yield from zip(*cols)
+                    continue
+                idx = {c: i for i, c in enumerate(names)}
+                for row in zip(*cols):
+                    if self._keep(lambda c: row[idx[c]] if c in idx else None):
+                        yield row
+
+    def _keep(self, row_get):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in self._pushed:
+            v = row_get(f.attribute[0])
+            if isinstance(f, IsNull):
+                if v is not None:
+                    return False
+            elif isinstance(f, IsNotNull):
+                if v is None:
+                    return False
+            elif v is None:
+                return False  # comparisons with NULL are never true
+            elif isinstance(f, EqualTo):
+                if not v == f.value:
+                    return False
+            elif isinstance(f, GreaterThan):
+                if not v > f.value:
+                    return False
+            elif isinstance(f, GreaterThanOrEqual):
+                if not v >= f.value:
+                    return False
+            elif isinstance(f, LessThan):
+                if not v < f.value:
+                    return False
+            elif isinstance(f, LessThanOrEqual):
+                if not v <= f.value:
+                    return False
+            elif isinstance(f, In):
+                if v not in f.value:
+                    return False
+        return True
 
 
-def register(spark) -> None:
-    """Register the 'startable' format on this session (idempotent)."""
-    spark.dataSource.register(StarTableDataSource)
+class StarTablePushdownReader(StarTableReader):
+    """StarTableReader + row-level filter pushdown.  A separate class
+    because Spark REJECTS any reader that merely defines pushFilters()
+    unless ``spark.sql.python.filterPushdown.enabled`` is true — the
+    DataSource hands this subclass out only when the session conf is on."""
 
+    def pushFilters(self, filters):
+        """Row-level pushdown: comparison/membership/null filters evaluate
+        inside the per-file parser task, so filtered rows never serialize to
+        the JVM (the Python data source's analog of PushedFilters; Spark
+        re-applies every filter afterwards, so partial support is always
+        safe)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
 
-# ---------------------------------------------------------------------------
-# Streaming: a StarTable landing directory as a structured-streaming source
-# ---------------------------------------------------------------------------
-
-from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+        supported = (
+            EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+            In, IsNull, IsNotNull,
+        )
+        for f in filters:
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self._pushed.append(f)
+            else:
+                yield f  # unsupported → Spark keeps it
 
 
 class StarTableStreamReader(SimpleDataSourceStreamReader):
@@ -186,3 +273,8 @@ class StarTableStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+def register(spark) -> None:
+    """Register the 'startable' format on this session (idempotent)."""
+    spark.dataSource.register(StarTableDataSource)

@@ -273,3 +273,44 @@ def test_startable_streaming_source(spark, tmp_path):
     assert run_once() == [("s1", 1.0), ("s2", 2.0)]
     (land / "c.csv").write_text(csv.format(s="s3", v=3.0))
     assert run_once() == [("s1", 1.0), ("s2", 2.0), ("s3", 3.0)]
+
+
+def test_startable_datasource_filter_pushdown(spark, tmp_path):
+    """With spark.sql.python.filterPushdown.enabled, pushed comparison
+    filters drop rows inside the parser task; with it off (default) the
+    format still works (the pushdown reader class is conf-gated because
+    Spark rejects readers defining pushFilters under a disabled conf)."""
+    from pdtable_spark.io.datasource import StarTableReader, register
+
+    rows = "\n".join(f"s{i};{float(i)};" for i in range(10))
+    (tmp_path / "f.csv").write_text(
+        f"**m;;\nall;;\nsensor;val;\ntext;-;\n{rows}\n\n"
+    )
+    register(spark)
+    df = (
+        spark.read.format("startable")
+        .option("table", "m")
+        .load(str(tmp_path / "f.csv"))
+    )
+    assert df.count() == 10  # conf off: plain reader path
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        out = (
+            spark.read.format("startable")
+            .option("table", "m")
+            .load(str(tmp_path / "f.csv"))
+            .filter((F.col("val") >= 3.0) & (F.col("val") < 7.0))
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    assert sorted(r["val"] for r in out) == [3.0, 4.0, 5.0, 6.0]
+    # reader-level semantics, standalone
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+    from pdtable_spark.io.datasource import StarTablePushdownReader
+
+    r = StarTablePushdownReader([str(tmp_path / "f.csv")], df.schema, "m", ";", False)
+    rest = list(r.pushFilters([GreaterThanOrEqual(("val",), 3.0), LessThan(("val",), 7.0)]))
+    assert rest == []  # both supported
+    got = list(r.read(r.partitions()[0]))
+    assert sorted(x[1] for x in got) == [3.0, 4.0, 5.0, 6.0]
