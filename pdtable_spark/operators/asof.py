@@ -100,6 +100,18 @@ def asof_join(
     w_back = window(reverse_ties=strict, following=False)
     w_fwd = window(reverse_ties=not strict, following=True)
 
+    ts_is_temporal = str(left.schema[on].dataType.typeName()).startswith(
+        ("timestamp", "date")
+    )
+
+    def _num(c):
+        """Fractional-seconds numeric view of an `on`-typed expression for
+        distance math.  TIMESTAMP_NTZ/DATE reject a straight double cast in
+        Spark 4; route them through unix_micros (sub-second exact)."""
+        if ts_is_temporal:
+            return F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000.0)
+        return c.cast("double")
+
     def fills(col_name):
         """(backward_fill, forward_fill) expressions for one attached col."""
         return (
@@ -117,8 +129,8 @@ def asof_join(
         )
     else:  # nearest
         tb, tf = fills(ts_right)
-        d_back = F.abs(F.col(on).cast("double") - tb.cast("double"))
-        d_fwd = F.abs(F.col(on).cast("double") - tf.cast("double"))
+        d_back = F.abs(_num(F.col(on)) - _num(tb))
+        d_fwd = F.abs(_num(F.col(on)) - _num(tf))
         use_back = tb.isNotNull() & (tf.isNull() | (d_back <= d_fwd))
         filled = unioned.select(
             *base_cols,
@@ -128,9 +140,7 @@ def asof_join(
 
     out = filled.filter(F.col(tag) == 1).drop(tag)
     if tolerance is not None:
-        in_tol = (
-            F.abs(F.col(on).cast("double") - F.col(ts_right).cast("double")) <= tolerance
-        )
+        in_tol = F.abs(_num(F.col(on)) - _num(F.col(ts_right))) <= tolerance
         out = out.select(
             *[c for c in out.columns if c not in attached],
             *[F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c) for c in attached],

@@ -2184,9 +2184,9 @@ def multimodal_asset_stats(spark, sf_dir):
     f"""
     WITH assets AS ({_SQL_ASSETS})
     SELECT asset_id,
-           list_transform(generate_series(1, 16),
-               i -> CAST(CAST('0x' || substr(sha256(payload_text), 2*i - 1, 2) AS INT) AS FLOAT)
-           ) AS feature,
+           array_to_string(list_transform(generate_series(1, 16),
+               i -> CAST(CAST('0x' || substr(sha256(payload_text), 2*i - 1, 2) AS INT) AS VARCHAR)
+           ), ',') AS feature_sig,
            16 AS feat_dim
     FROM assets
     """,
@@ -2194,11 +2194,19 @@ def multimodal_asset_stats(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas 'decode'→feature pipeline; the stubbed
     codec emits the first 16 sha256 digest bytes, so the whole distributed
-    path is value-checked against DuckDB."""
+    path is value-checked against DuckDB.
+
+    The feature vector is emitted as a canonical comma-joined string
+    (``feature_sig``) rather than a raw ``array<float>``: the driver's
+    pandas canonicalizer cannot sort list-valued cells (round-2 red row),
+    and the byte-valued features are integral so the int rendering is
+    exact in both engines."""
     feats = multimodal.extract_features(_assets(spark, sf_dir), dim=16, fake=True)
     return feats.select(
         "asset_id",
-        F.col("feature").cast("array<float>").alias("feature"),
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: x.cast("int").cast("string")), ","
+        ).alias("feature_sig"),
         F.col("feat_dim").cast("int").alias("feat_dim"),
     )
 
@@ -2579,10 +2587,10 @@ def q11_part_value(spark, sf_dir):
     """
     SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) // 30 AS BIGINT)
              AS latency_bucket,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= o.o_orderdate
     GROUP BY 1

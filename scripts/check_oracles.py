@@ -2,7 +2,18 @@
 on Spark AND its DuckDB oracle at sf0.01; compare row count, column names,
 and order-insensitive values.
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Also enforces the **driver-compat dtype gate** (round-2 lesson): the driver
+canonicalizes both result sets through pandas, so
+
+- a DuckDB oracle must not emit HUGEINT/UHUGEINT (pandas → float64, hash
+  diverges from Spark's int64 for numerically-equal values) nor any nested
+  type (LIST/STRUCT/MAP/UNION — pandas sort_values cannot factorize them);
+- a Spark query must not emit array/struct/map output columns.
+
+Both of round 2's red rows (q12 HUGEINT, multimodal_features array<float>)
+would have been caught by this gate pre-submission.
+
+Usage: python scripts/check_oracles.py [--dtypes-only] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -17,6 +28,33 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, ".")
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+#: DuckDB result types the driver's pandas canonicalizer mishandles.
+_BANNED_DUCK = ("HUGEINT", "UHUGEINT", "STRUCT", "MAP", "UNION", "[]")
+
+
+def oracle_dtype_problems(con, sql: str) -> list[str]:
+    """DESCRIBE the oracle (no execution) and flag driver-unsafe column types."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    bad = []
+    for row in desc:
+        col_name, col_type = row[0], str(row[1]).upper()
+        if any(tok in col_type for tok in _BANNED_DUCK):
+            bad.append(f"oracle column {col_name!r} has driver-unsafe type {col_type}")
+    return bad
+
+
+def spark_dtype_problems(sdf) -> list[str]:
+    """Flag nested output types the driver's pandas canonicalizer cannot sort."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            bad.append(
+                f"spark column {f.name!r} has driver-unsafe type {f.dataType.simpleString()}"
+            )
+    return bad
 
 
 def normalize(v):
@@ -36,8 +74,10 @@ def key_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--dtypes-only"]
+    dtypes_only = "--dtypes-only" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry
 
@@ -67,6 +107,16 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            dtype_bad = spark_dtype_problems(sdf)
+            if name in oracles:
+                dtype_bad += oracle_dtype_problems(con, oracles[name])
+            if dtype_bad:
+                print(f"FAIL  {name}: " + "; ".join(dtype_bad))
+                failures.append(name)
+                continue
+            if dtypes_only:
+                print(f"ok    {name}: dtypes driver-safe")
+                continue
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
