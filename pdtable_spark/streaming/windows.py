@@ -20,29 +20,40 @@ def read_events_stream(
     path: str,
     schema=None,
     max_files_per_trigger: Optional[int] = None,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """File-source stream over a directory of events parquet.
 
     At 100 TB this is the replayable-backfill pattern: the same code points
     at a Kafka source by swapping ``format``; file source gives exactly-once
     via the checkpointed file log.
+
+    The events testdata stores ``ts`` as parquet TIMESTAMP(NANOS).  How that
+    arrives depends on the reader: Spark 4.1 reads it natively as
+    ``timestamp_ntz`` (microsecond precision); older readers reject it
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case it
+    arrives as ``bigint`` nanoseconds.  Streaming reads require an explicit
+    schema, so we probe the ACTUAL arrival type with a driver-side batch
+    schema read and convert ns→µs only when the column really is a long —
+    the exact guard the batch path uses (``io/parquet.py:43``).  Forcing one
+    schema unconditionally is how timestamps get silently corrupted when the
+    reader behavior shifts between Spark versions.
     """
     if schema is None:
-        # nanosecond timestamps in the testdata parquet: read ns as long
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = (
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        df = reader.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+        # the cast interprets wall clock in the session tz and collect()
+        # renders it back in the same tz, so values round-trip unchanged
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def stream_hourly_by_type(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -32,15 +32,18 @@ def events_dir(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def events_batch(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).cache()
+    # env-adaptive ts handling (bigint-ns vs native timestamp_ntz) lives in
+    # read_nanos_parquet — the batch twin of read_events_stream's probe
+    from pdtable_spark.io.parquet import read_nanos_parquet
+
+    return read_nanos_parquet(spark, f"{SF_DIR}/events.parquet").cache()
 
 
 def test_stream_is_streaming(spark, events_dir):
     s = read_events_stream(spark, events_dir)
     assert s.isStreaming
-    assert dict(s.dtypes)["ts"] == "timestamp"
+    # timestamp under legacy ns-as-long readers, timestamp_ntz on Spark 4.1+
+    assert dict(s.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
 
 
 def test_hourly_windows_match_batch(spark, events_dir, events_batch):
@@ -90,13 +93,8 @@ def test_hourly_windows_incremental_multi_batch(spark, events_batch, tmp_path):
     d = tmp_path / "ev_split"
     d.mkdir()
     events_batch.repartition(4).write.parquet(str(d / "parts"))
-    src = read_events_stream(
-        spark,
-        str(d / "parts"),
-        schema="event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string",
-        max_files_per_trigger=1,
-    )
+    # schema=None → the source probes the written files' actual types
+    src = read_events_stream(spark, str(d / "parts"), max_files_per_trigger=1)
     q = run_to_memory(
         stream_hourly_by_type(src), "t_hourly_multi", output_mode="complete"
     )
@@ -251,13 +249,21 @@ def test_stateful_funnel_multi_batch_episodes(spark, events_batch, tmp_path):
     from pdtable_spark.streaming.stateful import funnel_with_state
     from pdtable_spark.streaming.windows import read_events_stream
 
+    import time
+
     d = tmp_path / "ev4"
-    events_batch.repartition(4).write.parquet(str(d))
-    schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string"
-    )
-    src = read_events_stream(spark, str(d), schema=schema, max_files_per_trigger=1)
+    # time-ordered arrival (historical replay): 4 chunks split by event time,
+    # so the watermark genuinely advances between micro-batches and clamped
+    # timeouts fire.  (repartition(4) gives every file the global max ts —
+    # the watermark then never advances after batch 1 and whether any episode
+    # finalizes depends on nondeterministic file arrival order.)
+    pdf = events_batch.toPandas().sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    for i in range(4):
+        chunk = spark.createDataFrame(pdf.iloc[i * n // 4 : (i + 1) * n // 4])
+        chunk.coalesce(1).write.mode("append").parquet(str(d))
+        time.sleep(0.05)  # distinct mtimes → deterministic arrival order
+    src = read_events_stream(spark, str(d), max_files_per_trigger=1)
     q = run_to_memory(funnel_with_state(src), "t_funnel_multi")
     n_batches = len(q.recentProgress)
     q.stop()
