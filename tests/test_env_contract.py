@@ -1,0 +1,52 @@
+"""Environment contract: how THIS Spark build reads the events parquet.
+
+Round-3 regression class: the testdata stores ``ts`` as parquet
+TIMESTAMP(NANOS), and the way Spark surfaces that column shifted between
+versions (legacy ``nanosAsLong`` bigint vs native ``timestamp_ntz``).  A
+source adapter that hard-codes one arrival type silently corrupts every
+event time when the reader behavior drifts.  These tests pin the contract
+both adapters rely on: batch (``io/parquet.py``) and stream
+(``streaming/windows.py``) must agree on the decoded values, whatever the
+arrival type is.
+"""
+
+import shutil
+
+from pdtable_spark.io.parquet import read_nanos_parquet
+from pdtable_spark.streaming import read_events_stream, run_to_memory
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_batch_ts_decodes_to_2024_epoch(spark):
+    """Whatever dtype the reader surfaces, the decoded timestamps must land
+    in the data's real range (2024), not 1970 (ns/µs confusion) and not
+    beyond 2100 (µs read as ns)."""
+    df = read_nanos_parquet(spark, f"{SF_DIR}/events.parquet")
+    assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
+    lo, hi = df.selectExpr("min(ts)", "max(ts)").first()
+    assert lo.year >= 2000, f"ts decoded into the past: {lo}"
+    assert hi.year <= 2100, f"ts decoded into the future: {hi}"
+
+
+def test_stream_ts_equals_batch_ts(spark, tmp_path):
+    """The streaming source must decode the exact same (event_id, ts) pairs
+    as the batch reader — the invariant that silently broke in round 3."""
+    d = tmp_path / "events_env"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    q = run_to_memory(
+        read_events_stream(spark, str(d)).select("event_id", "ts"), "t_env_contract"
+    )
+    q.stop()
+    got = {r.event_id: r.ts for r in spark.table("t_env_contract").collect()}
+    want = {
+        r.event_id: r.ts
+        for r in read_nanos_parquet(spark, f"{SF_DIR}/events.parquet")
+        .select("event_id", "ts")
+        .collect()
+    }
+    assert len(got) == len(want)
+    # collect() renders timestamp and timestamp_ntz to the same naive
+    # datetimes under a UTC session tz — compare values directly
+    assert got == want
