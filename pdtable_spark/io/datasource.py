@@ -116,7 +116,33 @@ class StarTableDataSource(DataSource):
                 "streaming format('startable') expects a landing DIRECTORY "
                 f"path, got {path!r}"
             )
-        return StarTableStreamReader(path, table, sep, permissive)
+        return StarTableStreamReader(path, schema, table, sep, permissive)
+
+
+def _align_to_schema(parsed, schema_names, table, permissive, path):
+    """Return ``parsed``'s columns in probed-schema order.
+
+    The schema is probed from the FIRST file, but every file parses into its
+    own column order — a later file listing the same table's columns
+    reordered (or with extras/gaps) must not silently bind values to the
+    wrong schema fields.  Missing columns raise in strict mode and None-fill
+    in permissive mode; columns absent from the schema cannot surface
+    through a fixed schema and are dropped.
+    """
+    n_rows = len(parsed.columns[parsed.column_names[0]]) if parsed.column_names else 0
+    cols = []
+    for name in schema_names:
+        if name in parsed.columns:
+            cols.append(parsed.columns[name])
+        elif permissive:
+            cols.append([None] * n_rows)
+        else:
+            raise ValueError(
+                f"{path}: table {table!r} lacks column {name!r} present in the "
+                "probed schema (first file); use .option('permissive', 'true') "
+                "to None-fill"
+            )
+    return cols
 
 
 class StarTableReader(DataSourceReader):
@@ -136,12 +162,14 @@ class StarTableReader(DataSourceReader):
             for parsed in _parse_named_tables_lines(
                 f, self.table, self.sep, self.permissive
             ):
-                names = parsed.column_names
-                cols = [parsed.columns[c] for c in names]
+                cols = _align_to_schema(
+                    parsed, self.schema_names, self.table, self.permissive,
+                    partition.value,
+                )
                 if not self._pushed:
                     yield from zip(*cols)
                     continue
-                idx = {c: i for i, c in enumerate(names)}
+                idx = {c: i for i, c in enumerate(self.schema_names)}
                 for row in zip(*cols):
                     if self._keep(lambda c: row[idx[c]] if c in idx else None):
                         yield row
@@ -160,32 +188,44 @@ class StarTableReader(DataSourceReader):
 
         for f in self._pushed:
             v = row_get(f.attribute[0])
-            if isinstance(f, IsNull):
-                if v is not None:
-                    return False
-            elif isinstance(f, IsNotNull):
-                if v is None:
-                    return False
-            elif v is None:
-                return False  # comparisons with NULL are never true
-            elif isinstance(f, EqualTo):
-                if not v == f.value:
-                    return False
-            elif isinstance(f, GreaterThan):
-                if not v > f.value:
-                    return False
-            elif isinstance(f, GreaterThanOrEqual):
-                if not v >= f.value:
-                    return False
-            elif isinstance(f, LessThan):
-                if not v < f.value:
-                    return False
-            elif isinstance(f, LessThanOrEqual):
-                if not v <= f.value:
-                    return False
-            elif isinstance(f, In):
-                if v not in f.value:
-                    return False
+            if isinstance(v, float) and v != v:
+                # NaN: Spark's comparison ordering (NaN greatest, NaN = NaN
+                # true) differs from Python's (all comparisons false) — a
+                # Python-side drop here would lose rows SQL keeps.  Defer to
+                # Spark's re-applied copy of the filter.
+                continue
+            try:
+                if isinstance(f, IsNull):
+                    if v is not None:
+                        return False
+                elif isinstance(f, IsNotNull):
+                    if v is None:
+                        return False
+                elif v is None:
+                    return False  # comparisons with NULL are never true
+                elif isinstance(f, EqualTo):
+                    if not v == f.value:
+                        return False
+                elif isinstance(f, GreaterThan):
+                    if not v > f.value:
+                        return False
+                elif isinstance(f, GreaterThanOrEqual):
+                    if not v >= f.value:
+                        return False
+                elif isinstance(f, LessThan):
+                    if not v < f.value:
+                        return False
+                elif isinstance(f, LessThanOrEqual):
+                    if not v <= f.value:
+                        return False
+                elif isinstance(f, In):
+                    if v not in f.value:
+                        return False
+            except TypeError:
+                # incomparable Python types (e.g. naive datetime vs tz-aware
+                # literal): keep the row — Spark's re-applied copy of this
+                # filter decides with SQL semantics
+                continue
         return True
 
 
@@ -196,11 +236,15 @@ class StarTablePushdownReader(StarTableReader):
     DataSource hands this subclass out only when the session conf is on."""
 
     def pushFilters(self, filters):
-        """Row-level pushdown: comparison/membership/null filters evaluate
-        inside the per-file parser task, so filtered rows never serialize to
-        the JVM (the Python data source's analog of PushedFilters; Spark
-        re-applies every filter afterwards, so partial support is always
-        safe)."""
+        """Row-level pushdown: supported comparison/membership/null filters
+        evaluate inside the per-file parser task, so most filtered rows
+        never serialize to the JVM.  EVERY filter — consumed or not — is
+        yielded back, so Spark re-applies it after the scan: Python
+        comparison semantics (NaN ordering, naive-vs-aware datetimes) are
+        not provably identical to SQL's, and re-application turns any
+        divergence into a lost optimization instead of silently dropped
+        rows.  (A filter this reader DIDN'T yield would otherwise be
+        trusted as fully applied.)"""
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
@@ -219,8 +263,7 @@ class StarTablePushdownReader(StarTableReader):
         for f in filters:
             if isinstance(f, supported) and len(f.attribute) == 1:
                 self._pushed.append(f)
-            else:
-                yield f  # unsupported → Spark keeps it
+            yield f
 
 
 class StarTableStreamReader(SimpleDataSourceStreamReader):
@@ -232,8 +275,9 @@ class StarTableStreamReader(SimpleDataSourceStreamReader):
     every new ``*.csv`` since the last offset; ``readBetweenOffsets``
     replays a committed range deterministically after restart."""
 
-    def __init__(self, dir_path, table, sep, permissive):
+    def __init__(self, dir_path, schema, table, sep, permissive):
         self.dir = dir_path
+        self.schema_names = [f.name for f in schema.fields]
         self.table = table
         self.sep = sep
         self.permissive = permissive
@@ -242,14 +286,15 @@ class StarTableStreamReader(SimpleDataSourceStreamReader):
         return {"seen": "[]"}
 
     def _rows_of(self, files):
-        import json as _json
-
         for path in files:
             with open(path) as f:
                 for parsed in _parse_named_tables_lines(
                     f, self.table, self.sep, self.permissive
                 ):
-                    cols = [parsed.columns[c] for c in parsed.column_names]
+                    cols = _align_to_schema(
+                        parsed, self.schema_names, self.table, self.permissive,
+                        path,
+                    )
                     yield from zip(*cols)
 
     def read(self, start: dict):

@@ -311,6 +311,147 @@ def test_startable_datasource_filter_pushdown(spark, tmp_path):
 
     r = StarTablePushdownReader([str(tmp_path / "f.csv")], df.schema, "m", ";", False)
     rest = list(r.pushFilters([GreaterThanOrEqual(("val",), 3.0), LessThan(("val",), 7.0)]))
-    assert rest == []  # both supported
+    # every filter is yielded back so Spark re-applies it post-scan — the
+    # reader's Python-side evaluation is an optimization, not the authority
+    assert len(rest) == 2
     got = list(r.read(r.partitions()[0]))
     assert sorted(x[1] for x in got) == [3.0, 4.0, 5.0, 6.0]
+
+
+def test_startable_datasource_column_reorder(spark, tmp_path):
+    """Files listing the same table's columns in DIFFERENT orders must bind
+    values to schema fields by NAME (schema is probed from the first file)."""
+    from pdtable_spark.io.datasource import register
+
+    register(spark)
+    (tmp_path / "a.csv").write_text(
+        "**m;;\nall;;\nsite;temp;\ntext;degC;\nA;21.0;\n\n"
+    )
+    (tmp_path / "b.csv").write_text(  # reversed column order, same table
+        "**m;;\nall;;\ntemp;site;\ndegC;text;\n22.0;B;\n\n"
+    )
+    df = (
+        spark.read.format("startable")
+        .option("table", "m")
+        .load(str(tmp_path / "*.csv"))
+    )
+    got = sorted((r["site"], r["temp"]) for r in df.collect())
+    assert got == [("A", 21.0), ("B", 22.0)]
+
+
+def test_startable_datasource_missing_column(spark, tmp_path):
+    """A later file missing a probed-schema column: strict mode errors with
+    the file and column named; permissive mode None-fills."""
+    from pdtable_spark.io.datasource import register
+
+    register(spark)
+    (tmp_path / "a.csv").write_text(
+        "**m;;\nall;;\nsite;temp;\ntext;degC;\nA;21.0;\n\n"
+    )
+    (tmp_path / "b.csv").write_text(  # no 'temp' column at all
+        "**m;;\nall;;\nsite;\ntext;\nB;\n\n"
+    )
+    strict = (
+        spark.read.format("startable")
+        .option("table", "m")
+        .load(str(tmp_path / "*.csv"))
+    )
+    with pytest.raises(Exception, match="temp"):
+        strict.collect()
+    loose = (
+        spark.read.format("startable")
+        .option("table", "m")
+        .option("permissive", "true")
+        .load(str(tmp_path / "*.csv"))
+    )
+    got = sorted(((r["site"], r["temp"]) for r in loose.collect()),
+                 key=lambda t: t[0])
+    assert got == [("A", 21.0), ("B", None)]
+
+
+def test_startable_streaming_column_reorder(spark, tmp_path):
+    """The streaming source aligns each landed file's columns to the probed
+    schema too — a reordered bundle arriving later must not corrupt rows."""
+    from pdtable_spark.io.datasource import register
+
+    register(spark)
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.csv").write_text(
+        "**r;;\nall;;\nsensor;val;\ntext;-;\ns1;1.0;\n\n"
+    )
+    (land / "b.csv").write_text(  # reversed column order
+        "**r;;\nall;;\nval;sensor;\n-;text;\n2.0;s2;\n\n"
+    )
+    stream = (
+        spark.readStream.format("startable")
+        .option("table", "r")
+        .load(str(land))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted((r["sensor"], r["val"]) for r in spark.read.parquet(out).collect())
+    assert got == [("s1", 1.0), ("s2", 2.0)]
+
+
+def test_startable_pushdown_null_and_datetime_safe(spark, tmp_path):
+    """Pushdown must not change results for NULL values or timestamp
+    literals — and Spark re-applies every filter, so any Python-vs-SQL
+    comparison divergence can only lose an optimization, never rows."""
+    from pdtable_spark.io.datasource import register
+
+    register(spark)
+    (tmp_path / "f.csv").write_text(
+        "**m;;\nall;;\nsite;val;when\ntext;-;datetime\n"
+        "A;1.0;2024-01-01 00:00:00\n"
+        "B;-;2024-01-02 00:00:00\n"
+        "C;3.0;2024-01-03 00:00:00\n\n"
+    )
+
+    def read():
+        return (
+            spark.read.format("startable")
+            .option("table", "m")
+            .load(str(tmp_path / "f.csv"))
+        )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got_val = read().filter(F.col("val") > 0.0).collect()
+        got_ts = read().filter(
+            F.col("when") >= F.lit("2024-01-02").cast("timestamp")
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    # NULL > 0.0 is NULL → dropped, identically in the reader and in SQL
+    assert sorted(r["site"] for r in got_val) == ["A", "C"]
+    assert sorted(r["site"] for r in got_ts) == ["B", "C"]
+
+
+def test_startable_pushdown_defers_nan_and_type_mismatch(tmp_path):
+    """Reader-level guard semantics: a NaN value or an incomparable filter
+    literal keeps the row (Spark's re-applied filter decides); NULLs drop."""
+    import datetime
+    import math
+
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import GreaterThan
+    from pdtable_spark.io.datasource import StarTablePushdownReader
+
+    schema = T.StructType([T.StructField("val", T.DoubleType())])
+    r = StarTablePushdownReader([], schema, "m", ";", False)
+    list(r.pushFilters([GreaterThan(("val",), 0.0)]))
+    assert r._keep(lambda c: math.nan)  # NaN → defer to Spark
+    assert r._keep(lambda c: 1.0)
+    assert not r._keep(lambda c: -1.0)
+    assert not r._keep(lambda c: None)  # NULL comparison: never true
+    # incomparable types (e.g. datetime vs float literal): defer to Spark
+    assert r._keep(lambda c: datetime.datetime(2024, 1, 1))
