@@ -313,6 +313,8 @@ def pack_budget(
     capacity: int,
     n_tokens_col: str = "chunk_n_tokens",
     order_cols: tuple = ("doc_id", "chunk_idx"),
+    partition_cols: tuple = (),
+    num_partitions: int = None,
 ) -> DataFrame:
     """Token-budget sharding: assign each row a ``pack_id`` so consecutive
     rows (in ``order_cols`` order) accumulate ~``capacity`` tokens per pack —
@@ -321,23 +323,67 @@ def pack_budget(
     a row starts the pack its *preceding* tokens fill up to, so packs can
     overhang by at most one row (never split a row).
 
-    Deterministic given the explicit total order.  The window is global; at
-    100 TB you run it per shard key (date, source bucket) — compose with
-    ``partition_cols`` — or accept the range-partitioned sort Spark plans for
-    a global window (one skew-free range shuffle, no single-task bottleneck
-    for the sort itself; the cumsum runs within range partitions after
-    Spark's two-phase window optimization... rank-based windows over a full
-    sort are the documented cost).
+    Scale: with ``partition_cols`` (date, source bucket — the production
+    spelling) the cumulative sum is an ordinary partitioned window and
+    ``pack_id`` restarts per shard.  Without them the TOTAL order is honored
+    via a two-phase cumsum — an unpartitioned ``Window.orderBy`` would move
+    every row to ONE task:
+
+    1. range-partition by ``order_cols`` and pin each row's partition id
+       (``localCheckpoint`` is the materialization barrier that keeps the
+       sampled range boundaries consistent across the two jobs; at 100 TB
+       an intermediate table write serves the same role),
+    2. per-partition running sums in parallel, plus per-partition totals
+       (#partitions rows — driver-trivial) prefix-summed into offsets that
+       broadcast-join back on the pinned id.
+
+    Deterministic given a unique total order: equal keys co-locate under
+    range partitioning, so phase boundaries never split ties.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(*[F.asc(c) for c in order_cols]).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    order = [F.asc(c) for c in order_cols]
+
+    def _frame(w):
+        return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    if partition_cols:
+        running = F.sum(F.col(n_tokens_col)).over(
+            _frame(Window.partitionBy(*partition_cols).orderBy(*order))
+        )
+        return df.withColumn(
+            "pack_id",
+            F.floor((running - F.col(n_tokens_col)) / F.lit(capacity)).cast("long"),
+        )
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    running = F.sum(F.col(n_tokens_col)).over(w)
-    return df.withColumn(
-        "pack_id",
-        F.floor((running - F.col(n_tokens_col)) / F.lit(capacity)).cast("long"),
+    local = ranged.withColumn(
+        "_run_local",
+        F.sum(F.col(n_tokens_col)).over(_frame(Window.partitionBy("_pid").orderBy(*order))),
+    )
+    # per-partition totals → exclusive prefix offsets: one row per partition,
+    # so the unpartitioned window here is over #partitions rows, not the data
+    w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(F.col(n_tokens_col)).alias("_pid_total"))
+        .withColumn("_offset", F.coalesce(F.sum("_pid_total").over(w_prefix), F.lit(0)))
+        .select("_pid", "_offset")
+    )
+    running = F.col("_run_local") + F.col("_offset")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "pack_id",
+            F.floor((running - F.col(n_tokens_col)) / F.lit(capacity)).cast("long"),
+        )
+        .drop("_pid", "_run_local", "_offset")
     )
 
 

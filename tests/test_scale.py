@@ -131,3 +131,80 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+# ---------------------------------------------------------------------------
+# pack_budget: the global path must be a two-phase cumsum, not one task
+# ---------------------------------------------------------------------------
+
+
+def _chunks_df(spark, n_docs=40, chunks_per_doc=5):
+    rows = [
+        (d, c, 10 + (d * 7 + c * 3) % 50)
+        for d in range(n_docs)
+        for c in range(chunks_per_doc)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, chunk_idx long, chunk_n_tokens long")
+
+
+def test_pack_budget_global_matches_single_window(spark):
+    """Two-phase global cumsum must equal the naive unpartitioned window."""
+    from pyspark.sql import Window
+
+    from pdtable_spark.operators import text
+
+    df = _chunks_df(spark)
+    got = {
+        (r.doc_id, r.chunk_idx): r.pack_id
+        for r in text.pack_budget(df, capacity=100, num_partitions=7).collect()
+    }
+    w = Window.orderBy("doc_id", "chunk_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r.doc_id, r.chunk_idx): r.pack_id
+        for r in df.withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("chunk_n_tokens").over(w) - F.col("chunk_n_tokens")) / F.lit(100)
+            ).cast("long"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pack_budget_global_runs_on_many_partitions(spark):
+    """The data path of the global cumsum must execute across multiple
+    tasks — round 3's unpartitioned window collapsed it to one.  (AQE
+    legitimately coalesces the tiny test shuffle, so pin it off here; the
+    plan check proves the window itself is keyed, not SinglePartition.)"""
+    from pdtable_spark.operators import text
+
+    out = text.pack_budget(_chunks_df(spark), capacity=100, num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_pid" in plan, plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = text.pack_budget(_chunks_df(spark), capacity=100, num_partitions=8)
+        parts = out.rdd.glom().map(len).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert sum(1 for p in parts if p > 0) > 1, (
+        f"global pack_budget ran on a single non-empty partition: {parts}"
+    )
+
+
+def test_pack_budget_partition_cols(spark):
+    """Sharded spelling: pack ids restart per shard and never mix shards."""
+    from pdtable_spark.operators import text
+
+    df = _chunks_df(spark).withColumn("shard", (F.col("doc_id") % 4).cast("long"))
+    out = text.pack_budget(
+        df, capacity=100, order_cols=("doc_id", "chunk_idx"), partition_cols=("shard",)
+    ).collect()
+    assert {r.shard for r in out} == {0, 1, 2, 3}
+    # within each shard, pack ids start at 0 and are contiguous
+    for s in range(4):
+        ids = sorted({r.pack_id for r in out if r.shard == s})
+        assert ids[0] == 0
+        assert ids == list(range(len(ids)))
