@@ -110,26 +110,28 @@ def diff_snapshots(
 
     Full-outer join on the key; change detection uses null-safe equality
     over ``compare_cols`` (default: all shared non-key columns), so NULL→
-    value and value→NULL count as changes.  One key shuffle; at scale run
-    per partition-directory like the other maintenance ops.
+    value and value→NULL count as changes.  Side presence is tracked with
+    explicit marker columns, NOT key nullness — the join condition is
+    null-safe, so a NULL key can legitimately match on both sides and must
+    classify as unchanged/changed, not "added".  One key shuffle; at scale
+    run per partition-directory like the other maintenance ops.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if compare_cols is None:
         compare_cols = [
             c for c in old.columns if c in set(new.columns) and c not in keys
         ]
-    o = old.select(*keys, *compare_cols).alias("o")
-    n = new.select(*keys, *compare_cols).alias("n")
+    o = old.select(*keys, *compare_cols).withColumn("_o_present", F.lit(True)).alias("o")
+    n = new.select(*keys, *compare_cols).withColumn("_n_present", F.lit(True)).alias("n")
     cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
     j = o.join(n, cond, "full_outer")
-    o_key, n_key = F.col(f"o.{keys[0]}"), F.col(f"n.{keys[0]}")
     same = None
     for c in compare_cols:
         eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
         same = eq if same is None else (same & eq)
     change = (
-        F.when(o_key.isNull(), F.lit("added"))
-        .when(n_key.isNull(), F.lit("removed"))
+        F.when(F.col("o._o_present").isNull(), F.lit("added"))
+        .when(F.col("n._n_present").isNull(), F.lit("removed"))
         .when(same if same is not None else F.lit(True), F.lit(None))
         .otherwise(F.lit("changed"))
     )

@@ -107,7 +107,17 @@ def asof_join(
     def _num(c):
         """Fractional-seconds numeric view of an `on`-typed expression for
         distance math.  TIMESTAMP_NTZ/DATE reject a straight double cast in
-        Spark 4; route them through unix_micros (sub-second exact)."""
+        Spark 4; route them through unix_micros (sub-second exact).
+
+        Caveats (documented contract): for temporal `on` columns, tolerance
+        and nearest-side distances are ALWAYS in seconds — including DATE
+        columns, where 1 day = 86400 s, not "the column's native unit".  The
+        NTZ/DATE → TIMESTAMP cast interprets wall clocks in the session
+        timezone, so distance math assumes a UTC (or DST-free) session tz:
+        around a DST transition under a zoned session tz, nearest-side
+        selection and tolerances can skew by up to the DST offset.  Run with
+        ``spark.sql.session.timeZone=UTC`` (the engine's default) for exact
+        semantics."""
         if ts_is_temporal:
             return F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000.0)
         return c.cast("double")

@@ -525,8 +525,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # falling through silently would ship wrong cluster ids into
+    # "keep one per cluster" — long-chain graphs need more rounds
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations "
+        "(graph diameter exceeds the round budget); raise max_iterations"
+    )
 
 
 # ---------------------------------------------------------------------------

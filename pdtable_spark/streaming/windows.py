@@ -70,7 +70,11 @@ def stream_hourly_by_type(events: DataFrame, watermark: str = "2 hours") -> Data
             # decimal accumulation: exact, hence independent of the order in
             # which micro-batches / partial aggregates fold the doubles in —
             # the streaming result is bit-identical to the batch grouping
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            # cast to decimal(28,4): Spark widens the SUM accumulator to
+            # decimal(38,4) (the max), so the exact accumulation cannot
+            # overflow-to-NULL under non-ANSI mode at any realistic scale;
+            # values quantize to 4 decimals by design (documented contract)
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("win.start").alias("hour"),
@@ -112,7 +116,11 @@ def stream_session_windows(
             F.count(F.lit(1)).alias("n_events"),
             # decimal accumulation: fold-order independent (cross-engine and
             # batch/streaming deterministic)
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            # cast to decimal(28,4): Spark widens the SUM accumulator to
+            # decimal(38,4) (the max), so the exact accumulation cannot
+            # overflow-to-NULL under non-ANSI mode at any realistic scale;
+            # values quantize to 4 decimals by design (documented contract)
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
         )
         .select(
             "user_id",

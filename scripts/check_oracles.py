@@ -30,7 +30,9 @@ sys.path.insert(0, ".")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 #: DuckDB result types the driver's pandas canonicalizer mishandles.
-_BANNED_DUCK = ("HUGEINT", "UHUGEINT", "STRUCT", "MAP", "UNION", "[]")
+#: '[' (not '[]') so both LIST (FLOAT[]) and fixed-size ARRAY (FLOAT[16])
+#: column types are flagged — no scalar DuckDB type contains a bracket.
+_BANNED_DUCK = ("HUGEINT", "UHUGEINT", "STRUCT", "MAP", "UNION", "[")
 
 
 def oracle_dtype_problems(con, sql: str) -> list[str]:

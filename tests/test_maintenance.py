@@ -84,3 +84,22 @@ def test_diff_snapshots(spark):
         for r in maintenance.diff_snapshots(old, new, "id", compare_cols=["v"]).collect()
     }
     assert got_v == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_diff_snapshots_null_keys(spark):
+    """NULL keys match null-safely: a NULL-keyed row present in both
+    snapshots is unchanged/changed, never misreported as added+removed."""
+    old = spark.createDataFrame([(None, 1.0), (1, 2.0)], "id long, v double")
+    new = spark.createDataFrame([(None, 1.0), (2, 3.0)], "id long, v double")
+    got = {
+        r["id"]: r["change_type"]
+        for r in maintenance.diff_snapshots(old, new, "id").collect()
+    }
+    # NULL key present in both with equal v → unchanged → filtered out
+    assert got == {1: "removed", 2: "added"}
+    new2 = spark.createDataFrame([(None, 9.0), (2, 3.0)], "id long, v double")
+    got2 = {
+        r["id"]: r["change_type"]
+        for r in maintenance.diff_snapshots(old, new2, "id").collect()
+    }
+    assert got2 == {None: "changed", 1: "removed", 2: "added"}

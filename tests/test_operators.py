@@ -635,3 +635,14 @@ def test_weighted_hash_sample(spark):
     # per-row weights: grp 1 at weight 1.0, grp 0 at 0.0
     out = sampling.weighted_hash_sample(df, F.col("grp").cast("double"))
     assert out.count() == 1000 and out.filter(F.col("grp") == 0).count() == 0
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain longer than the round budget must raise, not silently ship
+    partial cluster labels into keep-one-per-cluster."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    verts = spark.createDataFrame([(i,) for i in range(13)], ["id"])
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(edges, verts, max_iterations=2)
