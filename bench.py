@@ -46,6 +46,19 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
+    # Size the file-split granularity to the benchmark SF: the biggest table
+    # at sf0.1 is ~11 MB, so the 128 MB default reads every table as ONE task
+    # while the other 31 cores idle.  Split so the largest scan fans out to
+    # ~cpus tasks (floor 1 MB — below that, per-task overhead dominates).
+    # At production scale files exceed 128 MB and this knob reverts to moot.
+    import glob as _glob
+
+    largest = max(
+        (os.path.getsize(p) for p in _glob.glob(os.path.join(sf_dir, "*.parquet"))),
+        default=128 << 20,
+    )
+    mpb = max(2 << 20, largest // int(cpus))
+
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("pdtable_spark-bench")
@@ -53,6 +66,8 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", str(mpb))
+        .config("spark.sql.files.openCostInBytes", str(128 << 10))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
@@ -69,16 +84,21 @@ def main():
         load(s, d, "documents"), num_hashes=16, bands=4, jaccard_threshold=0.5
     )
 
-    # warm the JVM + parquet footers + Python/Arrow workers once (not timed)
-    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    # Warm-up pass: run every headline query once, untimed.  The JVM's C2
+    # compiler needs 1-2 executions before a query's generated code runs at
+    # steady state (measured: the same tfidf plan goes 6.4 s cold → 0.86 s
+    # warm in one session), and compilation threads compete with the 32
+    # worker threads — timing a cold run measures the JIT, not the engine.
     spark.range(64).repartition(int(cpus)).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    for name in HEADLINE:
+        BENCH_QUERIES[name](spark, sf_dir).count()
 
     timings = {}
     for name in HEADLINE:
         best, n = None, 0
-        for _ in range(2):  # min-of-2: first run pays codegen/JIT compile
+        for _ in range(3):  # min-of-3 over warm runs: robust to VM noise
             t0 = time.time()
             df = BENCH_QUERIES[name](spark, sf_dir)
             n = df.count()
