@@ -134,14 +134,25 @@ def write_excel(
     na_rep: str = "-",
     sep_lines: int = 1,
     styles: Union[bool, Dict] = False,
+    backend: str = "openpyxl",
 ) -> None:
     """Write Table(s) to an xlsx workbook (excel.py:116-212).
 
     ``tables`` may be a single Table, an iterable of Tables (one default
     sheet), or a ``{sheet_name: Table | Iterable[Table]}`` dict.
 
-    Engine: openpyxl when installed; else the stdlib engine (values only —
-    a non-empty ``styles`` spec warns and is ignored without openpyxl).
+    ``backend`` selects the write engine (reference parity: the reference
+    ships openpyxl and xlsxwriter backends, ``pdtable/io/excel.py:111-116``):
+
+    - ``"openpyxl"`` (default): openpyxl when installed, else the stdlib
+      engine (values only — a non-empty ``styles`` spec warns and is
+      ignored without openpyxl);
+    - ``"xlsxwriter"``: streaming writer, constant memory, styles as
+      per-part workbook formats (requires xlsxwriter);
+    - ``"stdlib"``: force the dependency-free engine.
+
+    All backends share one layout source (``_table_part_rows``), so they
+    are cell-value-identical and differ only in style fidelity.
     """
     from pdtable_spark.table import Table
 
@@ -155,7 +166,18 @@ def write_excel(
         sheets = {None: list(tables)}
 
     style_spec = DEFAULT_STYLE_SPEC if styles is True else (styles or None)
-    openpyxl = _openpyxl_or_none()
+
+    if backend == "xlsxwriter":
+        from pdtable_spark.io._excel_xlsxwriter import write_tables
+
+        write_tables(sheets, str(to), na_rep, sep_lines, style_spec)
+        return
+    if backend not in ("openpyxl", "stdlib"):
+        raise ValueError(
+            f"unknown Excel write backend {backend!r}; "
+            "expected 'openpyxl', 'xlsxwriter' or 'stdlib'"
+        )
+    openpyxl = _openpyxl_or_none() if backend == "openpyxl" else None
 
     if openpyxl is None:
         if style_spec:
@@ -191,8 +213,10 @@ def write_excel(
     wb.save(str(to))
 
 
-def _table_rows(table, na_rep: str) -> list:
-    """StarTable block layout of one table as a list of cell rows."""
+def _table_part_rows(table, na_rep: str):
+    """Yield ``(part_name, cell_row)`` pairs in StarTable block layout —
+    the single layout source shared by all three write engines (openpyxl,
+    xlsxwriter, stdlib), so backends differ only in style fidelity."""
     cm = table.column_metadata
     names = table.column_names
     units = table.units
@@ -205,64 +229,35 @@ def _table_rows(table, na_rep: str) -> list:
             return f.format(value)
         return value
 
-    rows: list = []
     if table.metadata.transposed:
-        rows.append([f"**{table.name}*"])
-        rows.append([" ".join(str(d) for d in sorted(table.destinations))])
+        yield "table_name", [f"**{table.name}*"]
+        yield "destinations", [" ".join(str(d) for d in sorted(table.destinations))]
         data = [tuple(r) for r in table.df.toLocalIterator()]
         for i, (name, unit, f) in enumerate(zip(names, units, fmts)):
             vals = represent_col_elements((r[i] for r in data), unit, na_rep)
-            rows.append([name, unit] + [fmt(v, f) for v in vals])
+            yield "values", [name, unit] + [fmt(v, f) for v in vals]
     else:
-        rows.append([f"**{table.name}"])
-        rows.append([" ".join(str(d) for d in sorted(table.destinations))])
-        rows.append(list(names))
-        rows.append(list(units))
+        yield "table_name", [f"**{table.name}"]
+        yield "destinations", [" ".join(str(d) for d in sorted(table.destinations))]
+        yield "column_names", list(names)
+        yield "units", list(units)
         for row in table.df.toLocalIterator():
             vals = represent_row_elements(tuple(row), units, na_rep)
-            rows.append([fmt(v, f) for v, f in zip(vals, fmts)])
-    return rows
+            yield "values", [fmt(v, f) for v, f in zip(vals, fmts)]
+
+
+def _table_rows(table, na_rep: str) -> list:
+    """StarTable block layout of one table as a list of cell rows."""
+    return [row for _, row in _table_part_rows(table, na_rep)]
 
 
 def _append_table(ws, table, na_rep: str, style_spec: Optional[Dict]) -> None:
-    cm = table.column_metadata
-    names = table.column_names
-    units = table.units
-    fmts = [cm[c].display_format for c in names]
-
-    def fmt(value, f):
-        if isinstance(value, str) or value is None:
-            return value
-        if f is not None and isinstance(value, (int, float)) and not isinstance(value, bool):
-            return f.format(value)
-        return value
-
     part_rows = []  # (part_name, worksheet row index 1-based)
-    if table.metadata.transposed:
-        ws.append([f"**{table.name}*"])
-        part_rows.append(("table_name", ws.max_row))
-        ws.append([" ".join(str(d) for d in sorted(table.destinations))])
-        part_rows.append(("destinations", ws.max_row))
-        rows = [tuple(r) for r in table.df.toLocalIterator()]
-        for i, (name, unit, f) in enumerate(zip(names, units, fmts)):
-            vals = represent_col_elements((r[i] for r in rows), unit, na_rep)
-            ws.append([name, unit] + [fmt(v, f) for v in vals])
-    else:
-        ws.append([f"**{table.name}"])
-        part_rows.append(("table_name", ws.max_row))
-        ws.append([" ".join(str(d) for d in sorted(table.destinations))])
-        part_rows.append(("destinations", ws.max_row))
-        ws.append(list(names))
-        part_rows.append(("column_names", ws.max_row))
-        ws.append(list(units))
-        part_rows.append(("units", ws.max_row))
-        for row in table.df.toLocalIterator():
-            vals = represent_row_elements(tuple(row), units, na_rep)
-            ws.append([fmt(v, f) for v, f in zip(vals, fmts)])
-            part_rows.append(("values", ws.max_row))
-
+    for part, row in _table_part_rows(table, na_rep):
+        ws.append(row)
+        part_rows.append((part, ws.max_row))
     if style_spec:
-        _apply_styles(ws, part_rows, len(names), style_spec)
+        _apply_styles(ws, part_rows, len(table.column_names), style_spec)
 
 
 def _apply_styles(ws, part_rows, n_cols: int, style_spec: Dict) -> None:
