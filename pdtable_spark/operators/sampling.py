@@ -84,3 +84,30 @@ def stratified_hash_sample(
         threshold = F.when(F.col(strata_col) == stratum, keep).otherwise(threshold)
     bucket = hash_bucket(F.col(id_col), buckets, salt)
     return df.withColumn("sample_bucket", bucket).filter(F.col("sample_bucket") < threshold)
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    num_partitions: int = None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle: reorder rows by
+    ``md5(salt ‖ id)`` — the decorrelation pass before writing training
+    shards (adjacent crawl/source rows must not land in the same batch).
+
+    Content-stable like everything in this module: the permutation is a
+    pure function of ids and ``salt``, so re-runs and engines agree exactly
+    and a different ``salt`` gives an independent permutation.  The total
+    order is realized with a range repartition on the key + per-partition
+    sort — the scale-safe spelling (no global window, no single task);
+    writing the result preserves order within and across part files
+    (lexicographic part numbering matches the range partitioning).
+    """
+    out = df.withColumn(
+        "shuffle_key", F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    )
+    n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return out.repartitionByRange(n, F.col("shuffle_key")).sortWithinPartitions(
+        "shuffle_key"
+    )

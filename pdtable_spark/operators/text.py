@@ -395,3 +395,37 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+def length_bucket(n_tokens: Column) -> Column:
+    """Log2 length bucket: floor(log2(n_tokens + 1)).
+
+    The batching key for padding-efficient training: rows batched within a
+    bucket waste <50% pad tokens worst-case (bucket widths double).  A pure
+    column expression — unlike quantile bucketing (ntile) it needs no
+    global sort or state, so it composes with any partitioning at any
+    scale, and bucket identity is stable as the corpus grows (quantile
+    boundaries drift with every ingest; log boundaries never move).
+    """
+    return F.floor(F.log2(n_tokens.cast("double") + F.lit(1.0))).cast("int")
+
+
+def length_bucket_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-bucket batching profile: (len_bucket, n_docs, total_tokens,
+    min/max tokens) — the shard-planning summary a trainer reads to size
+    per-bucket batch counts.  One keyed aggregate (tiny output: ~log2(max
+    doc length) rows)."""
+    t = F.col(text_col)
+    return (
+        df.select(F.col(id_col), token_count(t).alias("n_tokens"))
+        .withColumn("len_bucket", length_bucket(F.col("n_tokens")))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )

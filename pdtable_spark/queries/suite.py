@@ -3610,3 +3610,52 @@ def text_surprisal(spark, sf_dir):
             "mean_surprisal"
         ),
     )
+
+
+@q(
+    "pipeline_corpus_shuffle",
+    """
+    SELECT doc_id, md5('sh1' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    """,
+)
+def pipeline_corpus_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle (decorrelate source/crawl order
+    before writing training shards): total order by md5(salt ‖ id), realized
+    as a range repartition + per-partition sort — no global window, no
+    single task.  The oracle verifies the permutation KEY per row (the
+    driver compares order-insensitively; order follows from the key)."""
+    from pdtable_spark.operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    return sampling.corpus_shuffle(d, salt="sh1").select("doc_id", "shuffle_key")
+
+
+@q(
+    "pipeline_length_buckets",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    )
+    SELECT CAST(floor(log2(CAST(n_tokens AS DOUBLE) + 1.0)) AS INT) AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def pipeline_length_buckets(spark, sf_dir):
+    """Padding-efficiency batching profile: log2 length buckets (stable as
+    the corpus grows — quantile boundaries drift, log boundaries never
+    move) with per-bucket doc/token stats; one keyed aggregate with a
+    ~log2(max length)-row output."""
+    d = load(spark, sf_dir, "documents")
+    out = text.length_bucket_stats(d)
+    return out.select(
+        "len_bucket",
+        F.col("n_docs"),
+        F.col("total_tokens"),
+        F.col("min_tokens").cast("long").alias("min_tokens"),
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+    )

@@ -646,3 +646,30 @@ def test_connected_components_raises_on_non_convergence(spark):
     verts = spark.createDataFrame([(i,) for i in range(13)], ["id"])
     with pytest.raises(RuntimeError, match="converge"):
         dedup.connected_components(edges, verts, max_iterations=2)
+
+
+def test_corpus_shuffle_deterministic_total_order(spark, docs):
+    from pdtable_spark.operators import sampling
+
+    a = [r["doc_id"] for r in sampling.corpus_shuffle(docs, num_partitions=3).collect()]
+    b = [r["doc_id"] for r in sampling.corpus_shuffle(docs, num_partitions=5).collect()]
+    # identical permutation at any parallelism (content-stable)
+    assert a == b
+    assert sorted(a) == sorted(r["doc_id"] for r in docs.collect())
+    # a different salt gives a different permutation (independence)
+    c = [r["doc_id"] for r in sampling.corpus_shuffle(docs, salt="other").collect()]
+    assert c != a and sorted(c) == sorted(a)
+    # rows are globally ordered by the shuffle key across partitions
+    keys = [r["shuffle_key"] for r in sampling.corpus_shuffle(docs, num_partitions=3).collect()]
+    assert keys == sorted(keys)
+
+
+def test_length_bucket_boundaries(spark):
+    from pdtable_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (7,), (8,), (100,)], "n long"
+    ).select(t.length_bucket(F.col("n")).alias("b"), "n")
+    got = {r["n"]: r["b"] for r in df.collect()}
+    # floor(log2(n+1)): doubling bucket widths, exact at power boundaries
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 7: 3, 8: 3, 100: 6}
