@@ -24,9 +24,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Driver-row rotation (the driver reports exactly the first 50 queries).
 #: Round-4 order: the 3 ANN queries (never driver-reported in any round),
 #: then the 7 streaming queries (red in r3, fixed this round - the driver
-#: row is the proof), then the 50 queries whose only green row is from r1,
-#: then r2/r3's reported set.  Re-rotate each round so every declared
-#: operator keeps a recent correctness row.
+#: row is the proof), then the 2 operators new this round, then the queries
+#: whose only green row is from r1 (the first 38 of those fit in this
+#: round's 50 slots; the 12-query tail leads the next rotation), then
+#: r2/r3's reported set.  Re-rotate each round so every declared operator
+#: keeps a recent correctness row.
 _PRIORITY = [
     "embedding_lsh_topk",
     "embedding_ivf_topk",
@@ -38,6 +40,8 @@ _PRIORITY = [
     "stream_session_windows",
     "stream_dedup",
     "stream_funnel_stateful",
+    "pipeline_corpus_shuffle",
+    "pipeline_length_buckets",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",

@@ -49,7 +49,8 @@ def main():
     # Size the file-split granularity to the benchmark SF: the biggest table
     # at sf0.1 is ~11 MB, so the 128 MB default reads every table as ONE task
     # while the other 31 cores idle.  Split so the largest scan fans out to
-    # ~cpus tasks (floor 1 MB — below that, per-task overhead dominates).
+    # ~cpus tasks (floor 2 MiB — below that, per-task overhead dominates
+    # and the sub-MB dimension tables over-split).
     # At production scale files exceed 128 MB and this knob reverts to moot.
     import glob as _glob
 

@@ -260,8 +260,20 @@ class StarTablePushdownReader(StarTableReader):
             EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
             In, IsNull, IsNotNull,
         )
+
+        def nan_literal(f):
+            # a NaN LITERAL flips comparison truth between Python (all
+            # false) and SQL (NaN is greatest, NaN = NaN true): e.g.
+            # `val < NaN` is TRUE in SQL for every non-NaN value but false
+            # in Python — evaluating it here would drop rows Spark's
+            # re-applied copy can never resurrect.  Leave such filters
+            # entirely to Spark.
+            vals = getattr(f, "value", None)
+            vals = vals if isinstance(vals, (list, tuple, set)) else [vals]
+            return any(isinstance(v, float) and v != v for v in vals)
+
         for f in filters:
-            if isinstance(f, supported) and len(f.attribute) == 1:
+            if isinstance(f, supported) and len(f.attribute) == 1 and not nan_literal(f):
                 self._pushed.append(f)
             yield f
 

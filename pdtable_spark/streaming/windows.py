@@ -39,14 +39,26 @@ def read_events_stream(
     schema unconditionally is how timestamps get silently corrupted when the
     reader behavior shifts between Spark versions.
     """
-    if schema is None:
+    probed = schema is None
+    if probed:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        schema = spark.read.parquet(path).schema
+        try:
+            schema = spark.read.parquet(path).schema
+        except Exception as err:
+            raise ValueError(
+                f"cannot probe the event schema from {path!r} (no readable "
+                "parquet yet?). To start a stream over an empty landing "
+                "directory, pass an explicit schema= matching the files "
+                "that will arrive."
+            ) from err
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    if dict(df.dtypes).get(ts_col) == "bigint":
+    # Arrival-type normalization applies ONLY to the probe path: a caller
+    # passing an explicit schema gets exactly the types they asked for (an
+    # intentional `ts long` column must stay raw).
+    if probed and dict(df.dtypes).get(ts_col) == "bigint":
         df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
     elif dict(df.dtypes).get(ts_col) == "timestamp_ntz":
         # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);

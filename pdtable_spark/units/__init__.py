@@ -115,29 +115,7 @@ def simple_converter(value, from_unit: str, to_unit: Optional[str] = None):
     return ((value * f_from + o_from) - o_to) / f_to, to_unit
 
 
-class PintUnitConverter:
-    """Thin callable wrapper around pint (reference units/pint.py:11-74).
-
-    Lazily imports pint; keeps a single UnitRegistry.  Use as a singleton.
-    """
-
-    def __init__(self):
-        self._ureg = None
-
-    def __call__(self, value, from_unit: str, to_unit: Optional[str] = None):
-        try:
-            import pint
-        except ImportError as err:  # pragma: no cover - env without pint
-            raise ImportError(
-                "pint is not installed; install it or use simple_converter"
-            ) from err
-        if self._ureg is None:
-            self._ureg = pint.UnitRegistry()
-        if to_unit is not None and str(to_unit) == str(from_unit):
-            return value, str(from_unit)
-        q = self._ureg.Quantity(value, from_unit)
-        q = q.to_base_units() if to_unit in (None, "base", _BASE_SENTINEL) else q.to(to_unit)
-        return q.magnitude, str(q.units)
-
-
-pint_converter = PintUnitConverter()
+# Canonical pint adapter lives in units/pint.py (reference-parity layout);
+# re-exported here so both import paths share ONE converter and ONE lazy
+# UnitRegistry (pint quantities from different registries don't mix).
+from pdtable_spark.units.pint import PintUnitConverter, pint_converter  # noqa: E402,F401

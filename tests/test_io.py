@@ -455,3 +455,25 @@ def test_startable_pushdown_defers_nan_and_type_mismatch(tmp_path):
     assert not r._keep(lambda c: None)  # NULL comparison: never true
     # incomparable types (e.g. datetime vs float literal): defer to Spark
     assert r._keep(lambda c: datetime.datetime(2024, 1, 1))
+
+
+def test_startable_pushdown_nan_literal_not_consumed(tmp_path):
+    """A filter whose LITERAL is NaN must not be evaluated reader-side:
+    Python would drop rows SQL keeps (SQL: val < NaN is true for all
+    non-NaN)."""
+    import math
+
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import GreaterThan, In, LessThan
+    from pdtable_spark.io.datasource import StarTablePushdownReader
+
+    schema = T.StructType([T.StructField("val", T.DoubleType())])
+    r = StarTablePushdownReader([], schema, "m", ";", False)
+    back = list(r.pushFilters([
+        LessThan(("val",), math.nan),
+        In(("val",), (1.0, math.nan)),
+        GreaterThan(("val",), 0.0),
+    ]))
+    assert len(back) == 3  # every filter yielded back for Spark
+    assert r._pushed == [back[2]]  # only the NaN-free filter is consumed
+    assert r._keep(lambda c: -5.0) is False  # the consumed one still works

@@ -276,3 +276,28 @@ def test_stateful_funnel_multi_batch_episodes(spark, events_batch, tmp_path):
         assert [s is not None for s in stamps] == [i < r["stage"] for i in range(3)]
         present = [s for s in stamps if s is not None]
         assert present == sorted(present)
+
+
+def test_read_events_stream_empty_dir_clear_error(spark, tmp_path):
+    """Probing an empty landing directory must fail with guidance, not an
+    opaque AnalysisException."""
+    d = tmp_path / "empty_land"
+    d.mkdir()
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_events_stream(spark, str(d))
+
+
+def test_read_events_stream_explicit_long_schema_untouched(spark, events_batch, tmp_path):
+    """A caller-supplied schema is authoritative: an explicit `ts long`
+    column must come through raw, not reinterpreted as nanoseconds."""
+    d = tmp_path / "ev_long"
+    events_batch.selectExpr(
+        "event_id", "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS LONG) AS ts",
+        "user_id", "event_type", "value", "props"
+    ).write.parquet(str(d))
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    s = read_events_stream(spark, str(d), schema=schema)
+    assert dict(s.dtypes)["ts"] == "bigint"
