@@ -42,6 +42,7 @@ _PRIORITY = [
     "stream_funnel_stateful",
     "pipeline_corpus_shuffle",
     "pipeline_length_buckets",
+    "dedup_incremental",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",

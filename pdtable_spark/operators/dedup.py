@@ -256,6 +256,18 @@ def _lsh_candidate_pairs(
     mode keeps the exact value tuple as a string so DuckDB reproduces the
     grouping byte-for-byte (no cross-band hash collisions to model).
     """
+    buckets = _band_bucket_frame(sig, id_col, num_hashes, bands, hash_fn)
+    pairs = bucket_pairs(
+        buckets, ["band", "bucket"], F.col(id_col), max_bucket=max_bucket
+    )
+    return pairs.select(F.col("ea").alias("id_a"), F.col("eb").alias("id_b")).distinct()
+
+
+def _band_bucket_frame(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """(id, band, bucket) rows from a signature frame — the LSH index
+    relation (see :func:`_lsh_candidate_pairs` for bucket-identity notes)."""
     rows_per_band = num_hashes // bands
 
     def band_key(b):
@@ -267,13 +279,64 @@ def _lsh_candidate_pairs(
     band_cols = [
         F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket")) for b in range(bands)
     ]
-    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    pairs = bucket_pairs(
-        buckets, ["band", "bucket"], F.col(id_col), max_bucket=max_bucket
+
+
+def band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The persistable MinHash-LSH index of a corpus: one (id, band, bucket)
+    row per document per band.
+
+    This is the state that makes dedup INCREMENTAL at 100 TB: compute it
+    once per corpus, write it ``partitionBy("bucket")``-style (or bucketed
+    by ``bucket``), and each new ingest batch only hashes ITS OWN rows and
+    joins against the index — the corpus is never re-shingled and never
+    re-paired with itself.  Index size = bands × corpus rows × ~50 B.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_fn)
+    return _band_bucket_frame(sig, id_col, num_hashes, bands, hash_fn)
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Rows of ``new_df`` that collide with NO corpus document in any LSH
+    band — the continuous-ingestion dedup step: survivors are safe to
+    append to the corpus (and their :func:`band_buckets` rows to the index).
+
+    ``corpus_index`` is a previously persisted :func:`band_buckets` frame.
+    Plan: hash only the new batch, semi-join its bucket rows against the
+    index on (band, bucket) — a key-pruned join against a bucketed table,
+    shuffling just the new batch — then anti-join the collided ids.  No
+    all-pairs work and no corpus rescan anywhere.
+    """
+    new_buckets = band_buckets(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
     )
-    return pairs.select(F.col("ea").alias("id_a"), F.col("eb").alias("id_b")).distinct()
+    collided = (
+        new_buckets.join(
+            corpus_index.select("band", "bucket"), ["band", "bucket"], "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return new_df.join(collided, id_col, "left_anti")
 
 
 def minhash_dedup(

@@ -3659,3 +3659,61 @@ def pipeline_length_buckets(spark, sf_dir):
         F.col("min_tokens").cast("long").alias("min_tokens"),
         F.col("max_tokens").cast("long").alias("max_tokens"),
     )
+
+
+def _sql_band_index(num_hashes: int, bands: int) -> str:
+    """The bands CTE body of _sql_minhash_pairs, reused for the
+    incremental-dedup oracle (same md5_60 double-hash construction)."""
+    rpb = num_hashes // bands
+    h1 = _SQL_MD5_60.format(x="s")
+    h2 = _SQL_MD5_60.format(x="'x' || s")
+    return f"""
+    base AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    hp AS (
+      SELECT doc_id,
+             list_transform(sh, s -> struct_pack(
+               h1 := {h1}, h2 := ({h2}) % {1 << 52})) AS pairs
+      FROM base
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             list_aggregate(list_transform(pairs, p -> (p.h1 + seed * p.h2) % {1 << 60}),
+                            'min') AS mh
+      FROM hp, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed) seeds
+    ),
+    bands AS (
+      SELECT doc_id, seed // {rpb} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+      FROM mh GROUP BY doc_id, seed // {rpb}
+    )"""
+
+
+@q(
+    "dedup_incremental",
+    f"""
+    WITH {_sql_band_index(16, 4)},
+    collided AS (
+      SELECT DISTINCT nb.doc_id
+      FROM bands nb JOIN bands cb
+        ON cb.band = nb.band AND cb.bucket = nb.bucket AND cb.doc_id % 2 = 0
+      WHERE nb.doc_id % 2 = 1
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM collided)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Continuous-ingestion dedup: the corpus half (even doc_ids) is indexed
+    ONCE via band_buckets (the persistable LSH index); the new batch (odd
+    doc_ids) hashes only itself and semi-joins the index — no corpus
+    rescan, no all-pairs.  Survivors = new docs colliding in no band.
+    md5_60 mode so DuckDB reproduces bucket identities byte-for-byte."""
+    from pdtable_spark.operators import dedup
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    index = dedup.band_buckets(corpus, hash_fn="md5_60")
+    return dedup.incremental_dedup(new, index, hash_fn="md5_60").select(
+        "doc_id", "source"
+    )

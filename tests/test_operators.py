@@ -673,3 +673,29 @@ def test_length_bucket_boundaries(spark):
     got = {r["n"]: r["b"] for r in df.collect()}
     # floor(log2(n+1)): doubling bucket widths, exact at power boundaries
     assert got == {0: 0, 1: 1, 2: 1, 3: 2, 7: 3, 8: 3, 100: 6}
+
+
+def test_incremental_dedup_against_persisted_index(spark, docs, tmp_path):
+    """Continuous-ingestion shape: index the corpus once, persist it, then
+    dedup a new batch against the reloaded index — survivors are exactly
+    the new docs colliding in no LSH band."""
+    corpus = docs.filter(F.col("doc_id").isin(0, 3))   # fox sentence + spark doc
+    new = docs.filter(F.col("doc_id").isin(1, 2, 4))   # exact dup, near dup, french
+
+    idx_path = str(tmp_path / "lsh_index")
+    dedup.band_buckets(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    survivors = {
+        r["doc_id"] for r in dedup.incremental_dedup(new, index).collect()
+    }
+    # doc 1 (exact dup of corpus doc 0) always collides; doc 4 (unrelated
+    # french) never does; doc 2 (near dup) may or may not band-collide
+    assert 1 not in survivors
+    assert 4 in survivors
+    assert survivors <= {2, 4}
+    # appending survivors + their index rows keeps the loop closed
+    new_index_rows = dedup.band_buckets(new.join(
+        spark.createDataFrame([(i,) for i in survivors], ["doc_id"]), "doc_id"
+    ))
+    assert set(new_index_rows.columns) == {"doc_id", "band", "bucket"}
