@@ -43,6 +43,7 @@ _PRIORITY = [
     "pipeline_corpus_shuffle",
     "pipeline_length_buckets",
     "dedup_incremental",
+    "dedup_keep_best",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",

@@ -667,3 +667,43 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: from each near-dup cluster keep
+    the single highest-``quality_col`` row (ties → smallest id, so the
+    choice is deterministic).
+
+    ``clusters`` is a :func:`connected_components` result (id, component).
+    "Keep first" discards information; keeping the best-quality member is
+    the standard curation policy.  One broadcast-or-keyed join to attach
+    components plus one ``max_by`` aggregate per cluster — both shuffles
+    are id/component-keyed and skew-free (cluster sizes are near-dup
+    cliques, naturally bounded).
+    """
+    joined = df.join(
+        clusters.select(F.col("id").alias(id_col), "component"), id_col
+    )
+    # max_by with a composite (quality, -id) struct: deterministic winner;
+    # the aggregate's key is re-aliased so the join back to `joined` (same
+    # lineage) is unambiguous
+    best = (
+        joined.groupBy("component")
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(F.col(quality_col), -F.col(id_col).cast("double")),
+            ).alias("__keep_id")
+        )
+        .select(F.col("component").alias("__comp"), "__keep_id")
+    )
+    return (
+        joined.join(best, F.col("component").eqNullSafe(F.col("__comp")), "inner")
+        .filter(F.col(id_col) == F.col("__keep_id"))
+        .select(*df.columns, "component")
+    )

@@ -3717,3 +3717,42 @@ def dedup_incremental(spark, sf_dir):
     return dedup.incremental_dedup(new, index, hash_fn="md5_60").select(
         "doc_id", "source"
     )
+
+
+@q(
+    "dedup_keep_best",
+    None,  # placeholder; real SQL assigned below (wraps the clusters oracle)
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection: within each near-dup cluster keep
+    the longest document (n_chars; ties → smallest doc_id) — composition of
+    the cluster closure with a per-cluster max_by.  The curation policy
+    that replaces naive keep-first."""
+    from pdtable_spark.operators import dedup as _dedup
+
+    d = load(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(d, shingle_n=5, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comp = _dedup.connected_components(pairs, d.select(F.col("doc_id").alias("id")))
+    kept = _dedup.keep_best_per_cluster(
+        d.select("doc_id", "source", "n_chars"), comp, quality_col="n_chars"
+    )
+    return kept.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"), "component"
+    )
+
+
+# the oracle wraps dedup_clusters' recursive-CTE closure (kept verbatim in
+# one place) with an arg_max per component over (n_chars, -doc_id)
+ORACLES["dedup_keep_best"] = f"""
+    WITH clusters AS ({ORACLES["dedup_clusters"]})
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars, c.component
+    FROM documents d
+    JOIN clusters c ON c.doc_id = d.doc_id
+    WHERE d.doc_id = (
+      SELECT arg_max(d2.doc_id, CAST(d2.n_chars AS DOUBLE) * 1000000000 - d2.doc_id)
+      FROM documents d2 JOIN clusters c2 ON c2.doc_id = d2.doc_id
+      WHERE c2.component = c.component
+    )
+"""

@@ -699,3 +699,18 @@ def test_incremental_dedup_against_persisted_index(spark, docs, tmp_path):
         spark.createDataFrame([(i,) for i in survivors], ["doc_id"]), "doc_id"
     ))
     assert set(new_index_rows.columns) == {"doc_id", "band", "bucket"}
+
+
+def test_keep_best_per_cluster(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (7, 5.0)], ["doc_id", "quality"]
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], ["id", "component"]
+    )
+    kept = {
+        (r["doc_id"], r["component"])
+        for r in dedup.keep_best_per_cluster(df, clusters, "quality").collect()
+    }
+    # cluster 1: max quality ties (2, 3) -> smallest id wins; singleton kept
+    assert kept == {(2, 1), (7, 7)}
