@@ -108,6 +108,86 @@ def rhp_bucket(vec_col, planes: List[List[float]]):
     return bucket
 
 
+def _rhp_tables(dim: int, bits_per_table: int, num_tables: int, seed: int):
+    """The deterministic hyperplane family shared by index build and query
+    time — both sides regenerate identical planes from the parameters, so
+    an index persisted yesterday answers today's queries."""
+    return [
+        _lcg_hyperplanes(dim, bits_per_table, seed + 1000 * t) for t in range(num_tables)
+    ]
+
+
+def _bucketize(df: DataFrame, id_: str, vec_col: str, out_vec: str, tables) -> DataFrame:
+    d = df.select(F.col(id_), _as_double(F.col(vec_col)).alias(out_vec))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), rhp_bucket(F.col(out_vec), tables[t]).alias("bkt")
+            )
+            for t in range(len(tables))
+        ]
+    )
+    return d.select(id_, out_vec, F.explode(entries).alias("e")).select(
+        id_, out_vec, F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt")
+    )
+
+
+def ann_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits_per_table: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistable RHP-LSH index of an embedding corpus: one
+    (id, vec, tbl, bkt) row per vector per hyperplane table.
+
+    This is what makes ANN serving incremental at 100 TB: build once,
+    write ``partitionBy("tbl", "bkt")``, and query batches read ONLY the
+    matching bucket partitions (partition-pruned scan, no corpus pass);
+    new corpus batches append their own rows without touching the rest.
+    The hyperplane family is a pure function of (dim, bits_per_table,
+    num_tables, seed) — pass the same parameters to :func:`ann_query`.
+    """
+    tables = _rhp_tables(dim, bits_per_table, num_tables, seed)
+    return _bucketize(corpus, id_col, vec_col, "vec", tables)
+
+
+def ann_query(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    bits_per_table: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k against a persisted :func:`ann_index` frame:
+    bucketize the (small, broadcast) query batch with the same hyperplane
+    parameters, join on (tbl, bkt), exact-cosine re-rank."""
+    tables = _rhp_tables(dim, bits_per_table, num_tables, seed)
+    qb = _bucketize(queries, query_id_col, vec_col, "q_vec", tables)
+    cand = (
+        index.join(F.broadcast(qb), on=["tbl", "bkt"])
+        .select(query_id_col, id_col, "q_vec", "vec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col("q_vec"), F.col("vec")).alias("cosine_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
 def rhp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,45 +201,14 @@ def rhp_lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in any of
-    ``num_tables`` hyperplane tables, then exact cosine re-rank.
-
-    At 100 TB the corpus bucketing is computed once and persisted
-    (write with ``partitionBy(table, bucket)``); queries then read only
-    matching buckets — a partition-pruned scan instead of a full pass.
+    ``num_tables`` hyperplane tables, then exact cosine re-rank — the
+    one-shot composition of :func:`ann_index` + :func:`ann_query` (use
+    those directly to persist the index across query batches).
     """
-    tables = [
-        _lcg_hyperplanes(dim, bits_per_table, seed + 1000 * t) for t in range(num_tables)
-    ]
-
-    def bucketize(df: DataFrame, id_: str, out_vec: str) -> DataFrame:
-        d = df.select(F.col(id_), _as_double(F.col(vec_col)).alias(out_vec))
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"), rhp_bucket(F.col(out_vec), tables[t]).alias("bkt")
-                )
-                for t in range(num_tables)
-            ]
-        )
-        return d.select(id_, out_vec, F.explode(entries).alias("e")).select(
-            id_, out_vec, F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt")
-        )
-
-    cb = bucketize(corpus, id_col, "c_vec")
-    qb = bucketize(queries, query_id_col, "q_vec")
-    cand = (
-        cb.join(F.broadcast(qb), on=["tbl", "bkt"])
-        .select(query_id_col, id_col, "q_vec", "c_vec")
-        .dropDuplicates([query_id_col, id_col])
-    )
-    scored = cand.select(
-        query_id_col, id_col, cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim")
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", "rank")
+    idx = ann_index(corpus, id_col, vec_col, dim, bits_per_table, num_tables, seed)
+    return ann_query(
+        idx, queries, k, id_col, vec_col, query_id_col, dim, bits_per_table,
+        num_tables, seed,
     )
 
 

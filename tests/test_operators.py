@@ -714,3 +714,26 @@ def test_keep_best_per_cluster(spark):
     }
     # cluster 1: max quality ties (2, 3) -> smallest id wins; singleton kept
     assert kept == {(2, 1), (7, 7)}
+
+
+def test_ann_index_persists_and_answers_queries(spark, tmp_path):
+    """Index/query split: a persisted ann_index answers ann_query with
+    exactly the one-shot rhp_lsh_topk result (same hyperplane family)."""
+    from pdtable_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    p = str(tmp_path / "ann_idx")
+    sim.ann_index(emb, dim=16).write.partitionBy("tbl", "bkt").parquet(p)
+    idx = spark.read.parquet(p)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in sim.ann_query(idx, queries, k=5, dim=16).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in sim.rhp_lsh_topk(emb, queries, k=5, dim=16).collect()
+    }
+    assert got == want and len(got) > 0
