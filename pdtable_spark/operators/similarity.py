@@ -259,6 +259,92 @@ def embedding_near_dups(
 # ---------------------------------------------------------------------------
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> List[List[float]]:
+    """Train IVF cell centroids with ``pyspark.ml`` KMeans (on a sample at
+    scale).  The result is the tiny driver-side artifact (n_cells×dim
+    floats — KBs) to store next to an :func:`ivf_index` parquet (e.g. as
+    JSON) so query batches rebuild the exact cell geometry."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(_as_double(F.col(vec_col)).alias("arr"))
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features")
+    model = km.fit(train.select(array_to_vector("arr").alias("features")))
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _cell_ranking(vec, cents: List[List[float]]):
+    """Array of cell ids sorted by ascending squared distance to ``vec``."""
+
+    def dist2(v, center: List[float]):
+        c = F.array(*[F.lit(x) for x in center])
+        diff = F.zip_with(v, c, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, v_: acc + v_)
+
+    scored = F.array(
+        *[
+            F.struct(dist2(vec, cents[i]).alias("d"), F.lit(i).alias("cell"))
+            for i in range(len(cents))
+        ]
+    )
+    return F.transform(F.sort_array(scored), lambda s: s["cell"])
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable IVF index: each vector assigned to its nearest cell
+    → (id, vec, cell).  Write ``partitionBy("cell")`` once; each query
+    batch then scans only its ``nprobe`` probed cells (partition-pruned),
+    and new corpus batches append their own cell assignments."""
+    cents = [[float(x) for x in c] for c in centroids]
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    return c.withColumn("cell", F.element_at(_cell_ranking(F.col("vec"), cents), 1))
+
+
+def ivf_query(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: List[List[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k against a persisted :func:`ivf_index`: each query probes its
+    ``nprobe`` nearest cells (broadcast join on cell id), exact cosine
+    re-rank inside the probed cells."""
+    cents = [[float(x) for x in c] for c in centroids]
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("q_vec"))
+    q = q.select(
+        query_id_col,
+        "q_vec",
+        F.explode(F.slice(_cell_ranking(F.col("q_vec"), cents), 1, nprobe)).alias("cell"),
+    )
+    scored = (
+        index.join(F.broadcast(q), on="cell")
+        .select(query_id_col, id_col, cosine(F.col("q_vec"), F.col("vec")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -272,63 +358,16 @@ def ivf_topk(
     sample_fraction: float = 1.0,
     centroids: Optional[List[List[float]]] = None,
 ) -> DataFrame:
-    """IVF approximate top-k: k-means cells over the corpus, queries probe
-    the ``nprobe`` nearest cells, exact cosine re-rank inside probed cells.
+    """IVF approximate top-k — the one-shot composition of
+    :func:`ivf_train_centroids` + :func:`ivf_index` + :func:`ivf_query`
+    (use those directly to persist the index across query batches).
 
-    Centroids are trained with ``pyspark.ml`` KMeans (on a sample at scale)
-    and travel to executors as column literals (n_cells×dim floats — KBs).
     Pass ``centroids`` explicitly to skip training (IVF-flat with fixed
     seeds — e.g. FAISS-style sampled init without Lloyd refinement; also
     what makes the suite query deterministic enough for a cross-engine
-    value oracle).  At 100 TB: persist the corpus partitioned by cell id
-    once (``partitionBy("cell")``), and each query batch becomes a
-    partition-pruned scan of ``nprobe/n_cells`` of the data.
+    value oracle).
     """
-    if centroids is not None:
-        cents = [[float(x) for x in c] for c in centroids]
-    else:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        train = corpus.select(_as_double(F.col(vec_col)).alias("arr"))
-        if sample_fraction < 1.0:
-            train = train.sample(fraction=sample_fraction, seed=seed)
-        km = KMeans(k=n_cells, seed=seed, featuresCol="features")
-        model = km.fit(train.select(array_to_vector("arr").alias("features")))
-        cents = [[float(x) for x in c] for c in model.clusterCenters()]
-
-    def dist2(vec, center: List[float]):
-        c = F.array(*[F.lit(x) for x in center])
-        diff = F.zip_with(vec, c, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
-
-    def cell_ranking(vec):
-        """array of cell ids sorted by ascending distance to ``vec``."""
-        scored = F.array(
-            *[
-                F.struct(dist2(vec, cents[i]).alias("d"), F.lit(i).alias("cell"))
-                for i in range(len(cents))
-            ]
-        )
-        return F.transform(F.sort_array(scored), lambda s: s["cell"])
-
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec"))
-    c = c.withColumn("cell", F.element_at(cell_ranking(F.col("c_vec")), 1))
-
-    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("q_vec"))
-    q = q.select(
-        query_id_col,
-        "q_vec",
-        F.explode(F.slice(cell_ranking(F.col("q_vec")), 1, nprobe)).alias("cell"),
-    )
-
-    scored = (
-        c.join(F.broadcast(q), on="cell")
-        .select(query_id_col, id_col, cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"))
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", "rank")
-    )
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, vec_col, n_cells, seed, sample_fraction)
+    idx = ivf_index(corpus, centroids, id_col, vec_col)
+    return ivf_query(idx, queries, centroids, k, id_col, vec_col, query_id_col, nprobe)

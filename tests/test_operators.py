@@ -737,3 +737,32 @@ def test_ann_index_persists_and_answers_queries(spark, tmp_path):
         for r in sim.rhp_lsh_topk(emb, queries, k=5, dim=16).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ivf_index_persists_and_answers_queries(spark, tmp_path):
+    """IVF index/query split round-trips: persisted (cell-partitioned)
+    index + stored centroids reproduce the one-shot ivf_topk exactly."""
+    import json
+
+    from pdtable_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    cents = sim.ivf_train_centroids(emb, n_cells=4, seed=7)
+    p = str(tmp_path / "ivf_idx")
+    sim.ivf_index(emb, cents).write.partitionBy("cell").parquet(p)
+    (tmp_path / "centroids.json").write_text(json.dumps(cents))
+
+    reloaded = json.loads((tmp_path / "centroids.json").read_text())
+    idx = spark.read.parquet(p)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in sim.ivf_query(idx, queries, reloaded, k=5, nprobe=2).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in sim.ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents).collect()
+    }
+    assert got == want and len(got) > 0
