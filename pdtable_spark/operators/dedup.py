@@ -306,6 +306,21 @@ def band_buckets(
     return _band_bucket_frame(sig, id_col, num_hashes, bands, hash_fn)
 
 
+def shingle_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The persistable per-doc shingle-set relation (id, sh) that verified
+    incremental dedup reads: 64-bit shingle hashes in production (~8 B per
+    shingle), gram strings in ``md5_60`` verification mode.  Write it next
+    to the :func:`band_buckets` index (same partitioning by ingest batch);
+    a corpus is shingled exactly once, at indexing time."""
+    return _shingle_sets(df, text_col, id_col, shingle_n, hash_fn, "sh")
+
+
 def incremental_dedup(
     new_df: DataFrame,
     corpus_index: DataFrame,
@@ -315,28 +330,92 @@ def incremental_dedup(
     bands: int = 4,
     shingle_n: int = 5,
     hash_fn: str = "xxhash64",
+    verify_threshold: Optional[float] = None,
+    corpus_shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """Rows of ``new_df`` that collide with NO corpus document in any LSH
-    band — the continuous-ingestion dedup step: survivors are safe to
-    append to the corpus (and their :func:`band_buckets` rows to the index).
+    """Rows of ``new_df`` that near-duplicate NO corpus document — the
+    continuous-ingestion dedup step: survivors can be appended to the
+    corpus (and their :func:`band_buckets` rows to the index).
 
     ``corpus_index`` is a previously persisted :func:`band_buckets` frame.
-    Plan: hash only the new batch, semi-join its bucket rows against the
-    index on (band, bucket) — a key-pruned join against a bucketed table,
+    Plan: hash only the new batch, join its bucket rows against the index
+    on (band, bucket) — a key-pruned join against a bucketed table,
     shuffling just the new batch — then anti-join the collided ids.  No
     all-pairs work and no corpus rescan anywhere.
+
+    Two modes:
+
+    - ``verify_threshold=None`` (collision-only): ANY single band collision
+      drops the new document.  Cheapest, but the false-positive drop rate
+      is the raw LSH band rate — unrelated documents that happen to share
+      one band bucket are lost.
+    - ``verify_threshold=t`` (verified): band collisions only *nominate*
+      (new_id, corpus_id) candidate pairs; each is confirmed with exact
+      Jaccard over shingle sets (the same verification
+      :func:`minhash_dedup` applies) and the new doc is dropped only when
+      some confirmed pair reaches ``t``.  Requires ``corpus_shingles`` — a
+      persisted :func:`shingle_store` frame; only the candidate corpus ids'
+      sets are joined (bucket-pruned), so there is still no corpus rescan.
+
+    Caveat (both modes): only new-vs-corpus duplication is checked.  Two
+    mutual near-dups *within the same new batch* both survive — run
+    :func:`minhash_dedup` (or :func:`exact_dedup`) over the survivors
+    before appending if intra-batch duplicates are possible.
     """
-    new_buckets = band_buckets(
-        new_df, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
-    )
-    collided = (
-        new_buckets.join(
-            corpus_index.select("band", "bucket"), ["band", "bucket"], "left_semi"
+    if verify_threshold is None:
+        new_buckets = band_buckets(
+            new_df, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
         )
+        collided = (
+            new_buckets.join(
+                corpus_index.select("band", "bucket"), ["band", "bucket"], "left_semi"
+            )
+            .select(id_col)
+            .distinct()
+        )
+        return new_df.join(collided, id_col, "left_anti")
+
+    if corpus_shingles is None:
+        raise ValueError(
+            "verify_threshold requires corpus_shingles (a persisted "
+            "shingle_store frame for the indexed corpus)"
+        )
+    # shingle the new batch ONCE; signature and verification both read it
+    new_sets = _shingle_sets(new_df, text_col, id_col, shingle_n, hash_fn, "sh")
+    if hash_fn == "md5_60":
+        sig_in = new_sets.select(F.col(id_col), _md5_hash_pairs(F.col("sh")).alias("__hp"))
+        sig = sig_in.select(F.col(id_col), *_signature_cols(F.col("__hp"), num_hashes, hash_fn))
+    else:
+        sig = new_sets.select(F.col(id_col), *_signature_cols(F.col("sh"), num_hashes, hash_fn))
+    new_buckets = _band_bucket_frame(sig, id_col, num_hashes, bands, hash_fn)
+    cand = (
+        new_buckets.join(
+            corpus_index.select(
+                F.col(id_col).alias("__corpus_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select(F.col(id_col), F.col("__corpus_id"))
+        .distinct()
+    )
+    dropped = (
+        cand.join(new_sets.withColumnRenamed("sh", "sh_new"), id_col)
+        .join(
+            corpus_shingles.select(
+                F.col(id_col).alias("__corpus_id"), F.col("sh").alias("sh_corpus")
+            ),
+            "__corpus_id",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_new", "sh_corpus")).cast("double"))
+        .withColumn(
+            "uni",
+            (F.size("sh_new") + F.size("sh_corpus")).cast("double") - F.col("inter"),
+        )
+        .filter(F.col("inter") / F.col("uni") >= verify_threshold)
         .select(id_col)
         .distinct()
     )
-    return new_df.join(collided, id_col, "left_anti")
+    return new_df.join(dropped, id_col, "left_anti")
 
 
 def minhash_dedup(
@@ -682,28 +761,21 @@ def keep_best_per_cluster(
     ``clusters`` is a :func:`connected_components` result (id, component).
     "Keep first" discards information; keeping the best-quality member is
     the standard curation policy.  One broadcast-or-keyed join to attach
-    components plus one ``max_by`` aggregate per cluster — both shuffles
+    components plus one ``row_number`` window per cluster — both shuffles
     are id/component-keyed and skew-free (cluster sizes are near-dup
-    cliques, naturally bounded).
+    cliques, naturally bounded, so the per-component window task buffers a
+    clique, not a corpus).  The (quality desc, id asc) ordering is exact
+    for ANY orderable id type — no numeric cast, so string ids and ids
+    above 2⁵³ tie-break deterministically too.
     """
     joined = df.join(
         clusters.select(F.col("id").alias(id_col), "component"), id_col
     )
-    # max_by with a composite (quality, -id) struct: deterministic winner;
-    # the aggregate's key is re-aliased so the join back to `joined` (same
-    # lineage) is unambiguous
-    best = (
-        joined.groupBy("component")
-        .agg(
-            F.max_by(
-                F.col(id_col),
-                F.struct(F.col(quality_col), -F.col(id_col).cast("double")),
-            ).alias("__keep_id")
-        )
-        .select(F.col("component").alias("__comp"), "__keep_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality_col), F.asc(id_col)
     )
     return (
-        joined.join(best, F.col("component").eqNullSafe(F.col("__comp")), "inner")
-        .filter(F.col(id_col) == F.col("__keep_id"))
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
         .select(*df.columns, "component")
     )

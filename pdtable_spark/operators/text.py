@@ -240,19 +240,32 @@ def tfidf_keywords(
     id_col: str = "doc_id",
     k: int = 3,
     round_digits: int | None = None,
+    df_mode: str = "window",
 ) -> DataFrame:
     """Per-document top-``k`` TF-IDF terms: (id, term, tf, df, score, rank).
 
     score = tf · ln(N / df) with ties broken by term (total order → stable
     top-k).  Plan shape: ONE explode + (id, term) partial-count shuffle
-    builds the postings; document frequency is a term-partitioned window
-    count over those postings (one row per (doc, term) means rows-per-term
-    IS count-distinct-docs), so the corpus is tokenized exactly once and
-    there is no postings⋈vocabulary join at all — measured 2× over the
-    two-pass aggregate+join spelling at 10× scale.  The term window
-    shuffles on the same vocabulary key the join would have; term skew
-    (stopwords) is bounded by per-doc dedup of nothing — counts, not
-    buffered rows.  The final per-doc rank is one window over the id key.
+    builds the postings (the corpus is tokenized exactly once); document
+    frequency over those postings (one row per (doc, term) means
+    rows-per-term IS count-distinct-docs) has two spellings, selected by
+    ``df_mode``:
+
+    - ``"window"``: a term-partitioned window count — no
+      postings⋈vocabulary join at all (measured 2× over the join spelling
+      at bench scale).  BUT ``WindowExec`` buffers each term's postings in
+      ONE task with no map-side partial aggregation, so a stopword term
+      ("the", ~every doc) becomes a single straggler task holding ~n_docs
+      rows.  Right for corpora whose hottest term's postings fit one task
+      comfortably — i.e. up to tens of millions of documents.
+    - ``"aggregate"``: ``groupBy(term).count()`` + join back.  The count
+      partially aggregates map-side (each task emits one row per local
+      term, so the df shuffle is vocabulary-sized regardless of skew) and
+      AQE broadcasts the vocabulary side of the join when it is small.
+      The 100-TB spelling: no single task ever buffers a hot term.
+
+    The final per-doc rank is one window over the id key (per-doc row
+    counts are bounded by document length — no skew analog there).
 
     ``round_digits`` is the cross-engine verification mode: JVM ``Math.log``
     and libm ``log`` may differ in the last ulp, so for value-oracle
@@ -261,17 +274,20 @@ def tfidf_keywords(
     """
     from pyspark.sql import Window
 
+    if df_mode not in ("window", "aggregate"):
+        raise ValueError(f"df_mode must be 'window' or 'aggregate', got {df_mode!r}")
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-        .join(F.broadcast(n_docs))
-        .withColumn(
-            "score",
-            F.col("tf").cast("double")
-            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
-        )
+    if df_mode == "window":
+        with_df = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    else:
+        term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        with_df = tf.join(term_df, "term")
+    scored = with_df.join(F.broadcast(n_docs)).withColumn(
+        "score",
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
     )
     if round_digits is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), round_digits))

@@ -3744,15 +3744,62 @@ def dedup_keep_best(spark, sf_dir):
 
 
 # the oracle wraps dedup_clusters' recursive-CTE closure (kept verbatim in
-# one place) with an arg_max per component over (n_chars, -doc_id)
+# one place) with a per-component row_number over (n_chars DESC, doc_id ASC)
+# — the same lexicographic ordering the Spark window uses, exact for any id
+# range (a packed-double score would lose integer resolution past ~9e6 chars)
 ORACLES["dedup_keep_best"] = f"""
-    WITH clusters AS ({ORACLES["dedup_clusters"]})
-    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars, c.component
-    FROM documents d
-    JOIN clusters c ON c.doc_id = d.doc_id
-    WHERE d.doc_id = (
-      SELECT arg_max(d2.doc_id, CAST(d2.n_chars AS DOUBLE) * 1000000000 - d2.doc_id)
-      FROM documents d2 JOIN clusters c2 ON c2.doc_id = d2.doc_id
-      WHERE c2.component = c.component
+    WITH clusters AS ({ORACLES["dedup_clusters"]}),
+    scored AS (
+      SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+             c.component,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, d.doc_id ASC
+             ) AS rn
+      FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
     )
+    SELECT doc_id, source, n_chars, component FROM scored WHERE rn = 1
 """
+
+
+@q(
+    "dedup_incremental_verified",
+    f"""
+    WITH {_sql_band_index(16, 4)},
+    cand AS (
+      SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+      FROM bands nb JOIN bands cb
+        ON cb.band = nb.band AND cb.bucket = nb.bucket AND cb.doc_id % 2 = 0
+      WHERE nb.doc_id % 2 = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT cand.new_id
+      FROM cand
+      JOIN base ba ON ba.doc_id = cand.new_id
+      JOIN base bb ON bb.doc_id = cand.corpus_id
+      WHERE CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
+              / CAST(len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
+            >= 0.5
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT new_id FROM dropped)
+    """,
+)
+def dedup_incremental_verified(spark, sf_dir):
+    """Verified continuous-ingestion dedup: band collisions against the
+    persisted corpus index only NOMINATE (new, corpus) candidate pairs;
+    each is confirmed with exact Jaccard over persisted shingle sets
+    (shingle_store) before the new doc is dropped — the false-positive
+    drop rate of the collision-only mode goes to zero while the plan stays
+    corpus-rescan-free (only bucket-pruned candidate ids join the shingle
+    store).  md5_60 mode so DuckDB reproduces every stage."""
+    from pdtable_spark.operators import dedup
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    index = dedup.band_buckets(corpus, hash_fn="md5_60")
+    store = dedup.shingle_store(corpus, hash_fn="md5_60")
+    return dedup.incremental_dedup(
+        new, index, hash_fn="md5_60", verify_threshold=0.5, corpus_shingles=store
+    ).select("doc_id", "source")

@@ -208,3 +208,71 @@ def test_pack_budget_partition_cols(spark):
         ids = sorted({r.pack_id for r in out if r.shard == s})
         assert ids[0] == 0
         assert ids == list(range(len(ids)))
+
+
+# --- TF-IDF document frequency: skew-safe aggregate spelling ---------------
+
+
+def _skewed_docs(spark, n=120):
+    # "the" appears in EVERY doc (the stopword hot key); w{i%7} spreads the rest
+    rows = [(i, f"the quick brown w{i % 7} w{i % 7} fox{i % 11}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+
+def test_tfidf_aggregate_matches_window(spark):
+    """Both df spellings must produce identical top-k results."""
+    from pdtable_spark.operators import text
+
+    docs = _skewed_docs(spark)
+    agg = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df)
+        for r in text.tfidf_keywords(docs, k=3, round_digits=6, df_mode="aggregate").collect()
+    }
+    win = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df)
+        for r in text.tfidf_keywords(docs, k=3, round_digits=6, df_mode="window").collect()
+    }
+    assert agg == win and len(agg) > 0
+
+
+def test_tfidf_aggregate_df_stage_is_partial_aggregated(spark):
+    """The aggregate spelling's document-frequency stage must partially
+    aggregate map-side (partial_count over the term key BEFORE the
+    exchange) — the structural property that keeps a stopword term from
+    collapsing into one task.  The window spelling, by contrast, buffers
+    each term's postings inside a single WindowExec task (fine at bench
+    scale, the documented 100× limitation)."""
+    from pdtable_spark.operators import text
+
+    docs = _skewed_docs(spark)
+    plan = (
+        text.tfidf_keywords(docs, k=3, df_mode="aggregate")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan, plan
+    assert "hashpartitioning(term" in plan, plan
+    # and the final per-term count must NOT be a single-partition exchange
+    assert "SinglePartition" not in plan.split("Window")[0], plan
+
+
+def test_tfidf_aggregate_df_stage_multi_task(spark):
+    """Data-path proof: with AQE coalescing pinned off, the df aggregation
+    of a maximally skewed corpus (every doc contains 'the') still executes
+    across multiple non-empty tasks in aggregate mode."""
+    from pdtable_spark.operators import text
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        docs = _skewed_docs(spark)
+        toks = docs.select(
+            F.col("doc_id"), F.explode(text.tokens(F.col("text"))).alias("term")
+        )
+        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        # the df stage exactly as tfidf_keywords(df_mode="aggregate") builds it
+        term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        parts = term_df.rdd.glom().map(len).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert sum(1 for p in parts if p > 0) > 1, parts
