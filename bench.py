@@ -52,10 +52,22 @@ def main():
     # ~cpus tasks (floor 2 MiB — below that, per-task overhead dominates
     # and the sub-MB dimension tables over-split).
     # At production scale files exceed 128 MB and this knob reverts to moot.
+    # A "table" may be a single file OR a directory of part files — size the
+    # largest SCAN, i.e. each top-level entry's recursive parquet byte sum
+    # (a bare dir-inode getsize would collapse mpb to the floor).
     import glob as _glob
 
+    def _table_bytes(entry: str) -> int:
+        if os.path.isfile(entry):
+            return os.path.getsize(entry)
+        return sum(
+            os.path.getsize(p)
+            for p in _glob.glob(os.path.join(entry, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(p)
+        )
+
     largest = max(
-        (os.path.getsize(p) for p in _glob.glob(os.path.join(sf_dir, "*.parquet"))),
+        (_table_bytes(p) for p in _glob.glob(os.path.join(sf_dir, "*.parquet"))),
         default=128 << 20,
     )
     mpb = max(2 << 20, largest // int(cpus))
@@ -75,7 +87,9 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from pdtable_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators import dedup, similarity
     from pdtable_spark.queries.suite import QUERIES, load
 
     BENCH_QUERIES = dict(QUERIES)
@@ -85,6 +99,65 @@ def main():
         load(s, d, "documents"), num_hashes=16, bands=4, jaccard_threshold=0.5
     )
 
+    # --- extended rows: streaming + incremental/serving operators ----------
+    # These measure the STEADY-STATE cost of the continuous paths: the
+    # corpus-side state (LSH band index, shingle store, persisted ANN
+    # index) is built ONCE outside the timed region — that is the whole
+    # point of the incremental designs — and each timed run pays only the
+    # per-batch work (hash the new batch / read the pruned partitions).
+    _state: dict = {}
+
+    def _inc_state(s, d):
+        if "inc" not in _state:
+            docs = load(s, d, "documents")
+            corpus = docs.filter(F.col("doc_id") % 2 == 0)
+            idx = dedup.band_buckets(corpus).cache()
+            store = dedup.shingle_store(corpus).cache()
+            idx.count(), store.count()
+            _state["inc"] = (idx, store)
+        return _state["inc"]
+
+    def bench_dedup_incremental(s, d):
+        idx, _ = _inc_state(s, d)
+        new = load(s, d, "documents").filter(F.col("doc_id") % 2 == 1)
+        return dedup.incremental_dedup(new, idx)
+
+    def bench_dedup_incremental_verified(s, d):
+        idx, store = _inc_state(s, d)
+        new = load(s, d, "documents").filter(F.col("doc_id") % 2 == 1)
+        return dedup.incremental_dedup(
+            new, idx, verify_threshold=0.5, corpus_shingles=store
+        )
+
+    def bench_ann_query_served(s, d):
+        if "ann" not in _state:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="bench_ann_") + "/index"
+            emb = s.read.parquet(f"{d}/embeddings.parquet")
+            similarity.ann_index(emb).write.partitionBy("tbl", "bkt").parquet(path)
+            # the serving process lists the index's partition tree ONCE and
+            # keeps the DataFrame (its InMemoryFileIndex) across batches —
+            # the timed region is the per-batch work: bucketize the queries,
+            # partition-pruned scan, exact re-rank
+            _state["ann"] = s.read.parquet(path)
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        q = emb.limit(16).withColumnRenamed("vec_id", "query_id")
+        return similarity.ann_query(_state["ann"], q, k=10, prune_partitions=True)
+
+    BENCH_QUERIES["dedup_incremental"] = bench_dedup_incremental
+    BENCH_QUERIES["dedup_incremental_verified"] = bench_dedup_incremental_verified
+    BENCH_QUERIES["ann_query_served"] = bench_ann_query_served
+
+    EXTENDED = [
+        "stream_hourly_counts",
+        "stream_funnel_stateful",
+        "dedup_incremental",
+        "dedup_incremental_verified",
+        "ann_query_served",
+        "embedding_lsh_topk",
+    ]
+
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2
     # compiler needs 1-2 executions before a query's generated code runs at
     # steady state (measured: the same tfidf plan goes 6.4 s cold → 0.86 s
@@ -93,11 +166,10 @@ def main():
     spark.range(64).repartition(int(cpus)).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         BENCH_QUERIES[name](spark, sf_dir).count()
 
-    timings = {}
-    for name in HEADLINE:
+    def time_query(name):
         best, n = None, 0
         for _ in range(3):  # min-of-3 over warm runs: robust to VM noise
             t0 = time.time()
@@ -105,9 +177,17 @@ def main():
             n = df.count()
             el = time.time() - t0
             best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        print(f"# {name}: {n} rows in {round(best, 3)}s", file=sys.stderr)
+        return round(best, 3)
 
+    timings = {name: time_query(name) for name in HEADLINE}
+    extended = {name: time_query(name) for name in EXTENDED}
+
+    # "value" stays the HEADLINE-16 total — the round-over-round comparable
+    # series (BENCH_r01..r04 measured exactly this set).  The extended rows
+    # (streaming, incremental dedup, ANN serving) are reported per-query
+    # plus as their own total so their trend is tracked without breaking
+    # the headline series.  See BENCH_NOTES.md.
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -115,7 +195,9 @@ def main():
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {**timings, **extended},
+                "headline16_total": total,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

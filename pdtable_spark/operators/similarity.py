@@ -99,13 +99,43 @@ def _lcg_hyperplanes(dim: int, n_planes: int, seed: int) -> List[List[float]]:
 
 
 def rhp_bucket(vec_col, planes: List[List[float]]):
-    """Sign-bit bucket id of a vector against a list of hyperplanes."""
+    """Sign-bit bucket id of a vector against a list of hyperplanes.
+
+    Pure-column spelling (kept for composability in arbitrary expressions);
+    the operators below use :func:`_rhp_bucket_expr` over a plane MATRIX
+    COLUMN instead — inlining dim×bits literals here builds a
+    thousands-of-nodes Catalyst tree whose analysis costs seconds of
+    driver time per query batch (measured 2.4 s for a 4×8×64 family)."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
         bit = F.when(dot(vec_col, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + bit * F.lit(2 ** i).cast("long")
     return bucket
+
+
+def _rhp_bucket_expr(vec, planes_col):
+    """Bucket id from a plane-matrix COLUMN: Σ 2ⁱ over planes i with
+    dot(vec, planeᵢ) ≥ 0 — bit-identical to :func:`rhp_bucket`, but the
+    planes travel as one row of DATA (broadcast), so the expression tree is
+    ~50 nodes regardless of dim×bits.  2ⁱ accumulates exactly in doubles
+    for i < 53 (bits per table is ≤ ~30 in practice)."""
+    bits = F.transform(
+        planes_col,
+        lambda p, i: F.when(
+            dot(vec, p) >= 0, F.pow(F.lit(2.0), i.cast("double"))
+        ).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(bits, F.lit(0.0), lambda a, v: a + v).cast("long")
+
+
+def _matrix_frame(df: DataFrame, name: str, matrix, depth: int) -> DataFrame:
+    """Attach a small numeric matrix to every row of ``df`` as ONE column of
+    nested-array DATA via a broadcast single-row cross join — the
+    plan-size-safe alternative to inlining it as per-element literals."""
+    schema = f"{name}: " + "array<" * depth + "double" + ">" * depth
+    one = df.sparkSession.createDataFrame([(matrix,)], schema)
+    return df.crossJoin(F.broadcast(one))
 
 
 def _rhp_tables(dim: int, bits_per_table: int, num_tables: int, seed: int):
@@ -119,13 +149,13 @@ def _rhp_tables(dim: int, bits_per_table: int, num_tables: int, seed: int):
 
 def _bucketize(df: DataFrame, id_: str, vec_col: str, out_vec: str, tables) -> DataFrame:
     d = df.select(F.col(id_), _as_double(F.col(vec_col)).alias(out_vec))
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"), rhp_bucket(F.col(out_vec), tables[t]).alias("bkt")
-            )
-            for t in range(len(tables))
-        ]
+    d = _matrix_frame(d, "__rhp_tables", [[[float(x) for x in p] for p in t] for t in tables], 3)
+    entries = F.transform(
+        F.col("__rhp_tables"),
+        lambda tbl, t: F.struct(
+            t.cast("int").alias("tbl"),
+            _rhp_bucket_expr(F.col(out_vec), tbl).alias("bkt"),
+        ),
     )
     return d.select(id_, out_vec, F.explode(entries).alias("e")).select(
         id_, out_vec, F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt")
@@ -166,12 +196,33 @@ def ann_query(
     bits_per_table: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    prune_partitions: bool = False,
 ) -> DataFrame:
     """Approximate top-k against a persisted :func:`ann_index` frame:
     bucketize the (small, broadcast) query batch with the same hyperplane
-    parameters, join on (tbl, bkt), exact-cosine re-rank."""
+    parameters, join on (tbl, bkt), exact-cosine re-rank.
+
+    ``prune_partitions=True`` is the serving path for an index persisted
+    with ``partitionBy("tbl", "bkt")``: the query batch's bucket keys are
+    collected driver-side (bounded by construction — ``n_queries ×
+    num_tables`` rows of two ints; ANN serving batches are small) and
+    applied to the index as a LITERAL partition predicate, so the scan is
+    pruned at file-index time — only the matching bucket directories are
+    even listed.  This does not rely on runtime dynamic partition pruning,
+    which Spark skips when the broadcast side carries no selective filter.
+    """
     tables = _rhp_tables(dim, bits_per_table, num_tables, seed)
     qb = _bucketize(queries, query_id_col, vec_col, "q_vec", tables)
+    if prune_partitions:
+        keys = qb.select("tbl", "bkt").distinct().collect()
+        by_tbl: dict = {}
+        for r in keys:
+            by_tbl.setdefault(r.tbl, []).append(r.bkt)
+        cond = None
+        for t, bkts in sorted(by_tbl.items()):
+            c = (F.col("tbl") == t) & F.col("bkt").isin(bkts)
+            cond = c if cond is None else (cond | c)
+        index = index.filter(cond) if cond is not None else index.limit(0)
     cand = (
         index.join(F.broadcast(qb), on=["tbl", "bkt"])
         .select(query_id_col, id_col, "q_vec", "vec")
@@ -235,8 +286,11 @@ def embedding_near_dups(
     from pdtable_spark.operators.dedup import bucket_pairs
 
     planes = _lcg_hyperplanes(dim, bits, seed)
-    d = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).withColumn(
-        "bkt", rhp_bucket(F.col("v"), planes)
+    d = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    d = (
+        _matrix_frame(d, "__planes", [[float(x) for x in p] for p in planes], 2)
+        .withColumn("bkt", _rhp_bucket_expr(F.col("v"), F.col("__planes")))
+        .drop("__planes")
     )
     pairs = bucket_pairs(
         d,
@@ -281,19 +335,22 @@ def ivf_train_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
-def _cell_ranking(vec, cents: List[List[float]]):
-    """Array of cell ids sorted by ascending squared distance to ``vec``."""
+def _cell_ranking(vec, cents_col):
+    """Array of cell ids sorted by ascending squared distance to ``vec``.
 
-    def dist2(v, center: List[float]):
-        c = F.array(*[F.lit(x) for x in center])
-        diff = F.zip_with(v, c, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diff, F.lit(0.0), lambda acc, v_: acc + v_)
-
-    scored = F.array(
-        *[
-            F.struct(dist2(vec, cents[i]).alias("d"), F.lit(i).alias("cell"))
-            for i in range(len(cents))
-        ]
+    ``cents_col`` is a centroid-matrix COLUMN (see :func:`_matrix_frame`) —
+    element index IS the cell id.  Inlining n_cells×dim literals instead
+    costs seconds of driver-side plan analysis per query batch."""
+    scored = F.transform(
+        cents_col,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v_: acc + v_,
+            ).alias("d"),
+            i.cast("int").alias("cell"),
+        ),
     )
     return F.transform(F.sort_array(scored), lambda s: s["cell"])
 
@@ -310,7 +367,10 @@ def ivf_index(
     and new corpus batches append their own cell assignments."""
     cents = [[float(x) for x in c] for c in centroids]
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
-    return c.withColumn("cell", F.element_at(_cell_ranking(F.col("vec"), cents), 1))
+    c = _matrix_frame(c, "__cents", cents, 2)
+    return c.withColumn(
+        "cell", F.element_at(_cell_ranking(F.col("vec"), F.col("__cents")), 1)
+    ).drop("__cents")
 
 
 def ivf_query(
@@ -328,10 +388,13 @@ def ivf_query(
     re-rank inside the probed cells."""
     cents = [[float(x) for x in c] for c in centroids]
     q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("q_vec"))
+    q = _matrix_frame(q, "__cents", cents, 2)
     q = q.select(
         query_id_col,
         "q_vec",
-        F.explode(F.slice(_cell_ranking(F.col("q_vec"), cents), 1, nprobe)).alias("cell"),
+        F.explode(
+            F.slice(_cell_ranking(F.col("q_vec"), F.col("__cents")), 1, nprobe)
+        ).alias("cell"),
     )
     scored = (
         index.join(F.broadcast(q), on="cell")

@@ -55,15 +55,19 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    # Arrival-type normalization applies ONLY to the probe path: a caller
-    # passing an explicit schema gets exactly the types they asked for (an
-    # intentional `ts long` column must stay raw).
+    # Two normalizations with different scopes:
+    # - bigint ns→µs rewrite: PROBE-ONLY.  A caller passing an explicit
+    #   schema with `ts long` intends a raw integer column and keeps it.
+    # - timestamp_ntz → timestamp cast: ALWAYS (explicit schemas included).
+    #   Watermarks reject ntz (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so an
+    #   ntz event-time column can never feed the streaming operators this
+    #   reader exists for; the cast interprets wall clock in the session tz
+    #   and collect() renders it back in the same tz, so values round-trip
+    #   unchanged.  Callers who need ntz downstream should read with
+    #   spark.readStream directly.
     if probed and dict(df.dtypes).get(ts_col) == "bigint":
         df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
     elif dict(df.dtypes).get(ts_col) == "timestamp_ntz":
-        # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
-        # the cast interprets wall clock in the session tz and collect()
-        # renders it back in the same tz, so values round-trip unchanged
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 

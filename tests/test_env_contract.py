@@ -50,3 +50,41 @@ def test_stream_ts_equals_batch_ts(spark, tmp_path):
     # collect() renders timestamp and timestamp_ntz to the same naive
     # datetimes under a UTC session tz — compare values directly
     assert got == want
+
+
+def test_stream_explicit_ntz_schema_is_cast_to_timestamp(spark, tmp_path):
+    """Documented contract: an EXPLICIT schema requesting timestamp_ntz for
+    the event-time column still arrives as `timestamp` (watermarks reject
+    ntz, so the cast is unconditional), with values unchanged under a UTC
+    session tz.  Only the bigint ns→µs rewrite is probe-only."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    d = tmp_path / "events_ntz"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    batch = read_nanos_parquet(spark, f"{SF_DIR}/events.parquet")
+    if dict(batch.dtypes)["ts"] != "timestamp_ntz":
+        import pytest
+
+        pytest.skip("this Spark build does not surface TIMESTAMP(NANOS) as ntz")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampNTZType()),
+        ]
+    )
+    sdf = read_events_stream(spark, str(d), schema=schema)
+    assert dict(sdf.dtypes)["ts"] == "timestamp"
+    q = run_to_memory(sdf.select("event_id", "ts"), "t_env_ntz")
+    q.stop()
+    got = {r.event_id: r.ts for r in spark.table("t_env_ntz").collect()}
+    want = {r.event_id: r.ts for r in batch.select("event_id", "ts").collect()}
+    assert got == want

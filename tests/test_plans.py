@@ -119,3 +119,34 @@ def test_plan_summary_utility(spark):
     s2 = plan_summary(QUERIES["q5_region_volume"](spark, SF_DIR), executed=True)
     assert s2["broadcast_joins"] >= 3 and s2["sort_merge_joins"] == 0
     assert s2["final_adaptive"] is True
+
+
+def test_ann_index_partitioned_query_prunes_scan(spark, tmp_path):
+    """The ANN serving path: an index persisted partitionBy(tbl, bkt) and
+    queried with prune_partitions=True must carry the query batch's bucket
+    keys as LITERAL PartitionFilters on the index scan (file-index-level
+    pruning — no corpus pass), and return the same rows as the unpruned
+    join."""
+    from pdtable_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ann_index")
+    sim.ann_index(emb).write.partitionBy("tbl", "bkt").parquet(path)
+    loaded = spark.read.parquet(path)
+    q = emb.limit(3).withColumnRenamed("vec_id", "query_id")
+
+    pruned = sim.ann_query(loaded, q, k=5, prune_partitions=True)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "ann_index" in ln
+    ]
+    assert scan_lines, plan
+    filters = scan_lines[0].split("PartitionFilters: ")[1]
+    # literal bucket predicates, not just isnotnull: equality on tbl and an
+    # IN/= over bkt values must both appear in the partition filters
+    assert re.search(r"\(tbl#\d+ = \d+\)", filters), filters
+    assert re.search(r"bkt#\d+ (IN|=) ", filters), filters
+
+    got = {(r.query_id, r.vec_id) for r in pruned.collect()}
+    want = {(r.query_id, r.vec_id) for r in sim.ann_query(loaded, q, k=5).collect()}
+    assert got == want and len(got) > 0
