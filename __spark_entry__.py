@@ -23,6 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Driver-row rotation (the driver reports exactly the first 50 queries).
 #: Policy: OLDEST correctness evidence first, every round.  Round-5 order:
+#: (incl. text_tfidf_agg, the aggregate-df spelling, new this round)
 #: the 14 queries whose only driver row is from r1 (judge-re-verified in r4
 #: but needing fresh driver evidence), then the query NEW this round
 #: (dedup_incremental_verified) and the two whose code/oracle changed this
@@ -48,6 +49,7 @@ _PRIORITY = [
     "dedup_incremental_verified",
     "dedup_keep_best",
     "text_tfidf_keywords",
+    "text_tfidf_agg",
     "dedup_clusters",
     "doc_chunks",
     "embedding_topk",

@@ -2788,6 +2788,21 @@ def text_tfidf_keywords(spark, sf_dir):
     return text.tfidf_keywords(load(spark, sf_dir, "documents"), k=3, round_digits=9)
 
 
+@q("text_tfidf_agg", None)  # oracle assigned below (shared with the window spelling)
+def text_tfidf_agg(spark, sf_dir):
+    """TF-IDF via df_mode="aggregate" — the skew-safe document-frequency
+    spelling for huge corpora (see operators/text.py) — pinned to the same
+    full value oracle as the window spelling end-to-end."""
+    return text.tfidf_keywords(
+        load(spark, sf_dir, "documents"), k=3, round_digits=9, df_mode="aggregate"
+    )
+
+
+# the two df spellings are semantically identical; the aggregate query
+# reuses the window query's oracle verbatim
+ORACLES["text_tfidf_agg"] = ORACLES["text_tfidf_keywords"]
+
+
 _SQL_BIGRAMS = (
     f"list_distinct(CASE WHEN len({_SQL_TOKS}) >= 2 THEN "
     f"list_transform(generate_series(1, greatest(len({_SQL_TOKS}) - 1, 1)), "
