@@ -50,6 +50,7 @@ _PRIORITY = [
     "dedup_keep_best",
     "text_tfidf_keywords",
     "text_tfidf_agg",
+    "pipeline_source_overlap",
     "dedup_clusters",
     "doc_chunks",
     "embedding_topk",

@@ -616,6 +616,69 @@ def contamination_report(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    shingle_n: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Pairwise shingle-overlap matrix between corpus SOURCES — the
+    train-source leakage diagnostic: which ingest sources (crawls, dumps,
+    vendors) share content, and how much.  Returns one row per source pair
+    with any overlap: (source_a, source_b, n_common, n_a, n_b, jaccard)
+    over each source's distinct shingle set, source_a < source_b.
+
+    Plan: ONE corpus-sized shuffle — explode shingles, aggregate per
+    shingle key with ``collect_set(source)`` (map-side partial merge; the
+    set is bounded by the number of sources, a small fixed domain, so no
+    hot-key guard is needed).  Everything downstream is vocabulary-sized:
+    per-source distinct counts come from re-exploding the aggregated
+    frame (NOT a second corpus pass), pair expansion is in-row over the
+    ≤ n_sources set, and the final (a, b) aggregate has at most
+    n_sources² rows.  ``hash_fn="md5_60"`` keeps gram strings so DuckDB
+    reproduces the matrix exactly.
+    """
+    mk = shingles if hash_fn == "md5_60" else shingle_hashes
+    per_g = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(mk(F.col(text_col), shingle_n)).alias("g"),
+        )
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("src")).alias("srcs"))
+    )
+    sizes = (
+        per_g.select(F.explode("srcs").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        per_g.filter(F.size("srcs") > 1)
+        .select(F.explode(_pair_combos(F.col("srcs"))).alias("p"))
+        .select(F.col("p.ea").alias("source_a"), F.col("p.eb").alias("source_b"))
+    )
+    common = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .select("source_a", "source_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering: connected components over a near-dup pair graph
 # ---------------------------------------------------------------------------

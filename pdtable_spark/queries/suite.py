@@ -1484,6 +1484,39 @@ def pipeline_decontaminate(spark, sf_dir):
 
 
 @q(
+    "pipeline_source_overlap",
+    f"""
+    WITH posts AS (
+      SELECT DISTINCT src, g FROM (
+        SELECT source AS src, unnest({_SQL_SHINGLES}) AS g FROM documents
+      )
+    ),
+    sizes AS (SELECT src, COUNT(*) AS n FROM posts GROUP BY src),
+    common AS (
+      SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_common
+      FROM posts a JOIN posts b ON a.g = b.g AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT c.source_a, c.source_b, CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(c.n_common AS DOUBLE) / CAST(sa.n + sb.n - c.n_common AS DOUBLE)
+             AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.src = c.source_a
+    JOIN sizes sb ON sb.src = c.source_b
+    """,
+)
+def pipeline_source_overlap(spark, sf_dir):
+    """Cross-source leakage matrix: distinct-shingle Jaccard between every
+    pair of ingest sources — the curation diagnostic for 'which of my
+    sources duplicate each other'.  One corpus-sized shuffle (per-shingle
+    collect_set over a bounded source domain); all downstream stages are
+    vocabulary- or n_sources²-sized.  md5_60 mode for the value oracle."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.source_overlap(d, shingle_n=5, hash_fn="md5_60")
+
+
+@q(
     "doc_chunks",
     f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),

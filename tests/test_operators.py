@@ -766,3 +766,23 @@ def test_ivf_index_persists_and_answers_queries(spark, tmp_path):
         for r in sim.ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_source_overlap_matrix(spark):
+    """Known-overlap corpus: sources a and b share every shingle, c shares
+    none → exactly one matrix row (a, b) with jaccard 1.0."""
+    from pdtable_spark.operators import dedup
+
+    shared = "w1 w2 w3 w4 w5 w6"
+    rows = [
+        (1, "a", shared),
+        (2, "b", shared),
+        (3, "c", "x1 x2 x3 x4 x5 x6 x7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = dedup.source_overlap(df, shingle_n=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source_a, r.source_b) == ("a", "b")
+    assert r.n_common == 2 and r.n_a == 2 and r.n_b == 2
+    assert r.jaccard == 1.0
