@@ -51,6 +51,8 @@ _PRIORITY = [
     "text_tfidf_keywords",
     "text_tfidf_agg",
     "pipeline_source_overlap",
+    "pipeline_apply_mixture",
+    "pipeline_leakage_safe_split",
     "dedup_clusters",
     "doc_chunks",
     "embedding_topk",

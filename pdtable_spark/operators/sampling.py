@@ -111,3 +111,85 @@ def corpus_shuffle(
     return out.repartitionByRange(n, F.col("shuffle_key")).sortWithinPartitions(
         "shuffle_key"
     )
+
+
+def apply_mixture(
+    df: DataFrame,
+    targets: Dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = 100_000,
+    salt: str = "",
+) -> DataFrame:
+    """Realize a target corpus MIXTURE: downsample each source so the
+    output's per-source proportions match ``targets`` (shares over the
+    listed sources) at the largest total the data allows — the executable
+    counterpart of a mix report.
+
+    The binding source is the one with the smallest ``n_s / share_s``: it
+    is kept in full, and every other source keeps
+    ``share_s · T / n_s`` where ``T = min_s(n_s / share_s)`` is the
+    feasible output total.  Sources absent from ``targets`` are dropped.
+
+    Fully lazy — no driver collect: per-source counts are one tiny
+    aggregate (n_sources rows), the scalar T is a broadcast single-row
+    frame, and membership is the module's content-stable hash test, so
+    the realized mixture is deterministic row-for-row.  Kept counts track
+    ``share_s·T`` within hash-binomial jitter (~√n per source) — exact-k
+    selection would need a per-source rank, i.e. a sort; at 100 TB the
+    jitter is the right trade and is the standard practice.
+    """
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(targets.items())], f"{source_col} string, __share double"
+    )
+    cnt = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    j = cnt.join(F.broadcast(tgt), source_col)
+    t_ = j.select(F.min(F.col("__n") / F.col("__share")).alias("__T"))
+    frac = (
+        j.crossJoin(F.broadcast(t_))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0), F.col("__share") * F.col("__T") / F.col("__n")
+            ).alias("__frac"),
+        )
+    )
+    bucket = md5_60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % F.lit(buckets)
+    return (
+        df.join(F.broadcast(frac), source_col)
+        .filter(bucket.cast("double") < F.col("__frac") * F.lit(float(buckets)))
+        .drop("__frac")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    buckets: int = 100,
+    salt: str = "",
+) -> DataFrame:
+    """Train/val split that near-dup clusters can never straddle: the
+    hash-bucket test is applied to the CLUSTER id, not the document id, so
+    every member of a near-dup clique lands on the same side — the split
+    that actually prevents eval leakage through paraphrases (a plain
+    per-doc split puts near-identical docs on both sides).
+
+    ``clusters`` is a :func:`pdtable_spark.operators.dedup.connected_components`
+    result (id, component); docs missing from it keep their own id as the
+    component (singleton).  One keyed join + the module's content-stable
+    bucket test — no shuffle beyond the join.
+    """
+    comp = clusters.select(F.col("id").alias(id_col), "component")
+    out = df.join(comp, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    bucket = (
+        md5_60(F.concat(F.lit(salt), F.col("component").cast("string"))) % F.lit(buckets)
+    ).cast("int")
+    return out.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_pct, F.lit("train")).otherwise(F.lit("val")),
+    )

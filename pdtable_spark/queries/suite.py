@@ -1558,6 +1558,55 @@ def pipeline_train_split(spark, sf_dir):
 
 
 @q(
+    "pipeline_apply_mixture",
+    f"""
+    WITH tgt(source, share) AS (
+      VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)
+    ),
+    cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    j AS (SELECT c.source, c.n, t.share FROM cnt c JOIN tgt t USING (source)),
+    tt AS (SELECT MIN(n / share) AS t FROM j),
+    frac AS (
+      SELECT j.source, LEAST(1.0, j.share * tt.t / j.n) AS f FROM j, tt
+    )
+    SELECT d.doc_id, d.source FROM documents d JOIN frac ON frac.source = d.source
+    WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 100000 AS DOUBLE) < f * 100000
+    """,
+)
+def pipeline_apply_mixture(spark, sf_dir):
+    """Realize a 50/30/20 target mixture over three sources: the binding
+    source keeps everything, the rest downsample via the content-stable
+    hash test — deterministic mixture materialization, fully lazy (no
+    driver collect)."""
+    from pdtable_spark.operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    return sampling.apply_mixture(
+        d, {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
+@q(
+    "pipeline_leakage_safe_split",
+    None,  # assigned below — wraps the dedup_clusters closure oracle
+)
+def pipeline_leakage_safe_split(spark, sf_dir):
+    """Train/val split hashed on the near-dup CLUSTER id, so paraphrase
+    cliques never straddle the split — the leakage-safe composition of
+    cluster closure + content-stable hash split."""
+    from pdtable_spark.operators import dedup as _dedup
+    from pdtable_spark.operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    pairs = _dedup.ngram_jaccard_pairs(d, shingle_n=5, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comp = _dedup.connected_components(pairs, d.select(F.col("doc_id").alias("id")))
+    return sampling.leakage_safe_split(d.select("doc_id", "source"), comp)
+
+
+@q(
     "pipeline_clean_corpus",
     f"""
     WITH scored AS (
@@ -3807,6 +3856,18 @@ ORACLES["dedup_keep_best"] = f"""
       FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
     )
     SELECT doc_id, source, n_chars, component FROM scored WHERE rn = 1
+"""
+
+# leakage-safe split oracle: the clusters closure + the md5_60 bucket test
+# applied to the COMPONENT id (so a clique's members always agree)
+ORACLES["pipeline_leakage_safe_split"] = f"""
+    WITH clusters AS ({ORACLES["dedup_clusters"]})
+    SELECT d.doc_id, d.source, c.component,
+           CAST({_SQL_MD5_60.format(x="CAST(c.component AS VARCHAR)")} % 100
+                AS INT) AS split_bucket,
+           CASE WHEN {_SQL_MD5_60.format(x="CAST(c.component AS VARCHAR)")} % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
 """
 
 

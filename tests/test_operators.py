@@ -786,3 +786,43 @@ def test_source_overlap_matrix(spark):
     assert (r.source_a, r.source_b) == ("a", "b")
     assert r.n_common == 2 and r.n_a == 2 and r.n_b == 2
     assert r.jaccard == 1.0
+
+
+def test_apply_mixture_binding_source_kept_full(spark):
+    """The binding source (smallest n/share) survives in full; other
+    sources downsample toward share*T/n; sources outside targets drop."""
+    from pdtable_spark.operators import sampling
+
+    rows = [(i, "a" if i < 40 else ("b" if i < 240 else "c"), "t") for i in range(340)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # n_a=40 share .5 -> T=80 binds on a; keep_b = .5*80=40 of 200; c dropped
+    out = sampling.apply_mixture(df, {"a": 0.5, "b": 0.5})
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("a") == 40
+    assert "c" not in got
+    assert 25 <= got.get("b", 0) <= 55  # ~40 within hash-binomial jitter
+    # deterministic: identical row set on re-run
+    again = sampling.apply_mixture(df, {"a": 0.5, "b": 0.5})
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+
+
+def test_leakage_safe_split_clusters_agree(spark):
+    """Every member of a component lands on the same split side; docs
+    absent from the clusters frame fall back to singleton components."""
+    from pdtable_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(60)], "doc_id long, source string"
+    )
+    # components: {0..9}->0, {10..19}->10, rest absent (singletons)
+    clusters = spark.createDataFrame(
+        [(i, 0 if i < 10 else 10) for i in range(20)], "id long, component long"
+    )
+    out = sampling.leakage_safe_split(df, clusters, train_pct=50).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_comp.values())
+    assert len(out) == 60
+    sides = {r.split for r in out}
+    assert sides == {"train", "val"}
