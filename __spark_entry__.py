@@ -47,6 +47,8 @@ _PRIORITY = [
     "text_quality",
     "text_token_count",
     "dedup_incremental_verified",
+    "text_classifier_filter",
+    "embedding_semantic_dedup",
     "dedup_keep_best",
     "text_tfidf_keywords",
     "text_tfidf_agg",

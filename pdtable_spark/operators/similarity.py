@@ -434,3 +434,52 @@ def ivf_topk(
         centroids = ivf_train_centroids(corpus, vec_col, n_cells, seed, sample_fraction)
     idx = ivf_index(corpus, centroids, id_col, vec_col)
     return ivf_query(idx, queries, centroids, k, id_col, vec_col, query_id_col, nprobe)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: Optional[List[List[float]]] = None,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_cell: Optional[int] = 10000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster, then prune within
+    cluster — Abbas et al., arXiv:2303.09540): every embedding is assigned
+    to its nearest centroid cell, and a document is dropped iff some
+    SAME-CELL document with a smaller id is cosine-similar to it at
+    ``>= threshold``.  Returns the surviving ``(id, cell)`` rows.
+
+    100 TB design: clustering restricts the quadratic comparison to cells,
+    so the pair cost is Σ|cell|² rather than n² and the cross-document
+    comparison never leaves a cell.  Plan shape: cell assignment is one
+    scan with the centroid matrix as a broadcast literal (no shuffle);
+    the pair expansion is ONE shuffle on the cell key, with hot cells
+    above ``max_cell`` streaming through a per-cell self-join instead of
+    one collect_list row (:func:`pdtable_spark.operators.dedup.bucket_pairs`);
+    the survivor filter is one anti-join on id.
+
+    ``centroids=None`` trains pyspark.ml KMeans
+    (:func:`ivf_train_centroids`); pass explicit centroids (e.g. the
+    FAISS-style sampled init the suite query uses) for bit-reproducible
+    runs.
+    """
+    from pdtable_spark.operators.dedup import bucket_pairs
+
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, vec_col, n_cells, seed)
+    idx = ivf_index(corpus, centroids, id_col, vec_col)
+    pairs = bucket_pairs(
+        idx,
+        ["cell"],
+        F.struct(F.col(id_col).alias("id"), F.col("vec").alias("v")),
+        max_bucket=max_cell,
+    )
+    drops = (
+        pairs.filter(cosine(F.col("ea.v"), F.col("eb.v")) >= F.lit(float(threshold)))
+        .select(F.col("eb.id").alias(id_col))
+        .distinct()
+    )
+    return idx.join(drops, on=id_col, how="left_anti").select(id_col, "cell")

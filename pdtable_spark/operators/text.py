@@ -445,3 +445,70 @@ def length_bucket_stats(
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prob_col: str = "clf_prob",
+) -> DataFrame:
+    """Model-based quality filtering: a bag-of-words linear classifier
+    (the fastText-style supervised filter used by public curation pipelines
+    such as CCNet / LLaMA data prep) applied at corpus scale.
+
+    ``score = bias + Σ_token weight[lower(token)]`` (every occurrence
+    counts), ``prob = sigmoid(score)``.  Output: the input rows plus
+    ``clf_score`` and ``prob_col`` columns.
+
+    Two execution paths, chosen by the type of ``weights``:
+
+    - ``dict[str, float]`` — the vocabulary travels as a **map literal**
+      and the score is one per-row ``aggregate()`` fold over the token
+      array: zero shuffle, zero join, whole-stage codegen end to end.  At
+      100 TB this is a pure scan+project — the ideal shape.  Right for
+      vocabularies up to ~10k terms (the literal lives in the plan).
+    - ``DataFrame(term, weight)`` — explode tokens, **broadcast**-join the
+      weight table, re-aggregate per document (map-side partial sum), join
+      scores back.  Two shuffles, but the vocabulary can be arbitrarily
+      large-ish (broadcast-bounded); use when the model doesn't fit a plan
+      literal.
+
+    Determinism note: the dict path folds weights in document token order;
+    the DataFrame path sums in shuffle order.  With weights chosen as
+    multiples of 2⁻ⁿ (binary fractions) both sums are exact and the two
+    paths agree bit-for-bit — the convention the test suite pins.
+    """
+    score_name = "clf_score"
+    toks = tokens(F.lower(F.col(text_col)))
+    if isinstance(weights, dict):
+        if not weights:
+            scored = df.withColumn(score_name, F.lit(float(bias)))
+        else:
+            pairs = []
+            for term, w in weights.items():
+                pairs.extend([F.lit(term), F.lit(float(w))])
+            wmap = F.create_map(*pairs)
+            scored = df.withColumn(
+                score_name,
+                F.aggregate(
+                    toks,
+                    F.lit(float(bias)),
+                    lambda acc, t: acc + F.coalesce(wmap[t], F.lit(0.0)),
+                ),
+            )
+    else:
+        exploded = df.select(F.col(id_col), F.explode(toks).alias("__term"))
+        matched = exploded.join(
+            F.broadcast(weights.select(F.col("term").alias("__term"), "weight")),
+            "__term",
+        )
+        sums = matched.groupBy(id_col).agg(F.sum("weight").alias("__wsum"))
+        scored = df.join(sums, id_col, "left").withColumn(
+            score_name, F.lit(float(bias)) + F.coalesce(F.col("__wsum"), F.lit(0.0))
+        ).drop("__wsum")
+    return scored.withColumn(
+        prob_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(score_name)))
+    )

@@ -3912,3 +3912,111 @@ def dedup_incremental_verified(spark, sf_dir):
     return dedup.incremental_dedup(
         new, index, hash_fn="md5_60", verify_threshold=0.5, corpus_shingles=store
     ).select("doc_id", "source")
+
+
+# --- Model-based quality filtering -----------------------------------------
+#
+# Weights are BINARY FRACTIONS (multiples of 2^-6) so per-document weight
+# sums are exact in double regardless of addition order — the dict path
+# (per-row sequential fold) and the oracle's unordered SUM agree
+# bit-for-bit, and keep = (score >= 0) is an exact comparison.
+_CLF_WEIGHTS = {
+    "fast": 2 / 64,
+    "spark": 1 / 64,
+    "query": 1 / 64,
+    "slow": -2 / 64,
+    "dup": -8 / 64,
+    "big": -1 / 64,
+}
+_CLF_BIAS = -2 / 64
+
+
+def _sql_clf_weights() -> str:
+    return ", ".join(
+        f"('{t}', CAST({v!r} AS DOUBLE))" for t, v in _CLF_WEIGHTS.items()
+    )
+
+
+@q(
+    "text_classifier_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    w(term, weight) AS (VALUES {_sql_clf_weights()}),
+    s AS (SELECT doc_id, SUM(weight) AS wsum FROM toks JOIN w USING (term) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST({_CLF_BIAS!r} AS DOUBLE) + COALESCE(s.wsum, 0.0) AS clf_score,
+           (CAST({_CLF_BIAS!r} AS DOUBLE) + COALESCE(s.wsum, 0.0)) >= 0 AS keep
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def text_classifier_filter(spark, sf_dir):
+    """fastText-style linear quality classifier (the model-based filter of
+    public curation pipelines) via the zero-shuffle map-literal path: the
+    score is one per-row aggregate() fold over the token array — a pure
+    scan+project at any scale.  Binary-fraction weights make the fold
+    order-independent and bit-exact cross-engine; keep = score >= 0 (the
+    sigmoid is monotone, so the 0.5-probability cut IS the 0-score cut)."""
+    d = load(spark, sf_dir, "documents")
+    scored = text.classifier_score(d, _CLF_WEIGHTS, bias=_CLF_BIAS)
+    return scored.select(
+        "doc_id",
+        F.col("clf_score"),
+        (F.col("clf_score") >= 0).alias("keep"),
+    )
+
+
+# --- SemDeDup: cluster-then-prune semantic dedup ----------------------------
+
+_SEMDEDUP_THRESHOLD = 0.3
+
+
+def _sql_semantic_dedup(threshold: float, n_cells: int, dim: int = 64) -> str:
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings WHERE vec_id < {n_cells}),
+    cd AS (
+      SELECT c.vec_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY {_sql_dist2('ca', 'ce', dim)}, cent.cid) AS rn
+      FROM c CROSS JOIN cent
+    ),
+    b AS (
+      SELECT c.vec_id, ca, cid AS cell
+      FROM c JOIN (SELECT vec_id, cid FROM cd WHERE rn = 1) a USING (vec_id)
+    ),
+    drops AS (
+      SELECT DISTINCT y.vec_id
+      FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE {_sql_cos('x.ca', 'y.ca', dim)} >= CAST({threshold!r} AS DOUBLE)
+    )
+    SELECT b.vec_id, CAST(b.cell AS INT) AS cell FROM b
+    WHERE b.vec_id NOT IN (SELECT vec_id FROM drops)
+    """
+
+
+@q(
+    "embedding_semantic_dedup",
+    _sql_semantic_dedup(_SEMDEDUP_THRESHOLD, _IVF_CELLS),
+)
+def embedding_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster, then prune within cluster): nearest-centroid cell
+    assignment restricts the quadratic cosine comparison to cells; a vector
+    drops iff a smaller-id SAME-CELL vector is >= 0.3 cosine-similar.
+    Fixed seed centroids (first _IVF_CELLS corpus vectors, FAISS-style
+    sampled init) make assignment deterministic → full value oracle;
+    production uses KMeans centroids (centroids=None)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    return similarity.semantic_dedup(
+        emb, cents, threshold=_SEMDEDUP_THRESHOLD
+    ).select("vec_id", F.col("cell").cast("int").alias("cell"))

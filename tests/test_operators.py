@@ -826,3 +826,48 @@ def test_leakage_safe_split_clusters_agree(spark):
     assert len(out) == 60
     sides = {r.split for r in out}
     assert sides == {"train", "val"}
+
+
+def test_classifier_score_dict_and_frame_paths_agree(spark):
+    """Map-literal fold and broadcast-join paths produce identical scores
+    for binary-fraction weights (exact sums on both paths); unmatched docs
+    score exactly the bias."""
+    w = {"good": 3 / 64, "bad": -5 / 64}
+    df = spark.createDataFrame(
+        [
+            (1, "good good bad"),
+            (2, "GOOD neutral"),
+            (3, "nothing matches here"),
+        ],
+        "doc_id long, text string",
+    )
+    d1 = {r.doc_id: (r.clf_score, r.clf_prob) for r in
+          text.classifier_score(df, w, bias=-1 / 64).collect()}
+    wdf = spark.createDataFrame(list(w.items()), "term string, weight double")
+    d2 = {r.doc_id: (r.clf_score, r.clf_prob) for r in
+          text.classifier_score(df, wdf, bias=-1 / 64).collect()}
+    assert d1 == d2
+    assert d1[1][0] == 3 / 64 + 3 / 64 - 5 / 64 - 1 / 64
+    assert d1[2][0] == 3 / 64 - 1 / 64  # lowercased match
+    assert d1[3][0] == -1 / 64  # bias only
+    assert all(0.0 < p < 1.0 for _, p in d1.values())
+
+
+def test_semantic_dedup_drops_higher_id_within_cell(spark):
+    """Two near-identical vectors in one cell: the higher id drops; a
+    far vector in another cell survives."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid/cell 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid/cell 1
+        (10, [0.9, 0.1, 0.0, 0.0]),  # cell 0, ~ id 0
+        (11, [0.95, 0.05, 0.0, 0.0]),  # cell 0, near-dup of 0/10 -> drops
+        (20, [0.0, 0.6, 0.8, 0.0]),  # cell 1, survives (cos vs id 1 = 0.6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = {r.vec_id: r.cell for r in
+           similarity.semantic_dedup(df, cents, threshold=0.95).collect()}
+    assert 0 in out and 1 in out
+    assert 20 in out and out[20] == 1
+    # 10 vs 0 cosine ~0.994 >= .95 -> 10 drops; 11 likewise
+    assert 10 not in out and 11 not in out
