@@ -512,3 +512,51 @@ def classifier_score(
     return scored.withColumn(
         prob_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(score_name)))
     )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    vocab_size: int = 1 << 14,
+    reg: float = 0.0,
+    max_iter: int = 50,
+):
+    """Train the linear quality filter distributed (pyspark.ml logistic
+    regression over bag-of-words counts) and return ``(weights, bias)``
+    where ``weights`` is a ``(term, weight)`` DataFrame ready for
+    :func:`classifier_score`'s broadcast-join path (or ``.collect()`` into
+    a dict for the map-literal path).
+
+    The vocabulary (CountVectorizer, most-frequent ``vocab_size`` terms)
+    and the coefficient vector are the bounded driver-side model artifact —
+    vocab_size floats, KBs to low MBs, the same contract as IVF centroids.
+    Fitting itself is distributed: LBFGS gradient aggregation over
+    executor partitions, so the labeled corpus never collects.
+
+    This is the training half of the public curation recipe (CCNet /
+    LLaMA-style "quality classifier trained on reference text"): label a
+    sample (reference corpus = 1, raw crawl = 0), train here, then score
+    the full 100 TB corpus with :func:`classifier_score` — training
+    touches only the labeled sample; inference is a scan.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import CountVectorizer
+
+    toks = df.select(
+        F.col(label_col).cast("double").alias("label"),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="features", vocabSize=vocab_size)
+    cvm = cv.fit(toks)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", regParam=reg, maxIter=max_iter
+    )
+    lrm = lr.fit(cvm.transform(toks))
+    coefs = lrm.coefficients.toArray().tolist()
+    spark = df.sparkSession
+    weights = spark.createDataFrame(
+        list(zip(cvm.vocabulary, [float(c) for c in coefs])),
+        "term string, weight double",
+    )
+    return weights, float(lrm.intercept)

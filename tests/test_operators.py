@@ -871,3 +871,21 @@ def test_semantic_dedup_drops_higher_id_within_cell(spark):
     assert 20 in out and out[20] == 1
     # 10 vs 0 cosine ~0.994 >= .95 -> 10 drops; 11 likewise
     assert 10 not in out and 11 not in out
+
+
+def test_train_quality_classifier_learns_separable_tokens(spark):
+    """Distributed logreg over a separable corpus: 'spam' weight negative,
+    'useful' positive, and end-to-end scoring via classifier_score
+    separates the classes."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "useful prose with real content", 1))
+        rows.append((100 + i, "spam spam click here", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    weights, bias = text.train_quality_classifier(df, "label", max_iter=20)
+    w = {r.term: r.weight for r in weights.collect()}
+    assert w["spam"] < 0 < w["useful"]
+    scored = text.classifier_score(df, weights, bias=bias)
+    probs = {r.doc_id: r.clf_prob for r in scored.collect()}
+    assert all(probs[i] > 0.5 for i in range(40))
+    assert all(probs[100 + i] < 0.5 for i in range(40))
