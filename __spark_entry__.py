@@ -49,6 +49,7 @@ _PRIORITY = [
     "dedup_incremental_verified",
     "text_classifier_filter",
     "embedding_semantic_dedup",
+    "stream_enriched_segments",
     "dedup_keep_best",
     "text_tfidf_keywords",
     "text_tfidf_agg",

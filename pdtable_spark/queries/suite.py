@@ -4020,3 +4020,32 @@ def embedding_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup(
         emb, cents, threshold=_SEMDEDUP_THRESHOLD
     ).select("vec_id", F.col("cell").cast("int").alias("cell"))
+
+
+@q(
+    "stream_enriched_segments",
+    f"""
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS hour, c.c_mktsegment,
+           COUNT(*) AS n, {_sql_dsum('e.value', 'total_value', 'DECIMAL(28,4)')}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enriched_segments(spark, sf_dir):
+    """Stream-static enrichment: the event stream broadcast-joins the static
+    customer dimension per micro-batch (stateless join mode — no watermark
+    state for the dim side), then rolls up per (hour, mktsegment).  With
+    availableNow + complete output and decimal accumulation the streaming
+    result equals the batch join+grouping exactly → FULL value oracle."""
+    from pdtable_spark.streaming import run_to_memory, stream_enriched_segment_counts
+
+    _STREAM_SEQ[0] += 1
+    name = f"q_stream_enrich_{_STREAM_SEQ[0]}"
+    customers = load(spark, sf_dir, "customer")
+    q_ = run_to_memory(
+        stream_enriched_segment_counts(_events_stream(spark, sf_dir), customers),
+        name,
+        output_mode="complete",
+    )
+    q_.stop()
+    return spark.table(name)

@@ -20,6 +20,7 @@ incrementally under ``readStream`` (the suite's ``q_events_hourly`` /
 from .windows import (
     read_events_stream,
     stream_attribution_join,
+    stream_enriched_segment_counts,
     stream_dedup,
     stream_hourly_by_type,
     stream_session_windows,
@@ -36,6 +37,7 @@ __all__ = [
     "run_to_memory",
     "sessionize_with_state",
     "stream_attribution_join",
+    "stream_enriched_segment_counts",
     "stream_dedup",
     "stream_hourly_by_type",
     "stream_session_windows",

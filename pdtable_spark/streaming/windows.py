@@ -115,6 +115,37 @@ def stream_sliding_counts(
     )
 
 
+def stream_enriched_segment_counts(
+    events: DataFrame, customers: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each micro-batch of
+    the event stream broadcast-joins the STATIC customer dimension, then a
+    watermarked tumbling aggregate rolls up per (hour, market segment).
+
+    Stream-static is the stateless join mode: the static side holds no
+    streaming state (only the stream side is watermarked) and is re-planned
+    per micro-batch, so a slowly-changing dimension picks up updates at
+    batch boundaries for free.  At scale the dimension broadcast means the
+    stream side never shuffles before the aggregate's single exchange on
+    the (window, segment) group key.
+    """
+    dim = F.broadcast(
+        customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulation: fold-order independent across
+            # micro-batches — equals the batch grouping bit-for-bit
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "c_mktsegment", "n", "total_value")
+    )
+
+
 def stream_session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

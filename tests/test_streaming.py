@@ -301,3 +301,29 @@ def test_read_events_stream_explicit_long_schema_untouched(spark, events_batch, 
     )
     s = read_events_stream(spark, str(d), schema=schema)
     assert dict(s.dtypes)["ts"] == "bigint"
+
+
+def test_enriched_segment_counts_match_batch(spark, events_dir, events_batch):
+    """Stream-static broadcast join + windowed rollup equals the same plan
+    run as a batch job (batch-equivalence contract; decimal sums make the
+    comparison exact)."""
+    from pdtable_spark.streaming import stream_enriched_segment_counts
+
+    customers = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    s = stream_enriched_segment_counts(
+        read_events_stream(spark, events_dir), customers
+    )
+    q = run_to_memory(s, "enrich_stream", output_mode="complete")
+    try:
+        got = {
+            (r.hour, r.c_mktsegment): (r.n, r.total_value)
+            for r in spark.table("enrich_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.hour, r.c_mktsegment): (r.n, r.total_value)
+        for r in stream_enriched_segment_counts(events_batch, customers).collect()
+    }
+    assert got == want
+    assert len(got) > 0
