@@ -444,7 +444,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 42,
-    max_cell: Optional[int] = 10000,
+    max_cell: Optional[int] = 1000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (cluster, then prune within
     cluster — Abbas et al., arXiv:2303.09540): every embedding is assigned
@@ -459,7 +459,13 @@ def semantic_dedup(
     the pair expansion is ONE shuffle on the cell key, with hot cells
     above ``max_cell`` streaming through a per-cell self-join instead of
     one collect_list row (:func:`pdtable_spark.operators.dedup.bucket_pairs`);
-    the survivor filter is one anti-join on id.
+    the survivor filter is one anti-join on id.  ``max_cell`` must stay
+    LOW for embedding entries (default 1000, same as
+    :func:`embedding_near_dups`): each in-row pair carries two dim-sized
+    double vectors, so a k-row cell materializes k²/2 · 2·dim·8 bytes
+    inside ONE aggregation row — k=10000 at dim 64 is ~50 GB, an executor
+    OOM (caught by the sf1 oracle sweep; k=1000 is ~0.5 GB worst-case and
+    real k-means cells sit far below it).
 
     ``centroids=None`` trains pyspark.ml KMeans
     (:func:`ivf_train_centroids`); pass explicit centroids (e.g. the

@@ -89,6 +89,9 @@ def main():
     parts = os.environ.get("CHECK_ORACLES_PARTS", "8")
     spark = (
         SparkSession.builder.master("local[8]")
+        # headroom for the sf1 sweep (vector-carrying pair expansions);
+        # the default 1g local-mode heap is fine at sf0.01 but not 100×
+        .config("spark.driver.memory", os.environ.get("CHECK_ORACLES_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
