@@ -150,3 +150,22 @@ def test_ann_index_partitioned_query_prunes_scan(spark, tmp_path):
     got = {(r.query_id, r.vec_id) for r in pruned.collect()}
     want = {(r.query_id, r.vec_id) for r in sim.ann_query(loaded, q, k=5).collect()}
     assert got == want and len(got) > 0
+
+
+def test_classifier_filter_zero_shuffle(spark):
+    """The dict-weights classifier is a pure scan+project pipeline: the
+    model travels as a map literal, so scoring 100 TB is shuffle-free."""
+    plan, _ = plan_of(spark, "text_classifier_filter")
+    assert n_exchanges(plan) == 0
+    assert "Scan" in plan
+
+
+def test_semantic_dedup_cell_keyed_no_cartesian(spark):
+    """The quadratic comparison must stay cell-bounded: every pair-stage
+    exchange is keyed on the cell, the centroid matrix rides a one-row
+    broadcast (BroadcastNestedLoopJoin with a literal build side is that
+    1-row join, not a data cross), and no CartesianProduct over the corpus
+    exists anywhere."""
+    plan, _ = plan_of(spark, "embedding_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning(cell" in plan
