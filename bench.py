@@ -156,6 +156,10 @@ def main():
         "dedup_incremental_verified",
         "ann_query_served",
         "embedding_lsh_topk",
+        # round-5 operators: model-based filtering, SemDeDup, stream-static
+        "text_classifier_filter",
+        "embedding_semantic_dedup",
+        "stream_enriched_segments",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2
