@@ -50,6 +50,7 @@ _PRIORITY = [
     "text_classifier_filter",
     "embedding_semantic_dedup",
     "stream_enriched_segments",
+    "embedding_lsh_filtered",
     "dedup_keep_best",
     "text_tfidf_keywords",
     "text_tfidf_agg",

@@ -147,8 +147,11 @@ def _rhp_tables(dim: int, bits_per_table: int, num_tables: int, seed: int):
     ]
 
 
-def _bucketize(df: DataFrame, id_: str, vec_col: str, out_vec: str, tables) -> DataFrame:
-    d = df.select(F.col(id_), _as_double(F.col(vec_col)).alias(out_vec))
+def _bucketize(
+    df: DataFrame, id_: str, vec_col: str, out_vec: str, tables, extra_cols=()
+) -> DataFrame:
+    extras = [F.col(c) for c in extra_cols]
+    d = df.select(F.col(id_), _as_double(F.col(vec_col)).alias(out_vec), *extras)
     d = _matrix_frame(d, "__rhp_tables", [[[float(x) for x in p] for p in t] for t in tables], 3)
     entries = F.transform(
         F.col("__rhp_tables"),
@@ -157,8 +160,8 @@ def _bucketize(df: DataFrame, id_: str, vec_col: str, out_vec: str, tables) -> D
             _rhp_bucket_expr(F.col(out_vec), tbl).alias("bkt"),
         ),
     )
-    return d.select(id_, out_vec, F.explode(entries).alias("e")).select(
-        id_, out_vec, F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt")
+    return d.select(id_, out_vec, F.explode(entries).alias("e"), *extra_cols).select(
+        id_, out_vec, F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"), *extra_cols
     )
 
 
@@ -170,9 +173,10 @@ def ann_index(
     bits_per_table: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    metadata_cols=(),
 ) -> DataFrame:
     """The persistable RHP-LSH index of an embedding corpus: one
-    (id, vec, tbl, bkt) row per vector per hyperplane table.
+    (id, vec, tbl, bkt[, metadata...]) row per vector per hyperplane table.
 
     This is what makes ANN serving incremental at 100 TB: build once,
     write ``partitionBy("tbl", "bkt")``, and query batches read ONLY the
@@ -180,9 +184,16 @@ def ann_index(
     new corpus batches append their own rows without touching the rest.
     The hyperplane family is a pure function of (dim, bits_per_table,
     num_tables, seed) — pass the same parameters to :func:`ann_query`.
+
+    ``metadata_cols`` copies scalar attribute columns into the index rows
+    so :func:`ann_query`'s ``where=`` predicate (hybrid / filtered search)
+    evaluates INSIDE the pruned index scan — parquet row-group pushdown,
+    no join against a metadata table at serving time.  Denormalizing a few
+    scalars per row ×num_tables is the standard space/time trade of
+    filtered-ANN indexes (pgvector, FAISS+IDMap+store designs).
     """
     tables = _rhp_tables(dim, bits_per_table, num_tables, seed)
-    return _bucketize(corpus, id_col, vec_col, "vec", tables)
+    return _bucketize(corpus, id_col, vec_col, "vec", tables, extra_cols=metadata_cols)
 
 
 def ann_query(
@@ -197,10 +208,18 @@ def ann_query(
     num_tables: int = 4,
     seed: int = 42,
     prune_partitions: bool = False,
+    where=None,
 ) -> DataFrame:
     """Approximate top-k against a persisted :func:`ann_index` frame:
     bucketize the (small, broadcast) query batch with the same hyperplane
     parameters, join on (tbl, bkt), exact-cosine re-rank.
+
+    ``where`` (a Column predicate over the index's ``metadata_cols``) is
+    filtered ("hybrid") search: candidates failing the predicate are cut
+    BEFORE the bucket join and re-rank, and because the filter sits
+    directly on the index scan it reaches parquet row-group pushdown —
+    composing with ``prune_partitions`` (bucket directories pruned first,
+    then row groups within them).
 
     ``prune_partitions=True`` is the serving path for an index persisted
     with ``partitionBy("tbl", "bkt")``: the query batch's bucket keys are
@@ -212,6 +231,8 @@ def ann_query(
     which Spark skips when the broadcast side carries no selective filter.
     """
     tables = _rhp_tables(dim, bits_per_table, num_tables, seed)
+    if where is not None:
+        index = index.filter(where)
     qb = _bucketize(queries, query_id_col, vec_col, "q_vec", tables)
     if prune_partitions:
         keys = qb.select("tbl", "bkt").distinct().collect()

@@ -2407,7 +2407,10 @@ def _sql_dist2(a: str, b: str, dim: int = 64) -> str:
     )
 
 
-def _sql_lsh_topk(k: int, dim: int, bits_per_table: int, num_tables: int, seed: int) -> str:
+def _sql_lsh_topk(
+    k: int, dim: int, bits_per_table: int, num_tables: int, seed: int,
+    corpus_where: str = "",
+) -> str:
     tables = [
         similarity._lcg_hyperplanes(dim, bits_per_table, seed + 1000 * t)
         for t in range(num_tables)
@@ -2421,7 +2424,8 @@ def _sql_lsh_topk(k: int, dim: int, bits_per_table: int, num_tables: int, seed: 
         for t in range(num_tables)
     )
     return f"""
-    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca
+               FROM embeddings {corpus_where}),
     q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
           FROM embeddings WHERE vec_id < 5),
     cb AS ({cb}),
@@ -4049,3 +4053,24 @@ def stream_enriched_segments(spark, sf_dir):
     )
     q_.stop()
     return spark.table(name)
+
+
+@q(
+    "embedding_lsh_filtered",
+    _sql_lsh_topk(
+        k=10, dim=64, bits_per_table=8, num_tables=4, seed=42,
+        corpus_where="WHERE label <= 5",
+    ),
+)
+def embedding_lsh_filtered(spark, sf_dir):
+    """Filtered ("hybrid") ANN: top-k restricted to candidates whose
+    metadata passes a predicate (here label <= 5).  The label travels IN the index
+    (ann_index metadata_cols), so the where= filter evaluates inside the
+    index scan — parquet row-group pushdown at serving time, no metadata
+    join.  Same seeded hyperplanes → full value oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = similarity.ann_index(emb, metadata_cols=["label"])
+    return similarity.ann_query(idx, queries, k=10, where=F.col("label") <= 5)

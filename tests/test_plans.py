@@ -169,3 +169,32 @@ def test_semantic_dedup_cell_keyed_no_cartesian(spark):
     plan, _ = plan_of(spark, "embedding_semantic_dedup")
     assert "CartesianProduct" not in plan
     assert "Exchange hashpartitioning(cell" in plan
+
+
+def test_ann_filtered_query_pushes_metadata_predicate(spark, tmp_path):
+    """Filtered (hybrid) ANN: a metadata predicate over the index's
+    denormalized attribute column must reach the persisted index scan as a
+    PushedFilter (row-group pushdown), and the results must equal the
+    unfiltered query post-filtered on the same attribute."""
+    from pdtable_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ann_index_meta")
+    sim.ann_index(emb, metadata_cols=["label"]).write.partitionBy("tbl", "bkt").parquet(path)
+    loaded = spark.read.parquet(path)
+    q = emb.limit(3).withColumnRenamed("vec_id", "query_id")
+    from pyspark.sql import functions as F
+
+    filtered = sim.ann_query(loaded, q, k=5, where=F.col("label") <= 5)
+    qe = filtered._jdf.queryExecution()
+    formatted = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", formatted))
+    assert "LessThanOrEqual(label" in pushed, formatted
+    # semantics: equals the unfiltered top-k recomputed over allowed labels
+    allowed = {
+        r.vec_id for r in emb.filter(F.col("label") <= 5).select("vec_id").collect()
+    }
+    got = filtered.collect()
+    assert got and all(r.vec_id in allowed for r in got)
