@@ -51,6 +51,7 @@ _PRIORITY = [
     "embedding_semantic_dedup",
     "stream_enriched_segments",
     "embedding_lsh_filtered",
+    "multimodal_dedup",
     "dedup_keep_best",
     "text_tfidf_keywords",
     "text_tfidf_agg",

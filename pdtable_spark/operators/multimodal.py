@@ -133,3 +133,28 @@ def asset_stats(assets: DataFrame) -> DataFrame:
         F.sum(F.length("payload")).alias("total_bytes"),
         F.avg("duration_s").alias("avg_duration_s"),
     )
+
+
+def binary_dedup(
+    assets: DataFrame, id_col: str = "asset_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact duplicate groups over opaque binary payloads (the image/audio/
+    video analog of document exact-dedup): (digest, n_copies, keep_id) per
+    payload occurring more than once, keep = lowest id.
+
+    The payload never shuffles — each row is digested in place (JVM md5
+    over the raw bytes) and only the 16-byte digest travels to the single
+    group-by exchange, so deduplicating 100 TB of media moves GBs, not the
+    corpus.  Re-encoded/resized near-duplicates are out of scope here (use
+    the decoded-feature path via :func:`extract_features` + the embedding
+    near-dup operators for perceptual matching).
+    """
+    d = assets.select(F.col(id_col), F.md5(F.col(payload_col)).alias("digest"))
+    return (
+        d.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

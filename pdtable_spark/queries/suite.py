@@ -4074,3 +4074,31 @@ def embedding_lsh_filtered(spark, sf_dir):
     )
     idx = similarity.ann_index(emb, metadata_cols=["label"])
     return similarity.ann_query(idx, queries, k=10, where=F.col("label") <= 5)
+
+
+@q(
+    "multimodal_dedup",
+    f"""
+    WITH assets AS ({_SQL_ASSETS}),
+    ingested AS (
+      SELECT asset_id, payload_text FROM assets
+      UNION ALL
+      SELECT asset_id + 1000000, payload_text FROM assets WHERE asset_id % 7 = 0
+    ),
+    h AS (SELECT asset_id, md5(payload_text) AS digest FROM ingested)
+    SELECT digest, COUNT(*) AS n_copies, MIN(asset_id) AS keep_id
+    FROM h GROUP BY digest HAVING COUNT(*) > 1
+    """,
+)
+def multimodal_dedup(spark, sf_dir):
+    """Exact byte-identical duplicate groups over opaque binary payloads —
+    only 16-byte digests shuffle, the media bytes stay put.  The input is
+    the asset table plus a re-ingested copy of every 7th asset (the
+    double-upload case), so duplicate groups exist by construction at any
+    SF.  (DuckDB's md5 is VARCHAR-only, so the oracle hashes the UTF-8
+    source text — the payload IS those bytes by construction.)"""
+    a = _assets(spark, sf_dir)
+    reingested = a.filter(F.col("asset_id") % 7 == 0).withColumn(
+        "asset_id", F.col("asset_id") + F.lit(1000000)
+    )
+    return multimodal.binary_dedup(a.unionByName(reingested))

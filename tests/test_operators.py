@@ -889,3 +889,18 @@ def test_train_quality_classifier_learns_separable_tokens(spark):
     probs = {r.doc_id: r.clf_prob for r in scored.collect()}
     assert all(probs[i] > 0.5 for i in range(40))
     assert all(probs[100 + i] < 0.5 for i in range(40))
+
+
+def test_binary_dedup_groups_identical_payloads(spark):
+    from pdtable_spark.operators import multimodal
+
+    rows = [
+        (1, bytearray(b"\x00\x01payload-a")),
+        (2, bytearray(b"\x00\x01payload-a")),  # byte-identical to 1
+        (3, bytearray(b"\x00\x01payload-b")),
+        (7, bytearray(b"\x00\x01payload-a")),  # third copy
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = multimodal.binary_dedup(df).collect()
+    assert len(out) == 1
+    assert out[0].n_copies == 3 and out[0].keep_id == 1
