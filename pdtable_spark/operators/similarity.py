@@ -403,10 +403,18 @@ def ivf_query(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     nprobe: int = 4,
+    where=None,
 ) -> DataFrame:
     """Top-k against a persisted :func:`ivf_index`: each query probes its
     ``nprobe`` nearest cells (broadcast join on cell id), exact cosine
-    re-rank inside the probed cells."""
+    re-rank inside the probed cells.
+
+    ``where`` filters candidates on index metadata columns before the
+    probe join (filtered/hybrid search) — on a persisted index the
+    predicate reaches parquet row-group pushdown inside the probed-cell
+    partitions, the same contract as :func:`ann_query`."""
+    if where is not None:
+        index = index.filter(where)
     cents = [[float(x) for x in c] for c in centroids]
     q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("q_vec"))
     q = _matrix_frame(q, "__cents", cents, 2)

@@ -904,3 +904,25 @@ def test_binary_dedup_groups_identical_payloads(spark):
     out = multimodal.binary_dedup(df).collect()
     assert len(out) == 1
     assert out[0].n_copies == 3 and out[0].keep_id == 1
+
+
+def test_ivf_query_where_filters_candidates(spark):
+    """Filtered IVF: candidates failing the metadata predicate never rank."""
+    rows = [
+        (0, [1.0, 0.0], "keep"),
+        (1, [0.9, 0.1], "drop"),
+        (2, [0.8, 0.2], "keep"),
+        (3, [0.0, 1.0], "keep"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, tag string")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    idx = similarity.ivf_index(df, cents)
+    idx = idx.join(df.select("vec_id", "tag"), "vec_id")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_query(
+        idx, q, cents, k=10, nprobe=2, where=F.col("tag") == "keep"
+    ).collect()
+    ids = {r.vec_id for r in out}
+    assert 1 not in ids and {0, 2, 3} <= ids
