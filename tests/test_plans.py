@@ -198,3 +198,30 @@ def test_ann_filtered_query_pushes_metadata_predicate(spark, tmp_path):
     }
     got = filtered.collect()
     assert got and all(r.vec_id in allowed for r in got)
+
+
+def test_ann_index_append_serves_union(spark, tmp_path):
+    """The incremental-ingest contract: a new corpus batch appends its own
+    (tbl, bkt) rows to the persisted index without touching existing
+    files, and subsequent queries see old + new vectors."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ann_index_inc")
+    sim.ann_index(old).write.partitionBy("tbl", "bkt").parquet(path)
+    sim.ann_index(new).write.mode("append").partitionBy("tbl", "bkt").parquet(path)
+    loaded = spark.read.parquet(path)
+    q = emb.limit(3).withColumnRenamed("vec_id", "query_id")
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in sim.ann_query(loaded, q, k=5, prune_partitions=True).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in sim.ann_query(sim.ann_index(emb), q, k=5).collect()
+    }
+    assert got == want and got
