@@ -87,8 +87,29 @@ def main():
 
     # perturb via env to prove layout independence (e.g. PARTS=7 or 64)
     parts = os.environ.get("CHECK_ORACLES_PARTS", "8")
+    # SF-sized file splits (same rationale as bench.py): at sf1 the default
+    # 128 MB maxPartitionBytes turns every scan into 1-2 tasks on local[8],
+    # serializing the heavy md5_60-mode queries
+    import glob as _glob
+
+    def _table_bytes(entry: str) -> int:
+        if os.path.isfile(entry):
+            return os.path.getsize(entry)
+        return sum(
+            os.path.getsize(p)
+            for p in _glob.glob(os.path.join(entry, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(p)
+        )
+
+    largest = max(
+        (_table_bytes(p) for p in _glob.glob(os.path.join(sf_dir, "*.parquet"))),
+        default=128 << 20,
+    )
+    mpb = max(1 << 20, largest // 8)
     spark = (
         SparkSession.builder.master("local[8]")
+        .config("spark.sql.files.maxPartitionBytes", str(mpb))
+        .config("spark.sql.files.openCostInBytes", str(128 << 10))
         # headroom for the sf1 sweep (vector-carrying pair expansions);
         # the default 1g local-mode heap is fine at sf0.01 but not 100×
         .config("spark.driver.memory", os.environ.get("CHECK_ORACLES_DRIVER_MEM", "8g"))
