@@ -52,6 +52,7 @@ _PRIORITY = [
     "stream_enriched_segments",
     "embedding_lsh_filtered",
     "multimodal_dedup",
+    "pipeline_cluster_keywords",
     "dedup_keep_best",
     "text_tfidf_keywords",
     "text_tfidf_agg",

@@ -4102,3 +4102,61 @@ def multimodal_dedup(spark, sf_dir):
         "asset_id", F.col("asset_id") + F.lit(1000000)
     )
     return multimodal.binary_dedup(a.unionByName(reingested))
+
+
+@q(
+    "pipeline_cluster_keywords",
+    f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    cd AS (
+      SELECT c.vec_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY {_sql_dist2('ca', 'ce', 64)}, cent.cid) AS rn
+      FROM c CROSS JOIN cent
+    ),
+    asg AS (SELECT vec_id, cid AS cell FROM cd WHERE rn = 1),
+    toks AS (
+      SELECT a.cell, unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS term
+      FROM documents d JOIN asg a ON a.vec_id = d.doc_id
+    ),
+    tc AS (SELECT cell, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    ranked AS (
+      SELECT cell, term, n,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, term) AS rank
+      FROM tc
+    )
+    SELECT CAST(cell AS INT) AS cell, term, CAST(n AS BIGINT) AS n,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def pipeline_cluster_keywords(spark, sf_dir):
+    """Cross-modal composition: embedding-space clusters (ivf_index cell
+    assignment over seed centroids) joined back to the TEXT of their
+    member documents, then per-cluster top-5 terms by in-cluster count —
+    the "what is each cluster about" topic readout of a curation
+    pipeline.  One broadcast-literal assignment scan, one doc_id join,
+    one (cell, term) aggregate, one per-cell top-k window."""
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    asg = similarity.ivf_index(emb, cents).select("vec_id", "cell")
+    toks = (
+        docs.join(asg, docs["doc_id"] == asg["vec_id"])
+        .select(F.col("cell"), F.explode(text.tokens(F.lower(F.col("text")))).alias("term"))
+    )
+    tc = toks.groupBy("cell", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        tc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(F.col("cell").cast("int").alias("cell"), "term", "n", "rank")
+    )
