@@ -926,3 +926,26 @@ def test_ivf_query_where_filters_candidates(spark):
     ).collect()
     ids = {r.vec_id for r in out}
     assert 1 not in ids and {0, 2, 3} <= ids
+
+
+def test_classifier_score_empty_weights_scores_bias(spark):
+    df = spark.createDataFrame([(1, "anything")], "doc_id long, text string")
+    r = text.classifier_score(df, {}, bias=0.25).collect()[0]
+    assert r.clf_score == 0.25
+
+
+def test_semantic_dedup_single_vector_survives(spark):
+    df = spark.createDataFrame([(5, [0.5, 0.5])], "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], threshold=0.9).collect()
+    assert len(out) == 1 and out[0].vec_id == 5
+
+
+def test_incremental_dedup_empty_new_batch(spark, docs):
+    """An empty ingest batch drops nothing and returns an empty frame with
+    the new-batch schema (the between-arrivals steady state)."""
+    corpus = docs
+    idx = dedup.band_buckets(corpus)
+    new = docs.filter(F.col("doc_id") < 0)
+    out = dedup.incremental_dedup(new, idx)
+    assert out.count() == 0
+    assert "doc_id" in out.columns
