@@ -206,3 +206,34 @@ def test_pack_budget_invariants(spark, sizes, capacity):
         run += r["chunk_n_tokens"]
     packs = [r["pack_id"] for r in out]
     assert packs == sorted(packs)
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_classifier_paths_bitwise_equal_property(spark, data):
+    """For any binary-fraction weight table, the map-literal fold and the
+    broadcast-join spelling produce bit-identical scores, and both equal
+    the reference Python sum."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators import text as t
+
+    alphabet = ["aa", "bb", "cc", "dd", "ee"]
+    vocab = data.draw(st.dictionaries(
+        st.sampled_from(alphabet), st.integers(-8, 8).map(lambda k: k / 64),
+        min_size=1, max_size=4,
+    ))
+    bias = data.draw(st.integers(-4, 4)) / 64
+    docs = data.draw(st.lists(
+        st.lists(st.sampled_from(alphabet + ["zz"]), min_size=0, max_size=12),
+        min_size=1, max_size=5,
+    ))
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d1 = {r.doc_id: r.clf_score for r in t.classifier_score(df, vocab, bias=bias).collect()}
+    wdf = spark.createDataFrame(list(vocab.items()), "term string, weight double")
+    d2 = {r.doc_id: r.clf_score for r in t.classifier_score(df, wdf, bias=bias).collect()}
+    assert d1 == d2
+    for i, toks in enumerate(docs):
+        want = bias + sum(vocab.get(tok, 0.0) for tok in toks)
+        assert d1[i] == want, (toks, vocab, bias)
