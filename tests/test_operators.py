@@ -949,3 +949,24 @@ def test_incremental_dedup_empty_new_batch(spark, docs):
     out = dedup.incremental_dedup(new, idx)
     assert out.count() == 0
     assert "doc_id" in out.columns
+
+
+def test_curation_pipeline_composes(spark):
+    """The demo curation recipe runs end-to-end on the testdata and emits
+    packed, split rows with every upstream filter honored."""
+    from pdtable_spark.demo import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curate(
+        docs,
+        clf_weights={"the": 1 / 64},
+        bench_pred=F.col("source") == "src0",
+        train_pct=80,
+    ).cache()
+    rows = out.collect()
+    assert rows
+    assert {r.split for r in rows} <= {"train", "val"}
+    assert all(r.pack_id >= 0 for r in rows)
+    # decontamination removed the benchmark source entirely
+    assert not [r for r in rows if r.source == "src0"]
+    out.unpersist()
