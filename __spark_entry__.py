@@ -53,6 +53,8 @@ _PRIORITY = [
     "embedding_lsh_filtered",
     "multimodal_dedup",
     "pipeline_cluster_keywords",
+    "embedding_ann_recall",
+    "embedding_incremental_dedup",
     "dedup_keep_best",
     "text_tfidf_keywords",
     "text_tfidf_agg",

@@ -518,3 +518,56 @@ def semantic_dedup(
         .distinct()
     )
     return idx.join(drops, on=id_col, how="left_anti").select(id_col, "cell")
+
+
+def incremental_embedding_dedup(
+    new: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits_per_table: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    prune_partitions: bool = False,
+) -> DataFrame:
+    """Continuous-ingestion embedding dedup — the vector-space analog of
+    ``dedup.incremental_dedup``: a new ingest batch is RHP-bucketized with
+    the SAME hyperplane family as a persisted :func:`ann_index`, candidate
+    (new, corpus) pairs come from bucket collisions only, and each is
+    exact-cosine verified before the new row is dropped.  Returns the
+    surviving rows of ``new``.
+
+    No corpus rescan, no all-pairs, no index rebuild: the corpus
+    contributes only its colliding bucket partitions (set
+    ``prune_partitions=True`` against a ``partitionBy("tbl","bkt")``-
+    persisted index for file-level pruning, same contract as
+    :func:`ann_query`), and survivors can append their own index rows for
+    the next batch.  Guarantee is NEW-vs-CORPUS only — run
+    :func:`semantic_dedup` (or near-dups) over the batch itself first if
+    intra-batch duplicates matter.
+    """
+    tables = _rhp_tables(dim, bits_per_table, num_tables, seed)
+    qb = _bucketize(new, id_col, vec_col, "q_vec", tables)
+    if prune_partitions:
+        keys = qb.select("tbl", "bkt").distinct().collect()
+        by_tbl: dict = {}
+        for r in keys:
+            by_tbl.setdefault(r.tbl, []).append(r.bkt)
+        cond = None
+        for t, bkts in sorted(by_tbl.items()):
+            c = (F.col("tbl") == t) & F.col("bkt").isin(bkts)
+            cond = c if cond is None else (cond | c)
+        index = index.filter(cond) if cond is not None else index.limit(0)
+    cand = (
+        index.join(F.broadcast(qb.withColumnRenamed(id_col, "__new_id")), on=["tbl", "bkt"])
+        .select("__new_id", F.col(id_col).alias("__corpus_id"), "q_vec", "vec")
+        .dropDuplicates(["__new_id", "__corpus_id"])
+    )
+    dropped = (
+        cand.filter(cosine(F.col("q_vec"), F.col("vec")) >= F.lit(float(threshold)))
+        .select(F.col("__new_id").alias(id_col))
+        .distinct()
+    )
+    return new.join(dropped, on=id_col, how="left_anti")

@@ -4160,3 +4160,130 @@ def pipeline_cluster_keywords(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select(F.col("cell").cast("int").alias("cell"), "term", "n", "rank")
     )
+
+
+_RECALL_EXACT_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id, {_COSINE_SQL} AS cosine_sim
+      FROM c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id FROM ranked WHERE rank <= 10
+"""
+
+
+@q(
+    "embedding_ann_recall",
+    f"""
+    WITH lsh AS (
+      SELECT query_id, vec_id
+      FROM ({_sql_lsh_topk(k=10, dim=64, bits_per_table=8, num_tables=4, seed=42)})
+    ),
+    exact AS ({_RECALL_EXACT_SQL}),
+    hits AS (
+      SELECT e.query_id, COUNT(l.vec_id) AS n_hits
+      FROM exact e LEFT JOIN lsh l
+        ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / 10.0 AS recall_at_10
+    FROM hits
+    """,
+)
+def embedding_ann_recall(spark, sf_dir):
+    """ANN quality diagnostic: recall@10 of the RHP-LSH path against the
+    exact brute-force baseline, per query — the measurement that decides
+    bits/tables tuning before pointing the index at 100 TB.  Both sides
+    are deterministic (seeded planes; total-order tie-breaks), so even
+    this meta-metric carries a full value oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = similarity.rhp_lsh_topk(
+        emb, queries, k=10, dim=64, bits_per_table=8, num_tables=4, seed=42
+    ).select("query_id", "vec_id")
+    exact = similarity.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    hits = (
+        exact.alias("e")
+        .join(
+            lsh.alias("l"),
+            (F.col("l.query_id") == F.col("e.query_id"))
+            & (F.col("l.vec_id") == F.col("e.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(F.count(F.col("l.vec_id")).alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_10"),
+    )
+
+
+def _sql_incremental_embedding_dedup(
+    threshold: float, dim: int, bits_per_table: int, num_tables: int, seed: int
+) -> str:
+    tables = [
+        similarity._lcg_hyperplanes(dim, bits_per_table, seed + 1000 * t)
+        for t in range(num_tables)
+    ]
+    cb = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sql_rhp_bucket('ca', tables[t])} AS bkt FROM corp"
+        for t in range(num_tables)
+    )
+    nb = "\n      UNION ALL ".join(
+        f"SELECT vec_id AS new_id, {t} AS tbl, {_sql_rhp_bucket('na', tables[t])} AS bkt FROM newb"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca
+                  FROM embeddings WHERE vec_id % 2 = 0),
+    newb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS na
+             FROM embeddings WHERE vec_id % 2 = 1),
+    cb AS ({cb}),
+    nb AS ({nb}),
+    cand AS (
+      SELECT DISTINCT nb.new_id, cb.vec_id
+      FROM cb JOIN nb ON cb.tbl = nb.tbl AND cb.bkt = nb.bkt
+    ),
+    dropped AS (
+      SELECT DISTINCT cand.new_id
+      FROM cand
+      JOIN corp ON corp.vec_id = cand.vec_id
+      JOIN newb ON newb.vec_id = cand.new_id
+      WHERE {_sql_cos('na', 'ca', dim)} >= CAST({threshold!r} AS DOUBLE)
+    )
+    SELECT n.vec_id, n.label FROM embeddings n
+    WHERE n.vec_id % 2 = 1 AND n.vec_id NOT IN (SELECT new_id FROM dropped)
+    """
+
+
+@q(
+    "embedding_incremental_dedup",
+    _sql_incremental_embedding_dedup(
+        threshold=0.3, dim=64, bits_per_table=8, num_tables=4, seed=42
+    ),
+)
+def embedding_incremental_dedup(spark, sf_dir):
+    """Continuous-ingestion embedding dedup: odd vec_ids play the new
+    ingest batch, even ids the persisted corpus ann_index; bucket
+    collisions nominate candidates, exact cosine >= 0.3 confirms the drop.
+    No corpus rescan — seeded planes give the full value oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = similarity.ann_index(corpus)
+    return similarity.incremental_embedding_dedup(new, idx, threshold=0.3).select(
+        "vec_id", "label"
+    )

@@ -970,3 +970,34 @@ def test_curation_pipeline_composes(spark):
     # decontamination removed the benchmark source entirely
     assert not [r for r in rows if r.source == "src0"]
     out.unpersist()
+
+
+def test_incremental_embedding_dedup_drops_only_verified(spark, tmp_path):
+    """Bucket collisions alone must not drop; only cosine-verified
+    near-dups do — and the partition-pruned serving path over a persisted
+    index returns identical survivors."""
+    import math
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0 -> dropped
+            (3, [0.0, 0.0, 1.0, 0.0]),     # unrelated -> survives
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(dim=4, bits_per_table=4, num_tables=2, seed=9)
+    idx = similarity.ann_index(corpus, **kw)
+    out = {r.vec_id for r in
+           similarity.incremental_embedding_dedup(new, idx, threshold=0.95, **kw).collect()}
+    assert out == {3}
+    path = str(tmp_path / "inc_idx")
+    idx.write.partitionBy("tbl", "bkt").parquet(path)
+    loaded = spark.read.parquet(path)
+    pruned = {r.vec_id for r in
+              similarity.incremental_embedding_dedup(
+                  new, loaded, threshold=0.95, prune_partitions=True, **kw).collect()}
+    assert pruned == out
