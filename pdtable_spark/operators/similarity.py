@@ -313,17 +313,24 @@ def embedding_near_dups(
         .withColumn("bkt", _rhp_bucket_expr(F.col("v"), F.col("__planes")))
         .drop("__planes")
     )
+    # per-entry norm: one array traversal per pair, not three (see
+    # semantic_dedup; cosine = dot(a,b)/(‖a‖·‖b‖), measured 1.6×)
+    d = d.withColumn("__nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     pairs = bucket_pairs(
         d,
         ["bkt"],
-        F.struct(F.col(id_col).alias("id"), F.col("v").alias("v")),
+        F.struct(
+            F.col(id_col).alias("id"), F.col("v").alias("v"), F.col("__nrm").alias("n")
+        ),
         max_bucket=max_bucket,
     )
     return (
         pairs.select(
             F.col("ea.id").alias("id_a"),
             F.col("eb.id").alias("id_b"),
-            cosine(F.col("ea.v"), F.col("eb.v")).alias("cosine_sim"),
+            (
+                dot(F.col("ea.v"), F.col("eb.v")) / (F.col("ea.n") * F.col("eb.n"))
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -506,14 +513,23 @@ def semantic_dedup(
     if centroids is None:
         centroids = ivf_train_centroids(corpus, vec_col, n_cells, seed)
     idx = ivf_index(corpus, centroids, id_col, vec_col)
+    # norms precomputed per ENTRY, not per pair: cosine(a,b) spelled
+    # dot(a,b)/(‖a‖·‖b‖) does one array traversal per pair instead of
+    # three (measured 1.63× at sf0.1 — the pair stage is the whole cost)
+    with_n = idx.withColumn("__nrm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
     pairs = bucket_pairs(
-        idx,
+        with_n,
         ["cell"],
-        F.struct(F.col(id_col).alias("id"), F.col("vec").alias("v")),
+        F.struct(
+            F.col(id_col).alias("id"), F.col("vec").alias("v"), F.col("__nrm").alias("n")
+        ),
         max_bucket=max_cell,
     )
     drops = (
-        pairs.filter(cosine(F.col("ea.v"), F.col("eb.v")) >= F.lit(float(threshold)))
+        pairs.filter(
+            dot(F.col("ea.v"), F.col("eb.v")) / (F.col("ea.n") * F.col("eb.n"))
+            >= F.lit(float(threshold))
+        )
         .select(F.col("eb.id").alias(id_col))
         .distinct()
     )

@@ -2400,6 +2400,18 @@ def _sql_cos(a: str, b: str, dim: int = 64) -> str:
     )
 
 
+def _sql_cos_ns(a: str, b: str, dim: int = 64) -> str:
+    """Per-side-norm cosine — dot/(‖a‖·‖b‖), matching the pair-expansion
+    operators' precomputed-norm spelling (sqrt(x)·sqrt(y) differs from
+    sqrt(x·y) in the last ulp, so the oracle must use the SAME form)."""
+    gs = f"generate_series(1, {dim})"
+    return (
+        f"list_sum(list_transform({gs}, i -> {a}[i]*{b}[i]))"
+        f" / (sqrt(list_sum(list_transform({gs}, i -> {a}[i]*{a}[i])))"
+        f" * sqrt(list_sum(list_transform({gs}, i -> {b}[i]*{b}[i]))))"
+    )
+
+
 def _sql_dist2(a: str, b: str, dim: int = 64) -> str:
     return (
         f"list_sum(list_transform(generate_series(1, {dim}), "
@@ -2536,7 +2548,7 @@ def _sql_near_dups(threshold: float, bits: int, seed: int, dim: int = 64) -> str
     b AS (SELECT vec_id, ca, {_sql_rhp_bucket('ca', planes)} AS bkt FROM c)
     SELECT id_a, id_b, cosine_sim FROM (
       SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-             {_sql_cos('x.ca', 'y.ca', dim)} AS cosine_sim
+             {_sql_cos_ns('x.ca', 'y.ca', dim)} AS cosine_sim
       FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
     )
     WHERE cosine_sim >= CAST({threshold!r} AS DOUBLE)
@@ -3995,7 +4007,7 @@ def _sql_semantic_dedup(threshold: float, n_cells: int, dim: int = 64) -> str:
     drops AS (
       SELECT DISTINCT y.vec_id
       FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
-      WHERE {_sql_cos('x.ca', 'y.ca', dim)} >= CAST({threshold!r} AS DOUBLE)
+      WHERE {_sql_cos_ns('x.ca', 'y.ca', dim)} >= CAST({threshold!r} AS DOUBLE)
     )
     SELECT b.vec_id, CAST(b.cell AS INT) AS cell FROM b
     WHERE b.vec_id NOT IN (SELECT vec_id FROM drops)
