@@ -448,7 +448,13 @@ def minhash_dedup(
         cand.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
-        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")).cast("double"))
+        # |A∪B| = |A|+|B|−|A∩B| exactly (shingle sets are array_distinct),
+        # skipping array_union's per-pair array BUILD — same trick as the
+        # incremental verify above
+        .withColumn(
+            "uni",
+            (F.size("sh_a") + F.size("sh_b")).cast("double") - F.col("inter"),
+        )
         .withColumn("jaccard", F.col("inter") / F.col("uni"))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
