@@ -142,3 +142,27 @@ def diff_snapshots(
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def retention_delete(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    out_path: Optional[str] = None,
+) -> str:
+    """Copy-on-write DELETE: rewrite the table at ``path`` WITHOUT the rows
+    matching ``predicate`` (a Column) — the TTL/retention/right-to-erasure
+    primitive.  Same contract as :func:`upsert_parquet`: writes to
+    ``out_path`` (default ``path + ".new"``), the atomic swap is the
+    caller's rename, never an in-place overwrite of data being read.
+
+    Plan shape: one scan + filter + write, no shuffle.  When ``predicate``
+    is on a partition or range-sorted column, the negated filter pushes
+    into the scan and untouched files stream through unchanged; at
+    100 TB run it per partition directory (like :func:`compact_parquet`),
+    not on the whole lake.
+    """
+    kept = spark.read.parquet(path).filter(~predicate)
+    out = out_path or path.rstrip("/") + ".new"
+    kept.write.mode("overwrite").parquet(out)
+    return out

@@ -103,3 +103,18 @@ def test_diff_snapshots_null_keys(spark):
         for r in maintenance.diff_snapshots(old, new2, "id").collect()
     }
     assert got2 == {None: "changed", 1: "removed", 2: "added"}
+
+
+def test_retention_delete_removes_only_matching(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.io.maintenance import retention_delete
+
+    src = str(tmp_path / "t")
+    spark.range(100).withColumn("age_days", F.col("id") % 10).write.parquet(src)
+    out = retention_delete(spark, src, F.col("age_days") >= 8)
+    kept = spark.read.parquet(out)
+    assert kept.count() == 80
+    assert kept.filter(F.col("age_days") >= 8).count() == 0
+    # original untouched (copy-on-write)
+    assert spark.read.parquet(src).count() == 100
