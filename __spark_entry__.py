@@ -23,14 +23,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Driver-row rotation (the driver reports exactly the first 50 queries).
 #: Policy: OLDEST correctness evidence first, every round.  Round-5 order:
-#: (incl. text_tfidf_agg, the aggregate-df spelling, new this round)
 #: the 14 queries whose only driver row is from r1 (judge-re-verified in r4
-#: but needing fresh driver evidence), then the query NEW this round
-#: (dedup_incremental_verified) and the two whose code/oracle changed this
-#: round (dedup_keep_best tie-break, text_tfidf_keywords df modes), then
-#: the r3-evidence block (oldest remaining) — the first 33 of its 42 fit in
-#: the 50 slots; its 9-query tail leads the next block, ahead of the
-#: r4-reported set.
+#: but needing fresh driver evidence), then every query NEW or CHANGED this
+#: round (the verified-incremental/classifier/SemDeDup/stream-static/
+#: filtered-ANN/binary-dedup/cluster-keywords/recall/incremental-embedding
+#: additions plus dedup_keep_best, text_tfidf_keywords, embedding
+#: near-dups — changed tie-break / df-mode / cosine spellings), then the
+#: r3-evidence block (oldest remaining) filling out the 50 slots; its tail
+#: leads the next round, ahead of the r4-reported set.
 _PRIORITY = [
     "dedup_exact",
     "ngram_jaccard_pairs",
@@ -49,6 +49,7 @@ _PRIORITY = [
     "dedup_incremental_verified",
     "text_classifier_filter",
     "embedding_semantic_dedup",
+    "embedding_near_dups",
     "stream_enriched_segments",
     "embedding_lsh_filtered",
     "multimodal_dedup",
