@@ -47,6 +47,10 @@ _PRIORITY = [
     "text_quality",
     "text_token_count",
     "dedup_incremental_verified",
+    "dedup_normalized",
+    "dedup_spans",
+    "pipeline_mixture_temperature",
+    "embedding_pq_topk",
     "text_classifier_filter",
     "embedding_semantic_dedup",
     "embedding_near_dups",

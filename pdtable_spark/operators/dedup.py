@@ -848,3 +848,142 @@ def keep_best_per_cluster(
         .filter(F.col("__rn") == 1)
         .select(*df.columns, "component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware exact dedup (C4-style soft duplicates)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form used for soft-exact dedup: lowercase, strip every
+    character outside ``[a-z0-9 ]``, collapse whitespace runs, trim.
+
+    The patterns are deliberately ASCII-simple so Java regex (Spark) and
+    RE2-style engines (other tools in a pipeline) agree byte-for-byte —
+    normalization must be portable or the same document dedups differently
+    in different stages.
+    """
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup over the NORMALIZED text (case / punctuation /
+    whitespace-insensitive) — the standard first pass of web-corpus
+    curation (C4 keeps one of every three-sentence span up to
+    normalization; here the unit is the whole document).
+
+    Returns (norm_md5, keep_id, n_dups).  Same 100 TB shape as
+    :func:`exact_dedup`: normalization is a per-row column expression
+    (codegen, no Python), and the shuffle key is the 16-byte digest of the
+    normalized form, never the body.
+    """
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("norm_md5"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal (chunk-granularity exact substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+) -> DataFrame:
+    """Remove duplicated SPANS (fixed ``span_words``-word chunks) across the
+    corpus, keeping the globally-first occurrence of each distinct span —
+    document-level dedup misses the boilerplate/license/navigation text
+    that repeats INSIDE otherwise-unique documents, and span-level removal
+    of exact duplicated substrings is the fix (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — their suffix-array pass, re-expressed at fixed
+    word-chunk granularity so it distributes).
+
+    Keep rule: a span survives iff its (doc_id, span_no) is the
+    lexicographic minimum among all occurrences of that span text.
+    Returns one row per input document:
+    (doc_id, clean_text, n_spans, removed_spans) — ``clean_text`` is the
+    document with its duplicated spans deleted (may be '' if every span
+    was seen earlier).
+
+    100 TB design: the span frame is an explode (no shuffle); the
+    first-occurrence choice is ONE ``groupBy(md5(span))`` with a map-side
+    ``min(struct)`` partial — the shuffle carries (digest, min-candidate)
+    pairs, not span bodies; reassembly is one ``groupBy(doc_id)`` whose
+    window is a single document.  Nothing is all-pairs and no key is
+    hotter than the most-duplicated span's digest (bounded by corpus
+    duplication, and the min-struct combine collapses it map-side).
+    """
+    words = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    spans = (
+        words.withColumn("span_no", F.floor(F.col("pos") / span_words))
+        .groupBy(id_col, "span_no")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            ).alias("span_text")
+        )
+    )
+    firsts = (
+        spans.groupBy(F.md5(F.col("span_text")).alias("span_md5"))
+        .agg(F.min(F.struct(F.col(id_col), F.col("span_no"))).alias("first"))
+        .select(
+            "span_md5",
+            F.col(f"first.{id_col}").alias("__fid"),
+            F.col("first.span_no").alias("__fspan"),
+        )
+    )
+    kept = spans.join(
+        firsts,
+        (F.md5(F.col("span_text")) == F.col("span_md5"))
+        & (F.col(id_col) == F.col("__fid"))
+        & (F.col("span_no") == F.col("__fspan")),
+        "inner",
+    ).select(id_col, "span_no", "span_text")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_no", "span_text"))),
+                lambda s: s["span_text"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "inner")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_spans"),
+            (F.col("n_spans") - F.coalesce(F.col("__kept"), F.lit(0))).alias(
+                "removed_spans"
+            ),
+        )
+    )

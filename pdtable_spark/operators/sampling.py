@@ -193,3 +193,49 @@ def leakage_safe_split(
         "split",
         F.when(F.col("split_bucket") < train_pct, F.lit("train")).otherwise(F.lit("val")),
     )
+
+
+def mixture_temperature_weights(
+    df: DataFrame, source_col: str = "source", alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-scaled domain-mixing weights: each source's sampling
+    weight is its corpus share raised to ``alpha`` and renormalized —
+    ``alpha < 1`` upsamples small high-quality domains relative to their
+    raw share, the standard multilingual/multi-domain recipe (mT5 /
+    XLM-R style p_i^α mixing).
+
+    Returns one row per source:
+    (source, n_docs, share, temp_weight, mix_share).
+
+    Determinism: ``pow`` can differ by 1 ulp between libm and the JVM, so
+    the scaled weight is quantized to 9 decimals (``floor(x·1e9 + 0.5)``
+    as an exact BIGINT) before the renormalizing sum — an
+    order-independent integer sum, reproducible bit-for-bit anywhere.
+
+    100 TB design: the only corpus-sized work is ONE map-side-combinable
+    ``groupBy(source).count()``; everything after operates on a
+    #sources-row frame (driver-tiny) via broadcast cross joins — no
+    second scan, no skew surface.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__total"))
+    shared = counts.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.col("n_docs").cast("double") / F.col("__total").cast("double")
+    )
+    quant = shared.withColumn(
+        "__wq",
+        F.floor(F.pow(F.col("share"), F.lit(float(alpha))) * 1e9 + 0.5).cast("long"),
+    )
+    wtot = quant.agg(F.sum("__wq").alias("__wtot"))
+    return (
+        quant.crossJoin(F.broadcast(wtot))
+        .select(
+            source_col,
+            "n_docs",
+            "share",
+            (F.col("__wq").cast("double") / F.lit(1e9)).alias("temp_weight"),
+            (F.col("__wq").cast("double") / F.col("__wtot").cast("double")).alias(
+                "mix_share"
+            ),
+        )
+    )

@@ -587,3 +587,202 @@ def incremental_embedding_dedup(
         .distinct()
     )
     return new.join(dropped, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-index ANN
+# ---------------------------------------------------------------------------
+
+
+def _dist2(a, b):
+    """Squared L2 distance of two array<double> columns (JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _dist2_q(a, b):
+    """Squared distance quantized to 9 decimals as an exact BIGINT —
+    ADC sums per-subspace distances, and a sum of doubles is
+    order-dependent; summing the quantized integers is exact and
+    reproducible bit-for-bit on any engine."""
+    return F.floor(_dist2(a, b) * F.lit(1e9)).cast("long")
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_codes: int = 16,
+    num_subspaces: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[List[float]]]:
+    """Sampled-init PQ codebooks: the ``n_codes`` smallest-id corpus
+    vectors, each split into ``num_subspaces`` equal sub-vectors —
+    codebook[m][code] is the code-th centroid of subspace m.
+
+    FAISS-style sampled init without Lloyd refinement, same policy as the
+    suite's IVF centroids: deterministic (id-ordered), so an oracle can
+    recompute it.  Bounded collect: n_codes × dim doubles.  Production
+    refinement would run pyspark.ml KMeans per subspace on a sample.
+    """
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    dim = len(rows[0]["v"])
+    if dim % num_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {num_subspaces} subspaces")
+    dsub = dim // num_subspaces
+    return [
+        [list(r["v"][m * dsub : (m + 1) * dsub]) for r in rows]
+        for m in range(num_subspaces)
+    ]
+
+
+def _pq_cent_frame(spark, codebooks: List[List[List[float]]]) -> DataFrame:
+    """Codebooks as a small broadcastable frame (m, code, cvec) —
+    num_subspaces × n_codes rows, a few KB.  A frame, not a literal tree:
+    inlining M×K×dsub literals costs seconds of Catalyst analysis
+    (same lesson as :func:`_matrix_frame`)."""
+    data = [
+        (m, code, [float(x) for x in cvec])
+        for m, book in enumerate(codebooks)
+        for code, cvec in enumerate(book)
+    ]
+    return spark.createDataFrame(data, "m int, code int, cvec array<double>")
+
+
+def _pq_subspaces(df: DataFrame, id_cols: List[str], vec: str, num_subspaces: int, dsub: int):
+    """Explode a vector frame into (ids..., m, sv) sub-vector rows."""
+    return df.select(
+        *id_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(num_subspaces - 1))).alias("m"),
+        F.col(vec),
+    ).select(
+        *id_cols,
+        "m",
+        F.slice(F.col(vec), F.col("m") * dsub + 1, dsub).alias("sv"),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: List[List[List[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable PQ index: each vector compressed to
+    ``num_subspaces`` one-byte-ish codes → (id, codes array<int>).
+
+    This is the 100 TB memory story for similarity search: a 64-dim
+    float32 embedding is 256 B; its PQ code with 8 subspaces is 8 B —
+    32× smaller, so a 100 TB embedding corpus becomes a ~3 TB index that
+    a modest cluster holds in memory.  Encode cost: one scan with the
+    codebook frame broadcast (corpus × M × K intermediate rows, all
+    map-side), then ONE shuffle of (id, m) argmin partials.  Ties in
+    sub-distance break on the smaller code id (min-struct), so encoding
+    is deterministic.
+    """
+    num_subspaces = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cent = _pq_cent_frame(corpus.sparkSession, codebooks)
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    sub = _pq_subspaces(c, [id_col], "v", num_subspaces, dsub)
+    best = (
+        sub.join(F.broadcast(cent), "m")
+        .withColumn("dq", _dist2_q(F.col("sv"), F.col("cvec")))
+        .groupBy(id_col, "m")
+        .agg(F.min(F.struct(F.col("dq"), F.col("code"))).alias("b"))
+        .select(id_col, "m", F.col("b.code").alias("code"))
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_query(
+    index: DataFrame,
+    queries: DataFrame,
+    codebooks: List[List[List[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a :func:`pq_encode` index:
+    the query stays full-precision, each corpus vector is approximated by
+    its sub-centroids, and the distance is a table lookup —
+    dist²(q, x) ≈ Σ_m dist²(q_sub_m, codebook[m][code_m]).
+
+    Returns (query_id, id, approx_dist2, rank) — smaller distance is
+    better; ties break on corpus id.
+
+    Plan shape: the per-query lookup table (nq × M × K quantized
+    distances — a few thousand rows) is built by one broadcast join and
+    itself broadcast; the index scan explodes each row's M codes, joins
+    the LUT map-side, and partial-sums (query, id) groups before the ONE
+    shuffle.  The corpus never touches full vectors — the scan reads the
+    compressed codes only.  Exact re-rank of the ADC top-k against the
+    raw vectors (fetch-by-id) is the standard refinement when recall
+    matters more than one extra join.
+    """
+    num_subspaces = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cent = _pq_cent_frame(index.sparkSession, codebooks)
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("v"))
+    qsub = _pq_subspaces(q, [query_id_col], "v", num_subspaces, dsub)
+    lut = (
+        qsub.join(F.broadcast(cent), "m")
+        .select(
+            query_id_col,
+            "m",
+            "code",
+            _dist2_q(F.col("sv"), F.col("cvec")).alias("dq"),
+        )
+    )
+    codes = index.select(
+        F.col(id_col), F.posexplode(F.col("codes")).alias("m", "code")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("dq").alias("adist_q"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist_q"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("adist_q").cast("double") / F.lit(1e9)).alias("approx_dist2"),
+            "rank",
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_codes: int = 16,
+    num_subspaces: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebooks: Optional[List[List[List[float]]]] = None,
+) -> DataFrame:
+    """One-shot :func:`pq_codebooks` + :func:`pq_encode` + :func:`pq_query`
+    (use the pieces directly to persist the compressed index across query
+    batches)."""
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, n_codes, num_subspaces, id_col, vec_col)
+    idx = pq_encode(corpus, codebooks, id_col, vec_col)
+    return pq_query(idx, queries, codebooks, k, id_col, vec_col, query_id_col)

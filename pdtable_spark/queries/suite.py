@@ -4299,3 +4299,191 @@ def embedding_incremental_dedup(spark, sf_dir):
     return similarity.incremental_embedding_dedup(new, idx, threshold=0.3).select(
         "vec_id", "label"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: normalized dedup, span dedup, temperature mixing, PQ ANN
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_normalized",
+    """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+           MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_normalized(spark, sf_dir):
+    """Soft-exact dedup: documents identical up to case / punctuation /
+    whitespace collapse to one keeper (C4-style normalization pass).
+    Shuffle key is the 16-byte digest of the normalized form."""
+    docs = load(spark, sf_dir, "documents")
+    from pdtable_spark.operators.dedup import normalized_dedup
+
+    return normalized_dedup(docs)
+
+
+_SPAN_WORDS = 8
+
+_SQL_SPAN_DEDUP = f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, (pos - 1) // {_SPAN_WORDS} AS span_no,
+             string_agg(word, ' ' ORDER BY pos) AS span_text
+      FROM w WHERE word <> ''
+      GROUP BY doc_id, (pos - 1) // {_SPAN_WORDS}
+    ),
+    k AS (
+      SELECT doc_id, span_no, span_text,
+             ROW_NUMBER() OVER (PARTITION BY span_text
+                                ORDER BY doc_id, span_no) AS rn
+      FROM s
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(span_text, ' ' ORDER BY span_no) AS clean_text,
+             COUNT(*) AS kept
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM s GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(t.n_spans AS BIGINT) AS n_spans,
+           CAST(t.n_spans - COALESCE(r.kept, 0) AS BIGINT) AS removed_spans
+    FROM documents d
+    JOIN tot t ON t.doc_id = d.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """
+
+
+@q("dedup_spans", _SQL_SPAN_DEDUP)
+def dedup_spans(spark, sf_dir):
+    """Duplicated-span removal (Lee et al. arXiv:2107.06499 re-expressed at
+    fixed word-chunk granularity): the globally-first occurrence of each
+    8-word span survives; later copies are deleted from their documents.
+    The oracle recomputes the identical keep rule (lexicographic-min
+    (doc_id, span_no) per span text) in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    from pdtable_spark.operators.dedup import span_dedup
+
+    return span_dedup(docs, span_words=_SPAN_WORDS)
+
+
+_MIX_ALPHA = 0.7
+
+
+@q(
+    "pipeline_mixture_temperature",
+    f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT SUM(n_docs) AS total FROM c),
+    w AS (
+      SELECT source, n_docs,
+             CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+             CAST(FLOOR(POW(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE),
+                            {_MIX_ALPHA}) * 1e9 + 0.5) AS BIGINT) AS wq
+      FROM c CROSS JOIN t
+    ),
+    s AS (SELECT SUM(wq) AS wtot FROM w)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, share,
+           CAST(wq AS DOUBLE) / 1e9 AS temp_weight,
+           CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE) AS mix_share
+    FROM w CROSS JOIN s
+    """,
+)
+def pipeline_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled domain mixing (p_i^0.7 renormalized, mT5-style):
+    upsamples small high-quality sources.  The pow() output is quantized
+    to 9 decimals as BIGINT before the renormalizing sum, so the weights
+    are bit-reproducible across engines (pow differs by ulps)."""
+    docs = load(spark, sf_dir, "documents")
+    from pdtable_spark.operators.sampling import mixture_temperature_weights
+
+    return mixture_temperature_weights(docs, alpha=_MIX_ALPHA)
+
+
+_PQ_CODES = 16
+_PQ_M = 8
+_PQ_DSUB = 8  # 64-dim / 8 subspaces
+
+
+def _sql_pq_topk(k: int) -> str:
+    dsub, m_max, n_codes = _PQ_DSUB, _PQ_M - 1, _PQ_CODES
+    d2 = (
+        f"CAST(FLOOR(list_sum(list_transform(generate_series(1, {dsub}), "
+        f"i -> (sv[i]-cvec[i])*(sv[i]-cvec[i]))) * 1e9) AS BIGINT)"
+    )
+    return f"""
+    WITH ms AS (SELECT unnest(generate_series(0, {m_max})) AS m),
+    cent AS (
+      SELECT ms.m, cb.vec_id AS code,
+             cb.ce[ms.m*{dsub}+1 : ms.m*{dsub}+{dsub}] AS cvec
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id < {n_codes}) cb
+      CROSS JOIN ms
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    sub AS (
+      SELECT vec_id, ms.m, ca[ms.m*{dsub}+1 : ms.m*{dsub}+{dsub}] AS sv
+      FROM c CROSS JOIN ms
+    ),
+    enc AS (
+      SELECT vec_id, m, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dq, code) AS rn
+      FROM (SELECT s.vec_id, s.m, cent.code, {d2} AS dq
+            FROM sub s JOIN cent ON cent.m = s.m)
+    ),
+    codes AS (SELECT vec_id, m, code FROM enc WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
+          FROM embeddings WHERE vec_id < 5),
+    qsub AS (
+      SELECT query_id, ms.m, qa[ms.m*{dsub}+1 : ms.m*{dsub}+{dsub}] AS sv
+      FROM q CROSS JOIN ms
+    ),
+    lut AS (
+      SELECT s.query_id, s.m, cent.code, {d2} AS dq
+      FROM qsub s JOIN cent ON cent.m = s.m
+    ),
+    scored AS (
+      SELECT lut.query_id, codes.vec_id, SUM(lut.dq) AS adist
+      FROM codes JOIN lut ON lut.m = codes.m AND lut.code = codes.code
+      GROUP BY lut.query_id, codes.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             CAST(adist AS DOUBLE) / 1e9 AS approx_dist2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, approx_dist2, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("embedding_pq_topk", _sql_pq_topk(k=10))
+def embedding_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: 64-dim float corpus compressed to 8
+    one-byte codes per vector (32× memory), queries answered by
+    asymmetric-distance table lookup over the compressed index.
+    Codebooks are the FAISS-style sampled init (first 16 corpus vectors,
+    id-ordered, split into 8 subspaces) so the oracle recomputes the
+    identical encoding; per-subspace distances are quantized to BIGINT
+    before the ADC sum (order-independent, engine-exact)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = similarity.pq_codebooks(
+        emb, n_codes=_PQ_CODES, num_subspaces=_PQ_M
+    )
+    return similarity.pq_topk(
+        emb, queries, k=10, num_subspaces=_PQ_M, codebooks=books
+    )

@@ -1001,3 +1001,110 @@ def test_incremental_embedding_dedup_drops_only_verified(spark, tmp_path):
               similarity.incremental_embedding_dedup(
                   new, loaded, threshold=0.95, prune_partitions=True, **kw).collect()}
     assert pruned == out
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: normalized dedup, span dedup, temperature mix, PQ ANN
+# ---------------------------------------------------------------------------
+
+
+def test_normalized_dedup_collapses_soft_duplicates(spark):
+    rows = [
+        (0, "Hello, World!"),
+        (1, "hello   world"),  # same after normalization
+        (2, "HELLO WORLD."),   # same after normalization
+        (3, "goodbye world"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["keep_id"]: r["n_dups"] for r in dedup.normalized_dedup(df).collect()}
+    assert out == {0: 3, 3: 1}
+
+
+def test_span_dedup_removes_repeated_spans(spark):
+    # span_words=2 → doc 0 spans: "a b", "c d"; doc 1 repeats "a b" then
+    # adds fresh text; doc 2 is entirely spans seen before.
+    rows = [
+        (0, "a b c d"),
+        (1, "a b x y"),
+        (2, "c d a b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_spans"], r["removed_spans"])
+        for r in dedup.span_dedup(df, span_words=2).collect()
+    }
+    assert out[0] == ("a b c d", 2, 0)
+    assert out[1] == ("x y", 2, 1)
+    assert out[2] == ("", 2, 2)
+
+
+def test_span_dedup_keeps_globally_first_occurrence(spark):
+    # the same span in two docs → kept only in the smaller (doc_id, span_no)
+    rows = [(7, "dup span words here"), (3, "other text dup span")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"] for r in dedup.span_dedup(df, span_words=2).collect()}
+    assert out[3] == "other text dup span"
+    assert out[7] == "words here"
+
+
+def test_mixture_temperature_weights_sum_to_one(spark):
+    from pdtable_spark.operators.sampling import mixture_temperature_weights
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(60)] + [(100, "rare")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_temperature_weights(df, alpha=0.5).collect()
+    assert abs(sum(r["mix_share"] for r in out) - 1.0) < 1e-9
+    by_src = {r["source"]: r for r in out}
+    # alpha<1 upsamples the rare source relative to its raw share
+    assert by_src["rare"]["mix_share"] > by_src["rare"]["share"]
+    assert by_src["s0"]["mix_share"] < by_src["s0"]["share"]
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = similarity.pq_codebooks(emb, n_codes=4, num_subspaces=4)
+    assert len(books) == 4 and len(books[0]) == 4 and len(books[0][0]) == 4
+    idx = similarity.pq_encode(emb, books)
+    got = {r["vec_id"]: r["codes"] for r in idx.collect()}
+    assert len(got) == 40 and all(len(c) == 4 for c in got.values())
+    assert all(0 <= code < 4 for c in got.values() for code in c)
+    # a codebook member encodes to itself in every subspace
+    assert got[2] == [2, 2, 2, 2]
+    # deterministic across re-runs
+    again = {r["vec_id"]: r["codes"] for r in similarity.pq_encode(emb, books).collect()}
+    assert got == again
+
+
+def test_pq_topk_approximates_exact_neighbors(spark):
+    import random
+
+    rnd = random.Random(5)
+    # clustered data so PQ cells are meaningful: 3 centers in 16-dim
+    centers = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(3)]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [x + rnd.uniform(-0.05, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.pq_topk(emb, queries, k=5, n_codes=8, num_subspaces=4)
+    rows_out = out.collect()
+    assert len(rows_out) == 10  # 2 queries × k
+    by_q = {}
+    for r in rows_out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, 6))
+        # ADC distance of the top hit is near zero (query is in the corpus)
+        top = min(rs, key=lambda r: r["rank"])
+        assert top["approx_dist2"] < 0.2
+        # neighbors come from the query's own cluster (same residue mod 3)
+        same = sum(1 for r in rs if r["vec_id"] % 3 == qid % 3)
+        assert same >= 4
