@@ -145,9 +145,22 @@ def main():
         q = emb.limit(16).withColumnRenamed("vec_id", "query_id")
         return similarity.ann_query(_state["ann"], q, k=10, prune_partitions=True)
 
+    def bench_pq_query_served(s, d):
+        if "pq" not in _state:
+            emb = s.read.parquet(f"{d}/embeddings.parquet")
+            books = similarity.pq_codebooks(emb, n_codes=16, num_subspaces=8)
+            idx = similarity.pq_encode(emb, books).cache()
+            idx.count()
+            _state["pq"] = (idx, books)
+        idx, books = _state["pq"]
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        q = emb.limit(16).withColumnRenamed("vec_id", "query_id")
+        return similarity.pq_query(idx, q, books, k=10)
+
     BENCH_QUERIES["dedup_incremental"] = bench_dedup_incremental
     BENCH_QUERIES["dedup_incremental_verified"] = bench_dedup_incremental_verified
     BENCH_QUERIES["ann_query_served"] = bench_ann_query_served
+    BENCH_QUERIES["pq_query_served"] = bench_pq_query_served
 
     EXTENDED = [
         "stream_hourly_counts",
@@ -160,6 +173,9 @@ def main():
         "text_classifier_filter",
         "embedding_semantic_dedup",
         "stream_enriched_segments",
+        # round-5 additions: span-level dedup and compressed-index ANN serving
+        "dedup_spans",
+        "pq_query_served",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

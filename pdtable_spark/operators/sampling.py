@@ -13,6 +13,7 @@ run inside the scan's WholeStageCodegen projection.
 
 from __future__ import annotations
 
+import math
 from typing import Dict
 
 from pyspark.sql import Column, DataFrame
@@ -213,29 +214,28 @@ def mixture_temperature_weights(
     order-independent integer sum, reproducible bit-for-bit anywhere.
 
     100 TB design: the only corpus-sized work is ONE map-side-combinable
-    ``groupBy(source).count()``; everything after operates on a
-    #sources-row frame (driver-tiny) via broadcast cross joins — no
-    second scan, no skew surface.
+    ``groupBy(source).count()``; the aggregated frame is #sources rows
+    (driver-tiny, same bounded-collect policy as the IVF centroids), so
+    the two renormalizing sums run as exact driver arithmetic instead of
+    re-embedding the corpus scan in three lazy branches — one scan total,
+    no skew surface.
     """
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    total = counts.agg(F.sum("n_docs").alias("__total"))
-    shared = counts.crossJoin(F.broadcast(total)).withColumn(
-        "share", F.col("n_docs").cast("double") / F.col("__total").cast("double")
+    counts = sorted(
+        (r[source_col], r["n_docs"])
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs")).collect()
     )
-    quant = shared.withColumn(
-        "__wq",
-        F.floor(F.pow(F.col("share"), F.lit(float(alpha))) * 1e9 + 0.5).cast("long"),
-    )
-    wtot = quant.agg(F.sum("__wq").alias("__wtot"))
-    return (
-        quant.crossJoin(F.broadcast(wtot))
-        .select(
-            source_col,
-            "n_docs",
-            "share",
-            (F.col("__wq").cast("double") / F.lit(1e9)).alias("temp_weight"),
-            (F.col("__wq").cast("double") / F.col("__wtot").cast("double")).alias(
-                "mix_share"
-            ),
-        )
+    total = sum(n for _, n in counts)
+    rows = []
+    for src, n in counts:
+        share = float(n) / float(total)
+        wq = int(math.floor(share**float(alpha) * 1e9 + 0.5))
+        rows.append((src, n, share, wq))
+    wtot = sum(wq for *_, wq in rows)
+    return df.sparkSession.createDataFrame(
+        [
+            (src, n, share, float(wq) / 1e9, float(wq) / float(wtot))
+            for src, n, share, wq in rows
+        ],
+        f"{source_col} string, n_docs long, share double, "
+        "temp_weight double, mix_share double",
     )

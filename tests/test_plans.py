@@ -225,3 +225,49 @@ def test_ann_index_append_serves_union(spark, tmp_path):
         for r in sim.ann_query(sim.ann_index(emb), q, k=5).collect()
     }
     assert got == want and got
+
+
+def test_pq_query_broadcasts_lut_no_cartesian(spark):
+    """PQ serving plan: the per-query lookup table must join the code scan
+    as a BROADCAST (the LUT is nq×M×K rows), the corpus side must touch
+    only the compressed codes (no full-vector column in the probe scan),
+    and nothing degenerates to a cartesian/sort-merge join."""
+    from pdtable_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = similarity.pq_codebooks(emb, n_codes=8, num_subspaces=8)
+    idx = similarity.pq_encode(emb, books)
+    q = emb.limit(4).withColumnRenamed("vec_id", "query_id")
+    out = similarity.pq_query(idx, q, books, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_no_global_window(spark):
+    """span_dedup's first-occurrence choice must stay a map-side-combinable
+    aggregation — a Window over an empty/global partitioning would pull
+    the whole corpus into one task."""
+    from pdtable_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.span_dedup(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # keep rule is groupBy(min-struct), not row_number
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_mixture_temperature_single_corpus_scan(spark):
+    """The only corpus-sized work is the ONE groupBy(source) count; the
+    renormalization runs on the #sources-row aggregate driver-side
+    (bounded-collect policy), so the RESULT plan must be a local table —
+    consumers of the weights never re-trigger a corpus scan (a lazy
+    spelling re-embedded the scan in 4 plan branches)."""
+    from pdtable_spark.operators.sampling import mixture_temperature_weights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = mixture_temperature_weights(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
