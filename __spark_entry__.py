@@ -51,6 +51,8 @@ _PRIORITY = [
     "dedup_spans",
     "pipeline_mixture_temperature",
     "embedding_pq_topk",
+    "q_user_skew_report",
+    "text_ngram_novelty",
     "text_classifier_filter",
     "embedding_semantic_dedup",
     "embedding_near_dups",

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "__salt"
@@ -84,4 +84,43 @@ def top_frequent_keys(df: DataFrame, key: str, n: int = 20) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy(F.desc("n_rows"), F.asc_nulls_first(key))
         .limit(n)
+    )
+
+
+def skew_report(df: DataFrame, key: str, n: int = 20) -> DataFrame:
+    """Key-skew diagnostic with context: the ``n`` hottest key values with
+    row count, corpus share, and skew factor (count / mean-rows-per-key) —
+    the number that says how many salt sub-keys a join on this key needs
+    (a hot key at factor 40 wants salt ≈ 40 to level its reducer).
+
+    Returns (key, n_rows, share, skew_factor, rank) sorted hottest-first
+    with a key tie-break (total order → reproducible).
+
+    Plan shape: ONE map-side-combinable ``groupBy(key).count()``; the
+    totals are aggregates OVER that counts frame (key-cardinality-sized,
+    not corpus-sized) broadcast back as a single row — Spark reuses the
+    counts exchange across the two branches at runtime, and the top-n is
+    a TakeOrdered, never a global sort.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc_nulls_first(key))
+    top = (
+        counts.orderBy(F.desc("n_rows"), F.asc_nulls_first(key))
+        .limit(n)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        key,
+        "n_rows",
+        (F.col("n_rows").cast("double") / F.col("__total").cast("double")).alias(
+            "share"
+        ),
+        (
+            F.col("n_rows").cast("double")
+            / (F.col("__total").cast("double") / F.col("__nkeys").cast("double"))
+        ).alias("skew_factor"),
+        "rank",
     )

@@ -560,3 +560,58 @@ def train_quality_classifier(
         "term string, weight double",
     )
     return weights, float(lrm.intercept)
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    word n-grams whose FIRST corpus occurrence (min doc-id owner) is this
+    document — near-1 documents contribute fresh text, near-0 documents
+    restate the corpus (boilerplate, templated spam, quotations).  A
+    standard curation signal between exact dedup (too strict) and
+    similarity dedup (pairwise cost).
+
+    Returns (id, n_ngrams, n_novel, novelty) for documents with at least
+    ``n`` words; set semantics within a document (repeats count once).
+
+    100 TB design: n-grams shuffle as 16-byte digests (never the gram
+    text); the owner choice is one map-side-combinable ``min`` aggregate;
+    the join back is digest-keyed; per-document rollup is one more keyed
+    aggregate.  Nothing is pairwise and no stage holds a document's full
+    gram set in one row.
+    """
+    words = df.select(F.col(id_col), tokens(F.col(text_col)).alias("ws"))
+    grams = (
+        words.filter(F.size("ws") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, n)),
+                )
+            ).alias("ng"),
+        )
+        .select(F.col(id_col), F.md5(F.col("ng")).alias("g"))
+        .distinct()
+    )
+    owners = grams.groupBy("g").agg(F.min(id_col).alias("__owner"))
+    return (
+        grams.join(owners, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("__owner") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_ngrams").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )

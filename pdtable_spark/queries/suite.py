@@ -4487,3 +4487,67 @@ def embedding_pq_topk(spark, sf_dir):
     return similarity.pq_topk(
         emb, queries, k=10, num_subspaces=_PQ_M, codebooks=books
     )
+
+
+@q(
+    "q_user_skew_report",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id),
+    t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS nkeys FROM c),
+    top AS (
+      SELECT user_id, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS rank
+      FROM c ORDER BY n_rows DESC, user_id LIMIT 20
+    )
+    SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(n_rows AS DOUBLE)
+             / (CAST(total AS DOUBLE) / CAST(nkeys AS DOUBLE)) AS skew_factor,
+           rank
+    FROM top CROSS JOIN t
+    """,
+)
+def q_user_skew_report(spark, sf_dir):
+    """Key-skew diagnostic over the event stream's user key: the 20
+    hottest users with corpus share and skew factor (count over
+    mean-rows-per-key) — the pre-join measurement that sizes a salt.
+    TakeOrdered top-k; totals are aggregates over the counts frame."""
+    ev = load(spark, sf_dir, "events")
+    from pdtable_spark.operators.skew import skew_report
+
+    return skew_report(ev, "user_id", n=20)
+
+
+_NOVELTY_N = 3
+
+_SQL_NGRAM_NOVELTY = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    e AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(1, len(ws) - {_NOVELTY_N - 1})) AS i
+      FROM t WHERE len(ws) >= {_NOVELTY_N}
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(ws[i : i + {_NOVELTY_N - 1}], ' ')) AS ng
+      FROM e
+    ),
+    o AS (SELECT ng, MIN(doc_id) AS owner FROM g GROUP BY ng)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM g JOIN o ON o.ng = g.ng
+    GROUP BY g.doc_id
+    """
+
+
+@q("text_ngram_novelty", _SQL_NGRAM_NOVELTY)
+def text_ngram_novelty(spark, sf_dir):
+    """Trigram novelty per document (fraction of distinct trigrams first
+    seen in this doc) — the curation signal between exact and similarity
+    dedup.  Grams shuffle as md5 digests; owner = min doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    return text.ngram_novelty(docs, n=_NOVELTY_N)

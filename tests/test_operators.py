@@ -1108,3 +1108,32 @@ def test_pq_topk_approximates_exact_neighbors(spark):
         # neighbors come from the query's own cluster (same residue mod 3)
         same = sum(1 for r in rs if r["vec_id"] % 3 == qid % 3)
         assert same >= 4
+
+
+def test_skew_report_ranks_hot_keys(spark):
+    from pdtable_spark.operators.skew import skew_report
+
+    rows = [(i, "hot") for i in range(80)] + [(100 + i, "k%d" % i) for i in range(20)]
+    df = spark.createDataFrame(rows, ["row_id", "k"])
+    out = skew_report(df, "k", n=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    top = out[0]
+    assert top["k"] == "hot" and top["n_rows"] == 80
+    assert abs(top["share"] - 0.8) < 1e-12
+    # 100 rows over 21 keys → mean ≈ 4.76; hot key factor = 80/mean
+    assert abs(top["skew_factor"] - 80 / (100 / 21)) < 1e-9
+
+
+def test_ngram_novelty_scores_fresh_vs_restated(spark):
+    rows = [
+        (0, "a b c d e"),        # all 3 trigrams novel (first doc)
+        (1, "a b c d e"),        # exact restatement → novelty 0
+        (2, "a b c x y z"),      # 4 trigrams, only "a b c" seen before
+        (3, "q r"),              # too short → excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.ngram_novelty(df, n=3).collect()}
+    assert 3 not in out
+    assert out[0]["n_ngrams"] == 3 and out[0]["novelty"] == 1.0
+    assert out[1]["n_novel"] == 0 and out[1]["novelty"] == 0.0
+    assert out[2]["n_ngrams"] == 4 and out[2]["n_novel"] == 3
