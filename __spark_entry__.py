@@ -53,6 +53,7 @@ _PRIORITY = [
     "embedding_pq_topk",
     "q_user_skew_report",
     "text_ngram_novelty",
+    "embedding_pq_refined",
     "text_classifier_filter",
     "embedding_semantic_dedup",
     "embedding_near_dups",

@@ -786,3 +786,51 @@ def pq_topk(
         codebooks = pq_codebooks(corpus, n_codes, num_subspaces, id_col, vec_col)
     idx = pq_encode(corpus, codebooks, id_col, vec_col)
     return pq_query(idx, queries, codebooks, k, id_col, vec_col, query_id_col)
+
+
+def pq_query_refined(
+    index: DataFrame,
+    queries: DataFrame,
+    codebooks: List[List[List[float]]],
+    corpus: DataFrame,
+    k: int = 10,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ with exact re-rank: ADC retrieves ``k × refine_factor``
+    candidates from the compressed index, then their RAW vectors are
+    fetched by id and the final top-k is ranked by exact cosine — the
+    standard two-stage serving shape (coarse recall from the 32×-smaller
+    index, precision from a bounded fetch of nq·k·refine_factor rows).
+
+    Returns (query_id, id, cosine_sim, rank) like :func:`cosine_topk`.
+
+    Plan shape: the candidate set after ADC is tiny (per-query bounded),
+    so the raw-vector fetch is a semi-join-sized keyed join against the
+    corpus — at 100 TB the full-precision vectors are read for only
+    ~nq·k·refine_factor ids, never scanned wholesale; the query side is
+    broadcast throughout.
+    """
+    cand = pq_query(
+        index, queries, codebooks, k=k * refine_factor,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("q_vec"))
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec"))
+    scored = (
+        cand.join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )

@@ -4551,3 +4551,45 @@ def text_ngram_novelty(spark, sf_dir):
     dedup.  Grams shuffle as md5 digests; owner = min doc_id."""
     docs = load(spark, sf_dir, "documents")
     return text.ngram_novelty(docs, n=_NOVELTY_N)
+
+
+_PQ_REFINE = 4
+
+
+@q(
+    "embedding_pq_refined",
+    f"""
+    WITH cand AS (
+      SELECT query_id, vec_id FROM ({_sql_pq_topk(k=10 * _PQ_REFINE)})
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, {_sql_cos('qa', 'ca', 64)} AS cosine_sim
+      FROM cand JOIN c ON c.vec_id = cand.vec_id
+      JOIN q ON q.query_id = cand.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def embedding_pq_refined(spark, sf_dir):
+    """Two-stage PQ serving: ADC over the compressed index retrieves
+    k×4 candidates, exact cosine over their raw vectors ranks the final
+    top-10 — coarse recall from the 32×-smaller index, precision from a
+    bounded by-id fetch.  Both stages deterministic → full value oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = similarity.pq_codebooks(emb, n_codes=_PQ_CODES, num_subspaces=_PQ_M)
+    idx = similarity.pq_encode(emb, books)
+    return similarity.pq_query_refined(
+        idx, queries, books, emb, k=10, refine_factor=_PQ_REFINE
+    )

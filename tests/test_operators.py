@@ -1137,3 +1137,31 @@ def test_ngram_novelty_scores_fresh_vs_restated(spark):
     assert out[0]["n_ngrams"] == 3 and out[0]["novelty"] == 1.0
     assert out[1]["n_novel"] == 0 and out[1]["novelty"] == 0.0
     assert out[2]["n_ngrams"] == 4 and out[2]["n_novel"] == 3
+
+
+def test_pq_refined_recovers_exact_neighbors(spark):
+    import random
+
+    rnd = random.Random(9)
+    centers = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    rows = [
+        (i, [x + rnd.uniform(-0.08, 0.08) for x in centers[i % 4]])
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = similarity.pq_codebooks(emb, n_codes=8, num_subspaces=4)
+    idx = similarity.pq_encode(emb, books)
+    refined = similarity.pq_query_refined(idx, queries, books, emb, k=5, refine_factor=6)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    r = {(x["query_id"], x["rank"]): x["vec_id"] for x in refined.collect()}
+    e = {(x["query_id"], x["rank"]): x["vec_id"] for x in exact.collect()}
+    # exact re-rank over a generous candidate pool recovers most of the
+    # true top-5 (ADC coarse recall can drop a near-boundary neighbor)
+    agree = sum(1 for key in e if r.get(key) == e[key])
+    assert agree >= 12  # ≥80% of 15 (3 queries × 5)
+    # and every refined hit carries the TRUE cosine (spot check one)
+    qid, vid = 0, r[(0, 1)]
+    assert r[(0, 1)] == e[(0, 1)]
