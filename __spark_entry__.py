@@ -54,6 +54,7 @@ _PRIORITY = [
     "q_user_skew_report",
     "text_ngram_novelty",
     "embedding_pq_refined",
+    "text_gopher_rules",
     "text_classifier_filter",
     "embedding_semantic_dedup",
     "embedding_near_dups",

@@ -615,3 +615,63 @@ def ngram_novelty(
             ),
         )
     )
+
+
+_GOPHER_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "that", "for"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al., arXiv:2112.11446
+    §A1.1): word-count bounds, mean-word-length bounds, fraction of words
+    containing an alphabetic character, and minimum stopword hits — the
+    rule-based pre-filter that runs before any model-based scoring.
+
+    Returns (id, n_words, mean_word_len, alpha_ratio, n_stopwords,
+    pass_word_count, pass_mean_word_len, pass_alpha_ratio, pass_stopwords,
+    pass_all) with the flags as 0/1 ints.
+
+    All pure column expressions over one scan — zero shuffles, zero
+    Python; at 100 TB the failing rows die inside the scan's codegen
+    stage when this feeds a filter.
+    """
+    ws = tokens(F.col(text_col))
+    n_words = F.size(ws).cast("long")
+    n_chars = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    mean_len = n_chars.cast("double") / n_words.cast("double")
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))).cast("long")
+    alpha_ratio = alpha.cast("double") / n_words.cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(ws, lambda w: F.array_contains(stop_arr, F.lower(w)))
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+    )
+    p_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    p_ml = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    p_ar = F.col("alpha_ratio") >= min_alpha_ratio
+    p_sw = F.col("n_stopwords") >= min_stopwords
+    return out.select(
+        "*",
+        p_wc.cast("int").alias("pass_word_count"),
+        p_ml.cast("int").alias("pass_mean_word_len"),
+        p_ar.cast("int").alias("pass_alpha_ratio"),
+        p_sw.cast("int").alias("pass_stopwords"),
+        (p_wc & p_ml & p_ar & p_sw).cast("int").alias("pass_all"),
+    )

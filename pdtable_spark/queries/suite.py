@@ -4593,3 +4593,50 @@ def embedding_pq_refined(spark, sf_dir):
     return similarity.pq_query_refined(
         idx, queries, books, emb, k=10, refine_factor=_PQ_REFINE
     )
+
+
+_GOPHER_MIN_WORDS = 20
+_GOPHER_STOP_SQL = "['the','a','an','and','of','to','in','is','that','for']"
+
+
+@q(
+    "text_gopher_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(n_chars AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(ws, w -> list_contains({_GOPHER_STOP_SQL},
+                  lower(w)))) AS BIGINT) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len,
+           CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_ratio,
+           n_stopwords,
+           CAST(n_words >= {_GOPHER_MIN_WORDS} AND n_words <= 100000 AS INT)
+             AS pass_word_count,
+           CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+             AS pass_mean_word_len,
+           CAST(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8 AS INT)
+             AS pass_alpha_ratio,
+           CAST(n_stopwords >= 2 AS INT) AS pass_stopwords,
+           CAST(n_words >= {_GOPHER_MIN_WORDS} AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+                AND n_stopwords >= 2 AS INT) AS pass_all
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher rule-based quality pre-filter (word-count bounds, mean word
+    length, alpha-word ratio, stopword hits) — zero-shuffle column
+    expressions; flags as 0/1 ints for the cross-engine hash."""
+    docs = load(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs, min_words=_GOPHER_MIN_WORDS)

@@ -1165,3 +1165,20 @@ def test_pq_refined_recovers_exact_neighbors(spark):
     # and every refined hit carries the TRUE cosine (spot check one)
     qid, vid = 0, r[(0, 1)]
     assert r[(0, 1)] == e[(0, 1)]
+
+
+def test_gopher_quality_flags(spark):
+    rows = [
+        (0, "the quick brown fox and the lazy dog ran off to the hills"),  # passes
+        (1, "x y z"),                                    # too short, no stopwords
+        (2, "1 2 3 4 5 6 7 8 9 10 11 12"),               # numeric: alpha ratio 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in text.gopher_quality_flags(df, min_words=5, min_stopwords=2).collect()
+    }
+    assert out[0]["pass_all"] == 1
+    assert out[1]["pass_word_count"] == 0 and out[1]["pass_all"] == 0
+    assert out[2]["pass_alpha_ratio"] == 0 and out[2]["pass_stopwords"] == 0
+    assert out[0]["n_stopwords"] >= 4
