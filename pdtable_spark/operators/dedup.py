@@ -914,10 +914,10 @@ def span_dedup(
 
     Keep rule: a span survives iff its (doc_id, span_no) is the
     lexicographic minimum among all occurrences of that span text.
-    Returns one row per input document:
-    (doc_id, clean_text, n_spans, removed_spans) — ``clean_text`` is the
-    document with its duplicated spans deleted (may be '' if every span
-    was seen earlier).
+    Returns one row per document WITH at least one span (empty/whitespace
+    documents have none): (doc_id, clean_text, n_spans, removed_spans) —
+    ``clean_text`` is the document with its duplicated spans deleted
+    (may be '' if every span was seen earlier).
 
     100 TB design: the span frame is an explode (no shuffle); the
     first-occurrence choice is ONE ``groupBy(md5(span))`` with a map-side
@@ -947,43 +947,39 @@ def span_dedup(
             ).alias("span_text")
         )
     )
-    firsts = (
-        spans.groupBy(F.md5(F.col("span_text")).alias("span_md5"))
-        .agg(F.min(F.struct(F.col(id_col), F.col("span_no"))).alias("first"))
-        .select(
-            "span_md5",
-            F.col(f"first.{id_col}").alias("__fid"),
-            F.col("first.span_no").alias("__fspan"),
-        )
+    spans = spans.withColumn("span_md5", F.md5(F.col("span_text")))
+    firsts = spans.groupBy("span_md5").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_no"))).alias("__first")
     )
-    kept = spans.join(
-        firsts,
-        (F.md5(F.col("span_text")) == F.col("span_md5"))
-        & (F.col(id_col) == F.col("__fid"))
-        & (F.col("span_no") == F.col("__fspan")),
-        "inner",
-    ).select(id_col, "span_no", "span_text")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("span_no", "span_text"))),
-                lambda s: s["span_text"],
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("__kept"),
+    flagged = spans.join(firsts, "span_md5").withColumn(
+        "__keep",
+        (
+            (F.col(id_col) == F.col(f"__first.{id_col}"))
+            & (F.col("span_no") == F.col("__first.span_no"))
+        ).cast("int"),
     )
-    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
     return (
-        df.select(id_col)
-        .join(totals, id_col, "inner")
-        .join(rebuilt, id_col, "left")
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("__keep").alias("__kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("span_no", "span_text", "__keep"))
+                        ),
+                        lambda s: s["__keep"] == 1,
+                    ),
+                    lambda s: s["span_text"],
+                ),
+            ).alias("clean_text"),
+        )
         .select(
             id_col,
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.col("n_spans"),
-            (F.col("n_spans") - F.coalesce(F.col("__kept"), F.lit(0))).alias(
-                "removed_spans"
-            ),
+            "clean_text",
+            "n_spans",
+            (F.col("n_spans") - F.col("__kept")).alias("removed_spans"),
         )
     )

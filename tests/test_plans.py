@@ -253,9 +253,14 @@ def test_span_dedup_no_global_window(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = dedup.span_dedup(docs)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "Window" not in plan  # keep rule is groupBy(min-struct), not row_number
     assert "Exchange SinglePartition" not in plan
+    # the tokenize+explode+span-agg pipeline must run ONCE: its exchange is
+    # reused by the first-occurrence branch, so the corpus is scanned once
+    assert plan.count("documents.parquet") == 1
+    assert "ReusedExchange" in plan
 
 
 def test_mixture_temperature_single_corpus_scan(spark):
