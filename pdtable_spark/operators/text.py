@@ -579,7 +579,13 @@ def ngram_novelty(
     text); the owner choice is one map-side-combinable ``min`` aggregate;
     the join back is digest-keyed; per-document rollup is one more keyed
     aggregate.  Nothing is pairwise and no stage holds a document's full
-    gram set in one row.
+    gram set in one row.  The plan deliberately scans the corpus TWICE
+    (Catalyst collapses the duplicate-insensitive ``min`` past the
+    distinct, so the owner branch partial-combines raw grams map-side):
+    re-tokenizing costs one scan-parallel pass, while forcing single-scan
+    exchange reuse would push the owner branch through the full
+    (doc, gram) exchange — more shuffle bytes, the thing that does NOT
+    survive 100× (same trade the minhash verify measured, BENCH_NOTES).
     """
     words = df.select(F.col(id_col), tokens(F.col(text_col)).alias("ws"))
     grams = (
