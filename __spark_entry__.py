@@ -55,6 +55,7 @@ _PRIORITY = [
     "text_ngram_novelty",
     "embedding_pq_refined",
     "text_gopher_rules",
+    "minhash_estimate_error",
     "text_classifier_filter",
     "embedding_semantic_dedup",
     "embedding_near_dups",

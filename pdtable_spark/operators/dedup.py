@@ -983,3 +983,82 @@ def span_dedup(
             (F.col("n_spans") - F.col("__kept")).alias("removed_spans"),
         )
     )
+
+
+def minhash_estimate_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    hash_fn: str = "xxhash64",
+    max_bucket: Optional[int] = 1000,
+) -> DataFrame:
+    """Sketch-quality diagnostic: for every LSH candidate pair, the
+    signature ESTIMATE of Jaccard (fraction of matching signature
+    components — the estimator whose expectation IS the true Jaccard)
+    next to the exact shingle-set value, with the absolute error.  The
+    measurement that tunes ``num_hashes``/``bands`` before pointing the
+    sketch at 100 TB — the MinHash analog of the ANN recall diagnostic.
+
+    Returns (id_a, id_b, est_jaccard, true_jaccard, abs_err).
+
+    Plan shape: identical to :func:`minhash_dedup` (signature pipeline is
+    shuffle-free; ONE bucket-keyed exchange; verify joins are keyed on
+    ids) plus two narrow signature-array joins — signatures are
+    ``num_hashes``×8 bytes, so the estimate join moves KBs per thousand
+    candidates.
+    """
+    sets_ = _shingle_sets(df, text_col, id_col, shingle_n, hash_fn, "sh")
+    if hash_fn == "md5_60":
+        sig_in = sets_.select(F.col(id_col), _md5_hash_pairs(F.col("sh")).alias("__hp"))
+        sig = sig_in.select(
+            F.col(id_col), *_signature_cols(F.col("__hp"), num_hashes, hash_fn)
+        )
+    else:
+        sig = sets_.select(
+            F.col(id_col), *_signature_cols(F.col("sh"), num_hashes, hash_fn)
+        )
+    cand = _lsh_candidate_pairs(sig, id_col, num_hashes, bands, hash_fn, max_bucket)
+    sig_arr = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    est = (
+        cand.join(
+            sig_arr.withColumnRenamed(id_col, "id_a").withColumnRenamed("sig", "sig_a"),
+            "id_a",
+        )
+        .join(
+            sig_arr.withColumnRenamed(id_col, "id_b").withColumnRenamed("sig", "sig_b"),
+            "id_b",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
+                )
+            ).cast("double")
+            / F.lit(float(num_hashes)),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return (
+        est.join(
+            sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+        .withColumn(
+            "uni", (F.size("sh_a") + F.size("sh_b")).cast("double") - F.col("inter")
+        )
+        .withColumn("true_jaccard", F.col("inter") / F.col("uni"))
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("true_jaccard")))
+        .select("id_a", "id_b", "est_jaccard", "true_jaccard", "abs_err")
+    )

@@ -4640,3 +4640,71 @@ def text_gopher_rules(spark, sf_dir):
     expressions; flags as 0/1 ints for the cross-engine hash."""
     docs = load(spark, sf_dir, "documents")
     return text.gopher_quality_flags(docs, min_words=_GOPHER_MIN_WORDS)
+
+
+def _sql_minhash_estimate(num_hashes: int, bands: int) -> str:
+    rpb = num_hashes // bands
+    h1 = _SQL_MD5_60.format(x="s")
+    h2 = _SQL_MD5_60.format(x="'x' || s")
+    return f"""
+    WITH base AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    hp AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> struct_pack(
+               h1 := {h1}, h2 := ({h2}) % {1 << 52})) AS pairs
+      FROM base
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             list_aggregate(list_transform(pairs, p -> (p.h1 + seed * p.h2) % {1 << 60}),
+                            'min') AS mh
+      FROM hp, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed) seeds
+    ),
+    bands AS (
+      SELECT doc_id, seed // {rpb} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+      FROM mh GROUP BY doc_id, seed // {rpb}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sigl AS (
+      SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    ),
+    est AS (
+      SELECT cand.id_a, cand.id_b,
+             CAST(len(list_filter(
+               list_transform(generate_series(1, {num_hashes}),
+                              i -> sa.sig[i] = sb.sig[i]), x -> x)) AS DOUBLE)
+               / {float(num_hashes)} AS est_jaccard
+      FROM cand JOIN sigl sa ON sa.doc_id = cand.id_a
+      JOIN sigl sb ON sb.doc_id = cand.id_b
+    ),
+    ver AS (
+      SELECT est.id_a, est.id_b, est.est_jaccard,
+             CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
+               / (CAST(len(ba.sh) + len(bb.sh) AS DOUBLE)
+                  - CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE))
+               AS true_jaccard
+      FROM est
+      JOIN base ba ON ba.doc_id = est.id_a
+      JOIN base bb ON bb.doc_id = est.id_b
+    )
+    SELECT id_a, id_b, est_jaccard, true_jaccard,
+           abs(est_jaccard - true_jaccard) AS abs_err
+    FROM ver
+    """
+
+
+@q("minhash_estimate_error", _sql_minhash_estimate(num_hashes=16, bands=4))
+def minhash_estimate_error(spark, sf_dir):
+    """Sketch-quality diagnostic: per LSH candidate pair, the signature
+    estimate of Jaccard vs the exact shingle-set value and the absolute
+    error — tunes num_hashes/bands before 100 TB (the MinHash analog of
+    embedding_ann_recall).  md5_60 mode → full value oracle."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_estimate_report(
+        d, num_hashes=16, bands=4, hash_fn="md5_60"
+    )

@@ -1182,3 +1182,17 @@ def test_gopher_quality_flags(spark):
     assert out[1]["pass_word_count"] == 0 and out[1]["pass_all"] == 0
     assert out[2]["pass_alpha_ratio"] == 0 and out[2]["pass_stopwords"] == 0
     assert out[0]["n_stopwords"] >= 4
+
+
+def test_minhash_estimate_report_exact_on_identical_docs(spark, docs):
+    out = dedup.minhash_estimate_report(docs, num_hashes=16, bands=4).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r for r in out}
+    # docs 0 and 1 are byte-identical → estimate and truth both 1.0
+    assert (0, 1) in by_pair
+    r = by_pair[(0, 1)]
+    assert r["est_jaccard"] == 1.0 and r["true_jaccard"] == 1.0 and r["abs_err"] == 0.0
+    # every estimate is a multiple of 1/16 in [0, 1] and error is bounded
+    for r in out:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert abs(r["est_jaccard"] * 16 - round(r["est_jaccard"] * 16)) < 1e-12
+        assert 0.0 <= r["abs_err"] <= 1.0
