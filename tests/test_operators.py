@@ -1196,3 +1196,28 @@ def test_minhash_estimate_report_exact_on_identical_docs(spark, docs):
         assert 0.0 <= r["est_jaccard"] <= 1.0
         assert abs(r["est_jaccard"] * 16 - round(r["est_jaccard"] * 16)) < 1e-12
         assert 0.0 <= r["abs_err"] <= 1.0
+
+
+def test_pq_index_incremental_append(spark, tmp_path):
+    """The PQ index append contract: a new ingest batch encoded with the
+    SAME codebooks appends to a persisted index, and queries over the
+    reloaded union rank exactly as a fresh full encode — no rebuild."""
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    old = emb.filter(F.col("vec_id") < 40)
+    new = emb.filter(F.col("vec_id") >= 40)
+    books = similarity.pq_codebooks(old, n_codes=8, num_subspaces=4)
+
+    path = str(tmp_path / "pq_index")
+    similarity.pq_encode(old, books).write.parquet(path)
+    similarity.pq_encode(new, books).write.mode("append").parquet(path)
+
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = similarity.pq_query(spark.read.parquet(path), q, books, k=8)
+    fresh = similarity.pq_query(similarity.pq_encode(emb, books), q, books, k=8)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, fresh.collect()))

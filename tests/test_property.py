@@ -237,3 +237,80 @@ def test_classifier_paths_bitwise_equal_property(spark, data):
     for i, toks in enumerate(docs):
         want = bias + sum(vocab.get(tok, 0.0) for tok in toks)
         assert d1[i] == want, (toks, vocab, bias)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=20).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_span_dedup_invariants(spark, texts, span_words):
+    """For ANY corpus and span width: (1) span accounting is exact
+    (n_spans = ceil(words/span), removed = n_spans − kept); (2) a clean
+    text is a subsequence of the original's spans; (3) every distinct span
+    text survives EXACTLY once across the whole corpus; (4) the operator
+    agrees with a sequential reference implementation."""
+    from pdtable_spark.operators import dedup as dd
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dd.span_dedup(df, span_words=span_words).collect()}
+
+    # sequential reference: first (doc_id, span_no) occurrence of each span
+    seen, want = set(), {}
+    for i, t in rows:
+        ws = [w for w in t.split(" ") if w]
+        spans = [
+            " ".join(ws[j : j + span_words]) for j in range(0, len(ws), span_words)
+        ]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        if spans:
+            want[i] = (" ".join(kept), len(spans), len(spans) - len(kept))
+
+    assert set(out) == set(want)
+    for i in want:
+        got = out[i]
+        assert (got["clean_text"], got["n_spans"], got["removed_spans"]) == want[i]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="aB !?,x9", min_size=0, max_size=25),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_normalized_dedup_partition_property(spark, texts):
+    """normalized_dedup groups EXACTLY by the Python re-implementation of
+    the canonical form, keeps the min id, and group sizes sum to the
+    corpus size."""
+    import re as _re
+
+    from pdtable_spark.operators import dedup as dd
+
+    def norm(t):
+        t = _re.sub(r"[^a-z0-9 ]", "", t.lower())
+        return _re.sub(r" +", " ", t).strip()
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dd.normalized_dedup(df).collect()
+    assert sum(r["n_dups"] for r in out) == len(rows)
+    want = {}
+    for i, t in rows:
+        k = norm(t)
+        want.setdefault(k, [0, None])
+        want[k][0] += 1
+        if want[k][1] is None or i < want[k][1]:
+            want[k][1] = i
+    got = {(r["keep_id"], r["n_dups"]) for r in out}
+    assert got == {(kid, n) for n, kid in want.values()}
