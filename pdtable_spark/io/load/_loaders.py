@@ -63,7 +63,7 @@ class FileReader(Reader):
 
     @property
     def supported_extensions(self):
-        return ["csv", "xlsx", "parquet"]
+        return ["csv", "xlsx", "parquet", "orc"]
 
     @property
     def supported_filename_pattern(self) -> re.Pattern:
@@ -101,27 +101,30 @@ class FileReader(Reader):
                 orchestrator.issue_tracker.add_error(
                     f"Cannot read '{path}': {e}", location_file=location_file
                 )
-        elif ext == ".parquet":
-            yield from self._read_parquet(path, location_file)
+        elif ext in (".parquet", ".orc"):
+            yield from self._read_columnar(path, location_file, ext[1:])
         else:
             orchestrator.issue_tracker.add_error(
                 f"Unsupported file extension: {ext!r}", location_file=location_file
             )
 
-    def _read_parquet(self, path: Path, location_file: LocationFile) -> BlockIterator:
-        """One parquet file → one TABLE block named after the file stem.
+    def _read_columnar(
+        self, path: Path, location_file: LocationFile, fmt: str = "parquet"
+    ) -> BlockIterator:
+        """One parquet/ORC file → one TABLE block named after the file stem.
 
         Spark-native extension beyond the reference's {csv, xlsx} dispatch
         (``_loaders.py:46-47``): unit metadata is recovered from
         ``StructField.metadata`` when present (written by our ``Table.write``
-        paths), else inferred from the Spark type (§1.2 rules).
+        paths — parquet only; ORC drops field metadata), else inferred from
+        the Spark type (§1.2 rules).
         """
         if self.spark is None:
-            raise LoadError(f"Loading parquet '{path}' requires a SparkSession")
+            raise LoadError(f"Loading {fmt} '{path}' requires a SparkSession")
         from pdtable_spark.model.origin import LocationBlock, TableOrigin
         from pdtable_spark.table import Table
 
-        df = self.spark.read.parquet(str(path))
+        df = self.spark.read.format(fmt).load(str(path))
         origin = TableOrigin(
             input_location=LocationBlock(sheet=location_file.make_location_sheet(), row=0)
         )

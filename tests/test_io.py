@@ -477,3 +477,46 @@ def test_startable_pushdown_nan_literal_not_consumed(tmp_path):
     assert len(back) == 3  # every filter yielded back for Spark
     assert r._pushed == [back[2]]  # only the NaN-free filter is consumed
     assert r._keep(lambda c: -5.0) is False  # the consumed one still works
+
+
+def test_orc_round_trip_with_units(spark, tmp_path):
+    """Table → ORC directory (+ sidecar) → Table: data, name, destinations
+    and units all survive (ORC drops field metadata, so units ride the
+    sidecar only)."""
+    from pdtable_spark.io.orc import read_orc, write_orc
+    from pdtable_spark.table import Table
+
+    df = spark.createDataFrame(
+        [(1.0, "a", 10.5), (2.0, "b", 11.0)], ["idx", "label", "mass"]
+    )
+    t = Table(df, name="cargo", destinations={"all"},
+              unit_map={"idx": "-", "label": "text", "mass": "kg"})
+    path = str(tmp_path / "cargo_orc")
+    write_orc(t, path)
+    back = read_orc(spark, path)
+    assert back.name == "cargo" and back.destinations == {"all"}
+    assert back.column_metadata["mass"].unit == "kg"
+    assert sorted(map(tuple, back.df.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_orc_partitioned_write_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.io.orc import write_orc
+    from pdtable_spark.table import Table
+
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd", float(i)) for i in range(20)],
+        ["k", "par", "v"],
+    )
+    t = Table(df, name="parts", unit_map={"k": "-", "par": "text", "v": "-"})
+    path = str(tmp_path / "parts_orc")
+    write_orc(t, path, partition_by=["par"])
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("par=")) == [
+        "par=even", "par=odd"
+    ]
+    got = spark.read.orc(path).filter(F.col("par") == "even")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert got.count() == 10
+    assert "par=even" in plan or "PartitionFilters" in plan

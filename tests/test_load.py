@@ -198,3 +198,20 @@ def test_filtered_blocks_pass_through(spark, input_folder):
     blocks = load_files([str(input_folder / "bar.csv")])
     kinds = [bt for bt, _ in blocks]
     assert BlockType.TABLE in kinds
+
+
+def test_orc_load_item(spark, tmp_path):
+    """FileReader dispatches .orc members: one ORC file → one table block."""
+    import glob
+    import shutil
+
+    (tmp_path / "main.csv").write_text("***include;\nnation.orc\n\n" + BAR_CSV)
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").coalesce(1).write.orc(
+        str(tmp_path / "orc_out")
+    )
+    part = glob.glob(str(tmp_path / "orc_out" / "part-*.orc"))[0]
+    shutil.copy(part, tmp_path / "nation.orc")
+    blocks = load_files([str(tmp_path / "main.csv")], spark=spark)
+    bundle = TableBundle(blocks)
+    assert sorted(t.name for t in bundle) == ["beta", "nation"]
+    assert bundle["nation"].count() == 25
