@@ -327,3 +327,55 @@ def test_enriched_segment_counts_match_batch(spark, events_dir, events_batch):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_curate_stream_end_to_end(spark, tmp_path):
+    """Continuous curation over a JSONL landing dir: batch 1 drops an
+    intra-batch exact dup and a too-short doc; batch 2 (same checkpoint,
+    second availableNow run) drops a cross-batch duplicate via the
+    PERSISTED band index — no reprocessing of batch 1 — and keeps the
+    fresh doc."""
+    import json
+
+    from pdtable_spark.io.jsonl import read_jsonl_stream
+    from pdtable_spark.streaming.curate import curate_stream
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "clean")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    good_a = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    good_b = "completely different content describing spark engines and shuffle exchanges in careful detail here"
+    fresh = "yet another novel document with plenty of fresh words nobody wrote before anywhere else"
+
+    def doc(i, t):
+        return json.dumps(
+            {"doc_id": i, "text": t, "lang": "en", "source": "s", "n_chars": len(t)}
+        )
+
+    (land / "b1.jsonl").write_text(
+        "\n".join([doc(1, good_a), doc(2, good_a), doc(3, good_b), doc(4, "too short")])
+    )
+
+    def run():
+        curate_stream(
+            read_jsonl_stream(spark, str(land)), out, idx, ckpt, min_words=6
+        )
+
+    run()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 3}
+
+    (land / "b2.jsonl").write_text("\n".join([doc(5, good_a), doc(6, fresh)]))
+    run()
+    rows = spark.read.parquet(out).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], set()).add(r["doc_id"])
+    assert by_batch[min(by_batch)] == {1, 3}   # batch 1 untouched (exactly-once)
+    assert by_batch[max(by_batch)] == {6}      # dup of doc 1 dropped via index
+    # the index grew by the survivors of BOTH batches
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
+    assert idx_ids == {1, 3, 6}
