@@ -56,6 +56,8 @@ _PRIORITY = [
     "embedding_pq_refined",
     "text_gopher_rules",
     "minhash_estimate_error",
+    "q_label_centroids",
+    "pipeline_dataset_card",
     "text_classifier_filter",
     "embedding_semantic_dedup",
     "embedding_near_dups",

@@ -4708,3 +4708,116 @@ def minhash_estimate_error(spark, sf_dir):
     return dedup.minhash_estimate_report(
         d, num_hashes=16, bands=4, hash_fn="md5_60"
     )
+
+
+@q(
+    "q_label_centroids",
+    """
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings
+    ),
+    x AS (
+      SELECT label,
+             unnest(generate_series(1, 64)) AS dim,
+             unnest(ca) AS v
+      FROM e
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(SUM(CAST(FLOOR(v * 1e9) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1e9 AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM x GROUP BY label, dim
+    """,
+)
+def q_label_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding corpus, one (label, dim) row per
+    coordinate — the class-prototype analytics behind SemDeDup cell
+    inspection and classifier calibration.  Per-dim values quantize to
+    BIGINT before the mean (order-independent sum → engine-exact).  One
+    64× explode + ONE (label, dim)-keyed shuffle with map-side partials —
+    scale-safe at any corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "dim0", "v"
+        ),
+    )
+    return (
+        x.groupBy("label", (F.col("dim0") + 1).cast("int").alias("dim"))
+        .agg(
+            F.sum(F.floor(F.col("v") * 1e9).cast("long")).alias("__qs"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "label",
+            "dim",
+            (
+                F.col("__qs").cast("double") / F.col("n_members").cast("double") / F.lit(1e9)
+            ).alias("centroid"),
+            "n_members",
+        )
+    )
+
+
+@q(
+    "pipeline_dataset_card",
+    f"""
+    WITH f AS (
+      SELECT source, lang, md5(text) AS h,
+             len(string_split(text, ' ')) AS n_toks,
+             CASE WHEN len(string_split(text, ' ')) >= {_GOPHER_MIN_WORDS}
+                   AND len(string_split(text, ' ')) <= 100000
+                   AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.0
+                   AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10.0
+                   AND CAST(len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.8
+                   AND len(list_filter(string_split(text, ' '),
+                         w -> list_contains({_GOPHER_STOP_SQL}, lower(w)))) >= 2
+              THEN 1 ELSE 0 END AS ok
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS dup_rate,
+           CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS quality_pass_rate
+    FROM f GROUP BY source
+    """,
+)
+def pipeline_dataset_card(spark, sf_dir):
+    """The dataset card: per-source corpus summary — docs, tokens, language
+    count, exact-dup rate (via text digests), Gopher-rule pass rate — the
+    one-page answer to "what is in this corpus" before training on it.
+    One scan; the two exact distincts expand the aggregate (documented
+    cost at 100 TB — swap in approx_count_distinct when ±2% is fine)."""
+    docs = load(spark, sf_dir, "documents")
+    flags = text.gopher_quality_flags(docs, min_words=_GOPHER_MIN_WORDS).select(
+        "doc_id", "pass_all"
+    )
+    f = docs.join(flags, "doc_id").select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+        F.col("pass_all").alias("ok"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("n_distinct"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("h")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+        (F.sum("ok").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "quality_pass_rate"
+        ),
+    )
