@@ -58,6 +58,7 @@ _PRIORITY = [
     "minhash_estimate_error",
     "q_label_centroids",
     "pipeline_dataset_card",
+    "doc_cdc_chunks",
     "text_classifier_filter",
     "embedding_semantic_dedup",
     "embedding_near_dups",

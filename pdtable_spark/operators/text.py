@@ -681,3 +681,74 @@ def gopher_quality_flags(
         p_sw.cast("int").alias("pass_stopwords"),
         (p_wc & p_ml & p_ar & p_sw).cast("int").alias("pass_all"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_words: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall where the rolling
+    hash of the last ``gram_words`` words is ≡ 0 mod ``divisor`` — so the
+    SAME content produces the SAME interior chunks at ANY offset.  This is
+    what fixed-width spans (:func:`pdtable_spark.operators.dedup.span_dedup`)
+    cannot do: insert one word at the top of a boilerplate block and every
+    fixed span shifts, while CDC boundaries re-synchronize after one gram.
+    The backup/dedup-literature shape (LBFS/rsync content slicing) applied
+    to word streams; expected chunk length ≈ ``divisor`` words.
+
+    Returns one row per chunk: (id, chunk_no, chunk_text, n_words,
+    chunk_md5) — feed ``chunk_md5`` to a digest groupBy for shift-robust
+    duplicated-content removal.
+
+    100 TB design: the rolling hash is a ``lag`` window PARTITIONED BY
+    DOCUMENT (state = one doc's words — bounded, parallel across docs; no
+    global window anywhere); chunk assignment is a per-doc running count of
+    boundaries; reassembly is one (id, chunk_no) aggregate.  Uses the
+    md5_60 cross-engine hash so the boundary choice itself value-oracles.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ", *[F.lag("word", k).over(w_doc) for k in range(gram_words - 1, 0, -1)], F.col("word")
+    )
+    from pdtable_spark.operators.dedup import md5_60
+
+    marked = words.withColumn(
+        "__b", (md5_60(gram) % F.lit(divisor) == 0).cast("int")
+    )
+    prior = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = marked.withColumn(
+        "chunk_no", F.coalesce(F.sum("__b").over(prior), F.lit(0)).cast("long")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_no")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .select(
+            id_col,
+            "chunk_no",
+            "chunk_text",
+            "n_words",
+            F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        )
+    )

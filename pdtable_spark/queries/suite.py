@@ -4821,3 +4821,50 @@ def pipeline_dataset_card(spark, sf_dir):
             "quality_pass_rate"
         ),
     )
+
+
+_CDC_DIVISOR = 8
+
+_SQL_CDC_CHUNKS = f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, pos, word,
+             concat_ws(' ',
+               lag(word, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+               lag(word, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+               word) AS gram
+      FROM w WHERE word <> ''
+    ),
+    b AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN ({_SQL_MD5_60.format(x='gram')}) % {_CDC_DIVISOR} = 0
+                  THEN 1 ELSE 0 END AS brk
+      FROM g
+    ),
+    c AS (
+      SELECT doc_id, pos, word,
+             COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+      FROM b
+    )
+    SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+           string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_md5
+    FROM c GROUP BY doc_id, chunk_no
+    """
+
+
+@q("doc_cdc_chunks", _SQL_CDC_CHUNKS)
+def doc_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (rolling-hash boundaries, LBFS/rsync
+    family): identical content chunks identically at any offset — the
+    shift-robust complement to fixed-width span dedup.  Per-document lag
+    windows (bounded state), md5_60 boundary hash → full value oracle."""
+    docs = load(spark, sf_dir, "documents")
+    return text.cdc_chunks(docs, gram_words=3, divisor=_CDC_DIVISOR)

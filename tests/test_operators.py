@@ -1221,3 +1221,32 @@ def test_pq_index_incremental_append(spark, tmp_path):
     served = similarity.pq_query(spark.read.parquet(path), q, books, k=8)
     fresh = similarity.pq_query(similarity.pq_encode(emb, books), q, books, k=8)
     assert sorted(map(tuple, served.collect())) == sorted(map(tuple, fresh.collect()))
+
+
+def test_cdc_chunks_resync_under_offset(spark):
+    """Content-defined boundaries re-synchronize after an insertion: a long
+    repeated block embedded at DIFFERENT offsets in two documents yields
+    shared interior chunk digests (fixed-width spans would share none)."""
+    boiler = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+        "one two three four five six seven eight nine ten eleven twelve"
+    )
+    rows = [
+        (0, "intro words " + boiler + " closing remarks"),
+        (1, "a very different and much longer lead-in sentence here " + boiler + " other tail"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.cdc_chunks(df).collect()
+    h = {0: set(), 1: set()}
+    for r in out:
+        h[r["doc_id"]].add(r["chunk_md5"])
+    shared = h[0] & h[1]
+    assert len(shared) >= 2  # interior chunks of the repeated block line up
+    # chunk accounting: words partition exactly into chunks
+    n = {i: sum(r["n_words"] for r in out if r["doc_id"] == i) for i in (0, 1)}
+    assert n[0] == len(rows[0][1].split()) and n[1] == len(rows[1][1].split())
+    # chunk_nos are contiguous from 0 per doc
+    for i in (0, 1):
+        nos = sorted(r["chunk_no"] for r in out if r["doc_id"] == i)
+        assert nos == list(range(len(nos)))
