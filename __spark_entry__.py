@@ -59,6 +59,7 @@ _PRIORITY = [
     "q_label_centroids",
     "pipeline_dataset_card",
     "doc_cdc_chunks",
+    "embedding_ivf_recall",
     "text_classifier_filter",
     "embedding_semantic_dedup",
     "embedding_near_dups",

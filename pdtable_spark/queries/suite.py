@@ -4868,3 +4868,59 @@ def doc_cdc_chunks(spark, sf_dir):
     windows (bounded state), md5_60 boundary hash → full value oracle."""
     docs = load(spark, sf_dir, "documents")
     return text.cdc_chunks(docs, gram_words=3, divisor=_CDC_DIVISOR)
+
+
+@q(
+    "embedding_ivf_recall",
+    f"""
+    WITH ivf AS (
+      SELECT query_id, vec_id FROM ({_sql_ivf_topk(k=10)})
+    ),
+    exact AS ({_RECALL_EXACT_SQL}),
+    hits AS (
+      SELECT e.query_id, COUNT(l.vec_id) AS n_hits
+      FROM exact e LEFT JOIN ivf l
+        ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / 10.0 AS recall_at_10
+    FROM hits
+    """,
+)
+def embedding_ivf_recall(spark, sf_dir):
+    """IVF recall@10 against the exact baseline, per query — the nprobe /
+    n_cells tuning measurement, completing the diagnostic pair with
+    `embedding_ann_recall` (LSH).  Deterministic seeded centroids → full
+    value oracle even for the meta-metric."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    ivf = similarity.ivf_topk(
+        emb, queries, k=10, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, centroids=cents
+    ).select("query_id", "vec_id")
+    exact = similarity.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    hits = (
+        exact.alias("e")
+        .join(
+            ivf.alias("l"),
+            (F.col("l.query_id") == F.col("e.query_id"))
+            & (F.col("l.vec_id") == F.col("e.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(F.count(F.col("l.vec_id")).alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_10"),
+    )
