@@ -25,12 +25,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Policy: OLDEST correctness evidence first, every round.  Round-5 order:
 #: the 14 queries whose only driver row is from r1 (judge-re-verified in r4
 #: but needing fresh driver evidence), then every query NEW or CHANGED this
-#: round (the verified-incremental/classifier/SemDeDup/stream-static/
+#: round — the verified-incremental/classifier/SemDeDup/stream-static/
 #: filtered-ANN/binary-dedup/cluster-keywords/recall/incremental-embedding
-#: additions plus dedup_keep_best, text_tfidf_keywords, embedding
-#: near-dups — changed tie-break / df-mode / cosine spellings), then the
-#: r3-evidence block (oldest remaining) filling out the 50 slots; its tail
-#: leads the next round, ahead of the r4-reported set.
+#: block, the late-round additions (normalized/span dedup, temperature mix,
+#: PQ + refined PQ, skew report, trigram novelty, Gopher rules, minhash
+#: estimate error, label centroids, dataset card, CDC chunks, IVF recall),
+#: plus dedup_keep_best / text_tfidf_keywords / embedding_near_dups (changed
+#: tie-break / df-mode / cosine spellings) — then the r3-evidence block
+#: (oldest remaining) filling out the 50 slots; its tail leads the next
+#: round, ahead of the r4-reported set.
 _PRIORITY = [
     "dedup_exact",
     "ngram_jaccard_pairs",
