@@ -225,6 +225,12 @@ def mixture_temperature_weights(
         for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs")).collect()
     )
     total = sum(n for _, n in counts)
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{source_col} string, n_docs long, share double, "
+            "temp_weight double, mix_share double",
+        )
     rows = []
     for src, n in counts:
         share = float(n) / float(total)

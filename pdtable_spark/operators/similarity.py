@@ -633,6 +633,8 @@ def pq_codebooks(
         .select(_as_double(F.col(vec_col)).alias("v"))
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_codebooks: corpus is empty")
     dim = len(rows[0]["v"])
     if dim % num_subspaces:
         raise ValueError(f"dim {dim} not divisible by {num_subspaces} subspaces")

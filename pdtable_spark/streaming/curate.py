@@ -20,7 +20,6 @@ DataFrame model is what makes this composition a page of glue.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,12 +64,14 @@ def _curate_batch(
     # 3. incremental LSH dedup against the persisted index.  The batch's own
     #    ids are excluded from the loaded index so a RETRIED batch (whose
     #    previous attempt already appended) sees the same corpus state.
-    if os.path.isdir(index_dir) and any(
-        n.startswith(("batch_id=", "part-")) for n in os.listdir(index_dir)
-    ):
-        idx = spark.read.parquet(index_dir).join(
-            passed.select("doc_id"), "doc_id", "left_anti"
-        )
+    #    Index existence is probed by READING, not a local-fs stat — the
+    #    index lives wherever the lake does (s3/hdfs/dbfs paths included).
+    try:
+        idx = spark.read.parquet(index_dir)
+    except Exception:  # AnalysisException: path does not exist (first batch)
+        idx = None
+    if idx is not None:
+        idx = idx.join(passed.select("doc_id"), "doc_id", "left_anti")
         survivors = incremental_dedup(
             passed, idx, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
         )

@@ -1250,3 +1250,22 @@ def test_cdc_chunks_resync_under_offset(spark):
     for i in (0, 1):
         nos = sorted(r["chunk_no"] for r in out if r["doc_id"] == i)
         assert nos == list(range(len(nos)))
+
+
+def test_mixture_temperature_empty_corpus(spark):
+    from pdtable_spark.operators.sampling import mixture_temperature_weights
+
+    df = spark.createDataFrame([], "doc_id long, source string")
+    out = mixture_temperature_weights(df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "source", "n_docs", "share", "temp_weight", "mix_share"
+    ]
+
+
+def test_pq_codebooks_empty_corpus_raises(spark):
+    import pytest as _pytest
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.pq_codebooks(emb)
