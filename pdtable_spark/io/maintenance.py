@@ -166,3 +166,62 @@ def retention_delete(
     out = out_path or path.rstrip("/") + ".new"
     kept.write.mode("overwrite").parquet(out)
     return out
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shuffle_col: str = "doc_id",
+    num_shards: int = 32,
+    max_records_per_file: Optional[int] = None,
+    salt: str = "",
+) -> DataFrame:
+    """Export the final training corpus as deterministically-shuffled,
+    size-balanced shards, and return the shard MANIFEST (shard, n_docs,
+    n_tokens if available).
+
+    The write every pipeline ends with: rows are ordered by a content-
+    stable hash of ``shuffle_col`` (adjacent crawl/source rows decorrelate;
+    the permutation reproduces on any engine/parallelism — same contract
+    as ``operators.sampling.corpus_shuffle``), range-partitioned into
+    ``num_shards`` shards (no global sort, no single task), and written
+    one part-file per shard (``max_records_per_file`` splits further if a
+    shard must stay under a loader's file-size bound).
+
+    The manifest is what the training job's data loader reads instead of
+    listing the directory: per-shard document (and token, when a
+    ``n_tokens`` column exists) counts for deterministic epoch planning.
+    It is computed from the written files — one read-back scan of
+    corpus-local metadata — and saved next to the data as
+    ``_shard_manifest.json``.
+    """
+    import json as _json
+
+    keyed = df.withColumn(
+        "__shuffle_key",
+        F.md5(F.concat(F.lit(salt), F.col(shuffle_col).cast("string"))),
+    )
+    writer = (
+        keyed.repartitionByRange(num_shards, "__shuffle_key")
+        .sortWithinPartitions("__shuffle_key")
+        .drop("__shuffle_key")
+        .write.mode("overwrite")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+    back = df.sparkSession.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if "n_tokens" in back.columns:
+        aggs.append(F.sum("n_tokens").alias("n_tokens"))
+    manifest = (
+        back.withColumn("shard", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .groupBy("shard")
+        .agg(*aggs)
+        .orderBy("shard")
+    )
+    rows = [r.asDict() for r in manifest.collect()]
+    with open(os.path.join(path, "_shard_manifest.json"), "w") as f:
+        _json.dump(rows, f, indent=1, default=int)
+    return manifest

@@ -118,3 +118,41 @@ def test_retention_delete_removes_only_matching(spark, tmp_path):
     assert kept.filter(F.col("age_days") >= 8).count() == 0
     # original untouched (copy-on-write)
     assert spark.read.parquet(src).count() == 100
+
+
+def test_write_training_shards_manifest_and_determinism(spark, tmp_path):
+    """Shard export: every row lands in exactly one shard, the manifest
+    accounts for all docs (and tokens), shard files are balanced by the
+    hash range partitioning, and two writes of the same corpus produce
+    the IDENTICAL row→shard-order assignment (content-stable shuffle)."""
+    import json
+
+    from pdtable_spark.io.maintenance import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, "text %d" % i, (i % 7) + 1) for i in range(500)],
+        ["doc_id", "text", "n_tokens"],
+    )
+    p1 = str(tmp_path / "shards1")
+    m1 = write_training_shards(df, p1, num_shards=8).collect()
+    assert sum(r["n_docs"] for r in m1) == 500
+    assert sum(r["n_tokens"] for r in m1) == sum((i % 7) + 1 for i in range(500))
+    assert len(m1) == 8
+    man = json.load(open(tmp_path / "shards1" / "_shard_manifest.json"))
+    assert sum(r["n_docs"] for r in man) == 500
+    # no shard hogs the corpus (hash keys are near-uniform)
+    assert max(r["n_docs"] for r in m1) < 3 * min(r["n_docs"] for r in m1)
+
+    # determinism: same corpus → same global order of doc_ids on re-export
+    p2 = str(tmp_path / "shards2")
+    write_training_shards(df, p2, num_shards=8)
+
+    def order_of(path):
+        import pyarrow.parquet as pq
+        import glob as g
+        ids = []
+        for f in sorted(g.glob(path + "/part-*.parquet")):
+            ids.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        return ids
+
+    assert order_of(p1) == order_of(p2)

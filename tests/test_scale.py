@@ -276,3 +276,20 @@ def test_tfidf_aggregate_df_stage_multi_task(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert sum(1 for p in parts if p > 0) > 1, parts
+
+
+def test_span_and_cdc_stages_parallelize(spark):
+    """The span-dedup and CDC pipelines must distribute: with AQE
+    coalescing off, the output of each lands on multiple non-empty
+    partitions (no global window / single-task stage anywhere)."""
+    from pdtable_spark.operators import dedup, text
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").repartition(8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        parts = dedup.span_dedup(docs).rdd.glom().map(len).collect()
+        assert sum(1 for p in parts if p > 0) > 1, parts
+        parts = text.cdc_chunks(docs).rdd.glom().map(len).collect()
+        assert sum(1 for p in parts if p > 0) > 1, parts
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
