@@ -29,8 +29,10 @@ from typing import Iterator, List
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from pdtable_spark.io.csv import CSV_SEP, _parse_named_tables_lines
@@ -107,6 +109,37 @@ class StarTableDataSource(DataSource):
         )
         cls = StarTablePushdownReader if enabled else StarTableReader
         return cls(paths, schema, table, sep, permissive)
+
+    def writer(self, schema, overwrite: bool) -> "StarTableWriter":
+        table, sep, permissive = self._opts()
+        path = self.options.get("path", "")
+        if not path:
+            raise ValueError("format('startable') write requires .save(<dir>)")
+        units_opt = self.options.get("units")
+        if units_opt is not None:
+            units = units_opt.split(sep)
+            if len(units) != len(schema.fields):
+                raise ValueError(
+                    f"option('units') lists {len(units)} units for "
+                    f"{len(schema.fields)} columns"
+                )
+        else:
+            from pdtable_spark.model.metadata import ColumnMetadata
+
+            units = []
+            for f in schema.fields:
+                cm = ColumnMetadata.from_field_metadata(f.metadata)
+                if cm is None:
+                    cm = ColumnMetadata.from_dtype(f.dataType)
+                units.append(cm.unit)
+        destinations = self.options.get("destinations", "all").split()
+        import uuid as _uuid
+
+        staging = os.path.join(path, f"_staging-{_uuid.uuid4().hex}")
+        return StarTableWriter(
+            path, staging, table, sep,
+            [f.name for f in schema.fields], units, destinations, overwrite,
+        )
 
     def simpleStreamReader(self, schema) -> "StarTableStreamReader":
         table, sep, permissive = self._opts()
@@ -330,6 +363,97 @@ class StarTableStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, file: str, rows: int):
+        self.file = file
+        self.rows = rows
+
+
+class StarTableWriter(DataSourceWriter):
+    """``df.write.format("startable")`` — each task writes ONE self-contained
+    StarTable CSV shard (full ``**name`` / destinations / names / units
+    block header, same layout as ``write_csv_distributed``), staged and
+    atomically promoted on job commit:
+
+    - tasks write to a job-unique ``_staging-*`` subdirectory (a retried /
+      speculative task leaves only an orphan staging file, never a partial
+      part file);
+    - ``commit`` moves the staged shards into place (clearing previous
+      part files first under ``mode("overwrite")``) and drops a
+      ``_SUCCESS`` marker; ``abort`` removes the staging directory.
+
+    The commit protocol uses local-filesystem renames — on an object-store
+    lake, prefer :func:`pdtable_spark.io.csv.write_csv_distributed`, which
+    rides Spark's Hadoop committer.  Units come from ``option("units",
+    "u1;u2;...")`` or the DataFrame's field metadata (dtype-inferred
+    fallback); the result directory round-trips through ``scan_csv`` and
+    ``format("startable")`` reads."""
+
+    def __init__(self, path, staging, table, sep, names, units, destinations, overwrite):
+        self.path = path
+        self.staging = staging
+        self.table = table
+        self.sep = sep
+        self.names = names
+        self.units = units
+        self.destinations = destinations
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _ShardCommit:
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        from pdtable_spark.io._represent import represent_row_elements
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        first = next(iterator, None)
+        if first is None:
+            return _ShardCommit("", 0)
+        os.makedirs(self.staging, exist_ok=True)
+        fname = f"part-{pid:05d}-{_uuid.uuid4().hex}.csv"
+        fpath = os.path.join(self.staging, fname)
+        sep = self.sep
+        n = 0
+        with open(fpath, "w") as out:
+            out.write(f"**{self.table}{sep}\n")
+            out.write(" ".join(str(d) for d in sorted(self.destinations)) + "\n")
+            out.write(sep.join(self.names) + "\n")
+            out.write(sep.join(self.units) + "\n")
+            import itertools
+
+            for row in itertools.chain([first], iterator):
+                vals = represent_row_elements(tuple(row), self.units, "-")
+                out.write(sep.join(str(v) for v in vals) + "\n")
+                n += 1
+            out.write("\n")
+        return _ShardCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name.endswith(".csv"):
+                    os.remove(os.path.join(self.path, name))
+        for m in messages:
+            if m is not None and m.file:
+                shutil.move(
+                    os.path.join(self.staging, m.file),
+                    os.path.join(self.path, m.file),
+                )
+        shutil.rmtree(self.staging, ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 def register(spark) -> None:

@@ -520,3 +520,79 @@ def test_orc_partitioned_write_prunes(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert got.count() == 10
     assert "par=even" in plan or "PartitionFilters" in plan
+
+
+def test_startable_datasource_write_round_trip(spark, tmp_path):
+    """df.write.format('startable'): partitioned shards with full block
+    headers, staged-then-promoted commit (_SUCCESS, no staging residue),
+    units from field metadata, and byte-level round-trip through BOTH
+    readers (scan_csv and the data source)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.frame import attach_units
+    from pdtable_spark.io.csv import scan_csv
+    from pdtable_spark.io.datasource import register
+
+    register(spark)
+    out = str(tmp_path / "cargo")
+    df = spark.range(60).select(
+        F.col("id").cast("double").alias("idx"),
+        (F.col("id") * 1.5).alias("mass"),
+        F.concat(F.lit("r"), F.col("id")).alias("label"),
+    ).repartition(3)
+    df = attach_units(df, unit_map={"idx": "-", "mass": "kg", "label": "text"})
+    df.write.format("startable").option("table", "cargo").mode("overwrite").save(out)
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not any(n.startswith("_staging") for n in names)
+    parts = [n for n in names if n.startswith("part-") and n.endswith(".csv")]
+    assert len(parts) == 3
+    # every shard is a self-contained StarTable block
+    head = open(os.path.join(out, parts[0])).read().splitlines()
+    assert head[0].startswith("**cargo") and head[2].split(";")[0] == "idx"
+    assert head[3].split(";") == ["-", "kg", "text"]
+
+    back = scan_csv(spark, out + "/part-*.csv", "cargo")
+    assert back.df.count() == 60
+    assert back.column_metadata["mass"].unit == "kg"
+    ds = spark.read.format("startable").option("table", "cargo").load(out + "/part-*.csv")
+    assert ds.count() == 60
+    got = {r["idx"]: (r["mass"], r["label"]) for r in ds.collect()}
+    assert got[7.0] == (10.5, "r7")
+
+    # overwrite replaces previous shards completely
+    df.limit(5).write.format("startable").option("table", "cargo").mode(
+        "overwrite"
+    ).save(out)
+    assert (
+        spark.read.format("startable").option("table", "cargo")
+        .load(out + "/part-*.csv").count() == 5
+    )
+
+
+def test_startable_datasource_write_units_option(spark, tmp_path):
+    """Explicit option('units', ...) overrides metadata/dtype inference and
+    must match the column count."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.io.datasource import register
+
+    register(spark)
+    df = spark.range(4).select(F.col("id").cast("double").alias("x"))
+    out = str(tmp_path / "u")
+    df.write.format("startable").option("table", "t").option("units", "m").mode(
+        "overwrite"
+    ).save(out)
+    import glob
+    shard = glob.glob(out + "/part-*.csv")[0]
+    assert open(shard).read().splitlines()[3] == "m"
+    with _pytest.raises(Exception, match="units"):
+        df.write.format("startable").option("table", "t").option(
+            "units", "m;kg"
+        ).mode("overwrite").save(str(tmp_path / "u2"))
