@@ -29,6 +29,7 @@ from typing import Iterator, List
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -139,6 +140,16 @@ class StarTableDataSource(DataSource):
         return StarTableWriter(
             path, staging, table, sep,
             [f.name for f in schema.fields], units, destinations, overwrite,
+        )
+
+    def streamWriter(self, schema, overwrite: bool) -> "StarTableStreamWriter":
+        # staging must be DETERMINISTIC: Spark re-instantiates the data
+        # source for the driver-side commit runner, so a random staging dir
+        # chosen at write-planning time would not be visible at commit
+        w = self.writer(schema, overwrite)
+        staging = os.path.join(w.path, "_stream-staging")
+        return StarTableStreamWriter(
+            w.path, staging, w.table, w.sep, w.names, w.units, w.destinations
         )
 
     def simpleStreamReader(self, schema) -> "StarTableStreamReader":
@@ -402,35 +413,10 @@ class StarTableWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator) -> _ShardCommit:
-        import uuid as _uuid
-
-        from pyspark import TaskContext
-
-        from pdtable_spark.io._represent import represent_row_elements
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
-        first = next(iterator, None)
-        if first is None:
-            return _ShardCommit("", 0)
-        os.makedirs(self.staging, exist_ok=True)
-        fname = f"part-{pid:05d}-{_uuid.uuid4().hex}.csv"
-        fpath = os.path.join(self.staging, fname)
-        sep = self.sep
-        n = 0
-        with open(fpath, "w") as out:
-            out.write(f"**{self.table}{sep}\n")
-            out.write(" ".join(str(d) for d in sorted(self.destinations)) + "\n")
-            out.write(sep.join(self.names) + "\n")
-            out.write(sep.join(self.units) + "\n")
-            import itertools
-
-            for row in itertools.chain([first], iterator):
-                vals = represent_row_elements(tuple(row), self.units, "-")
-                out.write(sep.join(str(v) for v in vals) + "\n")
-                n += 1
-            out.write("\n")
-        return _ShardCommit(fname, n)
+        return _write_startable_shard(
+            iterator, self.staging, self.table, self.sep,
+            self.names, self.units, self.destinations,
+        )
 
     def commit(self, messages) -> None:
         import shutil
@@ -451,6 +437,81 @@ class StarTableWriter(DataSourceWriter):
             pass
 
     def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+def _write_startable_shard(
+    iterator, staging, table, sep, names, units, destinations
+) -> "_ShardCommit":
+    """Task-side shard writer shared by the batch and streaming writers:
+    one self-contained StarTable CSV per non-empty partition, staged."""
+    import itertools
+    import uuid as _uuid
+
+    from pyspark import TaskContext
+
+    from pdtable_spark.io._represent import represent_row_elements
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else 0
+    first = next(iterator, None)
+    if first is None:
+        return _ShardCommit("", 0)
+    os.makedirs(staging, exist_ok=True)
+    fname = f"part-{pid:05d}-{_uuid.uuid4().hex}.csv"
+    n = 0
+    with open(os.path.join(staging, fname), "w") as out:
+        out.write(f"**{table}{sep}\n")
+        out.write(" ".join(str(d) for d in sorted(destinations)) + "\n")
+        out.write(sep.join(names) + "\n")
+        out.write(sep.join(units) + "\n")
+        for row in itertools.chain([first], iterator):
+            vals = represent_row_elements(tuple(row), units, "-")
+            out.write(sep.join(str(v) for v in vals) + "\n")
+            n += 1
+        out.write("\n")
+    return _ShardCommit(fname, n)
+
+
+class StarTableStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("startable")`` — the landing-directory
+    producer matching the landing-directory streaming READER: each
+    micro-batch commits its shards into ``path/batch_id=N/`` (cleared
+    before promotion, so Structured Streaming's batch re-delivery is
+    idempotent — the exactly-once pattern of ``sinks.idempotent_parquet_sink``
+    applied to the native format).  Every shard is a self-contained
+    StarTable CSV; the whole directory tree round-trips through
+    ``scan_csv(path + "/batch_id=*/part-*.csv")``."""
+
+    def __init__(self, path, staging, table, sep, names, units, destinations):
+        self.path = path
+        self.staging = staging
+        self.table = table
+        self.sep = sep
+        self.names = names
+        self.units = units
+        self.destinations = destinations
+
+    def write(self, iterator) -> _ShardCommit:
+        return _write_startable_shard(
+            iterator, self.staging, self.table, self.sep,
+            self.names, self.units, self.destinations,
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        bdir = os.path.join(self.path, f"batch_id={batchId}")
+        shutil.rmtree(bdir, ignore_errors=True)
+        os.makedirs(bdir, exist_ok=True)
+        for m in messages:
+            if m is not None and m.file:
+                shutil.move(os.path.join(self.staging, m.file), os.path.join(bdir, m.file))
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)

@@ -596,3 +596,45 @@ def test_startable_datasource_write_units_option(spark, tmp_path):
         df.write.format("startable").option("table", "t").option(
             "units", "m;kg"
         ).mode("overwrite").save(str(tmp_path / "u2"))
+
+
+def test_startable_datasource_stream_write(spark, tmp_path):
+    """writeStream.format('startable'): micro-batches land as
+    batch_id=N/ shard directories of self-contained StarTable CSVs, and
+    the tree round-trips through scan_csv."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.frame import attach_units
+    from pdtable_spark.io.csv import scan_csv
+    from pdtable_spark.io.datasource import register
+
+    register(spark)
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join('{"idx": %d.0, "label": "r%d"}' % (i, i) for i in range(8))
+    )
+    out = str(tmp_path / "land")
+    stream = (
+        spark.readStream.schema("idx double, label string").json(str(src))
+    )
+    q = (
+        stream.writeStream.format("startable")
+        .option("table", "ticks")
+        .option("units", "-;text")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(120)
+    batches = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
+    assert batches
+    shard = glob.glob(out + "/batch_id=*/part-*.csv")[0]
+    head = open(shard).read().splitlines()
+    assert head[0].startswith("**ticks") and head[3] == "-;text"
+    back = scan_csv(spark, out + "/batch_id=*/part-*.csv", "ticks")
+    assert back.df.count() == 8
+    assert {r["label"] for r in back.df.collect()} == {"r%d" % i for i in range(8)}
