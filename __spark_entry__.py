@@ -63,6 +63,7 @@ _PRIORITY = [
     "pipeline_dataset_card",
     "doc_cdc_chunks",
     "embedding_ivf_recall",
+    "embedding_pq_recall",
     "text_classifier_filter",
     "embedding_semantic_dedup",
     "embedding_near_dups",

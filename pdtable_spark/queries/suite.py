@@ -4924,3 +4924,81 @@ def embedding_ivf_recall(spark, sf_dir):
         "n_hits",
         (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_10"),
     )
+
+
+_RECALL_EXACT_L2_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id, {_sql_dist2('qa', 'ca', 64)} AS d2
+      FROM c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d2, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id FROM ranked WHERE rank <= 10
+"""
+
+
+@q(
+    "embedding_pq_recall",
+    f"""
+    WITH pq AS (
+      SELECT query_id, vec_id FROM ({_sql_pq_topk(k=10)})
+    ),
+    exact AS ({_RECALL_EXACT_L2_SQL}),
+    hits AS (
+      SELECT e.query_id, COUNT(l.vec_id) AS n_hits
+      FROM exact e LEFT JOIN pq l
+        ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / 10.0 AS recall_at_10
+    FROM hits
+    """,
+)
+def embedding_pq_recall(spark, sf_dir):
+    """PQ recall@10 against the exact squared-L2 baseline (PQ approximates
+    L2, so its baseline is L2 — the LSH/IVF twins use cosine), per query:
+    the n_codes / num_subspaces tuning measurement completing the ANN
+    diagnostic trio.  Deterministic codebooks → full value oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = similarity.pq_codebooks(emb, n_codes=_PQ_CODES, num_subspaces=_PQ_M)
+    pq_hits = similarity.pq_topk(
+        emb, queries, k=10, num_subspaces=_PQ_M, codebooks=books
+    ).select("query_id", "vec_id")
+    qd = queries.select("query_id", similarity._as_double(F.col("embedding")).alias("qa"))
+    cd = emb.select("vec_id", similarity._as_double(F.col("embedding")).alias("ca"))
+    scored = cd.crossJoin(F.broadcast(qd)).select(
+        "query_id", "vec_id", similarity._dist2(F.col("qa"), F.col("ca")).alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.alias("e")
+        .join(
+            pq_hits.alias("l"),
+            (F.col("l.query_id") == F.col("e.query_id"))
+            & (F.col("l.vec_id") == F.col("e.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(F.count(F.col("l.vec_id")).alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_10"),
+    )
