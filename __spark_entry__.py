@@ -64,6 +64,7 @@ _PRIORITY = [
     "doc_cdc_chunks",
     "embedding_ivf_recall",
     "embedding_pq_recall",
+    "stream_curate_survivors",
     "text_classifier_filter",
     "embedding_semantic_dedup",
     "embedding_near_dups",

@@ -5002,3 +5002,63 @@ def embedding_pq_recall(spark, sf_dir):
         "n_hits",
         (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_10"),
     )
+
+
+@q(
+    "stream_curate_survivors",
+    f"""
+    WITH flags AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             CASE WHEN len(string_split(text, ' ')) >= {_GOPHER_MIN_WORDS}
+                   AND len(string_split(text, ' ')) <= 100000
+                   AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.0
+                   AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10.0
+                   AND CAST(len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.8
+                   AND len(list_filter(string_split(text, ' '),
+                         w -> list_contains({_GOPHER_STOP_SQL}, lower(w)))) >= 2
+              THEN 1 ELSE 0 END AS ok
+      FROM documents
+    ),
+    passed AS (SELECT * FROM flags WHERE ok = 1),
+    keep AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM passed GROUP BY 1)
+    SELECT p.doc_id, p.lang, p.source, CAST(p.n_chars AS BIGINT) AS n_chars
+    FROM passed p JOIN keep k ON k.keep_id = p.doc_id AND k.h = md5(p.text)
+    """,
+)
+def stream_curate_survivors(spark, sf_dir):
+    """The continuous-curation pipeline itself under the correctness gate:
+    the documents table replayed as ONE availableNow micro-batch through
+    ``streaming.curate.curate_stream`` (Gopher gate → intra-batch exact
+    dedup → incremental LSH vs an initially-empty index), then the landed
+    survivors read back.  With a single batch the LSH stage sees an empty
+    corpus index, so the oracle is exactly gopher-pass ∧ keep-min-id-per-
+    digest — the streaming machinery (foreachBatch, staged idempotent
+    writes, index append) is what's actually being value-checked."""
+    import shutil
+    import tempfile
+
+    from pdtable_spark.io.jsonl import read_jsonl_stream
+    from pdtable_spark.streaming.curate import curate_stream
+
+    d = tempfile.mkdtemp(prefix="pdtable_curate_")
+    land, out = f"{d}/land", f"{d}/out"
+    import os as _os
+
+    _os.makedirs(land)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").coalesce(1).write.json(land, mode="overwrite")
+    curate_stream(
+        read_jsonl_stream(spark, land),
+        out,
+        f"{d}/index",
+        f"{d}/ckpt",
+        min_words=_GOPHER_MIN_WORDS,
+        min_stopwords=2,
+    )
+    survivors = spark.read.parquet(out)
+    return survivors.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
