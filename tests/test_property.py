@@ -314,3 +314,45 @@ def test_normalized_dedup_partition_property(spark, texts):
             want[k][1] = i
     got = {(r["keep_id"], r["n_dups"]) for r in out}
     assert got == {(kid, n) for n, kid in want.values()}
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=16),
+)
+def test_cdc_chunks_matches_sequential_reference(spark, texts, divisor):
+    """cdc_chunks agrees with a sequential Python re-implementation of the
+    rolling-hash boundary rule for ANY corpus and divisor, and words
+    partition exactly into chunks."""
+    import hashlib
+
+    from pdtable_spark.operators import text as text_ops
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ref_chunks(t):
+        ws = [w for w in t.split(" ") if w]
+        out, cur, chunk_no = {}, [], 0
+        for i, w in enumerate(ws):
+            cur.append(w)
+            gram = " ".join(ws[max(0, i - 2) : i + 1])
+            if md5_60(gram) % divisor == 0:
+                out[chunk_no] = " ".join(cur)
+                cur, chunk_no = [], chunk_no + 1
+        if cur:
+            out[chunk_no] = " ".join(cur)
+        return out
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in text_ops.cdc_chunks(df, gram_words=3, divisor=divisor).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_no"]] = r["chunk_text"]
+    want = {i: ref_chunks(t) for i, t in rows if ref_chunks(t)}
+    assert got == want
