@@ -506,15 +506,28 @@ class StarTableStreamWriter(DataSourceStreamWriter):
         bdir = os.path.join(self.path, f"batch_id={batchId}")
         shutil.rmtree(bdir, ignore_errors=True)
         os.makedirs(bdir, exist_ok=True)
+        # move ONLY this batch's message files: the staging dir is shared
+        # (deterministic path — see streamWriter), so a concurrent query
+        # writing to the same output must not lose its staged shards
         for m in messages:
             if m is not None and m.file:
                 shutil.move(os.path.join(self.staging, m.file), os.path.join(bdir, m.file))
-        shutil.rmtree(self.staging, ignore_errors=True)
+        self._cleanup_staging()
 
     def abort(self, messages, batchId: int) -> None:
-        import shutil
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self.staging, m.file))
+                except OSError:
+                    pass
+        self._cleanup_staging()
 
-        shutil.rmtree(self.staging, ignore_errors=True)
+    def _cleanup_staging(self) -> None:
+        try:
+            os.rmdir(self.staging)  # only when empty — shared across queries
+        except OSError:
+            pass
 
 
 def register(spark) -> None:

@@ -222,6 +222,15 @@ def write_training_shards(
         .orderBy("shard")
     )
     rows = [r.asDict() for r in manifest.collect()]
-    with open(os.path.join(path, "_shard_manifest.json"), "w") as f:
-        _json.dump(rows, f, indent=1, default=int)
+    payload = _json.dumps(rows, indent=1, default=int)
+    if "://" in path:
+        # object-store / HDFS destination: the local open() below would
+        # write to a bogus local path — land the manifest through Spark
+        # (one driver-sized row) next to the shards instead
+        df.sparkSession.createDataFrame([(payload,)], "value string").coalesce(
+            1
+        ).write.mode("overwrite").text(os.path.join(path, "_shard_manifest"))
+    else:
+        with open(os.path.join(path, "_shard_manifest.json"), "w") as f:
+            f.write(payload)
     return manifest

@@ -912,6 +912,9 @@ def span_dedup(
     arXiv:2107.06499 — their suffix-array pass, re-expressed at fixed
     word-chunk granularity so it distributes).
 
+    Tokenization is whitespace-run-insensitive (regex \\s+ split, empties
+    dropped BEFORE positions are assigned), so a doubled space or a tab
+    cannot shift every later span boundary and mask a duplicate.
     Keep rule: a span survives iff its (doc_id, span_no) is the
     lexicographic minimum among all occurrences of that span text.
     Returns one row per document WITH at least one span (empty/whitespace
@@ -927,12 +930,13 @@ def span_dedup(
     hotter than the most-duplicated span's digest (bounded by corpus
     duplication, and the min-struct combine collapses it map-side).
     """
-    words = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
-        )
-        .filter(F.col("word") != "")
+    from pdtable_spark.operators.text import tokens
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(tokens(F.col(text_col)), lambda w: w != "")
+        ).alias("pos", "word"),
     )
     spans = (
         words.withColumn("span_no", F.floor(F.col("pos") / span_words))

@@ -221,8 +221,15 @@ def mixture_temperature_weights(
     no skew surface.
     """
     counts = sorted(
-        (r[source_col], r["n_docs"])
-        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs")).collect()
+        (
+            (r[source_col], r["n_docs"])
+            for r in df.groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .collect()
+        ),
+        # NULL source is a legitimate group (real corpora have them):
+        # sort it first, don't crash comparing None to str
+        key=lambda kv: (kv[0] is not None, kv[0]),
     )
     total = sum(n for _, n in counts)
     if total == 0:

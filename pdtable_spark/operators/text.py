@@ -713,8 +713,10 @@ def cdc_chunks(
 
     words = df.select(
         F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
-    ).filter(F.col("word") != "")
+        F.posexplode(
+            F.filter(tokens(F.col(text_col)), lambda w: w != "")
+        ).alias("pos", "word"),
+    )
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     gram = F.concat_ws(
         " ", *[F.lag("word", k).over(w_doc) for k in range(gram_words - 1, 0, -1)], F.col("word")

@@ -4174,6 +4174,27 @@ def pipeline_cluster_keywords(spark, sf_dir):
     )
 
 
+def _recall_at_10(exact, approx):
+    """Shared recall@10 rollup for the ANN diagnostic trio: per query, how
+    many of the exact top-10 the approximate method recovered."""
+    hits = (
+        exact.alias("e")
+        .join(
+            approx.alias("l"),
+            (F.col("l.query_id") == F.col("e.query_id"))
+            & (F.col("l.vec_id") == F.col("e.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(F.count(F.col("l.vec_id")).alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_10"),
+    )
+
+
 _RECALL_EXACT_SQL = f"""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
                FROM embeddings WHERE vec_id < 5),
@@ -4225,22 +4246,7 @@ def embedding_ann_recall(spark, sf_dir):
         emb, queries, k=10, dim=64, bits_per_table=8, num_tables=4, seed=42
     ).select("query_id", "vec_id")
     exact = similarity.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
-    hits = (
-        exact.alias("e")
-        .join(
-            lsh.alias("l"),
-            (F.col("l.query_id") == F.col("e.query_id"))
-            & (F.col("l.vec_id") == F.col("e.vec_id")),
-            "left",
-        )
-        .groupBy(F.col("e.query_id").alias("query_id"))
-        .agg(F.count(F.col("l.vec_id")).alias("n_hits"))
-    )
-    return hits.select(
-        "query_id",
-        "n_hits",
-        (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_10"),
-    )
+    return _recall_at_10(exact, lsh)
 
 
 def _sql_incremental_embedding_dedup(
@@ -4330,16 +4336,17 @@ def dedup_normalized(spark, sf_dir):
 _SPAN_WORDS = 8
 
 _SQL_SPAN_DEDUP = f"""
-    WITH w AS (
+    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws FROM documents),
+    w AS (
       SELECT doc_id,
-             unnest(string_split(text, ' ')) AS word,
-             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
-      FROM documents
+             unnest(ws) AS word,
+             unnest(generate_series(1, len(ws))) AS pos
+      FROM t
     ),
     s AS (
       SELECT doc_id, (pos - 1) // {_SPAN_WORDS} AS span_no,
              string_agg(word, ' ' ORDER BY pos) AS span_text
-      FROM w WHERE word <> ''
+      FROM w
       GROUP BY doc_id, (pos - 1) // {_SPAN_WORDS}
     ),
     k AS (
@@ -4521,7 +4528,8 @@ def q_user_skew_report(spark, sf_dir):
 _NOVELTY_N = 3
 
 _SQL_NGRAM_NOVELTY = f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
     e AS (
       SELECT doc_id, ws,
              unnest(generate_series(1, len(ws) - {_NOVELTY_N - 1})) AS i
@@ -4603,7 +4611,7 @@ _GOPHER_STOP_SQL = "['the','a','an','and','of','to','in','is','that','for']"
     "text_gopher_rules",
     f"""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS ws,
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
              length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars
       FROM documents
     ),
@@ -4765,17 +4773,17 @@ def q_label_centroids(spark, sf_dir):
     f"""
     WITH f AS (
       SELECT source, lang, md5(text) AS h,
-             len(string_split(text, ' ')) AS n_toks,
-             CASE WHEN len(string_split(text, ' ')) >= {_GOPHER_MIN_WORDS}
-                   AND len(string_split(text, ' ')) <= 100000
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_toks,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= {_GOPHER_MIN_WORDS}
+                   AND len(regexp_split_to_array(trim(text), '\s+')) <= 100000
                    AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                       / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.0
+                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) >= 3.0
                    AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                       / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10.0
-                   AND CAST(len(list_filter(string_split(text, ' '),
+                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) <= 10.0
+                   AND CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                          w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
-                       / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.8
-                   AND len(list_filter(string_split(text, ' '),
+                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) >= 0.8
+                   AND len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                          w -> list_contains({_GOPHER_STOP_SQL}, lower(w)))) >= 2
               THEN 1 ELSE 0 END AS ok
       FROM documents
@@ -4805,7 +4813,7 @@ def pipeline_dataset_card(spark, sf_dir):
         "source",
         "lang",
         F.md5("text").alias("h"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+        F.size(text.tokens(F.col("text"))).cast("long").alias("n_toks"),
         F.col("pass_all").alias("ok"),
     )
     return f.groupBy("source").agg(
@@ -4828,8 +4836,8 @@ _CDC_DIVISOR = 8
 _SQL_CDC_CHUNKS = f"""
     WITH w AS (
       SELECT doc_id,
-             unnest(string_split(text, ' ')) AS word,
-             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS word,
+             unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\s+')))) AS pos
       FROM documents
     ),
     g AS (
@@ -4908,22 +4916,7 @@ def embedding_ivf_recall(spark, sf_dir):
         emb, queries, k=10, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, centroids=cents
     ).select("query_id", "vec_id")
     exact = similarity.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
-    hits = (
-        exact.alias("e")
-        .join(
-            ivf.alias("l"),
-            (F.col("l.query_id") == F.col("e.query_id"))
-            & (F.col("l.vec_id") == F.col("e.vec_id")),
-            "left",
-        )
-        .groupBy(F.col("e.query_id").alias("query_id"))
-        .agg(F.count(F.col("l.vec_id")).alias("n_hits"))
-    )
-    return hits.select(
-        "query_id",
-        "n_hits",
-        (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_10"),
-    )
+    return _recall_at_10(exact, ivf)
 
 
 _RECALL_EXACT_L2_SQL = f"""
@@ -4986,22 +4979,7 @@ def embedding_pq_recall(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id")
     )
-    hits = (
-        exact.alias("e")
-        .join(
-            pq_hits.alias("l"),
-            (F.col("l.query_id") == F.col("e.query_id"))
-            & (F.col("l.vec_id") == F.col("e.vec_id")),
-            "left",
-        )
-        .groupBy(F.col("e.query_id").alias("query_id"))
-        .agg(F.count(F.col("l.vec_id")).alias("n_hits"))
-    )
-    return hits.select(
-        "query_id",
-        "n_hits",
-        (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_10"),
-    )
+    return _recall_at_10(exact, pq_hits)
 
 
 @q(
@@ -5009,16 +4987,16 @@ def embedding_pq_recall(spark, sf_dir):
     f"""
     WITH flags AS (
       SELECT doc_id, text, lang, source, n_chars,
-             CASE WHEN len(string_split(text, ' ')) >= {_GOPHER_MIN_WORDS}
-                   AND len(string_split(text, ' ')) <= 100000
+             CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= {_GOPHER_MIN_WORDS}
+                   AND len(regexp_split_to_array(trim(text), '\s+')) <= 100000
                    AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                       / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.0
+                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) >= 3.0
                    AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                       / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10.0
-                   AND CAST(len(list_filter(string_split(text, ' '),
+                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) <= 10.0
+                   AND CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                          w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
-                       / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.8
-                   AND len(list_filter(string_split(text, ' '),
+                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) >= 0.8
+                   AND len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                          w -> list_contains({_GOPHER_STOP_SQL}, lower(w)))) >= 2
               THEN 1 ELSE 0 END AS ok
       FROM documents
@@ -5038,7 +5016,6 @@ def stream_curate_survivors(spark, sf_dir):
     corpus index, so the oracle is exactly gopher-pass ∧ keep-min-id-per-
     digest — the streaming machinery (foreachBatch, staged idempotent
     writes, index append) is what's actually being value-checked."""
-    import shutil
     import tempfile
 
     from pdtable_spark.io.jsonl import read_jsonl_stream

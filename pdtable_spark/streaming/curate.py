@@ -66,9 +66,17 @@ def _curate_batch(
     #    previous attempt already appended) sees the same corpus state.
     #    Index existence is probed by READING, not a local-fs stat — the
     #    index lives wherever the lake does (s3/hdfs/dbfs paths included).
+    from pyspark.errors import AnalysisException
+
     try:
         idx = spark.read.parquet(index_dir)
-    except Exception:  # AnalysisException: path does not exist (first batch)
+    except AnalysisException as e:
+        # ONLY a missing index (first batch) may be treated as empty; any
+        # other failure (transient FS error, corrupt footer, permissions)
+        # must fail the batch loudly — silently skipping the index would
+        # commit near-duplicates with no error surfaced
+        if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+            raise
         idx = None
     if idx is not None:
         idx = idx.join(passed.select("doc_id"), "doc_id", "left_anti")

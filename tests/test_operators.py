@@ -1269,3 +1269,27 @@ def test_pq_codebooks_empty_corpus_raises(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="empty"):
         similarity.pq_codebooks(emb)
+
+
+def test_mixture_temperature_null_source_group(spark):
+    from pdtable_spark.operators.sampling import mixture_temperature_weights
+
+    rows = [(1, "a"), (2, "a"), (3, None), (4, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in mixture_temperature_weights(df).collect()}
+    assert set(out) == {"a", "b", None}
+    assert out[None]["n_docs"] == 1
+    assert abs(sum(r["mix_share"] for r in out.values()) - 1.0) < 1e-9
+
+
+def test_tokenization_whitespace_runs(spark):
+    """All word-based operators tokenize on \\s+ (tabs, newlines, runs), the
+    convention the DuckDB oracles mirror with regexp_split_to_array —
+    'foo\\tbar baz' is 3 words, never 2."""
+    df = spark.createDataFrame([(0, "foo\tbar  baz\nqux")], ["doc_id", "text"])
+    g = text.gopher_quality_flags(df, min_words=1).collect()[0]
+    assert g["n_words"] == 4
+    s = dedup.span_dedup(df, span_words=2).collect()[0]
+    assert s["n_spans"] == 2 and s["clean_text"] == "foo bar baz qux"
+    c = text.cdc_chunks(df).collect()
+    assert sum(r["n_words"] for r in c) == 4

@@ -247,8 +247,9 @@ def test_classifier_paths_bitwise_equal_property(spark, data):
         max_size=12,
     ),
     st.integers(min_value=1, max_value=4),
+    st.sampled_from([" ", "  ", "\t", " \t "]),
 )
-def test_span_dedup_invariants(spark, texts, span_words):
+def test_span_dedup_invariants(spark, texts, span_words, ws):
     """For ANY corpus and span width: (1) span accounting is exact
     (n_spans = ceil(words/span), removed = n_spans − kept); (2) a clean
     text is a subsequence of the original's spans; (3) every distinct span
@@ -256,16 +257,20 @@ def test_span_dedup_invariants(spark, texts, span_words):
     agrees with a sequential reference implementation."""
     from pdtable_spark.operators import dedup as dd
 
-    rows = [(i, t) for i, t in enumerate(texts)]
+    import re as _re
+
+    # every doc re-joined with a randomized whitespace run: tokenization
+    # must be whitespace-run-insensitive (boundaries shift otherwise)
+    rows = [(i, ws.join(t.split(" "))) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r for r in dd.span_dedup(df, span_words=span_words).collect()}
 
     # sequential reference: first (doc_id, span_no) occurrence of each span
     seen, want = set(), {}
     for i, t in rows:
-        ws = [w for w in t.split(" ") if w]
+        toks = [w for w in _re.split(r"\s+", t.strip()) if w]
         spans = [
-            " ".join(ws[j : j + span_words]) for j in range(0, len(ws), span_words)
+            " ".join(toks[j : j + span_words]) for j in range(0, len(toks), span_words)
         ]
         kept = []
         for s in spans:
