@@ -523,7 +523,29 @@ class StarTableStreamWriter(DataSourceStreamWriter):
                     pass
         self._cleanup_staging()
 
+    #: staged shards older than this are orphans of failed/speculative task
+    #: attempts (their batch committed or aborted long ago) — a live writer
+    #: stages and promotes within one micro-batch, far under this horizon
+    _STALE_STAGING_SECONDS = 3600.0
+
     def _cleanup_staging(self) -> None:
+        import time
+
+        # sweep orphaned shards (failed / speculative attempts never appear
+        # in commit messages, so rmdir-if-empty alone would let them
+        # accumulate forever in the shared staging dir); the age horizon
+        # keeps a CONCURRENT query's freshly staged shards safe
+        horizon = time.time() - self._STALE_STAGING_SECONDS
+        try:
+            with os.scandir(self.staging) as it:
+                for entry in it:
+                    try:
+                        if entry.is_file() and entry.stat().st_mtime < horizon:
+                            os.remove(entry.path)
+                    except OSError:
+                        pass
+        except OSError:
+            pass
         try:
             os.rmdir(self.staging)  # only when empty — shared across queries
         except OSError:

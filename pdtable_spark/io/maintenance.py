@@ -193,7 +193,16 @@ def write_training_shards(
     ``n_tokens`` column exists) counts for deterministic epoch planning.
     It is computed from the written files — one read-back scan of
     corpus-local metadata — and saved next to the data as
-    ``_shard_manifest.json``.
+    ``_shard_manifest.json`` (local paths via ``open``; remote schemes via
+    the Hadoop FileSystem API, same exact filename either way).
+
+    Determinism note: the row→shard-file PERMUTATION is reproducible (it
+    follows the content-stable ``__shuffle_key`` order), but the shard
+    BOUNDARIES are not bit-stable across runs — ``repartitionByRange``
+    samples the key distribution to pick range splits, so per-shard row
+    counts can vary slightly between runs on identical input.  Epoch
+    planning must read the manifest of the run it trains on, never a
+    manifest from an earlier write.
     """
     import json as _json
 
@@ -225,11 +234,19 @@ def write_training_shards(
     payload = _json.dumps(rows, indent=1, default=int)
     if "://" in path:
         # object-store / HDFS destination: the local open() below would
-        # write to a bogus local path — land the manifest through Spark
-        # (one driver-sized row) next to the shards instead
-        df.sparkSession.createDataFrame([(payload,)], "value string").coalesce(
-            1
-        ).write.mode("overwrite").text(os.path.join(path, "_shard_manifest"))
+        # write to a bogus local path — write the documented EXACT filename
+        # through the Hadoop FileSystem API (driver-sized payload), so
+        # consumers find `_shard_manifest.json`, not a directory of part
+        # files
+        spark = df.sparkSession
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path, "_shard_manifest.json")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.create(jpath, True)
+        try:
+            stream.write(bytearray(payload.encode("utf-8")))
+        finally:
+            stream.close()
     else:
         with open(os.path.join(path, "_shard_manifest.json"), "w") as f:
             f.write(payload)

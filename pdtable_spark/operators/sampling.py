@@ -220,6 +220,8 @@ def mixture_temperature_weights(
     re-embedding the corpus scan in three lazy branches — one scan total,
     no skew surface.
     """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     counts = sorted(
         (
             (r[source_col], r["n_docs"])
@@ -231,13 +233,19 @@ def mixture_temperature_weights(
         # sort it first, don't crash comparing None to str
         key=lambda kv: (kv[0] is not None, kv[0]),
     )
+    # the source column keeps ITS OWN type (string, int domain ids, …)
+    schema = StructType(
+        [
+            StructField(source_col, df.schema[source_col].dataType, True),
+            StructField("n_docs", LongType(), False),
+            StructField("share", DoubleType(), False),
+            StructField("temp_weight", DoubleType(), False),
+            StructField("mix_share", DoubleType(), False),
+        ]
+    )
     total = sum(n for _, n in counts)
     if total == 0:
-        return df.sparkSession.createDataFrame(
-            [],
-            f"{source_col} string, n_docs long, share double, "
-            "temp_weight double, mix_share double",
-        )
+        return df.sparkSession.createDataFrame([], schema)
     rows = []
     for src, n in counts:
         share = float(n) / float(total)
@@ -249,6 +257,5 @@ def mixture_temperature_weights(
             (src, n, share, float(wq) / 1e9, float(wq) / float(wtot))
             for src, n, share, wq in rows
         ],
-        f"{source_col} string, n_docs long, share double, "
-        "temp_weight double, mix_share double",
+        schema,
     )

@@ -4434,7 +4434,7 @@ def _sql_pq_topk(k: int) -> str:
       SELECT ms.m, cb.vec_id AS code,
              cb.ce[ms.m*{dsub}+1 : ms.m*{dsub}+{dsub}] AS cvec
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-            FROM embeddings WHERE vec_id < {n_codes}) cb
+            FROM embeddings ORDER BY vec_id LIMIT {n_codes}) cb
       CROSS JOIN ms
     ),
     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),

@@ -74,8 +74,21 @@ def _curate_batch(
         # ONLY a missing index (first batch) may be treated as empty; any
         # other failure (transient FS error, corrupt footer, permissions)
         # must fail the batch loudly — silently skipping the index would
-        # commit near-duplicates with no error surfaced
-        if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+        # commit near-duplicates with no error surfaced.  Match the stable
+        # error CLASS first (message text varies across Spark versions and
+        # locales); the substring check is only the fallback for Spark
+        # builds whose exceptions carry no class.
+        err_class = None
+        for probe in ("getCondition", "getErrorClass"):
+            get_cls = getattr(e, probe, None)
+            if callable(get_cls):
+                err_class = get_cls()
+                if err_class is not None:
+                    break
+        if err_class is not None:
+            if err_class != "PATH_NOT_FOUND":
+                raise
+        elif "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
             raise
         idx = None
     if idx is not None:

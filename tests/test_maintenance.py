@@ -156,3 +156,22 @@ def test_write_training_shards_manifest_and_determinism(spark, tmp_path):
         return ids
 
     assert order_of(p1) == order_of(p2)
+
+
+def test_write_training_shards_remote_manifest(spark, tmp_path):
+    """A '://'-scheme destination gets the manifest under the documented
+    EXACT filename (written through the Hadoop FS API), not a directory of
+    Spark text part-files."""
+    import json
+
+    from pdtable_spark.io.maintenance import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, "t%d" % i) for i in range(50)], ["doc_id", "text"]
+    )
+    dest = "file://" + str(tmp_path / "rshards")
+    write_training_shards(df, dest, num_shards=4)
+    man_path = tmp_path / "rshards" / "_shard_manifest.json"
+    assert man_path.is_file()
+    man = json.load(open(man_path))
+    assert sum(r["n_docs"] for r in man) == 50

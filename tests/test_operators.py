@@ -1263,6 +1263,21 @@ def test_mixture_temperature_empty_corpus(spark):
     ]
 
 
+def test_mixture_temperature_nonstring_source(spark):
+    """Integer domain ids (any non-string source column) keep their own
+    type in the returned weights frame instead of crashing createDataFrame."""
+    from pdtable_spark.operators.sampling import mixture_temperature_weights
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "doc_id long, source int"
+    )
+    out = mixture_temperature_weights(df)
+    assert out.schema["source"].dataType.simpleString() == "int"
+    rows = out.collect()
+    assert sorted(r["source"] for r in rows) == [0, 1, 2]
+    assert abs(sum(r["mix_share"] for r in rows) - 1.0) < 1e-9
+
+
 def test_pq_codebooks_empty_corpus_raises(spark):
     import pytest as _pytest
 
