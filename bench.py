@@ -145,6 +145,30 @@ def main():
         q = emb.limit(16).withColumnRenamed("vec_id", "query_id")
         return similarity.ann_query(_state["ann"], q, k=10, prune_partitions=True)
 
+    def bench_ivf_query_served(s, d):
+        if "ivf" not in _state:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="bench_ivf_") + "/index"
+            emb = s.read.parquet(f"{d}/embeddings.parquet")
+            cents = [
+                list(r["v"])
+                for r in emb.filter(F.col("vec_id") < 16)
+                .orderBy("vec_id")
+                .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+                .collect()
+            ]
+            similarity.ivf_index(emb, cents).write.partitionBy("cell").parquet(path)
+            # like the ANN row: the index DataFrame (and its file listing)
+            # persists across query batches; the timed region is per-batch —
+            # rank the probe cells, broadcast-join into the pruned partitions,
+            # exact cosine re-rank
+            _state["ivf"] = (s.read.parquet(path), cents)
+        idx, cents = _state["ivf"]
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        q = emb.limit(16).withColumnRenamed("vec_id", "query_id")
+        return similarity.ivf_query(idx, q, cents, k=10, nprobe=4)
+
     def bench_pq_query_served(s, d):
         if "pq" not in _state:
             emb = s.read.parquet(f"{d}/embeddings.parquet")
@@ -160,6 +184,7 @@ def main():
     BENCH_QUERIES["dedup_incremental"] = bench_dedup_incremental
     BENCH_QUERIES["dedup_incremental_verified"] = bench_dedup_incremental_verified
     BENCH_QUERIES["ann_query_served"] = bench_ann_query_served
+    BENCH_QUERIES["ivf_query_served"] = bench_ivf_query_served
     BENCH_QUERIES["pq_query_served"] = bench_pq_query_served
 
     EXTENDED = [
@@ -176,6 +201,11 @@ def main():
         # round-5 additions: span-level dedup and compressed-index ANN serving
         "dedup_spans",
         "pq_query_served",
+        # round-6 additions: the remaining serving path (IVF) and the
+        # now-default skew-safe TF-IDF df spelling (window spelling stays
+        # in the headline series for round-over-round comparability)
+        "ivf_query_served",
+        "text_tfidf_agg",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

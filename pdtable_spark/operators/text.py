@@ -240,7 +240,7 @@ def tfidf_keywords(
     id_col: str = "doc_id",
     k: int = 3,
     round_digits: int | None = None,
-    df_mode: str = "window",
+    df_mode: str = "aggregate",
 ) -> DataFrame:
     """Per-document top-``k`` TF-IDF terms: (id, term, tf, df, score, rank).
 
@@ -251,18 +251,20 @@ def tfidf_keywords(
     rows-per-term IS count-distinct-docs) has two spellings, selected by
     ``df_mode``:
 
-    - ``"window"``: a term-partitioned window count — no
-      postings⋈vocabulary join at all (measured 2× over the join spelling
-      at bench scale).  BUT ``WindowExec`` buffers each term's postings in
-      ONE task with no map-side partial aggregation, so a stopword term
-      ("the", ~every doc) becomes a single straggler task holding ~n_docs
-      rows.  Right for corpora whose hottest term's postings fit one task
-      comfortably — i.e. up to tens of millions of documents.
-    - ``"aggregate"``: ``groupBy(term).count()`` + join back.  The count
-      partially aggregates map-side (each task emits one row per local
-      term, so the df shuffle is vocabulary-sized regardless of skew) and
-      AQE broadcasts the vocabulary side of the join when it is small.
-      The 100-TB spelling: no single task ever buffers a hot term.
+    - ``"aggregate"`` (the DEFAULT — skew-safe at any corpus size):
+      ``groupBy(term).count()`` + join back.  The count partially
+      aggregates map-side (each task emits one row per local term, so the
+      df shuffle is vocabulary-sized regardless of skew) and AQE
+      broadcasts the vocabulary side of the join when it is small.  The
+      100-TB spelling: no single task ever buffers a hot term.
+    - ``"window"`` (opt-in small-corpus fast path): a term-partitioned
+      window count — no postings⋈vocabulary join at all (measured 2× over
+      the join spelling at bench scale).  BUT ``WindowExec`` buffers each
+      term's postings in ONE task with no map-side partial aggregation,
+      so a stopword term ("the", ~every doc) becomes a single straggler
+      task holding ~n_docs rows.  Only right for corpora whose hottest
+      term's postings fit one task comfortably — i.e. up to tens of
+      millions of documents; that caller opts in knowingly.
 
     The final per-doc rank is one window over the id key (per-doc row
     counts are bounded by document length — no skew analog there).
@@ -626,6 +628,12 @@ def ngram_novelty(
 _GOPHER_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "that", "for"]
 
 
+#: Line-level rule regexes (anchored, so partial-match semantics — Spark
+#: ``rlike`` and DuckDB ``regexp_matches`` — agree by construction).
+_GOPHER_BULLET_RE = r"^\s*[-*•](\s|$)"
+_GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
 def gopher_quality_flags(
     df: DataFrame,
     text_col: str = "text",
@@ -636,23 +644,48 @@ def gopher_quality_flags(
     max_mean_word_len: float = 10.0,
     min_alpha_ratio: float = 0.8,
     min_stopwords: int = 2,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    max_dup_line_frac: float = 0.3,
 ) -> DataFrame:
-    """Gopher-style document quality rules (Rae et al., arXiv:2112.11446
-    §A1.1): word-count bounds, mean-word-length bounds, fraction of words
-    containing an alphabetic character, and minimum stopword hits — the
-    rule-based pre-filter that runs before any model-based scoring.
+    """Gopher document quality rules (Rae et al., arXiv:2112.11446 §A1.1):
+    word-count bounds, mean-word-length bounds, fraction of words
+    containing an alphabetic character, minimum stopword hits,
+    symbol-to-word ratio (hash / ellipsis), fraction of lines starting
+    with a bullet or ending with an ellipsis, and duplicate-line fraction
+    — the full rule-based pre-filter that runs before any model-based
+    scoring.
 
     Returns (id, n_words, mean_word_len, alpha_ratio, n_stopwords,
-    pass_word_count, pass_mean_word_len, pass_alpha_ratio, pass_stopwords,
-    pass_all) with the flags as 0/1 ints.
+    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    dup_line_frac, pass_* flags, pass_all) with the flags as 0/1 ints.
+
+    Metric definitions (each the paper's rule spelled as one engine-exact
+    expression):
+
+    - ``symbol_word_ratio`` = max(#'#', #'...' + #'…') / n_words — the
+      paper rejects when EITHER symbol's ratio exceeds 0.1, which is
+      exactly max(ratios) > 0.1.  Occurrence counts come from
+      length-difference over literal ``replace`` (left-to-right,
+      non-overlapping — identical in every engine).
+    - ``bullet_line_frac`` / ``ellipsis_line_frac``: fraction of
+      newline-split lines matching the anchored regexes above, over ALL
+      lines.
+    - ``dup_line_frac``: over non-empty lines normalized as
+      ``lower(trim(line))`` (composing the same normalization idea as
+      :func:`normalize_text`), the fraction that are repeats of an
+      earlier line: (n − n_distinct) / n; 0.0 for documents with no
+      non-empty lines.
 
     All pure column expressions over one scan — zero shuffles, zero
     Python; at 100 TB the failing rows die inside the scan's codegen
     stage when this feeds a filter.
     """
-    ws = tokens(F.col(text_col))
+    txt = F.col(text_col)
+    ws = tokens(txt)
     n_words = F.size(ws).cast("long")
-    n_chars = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    n_chars = F.length(F.regexp_replace(txt, r"\s+", ""))
     mean_len = n_chars.cast("double") / n_words.cast("double")
     alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))).cast("long")
     alpha_ratio = alpha.cast("double") / n_words.cast("double")
@@ -660,12 +693,44 @@ def gopher_quality_flags(
     n_stop = F.size(
         F.filter(ws, lambda w: F.array_contains(stop_arr, F.lower(w)))
     ).cast("long")
+
+    # symbol counts by length difference over literal (non-regex) replace
+    n_hash = (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))).cast("long")
+    n_ellipsis = (
+        ((F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / 3).cast("long")
+        + (F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit(""))))
+    )
+    symbol_ratio = F.greatest(n_hash, n_ellipsis).cast("double") / n_words.cast("double")
+
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(_GOPHER_BULLET_RE))).cast("double")
+        / n_lines.cast("double")
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(_GOPHER_ELLIPSIS_RE))).cast("double")
+        / n_lines.cast("double")
+    )
+    norm_lines = F.transform(
+        F.filter(lines, lambda l: F.trim(l) != ""), lambda l: F.lower(F.trim(l))
+    )
+    n_nl = F.size(norm_lines)
+    dup_frac = F.when(
+        n_nl > 0,
+        (n_nl - F.size(F.array_distinct(norm_lines))).cast("double") / n_nl.cast("double"),
+    ).otherwise(F.lit(0.0))
+
     out = df.select(
         F.col(id_col),
         n_words.alias("n_words"),
         mean_len.alias("mean_word_len"),
         alpha_ratio.alias("alpha_ratio"),
         n_stop.alias("n_stopwords"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        dup_frac.alias("dup_line_frac"),
     )
     p_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
     p_ml = (F.col("mean_word_len") >= min_mean_word_len) & (
@@ -673,13 +738,23 @@ def gopher_quality_flags(
     )
     p_ar = F.col("alpha_ratio") >= min_alpha_ratio
     p_sw = F.col("n_stopwords") >= min_stopwords
+    p_sy = F.col("symbol_word_ratio") <= max_symbol_word_ratio
+    p_bl = F.col("bullet_line_frac") <= max_bullet_line_frac
+    p_el = F.col("ellipsis_line_frac") <= max_ellipsis_line_frac
+    p_dl = F.col("dup_line_frac") <= max_dup_line_frac
     return out.select(
         "*",
         p_wc.cast("int").alias("pass_word_count"),
         p_ml.cast("int").alias("pass_mean_word_len"),
         p_ar.cast("int").alias("pass_alpha_ratio"),
         p_sw.cast("int").alias("pass_stopwords"),
-        (p_wc & p_ml & p_ar & p_sw).cast("int").alias("pass_all"),
+        p_sy.cast("int").alias("pass_symbol_ratio"),
+        p_bl.cast("int").alias("pass_bullet_lines"),
+        p_el.cast("int").alias("pass_ellipsis_lines"),
+        p_dl.cast("int").alias("pass_dup_lines"),
+        (p_wc & p_ml & p_ar & p_sw & p_sy & p_bl & p_el & p_dl)
+        .cast("int")
+        .alias("pass_all"),
     )
 
 

@@ -2882,18 +2882,21 @@ def text_tfidf_keywords(spark, sf_dir):
     """Per-doc top-3 TF-IDF keywords in round_digits=9 verification mode:
     JVM Math.log and libm log differ in the last ulp, so the score is rounded
     (and ranked) at 9 decimals on both engines.  Rank ties break on term
-    (total order)."""
-    return text.tfidf_keywords(load(spark, sf_dir, "documents"), k=3, round_digits=9)
+    (total order).  Pins ``df_mode="window"`` — the opt-in small-corpus
+    fast path — so BOTH document-frequency spellings stay under the value
+    oracle (`text_tfidf_agg` covers the default)."""
+    return text.tfidf_keywords(
+        load(spark, sf_dir, "documents"), k=3, round_digits=9, df_mode="window"
+    )
 
 
 @q("text_tfidf_agg", None)  # oracle assigned below (shared with the window spelling)
 def text_tfidf_agg(spark, sf_dir):
-    """TF-IDF via df_mode="aggregate" — the skew-safe document-frequency
-    spelling for huge corpora (see operators/text.py) — pinned to the same
-    full value oracle as the window spelling end-to-end."""
-    return text.tfidf_keywords(
-        load(spark, sf_dir, "documents"), k=3, round_digits=9, df_mode="aggregate"
-    )
+    """TF-IDF through the DEFAULT df_mode (= "aggregate" as of round 6):
+    the skew-safe document-frequency spelling a caller gets without reading
+    any docstring (see operators/text.py) — pinned to the same full value
+    oracle as the window spelling end-to-end."""
+    return text.tfidf_keywords(load(spark, sf_dir, "documents"), k=3, round_digits=9)
 
 
 # the two df spellings are semantically identical; the aggregate query
@@ -4607,46 +4610,151 @@ _GOPHER_MIN_WORDS = 20
 _GOPHER_STOP_SQL = "['the','a','an','and','of','to','in','is','that','for']"
 
 
+def _sql_gopher_metrics(t: str) -> Dict[str, str]:
+    """DuckDB spellings of every Gopher §A1.1 metric over text expression
+    ``t`` — the single source the three Gopher-consuming oracles share
+    (rules query, dataset card, curation stream), mirroring
+    ``operators.text.gopher_quality_flags`` expression-for-expression."""
+    ws = f"regexp_split_to_array(trim({t}), '\\s+')"
+    n_words = f"CAST(len({ws}) AS BIGINT)"
+    n_hash = f"(length({t}) - length(replace({t}, '#', '')))"
+    # '...' removal strips 3 chars per occurrence — the /3 quotient is an
+    # exact integer, so the BIGINT cast is lossless in either engine
+    n_ellipsis = (
+        f"(CAST((length({t}) - length(replace({t}, '...', ''))) / 3 AS BIGINT)"
+        f" + (length({t}) - length(replace({t}, '…', ''))))"
+    )
+    lines = f"regexp_split_to_array({t}, '\\n')"
+    n_lines = f"CAST(len({lines}) AS BIGINT)"
+    norm_lines = (
+        f"list_transform(list_filter({lines}, l -> trim(l) <> ''), "
+        f"l -> lower(trim(l)))"
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": (
+            f"CAST(length(regexp_replace({t}, '\\s+', '', 'g')) AS DOUBLE)"
+            f" / CAST(len({ws}) AS DOUBLE)"
+        ),
+        "alpha_ratio": (
+            f"CAST(len(list_filter({ws}, w -> regexp_matches(w, '[a-zA-Z]')))"
+            f" AS DOUBLE) / CAST(len({ws}) AS DOUBLE)"
+        ),
+        "n_stopwords": (
+            f"CAST(len(list_filter({ws}, w -> list_contains({_GOPHER_STOP_SQL},"
+            f" lower(w)))) AS BIGINT)"
+        ),
+        "symbol_word_ratio": (
+            f"CAST(greatest({n_hash}, {n_ellipsis}) AS DOUBLE)"
+            f" / CAST({n_words} AS DOUBLE)"
+        ),
+        "bullet_line_frac": (
+            f"CAST(len(list_filter({lines},"
+            f" l -> regexp_matches(l, '^\\s*[-*•](\\s|$)'))) AS DOUBLE)"
+            f" / CAST({n_lines} AS DOUBLE)"
+        ),
+        "ellipsis_line_frac": (
+            f"CAST(len(list_filter({lines},"
+            f" l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)"
+            f" / CAST({n_lines} AS DOUBLE)"
+        ),
+        "dup_line_frac": (
+            f"CASE WHEN len({norm_lines}) > 0 THEN"
+            f" CAST(len({norm_lines}) - len(list_distinct({norm_lines})) AS DOUBLE)"
+            f" / CAST(len({norm_lines}) AS DOUBLE) ELSE 0.0 END"
+        ),
+    }
+
+
+def _sql_gopher_ok(t: str = "text", min_words: int = _GOPHER_MIN_WORDS) -> str:
+    """The full 8-rule pass_all condition over text expression ``t``."""
+    m = _sql_gopher_metrics(t)
+    return (
+        f"({m['n_words']} >= {min_words} AND {m['n_words']} <= 100000"
+        f" AND {m['mean_word_len']} >= 3.0 AND {m['mean_word_len']} <= 10.0"
+        f" AND {m['alpha_ratio']} >= 0.8"
+        f" AND {m['n_stopwords']} >= 2"
+        f" AND {m['symbol_word_ratio']} <= 0.1"
+        f" AND {m['bullet_line_frac']} <= 0.9"
+        f" AND {m['ellipsis_line_frac']} <= 0.3"
+        f" AND {m['dup_line_frac']} <= 0.3)"
+    )
+
+
+#: Deterministic multi-line variant of the fixture text: the raw corpus is
+#: single-line prose with no '#'/'…'/bullets, which would leave the
+#: line-level Gopher metrics identically zero — useless as a cross-engine
+#: check.  Literal (non-regex, left-to-right, all-occurrence — identical
+#: semantics in Spark and DuckDB) token rewrites synthesize the structures
+#: the rules measure: ' line'→newline+'-' (bulleted line breaks, with
+#: natural duplicate lines), ' slow'→' ...' (ellipses, some line-final),
+#: ' hash'→' #' (hash symbols).
+_GOPHER_DERIVED_SQL = (
+    "replace(replace(replace(text, ' slow', ' ...'), ' hash', ' #'),"
+    " ' line', chr(10) || '-')"
+)
+
+_GOPHER_M = _sql_gopher_metrics("t.der")
+
+
 @q(
     "text_gopher_rules",
     f"""
-    WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
-             length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars
-      FROM documents
-    ),
+    WITH t AS (SELECT doc_id, {_GOPHER_DERIVED_SQL} AS der FROM documents),
     m AS (
       SELECT doc_id,
-             CAST(len(ws) AS BIGINT) AS n_words,
-             CAST(n_chars AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mean_word_len,
-             CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
-                  AS BIGINT) AS n_alpha,
-             CAST(len(list_filter(ws, w -> list_contains({_GOPHER_STOP_SQL},
-                  lower(w)))) AS BIGINT) AS n_stopwords
+             {_GOPHER_M['n_words']} AS n_words,
+             {_GOPHER_M['mean_word_len']} AS mean_word_len,
+             {_GOPHER_M['alpha_ratio']} AS alpha_ratio,
+             {_GOPHER_M['n_stopwords']} AS n_stopwords,
+             {_GOPHER_M['symbol_word_ratio']} AS symbol_word_ratio,
+             {_GOPHER_M['bullet_line_frac']} AS bullet_line_frac,
+             {_GOPHER_M['ellipsis_line_frac']} AS ellipsis_line_frac,
+             {_GOPHER_M['dup_line_frac']} AS dup_line_frac
       FROM t
     )
-    SELECT doc_id, n_words, mean_word_len,
-           CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_ratio,
-           n_stopwords,
-           CAST(n_words >= {_GOPHER_MIN_WORDS} AND n_words <= 100000 AS INT)
-             AS pass_word_count,
-           CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
-             AS pass_mean_word_len,
-           CAST(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8 AS INT)
-             AS pass_alpha_ratio,
-           CAST(n_stopwords >= 2 AS INT) AS pass_stopwords,
-           CAST(n_words >= {_GOPHER_MIN_WORDS} AND n_words <= 100000
-                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
-                AND n_stopwords >= 2 AS INT) AS pass_all
-    FROM m
+    SELECT *,
+           CAST(pass_word_count = 1 AND pass_mean_word_len = 1
+                AND pass_alpha_ratio = 1 AND pass_stopwords = 1
+                AND pass_symbol_ratio = 1 AND pass_bullet_lines = 1
+                AND pass_ellipsis_lines = 1 AND pass_dup_lines = 1 AS INT)
+             AS pass_all
+    FROM (
+      SELECT *,
+             CAST(n_words >= {_GOPHER_MIN_WORDS} AND n_words <= 100000 AS INT)
+               AS pass_word_count,
+             CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+               AS pass_mean_word_len,
+             CAST(alpha_ratio >= 0.8 AS INT) AS pass_alpha_ratio,
+             CAST(n_stopwords >= 2 AS INT) AS pass_stopwords,
+             CAST(symbol_word_ratio <= 0.1 AS INT) AS pass_symbol_ratio,
+             CAST(bullet_line_frac <= 0.9 AS INT) AS pass_bullet_lines,
+             CAST(ellipsis_line_frac <= 0.3 AS INT) AS pass_ellipsis_lines,
+             CAST(dup_line_frac <= 0.3 AS INT) AS pass_dup_lines
+      FROM m
+    )
     """,
 )
 def text_gopher_rules(spark, sf_dir):
-    """Gopher rule-based quality pre-filter (word-count bounds, mean word
-    length, alpha-word ratio, stopword hits) — zero-shuffle column
-    expressions; flags as 0/1 ints for the cross-engine hash."""
-    docs = load(spark, sf_dir, "documents")
+    """The full Gopher rule set (word-count / mean-word-length bounds,
+    alpha-word ratio, stopword hits, hash/ellipsis symbol-to-word ratio,
+    bullet- and ellipsis-line fractions, duplicate-line fraction) —
+    zero-shuffle column expressions; flags as 0/1 ints for the
+    cross-engine hash.  Runs on a deterministic multi-line variant of the
+    fixture (see ``_GOPHER_DERIVED_SQL``) so every line-level metric takes
+    non-trivial values under the oracle."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit(" slow"), F.lit(" ...")),
+                F.lit(" hash"),
+                F.lit(" #"),
+            ),
+            F.lit(" line"),
+            F.lit("\n-"),
+        ),
+    )
     return text.gopher_quality_flags(docs, min_words=_GOPHER_MIN_WORDS)
 
 
@@ -4773,19 +4881,8 @@ def q_label_centroids(spark, sf_dir):
     f"""
     WITH f AS (
       SELECT source, lang, md5(text) AS h,
-             len(regexp_split_to_array(trim(text), '\s+')) AS n_toks,
-             CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= {_GOPHER_MIN_WORDS}
-                   AND len(regexp_split_to_array(trim(text), '\s+')) <= 100000
-                   AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) >= 3.0
-                   AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) <= 10.0
-                   AND CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                         w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
-                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) >= 0.8
-                   AND len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                         w -> list_contains({_GOPHER_STOP_SQL}, lower(w)))) >= 2
-              THEN 1 ELSE 0 END AS ok
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+             CASE WHEN {_sql_gopher_ok("text")} THEN 1 ELSE 0 END AS ok
       FROM documents
     )
     SELECT source,

@@ -1184,6 +1184,42 @@ def test_gopher_quality_flags(spark):
     assert out[0]["n_stopwords"] >= 4
 
 
+def test_gopher_line_and_symbol_rules(spark):
+    """The round-6 rule completions (arXiv:2112.11446 §A1.1): symbol-to-word
+    ratio, bullet/ellipsis line fractions, duplicate-line fraction."""
+    good = "the cat and the dog walked off to a very large hill for fun"
+    rows = [
+        (0, good),                                         # clean: all pass
+        (1, "the # cat # and # the # dog # sat # on # a # mat for tea"),  # hash-heavy
+        (2, "- the cat\n- the dog\n- a big hill\n- the end of it all"),   # all bullets
+        (3, "the cat sat...\nthe dog ran...\nthe end came for all..."),   # ellipsis lines
+        (4, "the cat sat on a mat\nthe cat sat on a mat\nthe cat sat on a mat\nthe dog is here"),  # dup lines
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in text.gopher_quality_flags(df, min_words=3, min_stopwords=1).collect()
+    }
+    assert out[0]["pass_all"] == 1
+    assert out[0]["symbol_word_ratio"] == 0.0 and out[0]["dup_line_frac"] == 0.0
+    # 8 hashes over 20 words = 0.4 > 0.1
+    assert out[1]["symbol_word_ratio"] > 0.1
+    assert out[1]["pass_symbol_ratio"] == 0 and out[1]["pass_all"] == 0
+    # 4/4 bullet lines > 0.9
+    assert out[2]["bullet_line_frac"] == 1.0
+    assert out[2]["pass_bullet_lines"] == 0 and out[2]["pass_all"] == 0
+    # 3/3 ellipsis-terminated lines > 0.3; '...' also trips the symbol rule
+    assert out[3]["ellipsis_line_frac"] == 1.0
+    assert out[3]["pass_ellipsis_lines"] == 0
+    # 2 of 4 normalized lines are repeats → 0.5 > 0.3
+    assert out[4]["dup_line_frac"] == 0.5
+    assert out[4]["pass_dup_lines"] == 0 and out[4]["pass_all"] == 0
+    # unicode ellipsis counts toward the symbol ratio
+    one = spark.createDataFrame([(0, "a cat … ate … the … fish now")], ["doc_id", "text"])
+    g = text.gopher_quality_flags(one, min_words=1).collect()[0]
+    assert g["symbol_word_ratio"] == 3.0 / 9.0
+
+
 def test_minhash_estimate_report_exact_on_identical_docs(spark, docs):
     out = dedup.minhash_estimate_report(docs, num_hashes=16, bands=4).collect()
     by_pair = {(r["id_a"], r["id_b"]): r for r in out}
