@@ -22,69 +22,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-row rotation (the driver reports exactly the first 50 queries).
-#: Policy: OLDEST correctness evidence first, every round.  Round-5 order:
-#: the 14 queries whose only driver row is from r1 (judge-re-verified in r4
-#: but needing fresh driver evidence), then every query NEW or CHANGED this
-#: round — the verified-incremental/classifier/SemDeDup/stream-static/
-#: filtered-ANN/binary-dedup/cluster-keywords/recall/incremental-embedding
-#: block, the late-round additions (normalized/span dedup, temperature mix,
-#: PQ + refined PQ, skew report, trigram novelty, Gopher rules, minhash
-#: estimate error, label centroids, dataset card, CDC chunks, IVF recall),
-#: plus dedup_keep_best / text_tfidf_keywords / embedding_near_dups (changed
-#: tie-break / df-mode / cosine spellings) — then the r3-evidence block
-#: (oldest remaining) filling out the 50 slots; its tail leads the next
-#: round, ahead of the r4-reported set.
+#: Policy: OLDEST correctness evidence first, every round.  Round-6 order:
+#: the 37 queries whose latest driver row is from r3 (the full staleness
+#: backlog — after this round no query's evidence predates r4), then the 8
+#: queries CHANGED this round (full Gopher rule set + its dataset-card and
+#: curation-stream consumers, both TF-IDF df spellings under the flipped
+#: default, the PQ trio whose codebook-membership oracle was respelled),
+#: then 5 backfill slots from the r4-evidence set — 50 exactly.  The
+#: remaining r4 block leads next round.  (The r5 duplicate
+#: embedding_near_dups entry is gone — each name appears once.)
 _PRIORITY = [
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "pipeline_clean_corpus",
-    "q_events_in_windows",
-    "q_events_props_json",
-    "q_events_sessions",
-    "q_purchase_last_click",
-    "q_purchase_nearest_click",
-    "q_quantity_percentiles",
-    "text_bpe_count",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "dedup_incremental_verified",
-    "dedup_normalized",
-    "dedup_spans",
-    "pipeline_mixture_temperature",
-    "embedding_pq_topk",
-    "q_user_skew_report",
-    "text_ngram_novelty",
-    "embedding_pq_refined",
-    "text_gopher_rules",
-    "minhash_estimate_error",
-    "q_label_centroids",
-    "pipeline_dataset_card",
-    "doc_cdc_chunks",
-    "embedding_ivf_recall",
-    "embedding_pq_recall",
-    "stream_curate_survivors",
-    "text_classifier_filter",
-    "embedding_semantic_dedup",
-    "embedding_near_dups",
-    "stream_enriched_segments",
-    "embedding_lsh_filtered",
-    "multimodal_dedup",
-    "pipeline_cluster_keywords",
-    "embedding_ann_recall",
-    "embedding_incremental_dedup",
-    "dedup_keep_best",
-    "text_tfidf_keywords",
-    "text_tfidf_agg",
-    "pipeline_source_overlap",
-    "pipeline_apply_mixture",
-    "pipeline_leakage_safe_split",
-    "dedup_clusters",
-    "doc_chunks",
-    "embedding_topk",
-    "minhash_candidates",
-    "multimodal_asset_stats",
     "multimodal_features",
     "multimodal_frame_sample",
     "pipeline_decontaminate",
@@ -122,10 +69,17 @@ _PRIORITY = [
     "text_repetition",
     "text_surprisal",
     "text_top_bigrams",
+    "text_gopher_rules",
+    "text_tfidf_keywords",
+    "text_tfidf_agg",
+    "pipeline_dataset_card",
+    "stream_curate_survivors",
+    "embedding_pq_topk",
+    "embedding_pq_refined",
+    "embedding_pq_recall",
     "dedup_incremental",
     "embedding_ivf_topk",
     "embedding_lsh_topk",
-    "embedding_near_dups",
     "pipeline_corpus_shuffle",
     "pipeline_length_buckets",
     "q10_returned_revenue",
@@ -171,6 +125,48 @@ _PRIORITY = [
     "stream_session_windows",
     "stream_sessionize_stateful",
     "stream_sliding_counts",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_incremental_verified",
+    "dedup_keep_best",
+    "dedup_normalized",
+    "dedup_spans",
+    "doc_cdc_chunks",
+    "doc_chunks",
+    "embedding_ann_recall",
+    "embedding_incremental_dedup",
+    "embedding_ivf_recall",
+    "embedding_lsh_filtered",
+    "embedding_near_dups",
+    "embedding_semantic_dedup",
+    "embedding_topk",
+    "minhash_candidates",
+    "minhash_estimate_error",
+    "multimodal_asset_stats",
+    "multimodal_dedup",
+    "ngram_jaccard_pairs",
+    "pipeline_apply_mixture",
+    "pipeline_clean_corpus",
+    "pipeline_cluster_keywords",
+    "pipeline_leakage_safe_split",
+    "pipeline_mixture_temperature",
+    "pipeline_source_overlap",
+    "q_events_in_windows",
+    "q_events_props_json",
+    "q_events_sessions",
+    "q_label_centroids",
+    "q_purchase_last_click",
+    "q_purchase_nearest_click",
+    "q_quantity_percentiles",
+    "q_user_skew_report",
+    "stream_enriched_segments",
+    "text_bpe_count",
+    "text_classifier_filter",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_ngram_novelty",
+    "text_quality",
+    "text_token_count",
 ]
 
 

@@ -3,10 +3,11 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched pandas transforms over ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch iteration, partition-preserving
-transforms) is real and tested; the codec calls themselves are STUBBED —
-image/audio libraries are not available in this environment, so each codec
-hook either raises ``NotImplementedError`` (default) or runs a deterministic
-fake for pipeline testing (``fake=True``).
+transforms) is real and tested.  Codecs: image decode has a REAL path
+behind the optional ``pillow`` extra (lazy executor-side import) plus the
+deterministic sha256 fake (``fake=True`` — the oracle/testing mode);
+video/audio decode hooks raise ``NotImplementedError`` unless ``fake=True``
+(codec libraries absent in this environment).
 
 At scale: blobs stay in parquet/object storage as binary columns; transforms
 are ``mapInPandas`` (arrow batches, no shuffle); heavy assets should be
@@ -50,9 +51,23 @@ def _decode_image(payload: bytes, fake: bool):
         # deterministic fake: 4x4 'pixels' derived from a digest
         d = hashlib.sha256(payload or b"").digest()
         return [[d[(4 * r + c) % 32] for c in range(4)] for r in range(4)]
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this environment"
-    )
+    # real decoder — an optional extra (pillow), imported lazily inside the
+    # executor so clusters without it still run every fake/metadata path.
+    # Same output contract as the fake: a 4x4 grid of 0..255 ints (grayscale
+    # thumbnail), so downstream feature plumbing is mode-agnostic.
+    try:
+        import io as _io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires the optional 'pillow' extra "
+            "(pip install pillow); pass fake=True for the deterministic stub"
+        ) from exc
+    with Image.open(_io.BytesIO(payload or b"")) as img:
+        thumb = img.convert("L").resize((4, 4))
+        px = list(thumb.getdata())
+    return [[int(px[4 * r + c]) for c in range(4)] for r in range(4)]
 
 
 def extract_features(

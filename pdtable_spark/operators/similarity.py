@@ -617,15 +617,30 @@ def pq_codebooks(
     num_subspaces: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
 ) -> List[List[List[float]]]:
-    """Sampled-init PQ codebooks: the ``n_codes`` smallest-id corpus
-    vectors, each split into ``num_subspaces`` equal sub-vectors —
-    codebook[m][code] is the code-th centroid of subspace m.
+    """PQ codebooks — codebook[m][code] is the code-th centroid of
+    subspace m.
 
+    ``refine_iters=0`` (default): the ``n_codes`` smallest-id corpus
+    vectors, each split into ``num_subspaces`` equal sub-vectors.
     FAISS-style sampled init without Lloyd refinement, same policy as the
     suite's IVF centroids: deterministic (id-ordered), so an oracle can
-    recompute it.  Bounded collect: n_codes × dim doubles.  Production
-    refinement would run pyspark.ml KMeans per subspace on a sample.
+    recompute it.  Bounded collect: n_codes × dim doubles.
+
+    ``refine_iters=N`` (the production shape): per-subspace
+    ``pyspark.ml`` KMeans (k = ``n_codes``, ``maxIter=N``, fixed seed,
+    optionally over a ``sample_fraction`` of the corpus) — Lloyd-refined
+    centroids that adapt to the sub-vector distribution instead of
+    echoing whichever vectors had the smallest ids, which is what lifts
+    ADC recall.  Seeded k-means|| supplies the init (pyspark's KMeans
+    takes no custom starting centers), so refined books are reproducible
+    for a fixed corpus+seed but are NOT the oracle mode — cross-engine
+    verification stays on the deterministic sampled init.  At 100 TB:
+    train on a sample (codebooks need ~100k vectors, not the corpus);
+    the num_subspaces fits share one cached sample projection.
     """
     rows = (
         corpus.orderBy(id_col)
@@ -639,10 +654,54 @@ def pq_codebooks(
     if dim % num_subspaces:
         raise ValueError(f"dim {dim} not divisible by {num_subspaces} subspaces")
     dsub = dim // num_subspaces
-    return [
+    books = [
         [list(r["v"][m * dsub : (m + 1) * dsub]) for r in rows]
         for m in range(num_subspaces)
     ]
+    if refine_iters > 0:
+        books = _refine_pq_codebooks(
+            corpus, n_codes, num_subspaces, dsub, vec_col,
+            refine_iters, sample_fraction, seed,
+        )
+    return books
+
+
+def _refine_pq_codebooks(
+    corpus: DataFrame,
+    n_codes: int,
+    num_subspaces: int,
+    dsub: int,
+    vec_col: str,
+    refine_iters: int,
+    sample_fraction: float,
+    seed: int,
+) -> List[List[List[float]]]:
+    """Per-subspace Lloyd refinement via ``pyspark.ml`` KMeans (see
+    :func:`pq_codebooks`).  One cached (sampled) projection feeds all
+    ``num_subspaces`` fits; each fit's state is n_codes×dsub doubles."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(_as_double(F.col(vec_col)).alias("v"))
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    train = train.cache()
+    try:
+        books = []
+        for m in range(num_subspaces):
+            sub = train.select(
+                array_to_vector(F.slice(F.col("v"), m * dsub + 1, dsub)).alias(
+                    "features"
+                )
+            )
+            km = KMeans(
+                k=n_codes, seed=seed + m, maxIter=refine_iters, featuresCol="features"
+            )
+            model = km.fit(sub)
+            books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        return books
+    finally:
+        train.unpersist()
 
 
 def _pq_cent_frame(spark, codebooks: List[List[List[float]]]) -> DataFrame:

@@ -5082,37 +5082,46 @@ def embedding_pq_recall(spark, sf_dir):
 @q(
     "stream_curate_survivors",
     f"""
-    WITH flags AS (
-      SELECT doc_id, text, lang, source, n_chars,
-             CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= {_GOPHER_MIN_WORDS}
-                   AND len(regexp_split_to_array(trim(text), '\s+')) <= 100000
-                   AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) >= 3.0
-                   AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) <= 10.0
-                   AND CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                         w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
-                       / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) >= 0.8
-                   AND len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                         w -> list_contains({_GOPHER_STOP_SQL}, lower(w)))) >= 2
-              THEN 1 ELSE 0 END AS ok
-      FROM documents
+    WITH {_sql_band_index(16, 4)},
+    ok AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE {_sql_gopher_ok("text")}
     ),
-    passed AS (SELECT * FROM flags WHERE ok = 1),
-    keep AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM passed GROUP BY 1)
-    SELECT p.doc_id, p.lang, p.source, CAST(p.n_chars AS BIGINT) AS n_chars
-    FROM passed p JOIN keep k ON k.keep_id = p.doc_id AND k.h = md5(p.text)
+    b1 AS (SELECT * FROM ok WHERE doc_id % 2 = 0),
+    k1 AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM b1 GROUP BY 1),
+    s1 AS (SELECT b1.* FROM b1
+           JOIN k1 ON k1.keep_id = b1.doc_id AND k1.h = md5(b1.text)),
+    b2 AS (SELECT * FROM ok WHERE doc_id % 2 = 1),
+    k2 AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM b2 GROUP BY 1),
+    c2 AS (SELECT b2.* FROM b2
+           JOIN k2 ON k2.keep_id = b2.doc_id AND k2.h = md5(b2.text)),
+    collided AS (
+      SELECT DISTINCT nb.doc_id
+      FROM bands nb JOIN bands cb
+        ON cb.band = nb.band AND cb.bucket = nb.bucket
+      WHERE nb.doc_id IN (SELECT doc_id FROM c2)
+        AND cb.doc_id IN (SELECT doc_id FROM s1)
+    ),
+    s2 AS (SELECT * FROM c2
+           WHERE doc_id NOT IN (SELECT doc_id FROM collided))
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars FROM s1
+    UNION ALL
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars FROM s2
     """,
 )
 def stream_curate_survivors(spark, sf_dir):
-    """The continuous-curation pipeline itself under the correctness gate:
-    the documents table replayed as ONE availableNow micro-batch through
-    ``streaming.curate.curate_stream`` (Gopher gate → intra-batch exact
-    dedup → incremental LSH vs an initially-empty index), then the landed
-    survivors read back.  With a single batch the LSH stage sees an empty
-    corpus index, so the oracle is exactly gopher-pass ∧ keep-min-id-per-
-    digest — the streaming machinery (foreachBatch, staged idempotent
-    writes, index append) is what's actually being value-checked."""
+    """The continuous-curation pipeline under the correctness gate — now
+    genuinely MULTI-BATCH: the documents table lands as two sequential
+    ingestion waves (even doc_ids, then odd doc_ids — each a parallel
+    multi-file JSON write, no single-task staging), each picked up by its
+    own ``availableNow`` run of ``streaming.curate.curate_stream`` over
+    the SAME checkpoint.  Wave 1 curates against an empty index and
+    appends its survivors' band rows; wave 2's checkpoint resumes at the
+    new files only and its LSH stage dedups against wave 1's persisted
+    index — the sequential index-append semantics the oracle encodes
+    explicitly (batch-2 survivors = gopher-pass ∧ intra-batch keep-min ∧
+    no band collision with batch-1 survivors).  ``hash_fn="md5_60"`` so
+    DuckDB rebuilds identical bucket identities."""
     import tempfile
 
     from pdtable_spark.io.jsonl import read_jsonl_stream
@@ -5120,18 +5129,18 @@ def stream_curate_survivors(spark, sf_dir):
 
     d = tempfile.mkdtemp(prefix="pdtable_curate_")
     land, out = f"{d}/land", f"{d}/out"
-    import os as _os
-
-    _os.makedirs(land)
-    spark.read.parquet(f"{sf_dir}/documents.parquet").coalesce(1).write.json(land, mode="overwrite")
-    curate_stream(
-        read_jsonl_stream(spark, land),
-        out,
-        f"{d}/index",
-        f"{d}/ckpt",
-        min_words=_GOPHER_MIN_WORDS,
-        min_stopwords=2,
-    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for wave in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == wave).write.json(land, mode="append")
+        curate_stream(
+            read_jsonl_stream(spark, land),
+            out,
+            f"{d}/index",
+            f"{d}/ckpt",
+            min_words=_GOPHER_MIN_WORDS,
+            min_stopwords=2,
+            hash_fn="md5_60",
+        )
     survivors = spark.read.parquet(out)
     return survivors.select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")

@@ -43,6 +43,7 @@ def _curate_batch(
     num_hashes: int,
     bands: int,
     shingle_n: int,
+    hash_fn: str,
 ) -> None:
     spark = batch_df.sparkSession
     if not batch_df.take(1):
@@ -94,7 +95,8 @@ def _curate_batch(
     if idx is not None:
         idx = idx.join(passed.select("doc_id"), "doc_id", "left_anti")
         survivors = incremental_dedup(
-            passed, idx, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+            passed, idx, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, hash_fn=hash_fn,
         )
     else:
         survivors = passed
@@ -103,7 +105,8 @@ def _curate_batch(
     #    dynamic overwrites (idempotent under micro-batch retry)
     (
         band_buckets(
-            survivors, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+            survivors, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, hash_fn=hash_fn,
         )
         .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
@@ -130,6 +133,7 @@ def curate_stream(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 5,
+    hash_fn: str = "xxhash64",
     timeout: Optional[int] = 120,
 ):
     """Run the curation pipeline over a document stream
@@ -145,7 +149,7 @@ def curate_stream(
     def run(batch_df: DataFrame, batch_id: int) -> None:
         _curate_batch(
             batch_df, batch_id, out_dir, index_dir,
-            min_words, min_stopwords, num_hashes, bands, shingle_n,
+            min_words, min_stopwords, num_hashes, bands, shingle_n, hash_fn,
         )
 
     q = (

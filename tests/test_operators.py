@@ -301,6 +301,62 @@ def test_multimodal_plumbing(spark):
     assert {r["modality"]: r["n_assets"] for r in stats} == {"image": 2, "video": 1}
 
 
+def _tiny_png(w: int = 8, h: int = 8) -> bytes:
+    """A minimal valid 8-bit grayscale PNG, stdlib-only (no imaging lib
+    needed to PRODUCE the fixture — only the optional decoder reads it)."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        body = struct.pack(">I", len(data)) + typ + data
+        return body + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    raw = b"".join(
+        b"\x00" + bytes((x * 31 + y * 17) % 256 for x in range(w)) for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_real_png_decode(spark):
+    """Extras-gated real decoder: with pillow installed, extract_features
+    (fake=False) decodes an actual PNG payload into the same 4x4-grid
+    feature contract as the fake path.  Skips where pillow is absent."""
+    pytest.importorskip("PIL")
+    from pdtable_spark.operators import multimodal as mm
+
+    rows = [(0, "image", "image/png", _tiny_png(), None, 8, 8, None)]
+    assets = spark.createDataFrame(rows, schema=mm.ASSET_SCHEMA)
+    out = mm.extract_features(assets, dim=16, fake=False).collect()
+    assert len(out) == 1 and out[0]["feat_dim"] == 16
+    vec = out[0]["feature"]
+    assert len(vec) == 16
+    assert all(0.0 <= v <= 255.0 for v in vec)
+    # a real gradient image decodes to non-constant pixels, deterministically
+    assert len(set(vec)) > 1
+    assert mm.extract_features(assets, dim=16, fake=False).collect() == out
+
+
+def test_multimodal_real_decode_unavailable_raises_helpfully(spark):
+    """Without pillow, fake=False must fail with the install hint, not an
+    opaque error (skips where pillow IS installed)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow installed — covered by the decode test above")
+    except ImportError:
+        pass
+    from pdtable_spark.operators import multimodal as mm
+
+    with pytest.raises(Exception, match="pillow"):
+        mm._decode_image(b"not-an-image", fake=False)
+
+
 # ---------------------------------------------------------------------------
 # interval (range) join
 # ---------------------------------------------------------------------------
@@ -1312,6 +1368,72 @@ def test_mixture_temperature_nonstring_source(spark):
     rows = out.collect()
     assert sorted(r["source"] for r in rows) == [0, 1, 2]
     assert abs(sum(r["mix_share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_pq_refined_codebooks_improve_recall(spark):
+    """Lloyd refinement (per-subspace pyspark.ml KMeans) must beat the
+    sampled init when the smallest-id vectors are unrepresentative — here
+    ids 0..29 all sit in ONE cluster, so the id-ordered init collapses the
+    codebook while KMeans recovers the true cluster structure."""
+    import random
+
+    from pdtable_spark.operators import similarity
+
+    rng = random.Random(7)
+    dim, nsub, ncodes, k = 16, 4, 8, 30
+    centers = [[rng.uniform(-5.0, 5.0) for _ in range(dim)] for _ in range(8)]
+    rows = [
+        (i, [centers[i // 30][j] + rng.gauss(0.0, 0.05) for j in range(dim)])
+        for i in range(240)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from pyspark.sql import Window
+
+    qd = queries.select("query_id", F.col("embedding").alias("qa"))
+    cd = emb.select("vec_id", F.col("embedding").alias("ca"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cd.crossJoin(F.broadcast(qd))
+        .select(
+            "query_id", "vec_id",
+            similarity._dist2(F.col("qa"), F.col("ca")).alias("d2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+
+    def recall(books):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.pq_topk(
+                emb, queries, k=k, num_subspaces=nsub, codebooks=books
+            )
+            .select("query_id", "vec_id")
+            .collect()
+        }
+        return len(got & exact) / len(exact)
+
+    init = similarity.pq_codebooks(emb, n_codes=ncodes, num_subspaces=nsub)
+    refined = similarity.pq_codebooks(
+        emb, n_codes=ncodes, num_subspaces=nsub, refine_iters=10
+    )
+    r_init, r_refined = recall(init), recall(refined)
+    # k = cluster size, so exact top-k IS the query's cluster: refined books
+    # give every cluster its own code per subspace (ADC distance ~0 inside,
+    # large outside) and essentially solve the geometry; the collapsed init
+    # cannot tell clusters apart
+    assert r_refined > r_init
+    assert r_refined >= 0.95
+    assert r_init <= 0.9  # the collapsed init leaves a real gap
+    # shape contract holds in both modes
+    assert len(refined) == nsub and all(len(b) == ncodes for b in refined)
+    assert all(len(c) == dim // nsub for b in refined for c in b)
 
 
 def test_pq_codebooks_empty_corpus_raises(spark):
