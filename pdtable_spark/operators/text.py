@@ -293,8 +293,6 @@ def tfidf_keywords(
     )
     if round_digits is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), round_digits))
-    from pyspark.sql import Window
-
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -67,6 +67,16 @@ def test_text_stats_zero_shuffle(spark):
         assert n_exchanges(plan) == 0, name  # pure scan+project pipelines
 
 
+def test_gopher_full_rule_set_zero_shuffle(spark):
+    """The round-6 rule completions (symbol ratio, line fractions,
+    duplicate-line fraction) must stay pure scan+project — the whole value
+    of the rule filter at 100 TB is that failing rows die inside the
+    scan's codegen stage."""
+    plan, _ = plan_of(spark, "text_gopher_rules")
+    assert n_exchanges(plan) == 0
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_dedup_exact_single_digest_shuffle(spark):
     plan, _ = plan_of(spark, "dedup_exact")
     assert n_exchanges(plan) == 1
