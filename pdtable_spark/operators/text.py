@@ -756,6 +756,106 @@ def gopher_quality_flags(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+    max_top_ngram_char_frac: float = 0.20,
+    max_dup_ngram_char_frac: float = 0.15,
+) -> DataFrame:
+    """Gopher's word-level repetition rules (Rae et al. arXiv:2112.11446
+    §A1.1, "repetitious text"): the fraction of characters contained in
+    the most frequent ``top_n``-gram, and the fraction of characters
+    covered by ``dup_n``-grams that occur more than once — the signals
+    that catch boilerplate and keyword-stuffed spam that the
+    whole-document ratios miss.
+
+    Returns (id, n_words, n_word_chars, top_ngram, top_ngram_count,
+    top_ngram_char_frac, dup_ngram_char_frac, pass_top_ngram,
+    pass_dup_ngram) — thresholds default to the paper's 2-gram (0.20) and
+    5-gram (0.15) rows; instantiate once per (top_n, dup_n) pair to get
+    the full battery.
+
+    Character accounting: fractions are over WORD characters (separators
+    excluded — whitespace is already normalized away by tokenization), and
+    duplicate-gram coverage is overlap-AWARE, the paper's "taking care not
+    to count characters that occur in overlapping n-grams more than once":
+    a token position counts once iff ANY duplicate gram covers it, spelled
+    as a bounded ROWS window (max of dup-start flags over the trailing
+    ``dup_n-1`` positions) rather than interval arithmetic.
+
+    Scale: one tokenize+posexplode scan; every shuffle is keyed by doc id
+    (or (doc id, gram) — cardinality bounded by document length), so skew
+    is bounded by the longest document, not the corpus.  No Python.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "word")
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+
+    def gram_col(n: int):
+        parts = [F.col("word")] + [F.lead("word", i).over(wdoc) for i in range(1, n)]
+        last = parts[-1] if n > 1 else F.col("word")
+        return F.when(last.isNotNull(), F.concat_ws(" ", *parts))
+
+    g = toks.select(
+        F.col(id_col), "pos", "word",
+        gram_col(top_n).alias("gram_top"),
+        gram_col(dup_n).alias("gram_dup"),
+    )
+    cnt_dup = F.count(F.lit(1)).over(Window.partitionBy(id_col, "gram_dup"))
+    g = g.withColumn(
+        "dup_start",
+        (F.col("gram_dup").isNotNull() & (cnt_dup >= 2)).cast("int"),
+    )
+    covered = F.max("dup_start").over(wdoc.rowsBetween(-(dup_n - 1), 0))
+    per_doc = (
+        g.withColumn("covered", covered)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_word_chars"),
+            F.sum(F.length("word") * F.col("covered")).alias("dup_chars"),
+        )
+    )
+    top = (
+        g.filter(F.col("gram_top").isNotNull())
+        .groupBy(id_col, "gram_top")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("gram_top").alias("g"))).alias("b"))
+        .select(
+            F.col(id_col),
+            F.col("b.g").alias("top_ngram"),
+            (-F.col("b.nc")).alias("top_ngram_count"),
+        )
+    )
+    out = per_doc.join(top, id_col, "left")
+    top_frac = (
+        F.col("top_ngram_count").cast("double")
+        * F.length(F.regexp_replace(F.col("top_ngram"), " ", "")).cast("double")
+        / F.col("n_word_chars").cast("double")
+    )
+    dup_frac = F.col("dup_chars").cast("double") / F.col("n_word_chars").cast("double")
+    return out.select(
+        id_col,
+        "n_words",
+        F.col("n_word_chars").cast("long").alias("n_word_chars"),
+        "top_ngram",
+        F.coalesce(F.col("top_ngram_count"), F.lit(0)).cast("long").alias("top_ngram_count"),
+        F.coalesce(top_frac, F.lit(0.0)).alias("top_ngram_char_frac"),
+        dup_frac.alias("dup_ngram_char_frac"),
+        (F.coalesce(top_frac, F.lit(0.0)) <= max_top_ngram_char_frac)
+        .cast("int")
+        .alias("pass_top_ngram"),
+        (dup_frac <= max_dup_ngram_char_frac).cast("int").alias("pass_dup_ngram"),
+    )
+
+
 def cdc_chunks(
     df: DataFrame,
     text_col: str = "text",

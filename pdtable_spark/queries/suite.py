@@ -1453,6 +1453,99 @@ def text_repetition(spark, sf_dir):
     )
 
 
+_REP_TOP_N = 2
+_REP_DUP_N = 5
+#: Derived corpus for the repetition-signal oracle: each document gets its
+#: own first 8 words appended (the footer-boilerplate shape the duplicate
+#: n-gram rule exists to catch) — the raw synthetic corpus has no natural
+#: duplicate 5-grams, which would leave the coverage path identically zero.
+_REP_DER_SQL = (
+    "text || ' ' || array_to_string(list_slice("
+    "regexp_split_to_array(trim(text), '\\s+'), 1, 8), ' ')"
+)
+
+
+@q(
+    "text_repetition_signals",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim({_REP_DER_SQL}), '\\s+') AS ws
+      FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(ws) AS word,
+                 unnest(generate_series(1, len(ws))) AS pos FROM t),
+    g AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN lead(word, {_REP_TOP_N - 1}) OVER wdoc IS NOT NULL
+                  THEN concat_ws(' ', word, lead(word, 1) OVER wdoc)
+             END AS gram_top,
+             CASE WHEN lead(word, {_REP_DUP_N - 1}) OVER wdoc IS NOT NULL
+                  THEN concat_ws(' ', word, lead(word, 1) OVER wdoc,
+                                 lead(word, 2) OVER wdoc, lead(word, 3) OVER wdoc,
+                                 lead(word, 4) OVER wdoc)
+             END AS gram_dup
+      FROM w WINDOW wdoc AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    c AS (
+      SELECT *, CASE WHEN gram_dup IS NOT NULL
+                     THEN COUNT(*) OVER (PARTITION BY doc_id, gram_dup) END AS cnt_dup
+      FROM g
+    ),
+    cov AS (
+      SELECT *, MAX(CASE WHEN cnt_dup >= 2 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {_REP_DUP_N - 1} PRECEDING AND CURRENT ROW)
+                AS covered
+      FROM c
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(word)) AS BIGINT) AS n_word_chars,
+             CAST(SUM(length(word) * covered) AS BIGINT) AS dup_chars
+      FROM cov GROUP BY doc_id
+    ),
+    tc AS (SELECT doc_id, gram_top, COUNT(*) AS c FROM g
+           WHERE gram_top IS NOT NULL GROUP BY 1, 2),
+    top AS (SELECT doc_id, gram_top, c FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY c DESC, gram_top) AS rn
+              FROM tc) WHERE rn = 1),
+    m AS (
+      SELECT a.doc_id, a.n_words, a.n_word_chars,
+             top.gram_top AS top_ngram,
+             CAST(COALESCE(top.c, 0) AS BIGINT) AS top_ngram_count,
+             COALESCE(CAST(top.c AS DOUBLE)
+                      * CAST(length(replace(top.gram_top, ' ', '')) AS DOUBLE)
+                      / CAST(a.n_word_chars AS DOUBLE), 0.0) AS top_ngram_char_frac,
+             CAST(a.dup_chars AS DOUBLE) / CAST(a.n_word_chars AS DOUBLE)
+               AS dup_ngram_char_frac
+      FROM agg a LEFT JOIN top ON top.doc_id = a.doc_id
+    )
+    SELECT *,
+           CAST(top_ngram_char_frac <= 0.20 AS INT) AS pass_top_ngram,
+           CAST(dup_ngram_char_frac <= 0.15 AS INT) AS pass_dup_ngram
+    FROM m
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher's word-level repetition rules (top-2-gram character fraction,
+    overlap-aware duplicate-5-gram character coverage) over a derived
+    corpus where every document carries its own first-8-words as appended
+    boilerplate — the duplication shape the rule exists to catch, making
+    both signals non-trivial under the value oracle."""
+    docs = load(spark, sf_dir, "documents")
+    der = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.array_join(F.slice(text.tokens(F.col("text")), 1, 8), " "),
+        ),
+    )
+    return text.repetition_signals(der, top_n=_REP_TOP_N, dup_n=_REP_DUP_N)
+
+
 @q(
     "pipeline_decontaminate",
     f"""

@@ -1276,6 +1276,39 @@ def test_gopher_line_and_symbol_rules(spark):
     assert g["symbol_word_ratio"] == 3.0 / 9.0
 
 
+def test_repetition_signals_hand_computed(spark):
+    """Gopher word-level repetition rules against hand-computed values,
+    including the overlap-aware duplicate-gram coverage."""
+    rows = [
+        (0, "a b c d e f g h"),            # no repeats at all
+        (1, "x y x y x y"),                # dominant 2-gram, no dup 5-gram
+        (2, "p q r s t p q r s t"),        # exact duplicated 5-gram block
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    # doc 0: top 2-gram "a b" ×1 → 2 chars of 8; nothing duplicated
+    assert out[0]["top_ngram"] == "a b" and out[0]["top_ngram_count"] == 1
+    assert out[0]["top_ngram_char_frac"] == 0.25
+    assert out[0]["dup_ngram_char_frac"] == 0.0
+    assert out[0]["pass_dup_ngram"] == 1 and out[0]["pass_top_ngram"] == 0
+    # doc 1: "x y" ×3 → 6 chars of 6; every 5-gram is unique
+    assert out[1]["top_ngram"] == "x y" and out[1]["top_ngram_count"] == 3
+    assert out[1]["top_ngram_char_frac"] == 1.0
+    assert out[1]["dup_ngram_char_frac"] == 0.0
+    # doc 2: "p q r s t" occurs at positions 1 and 6 → all 10 words covered
+    assert out[2]["dup_ngram_char_frac"] == 1.0
+    assert out[2]["pass_dup_ngram"] == 0
+
+    # overlap-awareness at dup_n=2: "a a a" holds two overlapping "a a"
+    # grams; their union covers 3 positions, never 4
+    one = spark.createDataFrame(
+        [(0, "a a a b c d e f g h i j")], ["doc_id", "text"]
+    )
+    g = text.repetition_signals(one, dup_n=2).collect()[0]
+    assert g["n_word_chars"] == 12
+    assert g["dup_ngram_char_frac"] == 3.0 / 12.0
+
+
 def test_minhash_estimate_report_exact_on_identical_docs(spark, docs):
     out = dedup.minhash_estimate_report(docs, num_hashes=16, bands=4).collect()
     by_pair = {(r["id_a"], r["id_b"]): r for r in out}
