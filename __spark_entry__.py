@@ -28,9 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queries CHANGED this round (full Gopher rule set + its dataset-card and
 #: curation-stream consumers, both TF-IDF df spellings under the flipped
 #: default, the PQ trio whose codebook-membership oracle was respelled),
-#: then the round's NEW query (text_repetition_signals — Gopher word-level
-#: repetition rules) and 4 backfill slots from the r4-evidence set — 50
-#: exactly.  The remaining r4 block leads next round.  (The r5 duplicate
+#: then the round's NEW queries (text_repetition_signals — Gopher
+#: word-level repetition rules — and text_c4_rules — the C4 page-cleaning
+#: rule set) and 3 backfill slots from the r4-evidence set — 50 exactly.  The remaining r4 block leads next round.  (The r5 duplicate
 #: embedding_near_dups entry is gone — each name appears once.)
 _PRIORITY = [
     "multimodal_features",
@@ -78,6 +78,7 @@ _PRIORITY = [
     "embedding_pq_topk",
     "embedding_pq_refined",
     "text_repetition_signals",
+    "text_c4_rules",
     "embedding_pq_recall",
     "dedup_incremental",
     "embedding_ivf_topk",

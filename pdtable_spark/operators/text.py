@@ -756,6 +756,67 @@ def gopher_quality_flags(
     )
 
 
+#: C4 line-keep rule: the (trimmed) line ends in terminal punctuation.
+_C4_TERMINAL_RE = r"[.!?\"]$"
+
+
+def c4_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4's rule-based page cleaning (Raffel et al. arXiv:1910.10683
+    §2.2), the other canonical web-corpus filter beside Gopher: KEEP only
+    lines that end in terminal punctuation and contain at least
+    ``min_line_words`` words; DROP pages with fewer than
+    ``min_sentences`` sentences, any curly brace (code), or the phrase
+    "lorem ipsum" (placeholder boilerplate).  (C4's remaining steps —
+    three-sentence-span dedup and the bad-words list — live in
+    ``dedup.span_dedup`` / ``normalized_dedup`` and a caller-supplied
+    term filter respectively.)
+
+    Returns (id, clean_text — the kept lines rejoined with newlines,
+    n_lines, n_kept_lines, n_sentences — terminal-punctuation marks in
+    the kept text, has_lorem, has_brace as 0/1, pass_c4).
+
+    Pure column expressions over one scan — zero shuffles, zero Python;
+    the transform composes with :func:`gopher_quality_flags` (C4 cleans
+    lines, Gopher then judges the cleaned page).
+    """
+    txt = F.col(text_col)
+    lines = F.split(txt, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(_C4_TERMINAL_RE)
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_line_words),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), F.lit(0))).cast("long")
+    has_lorem = F.contains(F.lower(txt), F.lit("lorem ipsum"))
+    has_brace = F.contains(txt, F.lit("{"))
+    out = df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        has_lorem.cast("int").alias("has_lorem"),
+        has_brace.cast("int").alias("has_brace"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("n_sentences") >= min_sentences)
+            & (F.col("has_lorem") == 0)
+            & (F.col("has_brace") == 0)
+        )
+        .cast("int")
+        .alias("pass_c4"),
+    )
+
+
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",

@@ -1453,6 +1453,71 @@ def text_repetition(spark, sf_dir):
     )
 
 
+#: Derived corpus for the C4-rule oracle, by the same literal-replace
+#: technique as the Gopher one: ' dup'→' lorem ipsum' (placeholder
+#: boilerplate), ' vector'→' {' (code marker), ' sort'→'.'+newline
+#: (sentence-terminated line breaks), ' merge'→newline (unterminated
+#: line breaks) — every C4 rule takes non-trivial values.
+_C4_DER_SQL = (
+    "replace(replace(replace(replace(text, ' dup', ' lorem ipsum'),"
+    " ' vector', ' {'), ' sort', '.' || chr(10)), ' merge', chr(10))"
+)
+_C4_KEPT_SQL = (
+    "list_filter(regexp_split_to_array(der, '\\n'),"
+    " x -> regexp_matches(trim(x), '[.!?\"]$')"
+    " AND len(regexp_split_to_array(trim(x), '\\s+')) >= 5)"
+)
+
+
+@q(
+    "text_c4_rules",
+    f"""
+    WITH t AS (SELECT doc_id, {_C4_DER_SQL} AS der FROM documents),
+    m AS (
+      SELECT doc_id,
+             -- COALESCE: DuckDB's array_to_string of an EMPTY list is NULL
+             -- where Spark's array_join is '' — align on ''
+             COALESCE(array_to_string({_C4_KEPT_SQL}, chr(10)), '') AS clean_text,
+             CAST(len(regexp_split_to_array(der, '\\n')) AS BIGINT) AS n_lines,
+             CAST(len({_C4_KEPT_SQL}) AS BIGINT) AS n_kept_lines,
+             CAST(len(regexp_extract_all(
+                 COALESCE(array_to_string({_C4_KEPT_SQL}, chr(10)), ''),
+                 '[.!?]')) AS BIGINT) AS n_sentences,
+             CAST(contains(lower(der), 'lorem ipsum') AS INT) AS has_lorem,
+             CAST(contains(der, '{{') AS INT) AS has_brace
+      FROM t
+    )
+    SELECT *,
+           CAST(n_sentences >= 3 AND has_lorem = 0 AND has_brace = 0 AS INT)
+             AS pass_c4
+    FROM m
+    """,
+)
+def text_c4_rules(spark, sf_dir):
+    """C4's rule-based page cleaning (arXiv:1910.10683 §2.2 — keep
+    punctuation-terminated ≥5-word lines; drop pages under 3 sentences,
+    with braces, or with 'lorem ipsum') on a derived corpus where each
+    rule has real positives (see ``_C4_DER_SQL``).  Zero-shuffle column
+    expressions; the kept-lines transform and every flag value-oracled."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(F.col("text"), F.lit(" dup"), F.lit(" lorem ipsum")),
+                    F.lit(" vector"),
+                    F.lit(" {"),
+                ),
+                F.lit(" sort"),
+                F.lit(".\n"),
+            ),
+            F.lit(" merge"),
+            F.lit("\n"),
+        ),
+    )
+    return text.c4_quality(docs)
+
+
 _REP_TOP_N = 2
 _REP_DUP_N = 5
 #: Derived corpus for the repetition-signal oracle: each document gets its

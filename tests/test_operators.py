@@ -1276,6 +1276,30 @@ def test_gopher_line_and_symbol_rules(spark):
     assert g["symbol_word_ratio"] == 3.0 / 9.0
 
 
+def test_c4_quality_rules(spark):
+    """C4 line cleaning against hand-built pages: line keep rule (terminal
+    punctuation AND ≥5 words), sentence minimum, brace and lorem flags."""
+    rows = [
+        (0, "the cat sat on the mat.\nthe dog ran to the hill!\nwhere is my red hat?\nshort line."),
+        (1, "no punctuation here at all\nanother bare line of words"),
+        (2, "a page full of code { int x = 1; }\nthe cat sat on the mat.\nthe dog ran very far away.\nthe end came at last today."),
+        (3, "lorem ipsum dolor sit amet etc.\nthe cat sat on the mat.\nthe dog ran very far away.\nthe end came at last today."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.c4_quality(df).collect()}
+    # doc 0: 3 qualifying lines; "short line." has <5 words → dropped
+    assert out[0]["n_lines"] == 4 and out[0]["n_kept_lines"] == 3
+    assert out[0]["n_sentences"] == 3 and out[0]["pass_c4"] == 1
+    assert "short line." not in out[0]["clean_text"]
+    # doc 1: nothing kept → empty clean text, fails the sentence minimum
+    assert out[1]["n_kept_lines"] == 0 and out[1]["clean_text"] == ""
+    assert out[1]["pass_c4"] == 0
+    # doc 2: enough sentences but a brace kills it
+    assert out[2]["has_brace"] == 1 and out[2]["pass_c4"] == 0
+    # doc 3: lorem ipsum kills it even with enough sentences
+    assert out[3]["has_lorem"] == 1 and out[3]["pass_c4"] == 0
+
+
 def test_repetition_signals_hand_computed(spark):
     """Gopher word-level repetition rules against hand-computed values,
     including the overlap-aware duplicate-gram coverage."""
