@@ -29,8 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: curation-stream consumers, both TF-IDF df spellings under the flipped
 #: default, the PQ trio whose codebook-membership oracle was respelled),
 #: then the round's NEW queries (text_repetition_signals — Gopher
-#: word-level repetition rules — and text_c4_rules — the C4 page-cleaning
-#: rule set) and 3 backfill slots from the r4-evidence set — 50 exactly.  The remaining r4 block leads next round.  (The r5 duplicate
+#: word-level repetition rules — text_c4_rules — the C4 page-cleaning
+#: rule set — and text_blocklist_filter) and 2 backfill slots from the
+#: r4-evidence set — 50 exactly.  The remaining r4 block leads next round.  (The r5 duplicate
 #: embedding_near_dups entry is gone — each name appears once.)
 _PRIORITY = [
     "multimodal_features",
@@ -79,6 +80,7 @@ _PRIORITY = [
     "embedding_pq_refined",
     "text_repetition_signals",
     "text_c4_rules",
+    "text_blocklist_filter",
     "embedding_pq_recall",
     "dedup_incremental",
     "embedding_ivf_topk",

@@ -756,6 +756,43 @@ def gopher_quality_flags(
     )
 
 
+def blocklist_filter(
+    df: DataFrame,
+    terms: List[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Term-blocklist screening — C4's "bad words" rule (and every
+    compliance takedown list) as a first-class operator: count how many
+    DISTINCT blocked terms a document's token set contains and flag docs
+    exceeding ``max_hits``.
+
+    Matching is whole-token, case-insensitive (multi-word terms match as
+    token subsequences would be a substring check — keep blocklists to
+    single tokens here; phrase rules belong in :func:`c4_quality`-style
+    contains flags).  Returns (id, n_blocked_terms, blocked_sample — the
+    lexicographically first hit for auditability, pass_blocklist).
+
+    Scale: the list ships as an array literal inside the codegen stage
+    (the classifier-map-literal trick, fine to ~thousands of terms; past
+    that, broadcast-join a terms frame against exploded tokens instead) —
+    zero shuffles, zero Python.
+    """
+    arr = F.array(*[F.lit(t.lower()) for t in sorted(set(terms))])
+    toks_lower = F.transform(tokens(F.col(text_col)), F.lower)
+    # filter the (sorted, distinct) list against the token set — hit order
+    # is the list's own sorted order, deterministic on any engine
+    hits = F.filter(arr, lambda t: F.array_contains(toks_lower, t))
+    n_hits = F.size(hits).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_hits.alias("n_blocked_terms"),
+        F.when(n_hits > 0, F.element_at(hits, 1)).alias("blocked_sample"),
+        (n_hits <= max_hits).cast("int").alias("pass_blocklist"),
+    )
+
+
 #: C4 line-keep rule: the (trimmed) line ends in terminal punctuation.
 _C4_TERMINAL_RE = r"[.!?\"]$"
 

@@ -1453,6 +1453,38 @@ def text_repetition(spark, sf_dir):
     )
 
 
+_BLOCKLIST = ["dup", "slow", "vector", "zzz_absent"]
+_BLOCKLIST_SQL = "['" + "','".join(sorted(set(_BLOCKLIST))) + "']"
+
+
+@q(
+    "text_blocklist_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter({_BLOCKLIST_SQL},
+               b -> list_contains(
+                 list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                w -> lower(w)), b)) AS hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(hits) AS BIGINT) AS n_blocked_terms,
+           CASE WHEN len(hits) > 0 THEN hits[1] END AS blocked_sample,
+           CAST(len(hits) <= 0 AS INT) AS pass_blocklist
+    FROM t
+    """,
+)
+def text_blocklist_filter(spark, sf_dir):
+    """Term-blocklist screening (C4's bad-words rule / takedown lists):
+    distinct whole-token case-insensitive hits against a driver-side term
+    list compiled into the codegen stage — zero shuffles.  The fixture
+    list mixes present and absent vocabulary so counts, the audit sample,
+    and the pass flag all take non-trivial values."""
+    docs = load(spark, sf_dir, "documents")
+    return text.blocklist_filter(docs, _BLOCKLIST)
+
+
 #: Derived corpus for the C4-rule oracle, by the same literal-replace
 #: technique as the Gopher one: ' dup'→' lorem ipsum' (placeholder
 #: boilerplate), ' vector'→' {' (code marker), ' sort'→'.'+newline

@@ -1276,6 +1276,25 @@ def test_gopher_line_and_symbol_rules(spark):
     assert g["symbol_word_ratio"] == 3.0 / 9.0
 
 
+def test_blocklist_filter(spark):
+    rows = [
+        (0, "the Quick brown fox"),        # 'quick' hit, case-insensitive
+        (1, "clean text with no issues"),
+        (2, "quick quick spam spam spam"),  # repeats count ONCE per term
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in text.blocklist_filter(df, ["spam", "quick"]).collect()
+    }
+    assert out[0]["n_blocked_terms"] == 1 and out[0]["blocked_sample"] == "quick"
+    assert out[0]["pass_blocklist"] == 0
+    assert out[1]["n_blocked_terms"] == 0 and out[1]["blocked_sample"] is None
+    assert out[1]["pass_blocklist"] == 1
+    # distinct terms, lexicographically-first audit sample
+    assert out[2]["n_blocked_terms"] == 2 and out[2]["blocked_sample"] == "quick"
+
+
 def test_c4_quality_rules(spark):
     """C4 line cleaning against hand-built pages: line keep rule (terminal
     punctuation AND ≥5 words), sentence minimum, brace and lorem flags."""
