@@ -30,8 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: default, the PQ trio whose codebook-membership oracle was respelled),
 #: then the round's NEW queries (text_repetition_signals — Gopher
 #: word-level repetition rules — text_c4_rules — the C4 page-cleaning
-#: rule set — and text_blocklist_filter) and 2 backfill slots from the
-#: r4-evidence set — 50 exactly.  The remaining r4 block leads next round.  (The r5 duplicate
+#: rule set — text_blocklist_filter, and pipeline_mixture_tokens) and 1
+#: backfill slot from the r4-evidence set — 50 exactly.  The remaining r4 block leads next round.  (The r5 duplicate
 #: embedding_near_dups entry is gone — each name appears once.)
 _PRIORITY = [
     "multimodal_features",
@@ -81,6 +81,7 @@ _PRIORITY = [
     "text_repetition_signals",
     "text_c4_rules",
     "text_blocklist_filter",
+    "pipeline_mixture_tokens",
     "embedding_pq_recall",
     "dedup_incremental",
     "embedding_ivf_topk",

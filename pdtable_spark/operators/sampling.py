@@ -197,7 +197,10 @@ def leakage_safe_split(
 
 
 def mixture_temperature_weights(
-    df: DataFrame, source_col: str = "source", alpha: float = 0.7
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.7,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Temperature-scaled domain-mixing weights: each source's sampling
     weight is its corpus share raised to ``alpha`` and renormalized —
@@ -205,8 +208,16 @@ def mixture_temperature_weights(
     raw share, the standard multilingual/multi-domain recipe (mT5 /
     XLM-R style p_i^α mixing).
 
-    Returns one row per source:
+    ``weight_col=None``: shares are DOCUMENT shares; one row per source
     (source, n_docs, share, temp_weight, mix_share).
+
+    ``weight_col="n_tokens"`` (or any numeric column): shares are the
+    column's per-source SUMS — the shape mixtures are actually budgeted
+    in (token counts), since a source of few huge documents is a larger
+    slice of training than its doc count suggests.  Adds a
+    ``total_weight`` column after ``n_docs``; the exact integer sum keeps
+    the cross-engine determinism story unchanged (weights must be
+    integral — pre-quantize fractional quality weights to ints first).
 
     Determinism: ``pow`` can differ by 1 ulp between libm and the JVM, so
     the scaled weight is quantized to 9 decimals (``floor(x·1e9 + 0.5)``
@@ -222,40 +233,49 @@ def mixture_temperature_weights(
     """
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if weight_col is not None:
+        aggs.append(
+            F.sum(F.coalesce(F.col(weight_col).cast("long"), F.lit(0))).alias(
+                "total_weight"
+            )
+        )
     counts = sorted(
         (
-            (r[source_col], r["n_docs"])
-            for r in df.groupBy(source_col)
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .collect()
+            (r[source_col], r["n_docs"], r["total_weight"] if weight_col else r["n_docs"])
+            for r in df.groupBy(source_col).agg(*aggs).collect()
         ),
         # NULL source is a legitimate group (real corpora have them):
         # sort it first, don't crash comparing None to str
         key=lambda kv: (kv[0] is not None, kv[0]),
     )
     # the source column keeps ITS OWN type (string, int domain ids, …)
-    schema = StructType(
-        [
-            StructField(source_col, df.schema[source_col].dataType, True),
-            StructField("n_docs", LongType(), False),
-            StructField("share", DoubleType(), False),
-            StructField("temp_weight", DoubleType(), False),
-            StructField("mix_share", DoubleType(), False),
-        ]
-    )
-    total = sum(n for _, n in counts)
+    fields = [
+        StructField(source_col, df.schema[source_col].dataType, True),
+        StructField("n_docs", LongType(), False),
+    ]
+    if weight_col is not None:
+        fields.append(StructField("total_weight", LongType(), False))
+    fields += [
+        StructField("share", DoubleType(), False),
+        StructField("temp_weight", DoubleType(), False),
+        StructField("mix_share", DoubleType(), False),
+    ]
+    schema = StructType(fields)
+    total = sum(w for *_, w in counts)
     if total == 0:
         return df.sparkSession.createDataFrame([], schema)
     rows = []
-    for src, n in counts:
-        share = float(n) / float(total)
+    for src, n, w in counts:
+        share = float(w) / float(total)
         wq = int(math.floor(share**float(alpha) * 1e9 + 0.5))
-        rows.append((src, n, share, wq))
+        rows.append((src, n, w, share, wq))
     wtot = sum(wq for *_, wq in rows)
     return df.sparkSession.createDataFrame(
         [
-            (src, n, share, float(wq) / 1e9, float(wq) / float(wtot))
-            for src, n, share, wq in rows
+            (src, n, *((w,) if weight_col is not None else ()), share,
+             float(wq) / 1e9, float(wq) / float(wtot))
+            for src, n, w, share, wq in rows
         ],
         schema,
     )

@@ -4610,6 +4610,44 @@ def pipeline_mixture_temperature(spark, sf_dir):
     return mixture_temperature_weights(docs, alpha=_MIX_ALPHA)
 
 
+@q(
+    "pipeline_mixture_tokens",
+    f"""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len({_SQL_TOKS})) AS total_weight
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(total_weight) AS total FROM c),
+    w AS (
+      SELECT source, n_docs, total_weight,
+             CAST(total_weight AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+             CAST(FLOOR(POW(CAST(total_weight AS DOUBLE) / CAST(total AS DOUBLE),
+                            {_MIX_ALPHA}) * 1e9 + 0.5) AS BIGINT) AS wq
+      FROM c CROSS JOIN t
+    ),
+    s AS (SELECT SUM(wq) AS wtot FROM w)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_weight AS BIGINT) AS total_weight, share,
+           CAST(wq AS DOUBLE) / 1e9 AS temp_weight,
+           CAST(wq AS DOUBLE) / CAST(wtot AS DOUBLE) AS mix_share
+    FROM w CROSS JOIN s
+    """,
+)
+def pipeline_mixture_tokens(spark, sf_dir):
+    """TOKEN-budgeted temperature mixing: source shares are whitespace-token
+    sums, not document counts — the unit training mixtures are actually
+    specified in (a source of few huge documents is a bigger slice than
+    its doc count suggests).  Same bit-reproducible quantized-pow recipe
+    as the per-document spelling."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.size(text.tokens(F.col("text"))).cast("long")
+    )
+    from pdtable_spark.operators.sampling import mixture_temperature_weights
+
+    return mixture_temperature_weights(docs, alpha=_MIX_ALPHA, weight_col="n_toks")
+
+
 _PQ_CODES = 16
 _PQ_M = 8
 _PQ_DSUB = 8  # 64-dim / 8 subspaces

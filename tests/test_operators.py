@@ -1446,6 +1446,26 @@ def test_mixture_temperature_nonstring_source(spark):
     assert abs(sum(r["mix_share"] for r in rows) - 1.0) < 1e-9
 
 
+def test_mixture_temperature_token_weighted(spark):
+    """weight_col switches the share basis to per-source weight sums: a
+    source of few huge documents outweighs a many-small-docs source."""
+    from pdtable_spark.operators.sampling import mixture_temperature_weights
+
+    rows = [(0, "a", 1000), (1, "a", 1000), (2, "b", 10)] + [
+        (3 + i, "b", 10) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_toks long")
+    out = {r["source"]: r for r in mixture_temperature_weights(df, weight_col="n_toks").collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["total_weight"] == 2000
+    assert out["b"]["n_docs"] == 9 and out["b"]["total_weight"] == 90
+    # doc-count mixing would put 'b' first; token mixing puts 'a' first
+    assert out["a"]["share"] > out["b"]["share"]
+    assert abs(out["a"]["share"] - 2000 / 2090) < 1e-12
+    assert abs(sum(r["mix_share"] for r in out.values()) - 1.0) < 1e-9
+    # alpha < 1 pulls the mixture toward the small source vs raw shares
+    assert out["b"]["mix_share"] > out["b"]["share"]
+
+
 def test_pq_refined_codebooks_improve_recall(spark):
     """Lloyd refinement (per-subspace pyspark.ml KMeans) must beat the
     sampled init when the smallest-id vectors are unrepresentative — here
