@@ -201,11 +201,14 @@ def main():
         # round-5 additions: span-level dedup and compressed-index ANN serving
         "dedup_spans",
         "pq_query_served",
-        # round-6 additions: the remaining serving path (IVF) and the
+        # round-6 additions: the remaining serving path (IVF), the
         # now-default skew-safe TF-IDF df spelling (window spelling stays
-        # in the headline series for round-over-round comparability)
+        # in the headline series for round-over-round comparability), and
+        # the quality-rule family (full Gopher set; word-level repetition)
         "ivf_query_served",
         "text_tfidf_agg",
+        "text_gopher_rules",
+        "text_repetition_signals",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

@@ -67,6 +67,14 @@ def test_text_stats_zero_shuffle(spark):
         assert n_exchanges(plan) == 0, name  # pure scan+project pipelines
 
 
+def test_repetition_signals_no_global_window(spark):
+    """Every window/aggregation in the repetition rules partitions on the
+    document id (or (id, gram)) — a single-partition window here would
+    serialize the corpus through one task at 100 TB."""
+    plan, _ = plan_of(spark, "text_repetition_signals")
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_gopher_full_rule_set_zero_shuffle(spark):
     """The round-6 rule completions (symbol ratio, line fractions,
     duplicate-line fraction) must stay pure scan+project — the whole value
