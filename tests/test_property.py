@@ -361,3 +361,56 @@ def test_cdc_chunks_matches_sequential_reference(spark, texts, divisor):
         got.setdefault(r["doc_id"], {})[r["chunk_no"]] = r["chunk_text"]
     want = {i: ref_chunks(t) for i, t in rows if ref_chunks(t)}
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=24).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_repetition_signals_against_bruteforce(spark, texts, dup_n):
+    """The windowed overlap-aware duplicate-gram coverage must equal a
+    brute-force position-set reference for ANY corpus and gram width —
+    tiny alphabet so duplicate grams are common."""
+    from pdtable_spark.operators import text as tx
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in tx.repetition_signals(df, top_n=2, dup_n=dup_n).collect()
+    }
+    for i, t in rows:
+        toks = t.split(" ")
+        n = len(toks)
+        grams = {}
+        for p in range(n - dup_n + 1):
+            grams.setdefault(" ".join(toks[p : p + dup_n]), []).append(p)
+        covered = set()
+        for g, ps in grams.items():
+            if len(ps) >= 2:
+                for p in ps:
+                    covered.update(range(p, p + dup_n))
+        want_chars = sum(len(toks[q]) for q in covered)
+        total_chars = sum(len(w) for w in toks)
+        got = out[i]
+        assert got["n_words"] == n
+        assert got["n_word_chars"] == total_chars
+        assert got["dup_ngram_char_frac"] == want_chars / total_chars
+        # top-2-gram reference: max count, lexicographic tie-break
+        if n >= 2:
+            bi = {}
+            for p in range(n - 1):
+                g = " ".join(toks[p : p + 2])
+                bi[g] = bi.get(g, 0) + 1
+            best = min(bi.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert (got["top_ngram"], got["top_ngram_count"]) == best
+            assert got["top_ngram_char_frac"] == (
+                best[1] * len(best[0].replace(" ", "")) / total_chars
+            )
+        else:
+            assert got["top_ngram"] is None and got["top_ngram_count"] == 0
