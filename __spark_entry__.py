@@ -30,8 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: default, the PQ trio whose codebook-membership oracle was respelled),
 #: then the round's NEW queries (text_repetition_signals — Gopher
 #: word-level repetition rules — text_c4_rules — the C4 page-cleaning
-#: rule set — text_blocklist_filter, and pipeline_mixture_tokens) and 1
-#: backfill slot from the r4-evidence set — 50 exactly.  The remaining r4 block leads next round.  (The r5 duplicate
+#: rule set — text_blocklist_filter, pipeline_mixture_tokens, and the
+#: drift-monitor pair) — 50 exactly, with the r4-evidence block following.  The remaining r4 block leads next round.  (The r5 duplicate
 #: embedding_near_dups entry is gone — each name appears once.)
 _PRIORITY = [
     "multimodal_features",
@@ -77,11 +77,13 @@ _PRIORITY = [
     "pipeline_dataset_card",
     "stream_curate_survivors",
     "embedding_pq_topk",
-    "embedding_pq_refined",
     "text_repetition_signals",
     "text_c4_rules",
     "text_blocklist_filter",
     "pipeline_mixture_tokens",
+    "pipeline_drift_report",
+    "pipeline_drift_tvd",
+    "embedding_pq_refined",
     "embedding_pq_recall",
     "dedup_incremental",
     "embedding_ivf_topk",

@@ -1,0 +1,135 @@
+"""Corpus observability: distribution-drift measurement between two corpus
+snapshots (yesterday's lake vs today's, pre- vs post-curation, batch N vs
+batch N+1 of a continuous ingest).
+
+A 100 TB pipeline fails quietly through composition shifts — a crawler
+change doubles one domain, a filter regression empties a language — long
+before any single document looks wrong.  The drift report is the cheap
+standing alarm: per categorical dimension, how far apart are the two
+snapshots' distributions, and which values moved.
+
+Pure aggregations over categorical keys — per dimension one
+map-side-combinable count per side, joined on the (bounded) category
+domain; nothing corpus-sized ever sits on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_drift_report(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    dim_cols: List[str],
+) -> DataFrame:
+    """Per-(dimension, value) composition drift between two snapshots.
+
+    Returns one row per dimension value observed in EITHER snapshot:
+    (dim, value — stringified so heterogeneous dimension types stack,
+    n_old, n_new, share_old, share_new, delta = share_new − share_old,
+    abs_delta).  Summing ``abs_delta / 2`` within a ``dim`` gives that
+    dimension's total-variation distance (see :func:`corpus_drift_tvd`).
+
+    Determinism: counts are exact integers and shares integer ratios, so
+    the report is bit-identical on any engine — fit for a value-oracled
+    regression gate, not just a dashboard.
+
+    Scale: per dimension, one ``groupBy(value).count()`` per side (map-side
+    partial combine; shuffle is category-domain-sized) and a full outer
+    join on the category key; totals join in as broadcast single-row
+    frames.  NULL category values are legitimate and tracked as a value.
+    """
+    if not dim_cols:
+        raise ValueError("corpus_drift_report: dim_cols must be non-empty")
+
+    def counts(df: DataFrame, dim: str, out: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(dim).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias(out))
+            .select(F.lit(dim).alias("dim"), "value", out)
+        )
+
+    reports = []
+    for dim in dim_cols:
+        old_c = counts(df_old, dim, "n_old")
+        new_c = counts(df_new, dim, "n_new")
+        tot_old = df_old.select(F.count(F.lit(1)).alias("t_old"))
+        tot_new = df_new.select(F.count(F.lit(1)).alias("t_new"))
+        o, n = old_c.alias("o"), new_c.alias("n")
+        # null-SAFE value equality: a NULL category (real corpora have
+        # them) must merge into one row, not split into an old-side and a
+        # new-side orphan
+        j = (
+            o.join(
+                n,
+                (F.col("o.dim") == F.col("n.dim"))
+                & F.col("o.value").eqNullSafe(F.col("n.value")),
+                "full_outer",
+            )
+            .select(
+                F.coalesce(F.col("o.dim"), F.col("n.dim")).alias("dim"),
+                F.coalesce(F.col("o.value"), F.col("n.value")).alias("value"),
+                F.coalesce(F.col("o.n_old"), F.lit(0)).alias("n_old"),
+                F.coalesce(F.col("n.n_new"), F.lit(0)).alias("n_new"),
+            )
+            .crossJoin(F.broadcast(tot_old))
+            .crossJoin(F.broadcast(tot_new))
+        )
+        share_old = F.when(
+            F.col("t_old") > 0, F.col("n_old").cast("double") / F.col("t_old").cast("double")
+        ).otherwise(F.lit(0.0))
+        share_new = F.when(
+            F.col("t_new") > 0, F.col("n_new").cast("double") / F.col("t_new").cast("double")
+        ).otherwise(F.lit(0.0))
+        reports.append(
+            j.select(
+                "dim",
+                "value",
+                "n_old",
+                "n_new",
+                share_old.alias("share_old"),
+                share_new.alias("share_new"),
+                (share_new - share_old).alias("delta"),
+                F.abs(share_new - share_old).alias("abs_delta"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def corpus_drift_tvd(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    dim_cols: List[str],
+    quantize: float | None = None,
+) -> DataFrame:
+    """Per-dimension total-variation distance between the snapshots:
+    (dim, n_values, tvd) with tvd = ½·Σ|share_new − share_old| ∈ [0, 1] —
+    the one-number drift alarm to threshold in CI (0 = identical
+    composition, 1 = disjoint).
+
+    A sum of doubles is order-dependent; pass ``quantize`` (e.g. ``1e9``)
+    to floor each |delta| to that precision and sum exact integers — the
+    suite's cross-engine determinism recipe — when the tvd itself must be
+    bit-reproducible (regression gates), not merely accurate."""
+    rep = corpus_drift_report(df_old, df_new, dim_cols)
+    if quantize is None:
+        tvd = F.sum("abs_delta") / F.lit(2.0)
+    else:
+        tvd = (
+            F.sum(F.floor(F.col("abs_delta") * F.lit(quantize)).cast("long")).cast(
+                "double"
+            )
+            / F.lit(quantize)
+            / F.lit(2.0)
+        )
+    return rep.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        tvd.alias("tvd"),
+    )

@@ -14,7 +14,7 @@ run inside the scan's WholeStageCodegen projection.
 from __future__ import annotations
 
 import math
-from typing import Dict
+from typing import Dict, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -1453,6 +1453,91 @@ def text_repetition(spark, sf_dir):
     )
 
 
+def _sql_drift_counts(side_filter: str, out: str) -> str:
+    return f"""
+      SELECT 'source' AS dim, CAST(source AS VARCHAR) AS value,
+             COUNT(*) AS {out}
+      FROM documents WHERE {side_filter} GROUP BY 2
+      UNION ALL
+      SELECT 'lang', CAST(lang AS VARCHAR), COUNT(*)
+      FROM documents WHERE {side_filter} GROUP BY 2
+    """
+
+
+_SQL_DRIFT_REPORT = f"""
+    WITH oc AS ({_sql_drift_counts("doc_id % 2 = 0", "n_old")}),
+    nc AS ({_sql_drift_counts("doc_id % 2 = 1", "n_new")}),
+    t AS (SELECT COUNT(*) FILTER (doc_id % 2 = 0) AS t_old,
+                 COUNT(*) FILTER (doc_id % 2 = 1) AS t_new
+          FROM documents),
+    j AS (
+      SELECT COALESCE(oc.dim, nc.dim) AS dim,
+             COALESCE(oc.value, nc.value) AS value,
+             COALESCE(oc.n_old, 0) AS n_old,
+             COALESCE(nc.n_new, 0) AS n_new
+      FROM oc FULL OUTER JOIN nc
+        ON nc.dim = oc.dim AND nc.value IS NOT DISTINCT FROM oc.value
+    ),
+    m AS (
+      SELECT dim, value,
+             CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+             CASE WHEN t_old > 0
+                  THEN CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE)
+                  ELSE 0.0 END AS share_old,
+             CASE WHEN t_new > 0
+                  THEN CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE)
+                  ELSE 0.0 END AS share_new
+      FROM j CROSS JOIN t
+    )
+    SELECT *, share_new - share_old AS delta,
+           abs(share_new - share_old) AS abs_delta
+    FROM m
+"""
+
+
+@q("pipeline_drift_report", _SQL_DRIFT_REPORT)
+def pipeline_drift_report(spark, sf_dir):
+    """Composition drift between two corpus snapshots (here the even- vs
+    odd-id halves) along source and lang: per category value, exact
+    counts, integer-ratio shares, and the share delta — the standing
+    alarm that catches a crawler or filter regression by distribution
+    shift long before any single document looks wrong."""
+    from pdtable_spark.operators.monitor import corpus_drift_report
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        ["source", "lang"],
+    )
+
+
+@q(
+    "pipeline_drift_tvd",
+    f"""
+    WITH rep AS ({_SQL_DRIFT_REPORT})
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(CAST(FLOOR(abs_delta * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / 2.0 AS tvd
+    FROM rep GROUP BY dim
+    """,
+)
+def pipeline_drift_tvd(spark, sf_dir):
+    """The one-number drift alarm: per-dimension total-variation distance
+    between the snapshot halves, in quantize=1e9 mode so the Σ|delta| is
+    an exact integer sum on both engines (the suite's double-sum
+    determinism recipe)."""
+    from pdtable_spark.operators.monitor import corpus_drift_tvd
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_drift_tvd(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        ["source", "lang"],
+        quantize=1e9,
+    )
+
+
 _BLOCKLIST = ["dup", "slow", "vector", "zzz_absent"]
 _BLOCKLIST_SQL = "['" + "','".join(sorted(set(_BLOCKLIST))) + "']"
 

@@ -1276,6 +1276,38 @@ def test_gopher_line_and_symbol_rules(spark):
     assert g["symbol_word_ratio"] == 3.0 / 9.0
 
 
+def test_corpus_drift_report_and_tvd(spark):
+    """Drift accounting: NULL categories merge into one row (null-safe
+    join), vanished/new values get zero counts, identical snapshots give
+    tvd 0 and disjoint ones tvd 1."""
+    from pdtable_spark.operators.monitor import corpus_drift_report, corpus_drift_tvd
+
+    old = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, None)], "doc_id long, src string"
+    )
+    new = spark.createDataFrame(
+        [(4, "a"), (5, "c"), (6, None), (7, None)], "doc_id long, src string"
+    )
+    rep = {r["value"]: r for r in corpus_drift_report(old, new, ["src"]).collect()}
+    assert set(rep) == {"a", "b", "c", None}
+    assert rep[None]["n_old"] == 1 and rep[None]["n_new"] == 2  # merged, not split
+    assert rep["b"]["n_new"] == 0 and rep["c"]["n_old"] == 0
+    assert rep["a"]["share_old"] == 0.5 and rep["a"]["share_new"] == 0.25
+    assert rep["a"]["delta"] == -0.25 and rep["a"]["abs_delta"] == 0.25
+    # tvd: |a|=.25, |b|=.25, |c|=.25, |null|=.25 → half-sum = 0.5
+    tvd = corpus_drift_tvd(old, new, ["src"]).collect()[0]
+    assert tvd["dim"] == "src" and tvd["n_values"] == 4 and tvd["tvd"] == 0.5
+    same = corpus_drift_tvd(old, old, ["src"]).collect()[0]
+    assert same["tvd"] == 0.0
+    disjoint = corpus_drift_tvd(
+        old.filter(F.col("src") == "a"), new.filter(F.col("src") == "c"), ["src"]
+    ).collect()[0]
+    assert disjoint["tvd"] == 1.0
+    # quantized spelling agrees here (shares are exact quarters)
+    tvd_q = corpus_drift_tvd(old, new, ["src"], quantize=1e9).collect()[0]
+    assert tvd_q["tvd"] == 0.5
+
+
 def test_blocklist_filter(spark):
     rows = [
         (0, "the Quick brown fox"),        # 'quick' hit, case-insensitive
