@@ -301,6 +301,39 @@ def test_multimodal_plumbing(spark):
     assert {r["modality"]: r["n_assets"] for r in stats} == {"image": 2, "video": 1}
 
 
+def test_load_assets_from_binary_files(spark, tmp_path):
+    """binaryFile ingest: extension-typed modality/mime, path-stable ids,
+    size pushdown, glob filter, and composition with the downstream
+    operators (stats need no payload read; features run on the loaded
+    payloads)."""
+    from pdtable_spark.operators import multimodal as mm
+
+    (tmp_path / "a.png").write_bytes(b"png-bytes-a")
+    (tmp_path / "b.jpg").write_bytes(b"jpeg-bytes-b")
+    (tmp_path / "c.wav").write_bytes(b"wav-bytes-c" * 10)
+    (tmp_path / "d.xyz").write_bytes(b"???")
+    assets = mm.load_assets(spark, str(tmp_path))
+    rows = {r["uri"].rsplit("/", 1)[-1]: r for r in assets.collect()}
+    assert rows["a.png"]["modality"] == "image" and rows["a.png"]["mime_type"] == "image/png"
+    assert rows["c.wav"]["modality"] == "audio"
+    assert rows["d.xyz"]["modality"] == "binary" and rows["d.xyz"]["mime_type"] is None
+    assert bytes(rows["b.jpg"]["payload"]) == b"jpeg-bytes-b"
+    assert all(r["asset_id"] >= 0 for r in rows.values())
+    # ids are pure functions of the path → stable across re-ingests
+    again = {r["uri"].rsplit("/", 1)[-1]: r["asset_id"] for r in mm.load_assets(spark, str(tmp_path)).collect()}
+    assert again == {k: v["asset_id"] for k, v in rows.items()}
+    # size pushdown and glob filter
+    small = mm.load_assets(spark, str(tmp_path), max_bytes=20)
+    assert small.count() == 3  # the repeated wav payload is excluded
+    imgs = mm.load_assets(spark, str(tmp_path), glob="*.{png,jpg}")
+    assert imgs.count() == 2
+    # composes with the existing pipeline
+    stats = {r["modality"]: r["n_assets"] for r in mm.asset_stats(assets).collect()}
+    assert stats == {"image": 2, "audio": 1, "binary": 1}
+    feats = mm.extract_features(imgs, dim=8, fake=True).collect()
+    assert len(feats) == 2 and all(len(r["feature"]) == 8 for r in feats)
+
+
 def _tiny_png(w: int = 8, h: int = 8) -> bytes:
     """A minimal valid 8-bit grayscale PNG, stdlib-only (no imaging lib
     needed to PRODUCE the fixture — only the optional decoder reads it)."""
