@@ -83,6 +83,7 @@ _PRIORITY = [
     "pipeline_mixture_tokens",
     "pipeline_drift_report",
     "pipeline_drift_tvd",
+    "pipeline_modern_recipe",
     "embedding_pq_refined",
     "embedding_pq_recall",
     "dedup_incremental",

@@ -5458,3 +5458,88 @@ def stream_curate_survivors(spark, sf_dir):
     return survivors.select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+#: Derived corpus for the composite recipe: line structure only (sentence-
+#: terminated breaks from ' sort', bare breaks from ' merge') — no symbol
+#: injection, so the C4 brace/lorem flags stay all-pass and the gate is
+#: driven by the sentence minimum, the Gopher rules, and the blocklist.
+_RECIPE_DER_SQL = (
+    "replace(replace(replace(text, ' sort', '.' || chr(10)),"
+    " ' key', '.' || chr(10)), ' merge', chr(10))"
+)
+_RECIPE_KEPT_SQL = _C4_KEPT_SQL  # same C4 line-keep rule, over column `der`
+_RECIPE_MIN_WORDS = 10
+
+
+@q(
+    "pipeline_modern_recipe",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_RECIPE_DER_SQL} AS der FROM documents),
+    c AS (
+      SELECT doc_id, source,
+             COALESCE(array_to_string({_RECIPE_KEPT_SQL}, chr(10)), '') AS clean,
+             CAST(len({_RECIPE_KEPT_SQL}) AS BIGINT) AS n_kept_lines,
+             len(regexp_extract_all(
+               COALESCE(array_to_string({_RECIPE_KEPT_SQL}, chr(10)), ''),
+               '[.!?]')) AS n_sent,
+             contains(lower(der), 'lorem ipsum') AS hl,
+             contains(der, '{{') AS hb
+      FROM t
+    ),
+    c4pass AS (SELECT * FROM c WHERE n_sent >= 3 AND NOT hl AND NOT hb),
+    gate AS (
+      SELECT * FROM c4pass
+      WHERE {_sql_gopher_ok("clean", min_words=_RECIPE_MIN_WORDS)}
+        AND len(list_filter(['window'],
+              b -> list_contains(
+                list_transform(regexp_split_to_array(trim(clean), '\\s+'),
+                               w -> lower(w)), b))) = 0
+    )
+    SELECT doc_id, source, n_kept_lines,
+           CAST(len(regexp_split_to_array(trim(clean), '\\s+')) AS BIGINT)
+             AS n_clean_tokens
+    FROM gate
+    """,
+)
+def pipeline_modern_recipe(spark, sf_dir):
+    """The operators composed as a production curation recipe: C4 line
+    cleaning (keep punctuation-terminated ≥5-word lines, page gates) →
+    the full Gopher rule set over the CLEANED text → term blocklist —
+    survivors with their cleaned-line/token accounting, every stage
+    value-oracled end-to-end through one SQL expression chain.  All three
+    stages are scan-local column expressions, so the composite is still
+    zero-shuffle up to the final projection."""
+    docs = load(spark, sf_dir, "documents")
+    der = docs.select(
+        "doc_id",
+        "source",
+        F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit(" sort"), F.lit(".\n")),
+                F.lit(" key"),
+                F.lit(".\n"),
+            ),
+            F.lit(" merge"),
+            F.lit("\n"),
+        ).alias("text"),
+    )
+    c4 = text.c4_quality(der).join(der.select("doc_id", "source"), "doc_id")
+    c4pass = c4.filter(F.col("pass_c4") == 1)
+    clean = c4pass.select(
+        "doc_id", "source", "n_kept_lines", F.col("clean_text").alias("text")
+    )
+    gop = text.gopher_quality_flags(clean, min_words=_RECIPE_MIN_WORDS).filter(
+        F.col("pass_all") == 1
+    )
+    bl = text.blocklist_filter(clean, ["window"]).filter(F.col("pass_blocklist") == 1)
+    return (
+        clean.join(gop.select("doc_id"), "doc_id", "semi")
+        .join(bl.select("doc_id"), "doc_id", "semi")
+        .select(
+            "doc_id",
+            "source",
+            "n_kept_lines",
+            F.size(text.tokens(F.col("text"))).cast("long").alias("n_clean_tokens"),
+        )
+    )
