@@ -933,12 +933,18 @@ def repetition_signals(
         )
     )
     out = per_doc.join(top, id_col, "left")
-    top_frac = (
+    # n_word_chars = 0 (empty / all-empty-token documents) would 0/0 both
+    # ratios to NULL — define them as 0.0 (nothing is repeated in nothing)
+    top_frac = F.when(
+        F.col("n_word_chars") > 0,
         F.col("top_ngram_count").cast("double")
         * F.length(F.regexp_replace(F.col("top_ngram"), " ", "")).cast("double")
-        / F.col("n_word_chars").cast("double")
-    )
-    dup_frac = F.col("dup_chars").cast("double") / F.col("n_word_chars").cast("double")
+        / F.col("n_word_chars").cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("n_word_chars") > 0,
+        F.col("dup_chars").cast("double") / F.col("n_word_chars").cast("double"),
+    ).otherwise(F.lit(0.0))
     return out.select(
         id_col,
         "n_words",

@@ -1697,11 +1697,14 @@ _REP_DER_SQL = (
       SELECT a.doc_id, a.n_words, a.n_word_chars,
              top.gram_top AS top_ngram,
              CAST(COALESCE(top.c, 0) AS BIGINT) AS top_ngram_count,
-             COALESCE(CAST(top.c AS DOUBLE)
-                      * CAST(length(replace(top.gram_top, ' ', '')) AS DOUBLE)
-                      / CAST(a.n_word_chars AS DOUBLE), 0.0) AS top_ngram_char_frac,
-             CAST(a.dup_chars AS DOUBLE) / CAST(a.n_word_chars AS DOUBLE)
-               AS dup_ngram_char_frac
+             COALESCE(CASE WHEN a.n_word_chars > 0 THEN
+                        CAST(top.c AS DOUBLE)
+                        * CAST(length(replace(top.gram_top, ' ', '')) AS DOUBLE)
+                        / CAST(a.n_word_chars AS DOUBLE)
+                      ELSE 0.0 END, 0.0) AS top_ngram_char_frac,
+             CASE WHEN a.n_word_chars > 0 THEN
+               CAST(a.dup_chars AS DOUBLE) / CAST(a.n_word_chars AS DOUBLE)
+             ELSE 0.0 END AS dup_ngram_char_frac
       FROM agg a LEFT JOIN top ON top.doc_id = a.doc_id
     )
     SELECT *,

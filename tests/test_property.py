@@ -366,7 +366,7 @@ def test_cdc_chunks_matches_sequential_reference(spark, texts, divisor):
 @settings(max_examples=12, deadline=None)
 @given(
     st.lists(
-        st.lists(st.sampled_from("abc"), min_size=1, max_size=24).map(" ".join),
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=24).map(" ".join),
         min_size=1,
         max_size=8,
     ),
@@ -400,7 +400,8 @@ def test_repetition_signals_against_bruteforce(spark, texts, dup_n):
         got = out[i]
         assert got["n_words"] == n
         assert got["n_word_chars"] == total_chars
-        assert got["dup_ngram_char_frac"] == want_chars / total_chars
+        want_dup = want_chars / total_chars if total_chars else 0.0
+        assert got["dup_ngram_char_frac"] == want_dup
         # top-2-gram reference: max count, lexicographic tie-break
         if n >= 2:
             bi = {}
