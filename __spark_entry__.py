@@ -22,17 +22,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-row rotation (the driver reports exactly the first 50 queries).
-#: Policy: OLDEST correctness evidence first, every round.  Round-6 order:
-#: the 37 queries whose latest driver row is from r3 (the full staleness
-#: backlog — after this round no query's evidence predates r4), then the 8
-#: queries CHANGED this round (full Gopher rule set + its dataset-card and
-#: curation-stream consumers, both TF-IDF df spellings under the flipped
-#: default, the PQ trio whose codebook-membership oracle was respelled),
-#: then the round's NEW queries (text_repetition_signals — Gopher
-#: word-level repetition rules — text_c4_rules — the C4 page-cleaning
-#: rule set — text_blocklist_filter, pipeline_mixture_tokens, and the
-#: drift-monitor pair) — 50 exactly, with the r4-evidence block following.  The remaining r4 block leads next round.  (The r5 duplicate
-#: embedding_near_dups entry is gone — each name appears once.)
+#: Policy: OLDEST correctness evidence first, every round.  Round-6 head-50
+#: = the 37 queries whose latest driver row is from r3 (the full staleness
+#: backlog — after this round no query's evidence predates r4), then 6 of
+#: the 8 queries CHANGED this round (full Gopher rule set + its
+#: dataset-card and curation-stream consumers, both TF-IDF df spellings
+#: under the flipped default, and embedding_pq_topk representing the
+#: respelled PQ codebook-membership oracle), then the 7 NEW queries
+#: (Gopher word-level repetition rules, C4 page cleaning, term blocklist,
+#: token-budgeted mixing, the drift-monitor pair, and the composite
+#: curation recipe) — 50 exactly.  The other two queries sharing the
+#: respelled PQ oracle (embedding_pq_refined / embedding_pq_recall) sit at
+#: 51-52 and lead r7; their oracle change is equivalence-preserving, is
+#: represented in-window by embedding_pq_topk, and both were verified
+#: locally this round at sf0.01 (both shuffle layouts) and sf1.  The
+#: r4-evidence block follows.
 _PRIORITY = [
     "multimodal_features",
     "multimodal_frame_sample",

@@ -148,9 +148,19 @@ class StarTableDataSource(DataSource):
         # chosen at write-planning time would not be visible at commit
         w = self.writer(schema, overwrite)
         staging = os.path.join(w.path, "_stream-staging")
-        return StarTableStreamWriter(
+        writer = StarTableStreamWriter(
             w.path, staging, w.table, w.sep, w.names, w.units, w.destinations
         )
+        # orphan-sweep horizon: must exceed the longest expected stage→commit
+        # gap of any query writing here (a huge availableNow catch-up batch
+        # stages its first shards long before the driver commit) — tunable
+        # per writer via .option("staleStagingSeconds", ...)
+        stale = self.options.get("stalestagingseconds") or self.options.get(
+            "staleStagingSeconds"
+        )
+        if stale is not None:
+            writer._STALE_STAGING_SECONDS = float(stale)
+        return writer
 
     def simpleStreamReader(self, schema) -> "StarTableStreamReader":
         table, sep, permissive = self._opts()
@@ -524,8 +534,11 @@ class StarTableStreamWriter(DataSourceStreamWriter):
         self._cleanup_staging()
 
     #: staged shards older than this are orphans of failed/speculative task
-    #: attempts (their batch committed or aborted long ago) — a live writer
-    #: stages and promotes within one micro-batch, far under this horizon
+    #: attempts (their batch committed or aborted long ago).  The horizon
+    #: must exceed the longest stage→commit gap of ANY query sharing this
+    #: output (a concurrent query's sweep deletes past-horizon files) —
+    #: raise it via .option("staleStagingSeconds", ...) for catch-up
+    #: batches that stage for longer than an hour before committing
     _STALE_STAGING_SECONDS = 3600.0
 
     def _cleanup_staging(self) -> None:

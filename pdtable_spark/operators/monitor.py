@@ -53,54 +53,54 @@ def corpus_drift_report(
             .select(F.lit(dim).alias("dim"), "value", out)
         )
 
-    reports = []
+    from pyspark.sql import Window
+
+    joined = []
     for dim in dim_cols:
-        old_c = counts(df_old, dim, "n_old")
-        new_c = counts(df_new, dim, "n_new")
-        tot_old = df_old.select(F.count(F.lit(1)).alias("t_old"))
-        tot_new = df_new.select(F.count(F.lit(1)).alias("t_new"))
-        o, n = old_c.alias("o"), new_c.alias("n")
+        o = counts(df_old, dim, "n_old").alias("o")
+        n = counts(df_new, dim, "n_new").alias("n")
         # null-SAFE value equality: a NULL category (real corpora have
         # them) must merge into one row, not split into an old-side and a
         # new-side orphan
-        j = (
+        joined.append(
             o.join(
                 n,
                 (F.col("o.dim") == F.col("n.dim"))
                 & F.col("o.value").eqNullSafe(F.col("n.value")),
                 "full_outer",
-            )
-            .select(
+            ).select(
                 F.coalesce(F.col("o.dim"), F.col("n.dim")).alias("dim"),
                 F.coalesce(F.col("o.value"), F.col("n.value")).alias("value"),
                 F.coalesce(F.col("o.n_old"), F.lit(0)).alias("n_old"),
                 F.coalesce(F.col("n.n_new"), F.lit(0)).alias("n_new"),
             )
-            .crossJoin(F.broadcast(tot_old))
-            .crossJoin(F.broadcast(tot_new))
         )
-        share_old = F.when(
-            F.col("t_old") > 0, F.col("n_old").cast("double") / F.col("t_old").cast("double")
-        ).otherwise(F.lit(0.0))
-        share_new = F.when(
-            F.col("t_new") > 0, F.col("n_new").cast("double") / F.col("t_new").cast("double")
-        ).otherwise(F.lit(0.0))
-        reports.append(
-            j.select(
-                "dim",
-                "value",
-                "n_old",
-                "n_new",
-                share_old.alias("share_old"),
-                share_new.alias("share_new"),
-                (share_new - share_old).alias("delta"),
-                F.abs(share_new - share_old).alias("abs_delta"),
-            )
-        )
-    out = reports[0]
-    for r in reports[1:]:
+    out = joined[0]
+    for r in joined[1:]:
         out = out.unionByName(r)
-    return out
+    # snapshot totals come from the count rows themselves — every row
+    # belongs to exactly one category value (NULL included), so the
+    # per-dim window sum IS the corpus total; aggregating the raw
+    # snapshots separately would pay two more corpus scans per dimension.
+    # The window partition is the (bounded) category domain of one dim.
+    w = Window.partitionBy("dim")
+    t_old, t_new = F.sum("n_old").over(w), F.sum("n_new").over(w)
+    share_old = F.when(
+        t_old > 0, F.col("n_old").cast("double") / t_old.cast("double")
+    ).otherwise(F.lit(0.0))
+    share_new = F.when(
+        t_new > 0, F.col("n_new").cast("double") / t_new.cast("double")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "dim",
+        "value",
+        "n_old",
+        "n_new",
+        share_old.alias("share_old"),
+        share_new.alias("share_new"),
+        (share_new - share_old).alias("delta"),
+        F.abs(share_new - share_old).alias("abs_delta"),
+    )
 
 
 def corpus_drift_tvd(

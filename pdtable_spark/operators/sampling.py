@@ -264,6 +264,15 @@ def mixture_temperature_weights(
     schema = StructType(fields)
     total = sum(w for *_, w in counts)
     if total == 0:
+        if counts and weight_col is not None:
+            # documents exist but their weights sum to zero (all-NULL /
+            # all-zero weight column) — shares are undefined; returning an
+            # empty frame here would make a downstream mixture silently
+            # sample NOTHING, so fail loudly instead
+            raise ValueError(
+                f"mixture_temperature_weights: corpus is non-empty but "
+                f"weight column {weight_col!r} sums to 0 across all sources"
+            )
         return df.sparkSession.createDataFrame([], schema)
     rows = []
     for src, n, w in counts:

@@ -779,7 +779,10 @@ def blocklist_filter(
     that, broadcast-join a terms frame against exploded tokens instead) —
     zero shuffles, zero Python.
     """
-    arr = F.array(*[F.lit(t.lower()) for t in sorted(set(terms))])
+    # lowercase BEFORE dedup/sort: case-variant duplicates must collapse to
+    # one term (else they double-count) and the sort must be over the
+    # lowercased forms for "lexicographically first hit" to hold
+    arr = F.array(*[F.lit(t) for t in sorted({t.lower() for t in terms})])
     toks_lower = F.transform(tokens(F.col(text_col)), F.lower)
     # filter the (sorted, distinct) list against the token set — hit order
     # is the list's own sorted order, deterministic on any engine
@@ -794,7 +797,11 @@ def blocklist_filter(
 
 
 #: C4 line-keep rule: the (trimmed) line ends in terminal punctuation.
-_C4_TERMINAL_RE = r"[.!?\"]$"
+#: The optional trailing \r makes CRLF corpora behave identically in Java
+#: regex (where bare $ would also match BEFORE a final \r — a line
+#: terminator to java.util.regex) and RE2-style engines (where $ is
+#: end-of-string only): with \r? consumed explicitly, both engines agree.
+_C4_TERMINAL_RE = r"[.!?\"]\r?$"
 
 
 def c4_quality(
@@ -803,6 +810,7 @@ def c4_quality(
     id_col: str = "doc_id",
     min_line_words: int = 5,
     min_sentences: int = 3,
+    passthrough: Optional[Iterable[str]] = None,
 ) -> DataFrame:
     """C4's rule-based page cleaning (Raffel et al. arXiv:1910.10683
     §2.2), the other canonical web-corpus filter beside Gopher: KEEP only
@@ -817,6 +825,9 @@ def c4_quality(
     Returns (id, clean_text — the kept lines rejoined with newlines,
     n_lines, n_kept_lines, n_sentences — terminal-punctuation marks in
     the kept text, has_lorem, has_brace as 0/1, pass_c4).
+    ``passthrough`` names input columns carried into the output verbatim
+    (a downstream consumer keeps its source/partition columns without an
+    id-keyed self-join back to the input — one scan instead of two).
 
     Pure column expressions over one scan — zero shuffles, zero Python;
     the transform composes with :func:`gopher_quality_flags` (C4 cleans
@@ -833,8 +844,10 @@ def c4_quality(
     n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), F.lit(0))).cast("long")
     has_lorem = F.contains(F.lower(txt), F.lit("lorem ipsum"))
     has_brace = F.contains(txt, F.lit("{"))
+    extra = [F.col(c) for c in (passthrough or [])]
     out = df.select(
         F.col(id_col),
+        *extra,
         clean.alias("clean_text"),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept_lines"),

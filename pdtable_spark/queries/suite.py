@@ -1581,7 +1581,7 @@ _C4_DER_SQL = (
 )
 _C4_KEPT_SQL = (
     "list_filter(regexp_split_to_array(der, '\\n'),"
-    " x -> regexp_matches(trim(x), '[.!?\"]$')"
+    " x -> regexp_matches(trim(x), '[.!?\"]\\r?$')"
     " AND len(regexp_split_to_array(trim(x), '\\s+')) >= 5)"
 )
 
@@ -5511,8 +5511,10 @@ def pipeline_modern_recipe(spark, sf_dir):
     the full Gopher rule set over the CLEANED text → term blocklist —
     survivors with their cleaned-line/token accounting, every stage
     value-oracled end-to-end through one SQL expression chain.  All three
-    stages are scan-local column expressions, so the composite is still
-    zero-shuffle up to the final projection."""
+    three stages are scan-local column expressions; the composition pays
+    two id-keyed semi joins to apply the gate verdicts (fuse the stages
+    into one projection — or persist the cleaned frame — when the extra
+    scans matter at full corpus scale)."""
     docs = load(spark, sf_dir, "documents")
     der = docs.select(
         "doc_id",
@@ -5527,7 +5529,7 @@ def pipeline_modern_recipe(spark, sf_dir):
             F.lit("\n"),
         ).alias("text"),
     )
-    c4 = text.c4_quality(der).join(der.select("doc_id", "source"), "doc_id")
+    c4 = text.c4_quality(der, passthrough=["source"])
     c4pass = c4.filter(F.col("pass_c4") == 1)
     clean = c4pass.select(
         "doc_id", "source", "n_kept_lines", F.col("clean_text").alias("text")

@@ -1358,6 +1358,16 @@ def test_blocklist_filter(spark):
     assert out[1]["pass_blocklist"] == 1
     # distinct terms, lexicographically-first audit sample
     assert out[2]["n_blocked_terms"] == 2 and out[2]["blocked_sample"] == "quick"
+    # case-variant duplicates collapse to ONE term; sort is over the
+    # lowercased forms (so 'Zebra' cannot jump ahead of 'apple')
+    dup = {
+        r["doc_id"]: r
+        for r in text.blocklist_filter(df, ["Quick", "quick"], max_hits=1).collect()
+    }
+    assert dup[0]["n_blocked_terms"] == 1 and dup[0]["pass_blocklist"] == 1
+    zs = spark.createDataFrame([(0, "the zebra ate an apple")], ["doc_id", "text"])
+    z = text.blocklist_filter(zs, ["Zebra", "apple"]).collect()[0]
+    assert z["n_blocked_terms"] == 2 and z["blocked_sample"] == "apple"
 
 
 def test_c4_quality_rules(spark):
@@ -1529,6 +1539,19 @@ def test_mixture_temperature_token_weighted(spark):
     assert abs(sum(r["mix_share"] for r in out.values()) - 1.0) < 1e-9
     # alpha < 1 pulls the mixture toward the small source vs raw shares
     assert out["b"]["mix_share"] > out["b"]["share"]
+
+
+def test_mixture_temperature_zero_weight_sum_raises(spark):
+    """A non-empty corpus whose weight column sums to 0 must fail loudly —
+    an empty weights frame would make a downstream mixture silently sample
+    nothing."""
+    from pdtable_spark.operators.sampling import mixture_temperature_weights
+
+    df = spark.createDataFrame(
+        [(0, "a", None), (1, "b", 0)], "doc_id long, source string, n_toks long"
+    )
+    with pytest.raises(ValueError, match="sums to 0"):
+        mixture_temperature_weights(df, weight_col="n_toks")
 
 
 def test_pq_refined_codebooks_improve_recall(spark):
