@@ -415,3 +415,52 @@ def test_repetition_signals_against_bruteforce(spark, texts, dup_n):
             )
         else:
             assert got["top_ngram"] is None and got["top_ngram_count"] == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.lists(
+                st.sampled_from(["cat", "dog", "the", "a", "hill.", "far!", "why?", "{x}", "lorem", "ipsum"]),
+                min_size=0,
+                max_size=8,
+            ).map(" ".join),
+            min_size=1,
+            max_size=6,
+        ).map("\n".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_c4_quality_against_bruteforce(spark, texts):
+    """C4 line cleaning must equal a sequential Python reference for ANY
+    page: line keep rule (terminal punct AND >=5 words), sentence count
+    over the kept text, lorem/brace page flags."""
+    import re as _re
+
+    from pdtable_spark.operators import text as tx
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in tx.c4_quality(df).collect()}
+    for i, t in rows:
+        lines = t.split("\n")
+        kept = [
+            l
+            for l in lines
+            if _re.search(r'[.!?"]\r?$', l.strip(" "))
+            and len(_re.split(r"\s+", l.strip(" "))) >= 5
+        ]
+        clean = "\n".join(kept)
+        got = out[i]
+        assert got["n_lines"] == len(lines)
+        assert got["n_kept_lines"] == len(kept), (t, kept, got["clean_text"])
+        assert got["clean_text"] == clean
+        assert got["n_sentences"] == len(_re.findall(r"[.!?]", clean))
+        assert got["has_lorem"] == int("lorem ipsum" in t.lower())
+        assert got["has_brace"] == int("{" in t)
+        want_pass = int(
+            got["n_sentences"] >= 3 and not got["has_lorem"] and not got["has_brace"]
+        )
+        assert got["pass_c4"] == want_pass
