@@ -196,6 +196,39 @@ def leakage_safe_split(
     )
 
 
+def per_source_percentile(
+    df: DataFrame,
+    score_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Per-source percentile calibration of a quality score: appends
+    ``out_col`` = percent_rank of ``score_col`` WITHIN the row's source
+    (ties broken by id → a total order, deterministic on any engine).
+
+    Why: model-based quality scores are not comparable across domains — a
+    0.6 on arXiv and a 0.6 on a crawl mean different things — so
+    production filters threshold the per-domain PERCENTILE ("keep every
+    source's top 40%"), which also guarantees no source is wiped out by a
+    single global cutoff.  Compose with :func:`weighted_hash_sample` or a
+    plain ``filter(col('score_pct') >= q)``.
+
+    Scale: one window partitioned by source.  A single source's rows land
+    in one task under ``WindowExec`` — right up to tens of millions of
+    rows per source; for web-crawl-sized sources, pre-aggregate per-source
+    quantile boundaries (``approx_percentile``) and broadcast-join a
+    bucket lookup instead (the same window-vs-aggregate trade documented
+    on :func:`pdtable_spark.operators.text.tfidf_keywords`).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return df.withColumn(out_col, F.percent_rank().over(w))
+
+
 def mixture_temperature_weights(
     df: DataFrame,
     source_col: str = "source",

@@ -1,0 +1,75 @@
+"""Streaming corpus observability: every ingest micro-batch's composition
+drift against a pinned reference snapshot, landed exactly-once — the
+continuous form of :mod:`pdtable_spark.operators.monitor`.
+
+The alarm a production landing pipeline actually wants: when a crawler
+change doubles one domain or a filter regression empties a language, the
+per-batch total-variation rows spike IN THE SAME PIPELINE RUN, batches
+before any offline audit would look.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdtable_spark.operators.monitor import corpus_drift_report
+
+
+def drift_monitor_stream(
+    stream_docs: DataFrame,
+    reference_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    dim_cols: List[str],
+    quantize: float = 1e9,
+    timeout: Optional[int] = 120,
+):
+    """Run an ``availableNow`` pass over a document stream, writing one
+    drift row per (batch, dimension, category value) against the static
+    ``reference_df`` snapshot: the :func:`corpus_drift_report` columns
+    plus ``tvd`` (the batch's per-dimension total-variation distance,
+    quantized integer sum — deterministic) and ``batch_id``.
+
+    Exactly-once: output is a ``batch_id``-partitioned dynamic overwrite,
+    so a retried micro-batch replaces its own rows (the
+    :mod:`~pdtable_spark.streaming.curate` pattern).  Per batch the work
+    is one categorical count over the batch plus a join against the
+    reference's (re-computed, category-domain-sized) counts — cache or
+    pre-aggregate ``reference_df`` when batches are frequent.
+    """
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        from pyspark.sql import Window
+
+        rep = corpus_drift_report(reference_df, batch_df, dim_cols)
+        w = Window.partitionBy("dim")
+        tvd = (
+            F.sum(
+                F.floor(F.col("abs_delta") * F.lit(quantize)).cast("long")
+            ).over(w).cast("double")
+            / F.lit(quantize)
+            / F.lit(2.0)
+        )
+        (
+            rep.withColumn("tvd", tvd)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream_docs.writeStream.outputMode("append")
+        .foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q

@@ -1541,6 +1541,36 @@ def test_mixture_temperature_token_weighted(spark):
     assert out["b"]["mix_share"] > out["b"]["share"]
 
 
+def test_per_source_percentile_calibration(spark):
+    """Percentile calibration is per-source (same raw score → different
+    percentile in different domains), deterministic under ties, and a
+    top-q filter keeps ~q of EVERY source."""
+    from pdtable_spark.operators.sampling import per_source_percentile
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [
+        (100 + i, "b", float(i) / 10.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r["doc_id"]: r for r in per_source_percentile(df, "score").collect()}
+    # source a: scores 0..9 → percent_rank i/9
+    assert out[0]["score_pct"] == 0.0 and out[9]["score_pct"] == 1.0
+    assert out[5]["score_pct"] == 5.0 / 9.0
+    # source b is calibrated within ITSELF: its top score (0.4, far below
+    # a's top) still gets percentile 1.0
+    assert out[104]["score_pct"] == 1.0
+    # a keep-top-40% cut keeps some of BOTH sources
+    kept = per_source_percentile(df, "score").filter(F.col("score_pct") >= 0.6)
+    srcs = {r["source"] for r in kept.collect()}
+    assert srcs == {"a", "b"}
+    # ties break on id: equal scores get distinct, id-ordered ranks
+    tied = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 1.0), (3, "a", 1.0)],
+        "doc_id long, source string, score double",
+    )
+    got = [r["score_pct"] for r in per_source_percentile(tied, "score").orderBy("doc_id").collect()]
+    assert got == [0.0, 0.5, 1.0]
+
+
 def test_mixture_temperature_zero_weight_sum_raises(spark):
     """A non-empty corpus whose weight column sums to 0 must fail loudly —
     an empty weights frame would make a downstream mixture silently sample

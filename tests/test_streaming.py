@@ -379,3 +379,55 @@ def test_curate_stream_end_to_end(spark, tmp_path):
     # the index grew by the survivors of BOTH batches
     idx_ids = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
     assert idx_ids == {1, 3, 6}
+
+
+def test_drift_monitor_stream(spark, tmp_path):
+    """Per-micro-batch drift vs a pinned reference: two waves through one
+    checkpoint produce batch-partitioned drift rows; a composition shift
+    in wave 2 shows up as a higher tvd than the reference-identical
+    wave 1."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.io.jsonl import read_jsonl_stream
+    from pdtable_spark.streaming.monitor import drift_monitor_stream
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, src):
+        return json.dumps(
+            {"doc_id": i, "text": "w " * 30, "lang": "en", "source": src, "n_chars": 60}
+        )
+
+    # reference: 50/50 a-b mix
+    ref = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(20)], "doc_id long, source string"
+    )
+
+    def run():
+        drift_monitor_stream(
+            read_jsonl_stream(spark, str(land)), ref, out, ckpt, ["source"]
+        )
+
+    # wave 1 mirrors the reference mix exactly → tvd 0
+    (land / "b1.jsonl").write_text(
+        "\n".join(doc(i, "a" if i % 2 else "b") for i in range(10))
+    )
+    run()
+    rows1 = spark.read.parquet(out).collect()
+    assert {r["batch_id"] for r in rows1} == {0}
+    assert all(r["tvd"] == 0.0 for r in rows1)
+
+    # wave 2 is all-'a' → tvd = |1.0-0.5|/2 + |0.0-0.5|/2 = 0.5
+    (land / "b2.jsonl").write_text("\n".join(doc(100 + i, "a") for i in range(10)))
+    run()
+    rows = spark.read.parquet(out)
+    b1 = {r["value"]: r for r in rows.filter(F.col("batch_id") == 1).collect()}
+    assert b1["a"]["tvd"] == 0.5 and b1["a"]["share_new"] == 1.0
+    assert b1["b"]["n_new"] == 0 and b1["b"]["share_old"] == 0.5
+    # batch 0's rows are untouched by batch 1's dynamic overwrite
+    assert rows.filter(F.col("batch_id") == 0).count() == len(rows1)
