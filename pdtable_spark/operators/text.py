@@ -867,6 +867,61 @@ def c4_quality(
     )
 
 
+def curate_recipe(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: Optional[Iterable[str]] = None,
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    min_words: int = 50,
+    min_stopwords: int = 2,
+    blocklist: Optional[Iterable[str]] = None,
+) -> DataFrame:
+    """The modern rule-based curation recipe as ONE operator: C4 line
+    cleaning (:func:`c4_quality`) → the full Gopher rule set over the
+    CLEANED text (:func:`gopher_quality_flags`) → optional term blocklist
+    (:func:`blocklist_filter`).  Returns the surviving documents as
+    (id, *passthrough, n_kept_lines, clean_text).
+
+    This is the batch core the `pipeline_modern_recipe` suite query (and
+    any user pipeline) calls; run exact/near dedup over the survivors'
+    ``clean_text`` next (:mod:`~pdtable_spark.operators.dedup`), then
+    sample/mix (:mod:`~pdtable_spark.operators.sampling`).
+
+    Plan shape: every stage is scan-local column expressions; the
+    composition pays two id-keyed semi joins (broadcast-sized once the
+    gates have run) — fuse into one projection or persist the cleaned
+    frame when the extra scans matter at full corpus scale.
+    """
+    c4 = c4_quality(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        min_line_words=min_line_words,
+        min_sentences=min_sentences,
+        passthrough=passthrough,
+    )
+    clean = c4.filter(F.col("pass_c4") == 1).select(
+        F.col(id_col),
+        *[F.col(c) for c in (passthrough or [])],
+        "n_kept_lines",
+        F.col("clean_text"),
+    )
+    gate = clean.withColumnRenamed("clean_text", "text")
+    gop = gopher_quality_flags(
+        gate, text_col="text", id_col=id_col,
+        min_words=min_words, min_stopwords=min_stopwords,
+    ).filter(F.col("pass_all") == 1)
+    out = clean.join(gop.select(id_col), id_col, "semi")
+    if blocklist:
+        bl = blocklist_filter(gate, list(blocklist), id_col=id_col).filter(
+            F.col("pass_blocklist") == 1
+        )
+        out = out.join(bl.select(id_col), id_col, "semi")
+    return out
+
+
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",

@@ -5529,22 +5529,15 @@ def pipeline_modern_recipe(spark, sf_dir):
             F.lit("\n"),
         ).alias("text"),
     )
-    c4 = text.c4_quality(der, passthrough=["source"])
-    c4pass = c4.filter(F.col("pass_c4") == 1)
-    clean = c4pass.select(
-        "doc_id", "source", "n_kept_lines", F.col("clean_text").alias("text")
+    surv = text.curate_recipe(
+        der,
+        passthrough=["source"],
+        min_words=_RECIPE_MIN_WORDS,
+        blocklist=["window"],
     )
-    gop = text.gopher_quality_flags(clean, min_words=_RECIPE_MIN_WORDS).filter(
-        F.col("pass_all") == 1
-    )
-    bl = text.blocklist_filter(clean, ["window"]).filter(F.col("pass_blocklist") == 1)
-    return (
-        clean.join(gop.select("doc_id"), "doc_id", "semi")
-        .join(bl.select("doc_id"), "doc_id", "semi")
-        .select(
-            "doc_id",
-            "source",
-            "n_kept_lines",
-            F.size(text.tokens(F.col("text"))).cast("long").alias("n_clean_tokens"),
-        )
+    return surv.select(
+        "doc_id",
+        "source",
+        "n_kept_lines",
+        F.size(text.tokens(F.col("clean_text"))).cast("long").alias("n_clean_tokens"),
     )

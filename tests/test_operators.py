@@ -1394,6 +1394,34 @@ def test_c4_quality_rules(spark):
     assert out[3]["has_lorem"] == 1 and out[3]["pass_c4"] == 0
 
 
+def test_curate_recipe_operator(spark):
+    """The one-call recipe: C4 cleaning gates pages, Gopher judges the
+    CLEANED text, the blocklist screens survivors; passthrough columns
+    ride along without re-joins."""
+    good = "the cat sat on the mat.\nthe dog ran to the hill.\nwhere is my red hat today?"
+    rows = [
+        (0, "web", good),                                   # survives
+        (1, "web", "no terminal punctuation lines here\nanother bare line"),  # C4 kills
+        (2, "web", good.replace("dog", "zebra")),           # blocklist kills
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = text.curate_recipe(
+        df, passthrough=["source"], min_words=5, min_stopwords=1, blocklist=["zebra"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 0 and r["source"] == "web" and r["n_kept_lines"] == 3
+    assert "red hat" in r["clean_text"]
+    # no blocklist → doc 2 survives too
+    ids = {
+        r["doc_id"]
+        for r in text.curate_recipe(
+            df, passthrough=["source"], min_words=5, min_stopwords=1
+        ).collect()
+    }
+    assert ids == {0, 2}
+
+
 def test_repetition_signals_hand_computed(spark):
     """Gopher word-level repetition rules against hand-computed values,
     including the overlap-aware duplicate-gram coverage."""
