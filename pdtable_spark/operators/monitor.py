@@ -122,14 +122,22 @@ def corpus_drift_tvd(
     if quantize is None:
         tvd = F.sum("abs_delta") / F.lit(2.0)
     else:
-        tvd = (
-            F.sum(F.floor(F.col("abs_delta") * F.lit(quantize)).cast("long")).cast(
-                "double"
-            )
-            / F.lit(quantize)
-            / F.lit(2.0)
-        )
+        tvd = quantized_tvd_scale(F.sum(quantized_tvd_term(quantize)), quantize)
     return rep.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n_values"),
         tvd.alias("tvd"),
     )
+
+
+def quantized_tvd_term(quantize: float):
+    """Per-row exact-integer term of the quantized TVD sum over a
+    :func:`corpus_drift_report` frame — ONE spelling shared by the batch
+    aggregate (:func:`corpus_drift_tvd`) and the streaming per-batch
+    window (:mod:`pdtable_spark.streaming.monitor`), so the two paths
+    cannot drift apart on the determinism-critical quantization."""
+    return F.floor(F.col("abs_delta") * F.lit(quantize)).cast("long")
+
+
+def quantized_tvd_scale(summed, quantize: float):
+    """Scale a summed :func:`quantized_tvd_term` back to the ½·Σ|Δ| TVD."""
+    return summed.cast("double") / F.lit(quantize) / F.lit(2.0)

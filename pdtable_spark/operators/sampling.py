@@ -210,9 +210,20 @@ def per_source_percentile(
     Why: model-based quality scores are not comparable across domains — a
     0.6 on arXiv and a 0.6 on a crawl mean different things — so
     production filters threshold the per-domain PERCENTILE ("keep every
-    source's top 40%"), which also guarantees no source is wiped out by a
-    single global cutoff.  Compose with :func:`weighted_hash_sample` or a
-    plain ``filter(col('score_pct') >= q)``.
+    source's top 40%" = ``filter(col('score_pct') > 1 - 0.4)``), which
+    also guarantees no source is wiped out by a single global cutoff.
+    Compose with :func:`weighted_hash_sample` or a plain filter.
+
+    ``out_col`` is the ``cume_dist`` position over the id-tie-broken
+    order: values in (0, 1], a source's best row always exactly 1.0 — so
+    the top-q cut keeps ≥1 row of EVERY source including singletons
+    (``percent_rank`` would score a single-row source 0.0 and a top-q
+    filter would silently erase it).
+
+    NULL scores (a failed model scorer) fail LOUDLY at execution rather
+    than being silently ranked worst and dropped by the cut — decide
+    explicitly: ``df.filter(col(score).isNotNull())`` to exclude them or
+    ``fillna`` to rank them deliberately.
 
     Scale: one window partitioned by source.  A single source's rows land
     in one task under ``WindowExec`` — right up to tens of millions of
@@ -226,7 +237,16 @@ def per_source_percentile(
     w = Window.partitionBy(source_col).orderBy(
         F.col(score_col).asc(), F.col(id_col).asc()
     )
-    return df.withColumn(out_col, F.percent_rank().over(w))
+    pct = F.when(
+        F.col(score_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"per_source_percentile: NULL in score column {score_col!r} — "
+                "filter or fill null scores explicitly before calibrating"
+            )
+        ).cast("double"),
+    ).otherwise(F.cume_dist().over(w))
+    return df.withColumn(out_col, pct)
 
 
 def mixture_temperature_weights(

@@ -894,6 +894,7 @@ def curate_recipe(
     gates have run) — fuse into one projection or persist the cleaned
     frame when the extra scans matter at full corpus scale.
     """
+    passthrough = list(passthrough or [])  # materialize: iterated twice below
     c4 = c4_quality(
         df,
         text_col=text_col,
@@ -904,11 +905,14 @@ def curate_recipe(
     )
     clean = c4.filter(F.col("pass_c4") == 1).select(
         F.col(id_col),
-        *[F.col(c) for c in (passthrough or [])],
+        *[F.col(c) for c in passthrough],
         "n_kept_lines",
         F.col("clean_text"),
     )
-    gate = clean.withColumnRenamed("clean_text", "text")
+    # the gate frame carries ONLY (id, text): a passthrough column named
+    # "text" (caller keeping the raw text beside the cleaned text) must
+    # not collide with the renamed clean_text
+    gate = clean.select(F.col(id_col), F.col("clean_text").alias("text"))
     gop = gopher_quality_flags(
         gate, text_col="text", id_col=id_col,
         min_words=min_words, min_stopwords=min_stopwords,

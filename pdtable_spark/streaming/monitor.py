@@ -15,7 +15,36 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdtable_spark.operators.monitor import corpus_drift_report
+from pdtable_spark.operators.monitor import (
+    corpus_drift_report,
+    quantized_tvd_scale,
+    quantized_tvd_term,
+)
+
+
+def _drift_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    reference_df: DataFrame,
+    out_dir: str,
+    dim_cols: List[str],
+    quantize: float,
+) -> None:
+    """One micro-batch's drift rows (split out so the empty-batch alarm
+    path is unit-testable without a running stream)."""
+    from pyspark.sql import Window
+
+    rep = corpus_drift_report(reference_df, batch_df, dim_cols)
+    w = Window.partitionBy("dim")
+    tvd = quantized_tvd_scale(F.sum(quantized_tvd_term(quantize)).over(w), quantize)
+    (
+        rep.withColumn("tvd", tvd)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
 
 
 def drift_monitor_stream(
@@ -42,27 +71,11 @@ def drift_monitor_stream(
     """
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        from pyspark.sql import Window
-
-        rep = corpus_drift_report(reference_df, batch_df, dim_cols)
-        w = Window.partitionBy("dim")
-        tvd = (
-            F.sum(
-                F.floor(F.col("abs_delta") * F.lit(quantize)).cast("long")
-            ).over(w).cast("double")
-            / F.lit(quantize)
-            / F.lit(2.0)
-        )
-        (
-            rep.withColumn("tvd", tvd)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
-        )
+        # NO empty-batch short-circuit: a micro-batch emptied by an
+        # upstream regression is the docstring's headline alarm — it must
+        # land share_new=0 rows for every reference category (tvd spikes),
+        # not a silent gap in the monitoring table
+        _drift_batch(batch_df, batch_id, reference_df, out_dir, dim_cols, quantize)
 
     q = (
         stream_docs.writeStream.outputMode("append")

@@ -1575,28 +1575,40 @@ def test_per_source_percentile_calibration(spark):
     top-q filter keeps ~q of EVERY source."""
     from pdtable_spark.operators.sampling import per_source_percentile
 
-    rows = [(i, "a", float(i)) for i in range(10)] + [
-        (100 + i, "b", float(i) / 10.0) for i in range(5)
-    ]
+    rows = (
+        [(i, "a", float(i)) for i in range(10)]
+        + [(100 + i, "b", float(i) / 10.0) for i in range(5)]
+        + [(200, "c", -3.0)]  # single-document niche source
+    )
     df = spark.createDataFrame(rows, "doc_id long, source string, score double")
     out = {r["doc_id"]: r for r in per_source_percentile(df, "score").collect()}
-    # source a: scores 0..9 → percent_rank i/9
-    assert out[0]["score_pct"] == 0.0 and out[9]["score_pct"] == 1.0
-    assert out[5]["score_pct"] == 5.0 / 9.0
+    # source a: scores 0..9 → cume_dist (i+1)/10
+    assert out[0]["score_pct"] == 0.1 and out[9]["score_pct"] == 1.0
+    assert out[5]["score_pct"] == 0.6
     # source b is calibrated within ITSELF: its top score (0.4, far below
     # a's top) still gets percentile 1.0
     assert out[104]["score_pct"] == 1.0
-    # a keep-top-40% cut keeps some of BOTH sources
-    kept = per_source_percentile(df, "score").filter(F.col("score_pct") >= 0.6)
+    # a keep-top-40% cut keeps some of EVERY source — including the
+    # single-document one (its only row scores exactly 1.0)
+    kept = per_source_percentile(df, "score").filter(F.col("score_pct") > 0.6)
     srcs = {r["source"] for r in kept.collect()}
-    assert srcs == {"a", "b"}
-    # ties break on id: equal scores get distinct, id-ordered ranks
+    assert srcs == {"a", "b", "c"}
+    # ties break on id: equal scores get distinct, id-ordered positions
     tied = spark.createDataFrame(
         [(1, "a", 1.0), (2, "a", 1.0), (3, "a", 1.0)],
         "doc_id long, source string, score double",
     )
-    got = [r["score_pct"] for r in per_source_percentile(tied, "score").orderBy("doc_id").collect()]
-    assert got == [0.0, 0.5, 1.0]
+    got = [
+        r["score_pct"]
+        for r in per_source_percentile(tied, "score").orderBy("doc_id").collect()
+    ]
+    assert got == [1.0 / 3.0, 2.0 / 3.0, 1.0]
+    # NULL scores fail loudly instead of silently ranking worst
+    with_null = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None)], "doc_id long, source string, score double"
+    )
+    with pytest.raises(Exception, match="NULL in score column"):
+        per_source_percentile(with_null, "score").collect()
 
 
 def test_mixture_temperature_zero_weight_sum_raises(spark):

@@ -431,3 +431,26 @@ def test_drift_monitor_stream(spark, tmp_path):
     assert b1["b"]["n_new"] == 0 and b1["b"]["share_old"] == 0.5
     # batch 0's rows are untouched by batch 1's dynamic overwrite
     assert rows.filter(F.col("batch_id") == 0).count() == len(rows1)
+
+
+def test_drift_batch_empty_is_an_alarm(spark, tmp_path):
+    """A micro-batch emptied by an upstream regression must land
+    maximal-drift rows (share_new=0 for every reference category), not a
+    silent gap in the monitoring table."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.streaming.monitor import _drift_batch
+
+    ref = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(20)], "doc_id long, source string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    out = str(tmp_path / "drift")
+    _drift_batch(empty, 7, ref, out, ["source"], 1e9)
+    rows = {r["value"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"a", "b"}
+    for r in rows.values():
+        assert r["batch_id"] == 7
+        assert r["n_new"] == 0 and r["share_new"] == 0.0
+        assert r["share_old"] == 0.5
+        assert r["tvd"] == 0.5
