@@ -370,7 +370,7 @@ def test_cdc_chunks_matches_sequential_reference(spark, texts, divisor):
         min_size=1,
         max_size=8,
     ),
-    st.integers(min_value=2, max_value=4),
+    st.integers(min_value=2, max_value=6),
 )
 def test_repetition_signals_against_bruteforce(spark, texts, dup_n):
     """The windowed overlap-aware duplicate-gram coverage must equal a
