@@ -227,10 +227,10 @@ def per_source_percentile(
 
     Scale: one window partitioned by source.  A single source's rows land
     in one task under ``WindowExec`` — right up to tens of millions of
-    rows per source; for web-crawl-sized sources, pre-aggregate per-source
-    quantile boundaries (``approx_percentile``) and broadcast-join a
-    bucket lookup instead (the same window-vs-aggregate trade documented
-    on :func:`pdtable_spark.operators.text.tfidf_keywords`).
+    rows per source; for web-crawl-sized sources use
+    :func:`per_source_percentile_approx` (aggregated quantile boundaries +
+    broadcast join — the same window-vs-aggregate trade documented on
+    :func:`pdtable_spark.operators.text.tfidf_keywords`).
     """
     from pyspark.sql import Window
 
@@ -247,6 +247,54 @@ def per_source_percentile(
         ).cast("double"),
     ).otherwise(F.cume_dist().over(w))
     return df.withColumn(out_col, pct)
+
+
+def per_source_percentile_approx(
+    df: DataFrame,
+    score_col: str,
+    source_col: str = "source",
+    out_col: str = "score_pct",
+    buckets: int = 100,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The crawl-scale spelling of :func:`per_source_percentile`: per-source
+    ``approx_percentile`` boundaries at ``1/buckets`` granularity, folded
+    into ONE map-side expression — no window, so no single task ever
+    holds a whole source.
+
+    ``out_col`` ∈ [0, 1] is the fraction of boundary quantiles at or
+    BELOW the row's score.  The boundaries are actual data values, so a
+    source's maximum row clears every boundary and scores exactly 1.0 —
+    a singleton source's only row included — and the keep-top-q
+    ``filter(col(out_col) > 1 - q)`` contract of the exact spelling,
+    with its ≥1-row-per-source guarantee, carries over.  Error is the
+    sketch's rank accuracy (±1/accuracy) plus the 1/buckets rounding;
+    NULL scores fail loudly like the exact spelling.
+
+    Plan: one map-side-combinable aggregate (#sources × buckets doubles),
+    broadcast-joined back; the percentile fold is a codegen array
+    expression over the row's own boundary vector.
+    """
+    probs = F.array(*[F.lit((i + 1) / buckets) for i in range(buckets)])
+    bounds = df.groupBy(source_col).agg(
+        F.percentile_approx(score_col, probs, F.lit(accuracy)).alias("__bounds")
+    )
+    score = F.col(score_col)
+    n_le = F.size(F.filter(F.col("__bounds"), lambda b: b <= score))
+    pct = F.when(
+        score.isNull(),
+        F.raise_error(
+            F.lit(
+                f"per_source_percentile_approx: NULL in score column "
+                f"{score_col!r} — filter or fill null scores explicitly"
+            )
+        ).cast("double"),
+    ).otherwise(n_le.cast("double") / F.lit(float(buckets)))
+    return (
+        df.join(F.broadcast(bounds), source_col)
+        .withColumn(out_col, pct)
+        .drop("__bounds")
+    )
 
 
 def mixture_temperature_weights(

@@ -1611,6 +1611,43 @@ def test_per_source_percentile_calibration(spark):
         per_source_percentile(with_null, "score").collect()
 
 
+def test_per_source_percentile_approx_agrees_with_exact(spark):
+    """The crawl-scale aggregate spelling tracks the exact cume_dist within
+    bucket granularity, scores every source's best row 1.0 (singletons
+    included), and fails loudly on NULL scores."""
+    from pdtable_spark.operators.sampling import (
+        per_source_percentile,
+        per_source_percentile_approx,
+    )
+
+    rows = (
+        [(i, "a", float(i)) for i in range(50)]
+        + [(100 + i, "b", float(i) / 10.0) for i in range(5)]
+        + [(200, "c", -3.0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    exact = {r["doc_id"]: r["score_pct"] for r in per_source_percentile(df, "score").collect()}
+    approx = {
+        r["doc_id"]: r["score_pct"]
+        for r in per_source_percentile_approx(df, "score", buckets=50).collect()
+    }
+    assert set(approx) == set(exact)
+    # agreement within bucket granularity everywhere
+    assert all(abs(approx[k] - exact[k]) <= 1.0 / 50 + 1e-9 for k in exact)
+    # every source's best row scores exactly 1.0 — singleton included
+    assert approx[49] == 1.0 and approx[104] == 1.0 and approx[200] == 1.0
+    # the top-q filter keeps every source
+    kept = per_source_percentile_approx(df, "score", buckets=50).filter(
+        F.col("score_pct") > 0.6
+    )
+    assert {r["source"] for r in kept.collect()} == {"a", "b", "c"}
+    with_null = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None)], "doc_id long, source string, score double"
+    )
+    with pytest.raises(Exception, match="NULL in score column"):
+        per_source_percentile_approx(with_null, "score").collect()
+
+
 def test_mixture_temperature_zero_weight_sum_raises(spark):
     """A non-empty corpus whose weight column sums to 0 must fail loudly —
     an empty weights frame would make a downstream mixture silently sample
