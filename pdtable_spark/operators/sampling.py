@@ -267,9 +267,17 @@ def per_source_percentile_approx(
     source's maximum row clears every boundary and scores exactly 1.0 —
     a singleton source's only row included — and the keep-top-q
     ``filter(col(out_col) > 1 - q)`` contract of the exact spelling,
-    with its ≥1-row-per-source guarantee, carries over.  Error is the
-    sketch's rank accuracy (±1/accuracy) plus the 1/buckets rounding;
-    NULL scores fail loudly like the exact spelling.
+    with its ≥1-row-per-source guarantee, carries over.  For DISTINCT
+    scores the error is the sketch's rank accuracy (±1/accuracy) plus
+    the 1/buckets rounding.  TIED scores are score-equivalence-class
+    semantics by construction: every row of a tie block gets the block's
+    TOP percentile and a cut keeps or drops the block as a unit (the
+    exact spelling's id tie-break instead spreads a block across
+    percentiles and splits it at the cut) — the defensible behavior when
+    equal scores carry no ranking information, but a real difference for
+    coarse integer-graded scores.  NULL scores fail loudly like the
+    exact spelling; a NULL SOURCE is a legitimate group and calibrates
+    like any other (null-safe join).
 
     Plan: one map-side-combinable aggregate (#sources × buckets doubles),
     broadcast-joined back; the percentile fold is a codegen array
@@ -290,10 +298,16 @@ def per_source_percentile_approx(
             )
         ).cast("double"),
     ).otherwise(n_le.cast("double") / F.lit(float(buckets)))
+    # null-SAFE source equality: a NULL source is a legitimate group (the
+    # groupBy above keeps it) and a plain equi-join would silently delete
+    # its every row right past the loud-NULL-score guard
+    b = bounds.withColumnRenamed(source_col, "__src")
     return (
-        df.join(F.broadcast(bounds), source_col)
+        df.join(
+            F.broadcast(b), F.col(source_col).eqNullSafe(F.col("__src"))
+        )
         .withColumn(out_col, pct)
-        .drop("__bounds")
+        .drop("__src", "__bounds")
     )
 
 

@@ -1646,6 +1646,29 @@ def test_per_source_percentile_approx_agrees_with_exact(spark):
     )
     with pytest.raises(Exception, match="NULL in score column"):
         per_source_percentile_approx(with_null, "score").collect()
+    # NULL source is a legitimate group — calibrated, never silently dropped
+    null_src = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, "a", 5.0)],
+        "doc_id long, source string, score double",
+    )
+    ns = {
+        r["doc_id"]: r["score_pct"]
+        for r in per_source_percentile_approx(null_src, "score", buckets=10).collect()
+    }
+    assert set(ns) == {1, 2, 3} and ns[2] == 1.0 and ns[3] == 1.0
+    # tied scores move as a BLOCK: every tie-block row gets the block's top
+    # percentile (equivalence-class semantics — unlike the exact spelling's
+    # id tie-break, a cut keeps or drops the whole block)
+    tied2 = spark.createDataFrame(
+        [(i, "a", 3.0) for i in range(6)] + [(10 + i, "a", 5.0) for i in range(4)],
+        "doc_id long, source string, score double",
+    )
+    tp = {
+        r["doc_id"]: r["score_pct"]
+        for r in per_source_percentile_approx(tied2, "score", buckets=10).collect()
+    }
+    assert all(tp[i] == 0.6 for i in range(6))
+    assert all(tp[10 + i] == 1.0 for i in range(4))
 
 
 def test_mixture_temperature_zero_weight_sum_raises(spark):
