@@ -88,3 +88,35 @@ def test_stream_explicit_ntz_schema_is_cast_to_timestamp(spark, tmp_path):
     got = {r.event_id: r.ts for r in spark.table("t_env_ntz").collect()}
     want = {r.event_id: r.ts for r in batch.select("event_id", "ts").collect()}
     assert got == want
+
+
+def test_query_registry_contract():
+    """The driver contract's invariants: every oracle belongs to a declared
+    query, the rotation list is exactly the registry (no dups, no ghosts),
+    and every oracle is syntactically valid DuckDB SQL against the fixture
+    schemas (DESCRIBE — parse/bind only, no execution)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from pdtable_spark.queries.suite import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    ordered = list(entry.queries())
+    assert len(ordered) == len(set(ordered))
+    assert set(ordered) == set(QUERIES)
+    assert list(entry.oracle_sql()) == [k for k in ordered if k in ORACLES]
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    for name, sql in ORACLES.items():
+        try:
+            con.execute(f"DESCRIBE {sql}")
+        except Exception as exc:  # pragma: no cover - the assert carries it
+            raise AssertionError(f"oracle for {name!r} fails to parse: {exc}")
