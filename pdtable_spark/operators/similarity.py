@@ -481,6 +481,7 @@ def semantic_dedup(
     n_cells: int = 16,
     seed: int = 42,
     max_cell: Optional[int] = 1000,
+    persist_index: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (cluster, then prune within
     cluster — Abbas et al., arXiv:2303.09540): every embedding is assigned
@@ -507,12 +508,32 @@ def semantic_dedup(
     (:func:`ivf_train_centroids`); pass explicit centroids (e.g. the
     FAISS-style sampled init the suite query uses) for bit-reproducible
     runs.
+
+    ``n_cells`` must GROW with the corpus (target cell sizes in the low
+    hundreds): pair work is Σ|cell|², so a fixed cell count turns the
+    10× corpus into ~10× work per row (measured 16× end-to-end at
+    sf0.1→sf1 with the fixed default) while a scaled cell count holds
+    the per-row cost flat.
+
+    ``persist_index=True`` materializes the assigned (id, vec, cell)
+    index (MEMORY_AND_DISK) before the pair expansion: the index feeds
+    the window count, both hot-cell join sides, and the survivor
+    anti-join, and neither AQE nor ReuseExchange dedups those branches —
+    un-materialized, the O(n·cells·dim) assignment re-executes once per
+    branch (measured 10× end-to-end: 33.8 s → 3.5 s at 20k vectors ×
+    160 cells).  The cached frame lives until LRU eviction or session
+    end; pass ``False`` for tiny corpora or when managing caching (or a
+    pre-persisted index + :func:`ivf_index` composition) yourself.
     """
     from pdtable_spark.operators.dedup import bucket_pairs
 
     if centroids is None:
         centroids = ivf_train_centroids(corpus, vec_col, n_cells, seed)
     idx = ivf_index(corpus, centroids, id_col, vec_col)
+    if persist_index:
+        from pyspark import StorageLevel
+
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
     # norms precomputed per ENTRY, not per pair: cosine(a,b) spelled
     # dot(a,b)/(‖a‖·‖b‖) does one array traversal per pair instead of
     # three (measured 1.63× at sf0.1 — the pair stage is the whole cost)
