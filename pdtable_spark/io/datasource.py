@@ -151,10 +151,12 @@ class StarTableDataSource(DataSource):
         writer = StarTableStreamWriter(
             w.path, staging, w.table, w.sep, w.names, w.units, w.destinations
         )
-        # orphan-sweep horizon: must exceed the longest expected stage→commit
-        # gap of any query writing here (a huge availableNow catch-up batch
-        # stages its first shards long before the driver commit) — tunable
-        # per writer via .option("staleStagingSeconds", ...)
+        # orphan-sweep horizon: must exceed THIS query's longest expected
+        # stage→commit gap (a huge availableNow catch-up batch stages its
+        # first shards long before the driver commit) — tunable via
+        # .option("staleStagingSeconds", ...); the value is stamped into
+        # this writer's shard filenames, so every query's sweep honors it
+        # (no cross-query data loss from mismatched horizons)
         stale = self.options.get("stalestagingseconds") or self.options.get(
             "staleStagingSeconds"
         )
@@ -169,6 +171,18 @@ class StarTableDataSource(DataSource):
             raise ValueError(
                 "streaming format('startable') expects a landing DIRECTORY "
                 f"path, got {path!r}"
+            )
+        if any(f.metadata for f in schema.fields):
+            # same Spark 4.1 limitation the probed path strips metadata for
+            # (see schema()): with field metadata present, the Python
+            # streaming runner dies mid-batch with an opaque INTERNAL_ERROR
+            # assertion — fail at planning time with the actual cause
+            # instead.  attach_units schemas hit this naturally.
+            raise ValueError(
+                "streaming format('startable') cannot use a user schema "
+                "carrying field metadata (Spark's Python streaming runner "
+                "asserts metadata-free arrow schemas) — pass plain types or "
+                "omit .schema() to probe from the first landed file"
             )
         return StarTableStreamReader(path, schema, table, sep, permissive)
 
@@ -453,10 +467,12 @@ class StarTableWriter(DataSourceWriter):
 
 
 def _write_startable_shard(
-    iterator, staging, table, sep, names, units, destinations
+    iterator, staging, table, sep, names, units, destinations, tag: str = ""
 ) -> "_ShardCommit":
     """Task-side shard writer shared by the batch and streaming writers:
-    one self-contained StarTable CSV per non-empty partition, staged."""
+    one self-contained StarTable CSV per non-empty partition, staged.
+    ``tag`` is an optional filename infix (the stream writer embeds its
+    own sweep horizon there — see ``_cleanup_staging``)."""
     import itertools
     import uuid as _uuid
 
@@ -470,7 +486,7 @@ def _write_startable_shard(
     if first is None:
         return _ShardCommit("", 0)
     os.makedirs(staging, exist_ok=True)
-    fname = f"part-{pid:05d}-{_uuid.uuid4().hex}.csv"
+    fname = f"part-{pid:05d}-{tag}{_uuid.uuid4().hex}.csv"
     n = 0
     with open(os.path.join(staging, fname), "w") as out:
         out.write(f"**{table}{sep}\n")
@@ -508,6 +524,9 @@ class StarTableStreamWriter(DataSourceStreamWriter):
         return _write_startable_shard(
             iterator, self.staging, self.table, self.sep,
             self.names, self.units, self.destinations,
+            # embed THIS writer's sweep horizon in the filename so a
+            # concurrent query sweeping the shared staging dir honors it
+            tag=f"h{int(self._STALE_STAGING_SECONDS)}-",
         )
 
     def commit(self, messages, batchId: int) -> None:
@@ -533,27 +552,37 @@ class StarTableStreamWriter(DataSourceStreamWriter):
                     pass
         self._cleanup_staging()
 
-    #: staged shards older than this are orphans of failed/speculative task
-    #: attempts (their batch committed or aborted long ago).  The horizon
-    #: must exceed the longest stage→commit gap of ANY query sharing this
-    #: output (a concurrent query's sweep deletes past-horizon files) —
-    #: raise it via .option("staleStagingSeconds", ...) for catch-up
-    #: batches that stage for longer than an hour before committing
+    #: staged shards older than their horizon are orphans of failed /
+    #: speculative task attempts (their batch committed or aborted long
+    #: ago).  Each writer EMBEDS its own horizon in its shard filenames
+    #: (``part-NNNNN-h<seconds>-<uuid>.csv``), and every sweep honors the
+    #: horizon a file carries — so raising
+    #: .option("staleStagingSeconds", ...) on a slow catch-up query
+    #: protects THAT query's staged shards from a concurrent query's
+    #: sweep running with the default (the per-writer horizon alone would
+    #: silently lose any query whose stage→commit gap exceeds another
+    #: writer's setting)
     _STALE_STAGING_SECONDS = 3600.0
 
     def _cleanup_staging(self) -> None:
+        import re
         import time
 
         # sweep orphaned shards (failed / speculative attempts never appear
         # in commit messages, so rmdir-if-empty alone would let them
-        # accumulate forever in the shared staging dir); the age horizon
-        # keeps a CONCURRENT query's freshly staged shards safe
-        horizon = time.time() - self._STALE_STAGING_SECONDS
+        # accumulate forever in the shared staging dir); each file's age is
+        # judged against the horizon ITS OWN writer stamped into the name,
+        # so a concurrent query's freshly-staged (or deliberately
+        # long-horizon) shards stay safe no matter who sweeps
+        pat = re.compile(r"-h(\d+)-")
+        now = time.time()
         try:
             with os.scandir(self.staging) as it:
                 for entry in it:
                     try:
-                        if entry.is_file() and entry.stat().st_mtime < horizon:
+                        m = pat.search(entry.name)
+                        horizon = float(m.group(1)) if m else self._STALE_STAGING_SECONDS
+                        if entry.is_file() and entry.stat().st_mtime < now - horizon:
                             os.remove(entry.path)
                     except OSError:
                         pass

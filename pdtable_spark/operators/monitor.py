@@ -38,46 +38,52 @@ def corpus_drift_report(
     the report is bit-identical on any engine — fit for a value-oracled
     regression gate, not just a dashboard.
 
-    Scale: per dimension, one ``groupBy(value).count()`` per side (map-side
-    partial combine; shuffle is category-domain-sized) and a full outer
-    join on the category key; totals join in as broadcast single-row
-    frames.  NULL category values are legitimate and tracked as a value.
+    Scale: ONE scan per side regardless of how many dimensions are
+    monitored — each row explodes into its D (dim, value) pairs inside the
+    scan projection, so a 10-dimension report over 100 TB still reads the
+    corpus once per snapshot (the per-dimension-loop spelling paid D scans
+    per side).  The count aggregate is map-side-combinable and its shuffle
+    is category-domain-sized (Σ per-dim domains), followed by one full
+    outer join on the (dim, value) key.  NULL category values are
+    legitimate and tracked as a value.
     """
     if not dim_cols:
         raise ValueError("corpus_drift_report: dim_cols must be non-empty")
 
-    def counts(df: DataFrame, dim: str, out: str) -> DataFrame:
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(dim).alias("dim"),
+                    F.col(dim).cast("string").alias("value"),
+                )
+                for dim in dim_cols
+            ]
+        )
         return (
-            df.groupBy(F.col(dim).cast("string").alias("value"))
+            df.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.dim").alias("dim"), F.col("p.value").alias("value"))
             .agg(F.count(F.lit(1)).alias(out))
-            .select(F.lit(dim).alias("dim"), "value", out)
         )
 
     from pyspark.sql import Window
 
-    joined = []
-    for dim in dim_cols:
-        o = counts(df_old, dim, "n_old").alias("o")
-        n = counts(df_new, dim, "n_new").alias("n")
-        # null-SAFE value equality: a NULL category (real corpora have
-        # them) must merge into one row, not split into an old-side and a
-        # new-side orphan
-        joined.append(
-            o.join(
-                n,
-                (F.col("o.dim") == F.col("n.dim"))
-                & F.col("o.value").eqNullSafe(F.col("n.value")),
-                "full_outer",
-            ).select(
-                F.coalesce(F.col("o.dim"), F.col("n.dim")).alias("dim"),
-                F.coalesce(F.col("o.value"), F.col("n.value")).alias("value"),
-                F.coalesce(F.col("o.n_old"), F.lit(0)).alias("n_old"),
-                F.coalesce(F.col("n.n_new"), F.lit(0)).alias("n_new"),
-            )
-        )
-    out = joined[0]
-    for r in joined[1:]:
-        out = out.unionByName(r)
+    o = counts(df_old, "n_old").alias("o")
+    n = counts(df_new, "n_new").alias("n")
+    # null-SAFE value equality: a NULL category (real corpora have them)
+    # must merge into one row, not split into an old-side and a new-side
+    # orphan
+    out = o.join(
+        n,
+        (F.col("o.dim") == F.col("n.dim"))
+        & F.col("o.value").eqNullSafe(F.col("n.value")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("o.dim"), F.col("n.dim")).alias("dim"),
+        F.coalesce(F.col("o.value"), F.col("n.value")).alias("value"),
+        F.coalesce(F.col("o.n_old"), F.lit(0)).alias("n_old"),
+        F.coalesce(F.col("n.n_new"), F.lit(0)).alias("n_new"),
+    )
     # snapshot totals come from the count rows themselves — every row
     # belongs to exactly one category value (NULL included), so the
     # per-dim window sum IS the corpus total; aggregating the raw

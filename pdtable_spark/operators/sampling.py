@@ -332,7 +332,9 @@ def mixture_temperature_weights(
     slice of training than its doc count suggests.  Adds a
     ``total_weight`` column after ``n_docs``; the exact integer sum keeps
     the cross-engine determinism story unchanged (weights must be
-    integral — pre-quantize fractional quality weights to ints first).
+    integral and non-NULL — ENFORCED with a loud error, since silent
+    truncation of a fractional quality weight would skew shares;
+    pre-quantize fractional weights to ints first).
 
     Determinism: ``pow`` can differ by 1 ulp between libm and the JVM, so
     the scaled weight is quantized to 9 decimals (``floor(x·1e9 + 0.5)``
@@ -350,15 +352,29 @@ def mixture_temperature_weights(
 
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if weight_col is not None:
-        aggs.append(
-            F.sum(F.coalesce(F.col(weight_col).cast("long"), F.lit(0))).alias(
-                "total_weight"
+        w = F.col(weight_col)
+        # fail LOUDLY on NULL or fractional weights (mirroring the NULL-score
+        # guard in per_source_percentile): cast('long') would silently
+        # truncate a double-typed quality weight and coalesce a failed
+        # scorer's NULL to 0 — skewed shares with no error.  Pre-quantize
+        # fractional weights to ints explicitly before mixing.
+        bad = w.isNull() | (w.cast("double") != w.cast("long").cast("double"))
+        aggs.append(F.sum(w.cast("long")).alias("total_weight"))
+        aggs.append(F.sum(bad.cast("int")).alias("__n_bad"))
+    agged = df.groupBy(source_col).agg(*aggs).collect()
+    if weight_col is not None:
+        n_bad = sum(r["__n_bad"] or 0 for r in agged)
+        if n_bad:
+            raise ValueError(
+                f"mixture_temperature_weights: weight column {weight_col!r} "
+                f"has {n_bad} NULL or non-integral value(s) — weights must "
+                "be exact integers (filter/fill NULLs and pre-quantize "
+                "fractional weights explicitly before mixing)"
             )
-        )
     counts = sorted(
         (
             (r[source_col], r["n_docs"], r["total_weight"] if weight_col else r["n_docs"])
-            for r in df.groupBy(source_col).agg(*aggs).collect()
+            for r in agged
         ),
         # NULL source is a legitimate group (real corpora have them):
         # sort it first, don't crash comparing None to str

@@ -521,9 +521,13 @@ def semantic_dedup(
     anti-join, and neither AQE nor ReuseExchange dedups those branches —
     un-materialized, the O(n·cells·dim) assignment re-executes once per
     branch (measured 10× end-to-end: 33.8 s → 3.5 s at 20k vectors ×
-    160 cells).  The cached frame lives until LRU eviction or session
-    end; pass ``False`` for tiny corpora or when managing caching (or a
-    pre-persisted index + :func:`ivf_index` composition) yourself.
+    160 cells).  The caller owns the cache lifecycle: the persisted index
+    frame is exposed as ``result.semantic_dedup_index`` — call
+    ``result.semantic_dedup_index.unpersist()`` once the result is
+    materialized, or repeated calls in one session accumulate cached
+    partitions until LRU pressure.  Pass ``False`` for tiny corpora or
+    when managing caching (or a pre-persisted index + :func:`ivf_index`
+    composition) yourself.
     """
     from pdtable_spark.operators.dedup import bucket_pairs
 
@@ -554,7 +558,12 @@ def semantic_dedup(
         .select(F.col("eb.id").alias(id_col))
         .distinct()
     )
-    return idx.join(drops, on=id_col, how="left_anti").select(id_col, "cell")
+    out = idx.join(drops, on=id_col, how="left_anti").select(id_col, "cell")
+    if persist_index:
+        # hand the cache handle to the caller (unpersisting here would
+        # defeat the persist before the lazy result ever materializes)
+        out.semantic_dedup_index = idx
+    return out
 
 
 def incremental_embedding_dedup(

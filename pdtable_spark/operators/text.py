@@ -756,6 +756,21 @@ def gopher_quality_flags(
     )
 
 
+def _blocklist_hits(txt, terms: List[str]):
+    """The distinct lowercased blocked terms present (whole-token,
+    case-insensitive) in ``txt``, as a sorted array column — the shared
+    core of :func:`blocklist_filter` and the fused gate in
+    :func:`curate_recipe`, so the two spellings cannot drift apart."""
+    # lowercase BEFORE dedup/sort: case-variant duplicates must collapse to
+    # one term (else they double-count) and the sort must be over the
+    # lowercased forms for "lexicographically first hit" to hold
+    arr = F.array(*[F.lit(t) for t in sorted({t.lower() for t in terms})])
+    toks_lower = F.transform(tokens(txt), F.lower)
+    # filter the (sorted, distinct) list against the token set — hit order
+    # is the list's own sorted order, deterministic on any engine
+    return F.filter(arr, lambda t: F.array_contains(toks_lower, t))
+
+
 def blocklist_filter(
     df: DataFrame,
     terms: List[str],
@@ -779,14 +794,7 @@ def blocklist_filter(
     that, broadcast-join a terms frame against exploded tokens instead) —
     zero shuffles, zero Python.
     """
-    # lowercase BEFORE dedup/sort: case-variant duplicates must collapse to
-    # one term (else they double-count) and the sort must be over the
-    # lowercased forms for "lexicographically first hit" to hold
-    arr = F.array(*[F.lit(t) for t in sorted({t.lower() for t in terms})])
-    toks_lower = F.transform(tokens(F.col(text_col)), F.lower)
-    # filter the (sorted, distinct) list against the token set — hit order
-    # is the list's own sorted order, deterministic on any engine
-    hits = F.filter(arr, lambda t: F.array_contains(toks_lower, t))
+    hits = _blocklist_hits(F.col(text_col), terms)
     n_hits = F.size(hits).cast("long")
     return df.select(
         F.col(id_col),
@@ -890,9 +898,13 @@ def curate_recipe(
     sample/mix (:mod:`~pdtable_spark.operators.sampling`).
 
     Plan shape: every stage is scan-local column expressions; the
-    composition pays two id-keyed semi joins (broadcast-sized once the
-    gates have run) — fuse into one projection or persist the cleaned
-    frame when the extra scans matter at full corpus scale.
+    composition pays ONE id-keyed semi join (broadcast-sized once the
+    gates have run) regardless of whether a blocklist is set — the
+    blocklist is a fused filter on the same gate frame the Gopher rules
+    read, not a second gate branch (which would re-derive the cleaned
+    projection and re-scan the corpus once more per gate).  Persist the
+    cleaned frame when even the two remaining scans matter at full
+    corpus scale.
     """
     passthrough = list(passthrough or [])  # materialize: iterated twice below
     c4 = c4_quality(
@@ -913,17 +925,18 @@ def curate_recipe(
     # "text" (caller keeping the raw text beside the cleaned text) must
     # not collide with the renamed clean_text
     gate = clean.select(F.col(id_col), F.col("clean_text").alias("text"))
+    if blocklist:
+        # both gates are per-row predicates over the SAME cleaned text, so
+        # order is immaterial — apply the cheap array test first and let
+        # Catalyst collapse it into the Gopher projection's scan stage
+        gate = gate.filter(
+            F.size(_blocklist_hits(F.col("text"), list(blocklist))) <= 0
+        )
     gop = gopher_quality_flags(
         gate, text_col="text", id_col=id_col,
         min_words=min_words, min_stopwords=min_stopwords,
     ).filter(F.col("pass_all") == 1)
-    out = clean.join(gop.select(id_col), id_col, "semi")
-    if blocklist:
-        bl = blocklist_filter(gate, list(blocklist), id_col=id_col).filter(
-            F.col("pass_blocklist") == 1
-        )
-        out = out.join(bl.select(id_col), id_col, "semi")
-    return out
+    return clean.join(gop.select(id_col), id_col, "semi")
 
 
 def repetition_signals(

@@ -638,3 +638,83 @@ def test_startable_datasource_stream_write(spark, tmp_path):
     back = scan_csv(spark, out + "/batch_id=*/part-*.csv", "ticks")
     assert back.df.count() == 8
     assert {r["label"] for r in back.df.collect()} == {"r%d" % i for i in range(8)}
+
+
+def test_stream_staging_sweep_honors_per_file_horizon(tmp_path):
+    """Cross-query staging safety: each stream writer stamps its OWN
+    staleStagingSeconds horizon into its shard filenames, and every sweep
+    honors the per-file value — so raising the horizon on a slow catch-up
+    query protects its staged shards from a concurrent default-horizon
+    query's sweep (the per-sweeper horizon alone silently lost them)."""
+    import os
+    import time
+
+    from pdtable_spark.io.datasource import StarTableStreamWriter
+
+    staging = tmp_path / "_stream-staging"
+    staging.mkdir()
+    two_h_ago = time.time() - 7200
+    slow = staging / "part-00001-h86400-aaaa.csv"  # 24h-horizon writer
+    fast = staging / "part-00002-h3600-bbbb.csv"   # default-horizon writer
+    untagged = staging / "part-00003-cccc.csv"     # no tag → sweeper's own
+    for p in (slow, fast, untagged):
+        p.write_text("x")
+        os.utime(p, (two_h_ago, two_h_ago))
+    sweeper = StarTableStreamWriter(
+        str(tmp_path), str(staging), "t", ";", [], [], []
+    )
+    sweeper._cleanup_staging()
+    assert slow.exists()           # its own 24h horizon has not elapsed
+    assert not fast.exists()       # past its own 1h horizon
+    assert not untagged.exists()   # falls back to the sweeper's horizon
+
+
+def test_stream_staging_shard_names_carry_horizon(tmp_path):
+    """The task-side writer embeds the horizon tag the sweep contract
+    depends on (and a custom staleStagingSeconds changes the tag)."""
+    import re
+
+    from pdtable_spark.io.datasource import StarTableStreamWriter
+
+    staging = str(tmp_path / "_stream-staging")
+    w = StarTableStreamWriter(str(tmp_path), staging, "t", ";", ["a"], ["-"], ["all"])
+    w._STALE_STAGING_SECONDS = 7200.0
+    msg = w.write(iter([(1.0,)]))
+    assert re.fullmatch(r"part-\d{5}-h7200-[0-9a-f]{32}\.csv", msg.file), msg.file
+
+
+def test_startable_stream_read_rejects_metadata_schema(spark, tmp_path):
+    """A user schema carrying field metadata (the attach_units idiom) must
+    fail at planning time with the real cause — Spark 4.1's Python
+    streaming runner otherwise dies mid-batch with an opaque
+    INTERNAL_ERROR arrow assertion (verified); the probed-schema path
+    strips metadata for the same reason."""
+    from pyspark.sql import types as T
+
+    from pdtable_spark.io.datasource import register
+
+    register(spark)
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.csv").write_text("**r;;\nall;;\nsensor;val;\ntext;-;\ns1;1.0;\n\n")
+    meta_schema = T.StructType(
+        [
+            T.StructField("sensor", T.StringType(), True, {"unit": "text"}),
+            T.StructField("val", T.DoubleType(), True, {"unit": "-"}),
+        ]
+    )
+    stream = (
+        spark.readStream.format("startable")
+        .option("table", "r")
+        .schema(meta_schema)
+        .load(str(land))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="metadata"):
+        q.awaitTermination(120)

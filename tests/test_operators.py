@@ -1678,10 +1678,39 @@ def test_mixture_temperature_zero_weight_sum_raises(spark):
     from pdtable_spark.operators.sampling import mixture_temperature_weights
 
     df = spark.createDataFrame(
-        [(0, "a", None), (1, "b", 0)], "doc_id long, source string, n_toks long"
+        [(0, "a", 0), (1, "b", 0)], "doc_id long, source string, n_toks long"
     )
     with pytest.raises(ValueError, match="sums to 0"):
         mixture_temperature_weights(df, weight_col="n_toks")
+
+
+def test_mixture_temperature_null_weight_raises(spark):
+    """A NULL weight (failed scorer) must fail loudly, not be coalesced to
+    0 — the silent path would skew shares with no error."""
+    from pdtable_spark.operators.sampling import mixture_temperature_weights
+
+    df = spark.createDataFrame(
+        [(0, "a", None), (1, "b", 10)], "doc_id long, source string, n_toks long"
+    )
+    with pytest.raises(ValueError, match="NULL or non-integral"):
+        mixture_temperature_weights(df, weight_col="n_toks")
+
+
+def test_mixture_temperature_fractional_weight_raises(spark):
+    """A double-typed fractional weight must fail loudly, not be silently
+    truncated by cast('long'); integral-valued doubles are fine."""
+    from pdtable_spark.operators.sampling import mixture_temperature_weights
+
+    bad = spark.createDataFrame(
+        [(0, "a", 1.5), (1, "b", 10.0)], "doc_id long, source string, w double"
+    )
+    with pytest.raises(ValueError, match="NULL or non-integral"):
+        mixture_temperature_weights(bad, weight_col="w")
+    ok = spark.createDataFrame(
+        [(0, "a", 2.0), (1, "b", 8.0)], "doc_id long, source string, w double"
+    )
+    out = {r["source"]: r for r in mixture_temperature_weights(ok, weight_col="w").collect()}
+    assert out["a"]["total_weight"] == 2 and out["b"]["total_weight"] == 8
 
 
 def test_pq_refined_codebooks_improve_recall(spark):
@@ -1780,3 +1809,20 @@ def test_tokenization_whitespace_runs(spark):
     assert s["n_spans"] == 2 and s["clean_text"] == "foo bar baz qux"
     c = text.cdc_chunks(df).collect()
     assert sum(r["n_words"] for r in c) == 4
+
+
+def test_semantic_dedup_caller_owns_index_cache(spark):
+    """persist_index=True hands the cached assignment index to the caller
+    (result.semantic_dedup_index) so repeated calls in one session don't
+    accumulate cached partitions with no release handle."""
+    rows = [(i, [1.0, 0.0]) for i in range(3)] + [(10, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = similarity.semantic_dedup(df, cents, threshold=0.95)
+    idx = out.semantic_dedup_index
+    assert idx.storageLevel.useMemory or idx.storageLevel.useDisk
+    assert out.count() == 2  # one survivor per duplicate cell + singleton
+    idx.unpersist()
+    assert not (idx.storageLevel.useMemory or idx.storageLevel.useDisk)
+    plain = similarity.semantic_dedup(df, cents, threshold=0.95, persist_index=False)
+    assert not hasattr(plain, "semantic_dedup_index")

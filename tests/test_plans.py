@@ -294,3 +294,34 @@ def test_mixture_temperature_single_corpus_scan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "documents.parquet" not in plan
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def n_scans(plan):
+    return len(re.findall(r"FileScan parquet|Scan parquet", plan))
+
+
+def test_drift_report_one_scan_per_side(spark):
+    """D monitored dimensions must cost ONE corpus scan per snapshot side
+    (each row explodes into its (dim, value) pairs inside the scan
+    projection) — the per-dimension-loop spelling paid D scans per side,
+    i.e. 4 for this 2-dimension query."""
+    plan, _ = plan_of(spark, "pipeline_drift_report")
+    assert n_scans(plan) == 2
+
+
+def test_curate_recipe_blocklist_adds_no_scan(spark):
+    """The term blocklist is fused into the Gopher gate frame as a filter,
+    not a second gate branch: enabling it must not re-derive the cleaned
+    projection (scan count and semi-join count stay flat)."""
+    from pdtable_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def shape(blocklist):
+        df = text.curate_recipe(
+            docs, passthrough=["source"], min_words=10, blocklist=blocklist
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return n_scans(plan), plan.count("LeftSemi")
+
+    assert shape(None) == shape(["window"]) == (2, 1)
