@@ -22,74 +22,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-row rotation (the driver reports exactly the first 50 queries).
-#: Policy: OLDEST correctness evidence first, every round.  Round-6 head-50
-#: = the 37 queries whose latest driver row is from r3 (the full staleness
-#: backlog — after this round no query's evidence predates r4), then 6 of
-#: the 8 queries CHANGED this round (full Gopher rule set + its
-#: dataset-card and curation-stream consumers, both TF-IDF df spellings
-#: under the flipped default, and embedding_pq_topk representing the
-#: respelled PQ codebook-membership oracle), then the 7 NEW queries
-#: (Gopher word-level repetition rules, C4 page cleaning, term blocklist,
-#: token-budgeted mixing, the drift-monitor pair, and the composite
-#: curation recipe) — 50 exactly.  The other two queries sharing the
-#: respelled PQ oracle (embedding_pq_refined / embedding_pq_recall) sit at
-#: 51-52 and lead r7; their oracle change is equivalence-preserving, is
-#: represented in-window by embedding_pq_topk, and both were verified
-#: locally this round at sf0.01 (both shuffle layouts) and sf1.  The
-#: r4-evidence block follows.
+#: Policy: OLDEST correctness evidence first, every round.  Round-7 head-50
+#: = embedding_pq_refined / embedding_pq_recall (oracle respelled in r6,
+#: never driver-reported since — both judge-verified r6 and locally
+#: verified at sf0.01 + sf1), then the TWO queries NEW this round
+#: (pipeline_score_calibration — both calibration spellings value-pinned
+#: in one frame; stream_drift_monitor — the streaming drift replay as two
+#: checkpointed waves), then 46 of the 48 queries whose latest driver row
+#: is r4 — 50 exactly.  The r4 block's last two entries
+#: (stream_sessionize_stateful, stream_sliding_counts) sit at 51-52 and
+#: lead r8; both were re-verified in the r6 builder sf1 sweep and their
+#: code is untouched since.  The r5- and r6-evidence blocks follow.
 _PRIORITY = [
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "pipeline_decontaminate",
-    "pipeline_mix_report",
-    "pipeline_pack_budget",
-    "pipeline_source_stats",
-    "pipeline_stratified_sample",
-    "pipeline_train_split",
-    "pipeline_weighted_sample",
-    "q11_part_value",
-    "q12_latency_priority",
-    "q16_supplier_part_counts",
-    "q20_excess_suppliers",
-    "q21_late_sole_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_corr_stats",
-    "q_custkey_median_pandas",
-    "q_customer_quartiles",
-    "q_discount_rank_ties",
-    "q_embedding_norms",
-    "q_events_funnel",
-    "q_events_interpolate",
-    "q_events_outliers",
-    "q_events_rolling",
-    "q_fuzzy_part_names",
-    "q_price_histogram",
-    "q_price_trend_by_brand",
-    "q_session_conversion",
-    "q_user_retention",
-    "simhash_fingerprints",
-    "simhash_near_dups",
-    "text_pii_redact",
-    "text_repetition",
-    "text_surprisal",
-    "text_top_bigrams",
-    "text_gopher_rules",
-    "text_tfidf_keywords",
-    "text_tfidf_agg",
-    "pipeline_dataset_card",
-    "stream_curate_survivors",
-    "embedding_pq_topk",
-    "text_repetition_signals",
-    "text_c4_rules",
-    "text_blocklist_filter",
-    "pipeline_mixture_tokens",
-    "pipeline_drift_report",
-    "pipeline_drift_tvd",
-    "pipeline_modern_recipe",
     "embedding_pq_refined",
     "embedding_pq_recall",
+    "pipeline_score_calibration",
+    "stream_drift_monitor",
     "dedup_incremental",
     "embedding_ivf_topk",
     "embedding_lsh_topk",
@@ -180,6 +128,56 @@ _PRIORITY = [
     "text_ngram_novelty",
     "text_quality",
     "text_token_count",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "pipeline_decontaminate",
+    "pipeline_mix_report",
+    "pipeline_pack_budget",
+    "pipeline_source_stats",
+    "pipeline_stratified_sample",
+    "pipeline_train_split",
+    "pipeline_weighted_sample",
+    "q11_part_value",
+    "q12_latency_priority",
+    "q16_supplier_part_counts",
+    "q20_excess_suppliers",
+    "q21_late_sole_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_corr_stats",
+    "q_custkey_median_pandas",
+    "q_customer_quartiles",
+    "q_discount_rank_ties",
+    "q_embedding_norms",
+    "q_events_funnel",
+    "q_events_interpolate",
+    "q_events_outliers",
+    "q_events_rolling",
+    "q_fuzzy_part_names",
+    "q_price_histogram",
+    "q_price_trend_by_brand",
+    "q_session_conversion",
+    "q_user_retention",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "text_pii_redact",
+    "text_repetition",
+    "text_surprisal",
+    "text_top_bigrams",
+    "text_gopher_rules",
+    "text_tfidf_keywords",
+    "text_tfidf_agg",
+    "pipeline_dataset_card",
+    "stream_curate_survivors",
+    "embedding_pq_topk",
+    "text_repetition_signals",
+    "text_c4_rules",
+    "text_blocklist_filter",
+    "pipeline_mixture_tokens",
+    "pipeline_drift_report",
+    "pipeline_drift_tvd",
+    "pipeline_modern_recipe",
 ]
 
 

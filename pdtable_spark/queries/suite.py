@@ -5541,3 +5541,153 @@ def pipeline_modern_recipe(spark, sf_dir):
         "n_kept_lines",
         F.size(text.tokens(F.col("clean_text"))).cast("long").alias("n_clean_tokens"),
     )
+
+
+#: Per-source score calibration, BOTH spellings in one frame: the exact
+#: window cume_dist and the crawl-scale approx (aggregated
+#: percentile_approx boundaries + broadcast join).  The approx oracle
+#: reproduces Spark bit-for-bit because (a) with per-source n below
+#: accuracy/2 (= 5000 rows at the default accuracy=10000) the GK sketch's
+#: rank error is < 0.5, i.e. exact, and Spark's selection is the value at
+#: rank ceil(p·n) with p·n computed in IEEE doubles — so the oracle
+#: spells the SAME double product (DuckDB shares the float artifacts,
+#: e.g. 0.28·25 = 7.000000000000001 → rank 8, verified identical at
+#: sf0.01 and sf1); and (b) the percentile fold is the same
+#: count-of-boundaries-≤-score array expression on both engines.
+_SQL_SCORE_CALIBRATION = """
+    WITH s AS (
+      SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, score,
+             CAST(cume_dist() OVER (PARTITION BY source
+                                    ORDER BY score ASC, doc_id ASC) AS DOUBLE)
+               AS score_pct
+      FROM s
+    ),
+    ranked AS (
+      SELECT source, score AS v,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY score) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM s
+    ),
+    bounds AS (
+      SELECT source, list(v ORDER BY i) AS bl
+      FROM ranked
+      JOIN generate_series(1, 100) t(i)
+        ON rk = CAST(ceil((CAST(i AS DOUBLE) / 100.0) * n) AS BIGINT)
+      GROUP BY source
+    )
+    SELECT r.doc_id, r.source, r.score, r.score_pct,
+           CAST(len(list_filter(b.bl, x -> x <= r.score)) AS DOUBLE) / 100.0
+             AS score_pct_approx
+    FROM r JOIN bounds b ON b.source = r.source
+"""
+
+
+@q("pipeline_score_calibration", _SQL_SCORE_CALIBRATION)
+def pipeline_score_calibration(spark, sf_dir):
+    """Per-source percentile calibration of a quality proxy (n_chars) —
+    the "keep every source's top q%" primitive — in BOTH spellings
+    side-by-side: ``score_pct`` is the exact window cume_dist (one task
+    per source under WindowExec — fine to tens of millions of rows per
+    source), ``score_pct_approx`` the crawl-scale aggregate spelling
+    (per-source approx_percentile boundaries at 1/100 granularity,
+    broadcast-joined back; no task ever holds a whole source).  Both are
+    value-pinned so the scale-safe path cannot silently drift from the
+    exact contract it approximates; the oracle is exact while per-source
+    counts stay below accuracy/2 = 5000 (see _SQL_SCORE_CALIBRATION)."""
+    from pdtable_spark.operators.sampling import (
+        per_source_percentile,
+        per_source_percentile_approx,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score")
+    )
+    exact = per_source_percentile(docs, "score")
+    return per_source_percentile_approx(exact, "score", out_col="score_pct_approx")
+
+
+#: The streaming drift monitor replayed as two deterministic ingest waves
+#: (the stream_curate_survivors staging pattern): reference = even
+#: doc_ids; wave 1 = doc_id%4==1 (batch 0), wave 2 = doc_id%4==3
+#: (batch 1), each its own availableNow run over one checkpoint.  The
+#: oracle rebuilds each batch's drift report with the t>0 share guard
+#: (an empty side defines shares as 0.0, exactly like the operator — a
+#: bare n/SUM(n) window would yield NULL shares on an empty wave).
+_SQL_STREAM_DRIFT = """
+    WITH waves(w, batch_id) AS (VALUES (1, 0), (3, 1)),
+    oc AS (
+      SELECT b.batch_id, CAST(source AS VARCHAR) AS value, COUNT(*) AS n_old
+      FROM documents CROSS JOIN waves b WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ),
+    nc AS (
+      SELECT b.batch_id, CAST(source AS VARCHAR) AS value, COUNT(*) AS n_new
+      FROM documents JOIN waves b ON doc_id % 4 = b.w GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT COALESCE(oc.batch_id, nc.batch_id) AS batch_id,
+             COALESCE(oc.value, nc.value) AS value,
+             COALESCE(oc.n_old, 0) AS n_old, COALESCE(nc.n_new, 0) AS n_new
+      FROM oc FULL OUTER JOIN nc
+        ON nc.batch_id = oc.batch_id AND nc.value IS NOT DISTINCT FROM oc.value
+    ),
+    m AS (
+      SELECT batch_id, value,
+             CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+             CASE WHEN SUM(n_old) OVER (PARTITION BY batch_id) > 0
+                  THEN CAST(n_old AS DOUBLE)
+                       / CAST(SUM(n_old) OVER (PARTITION BY batch_id) AS DOUBLE)
+                  ELSE 0.0 END AS share_old,
+             CASE WHEN SUM(n_new) OVER (PARTITION BY batch_id) > 0
+                  THEN CAST(n_new AS DOUBLE)
+                       / CAST(SUM(n_new) OVER (PARTITION BY batch_id) AS DOUBLE)
+                  ELSE 0.0 END AS share_new
+      FROM j
+    ),
+    d AS (
+      SELECT *, share_new - share_old AS delta,
+             abs(share_new - share_old) AS abs_delta
+      FROM m
+    )
+    SELECT 'source' AS dim, value, n_old, n_new, share_old, share_new,
+           delta, abs_delta,
+           CAST(SUM(CAST(FLOOR(abs_delta * 1e9) AS BIGINT))
+                  OVER (PARTITION BY batch_id) AS DOUBLE) / 1e9 / 2.0 AS tvd,
+           CAST(batch_id AS BIGINT) AS batch_id
+    FROM d
+"""
+
+
+@q("stream_drift_monitor", _SQL_STREAM_DRIFT)
+def stream_drift_monitor(spark, sf_dir):
+    """The streaming observability path under the correctness gate: two
+    ingestion waves (doc_id%4==1, then %4==3 — parallel multi-file JSON
+    landings) each picked up by its own ``availableNow`` run of
+    ``streaming.monitor.drift_monitor_stream`` over ONE checkpoint, so
+    wave 2's run resumes at the new files only (batch_id 1) — per
+    micro-batch one drift row per reference-or-batch source value against
+    the pinned even-doc_id reference, with the quantized per-batch tvd
+    attached and landed exactly-once as a batch_id-partitioned dynamic
+    overwrite."""
+    import tempfile
+
+    from pdtable_spark.io.jsonl import read_jsonl_stream
+    from pdtable_spark.streaming.monitor import drift_monitor_stream
+
+    d = tempfile.mkdtemp(prefix="pdtable_drift_")
+    land, out = f"{d}/land", f"{d}/out"
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    for wave in (1, 3):
+        docs.filter(F.col("doc_id") % 4 == wave).write.json(land, mode="append")
+        drift_monitor_stream(
+            read_jsonl_stream(spark, land), ref, out, f"{d}/ckpt",
+            ["source"], quantize=1e9,
+        )
+    rep = spark.read.parquet(out)
+    return rep.select(
+        "dim", "value", "n_old", "n_new", "share_old", "share_new",
+        "delta", "abs_delta", "tvd", F.col("batch_id").cast("long").alias("batch_id"),
+    )
