@@ -209,6 +209,15 @@ def main():
         "text_tfidf_agg",
         "text_gopher_rules",
         "text_repetition_signals",
+        # round-7 additions: the remaining r6 operator families (C4 page
+        # cleaning, term blocklist, the composite curation recipe, the
+        # drift monitor — now single-scan-per-side) and the r7
+        # per-source score calibration (both spellings in one frame)
+        "text_c4_rules",
+        "text_blocklist_filter",
+        "pipeline_modern_recipe",
+        "pipeline_drift_report",
+        "pipeline_score_calibration",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

@@ -4,10 +4,12 @@ Arrow-batched pandas transforms over ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch iteration, partition-preserving
 transforms) is real and tested.  Codecs: image decode has a REAL path
-behind the optional ``pillow`` extra (lazy executor-side import) plus the
-deterministic sha256 fake (``fake=True`` — the oracle/testing mode);
-video/audio decode hooks raise ``NotImplementedError`` unless ``fake=True``
-(codec libraries absent in this environment).
+behind the optional ``pillow`` extra (lazy executor-side import); audio
+decode has a REAL path for RIFF WAV via the stdlib ``wave`` module (no
+extra needed; compressed codecs raise); both also ship the deterministic
+sha256 fake (``fake=True`` — the oracle/testing mode).  Video decode
+raises ``NotImplementedError`` unless ``fake=True`` (codec libraries
+absent in this environment).
 
 At scale: blobs stay in parquet/object storage as binary columns; transforms
 are ``mapInPandas`` (arrow batches, no shuffle); heavy assets should be
@@ -134,13 +136,73 @@ def _decode_image(payload: bytes, fake: bool):
     return [[int(px[4 * r + c]) for c in range(4)] for r in range(4)]
 
 
+def _decode_audio(payload: bytes, fake: bool):
+    """audio payload → the same 4x4 0..255 grid contract as
+    :func:`_decode_image` (16 equal-time buckets of mean |amplitude|
+    scaled to 0..255), so the downstream feature plumbing is
+    modality-agnostic.
+
+    Real path: RIFF WAV via the stdlib ``wave`` module (always present —
+    no extra needed; PCM widths 1/2/4, channels averaged to mono).
+    Compressed codecs (mp3/flac/ogg) need a codec extra absent in this
+    environment and raise ``NotImplementedError``; ``fake=True`` is the
+    deterministic digest stub (the oracle/testing mode)."""
+    if fake:
+        # salt the digest domain so a byte-identical payload fakes to a
+        # DIFFERENT vector than the image fake (modality is a real signal)
+        d = hashlib.sha256(b"audio:" + (payload or b"")).digest()
+        return [[d[(4 * r + c) % 32] for c in range(4)] for r in range(4)]
+    import io as _io
+    import wave as _wave
+
+    try:
+        with _wave.open(_io.BytesIO(payload or b""), "rb") as w:
+            nframes, ch, width = w.getnframes(), w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(nframes)
+    except (_wave.Error, EOFError) as exc:
+        raise NotImplementedError(
+            "real audio decode supports RIFF WAV (stdlib wave module); "
+            "compressed codecs (mp3/flac/ogg) need a codec library absent "
+            "here — pass fake=True for the deterministic stub"
+        ) from exc
+    import numpy as np
+
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned, midpoint 128
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    if ch > 1:
+        x = x[: x.size // ch * ch].reshape(-1, ch).mean(axis=1)
+    if x.size == 0:
+        return [[0] * 4 for _ in range(4)]
+    edges = np.linspace(0, x.size, 17).astype(int)
+    feats = [
+        int(min(255.0, round(float(np.abs(x[a:b]).mean()) * 255))) if b > a else 0
+        for a, b in zip(edges[:-1], edges[1:])
+    ]
+    return [feats[4 * r : 4 * r + 4] for r in range(4)]
+
+
 def extract_features(
-    assets: DataFrame, dim: int = 16, fake: bool = False
+    assets: DataFrame,
+    dim: int = 16,
+    fake: bool = False,
+    modality_col: Optional[str] = None,
 ) -> DataFrame:
     """payload → fixed-dim feature vector via Arrow-batched mapInPandas.
 
-    The batch shape, schema, and partitioning are production-real; only the
-    per-asset codec is stubbed (sha256-derived fake when ``fake=True``).
+    The batch shape, schema, and partitioning are production-real.  Codecs:
+    ``modality_col=None`` (default) decodes every payload as an image —
+    the original contract, real behind the optional pillow extra; pass
+    ``modality_col="modality"`` to dispatch per row: ``audio`` rows decode
+    through the stdlib-WAV path (:func:`_decode_audio` — real, no extra
+    needed), ``video`` rows raise unless ``fake=True`` (codec libraries
+    absent here), everything else decodes as an image.  ``fake=True``
+    swaps every codec for its deterministic sha256 stub (the oracle mode).
     """
 
     def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
@@ -148,8 +210,20 @@ def extract_features(
 
         for pdf in it:
             feats = []
-            for payload in pdf["payload"]:
-                pixels = _decode_image(payload, fake)
+            mods = pdf[modality_col] if modality_col is not None else ["image"] * len(pdf)
+            for payload, mod in zip(pdf["payload"], mods):
+                if mod == "audio":
+                    pixels = _decode_audio(payload, fake)
+                elif mod == "video":
+                    if not fake:
+                        raise NotImplementedError(
+                            "video decode requires a codec library not present "
+                            "here — pass fake=True for the deterministic stub"
+                        )
+                    d = hashlib.sha256(b"video:" + (payload or b"")).digest()
+                    pixels = [[d[(4 * r + c) % 32] for c in range(4)] for r in range(4)]
+                else:
+                    pixels = _decode_image(payload, fake)
                 flat = [float(v) for row in pixels for v in row]
                 # repeat/truncate to dim — stands in for a real encoder
                 vec = (flat * ((dim // len(flat)) + 1))[:dim]
@@ -162,7 +236,8 @@ def extract_features(
                 }
             )
 
-    return assets.select("asset_id", "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)
+    cols = ["asset_id", "payload"] + ([modality_col] if modality_col is not None else [])
+    return assets.select(*cols).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def sample_frames(

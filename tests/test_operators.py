@@ -4,7 +4,7 @@ as-of join, multimodal plumbing."""
 import pytest
 from pyspark.sql import Row, functions as F
 
-from pdtable_spark.operators import dedup, similarity, text
+from pdtable_spark.operators import dedup, multimodal, similarity, text
 from pdtable_spark.operators.asof import asof_join
 
 
@@ -1826,3 +1826,76 @@ def test_semantic_dedup_caller_owns_index_cache(spark):
     assert not (idx.storageLevel.useMemory or idx.storageLevel.useDisk)
     plain = similarity.semantic_dedup(df, cents, threshold=0.95, persist_index=False)
     assert not hasattr(plain, "semantic_dedup_index")
+
+
+def test_extract_features_real_wav(spark):
+    """The REAL audio path: a synthesized RIFF WAV (stdlib wave — no
+    extras) decodes through extract_features via modality dispatch; a
+    sine's mean |amplitude| lands where the math says, silence at 0, and
+    the default (no modality_col) image contract is untouched."""
+    import io
+    import math
+    import struct
+    import wave as wavemod
+
+    def make_wav(amplitude, n=1600, rate=8000):
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(
+                b"".join(
+                    struct.pack(
+                        "<h",
+                        int(amplitude * 32767 * math.sin(2 * math.pi * 440 * i / rate)),
+                    )
+                    for i in range(n)
+                )
+            )
+        return buf.getvalue()
+
+    rows = [
+        (1, "audio", make_wav(0.9)),
+        (2, "audio", make_wav(0.0)),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, modality string, payload binary")
+    out = {
+        r["asset_id"]: r
+        for r in multimodal.extract_features(df, dim=16, modality_col="modality").collect()
+    }
+    sine, silence = out[1]["feature"], out[2]["feature"]
+    assert len(sine) == 16 and out[1]["feat_dim"] == 16
+    # mean |sin| = 2/pi, so a 0.9 sine's buckets sit near 0.9*(2/pi)*255 ~ 146
+    assert all(120 < v < 175 for v in sine), sine
+    assert all(v == 0.0 for v in silence)
+
+
+def test_extract_features_modality_dispatch(spark):
+    """Per-row codec dispatch: audio and image fakes differ for identical
+    bytes (modality is a signal), video raises without fake=True, and a
+    non-WAV audio payload raises the clear codec error."""
+    import pytest as _pytest
+
+    payload = b"same-bytes"
+    df = spark.createDataFrame(
+        [(1, "image", payload), (2, "audio", payload)],
+        "asset_id long, modality string, payload binary",
+    )
+    out = {
+        r["asset_id"]: list(r["feature"])
+        for r in multimodal.extract_features(
+            df, fake=True, modality_col="modality"
+        ).collect()
+    }
+    assert out[1] != out[2]
+    vid = spark.createDataFrame(
+        [(3, "video", payload)], "asset_id long, modality string, payload binary"
+    )
+    with _pytest.raises(Exception, match="video decode"):
+        multimodal.extract_features(vid, modality_col="modality").collect()
+    bad = spark.createDataFrame(
+        [(4, "audio", b"not a wav")], "asset_id long, modality string, payload binary"
+    )
+    with _pytest.raises(Exception, match="RIFF WAV"):
+        multimodal.extract_features(bad, modality_col="modality").collect()
