@@ -147,3 +147,82 @@ def quantized_tvd_term(quantize: float):
 def quantized_tvd_scale(summed, quantize: float):
     """Scale a summed :func:`quantized_tvd_term` back to the ½·Σ|Δ| TVD."""
     return summed.cast("double") / F.lit(quantize) / F.lit(2.0)
+
+
+def corpus_psi(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    dim_cols: List[str],
+    epsilon: float = 1e-6,
+    quantize: float = 1e9,
+) -> DataFrame:
+    """Population Stability Index per dimension: (dim, n_values, psi) with
+    psi = Σ_v (p_new − p_old)·ln(p_new / p_old) — the industry-standard
+    drift gate (rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25
+    shifted), complementing :func:`corpus_drift_tvd`: TVD weighs all mass
+    movement linearly, PSI amplifies movement into/out of RARE categories
+    (a vanishing language scores high PSI long before it moves the TVD).
+
+    Zero-mass smoothing: shares are floored at ``epsilon`` before the log
+    (the standard spelling — a category absent from one side contributes a
+    large-but-finite term instead of ±inf).  Each term is non-negative.
+
+    Determinism: the suite's stacked recipe — ln rounds at 9 decimals
+    (JVM/libm last-ulp), then terms sum as quantized BIGINTs
+    (order-independent), so the gate value is bit-reproducible anywhere.
+
+    Scale: inherits :func:`corpus_drift_report`'s one-scan-per-side plan;
+    the PSI rollup aggregates the category-domain-sized report frame.
+    """
+    rep = corpus_drift_report(df_old, df_new, dim_cols)
+    p_o = F.greatest(F.col("share_old"), F.lit(float(epsilon)))
+    p_n = F.greatest(F.col("share_new"), F.lit(float(epsilon)))
+    term = F.round((p_n - p_o) * F.ln(p_n / p_o), 9)
+    q_term = F.floor(term * F.lit(float(quantize))).cast("long")
+    return rep.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        (F.sum(q_term).cast("double") / F.lit(float(quantize))).alias("psi"),
+    )
+
+
+def bucketize(col, lo: float, hi: float, bins: int):
+    """Fixed-width bin index in [0, bins) for a numeric column over
+    [lo, hi): floor((x−lo)/width) with both ends clamped (outliers land in
+    the edge bins, never a ghost category).  NULL stays NULL (a legitimate
+    tracked category).  Pure double arithmetic — identical IEEE result on
+    any engine when both spell this expression."""
+    if bins <= 0 or not hi > lo:
+        raise ValueError("bucketize: need bins > 0 and hi > lo")
+    width = (float(hi) - float(lo)) / bins
+    idx = F.floor((col.cast("double") - F.lit(float(lo))) / F.lit(width))
+    return (
+        F.when(col.isNull(), F.lit(None))
+        .otherwise(F.least(F.greatest(idx, F.lit(0)), F.lit(bins - 1)))
+        .cast("long")
+    )
+
+
+def numeric_drift_report(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    num_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """:func:`corpus_drift_report` for a NUMERIC column: both snapshots are
+    bucketized with SHARED fixed-width edges over [lo, hi) (clamped, so
+    outliers land in the edge bins), then drift is the categorical report
+    over the bin index — ``value`` is the stringified bin, ``dim`` the
+    column name.  Fix lo/hi from the REFERENCE side's known range (a
+    production monitor pins them in config): data-dependent edges would
+    make the report incomparable across runs.
+
+    Compose with :func:`corpus_psi` / :func:`corpus_drift_tvd` by
+    bucketizing first — e.g.
+    ``corpus_psi(bucketize_frame(old), bucketize_frame(new), [col])``."""
+
+    def prep(d: DataFrame) -> DataFrame:
+        return d.select(bucketize(F.col(num_col), lo, hi, bins).alias(num_col))
+
+    return corpus_drift_report(prep(df_old), prep(df_new), [num_col])

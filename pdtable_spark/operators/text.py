@@ -1116,3 +1116,99 @@ def cdc_chunks(
             F.md5(F.col("chunk_text")).alias("chunk_md5"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: List[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: Optional[int] = None,
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval: the top-``k`` documents for a bag of
+    query terms — the standard sparse-retrieval scorer (Robertson &
+    Zaragoza 2009), here the corpus-side primitive for RAG indexing,
+    query-based decontamination audits, and keyword corpus probes.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene's non-negative
+    variant), whole-token case-insensitive matching, dl = whitespace
+    token count.  Returns (id, dl, n_hits, score, rank) for the top k
+    docs matching ≥1 term, rank 1-based with an id tie-break (total
+    order).
+
+    100 TB design — NO inverted index and NO postings shuffle: each query
+    term's tf is a scan-local array count (the term list ships as codegen
+    literals, like :func:`blocklist_filter`), the corpus statistics
+    (N, Σdl, per-term df) partially aggregate map-side into ONE tiny row
+    that broadcasts back, and the top-k is TakeOrdered — so the whole
+    query costs one scan plus two single-row exchanges regardless of
+    corpus size.  Right for the bounded ad-hoc query-term counts this
+    signature accepts (≲100s of terms); a high-QPS serving workload
+    should materialize postings instead.
+
+    ``round_digits``: cross-engine verification mode — JVM ``Math.log``
+    and libm differ in the last ulp, so each idf is rounded
+    binary-faithfully (``floor(x·10^d + 0.5)/10^d``) before the
+    (fixed-order, hence IEEE-deterministic) per-term sum; production
+    keeps raw doubles (None).
+    """
+    from pyspark.sql import Window
+
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    toks_lower = F.transform(tokens(F.col(text_col)), F.lower)
+
+    def tf_of(term: str):
+        # a dedicated closure: a `lambda x, t=t:` two-parameter spelling
+        # would make F.filter pass the ARRAY INDEX as the second argument
+        # (its (element, index) arity), silently shadowing the term
+        return F.size(F.filter(toks_lower, lambda x: x == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__dl"),
+        *[tf_of(t).cast("long").alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__dl_total"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__dl_total").cast("double") / n
+    score, hits = None, None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        dfi = F.col(f"__df_{i}").cast("double")
+        idf = F.ln(F.lit(1.0) + (n - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)))
+        if round_digits is not None:
+            q = float(10**round_digits)
+            idf = F.floor(idf * F.lit(q) + F.lit(0.5)) / F.lit(q)
+        denom = tf + F.lit(float(k1)) * (
+            F.lit(1.0 - float(b))
+            + F.lit(float(b)) * F.col("__dl").cast("double") / avgdl
+        )
+        contrib = idf * tf * F.lit(float(k1) + 1.0) / denom
+        score = contrib if score is None else score + contrib
+        h = (F.col(f"__tf_{i}") > 0).cast("int")
+        hits = h if hits is None else hits + h
+    scored = j.select(
+        F.col(id_col),
+        F.col("__dl").alias("dl"),
+        hits.cast("long").alias("n_hits"),
+        score.alias("score"),
+    ).filter(F.col("n_hits") > 0)
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    # rank attaches AFTER the TakeOrdered limit: the global window runs
+    # over ≤ k rows (bounded by construction), never the corpus
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -1,0 +1,205 @@
+"""Queries PREPARED for round 8 — deliberately NOT registered in
+``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
+allocated to clearing the r4 evidence backlog (plus the two queries
+registered this round), and a declared-but-unreported query would read as
+a coverage gap.  Round 8 moves these into ``suite.py`` (decorate with
+``@q`` and slot them at the head of the rotation alongside the two
+r4-evidence stragglers ``stream_sessionize_stateful`` /
+``stream_sliding_counts``).
+
+Unlike the round-6 staging file, every entry here is ALREADY under the
+correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
+runs each (spark, oracle) pair side-by-side at sf0.001 in pytest, so the
+staged queries cannot rot before registration.
+
+Each entry satisfies the driver contract shape:
+``fn(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
+matching column aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdtable_spark.queries.suite import _SQL_DRIFT_REPORT, load
+
+#: BM25 query terms for the staged retrieval query: one rare term
+#: ('dup' — df 25 of 500 docs at sf0.01) and two common ones, so idf
+#: spread is real.  Sorted-lowercase order matters: the per-term score
+#: sum is evaluated in this order on BOTH engines (IEEE-identical trees).
+PENDING_BM25_TERMS = ["dup", "scan", "vector"]
+
+
+def _sql_tf(term: str) -> str:
+    return (
+        "CAST(len(list_filter(list_transform("
+        "regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)), "
+        f"x -> x = '{term}')) AS BIGINT)"
+    )
+
+
+def _sql_bm25(terms, k: int) -> str:
+    terms = sorted({t.lower() for t in terms})
+    tf_cols = ",\n             ".join(
+        f"{_sql_tf(t)} AS tf{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    # mirrors operators/text.py::bm25_topk exactly: idf rounded
+    # binary-faithfully (floor(x*1e9 + 0.5)/1e9), k1=1.2, b=0.75, and the
+    # same left-associative expression shapes so doubles are bit-identical
+    def contrib(i: int) -> str:
+        idf = (
+            f"floor(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5)) * 1000000000.0 + 0.5)"
+            " / 1000000000.0"
+        )
+        denom = (
+            f"CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)"
+            " / (CAST(dl_total AS DOUBLE) / CAST(n AS DOUBLE)))"
+        )
+        return f"{idf} * CAST(tf{i} AS DOUBLE) * 2.2 / ({denom})"
+
+    score = " + ".join(contrib(i) for i in range(len(terms)))
+    n_hits = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS dl_total, {df_cols} FROM base
+    ),
+    scored AS (
+      SELECT b.doc_id, b.dl,
+             CAST({n_hits} AS BIGINT) AS n_hits,
+             {score} AS score
+      FROM base b CROSS JOIN stats
+    ),
+    topk AS (
+      SELECT * FROM scored WHERE n_hits > 0
+      ORDER BY score DESC, doc_id LIMIT {k}
+    )
+    SELECT doc_id, dl, n_hits, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM topk
+    """
+
+
+PENDING_SQL_BM25 = _sql_bm25(PENDING_BM25_TERMS, k=25)
+
+
+def pending_text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-25 over the documents table for a mixed rare/common
+    term bag — zero-shuffle tf + one broadcast stats row + TakeOrdered
+    (see operators/text.py::bm25_topk), in round_digits=9 verification
+    mode so the idf ln matches across engines."""
+    from pdtable_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        load(spark, sf_dir, "documents"),
+        PENDING_BM25_TERMS,
+        k=25,
+        round_digits=9,
+    )
+
+
+#: PSI over the same even/odd snapshot halves (and the same report CTE) as
+#: the registered drift queries — the three standard drift gates (report /
+#: TVD / PSI) then share one oracle lineage.
+PENDING_SQL_PSI = f"""
+    WITH rep AS ({_SQL_DRIFT_REPORT})
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(CAST(FLOOR(round(
+                 (GREATEST(share_new, 0.000001) - GREATEST(share_old, 0.000001))
+                 * ln(GREATEST(share_new, 0.000001)
+                      / GREATEST(share_old, 0.000001)), 9)
+               * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS psi
+    FROM rep GROUP BY dim
+"""
+
+
+def pending_pipeline_drift_psi(spark, sf_dir):
+    """Population Stability Index between the even/odd snapshot halves
+    along source and lang — the rare-category-sensitive companion to
+    pipeline_drift_tvd, quantized-BIGINT-summed for bit reproducibility."""
+    from pdtable_spark.operators.monitor import corpus_psi
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_psi(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        ["source", "lang"],
+    )
+
+
+#: Numeric drift: n_chars over [0, 600) in 12 fixed bins (width 50.0 —
+#: exact in binary, so floor((x-0)/50) is engine-identical).
+PENDING_SQL_NUMERIC_DRIFT = """
+    WITH ob AS (
+      SELECT CAST(CAST(LEAST(GREATEST(
+               FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 50.0), 0), 11)
+             AS BIGINT) AS VARCHAR) AS value, COUNT(*) AS n_old
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    nb AS (
+      SELECT CAST(CAST(LEAST(GREATEST(
+               FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 50.0), 0), 11)
+             AS BIGINT) AS VARCHAR) AS value, COUNT(*) AS n_new
+      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(ob.value, nb.value) AS value,
+             COALESCE(ob.n_old, 0) AS n_old, COALESCE(nb.n_new, 0) AS n_new
+      FROM ob FULL OUTER JOIN nb ON nb.value IS NOT DISTINCT FROM ob.value
+    ),
+    m AS (
+      SELECT value, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+             CASE WHEN SUM(n_old) OVER () > 0
+                  THEN CAST(n_old AS DOUBLE) / CAST(SUM(n_old) OVER () AS DOUBLE)
+                  ELSE 0.0 END AS share_old,
+             CASE WHEN SUM(n_new) OVER () > 0
+                  THEN CAST(n_new AS DOUBLE) / CAST(SUM(n_new) OVER () AS DOUBLE)
+                  ELSE 0.0 END AS share_new
+      FROM j
+    )
+    SELECT 'n_chars' AS dim, value, n_old, n_new, share_old, share_new,
+           share_new - share_old AS delta,
+           abs(share_new - share_old) AS abs_delta
+    FROM m
+"""
+
+
+def pending_pipeline_numeric_drift(spark, sf_dir):
+    """Numeric-dimension drift between the snapshot halves: n_chars
+    bucketized into 12 shared fixed-width bins over [0, 600), then the
+    standard categorical report — the length-distribution alarm a filter
+    regression trips first."""
+    from pdtable_spark.operators.monitor import numeric_drift_report
+
+    docs = load(spark, sf_dir, "documents")
+    return numeric_drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        lo=0.0,
+        hi=600.0,
+        bins=12,
+    )
+
+
+#: name → (query fn, oracle sql): what round 8 registers under ``@q``.
+PENDING = {
+    "text_bm25_topk": (pending_text_bm25_topk, PENDING_SQL_BM25),
+    "pipeline_drift_psi": (pending_pipeline_drift_psi, PENDING_SQL_PSI),
+    "pipeline_numeric_drift": (
+        pending_pipeline_numeric_drift,
+        PENDING_SQL_NUMERIC_DRIFT,
+    ),
+}

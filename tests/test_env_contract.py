@@ -120,3 +120,32 @@ def test_query_registry_contract():
             con.execute(f"DESCRIBE {sql}")
         except Exception as exc:  # pragma: no cover - the assert carries it
             raise AssertionError(f"oracle for {name!r} fails to parse: {exc}")
+
+
+def test_pending_r8_oracles(spark):
+    """The staged round-8 queries are under the correctness gate BEFORE
+    registration: each (spark, oracle) pair runs side-by-side at sf0.001 —
+    row count, column names, and order-insensitive values must match (the
+    driver's comparison, minus the pandas canonicalization layer)."""
+    import duckdb
+
+    from pdtable_spark.queries.pending_r8 import PENDING
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    for name, (fn, sql) in PENDING.items():
+        sdf = fn(spark, "/root/testdata/sf0.001")
+        got = sorted(map(tuple, sdf.collect()))
+        cur = con.execute(sql)
+        want = sorted(map(tuple, cur.fetchall()))
+        assert [f.name for f in sdf.schema.fields] == [
+            d[0] for d in cur.description
+        ], name
+        assert got == want, (name, got[:3], want[:3])

@@ -1899,3 +1899,79 @@ def test_extract_features_modality_dispatch(spark):
     )
     with _pytest.raises(Exception, match="RIFF WAV"):
         multimodal.extract_features(bad, modality_col="modality").collect()
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 against hand-computed Okapi scores (Lucene idf variant),
+    including the n_hits>0 cut and the id tie-break."""
+    import math
+
+    rows = [
+        (0, "apple banana apple"),
+        (1, "apple cherry"),
+        (2, "dog cat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.bm25_topk(df, ["apple", "banana"], k=10).collect()}
+    assert set(out) == {0, 1}  # doc 2 matches no term
+
+    def idf(n, dfx):
+        return math.log(1.0 + (n - dfx + 0.5) / (dfx + 0.5))
+
+    def w(tf, dl, avgdl, k1=1.2, b=0.75):
+        return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    n, avgdl = 3, 7 / 3
+    exp0 = idf(n, 2) * w(2, 3, avgdl) + idf(n, 1) * w(1, 3, avgdl)
+    exp1 = idf(n, 2) * w(1, 2, avgdl)
+    assert abs(out[0]["score"] - exp0) < 1e-12
+    assert abs(out[1]["score"] - exp1) < 1e-12
+    assert out[0]["rank"] == 1 and out[0]["n_hits"] == 2 and out[0]["dl"] == 3
+    assert out[1]["rank"] == 2 and out[1]["n_hits"] == 1
+    # k truncates; ties break on id (identical docs → identical scores)
+    tie = spark.createDataFrame([(i, "apple pie") for i in range(5)], ["doc_id", "text"])
+    got = [r["doc_id"] for r in text.bm25_topk(tie, ["apple"], k=3).collect()]
+    assert got == [0, 1, 2]
+    with pytest.raises(ValueError, match="non-empty"):
+        text.bm25_topk(df, [])
+
+
+def test_corpus_psi_hand_computed(spark):
+    """PSI against the hand-computed Σ(p_new−p_old)·ln(p_new/p_old) with
+    epsilon smoothing for the emptied category."""
+    import math
+
+    from pdtable_spark.operators.monitor import corpus_psi
+
+    old = spark.createDataFrame([("a",), ("a",), ("b",), ("b",)], ["src"])
+    new = spark.createDataFrame([("a",), ("a",), ("a",), ("a",)], ["src"])
+    got = corpus_psi(old, new, ["src"]).collect()[0]
+    eps = 1e-6
+    exp = (1.0 - 0.5) * math.log(1.0 / 0.5) + (eps - 0.5) * math.log(eps / 0.5)
+    assert got["n_values"] == 2
+    assert abs(got["psi"] - exp) < 1e-6
+    # identical snapshots → PSI exactly 0
+    same = corpus_psi(old, old, ["src"]).collect()[0]
+    assert same["psi"] == 0.0
+
+
+def test_bucketize_and_numeric_drift(spark):
+    """Fixed-width bucketize clamps outliers to edge bins, keeps NULL, and
+    the numeric drift report's shares follow the bin counts."""
+    from pdtable_spark.operators.monitor import bucketize, numeric_drift_report
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (49.0,), (50.0,), (99.0,), (250.0,), (None,)],
+        "x double",
+    )
+    got = [r["b"] for r in df.select(bucketize(F.col("x"), 0, 100, 2).alias("b")).collect()]
+    assert got == [0, 0, 0, 1, 1, 1, None]
+    old = spark.createDataFrame([(10.0,), (20.0,), (60.0,)], "x double")
+    new = spark.createDataFrame([(70.0,), (80.0,)], "x double")
+    rep = {r["value"]: r for r in numeric_drift_report(old, new, "x", 0, 100, 2).collect()}
+    assert rep["0"]["n_old"] == 2 and rep["0"]["n_new"] == 0
+    assert rep["1"]["share_new"] == 1.0 and abs(rep["1"]["share_old"] - 1 / 3) < 1e-15
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins > 0"):
+        bucketize(F.col("x"), 0, 100, 0)

@@ -325,3 +325,18 @@ def test_curate_recipe_blocklist_adds_no_scan(spark):
         return n_scans(plan), plan.count("LeftSemi")
 
     assert shape(None) == shape(["window"]) == (2, 1)
+
+
+def test_bm25_no_postings_shuffle(spark):
+    """BM25's 100 TB contract: NO (doc, term) postings shuffle — term
+    frequencies are scan-local array counts, the only exchanges are the
+    single-row stats aggregate and the bounded (≤k-row) rank window, and
+    the top-k is TakeOrdered, never a corpus sort."""
+    from pdtable_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = text.bm25_topk(docs, ["dup", "scan", "vector"], k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert n_exchanges(plan) == 0  # no hash-partitioned shuffle at all
+    assert "TakeOrdered" in plan
+    assert "Sort " not in plan.replace("TakeOrdered", "")  # no global sort node
