@@ -925,3 +925,62 @@ def pq_query_refined(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: List[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    quantize: float = 1e12,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009): merge several
+    top-k rankings of the same id space into one —
+    score(d) = Σ_lists 1/(k + rank_list(d)) — the standard hybrid-retrieval
+    combiner (BM25 ⊕ embedding cosine and friends).  Only RANKS are
+    consumed, so heterogeneous scorers fuse without calibration; ``k=60``
+    is the paper's damping constant.
+
+    Returns (id, n_lists — how many input rankings contained the id,
+    rrf_score, rank) over the union of the inputs' candidates, rank
+    1-based with an id tie-break.
+
+    Determinism: each reciprocal term is floored to ``1/quantize``
+    precision (``floor(quantize/(k+rank))`` — an exact BIGINT) and summed
+    as integers, so the fused ordering is bit-reproducible on any engine
+    and never depends on double-sum order.
+
+    Scale: inputs are top-k lists, so the candidate union is bounded by
+    Σ input sizes by construction — the groupBy and the final rank window
+    run over that bounded set, never a corpus.  (Do not feed corpus-sized
+    "rankings" through this; rank the top-k first.)
+    """
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
+    frames = [
+        r.select(F.col(id_col), F.col(rank_col).cast("long").alias("__rank"))
+        for r in rankings
+    ]
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    term = F.floor(
+        F.lit(float(quantize)) / (F.lit(float(k)) + F.col("__rank").cast("double"))
+    ).cast("long")
+    agg = u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum(term).alias("__q"),
+    )
+    w = Window.orderBy(F.desc("__q"), F.asc(id_col))
+    return (
+        agg.select(
+            id_col,
+            "n_lists",
+            (F.col("__q").cast("double") / F.lit(float(quantize))).alias("rrf_score"),
+            F.col("__q"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .drop("__q")
+    )

@@ -203,3 +203,57 @@ PENDING = {
         PENDING_SQL_NUMERIC_DRIFT,
     ),
 }
+
+
+#: Hybrid retrieval: the BM25 lexical top-25 fused with the exact-cosine
+#: top-25 for probe vector 0 (documents and embeddings share the 0..N id
+#: space in the driver testdata) via Reciprocal Rank Fusion — only RANKS
+#: cross the fusion boundary, so the oracle needs no score calibration.
+from pdtable_spark.queries.suite import _COSINE_SQL  # noqa: E402
+
+PENDING_SQL_HYBRID = f"""
+    WITH lex AS (SELECT doc_id, rank FROM ({PENDING_SQL_BM25})),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qa FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    scored AS (SELECT c.vec_id, {_COSINE_SQL} AS s FROM c CROSS JOIN q),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INT) AS rank
+      FROM scored QUALIFY rank <= 25
+    ),
+    u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+             SUM(CAST(FLOOR(1000000000000.0 / (60.0 + CAST(rank AS DOUBLE)))
+                 AS BIGINT)) AS qsum
+      FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, n_lists,
+           CAST(qsum AS DOUBLE) / 1000000000000.0 AS rrf_score,
+           CAST(row_number() OVER (ORDER BY qsum DESC, doc_id) AS INT) AS rank
+    FROM agg
+"""
+
+
+def pending_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval end-to-end: BM25 lexical ranks ⊕ embedding cosine
+    ranks fused by RRF (k=60) — the standard RAG retrieval stack as one
+    value-oracled composition of three operators."""
+    from pdtable_spark.operators import similarity
+    from pdtable_spark.operators.text import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, PENDING_BM25_TERMS, k=25, round_digits=9).select(
+        "doc_id", "rank"
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = similarity.cosine_topk(emb, q0, k=25).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return similarity.rrf_fuse([lex, sem], k=60)
+
+
+PENDING["hybrid_rrf_topk"] = (pending_hybrid_rrf_topk, PENDING_SQL_HYBRID)

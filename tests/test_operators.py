@@ -1975,3 +1975,21 @@ def test_bucketize_and_numeric_drift(spark):
 
     with _pytest.raises(ValueError, match="bins > 0"):
         bucketize(F.col("x"), 0, 100, 0)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Reciprocal Rank Fusion against hand-computed 1/(k+rank) sums: a doc
+    ranked mid-list in BOTH inputs outscores each list's sole leader."""
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(9, 1), (2, 2), (3, 4)], ["doc_id", "rank"])
+    got = {r["doc_id"]: r for r in similarity.rrf_fuse([a, b], k=60).collect()}
+    assert got[2]["n_lists"] == 2 and got[1]["n_lists"] == 1
+    q = 1e12
+    exp2 = (int(q // 62) + int(q // 62)) / q
+    assert abs(got[2]["rrf_score"] - exp2) < 1e-12
+    # fused order: 2 (two mid ranks) beats 1 and 9 (single first places)
+    order = [d for d, r in sorted(got.items(), key=lambda kv: kv[1]["rank"])]
+    assert order[0] == 2
+    assert got[1]["rank"] < got[9]["rank"]  # equal scores -> id tie-break
+    with pytest.raises(ValueError, match="non-empty"):
+        similarity.rrf_fuse([])
