@@ -419,3 +419,94 @@ def mixture_temperature_weights(
         ],
         schema,
     )
+
+
+def _dsir_grams(text_col):
+    """The DSIR feature stream: unigrams ++ (non-deduplicated) bigrams,
+    with multiplicity — hashed-ngram features per Xie et al. (DSIR,
+    arXiv:2302.03169).  Single-token docs contribute their lone token
+    twice (the degenerate 1-window bigram), mirrored exactly in the
+    oracle SQL."""
+    from pdtable_spark.operators.text import _windows_of, tokens
+
+    toks = tokens(text_col)
+    bigrams = F.transform(
+        _windows_of(toks, 2), lambda s: F.concat_ws(" ", s["0"], s["1"])
+    )
+    return F.concat(toks, bigrams)
+
+
+def dsir_log_importance(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    quantize: float = 1e9,
+) -> DataFrame:
+    """DSIR data selection (Xie et al., arXiv:2302.03169): per-document
+    hashed-n-gram importance log-weights for resampling a RAW corpus
+    toward a TARGET distribution — the method behind "select web data
+    that looks like Wikipedia/books" pretraining pipelines.
+
+    Features are unigrams+bigrams hashed into ``buckets`` (md5_60 mod B —
+    the engine-reproducible hash); both corpora induce Laplace-smoothed
+    bucket unigram models, and each document scores
+    ``log_importance = Σ_grams ln(p_target[bucket] / p_raw[bucket])``.
+    Returns (id, n_grams, log_importance); resample with e.g.
+    ``weighted_hash_sample(out, F.exp(F.col('log_importance') - lit(m)))``
+    after shifting by a chosen pivot m, or threshold the log directly.
+
+    100 TB design: the only corpus-sized aggregation is the two bucket
+    counts — map-side-combinable, shuffle ≤ ``buckets`` rows per side.
+    The per-bucket log-ratio table is a BOUNDED driver artifact (≤ B
+    rows, the IVF-centroid collect policy) that returns to executors as
+    one broadcast array row, so document scoring is a pure scan-local
+    fold — no per-doc shuffle, no join on the token stream.
+
+    Determinism: each bucket's log-ratio is floored binary-faithfully at
+    ``1/quantize`` (ln computed ONCE driver-side; an engine recomputing
+    it hits at most the libm-vs-JVM ulp the flooring absorbs), and the
+    per-doc sum accumulates those exact integers (magnitudes ≪ 2^53, so
+    the double fold is exact integer arithmetic — order-independent).
+    """
+    import math
+
+    from pdtable_spark.operators.similarity import _matrix_frame
+
+    if buckets <= 0:
+        raise ValueError("dsir_log_importance: buckets must be positive")
+    bucket_of = lambda g: md5_60(g) % F.lit(buckets)  # noqa: E731
+
+    def bucket_counts(d: DataFrame) -> dict:
+        rows = (
+            d.select(F.explode(_dsir_grams(F.col(text_col))).alias("g"))
+            .groupBy(bucket_of(F.col("g")).alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {r["b"]: r["c"] for r in rows}
+
+    cs, ct = bucket_counts(df), bucket_counts(target)
+    ts, tt = float(sum(cs.values())), float(sum(ct.values()))
+    lut = []
+    for b in range(buckets):
+        p_t = (ct.get(b, 0) + 1.0) / (tt + float(buckets))
+        p_s = (cs.get(b, 0) + 1.0) / (ts + float(buckets))
+        lr = math.log(p_t / p_s)
+        lut.append(float(math.floor(lr * quantize + 0.5)))
+    grams = _dsir_grams(F.col(text_col))
+    d = _matrix_frame(
+        df.select(F.col(id_col), grams.alias("__grams")), "__dsir_lut", lut, 1
+    )
+    qsum = F.aggregate(
+        F.col("__grams"),
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(F.col("__dsir_lut"), (bucket_of(g) + 1).cast("int")),
+    )
+    return d.select(
+        F.col(id_col),
+        F.size(F.col("__grams")).cast("long").alias("n_grams"),
+        (qsum / F.lit(float(quantize))).alias("log_importance"),
+    )

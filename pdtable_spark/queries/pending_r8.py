@@ -257,3 +257,60 @@ def pending_hybrid_rrf_topk(spark, sf_dir):
 
 
 PENDING["hybrid_rrf_topk"] = (pending_hybrid_rrf_topk, PENDING_SQL_HYBRID)
+
+
+#: DSIR importance weights: raw = the full documents table, target = its
+#: lang='en' slice; 4096 hashed-ngram buckets.  The oracle rebuilds the
+#: whole method in SQL — md5_60 buckets, Laplace bucket models with the
+#: exact operand order, ln floored at 1e-9 — so the per-doc weights
+#: hash-match bit-for-bit.
+_SQL_DSIR_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_SQL_DSIR_GRAMS = (
+    f"list_concat({_SQL_DSIR_TOKS}, "
+    f"CASE WHEN len({_SQL_DSIR_TOKS}) >= 2 THEN "
+    f"list_transform(generate_series(1, len({_SQL_DSIR_TOKS}) - 1), "
+    f"i -> array_to_string(list_slice({_SQL_DSIR_TOKS}, i, i + 1), ' ')) "
+    f"ELSE [array_to_string({_SQL_DSIR_TOKS}, ' ')] END)"
+)
+
+PENDING_SQL_DSIR = f"""
+    WITH gb AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 4096 AS b
+      FROM (SELECT doc_id, unnest({_SQL_DSIR_GRAMS}) AS gram FROM documents)
+    ),
+    tgb AS (
+      SELECT CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 4096 AS b
+      FROM (SELECT unnest({_SQL_DSIR_GRAMS}) AS gram FROM documents
+            WHERE lang = 'en')
+    ),
+    sc AS (SELECT b, COUNT(*) AS cs FROM gb GROUP BY 1),
+    tc AS (SELECT b, COUNT(*) AS ct FROM tgb GROUP BY 1),
+    tots AS (SELECT (SELECT COUNT(*) FROM gb) AS ts,
+                    (SELECT COUNT(*) FROM tgb) AS tt),
+    q AS (
+      SELECT sc.b,
+             CAST(FLOOR(ln(((COALESCE(tc.ct, 0) + 1.0) / (tt + 4096.0))
+                           / ((sc.cs + 1.0) / (ts + 4096.0)))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS qv
+      FROM sc LEFT JOIN tc ON tc.b = sc.b CROSS JOIN tots
+    )
+    SELECT gb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(q.qv) AS DOUBLE) / 1000000000.0 AS log_importance
+    FROM gb JOIN q ON q.b = gb.b
+    GROUP BY gb.doc_id
+"""
+
+
+def pending_pipeline_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (hashed-ngram importance resampling,
+    Xie et al. 2023) for steering the raw corpus toward its lang='en'
+    slice — the modern "select data that looks like the target" primitive,
+    scored scan-locally off a bounded broadcast log-ratio table."""
+    from pdtable_spark.operators.sampling import dsir_log_importance
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_log_importance(docs, docs.filter(F.col("lang") == "en"))
+
+
+PENDING["pipeline_dsir_weights"] = (pending_pipeline_dsir_weights, PENDING_SQL_DSIR)

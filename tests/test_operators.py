@@ -1993,3 +1993,56 @@ def test_rrf_fuse_hand_computed(spark):
     assert got[1]["rank"] < got[9]["rank"]  # equal scores -> id tie-break
     with pytest.raises(ValueError, match="non-empty"):
         similarity.rrf_fuse([])
+
+
+def test_dsir_log_importance_hand_computed(spark):
+    """DSIR importance log-weights against a full Python reimplementation
+    (md5_60 buckets, Laplace bucket models, floored quantized log-ratios) —
+    and the sign sanity: a doc matching the target scores higher than one
+    that doesn't."""
+    import hashlib
+    import math
+
+    from pdtable_spark.operators.sampling import dsir_log_importance
+
+    raw_rows = [(0, "a b"), (1, "c"), (2, "a b a")]
+    tgt_rows = [(10, "a b")]
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    tgt = spark.createDataFrame(tgt_rows, ["doc_id", "text"])
+    B, Q = 16, 1e9
+
+    def grams(text):
+        t = text.strip().split()
+        bi = [" ".join(t[i : i + 2]) for i in range(len(t) - 1)] if len(t) >= 2 else [" ".join(t)]
+        return t + bi
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    def counts(rows):
+        c = {}
+        for _, text in rows:
+            for g in grams(text):
+                c[bucket(g)] = c.get(bucket(g), 0) + 1
+        return c
+
+    cs, ct = counts(raw_rows), counts(tgt_rows)
+    ts, tt = float(sum(cs.values())), float(sum(ct.values()))
+    lut = {}
+    for b in range(B):
+        lr = math.log(((ct.get(b, 0) + 1.0) / (tt + B)) / ((cs.get(b, 0) + 1.0) / (ts + B)))
+        lut[b] = math.floor(lr * Q + 0.5)
+
+    def expect(text):
+        gs = grams(text)
+        return len(gs), sum(lut[bucket(g)] for g in gs) / Q
+
+    got = {r["doc_id"]: r for r in dsir_log_importance(raw, tgt, buckets=B).collect()}
+    for doc_id, text in raw_rows:
+        n, li = expect(text)
+        assert got[doc_id]["n_grams"] == n, doc_id
+        assert abs(got[doc_id]["log_importance"] - li) < 1e-12, doc_id
+    # the target-like doc outranks the out-of-target doc per gram
+    assert (got[0]["log_importance"] / got[0]["n_grams"]) > (
+        got[1]["log_importance"] / got[1]["n_grams"]
+    )
