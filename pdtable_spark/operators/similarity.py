@@ -933,6 +933,7 @@ def rrf_fuse(
     rank_col: str = "rank",
     k: int = 60,
     quantize: float = 1e12,
+    weights: Optional[List[float]] = None,
 ) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009): merge several
     top-k rankings of the same id space into one —
@@ -950,6 +951,11 @@ def rrf_fuse(
     as integers, so the fused ordering is bit-reproducible on any engine
     and never depends on double-sum order.
 
+    ``weights`` (one per ranking, default all 1.0) scale each list's
+    reciprocal terms — the tuned-hybrid variant (e.g. 0.7·lexical ⊕
+    1.0·semantic); weighting happens INSIDE the quantized floor so the
+    fused order stays bit-reproducible.
+
     Scale: inputs are top-k lists, so the candidate union is bounded by
     Σ input sizes by construction — the groupBy and the final rank window
     run over that bounded set, never a corpus.  (Do not feed corpus-sized
@@ -959,15 +965,26 @@ def rrf_fuse(
 
     if not rankings:
         raise ValueError("rrf_fuse: rankings must be non-empty")
+    if weights is not None and len(weights) != len(rankings):
+        raise ValueError(
+            f"rrf_fuse: {len(weights)} weights for {len(rankings)} rankings"
+        )
+    ws = [1.0] * len(rankings) if weights is None else [float(w) for w in weights]
     frames = [
-        r.select(F.col(id_col), F.col(rank_col).cast("long").alias("__rank"))
-        for r in rankings
+        r.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias("__rank"),
+            F.lit(w).alias("__w"),
+        )
+        for r, w in zip(rankings, ws)
     ]
     u = frames[0]
     for f in frames[1:]:
         u = u.unionByName(f)
     term = F.floor(
-        F.lit(float(quantize)) / (F.lit(float(k)) + F.col("__rank").cast("double"))
+        F.col("__w")
+        * F.lit(float(quantize))
+        / (F.lit(float(k)) + F.col("__rank").cast("double"))
     ).cast("long")
     agg = u.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_lists"),

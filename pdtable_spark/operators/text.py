@@ -1212,3 +1212,51 @@ def bm25_topk(
     # over ≤ k rows (bounded by construction), never the corpus
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level Shannon entropy per document (nats):
+    H = −Σ_c p_c·ln p_c over the document's character distribution —
+    the cheap gibberish/repetition signal (keyboard mash and one-char
+    spam sit near 0; natural language clusters in a band; random base64
+    runs high).  Returns (id, n_chars, n_distinct_chars, entropy).
+
+    Plan: pure scan-local array expressions — the distinct-character
+    alphabet is computed per row and each distinct character's count is
+    one array traversal (O(len·alphabet) per row, alphabet-bounded; no
+    shuffle, no explode).  Operates on code units of the engine's string
+    split — ASCII/BMP-safe, the right contract for a quality signal.
+
+    Determinism: each −p·ln p term is rounded at 9 decimals and floored
+    to an exact integer at 1e-9 before the sum (the suite's ln recipe),
+    so the entropy is bit-reproducible regardless of the engines'
+    differing distinct-character orderings.
+    """
+    # drop empty-string artifacts of empty-pattern split (engines disagree
+    # on whether "" splits to [] or [""] — filtering pins both to [])
+    chars = F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+
+    def entropy_of(cs):
+        # cs is a _let-bound reference: every use below is a cheap
+        # BoundReference, not a re-evaluated split (the module's CSE rule)
+        n = F.size(cs).cast("double")
+
+        def term(c):
+            p = F.size(F.filter(cs, lambda x: x == c)).cast("double") / n
+            return F.floor(F.round(-(p * F.ln(p)), 9) * F.lit(1e9))
+
+        qsum = F.aggregate(
+            F.transform(F.array_distinct(cs), term), F.lit(0.0), lambda a, v: a + v
+        )
+        return F.when(F.size(cs) > 0, qsum / F.lit(1e9)).otherwise(F.lit(0.0))
+
+    return df.select(
+        F.col(id_col),
+        F.size(chars).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(chars)).cast("long").alias("n_distinct_chars"),
+        _let(chars, entropy_of).alias("entropy"),
+    )

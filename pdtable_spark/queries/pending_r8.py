@@ -314,3 +314,47 @@ def pending_pipeline_dsir_weights(spark, sf_dir):
 
 
 PENDING["pipeline_dsir_weights"] = (pending_pipeline_dsir_weights, PENDING_SQL_DSIR)
+
+
+#: Character-entropy quality signal; the oracle rebuilds the quantized
+#: −p·ln p sum per document via explode+group (the operator's scan-local
+#: array fold and this relational spelling sum the same exact integers).
+PENDING_SQL_CHAR_ENTROPY = """
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT c) AS nd
+            FROM ch GROUP BY 1),
+    terms AS (
+      SELECT cnt.doc_id,
+             CAST(FLOOR(round(
+               -((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+               * 1000000000.0) AS BIGINT) AS qt
+      FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
+    ),
+    ent AS (SELECT doc_id, CAST(SUM(qt) AS DOUBLE) / 1000000000.0 AS e
+            FROM terms GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(tot.n, 0) AS BIGINT) AS n_chars,
+           CAST(COALESCE(tot.nd, 0) AS BIGINT) AS n_distinct_chars,
+           COALESCE(ent.e, 0.0) AS entropy
+    FROM documents d
+    LEFT JOIN tot ON tot.doc_id = d.doc_id
+    LEFT JOIN ent ON ent.doc_id = d.doc_id
+"""
+
+
+def pending_text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the cheap gibberish
+    and repetition signal, computed as one scan-local array fold (no
+    explode, no shuffle) with the quantized-ln determinism recipe."""
+    from pdtable_spark.operators.text import char_entropy
+
+    return char_entropy(load(spark, sf_dir, "documents"))
+
+
+PENDING["text_char_entropy"] = (pending_text_char_entropy, PENDING_SQL_CHAR_ENTROPY)

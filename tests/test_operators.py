@@ -2046,3 +2046,42 @@ def test_dsir_log_importance_hand_computed(spark):
     assert (got[0]["log_importance"] / got[0]["n_grams"]) > (
         got[1]["log_importance"] / got[1]["n_grams"]
     )
+
+
+def test_char_entropy_hand_computed(spark):
+    """Character entropy against hand-computed values: uniform two-char
+    text = ln 2, single-char text = 0, empty text = 0 with zero counts."""
+    import math
+
+    rows = [(0, "aaaa"), (1, "abab"), (2, ""), (3, "abcd")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.char_entropy(df).collect()}
+    assert got[0]["entropy"] == 0.0 and got[0]["n_distinct_chars"] == 1
+    q = lambda x: math.floor(round(x, 9) * 1e9) / 1e9  # noqa: E731
+
+    def H(ps):
+        return sum(q(-(p * math.log(p))) for p in ps)
+
+    assert abs(got[1]["entropy"] - H([0.5, 0.5])) < 1e-12
+    assert abs(got[3]["entropy"] - H([0.25] * 4)) < 1e-12
+    assert got[2]["n_chars"] == 0 and got[2]["entropy"] == 0.0
+    assert got[3]["n_chars"] == 4 and got[3]["n_distinct_chars"] == 4
+
+
+def test_rrf_fuse_weighted(spark):
+    """Weighted RRF: per-list weights scale the reciprocal terms inside the
+    quantized floor, and a weights/rankings length mismatch fails loudly."""
+    a = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1)], ["doc_id", "rank"])
+    got = {
+        r["doc_id"]: r
+        for r in similarity.rrf_fuse([a, b], k=60, weights=[0.5, 1.0]).collect()
+    }
+    q = 1e12
+    import math
+
+    assert got[1]["rrf_score"] == math.floor(0.5 * q / 61.0) / q
+    assert got[2]["rrf_score"] == math.floor(1.0 * q / 61.0) / q
+    assert got[2]["rank"] == 1  # heavier list wins
+    with pytest.raises(ValueError, match="weights for"):
+        similarity.rrf_fuse([a, b], weights=[1.0])
