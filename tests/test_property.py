@@ -464,3 +464,31 @@ def test_c4_quality_against_bruteforce(spark, texts):
             got["n_sentences"] >= 3 and not got["has_lorem"] and not got["has_brace"]
         )
         assert got["pass_c4"] == want_pass
+
+
+def test_retrieval_and_selection_partition_invariance(spark):
+    """The content-stable contract for the round-7 scoring operators: BM25
+    ranks, DSIR log-weights, and char entropy must be IDENTICAL regardless
+    of input partitioning/row order (no RNG, no order-dependent float
+    accumulation on the data path)."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.sampling import dsir_log_importance
+    from pdtable_spark.operators.text import bm25_topk, char_entropy
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    shuffled = docs.repartition(7, F.col("lang")).sortWithinPartitions(
+        F.desc("doc_id")
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(bm25_topk(docs, ["dup", "scan"], k=15)) == rows(
+        bm25_topk(shuffled, ["dup", "scan"], k=15)
+    )
+    tgt = docs.filter(F.col("lang") == "en")
+    assert rows(dsir_log_importance(docs, tgt, buckets=256)) == rows(
+        dsir_log_importance(shuffled, tgt.repartition(5), buckets=256)
+    )
+    assert rows(char_entropy(docs)) == rows(char_entropy(shuffled))
