@@ -181,6 +181,11 @@ def main():
         q = emb.limit(16).withColumnRenamed("vec_id", "query_id")
         return similarity.pq_query(idx, q, books, k=10)
 
+    from pdtable_spark.queries.pending_r8 import PENDING as _PENDING_R8
+
+    for _name, (_fn, _sql) in _PENDING_R8.items():
+        BENCH_QUERIES.setdefault(_name, _fn)
+
     BENCH_QUERIES["dedup_incremental"] = bench_dedup_incremental
     BENCH_QUERIES["dedup_incremental_verified"] = bench_dedup_incremental_verified
     BENCH_QUERIES["ann_query_served"] = bench_ann_query_served
@@ -218,6 +223,12 @@ def main():
         "pipeline_modern_recipe",
         "pipeline_drift_report",
         "pipeline_score_calibration",
+        # staged round-8 queries (queries/pending_r8.py) — benched
+        # pre-registration so their perf trend starts now: BM25 retrieval
+        # (zero-postings-shuffle) and DSIR importance scoring (bounded-LUT
+        # scan-local fold) are the two corpus-heavy ones
+        "text_bm25_topk",
+        "pipeline_dsir_weights",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2
