@@ -47,29 +47,48 @@ def corpus_drift_report(
     outer join on the (dim, value) key.  NULL category values are
     legitimate and tracked as a value.
     """
+    return corpus_drift_report_from_counts(
+        drift_counts(df_old, dim_cols, "n_old"),
+        drift_counts(df_new, dim_cols, "n_new"),
+    )
+
+
+def drift_counts(df: DataFrame, dim_cols: List[str], out: str) -> DataFrame:
+    """One snapshot's (dim, value, count) frame — the aggregated form the
+    drift report joins.  Exposed so a FIXED side can be aggregated (and
+    persisted) ONCE and reused across many comparisons: a streaming
+    monitor re-deriving its 100 TB reference's counts every micro-batch
+    would pay a corpus scan per batch for an unchanging
+    category-domain-sized result."""
     if not dim_cols:
-        raise ValueError("corpus_drift_report: dim_cols must be non-empty")
+        raise ValueError("drift_counts: dim_cols must be non-empty")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(dim).alias("dim"),
+                F.col(dim).cast("string").alias("value"),
+            )
+            for dim in dim_cols
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.dim").alias("dim"), F.col("p.value").alias("value"))
+        .agg(F.count(F.lit(1)).alias(out))
+    )
 
-    def counts(df: DataFrame, out: str) -> DataFrame:
-        pairs = F.array(
-            *[
-                F.struct(
-                    F.lit(dim).alias("dim"),
-                    F.col(dim).cast("string").alias("value"),
-                )
-                for dim in dim_cols
-            ]
-        )
-        return (
-            df.select(F.explode(pairs).alias("p"))
-            .groupBy(F.col("p.dim").alias("dim"), F.col("p.value").alias("value"))
-            .agg(F.count(F.lit(1)).alias(out))
-        )
 
+def corpus_drift_report_from_counts(
+    counts_old: DataFrame, counts_new: DataFrame
+) -> DataFrame:
+    """:func:`corpus_drift_report` from pre-aggregated
+    :func:`drift_counts` frames — (dim, value, n_old) vs (dim, value,
+    n_new).  Same output contract; use when one side's counts are reused
+    across comparisons (pinned reference snapshots, N-way drift grids)."""
     from pyspark.sql import Window
 
-    o = counts(df_old, "n_old").alias("o")
-    n = counts(df_new, "n_new").alias("n")
+    o = counts_old.alias("o")
+    n = counts_new.alias("n")
     # null-SAFE value equality: a NULL category (real corpora have them)
     # must merge into one row, not split into an old-side and a new-side
     # orphan

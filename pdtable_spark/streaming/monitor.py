@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdtable_spark.operators.monitor import (
-    corpus_drift_report,
+    corpus_drift_report_from_counts,
+    drift_counts,
     quantized_tvd_scale,
     quantized_tvd_term,
 )
@@ -25,16 +26,19 @@ from pdtable_spark.operators.monitor import (
 def _drift_batch(
     batch_df: DataFrame,
     batch_id: int,
-    reference_df: DataFrame,
+    ref_counts: DataFrame,
     out_dir: str,
     dim_cols: List[str],
     quantize: float,
 ) -> None:
-    """One micro-batch's drift rows (split out so the empty-batch alarm
-    path is unit-testable without a running stream)."""
+    """One micro-batch's drift rows against PRE-AGGREGATED reference
+    counts (split out so the empty-batch alarm path is unit-testable
+    without a running stream)."""
     from pyspark.sql import Window
 
-    rep = corpus_drift_report(reference_df, batch_df, dim_cols)
+    rep = corpus_drift_report_from_counts(
+        ref_counts, drift_counts(batch_df, dim_cols, "n_new")
+    )
     w = Window.partitionBy("dim")
     tvd = quantized_tvd_scale(F.sum(quantized_tvd_term(quantize)).over(w), quantize)
     (
@@ -58,31 +62,40 @@ def drift_monitor_stream(
 ):
     """Run an ``availableNow`` pass over a document stream, writing one
     drift row per (batch, dimension, category value) against the static
-    ``reference_df`` snapshot: the :func:`corpus_drift_report` columns
-    plus ``tvd`` (the batch's per-dimension total-variation distance,
-    quantized integer sum — deterministic) and ``batch_id``.
+    ``reference_df`` snapshot: the drift-report columns plus ``tvd`` (the
+    batch's per-dimension total-variation distance, quantized integer
+    sum — deterministic) and ``batch_id``.
 
     Exactly-once: output is a ``batch_id``-partitioned dynamic overwrite,
     so a retried micro-batch replaces its own rows (the
-    :mod:`~pdtable_spark.streaming.curate` pattern).  Per batch the work
-    is one categorical count over the batch plus a join against the
-    reference's (re-computed, category-domain-sized) counts — cache or
-    pre-aggregate ``reference_df`` when batches are frequent.
+    :mod:`~pdtable_spark.streaming.curate` pattern).
+
+    The reference is aggregated to its category-domain-sized
+    :func:`~pdtable_spark.operators.monitor.drift_counts` frame ONCE and
+    persisted for the run — a per-batch re-aggregation would re-scan the
+    (arbitrarily large) reference corpus every micro-batch for an
+    unchanging bounded result.  Per batch the remaining work is one
+    categorical count over the batch plus the bounded-domain join.
     """
+    ref_counts = drift_counts(reference_df, dim_cols, "n_old").persist()
+    try:
+        ref_counts.count()  # materialize before the first batch fires
 
-    def run(batch_df: DataFrame, batch_id: int) -> None:
-        # NO empty-batch short-circuit: a micro-batch emptied by an
-        # upstream regression is the docstring's headline alarm — it must
-        # land share_new=0 rows for every reference category (tvd spikes),
-        # not a silent gap in the monitoring table
-        _drift_batch(batch_df, batch_id, reference_df, out_dir, dim_cols, quantize)
+        def run(batch_df: DataFrame, batch_id: int) -> None:
+            # NO empty-batch short-circuit: a micro-batch emptied by an
+            # upstream regression is the docstring's headline alarm — it
+            # must land share_new=0 rows for every reference category (tvd
+            # spikes), not a silent gap in the monitoring table
+            _drift_batch(batch_df, batch_id, ref_counts, out_dir, dim_cols, quantize)
 
-    q = (
-        stream_docs.writeStream.outputMode("append")
-        .foreachBatch(run)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout)
-    return q
+        q = (
+            stream_docs.writeStream.outputMode("append")
+            .foreachBatch(run)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+        return q
+    finally:
+        ref_counts.unpersist()

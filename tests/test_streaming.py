@@ -439,6 +439,7 @@ def test_drift_batch_empty_is_an_alarm(spark, tmp_path):
     silent gap in the monitoring table."""
     from pyspark.sql import functions as F
 
+    from pdtable_spark.operators.monitor import drift_counts
     from pdtable_spark.streaming.monitor import _drift_batch
 
     ref = spark.createDataFrame(
@@ -446,7 +447,7 @@ def test_drift_batch_empty_is_an_alarm(spark, tmp_path):
     )
     empty = spark.createDataFrame([], "doc_id long, source string")
     out = str(tmp_path / "drift")
-    _drift_batch(empty, 7, ref, out, ["source"], 1e9)
+    _drift_batch(empty, 7, drift_counts(ref, ["source"], "n_old"), out, ["source"], 1e9)
     rows = {r["value"]: r for r in spark.read.parquet(out).collect()}
     assert set(rows) == {"a", "b"}
     for r in rows.values():
