@@ -143,7 +143,15 @@ def corpus_drift_tvd(
     to floor each |delta| to that precision and sum exact integers — the
     suite's cross-engine determinism recipe — when the tvd itself must be
     bit-reproducible (regression gates), not merely accurate."""
-    rep = corpus_drift_report(df_old, df_new, dim_cols)
+    return drift_tvd_from_report(
+        corpus_drift_report(df_old, df_new, dim_cols), quantize
+    )
+
+
+def drift_tvd_from_report(rep: DataFrame, quantize: float | None = None) -> DataFrame:
+    """:func:`corpus_drift_tvd` over an EXISTING report frame — so
+    report + TVD + PSI over the same snapshot pair cost ONE report
+    derivation (or one persisted report), not three."""
     if quantize is None:
         tvd = F.sum("abs_delta") / F.lit(2.0)
     else:
@@ -193,7 +201,16 @@ def corpus_psi(
     Scale: inherits :func:`corpus_drift_report`'s one-scan-per-side plan;
     the PSI rollup aggregates the category-domain-sized report frame.
     """
-    rep = corpus_drift_report(df_old, df_new, dim_cols)
+    return psi_from_report(
+        corpus_drift_report(df_old, df_new, dim_cols), epsilon, quantize
+    )
+
+
+def psi_from_report(
+    rep: DataFrame, epsilon: float = 1e-6, quantize: float = 1e9
+) -> DataFrame:
+    """:func:`corpus_psi` over an EXISTING report frame (see
+    :func:`drift_tvd_from_report` for why)."""
     p_o = F.greatest(F.col("share_old"), F.lit(float(epsilon)))
     p_n = F.greatest(F.col("share_new"), F.lit(float(epsilon)))
     term = F.round((p_n - p_o) * F.ln(p_n / p_o), 9)
