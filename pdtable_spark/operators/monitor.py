@@ -262,3 +262,67 @@ def numeric_drift_report(
         return d.select(bucketize(F.col(num_col), lo, hi, bins).alias(num_col))
 
     return corpus_drift_report(prep(df_old), prep(df_new), [num_col])
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    thresholds: List[float],
+    text_col: str | None = "text",
+) -> DataFrame:
+    """The filter-tuning curve: for each candidate threshold, how much of
+    the corpus survives ``score >= t`` — (threshold, n_kept, share_kept
+    [, tokens_kept, token_share]).  This is the table every curation
+    decision actually gets made from ("0.7 keeps 40% of docs but 55% of
+    tokens"); sweeping it as ONE query replaces T filter-count jobs.
+
+    ``text_col`` adds token-weighted columns (thresholds that keep many
+    short docs and thresholds that keep few long ones can have equal doc
+    share and very different token share); pass None to skip the
+    tokenize cost.  NULL scores fail no threshold (kept by none) — they
+    are unmeasured, not zero.
+
+    100 TB design: one corpus scan with T conditional sums folded into a
+    single map-side-combinable aggregate row (T ships as codegen
+    literals, the classifier-map-literal trick), then the curve unpivots
+    from that ONE row via inline — no per-threshold pass, no shuffle
+    beyond the single-row aggregate.
+    """
+    if not thresholds:
+        raise ValueError("threshold_sweep: thresholds must be non-empty")
+    ts = sorted({float(t) for t in thresholds})
+    from pdtable_spark.operators.text import token_count
+
+    cols = [F.col(score_col).alias("__s")]
+    if text_col is not None:
+        cols.append(token_count(F.col(text_col)).cast("long").alias("__tok"))
+    base = df.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if text_col is not None:
+        aggs.append(F.sum("__tok").alias("__tk"))
+    for i, t in enumerate(ts):
+        keep = (F.col("__s") >= F.lit(t)).cast("long")
+        aggs.append(F.sum(keep).alias(f"__k{i}"))
+        if text_col is not None:
+            aggs.append(F.sum(keep * F.col("__tok")).alias(f"__t{i}"))
+    row = base.agg(*aggs)
+
+    def share(num, den):
+        return F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    entries = []
+    for i, t in enumerate(ts):
+        fields = [
+            F.lit(t).alias("threshold"),
+            F.coalesce(F.col(f"__k{i}"), F.lit(0)).cast("long").alias("n_kept"),
+            share(F.col(f"__k{i}"), F.col("__n")).alias("share_kept"),
+        ]
+        if text_col is not None:
+            fields += [
+                F.coalesce(F.col(f"__t{i}"), F.lit(0)).cast("long").alias("tokens_kept"),
+                share(F.col(f"__t{i}"), F.col("__tk")).alias("token_share"),
+            ]
+        entries.append(F.struct(*fields))
+    return row.select(F.inline(F.array(*entries)))

@@ -310,7 +310,9 @@ def pending_pipeline_dsir_weights(spark, sf_dir):
     from pdtable_spark.operators.sampling import dsir_log_importance
 
     docs = load(spark, sf_dir, "documents")
-    return dsir_log_importance(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_log_importance(
+        docs, docs.filter(F.col("lang") == "en"), hash_fn="md5_60"
+    )
 
 
 PENDING["pipeline_dsir_weights"] = (pending_pipeline_dsir_weights, PENDING_SQL_DSIR)
@@ -358,3 +360,126 @@ def pending_text_char_entropy(spark, sf_dir):
 
 
 PENDING["text_char_entropy"] = (pending_text_char_entropy, PENDING_SQL_CHAR_ENTROPY)
+
+
+#: Line-level boilerplate dedup (CCNet §4.1 / RefinedWeb): the synthetic
+#: corpus has no newlines, so the suite pins the semantics with the
+#: separator at ' ' (lines = words) and a SCALE-STABLE fractional
+#: threshold — normalized "lines" in ≥80% of documents are boilerplate.
+#: Real deployments split on '\n'; the plan is identical.
+_SQL_LINE_BOIL = """
+  SELECT k FROM (
+    SELECT DISTINCT doc_id, lower(trim(line)) AS k
+    FROM l WHERE lower(trim(line)) <> ''
+  ) GROUP BY k
+  HAVING COUNT(*) >= CEIL(0.8 * (SELECT COUNT(*) FROM documents))
+"""
+
+PENDING_SQL_LINE_DEDUP = f"""
+    WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS ls
+                  FROM documents),
+    l AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+          FROM base),
+    boil AS ({_SQL_LINE_BOIL}),
+    kept AS (SELECT doc_id, line, pos FROM l
+             WHERE lower(trim(line)) NOT IN (SELECT k FROM boil))
+    SELECT b.doc_id,
+           COALESCE(string_agg(k.line, ' ' ORDER BY k.pos), '') AS text_clean,
+           CAST(len(b.ls) AS BIGINT) AS n_lines,
+           CAST(len(b.ls) - COUNT(k.line) AS BIGINT) AS n_lines_removed,
+           b.source
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    GROUP BY b.doc_id, b.source, len(b.ls)
+"""
+
+
+def pending_text_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal: drop every line whose normalized
+    form occurs in ≥80% of documents, survivors kept in original order and
+    spelling — the broadcast spelling (scan-local filter + array_join; the
+    corpus is never exploded or shuffled)."""
+    from pdtable_spark.operators.text import line_dedup
+
+    return line_dedup(
+        load(spark, sf_dir, "documents"),
+        line_sep=" ",
+        min_docs=None,
+        min_doc_frac=0.8,
+        passthrough=("source",),
+    )
+
+
+PENDING["text_line_dedup"] = (pending_text_line_dedup, PENDING_SQL_LINE_DEDUP)
+
+
+PENDING_SQL_COMMON_LINES = f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+    l AS (SELECT doc_id, unnest(ls) AS line FROM base),
+    c AS (
+      SELECT k AS line, n_docs FROM (
+        SELECT lower(trim(line)) AS k, COUNT(DISTINCT doc_id) AS n_docs
+        FROM l WHERE lower(trim(line)) <> '' GROUP BY 1
+      ) WHERE n_docs >= CEIL(0.8 * (SELECT COUNT(*) FROM documents))
+    )
+    SELECT line, CAST(n_docs AS BIGINT) AS n_docs FROM c
+"""
+
+
+def pending_text_common_lines(spark, sf_dir):
+    """The boilerplate audit behind line_dedup: normalized lines in ≥80%
+    of documents with their document frequency — per-doc-distinct before
+    the explode, so the count is a plain map-side-combinable groupBy."""
+    from pdtable_spark.operators.text import common_lines
+
+    return common_lines(
+        load(spark, sf_dir, "documents"),
+        line_sep=" ",
+        min_docs=None,
+        min_doc_frac=0.8,
+    )
+
+
+PENDING["text_common_lines"] = (pending_text_common_lines, PENDING_SQL_COMMON_LINES)
+
+
+#: The filter-tuning curve over doc length: how much of the corpus (docs
+#: AND tokens) survives each candidate n_chars cutoff — one scan, the
+#: curve unpivots from a single aggregate row.
+PENDING_SQL_THRESHOLD_SWEEP = r"""
+    WITH t(threshold) AS (VALUES (100.0), (200.0), (300.0), (400.0)),
+    base AS (SELECT CAST(n_chars AS DOUBLE) AS s,
+                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok
+             FROM documents)
+    SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+           CAST(SUM(CASE WHEN s >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(CASE WHEN s >= t.threshold THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                ELSE 0.0 END AS share_kept,
+           CAST(SUM(CASE WHEN s >= t.threshold THEN tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CASE WHEN SUM(tok) > 0
+                THEN CAST(SUM(CASE WHEN s >= t.threshold THEN tok ELSE 0 END)
+                          AS DOUBLE) / CAST(SUM(tok) AS DOUBLE)
+                ELSE 0.0 END AS token_share
+    FROM base CROSS JOIN t GROUP BY t.threshold
+"""
+
+
+def pending_pipeline_threshold_sweep(spark, sf_dir):
+    """Threshold sweep over n_chars at 100/200/300/400: docs kept, doc
+    share, tokens kept, token share per cutoff — the one-scan table a
+    length-filter decision is made from (T cutoffs as codegen literals in
+    ONE aggregate row, unpivoted via inline)."""
+    from pdtable_spark.operators.monitor import threshold_sweep
+
+    return threshold_sweep(
+        load(spark, sf_dir, "documents"), "n_chars", [100.0, 200.0, 300.0, 400.0]
+    )
+
+
+PENDING["pipeline_threshold_sweep"] = (
+    pending_pipeline_threshold_sweep,
+    PENDING_SQL_THRESHOLD_SWEEP,
+)

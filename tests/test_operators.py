@@ -2037,7 +2037,10 @@ def test_dsir_log_importance_hand_computed(spark):
         gs = grams(text)
         return len(gs), sum(lut[bucket(g)] for g in gs) / Q
 
-    got = {r["doc_id"]: r for r in dsir_log_importance(raw, tgt, buckets=B).collect()}
+    got = {
+        r["doc_id"]: r
+        for r in dsir_log_importance(raw, tgt, buckets=B, hash_fn="md5_60").collect()
+    }
     for doc_id, text in raw_rows:
         n, li = expect(text)
         assert got[doc_id]["n_grams"] == n, doc_id
@@ -2046,6 +2049,19 @@ def test_dsir_log_importance_hand_computed(spark):
     assert (got[0]["log_importance"] / got[0]["n_grams"]) > (
         got[1]["log_importance"] / got[1]["n_grams"]
     )
+    # production hash mode (xxhash64, the default): same gram counts, same
+    # ordering property — only the bucket assignment differs
+    fast = {r["doc_id"]: r for r in dsir_log_importance(raw, tgt, buckets=B).collect()}
+    assert {d: r["n_grams"] for d, r in fast.items()} == {
+        d: r["n_grams"] for d, r in got.items()
+    }
+    assert (fast[0]["log_importance"] / fast[0]["n_grams"]) > (
+        fast[1]["log_importance"] / fast[1]["n_grams"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        dsir_log_importance(raw, tgt, hash_fn="crc32")
 
 
 def test_char_entropy_hand_computed(spark):
@@ -2085,3 +2101,89 @@ def test_rrf_fuse_weighted(spark):
     assert got[2]["rank"] == 1  # heavier list wins
     with pytest.raises(ValueError, match="weights for"):
         similarity.rrf_fuse([a, b], weights=[1.0])
+
+
+def test_line_dedup_spellings_and_edges(spark):
+    """CCNet-style line-level boilerplate removal: the broadcast and join
+    spellings agree row-for-row, case/padding variants of one line collapse
+    to one key, whitespace-only lines are structure (never removed), and
+    all-boilerplate / empty docs survive with empty text_clean."""
+    rows = [
+        (1, "Cookie Banner\nreal prose one\n", "a"),
+        (2, "cookie banner\nreal prose two", "a"),
+        (3, "COOKIE BANNER", "b"),   # whole doc is boilerplate
+        (4, "", "b"),                 # empty doc
+        (5, "   \n  ", "b"),          # whitespace-only lines
+        (6, "unique only", "c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    a = sorted(
+        map(
+            tuple,
+            text.line_dedup(df, min_docs=2, via="broadcast", passthrough=("source",)).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            text.line_dedup(df, min_docs=2, via="join", passthrough=("source",)).collect(),
+        )
+    )
+    assert a == b
+    got = {r[0]: r for r in a}
+    # case variants removed everywhere; survivors keep ORIGINAL spelling/order
+    assert got[1] == (1, "real prose one\n", 3, 1, "a")
+    assert got[2] == (2, "real prose two", 2, 1, "a")
+    assert got[3] == (3, "", 1, 1, "b")          # all-boilerplate doc restored
+    assert got[4] == (4, "", 1, 0, "b")
+    assert got[5] == (5, "   \n  ", 2, 0, "b")   # whitespace lines untouched
+    assert got[6] == (6, "unique only", 1, 0, "c")
+
+    # the audit: normalized keys with distinct-doc counts
+    cl = {r["line"]: r["n_docs"] for r in text.common_lines(df, min_docs=2).collect()}
+    assert cl == {"cookie banner": 3}
+
+    # fraction threshold == absolute threshold at the equivalent setting
+    fa = sorted(map(tuple, text.line_dedup(df, min_docs=None, min_doc_frac=2 / 6, via="broadcast").collect()))
+    ab = sorted(map(tuple, text.line_dedup(df, min_docs=2, via="broadcast").collect()))
+    assert fa == ab
+
+    # loud guard: boilerplate set larger than max_boilerplate raises at run
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_boilerplate"):
+        text.line_dedup(df, min_docs=1, max_boilerplate=1).collect()
+    with _pytest.raises(ValueError, match="exactly one"):
+        text.common_lines(df, min_docs=2, min_doc_frac=0.5)
+    with _pytest.raises(ValueError, match="via"):
+        text.line_dedup(df, via="nope")
+
+
+def test_threshold_sweep(spark):
+    """The filter-tuning curve: hand-checked counts/shares, token
+    weighting, NULL scores kept by no threshold, empty-corpus zeros, and
+    the no-text spelling."""
+    from pdtable_spark.operators.monitor import threshold_sweep
+
+    rows = [
+        (1, 0.9, "a b c d"),   # 4 tokens
+        (2, 0.5, "a b"),       # 2 tokens
+        (3, 0.1, "a"),         # 1 token
+        (4, None, "a b c"),    # NULL score: counted in totals, kept never
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "text"])
+    got = {r["threshold"]: r for r in threshold_sweep(df, "score", [0.5, 0.8]).collect()}
+    assert got[0.5]["n_kept"] == 2 and got[0.5]["share_kept"] == 0.5
+    assert got[0.5]["tokens_kept"] == 6 and got[0.5]["token_share"] == 0.6
+    assert got[0.8]["n_kept"] == 1 and got[0.8]["tokens_kept"] == 4
+    # duplicate thresholds collapse; output is one row per distinct t
+    assert threshold_sweep(df, "score", [0.5, 0.5]).count() == 1
+    # empty corpus: zero counts, zero (not NULL) shares
+    empty = df.filter(F.col("doc_id") < 0)
+    e = threshold_sweep(empty, "score", [0.5]).collect()[0]
+    assert tuple(e) == (0.5, 0, 0.0, 0, 0.0)
+    # text_col=None skips the token columns entirely
+    nt = threshold_sweep(df, "score", [0.5], text_col=None)
+    assert [f.name for f in nt.schema.fields] == ["threshold", "n_kept", "share_kept"]
+    with pytest.raises(ValueError, match="non-empty"):
+        threshold_sweep(df, "score", [])
