@@ -363,8 +363,9 @@ def ivf_train_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
-def _cell_ranking(vec, cents_col):
-    """Array of cell ids sorted by ascending squared distance to ``vec``.
+def _cell_scores(vec, cents_col):
+    """(d², cell) structs sorted by ascending squared distance to ``vec``
+    (ties to the lower cell id — sort_array's struct order).
 
     ``cents_col`` is a centroid-matrix COLUMN (see :func:`_matrix_frame`) —
     element index IS the cell id.  Inlining n_cells×dim literals instead
@@ -380,7 +381,12 @@ def _cell_ranking(vec, cents_col):
             i.cast("int").alias("cell"),
         ),
     )
-    return F.transform(F.sort_array(scored), lambda s: s["cell"])
+    return F.sort_array(scored)
+
+
+def _cell_ranking(vec, cents_col):
+    """Array of cell ids sorted by ascending squared distance to ``vec``."""
+    return F.transform(_cell_scores(vec, cents_col), lambda s: s["cell"])
 
 
 def ivf_index(
@@ -1000,4 +1006,108 @@ def rrf_fuse(
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .drop("__q")
+    )
+
+
+def cluster_profile(
+    corpus: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: float = 1e9,
+) -> DataFrame:
+    """Topic/cluster composition of an embedding corpus under a fixed
+    centroid set: per cell, (cell, n_vectors, share, avg_dist2) — how the
+    corpus distributes over semantic clusters and how tight each cluster
+    is.  The standing diagnostic behind cluster-curation decisions
+    (SemDeDup's cell sizing, SSL-prototype pruning, topic-balance audits)
+    and the drift-monitor companion for EMBEDDING space: run it on two
+    snapshots and diff the shares.
+
+    Every cell appears, including empty ones (share 0.0, avg_dist2 0.0) —
+    a cluster silently emptying is exactly the signal the profile exists
+    to surface.
+
+    100 TB design: one corpus scan — assignment is the scan-local
+    broadcast-matrix fold shared with :func:`ivf_index`; the aggregate is
+    a map-side-combinable (cell → count, Σd²) at centroid cardinality,
+    joined to the (driver-sized) cell list.  Determinism: per-row d² is
+    floored binary-faithfully at ``1/quantize`` and the cell average
+    divides the exact integer sum (the suite's quantized-ln recipe).
+    """
+    cents = [[float(x) for x in c] for c in centroids]
+    c = corpus.select(_as_double(F.col(vec_col)).alias("vec"))
+    c = _matrix_frame(c, "__cents", cents, 2)
+    best = F.element_at(_cell_scores(F.col("vec"), F.col("__cents")), 1)
+    per_row = c.select(
+        best["cell"].alias("cell"),
+        F.floor(F.round(best["d"], 9) * F.lit(float(quantize))).cast("long").alias("__qd"),
+    )
+    counts = per_row.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__qd").alias("__sd")
+    )
+    cells = corpus.sparkSession.range(len(cents)).select(
+        F.col("id").cast("int").alias("cell")
+    )
+    tot = counts.agg(F.sum("__n").alias("__t"))
+    return (
+        cells.join(counts, on="cell", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_vectors"),
+            F.when(
+                F.col("__t") > 0,
+                F.coalesce(F.col("__n"), F.lit(0)).cast("double")
+                / F.col("__t").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("share"),
+            F.when(
+                F.col("__n") > 0,
+                F.col("__sd").cast("double")
+                / F.col("__n").cast("double")
+                / F.lit(float(quantize)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_dist2"),
+        )
+    )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: List[List[float]],
+    per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-balanced subsampling: at most ``per_cell`` vectors from each
+    centroid cell, chosen by deterministic hash order — the cheap
+    "uniform over topics, not over documents" sampler (head topics are
+    capped, tail topics survive whole), the selection step SemDeDup-style
+    curation pipelines run after profiling.  Returns (id, cell,
+    sample_rank) with rank 1..per_cell inside each cell.
+
+    Selection is content-stable (the sampling-module contract): a row's
+    fate depends only on its id, the centroids, and ``salt`` — never on
+    partitioning, execution order, or RNG state.
+
+    100 TB design: one scan + ONE shuffle on the cell key for the
+    per-cell top-k window; skew is bounded by the hottest cell — if the
+    profile shows a mega-cell, re-train with more centroids before
+    sampling (the semantic-dedup cell-sizing rule).
+    """
+    if per_cell < 1:
+        raise ValueError("cluster_balanced_sample: per_cell must be >= 1")
+    from pdtable_spark.operators.sampling import hash_bucket
+
+    idx = ivf_index(corpus, centroids, id_col, vec_col)
+    order = hash_bucket(F.col(id_col), buckets=1_000_000_000, salt=salt)
+    w = Window.partitionBy("cell").orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        idx.select(F.col(id_col), F.col("cell"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= per_cell)
     )

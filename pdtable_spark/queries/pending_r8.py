@@ -483,3 +483,102 @@ PENDING["pipeline_threshold_sweep"] = (
     pending_pipeline_threshold_sweep,
     PENDING_SQL_THRESHOLD_SWEEP,
 )
+
+
+#: Embedding-space composition + cluster-balanced selection, under the
+#: suite's deterministic seed centroids (first _IVF_CELLS corpus vectors,
+#: FAISS-style sampled init — the semantic-dedup oracle pattern).
+from pdtable_spark.queries.suite import _IVF_CELLS, _sql_dist2  # noqa: E402
+
+_SQL_CLUSTER_ASSIGN = f"""
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    cd AS (
+      SELECT c.vec_id, cent.cid, {_sql_dist2('ca', 'ce')} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY {_sql_dist2('ca', 'ce')}, cent.cid) AS rn
+      FROM c CROSS JOIN cent
+    )
+"""
+
+PENDING_SQL_CLUSTER_PROFILE = f"""
+    WITH {_SQL_CLUSTER_ASSIGN},
+    a AS (SELECT vec_id, CAST(cid AS INT) AS cell,
+                 CAST(FLOOR(round(d2, 9) * 1000000000.0) AS BIGINT) AS qd
+          FROM cd WHERE rn = 1),
+    g AS (SELECT cell, COUNT(*) AS n, SUM(qd) AS sd FROM a GROUP BY 1),
+    cells AS (SELECT CAST(range AS INT) AS cell FROM range({_IVF_CELLS})),
+    tot AS (SELECT SUM(n) AS t FROM g)
+    SELECT cells.cell,
+           CAST(COALESCE(g.n, 0) AS BIGINT) AS n_vectors,
+           CASE WHEN tot.t > 0
+                THEN CAST(COALESCE(g.n, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                ELSE 0.0 END AS share,
+           CASE WHEN g.n > 0
+                THEN CAST(g.sd AS DOUBLE) / CAST(g.n AS DOUBLE) / 1000000000.0
+                ELSE 0.0 END AS avg_dist2
+    FROM cells LEFT JOIN g USING (cell) CROSS JOIN tot
+"""
+
+
+def _seed_centroids(spark, sf_dir):
+    from pdtable_spark.queries.suite import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return emb, [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+
+
+def pending_embedding_cluster_profile(spark, sf_dir):
+    """Per-cell corpus composition under the fixed seed centroids: count,
+    share, and quantized mean squared distance — empty cells included (a
+    cluster silently emptying is the alarm the profile exists for).  One
+    scan; the aggregate is map-side-combinable at centroid cardinality."""
+    from pdtable_spark.operators.similarity import cluster_profile
+
+    emb, cents = _seed_centroids(spark, sf_dir)
+    return cluster_profile(emb, cents)
+
+
+PENDING["embedding_cluster_profile"] = (
+    pending_embedding_cluster_profile,
+    PENDING_SQL_CLUSTER_PROFILE,
+)
+
+
+PENDING_SQL_CLUSTER_SAMPLE = f"""
+    WITH {_SQL_CLUSTER_ASSIGN},
+    a AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM cd WHERE rn = 1),
+    h AS (SELECT vec_id, cell,
+                 CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 1000000000 AS hb
+          FROM a),
+    r AS (SELECT vec_id, cell,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cell
+                                         ORDER BY hb, vec_id) AS INT)
+                   AS sample_rank
+          FROM h)
+    SELECT vec_id, cell, sample_rank FROM r WHERE sample_rank <= 5
+"""
+
+
+def pending_embedding_cluster_sample(spark, sf_dir):
+    """Cluster-balanced subsample: ≤5 vectors per seed-centroid cell in
+    deterministic hash order — uniform over topics, not over documents
+    (head topics capped, tail topics survive whole)."""
+    from pdtable_spark.operators.similarity import cluster_balanced_sample
+
+    emb, cents = _seed_centroids(spark, sf_dir)
+    return cluster_balanced_sample(emb, cents, per_cell=5)
+
+
+PENDING["embedding_cluster_sample"] = (
+    pending_embedding_cluster_sample,
+    PENDING_SQL_CLUSTER_SAMPLE,
+)

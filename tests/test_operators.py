@@ -2187,3 +2187,47 @@ def test_threshold_sweep(spark):
     assert [f.name for f in nt.schema.fields] == ["threshold", "n_kept", "share_kept"]
     with pytest.raises(ValueError, match="non-empty"):
         threshold_sweep(df, "score", [])
+
+
+def test_cluster_profile_and_balanced_sample(spark):
+    """Cluster composition + balanced sampling under hand-placed centroids:
+    exact counts/shares, empty cells surfaced with zero share, the per-cell
+    cap, deterministic hash order, and partition invariance."""
+    from pdtable_spark.operators.similarity import (
+        cluster_balanced_sample,
+        cluster_profile,
+    )
+
+    # two tight clusters around (0,0) and (10,10); centroid 2 is far away
+    # and must come back EMPTY
+    cents = [[0.0, 0.0], [10.0, 10.0], [100.0, 100.0]]
+    rows = [(i, [0.0 + i * 0.1, 0.0]) for i in range(4)] + [
+        (10 + i, [10.0, 10.0 + i * 0.1]) for i in range(2)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    prof = {r["cell"]: r for r in cluster_profile(emb, cents).collect()}
+    assert len(prof) == 3
+    assert prof[0]["n_vectors"] == 4 and abs(prof[0]["share"] - 4 / 6) < 1e-15
+    assert prof[1]["n_vectors"] == 2
+    assert prof[2]["n_vectors"] == 0 and prof[2]["share"] == 0.0
+    assert prof[2]["avg_dist2"] == 0.0
+    # avg_dist2 hand-check for cell 1: d2 = 0.0 and 0.01
+    assert abs(prof[1]["avg_dist2"] - 0.005) < 1e-9
+
+    samp = cluster_balanced_sample(emb, cents, per_cell=3)
+    got = samp.collect()
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert len(by_cell[0]) == 3          # capped
+    assert len(by_cell[1]) == 2          # tail cluster survives whole
+    assert sorted(r["sample_rank"] for r in by_cell[0]) == [1, 2, 3]
+    # content-stable: same rows regardless of partitioning / salt-sensitivity
+    shuffled = emb.repartition(7).sortWithinPartitions(F.desc("vec_id"))
+    assert sorted(map(tuple, cluster_balanced_sample(shuffled, cents, per_cell=3).collect())) == sorted(
+        map(tuple, got)
+    )
+    salted = cluster_balanced_sample(emb, cents, per_cell=3, salt="other")
+    assert {r["vec_id"] for r in salted.collect() if r["cell"] == 0} != set() 
+    with pytest.raises(ValueError, match="per_cell"):
+        cluster_balanced_sample(emb, cents, per_cell=0)
