@@ -365,14 +365,15 @@ PENDING["text_char_entropy"] = (pending_text_char_entropy, PENDING_SQL_CHAR_ENTR
 #: Line-level boilerplate dedup (CCNet §4.1 / RefinedWeb): the synthetic
 #: corpus has no newlines, so the suite pins the semantics with the
 #: separator at ' ' (lines = words) and a SCALE-STABLE fractional
-#: threshold — normalized "lines" in ≥80% of documents are boilerplate.
+#: threshold — normalized "lines" in ≥78% of documents are boilerplate
+#: (non-degenerate at sf0.001/sf0.01/sf1 alike: 16/15/3 boilerplate keys).
 #: Real deployments split on '\n'; the plan is identical.
 _SQL_LINE_BOIL = """
   SELECT k FROM (
     SELECT DISTINCT doc_id, lower(trim(line)) AS k
     FROM l WHERE lower(trim(line)) <> ''
   ) GROUP BY k
-  HAVING COUNT(*) >= CEIL(0.8 * (SELECT COUNT(*) FROM documents))
+  HAVING COUNT(*) >= CEIL(0.78 * (SELECT COUNT(*) FROM documents))
 """
 
 PENDING_SQL_LINE_DEDUP = f"""
@@ -395,7 +396,7 @@ PENDING_SQL_LINE_DEDUP = f"""
 
 def pending_text_line_dedup(spark, sf_dir):
     """Line-level boilerplate removal: drop every line whose normalized
-    form occurs in ≥80% of documents, survivors kept in original order and
+    form occurs in ≥78% of documents, survivors kept in original order and
     spelling — the broadcast spelling (scan-local filter + array_join; the
     corpus is never exploded or shuffled)."""
     from pdtable_spark.operators.text import line_dedup
@@ -404,7 +405,7 @@ def pending_text_line_dedup(spark, sf_dir):
         load(spark, sf_dir, "documents"),
         line_sep=" ",
         min_docs=None,
-        min_doc_frac=0.8,
+        min_doc_frac=0.78,
         passthrough=("source",),
     )
 
@@ -419,14 +420,14 @@ PENDING_SQL_COMMON_LINES = f"""
       SELECT k AS line, n_docs FROM (
         SELECT lower(trim(line)) AS k, COUNT(DISTINCT doc_id) AS n_docs
         FROM l WHERE lower(trim(line)) <> '' GROUP BY 1
-      ) WHERE n_docs >= CEIL(0.8 * (SELECT COUNT(*) FROM documents))
+      ) WHERE n_docs >= CEIL(0.78 * (SELECT COUNT(*) FROM documents))
     )
     SELECT line, CAST(n_docs AS BIGINT) AS n_docs FROM c
 """
 
 
 def pending_text_common_lines(spark, sf_dir):
-    """The boilerplate audit behind line_dedup: normalized lines in ≥80%
+    """The boilerplate audit behind line_dedup: normalized lines in ≥78%
     of documents with their document frequency — per-doc-distinct before
     the explode, so the count is a plain map-side-combinable groupBy."""
     from pdtable_spark.operators.text import common_lines
@@ -435,7 +436,7 @@ def pending_text_common_lines(spark, sf_dir):
         load(spark, sf_dir, "documents"),
         line_sep=" ",
         min_docs=None,
-        min_doc_frac=0.8,
+        min_doc_frac=0.78,
     )
 
 
