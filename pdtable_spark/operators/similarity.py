@@ -1049,10 +1049,16 @@ def cluster_profile(
     cells = corpus.sparkSession.range(len(cents)).select(
         F.col("id").cast("int").alias("cell")
     )
-    tot = counts.agg(F.sum("__n").alias("__t"))
+    # the corpus total via a GLOBAL window over the joined frame — bounded
+    # by construction (exactly n_cells rows), and it avoids a second agg
+    # branch off `counts` that would re-execute the corpus scan (the
+    # semantic-dedup branch-re-execution lesson)
+    tot_w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         cells.join(counts, on="cell", how="left")
-        .crossJoin(F.broadcast(tot))
+        .withColumn("__t", F.sum(F.coalesce(F.col("__n"), F.lit(0))).over(tot_w))
         .select(
             F.col("cell"),
             F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_vectors"),

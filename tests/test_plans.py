@@ -340,3 +340,102 @@ def test_bm25_no_postings_shuffle(spark):
     assert n_exchanges(plan) == 0  # no hash-partitioned shuffle at all
     assert "TakeOrdered" in plan
     assert "Sort " not in plan.replace("TakeOrdered", "")  # no global sort node
+
+
+def test_bm25_persisted_base_reused(spark):
+    """persist_base=True: the tokenize scan materializes once — both the
+    stats branch and the scoring branch read the InMemoryRelation (the
+    r7 fix; without it the projection re-executed per consuming branch)."""
+    from pdtable_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = text.bm25_topk(docs, ["dup", "scan"], k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+    df.bm25_base.unpersist()
+
+
+def test_line_dedup_broadcast_never_shuffles_corpus(spark):
+    """line_dedup's broadcast spelling: the corpus data path is scan-local
+    filter + array_join — the ONLY hash exchange is the boilerplate line
+    count (per-doc-distinct stream), no window, no sort-merge join, no
+    corpus explode on the output side."""
+    from pdtable_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = text.line_dedup(docs, line_sep=" ", min_docs=None, min_doc_frac=0.78)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert n_exchanges(plan) == 1  # the common_lines groupBy, nothing else
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_line_dedup_join_spelling_no_single_partition(spark):
+    """The join spelling shuffles the exploded line stream on doc_id only —
+    never through one task (no SinglePartition exchange, no global window).
+    Absolute threshold here: min_doc_frac legitimately adds a bounded
+    single-row doc-count aggregate."""
+    from pdtable_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = text.line_dedup(docs, line_sep=" ", min_docs=40, via="join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan  # ordered reassembly is array_sort, not a window
+
+
+def test_threshold_sweep_single_aggregate(spark):
+    """The whole curve folds into ONE map-side-combinable aggregate row —
+    no hash-partitioned shuffle, no per-threshold pass."""
+    from pdtable_spark.operators.monitor import threshold_sweep
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = threshold_sweep(docs, "n_chars", [100.0, 200.0, 300.0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert n_exchanges(plan) == 0
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_cluster_profile_one_scan_no_window(spark):
+    """cluster_profile: assignment is scan-local (broadcast matrix fold) —
+    one corpus scan, the aggregate shuffles centroid-cardinality rows, and
+    there is NO per-vector window (the ivf-oracle's ROW_NUMBER spelling
+    would be a corpus-wide window at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.similarity import cluster_profile
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    df = cluster_profile(emb, cents)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1  # embeddings read ONCE
+    # the only window is the share total over the JOINED cells frame —
+    # bounded at exactly n_cells rows by construction
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_sample_window_partitioned_by_cell(spark):
+    """cluster_balanced_sample: the per-cell top-k window partitions on the
+    cell key — never a single-partition window over the corpus."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.similarity import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    df = cluster_balanced_sample(emb, cents, per_cell=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning(cell" in plan
