@@ -229,6 +229,13 @@ def main():
         # scan-local fold) are the two corpus-heavy ones
         "text_bm25_topk",
         "pipeline_dsir_weights",
+        # staged round-8 additions (cont.): line-level boilerplate dedup
+        # (broadcast spelling — the corpus-heavy one), the embedding
+        # cluster profile/sample pair, and the one-scan threshold curve
+        "text_line_dedup",
+        "embedding_cluster_profile",
+        "embedding_cluster_sample",
+        "pipeline_threshold_sweep",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2
