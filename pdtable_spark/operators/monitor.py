@@ -269,6 +269,7 @@ def threshold_sweep(
     score_col: str,
     thresholds: List[float],
     text_col: str | None = "text",
+    by: List[str] | None = None,
 ) -> DataFrame:
     """The filter-tuning curve: for each candidate threshold, how much of
     the corpus survives ``score >= t`` — (threshold, n_kept, share_kept
@@ -282,6 +283,11 @@ def threshold_sweep(
     tokenize cost.  NULL scores fail no threshold (kept by none) — they
     are unmeasured, not zero.
 
+    ``by`` groups the curve (e.g. ``["source"]``): one curve per group,
+    shares WITHIN the group — the per-source cut a mixture rebalance is
+    tuned from.  Same single scan; the aggregate keys on the group
+    columns instead of collapsing to one row.
+
     100 TB design: one corpus scan with T conditional sums folded into a
     single map-side-combinable aggregate row (T ships as codegen
     literals, the classifier-map-literal trick), then the curve unpivots
@@ -293,7 +299,8 @@ def threshold_sweep(
     ts = sorted({float(t) for t in thresholds})
     from pdtable_spark.operators.text import token_count
 
-    cols = [F.col(score_col).alias("__s")]
+    by = list(by or [])
+    cols = [*[F.col(c) for c in by], F.col(score_col).alias("__s")]
     if text_col is not None:
         cols.append(token_count(F.col(text_col)).cast("long").alias("__tok"))
     base = df.select(*cols)
@@ -305,7 +312,7 @@ def threshold_sweep(
         aggs.append(F.sum(keep).alias(f"__k{i}"))
         if text_col is not None:
             aggs.append(F.sum(keep * F.col("__tok")).alias(f"__t{i}"))
-    row = base.agg(*aggs)
+    row = base.groupBy(*by).agg(*aggs) if by else base.agg(*aggs)
 
     def share(num, den):
         return F.when(
@@ -325,4 +332,4 @@ def threshold_sweep(
                 share(F.col(f"__t{i}"), F.col("__tk")).alias("token_share"),
             ]
         entries.append(F.struct(*fields))
-    return row.select(F.inline(F.array(*entries)))
+    return row.select(*by, F.inline(F.array(*entries)))

@@ -448,10 +448,10 @@ PENDING["text_common_lines"] = (pending_text_common_lines, PENDING_SQL_COMMON_LI
 #: curve unpivots from a single aggregate row.
 PENDING_SQL_THRESHOLD_SWEEP = r"""
     WITH t(threshold) AS (VALUES (100.0), (200.0), (300.0), (400.0)),
-    base AS (SELECT CAST(n_chars AS DOUBLE) AS s,
+    base AS (SELECT source, CAST(n_chars AS DOUBLE) AS s,
                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok
              FROM documents)
-    SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+    SELECT base.source, CAST(t.threshold AS DOUBLE) AS threshold,
            CAST(SUM(CASE WHEN s >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
              AS n_kept,
            CASE WHEN COUNT(*) > 0
@@ -464,19 +464,23 @@ PENDING_SQL_THRESHOLD_SWEEP = r"""
                 THEN CAST(SUM(CASE WHEN s >= t.threshold THEN tok ELSE 0 END)
                           AS DOUBLE) / CAST(SUM(tok) AS DOUBLE)
                 ELSE 0.0 END AS token_share
-    FROM base CROSS JOIN t GROUP BY t.threshold
+    FROM base CROSS JOIN t GROUP BY base.source, t.threshold
 """
 
 
 def pending_pipeline_threshold_sweep(spark, sf_dir):
-    """Threshold sweep over n_chars at 100/200/300/400: docs kept, doc
-    share, tokens kept, token share per cutoff — the one-scan table a
-    length-filter decision is made from (T cutoffs as codegen literals in
-    ONE aggregate row, unpivoted via inline)."""
+    """Per-source threshold sweep over n_chars at 100/200/300/400: docs
+    kept, WITHIN-source share, tokens kept, token share per cutoff — the
+    per-source cut a mixture rebalance is tuned from, still one scan (T
+    cutoffs as codegen literals in one aggregate row per source,
+    unpivoted via inline)."""
     from pdtable_spark.operators.monitor import threshold_sweep
 
     return threshold_sweep(
-        load(spark, sf_dir, "documents"), "n_chars", [100.0, 200.0, 300.0, 400.0]
+        load(spark, sf_dir, "documents"),
+        "n_chars",
+        [100.0, 200.0, 300.0, 400.0],
+        by=["source"],
     )
 
 

@@ -2231,3 +2231,35 @@ def test_cluster_profile_and_balanced_sample(spark):
     assert {r["vec_id"] for r in salted.collect() if r["cell"] == 0} != set() 
     with pytest.raises(ValueError, match="per_cell"):
         cluster_balanced_sample(emb, cents, per_cell=0)
+
+
+def test_threshold_sweep_grouped(spark):
+    """by=['source']: one curve per group with WITHIN-group shares, same
+    single-scan shape — cross-checked against per-group ungrouped sweeps."""
+    from pdtable_spark.operators.monitor import threshold_sweep
+
+    rows = [
+        (1, 10.0, "a a a", "web"),
+        (2, 20.0, "b b", "web"),
+        (3, 5.0, "c", "books"),
+        (4, 30.0, "d d d d", "books"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "text", "source"])
+    got = {
+        (r["source"], r["threshold"]): r
+        for r in threshold_sweep(df, "score", [15.0], by=["source"]).collect()
+    }
+    assert len(got) == 2
+    assert got[("web", 15.0)]["n_kept"] == 1 and got[("web", 15.0)]["share_kept"] == 0.5
+    assert got[("web", 15.0)]["tokens_kept"] == 2 and got[("web", 15.0)]["token_share"] == 0.4
+    assert got[("books", 15.0)]["n_kept"] == 1 and got[("books", 15.0)]["token_share"] == 0.8
+    # per-group rows equal an ungrouped sweep over that group's slice
+    web_only = threshold_sweep(
+        df.filter(F.col("source") == "web"), "score", [15.0]
+    ).collect()[0]
+    assert (
+        web_only["n_kept"],
+        web_only["share_kept"],
+        web_only["tokens_kept"],
+        web_only["token_share"],
+    ) == tuple(got[("web", 15.0)])[2:]
