@@ -333,3 +333,58 @@ def threshold_sweep(
             ]
         entries.append(F.struct(*fields))
     return row.select(*by, F.inline(F.array(*entries)))
+
+
+def cluster_drift(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drift in EMBEDDING space: both snapshots assigned to a fixed
+    centroid set, then the standard categorical report over the cell
+    dimension — (dim='cell', value, n_old, n_new, share_old, share_new,
+    delta, abs_delta).  Catches the shifts no metadata dimension shows
+    (a crawler surfacing a new TOPIC moves cell shares before any
+    source/lang column moves), and because the output IS a drift report,
+    :func:`drift_tvd_from_report` / :func:`psi_from_report` gate it for
+    free.
+
+    The centroid set must be the SAME fixed artifact for both snapshots
+    (and across runs) — drift against re-trained centroids measures the
+    training noise, not the corpus.  Cells observed in neither snapshot
+    are absent (the report contract); run :func:`...similarity.cluster_profile`
+    per side when empty cells must surface.
+
+    100 TB design: assignment is the scan-local broadcast-matrix fold
+    (one scan per side), counts shuffle centroid-cardinality rows, and
+    the merge window partitions on the bounded cell domain.
+    """
+    from pdtable_spark.operators.similarity import (
+        _as_double,
+        _cell_scores,
+        _matrix_frame,
+    )
+
+    cents = [[float(x) for x in c] for c in centroids]
+
+    def cell_counts(d: DataFrame, out: str) -> DataFrame:
+        c = _matrix_frame(
+            d.select(_as_double(F.col(vec_col)).alias("vec")), "__cents", cents, 2
+        )
+        best = F.element_at(_cell_scores(F.col("vec"), F.col("__cents")), 1)
+        return (
+            c.select(best["cell"].alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias(out))
+            .select(
+                F.lit("cell").alias("dim"),
+                F.col("cell").cast("string").alias("value"),
+                F.col(out),
+            )
+        )
+
+    return corpus_drift_report_from_counts(
+        cell_counts(df_old, "n_old"), cell_counts(df_new, "n_new")
+    )

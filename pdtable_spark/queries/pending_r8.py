@@ -589,3 +589,55 @@ PENDING["embedding_cluster_sample"] = (
     pending_embedding_cluster_sample,
     PENDING_SQL_CLUSTER_SAMPLE,
 )
+
+
+PENDING_SQL_CLUSTER_DRIFT = f"""
+    WITH {_SQL_CLUSTER_ASSIGN},
+    a AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM cd WHERE rn = 1),
+    oc AS (SELECT CAST(cell AS VARCHAR) AS value, COUNT(*) AS n_old
+           FROM a WHERE vec_id % 2 = 0 GROUP BY 1),
+    nc AS (SELECT CAST(cell AS VARCHAR) AS value, COUNT(*) AS n_new
+           FROM a WHERE vec_id % 2 = 1 GROUP BY 1),
+    j AS (
+      SELECT COALESCE(oc.value, nc.value) AS value,
+             CAST(COALESCE(oc.n_old, 0) AS BIGINT) AS n_old,
+             CAST(COALESCE(nc.n_new, 0) AS BIGINT) AS n_new
+      FROM oc FULL OUTER JOIN nc ON nc.value = oc.value
+    ),
+    m AS (
+      SELECT value, n_old, n_new,
+             CASE WHEN SUM(n_old) OVER () > 0
+                  THEN CAST(n_old AS DOUBLE) / CAST(SUM(n_old) OVER () AS DOUBLE)
+                  ELSE 0.0 END AS share_old,
+             CASE WHEN SUM(n_new) OVER () > 0
+                  THEN CAST(n_new AS DOUBLE) / CAST(SUM(n_new) OVER () AS DOUBLE)
+                  ELSE 0.0 END AS share_new
+      FROM j
+    )
+    SELECT 'cell' AS dim, value, n_old, n_new, share_old, share_new,
+           share_new - share_old AS delta,
+           abs(share_new - share_old) AS abs_delta
+    FROM m
+"""
+
+
+def pending_embedding_cluster_drift(spark, sf_dir):
+    """Embedding-space drift between the even/odd snapshot halves under
+    the fixed seed centroids: the standard categorical report over the
+    cell dimension — topic shifts surface here before any metadata
+    column moves, and the output feeds the report-level TVD/PSI gates
+    unchanged."""
+    from pdtable_spark.operators.monitor import cluster_drift
+
+    emb, cents = _seed_centroids(spark, sf_dir)
+    return cluster_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        cents,
+    )
+
+
+PENDING["embedding_cluster_drift"] = (
+    pending_embedding_cluster_drift,
+    PENDING_SQL_CLUSTER_DRIFT,
+)

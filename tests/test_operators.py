@@ -2294,3 +2294,30 @@ def test_dsir_fused_slice_spelling(spark):
         dsir_log_importance(df)
     with pytest.raises(ValueError, match="exactly one"):
         dsir_log_importance(df, df.filter(pred), target_pred=pred)
+
+
+def test_cluster_drift(spark):
+    """Embedding-space drift: identical snapshots → zero deltas; moving a
+    cluster's mass shows up as paired ±delta rows; the output composes
+    with the report-level TVD gate."""
+    from pdtable_spark.operators.monitor import cluster_drift, drift_tvd_from_report
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    near0 = [(i, [0.1 * i, 0.0]) for i in range(4)]
+    near1 = [(10 + i, [10.0, 10.0 + 0.1 * i]) for i in range(4)]
+    old = spark.createDataFrame(near0 + near1, "vec_id: long, embedding: array<double>")
+    same = {r["value"]: r for r in cluster_drift(old, old, cents).collect()}
+    assert all(r["delta"] == 0.0 and r["abs_delta"] == 0.0 for r in same.values())
+    # new snapshot: cell-0 mass doubles, cell-1 halves
+    new = spark.createDataFrame(
+        near0 + [(100 + i, [0.0, 0.1 * i]) for i in range(4)] + near1[:2],
+        "vec_id: long, embedding: array<double>",
+    )
+    rep = cluster_drift(old, new, cents)
+    got = {r["value"]: r for r in rep.collect()}
+    assert got["0"]["n_old"] == 4 and got["0"]["n_new"] == 8
+    assert got["1"]["n_old"] == 4 and got["1"]["n_new"] == 2
+    assert abs(got["0"]["delta"] - (0.8 - 0.5)) < 1e-15
+    assert abs(got["1"]["delta"] + 0.3) < 1e-15
+    tvd = drift_tvd_from_report(rep).collect()[0]
+    assert abs(tvd["tvd"] - 0.3) < 1e-9
