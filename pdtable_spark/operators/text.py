@@ -1461,3 +1461,58 @@ def line_dedup(
         .alias("n_lines_removed"),
         *passthrough,
     )
+
+
+def curation_funnel(
+    flags: DataFrame,
+    pass_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """The "why did documents die" table: per quality rule, how many
+    documents fail it — (rule, n_failed, share_failed, n_failed_alone).
+    Works on ANY flags frame with 0/1 ``pass_*`` columns
+    (:func:`gopher_quality_flags`, :func:`c4_quality`,
+    :func:`blocklist_filter`, or their join), auto-detecting the rule
+    columns (``pass_*`` minus the ``pass_all`` conjunction) unless
+    ``pass_cols`` names them.
+
+    ``n_failed_alone`` is each rule's MARGINAL kill count — documents
+    failing this rule while passing every other — i.e. exactly what you
+    would recover by dropping the rule; ``n_failed`` double-counts docs
+    failing several rules (the sum exceeds total rejections by design).
+
+    100 TB design: one scan over the (already scan-local) flags frame;
+    all 2T conditional sums fold into ONE map-side-combinable aggregate
+    row, unpivoted via inline — the :func:`...monitor.threshold_sweep`
+    shape.  Flags must be non-null 0/1 (the quality operators' contract).
+    """
+    cols = pass_cols or [
+        c for c in flags.columns if c.startswith("pass_") and c != "pass_all"
+    ]
+    if not cols:
+        raise ValueError("curation_funnel: no pass_* rule columns found")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        failed = (F.col(c) == 0).cast("long")
+        alone = failed
+        for o in cols:
+            if o != c:
+                alone = alone * (F.col(o) == 1).cast("long")
+        aggs.append(F.sum(failed).alias(f"__f{i}"))
+        aggs.append(F.sum(alone).alias(f"__a{i}"))
+    row = flags.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("rule"),
+            F.coalesce(F.col(f"__f{i}"), F.lit(0)).cast("long").alias("n_failed"),
+            F.when(
+                F.col("__n") > 0,
+                F.coalesce(F.col(f"__f{i}"), F.lit(0)).cast("double")
+                / F.col("__n").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("share_failed"),
+            F.coalesce(F.col(f"__a{i}"), F.lit(0)).cast("long").alias("n_failed_alone"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return row.select(F.inline(F.array(*entries)))

@@ -645,3 +645,99 @@ PENDING["embedding_cluster_drift"] = (
     pending_embedding_cluster_drift,
     PENDING_SQL_CLUSTER_DRIFT,
 )
+
+
+#: Per-rule rejection funnel over the FULL Gopher flag set, on the same
+#: deterministic multi-line fixture variant as text_gopher_rules (so the
+#: line-level rules take non-trivial values).
+from pdtable_spark.queries.suite import (  # noqa: E402
+    _GOPHER_DERIVED_SQL,
+    _GOPHER_M,
+    _GOPHER_MIN_WORDS,
+)
+
+_FUNNEL_RULES = [
+    "pass_word_count",
+    "pass_mean_word_len",
+    "pass_alpha_ratio",
+    "pass_stopwords",
+    "pass_symbol_ratio",
+    "pass_bullet_lines",
+    "pass_ellipsis_lines",
+    "pass_dup_lines",
+]
+
+
+def _sql_funnel() -> str:
+    flags = f"""
+    WITH t AS (SELECT doc_id, {_GOPHER_DERIVED_SQL} AS der FROM documents),
+    m AS (
+      SELECT doc_id,
+             {_GOPHER_M['n_words']} AS n_words,
+             {_GOPHER_M['mean_word_len']} AS mean_word_len,
+             {_GOPHER_M['alpha_ratio']} AS alpha_ratio,
+             {_GOPHER_M['n_stopwords']} AS n_stopwords,
+             {_GOPHER_M['symbol_word_ratio']} AS symbol_word_ratio,
+             {_GOPHER_M['bullet_line_frac']} AS bullet_line_frac,
+             {_GOPHER_M['ellipsis_line_frac']} AS ellipsis_line_frac,
+             {_GOPHER_M['dup_line_frac']} AS dup_line_frac
+      FROM t
+    ),
+    fl AS (
+      SELECT CAST(n_words >= {_GOPHER_MIN_WORDS} AND n_words <= 100000 AS INT)
+               AS pass_word_count,
+             CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+               AS pass_mean_word_len,
+             CAST(alpha_ratio >= 0.8 AS INT) AS pass_alpha_ratio,
+             CAST(n_stopwords >= 2 AS INT) AS pass_stopwords,
+             CAST(symbol_word_ratio <= 0.1 AS INT) AS pass_symbol_ratio,
+             CAST(bullet_line_frac <= 0.9 AS INT) AS pass_bullet_lines,
+             CAST(ellipsis_line_frac <= 0.3 AS INT) AS pass_ellipsis_lines,
+             CAST(dup_line_frac <= 0.3 AS INT) AS pass_dup_lines
+      FROM m
+    )"""
+    arms = []
+    for c in _FUNNEL_RULES:
+        others = " AND ".join(f"{o} = 1" for o in _FUNNEL_RULES if o != c)
+        arms.append(f"""
+    SELECT '{c}' AS rule,
+           CAST(SUM(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE)
+                ELSE 0.0 END AS share_failed,
+           CAST(SUM(CASE WHEN {c} = 0 AND {others} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_failed_alone
+    FROM fl""")
+    return flags + "\n    UNION ALL".join(arms)
+
+
+PENDING_SQL_FUNNEL = _sql_funnel()
+
+
+def pending_pipeline_curation_funnel(spark, sf_dir):
+    """Per-rule rejection funnel over the full Gopher flag set: n_failed
+    (double-counts multi-rule failures by design), within-corpus failure
+    share, and the MARGINAL n_failed_alone (what dropping the rule would
+    recover) — one aggregate row unpivoted via inline."""
+    from pdtable_spark.operators.text import curation_funnel, gopher_quality_flags
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit(" slow"), F.lit(" ...")),
+                F.lit(" hash"),
+                F.lit(" #"),
+            ),
+            F.lit(" line"),
+            F.lit("\n-"),
+        ),
+    )
+    return curation_funnel(gopher_quality_flags(docs, min_words=_GOPHER_MIN_WORDS))
+
+
+PENDING["pipeline_curation_funnel"] = (
+    pending_pipeline_curation_funnel,
+    PENDING_SQL_FUNNEL,
+)

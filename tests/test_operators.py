@@ -2321,3 +2321,35 @@ def test_cluster_drift(spark):
     assert abs(got["1"]["delta"] + 0.3) < 1e-15
     tvd = drift_tvd_from_report(rep).collect()[0]
     assert abs(tvd["tvd"] - 0.3) < 1e-9
+
+
+def test_curation_funnel(spark):
+    """Per-rule kill counts over a hand-built flags frame: n_failed
+    double-counts multi-rule failures by design, n_failed_alone is the
+    marginal kill (what dropping the rule would recover), pass_all is
+    excluded from auto-detection, empty frame yields zero rows' worth of
+    zeros."""
+    rows = [
+        (1, 1, 1, 1),  # passes everything
+        (2, 0, 1, 1),  # fails A alone
+        (3, 0, 0, 1),  # fails A and B
+        (4, 1, 0, 0),  # fails B and C
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "pass_a", "pass_b", "pass_c"]).withColumn(
+        "pass_all",
+        (F.col("pass_a") * F.col("pass_b") * F.col("pass_c")).cast("int"),
+    )
+    got = {r["rule"]: r for r in text.curation_funnel(df).collect()}
+    assert set(got) == {"pass_a", "pass_b", "pass_c"}  # pass_all excluded
+    assert got["pass_a"]["n_failed"] == 2 and got["pass_a"]["n_failed_alone"] == 1
+    assert got["pass_b"]["n_failed"] == 2 and got["pass_b"]["n_failed_alone"] == 0
+    assert got["pass_c"]["n_failed"] == 1 and got["pass_c"]["n_failed_alone"] == 0
+    assert got["pass_b"]["share_failed"] == 0.5
+    # explicit subset of rules
+    sub = {r["rule"] for r in text.curation_funnel(df, pass_cols=["pass_a"]).collect()}
+    assert sub == {"pass_a"}
+    empty = df.filter(F.col("doc_id") < 0)
+    e = {r["rule"]: r for r in text.curation_funnel(empty).collect()}
+    assert e["pass_a"]["n_failed"] == 0 and e["pass_a"]["share_failed"] == 0.0
+    with pytest.raises(ValueError, match="pass_"):
+        text.curation_funnel(df.select("doc_id"))
