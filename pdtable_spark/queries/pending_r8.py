@@ -2,14 +2,14 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all TWELVE entries into ``suite.py``
+a coverage gap.  Round 8 moves all THIRTEEN entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
 numeric-dimension drift gates, DSIR importance weights (fused-slice
 spelling), char entropy, line-level boilerplate dedup + its audit, the
-per-source threshold-sweep curve, and the cluster profile / balanced
-sample / embedding-drift family.
+per-source threshold-sweep curve, the cluster profile / balanced sample /
+embedding-drift family, and the per-rule curation funnel.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
