@@ -1066,3 +1066,131 @@ def minhash_estimate_report(
         .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("true_jaccard")))
         .select("id_a", "id_b", "est_jaccard", "true_jaccard", "abs_err")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: membership screening against a benchmark set
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(col: Column, num_hashes: int, num_bits: int) -> Column:
+    """The ``num_hashes`` Bloom bit positions of a shingle string, as an
+    array — position *i* is ``md5_60(g || ':' || i) % num_bits`` (md5_60 is
+    uniform on [0, 2^60), so the plain modulo is unbiased for power-of-two
+    ``num_bits`` and DuckDB reproduces every position exactly:
+    ``CAST('0x' || substr(md5(g || ':' || i), 1, 15) AS BIGINT) % num_bits``).
+    """
+    return F.array(
+        *[
+            (md5_60(F.concat(col, F.lit(f":{i}"))) % F.lit(num_bits)).alias(f"p{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    num_hashes: int = 3,
+    num_bits: int = 1 << 16,
+) -> DataFrame:
+    """The Bloom side of :func:`bloom_decontaminate` as a standalone,
+    persistable artifact: the DISTINCT set bit positions of every shingle
+    in ``df`` (the benchmark / eval corpus), one ``pos`` row each.
+
+    This set-of-positions frame IS the Bloom filter — semantically
+    identical to the packed ``num_bits`` bitmap (a probe hits iff all its
+    ``num_hashes`` positions are present), but kept relational so (a) the
+    probe side can use a broadcast HASH join instead of per-row linear
+    array scans, and (b) DuckDB reproduces it row-for-row for the value
+    oracle.  Size is bounded by ``num_bits`` rows regardless of benchmark
+    size — at the default 2^16 that is ≤ 0.5 MB broadcast.
+    """
+    return (
+        df.select(F.explode(shingles(F.col(text_col), shingle_n)).alias("g"))
+        .select(F.explode(bloom_positions(F.col("g"), num_hashes, num_bits)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    bench_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    num_hashes: int = 3,
+    num_bits: int = 1 << 16,
+    min_hit_rate: float = 0.5,
+    bloom: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Bloom-filter eval-set screening (the cheap FIRST pass before the
+    exact :func:`contamination_report`): every training doc's shingles are
+    probed against a Bloom filter of the benchmark shingles; a doc whose
+    hit rate reaches ``min_hit_rate`` is flagged for the exact pass.
+
+    Compared to the exact report this never materializes (train_id,
+    bench_id) pairs — the benchmark travels as a ≤ ``num_bits``-row
+    broadcast regardless of its size, so screening 100 TB of training
+    text against a large eval suite costs one corpus scan + one broadcast
+    hash join.  Bloom false positives only ever OVER-flag (a flagged doc
+    goes to the exact verifier; nothing is dropped on a Bloom hit alone),
+    mirroring reference semantics where sketch passes are screens, not
+    verdicts (reference: pdtable has no sketch screen; this extends the
+    contamination operator family for LLM-pipeline scale).
+
+    Returns (train_id, n_grams, n_hits, hit_rate, flagged) for EVERY
+    non-benchmark doc.  Fully value-oracled: positions are md5-based
+    (:func:`bloom_positions`), hit_rate is one double division.
+
+    Pass ``bloom=`` a pre-built (pre-persisted) :func:`bloom_build` frame
+    to reuse one filter across many screening batches.
+    """
+    base = df.select(
+        F.col(id_col), F.col(text_col), bench_pred.alias("__is_bench")
+    ).select(
+        id_col, "__is_bench", shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    if bloom is None:
+        bloom = (
+            base.filter(F.col("__is_bench"))
+            .select(F.explode("sh").alias("g"))
+            .select(
+                F.explode(bloom_positions(F.col("g"), num_hashes, num_bits)).alias("pos")
+            )
+            .distinct()
+        )
+    train = base.filter(~F.col("__is_bench")).select(
+        F.col(id_col).alias("train_id"), F.explode("sh").alias("g")
+    )
+    # each (gram, slot) probe row matches AT MOST one distinct-pos bloom
+    # row, so a gram is a Bloom hit iff exactly num_hashes of its probes
+    # survive the inner join
+    probes = train.select(
+        "train_id",
+        "g",
+        F.explode(bloom_positions(F.col("g"), num_hashes, num_bits)).alias("pos"),
+    )
+    gram_hits = (
+        probes.join(F.broadcast(bloom), "pos")
+        .groupBy("train_id", "g")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .filter(F.col("__m") == num_hashes)
+        .groupBy("train_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = train.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        per_doc.join(gram_hits, "train_id", "left")
+        .select(
+            "train_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "hit_rate", F.col("n_hits").cast("double") / F.col("n_grams").cast("double")
+        )
+        .withColumn("flagged", (F.col("hit_rate") >= F.lit(float(min_hit_rate))).cast("int"))
+    )

@@ -1117,3 +1117,117 @@ def cluster_balanced_sample(
         .withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("sample_rank") <= per_cell)
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-training data: hard-negative mining and kNN label propagation
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchor_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    ceiling: Optional[float] = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for each
+    anchor row (selected by the ``anchor_pred`` Column), the top-``k``
+    most-cosine-similar corpus rows whose ``label_col`` DIFFERS from the
+    anchor's — the "close but wrong" examples a contrastive loss learns
+    most from.  ``ceiling`` (optional) drops candidates at or above that
+    cosine: near-exact matches across label boundaries are usually
+    mislabeled duplicates, not negatives.
+
+    Returns (anchor_id, neg_id, neg_label, cosine_sim, rank), rank 1..k
+    per anchor by cosine desc, id asc (deterministic ties).
+
+    100 TB design: the anchor side broadcasts (mining runs over a bounded
+    anchor batch — a training shard, not the whole corpus), so the corpus
+    is scanned once with no shuffle before the per-anchor top-k window,
+    which moves ≤ k rows per anchor per partition.  For corpus-scale
+    anchor sets, mine in batches against a persisted :func:`ivf_index`
+    (probe with :func:`ivf_query`, then apply the same label filter) —
+    the exact spelling here is the recall oracle for that path.
+    """
+    anchors = corpus.filter(anchor_pred).select(
+        F.col(id_col).alias("anchor_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        F.col(label_col).alias("__a_label"),
+    )
+    cand = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(anchors))
+        .filter(F.col("neg_label") != F.col("__a_label"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            "neg_label",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    if ceiling is not None:
+        scored = scored.filter(F.col("cosine_sim") < F.lit(float(ceiling)))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine_sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "neg_label", "cosine_sim", "rank")
+    )
+
+
+def knn_label_propagation(
+    corpus: DataFrame,
+    query_pred,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation: rows selected by ``query_pred``
+    are treated as UNLABELED and receive the majority label of their ``k``
+    nearest labeled neighbors by cosine (the seed-classifier bootstrap a
+    quality-labeling pipeline runs to expand a small human-rated set over
+    a crawl; FineWeb-Edu-style).  Ties break toward the smaller label,
+    then more votes is always preferred; ``confidence`` is votes/k.
+
+    Returns (query_id, predicted_label, votes, confidence).
+
+    100 TB design: query side broadcasts (label a shard per pass); one
+    corpus scan, one window top-k, one vocabulary-sized vote aggregate.
+    Swap the exact neighbor stage for :func:`ivf_query` against a
+    persisted index when the labeled pool itself is corpus-scale.
+    """
+    queries = corpus.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_raw")
+    )
+    labeled = corpus.filter(~query_pred).select(
+        F.col(id_col), F.col(vec_col), F.col(label_col)
+    )
+    nn = cosine_topk(
+        labeled,
+        queries.select("query_id", F.col("q_raw").alias(vec_col)),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).join(
+        labeled.select(F.col(id_col), F.col(label_col).alias("__nl")), id_col
+    )
+    votes = nn.groupBy("query_id", "__nl").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__nl"))
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "query_id",
+            F.col("__nl").alias("predicted_label"),
+            F.col("votes").cast("long").alias("votes"),
+            (F.col("votes").cast("double") / F.lit(float(k))).alias("confidence"),
+        )
+    )

@@ -2,14 +2,15 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all THIRTEEN entries into ``suite.py``
+a coverage gap.  Round 8 moves all SIXTEEN entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
 numeric-dimension drift gates, DSIR importance weights (fused-slice
 spelling), char entropy, line-level boilerplate dedup + its audit, the
 per-source threshold-sweep curve, the cluster profile / balanced sample /
-embedding-drift family, and the per-rule curation funnel.
+embedding-drift family, the per-rule curation funnel, the Bloom
+decontamination screen, and the hard-negative / label-propagation pair.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -740,4 +741,159 @@ def pending_pipeline_curation_funnel(spark, sf_dir):
 PENDING["pipeline_curation_funnel"] = (
     pending_pipeline_curation_funnel,
     PENDING_SQL_FUNNEL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination screen (operators/dedup.py::bloom_decontaminate)
+# ---------------------------------------------------------------------------
+
+from pdtable_spark.queries.suite import _SQL_SHINGLES  # noqa: E402
+
+_BLOOM_BITS = 1 << 16
+
+
+def _sql_bloom_pos(expr: str, i: int) -> str:
+    # DuckDB spelling of operators/dedup.py::bloom_positions slot i
+    return (
+        f"(CAST('0x' || substr(md5({expr} || ':{i}'), 1, 15) AS BIGINT)"
+        f" % {_BLOOM_BITS})"
+    )
+
+
+PENDING_SQL_BLOOM = f"""
+    WITH base AS (SELECT doc_id, source = 'src0' AS is_bench, {_SQL_SHINGLES} AS sh
+                  FROM documents),
+    bench_g AS (SELECT DISTINCT unnest(sh) AS g FROM base WHERE is_bench),
+    bloom AS (
+      SELECT DISTINCT pos FROM (
+        SELECT {_sql_bloom_pos('g', 0)} AS pos FROM bench_g
+        UNION ALL SELECT {_sql_bloom_pos('g', 1)} FROM bench_g
+        UNION ALL SELECT {_sql_bloom_pos('g', 2)} FROM bench_g
+      )
+    ),
+    train AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM base WHERE NOT is_bench),
+    probes AS (
+      SELECT train_id, g, pos FROM (
+        SELECT train_id, g, {_sql_bloom_pos('g', 0)} AS pos FROM train
+        UNION ALL SELECT train_id, g, {_sql_bloom_pos('g', 1)} FROM train
+        UNION ALL SELECT train_id, g, {_sql_bloom_pos('g', 2)} FROM train
+      )
+    ),
+    hits AS (
+      SELECT train_id, g FROM probes JOIN bloom USING (pos)
+      GROUP BY train_id, g HAVING COUNT(*) = 3
+    ),
+    fl AS (SELECT train_id, COUNT(*) AS n_hits FROM hits GROUP BY 1),
+    per_doc AS (SELECT train_id, COUNT(*) AS n_grams FROM train GROUP BY 1)
+    SELECT p.train_id,
+           CAST(p.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(f.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(f.n_hits, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+             AS hit_rate,
+           CAST(CAST(COALESCE(f.n_hits, 0) AS DOUBLE)
+                / CAST(p.n_grams AS DOUBLE) >= 0.5 AS INT) AS flagged
+    FROM per_doc p LEFT JOIN fl f USING (train_id)
+"""
+
+
+def pending_pipeline_bloom_screen(spark, sf_dir):
+    """Bloom-filter decontamination screen: every non-benchmark doc's
+    shingles probed against a 2^16-bit / 3-hash Bloom filter of the
+    src0 eval set — the cheap first pass whose flags feed the exact
+    contamination_report verifier.  The filter is a ≤ num_bits-row
+    broadcast however large the benchmark; one corpus scan."""
+    from pdtable_spark.operators.dedup import bloom_decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        docs,
+        F.col("source") == "src0",
+        shingle_n=5,
+        num_hashes=3,
+        num_bits=_BLOOM_BITS,
+        min_hit_rate=0.5,
+    )
+
+
+PENDING["pipeline_bloom_screen"] = (pending_pipeline_bloom_screen, PENDING_SQL_BLOOM)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining + kNN label propagation (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+PENDING_SQL_HARD_NEG = f"""
+    WITH a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qa,
+                      label AS a_label
+               FROM embeddings WHERE vec_id % 25 = 0),
+    c AS (SELECT vec_id AS neg_id, CAST(embedding AS DOUBLE[]) AS ca,
+                 label AS neg_label
+          FROM embeddings),
+    scored AS (
+      SELECT anchor_id, neg_id, neg_label, {_COSINE_SQL} AS cosine_sim
+      FROM c CROSS JOIN a WHERE neg_label <> a_label
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+                     ORDER BY cosine_sim DESC, neg_id) AS INT) AS rank
+      FROM scored WHERE cosine_sim < 0.999
+    )
+    SELECT anchor_id, neg_id, neg_label, cosine_sim, rank FROM r WHERE rank <= 5
+"""
+
+
+def pending_embedding_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each of 20
+    anchors, the top-5 most-similar vectors with a DIFFERENT label, under
+    a 0.999 cosine ceiling (cross-label near-exacts are mislabel
+    suspects, not negatives).  Anchor batch broadcasts; one corpus scan."""
+    from pdtable_spark.operators.similarity import hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, F.col("vec_id") % 25 == 0, k=5, ceiling=0.999)
+
+
+PENDING["embedding_hard_negatives"] = (
+    pending_embedding_hard_negatives,
+    PENDING_SQL_HARD_NEG,
+)
+
+
+PENDING_SQL_LABEL_PROP = f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
+               FROM embeddings WHERE vec_id % 10 = 0),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca, label
+          FROM embeddings WHERE vec_id % 10 <> 0),
+    scored AS (SELECT query_id, vec_id, label, {_COSINE_SQL} AS s
+               FROM c CROSS JOIN q),
+    nn AS (
+      SELECT query_id, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 10
+    ),
+    v AS (SELECT query_id, label, COUNT(*) AS votes FROM nn GROUP BY 1, 2)
+    SELECT query_id, label AS predicted_label, CAST(votes AS BIGINT) AS votes,
+           CAST(votes AS DOUBLE) / 10.0 AS confidence
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY votes DESC, label) AS rr FROM v)
+    WHERE rr = 1
+"""
+
+
+def pending_embedding_label_propagation(spark, sf_dir):
+    """kNN label propagation: every 10th vector plays unlabeled and takes
+    the majority label of its 10 nearest labeled neighbors (ties toward
+    the smaller label) — the seed-classifier expansion step of a
+    quality-labeling pipeline, with confidence = votes/k."""
+    from pdtable_spark.operators.similarity import knn_label_propagation
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_label_propagation(emb, F.col("vec_id") % 10 == 0, k=10)
+
+
+PENDING["embedding_label_propagation"] = (
+    pending_embedding_label_propagation,
+    PENDING_SQL_LABEL_PROP,
 )

@@ -2353,3 +2353,103 @@ def test_curation_funnel(spark):
     assert e["pass_a"]["n_failed"] == 0 and e["pass_a"]["share_failed"] == 0.0
     with pytest.raises(ValueError, match="pass_"):
         text.curation_funnel(df.select("doc_id"))
+
+
+def test_bloom_decontaminate_flags_containing_doc(spark):
+    """A train doc that CONTAINS the benchmark text has hit_rate 1.0 on its
+    shared shingles (Bloom has no false negatives); an unrelated doc's hit
+    rate stays below the flag threshold at 2^16 bits."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench_text, "bench"),
+        (1, bench_text + " and a tail", "train"),
+        (2, "totally unrelated content about engines and shuffles ok", "train"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["train_id"]: r
+        for r in dedup.bloom_decontaminate(
+            df, F.col("source") == "bench", shingle_n=3, min_hit_rate=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    # doc 1 shares all 6 bench 3-gram shingles out of its own 8
+    assert out[1]["n_hits"] >= 6 and out[1]["flagged"] == 1
+    assert out[2]["n_hits"] == 0 and out[2]["flagged"] == 0
+    assert out[2]["hit_rate"] == 0.0
+
+
+def test_bloom_decontaminate_prebuilt_filter_reused(spark):
+    """bloom= accepts a pre-built bloom_build frame: screening a second
+    batch against the same filter gives identical verdicts to the inline
+    path (the persisted-filter production shape)."""
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta plus tail", "t"),
+            (11, "nothing in common with anything here at all", "t"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    filt = dedup.bloom_build(bench, shingle_n=3)
+    both = bench.select("doc_id", "text", F.lit("bench").alias("source")).unionByName(
+        batch
+    )
+    inline = {
+        r["train_id"]: (r["n_hits"], r["flagged"])
+        for r in dedup.bloom_decontaminate(
+            both, F.col("source") == "bench", shingle_n=3
+        ).collect()
+    }
+    reused = {
+        r["train_id"]: (r["n_hits"], r["flagged"])
+        for r in dedup.bloom_decontaminate(
+            batch, F.lit(False), shingle_n=3, bloom=filt
+        ).collect()
+    }
+    assert inline == reused and reused[10][1] == 1 and reused[11][1] == 0
+
+
+def test_hard_negatives_label_filter_and_ceiling(spark):
+    """Negatives never share the anchor's label; the ceiling drops the
+    cross-label exact duplicate (cosine 1.0); ranks are dense from 1."""
+    from pdtable_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 0),  # anchor
+        (1, [1.0, 0.0], 1),  # cross-label DUPLICATE of the anchor
+        (2, [0.9, 0.1], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [0.95, 0.05], 0),  # same label: never a negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.hard_negatives(
+        df, F.col("vec_id") == 0, k=3, ceiling=0.9999
+    ).collect()
+    assert [(r["neg_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (2, 1),
+        (3, 2),
+    ]
+    assert all(r["neg_label"] == 1 and r["anchor_id"] == 0 for r in out)
+
+
+def test_knn_label_propagation_majority_and_ties(spark):
+    """Majority of the k nearest labeled neighbors wins; a vote tie breaks
+    toward the smaller label; confidence is votes/k."""
+    from pdtable_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 9),  # query (label hidden by the predicate)
+        (1, [1.0, 0.01], 2),
+        (2, [1.0, 0.02], 2),
+        (3, [1.0, 0.03], 1),
+        (4, [0.9, 0.1], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.knn_label_propagation(df, F.col("vec_id") == 0, k=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 2 votes for label 2, 2 for label 1 → tie → smaller label wins
+    assert r["predicted_label"] == 1 and r["votes"] == 2 and r["confidence"] == 0.5
