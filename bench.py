@@ -236,6 +236,12 @@ def main():
         "embedding_cluster_profile",
         "embedding_cluster_sample",
         "pipeline_threshold_sweep",
+        # staged round-8 additions (cont.): Bloom decontamination screen
+        # (the corpus-heavy probe join) and the contrastive-training pair
+        # (broadcast-anchor scans over the embedding table)
+        "pipeline_bloom_screen",
+        "embedding_hard_negatives",
+        "embedding_label_propagation",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

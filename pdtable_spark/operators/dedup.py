@@ -1162,32 +1162,30 @@ def bloom_decontaminate(
             )
             .distinct()
         )
-    train = base.filter(~F.col("__is_bench")).select(
-        F.col(id_col).alias("train_id"), F.explode("sh").alias("g")
-    )
-    # each (gram, slot) probe row matches AT MOST one distinct-pos bloom
-    # row, so a gram is a Bloom hit iff exactly num_hashes of its probes
-    # survive the inner join
-    probes = train.select(
+    # ONE pass over the training grams: LEFT-join the probes so zero-hit
+    # grams (and zero-hit docs) stay in frame — each (gram, slot) probe row
+    # matches AT MOST one distinct-pos bloom row, so a gram is a Bloom hit
+    # iff all num_hashes of its probes matched, and both n_grams and
+    # n_hits fall out of the same two keyed aggregates (no second corpus
+    # scan for the per-doc gram counts)
+    probes = base.filter(~F.col("__is_bench")).select(
+        F.col(id_col).alias("train_id"),
+        F.explode("sh").alias("g"),
+    ).select(
         "train_id",
         "g",
         F.explode(bloom_positions(F.col("g"), num_hashes, num_bits)).alias("pos"),
     )
-    gram_hits = (
-        probes.join(F.broadcast(bloom), "pos")
+    per_gram = (
+        probes.join(F.broadcast(bloom.withColumn("__hit", F.lit(1))), "pos", "left")
         .groupBy("train_id", "g")
-        .agg(F.count(F.lit(1)).alias("__m"))
-        .filter(F.col("__m") == num_hashes)
-        .groupBy("train_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg((F.sum(F.coalesce(F.col("__hit"), F.lit(0))) == num_hashes).alias("__all"))
     )
-    per_doc = train.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_grams"))
     return (
-        per_doc.join(gram_hits, "train_id", "left")
-        .select(
-            "train_id",
-            F.col("n_grams").cast("long").alias("n_grams"),
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        per_gram.groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("__all").cast("long")).cast("long").alias("n_hits"),
         )
         .withColumn(
             "hit_rate", F.col("n_hits").cast("double") / F.col("n_grams").cast("double")

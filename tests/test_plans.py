@@ -439,3 +439,56 @@ def test_cluster_sample_window_partitioned_by_cell(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "Exchange hashpartitioning(cell" in plan
+
+
+def test_bloom_screen_probe_is_broadcast_hash_join(spark):
+    """bloom_decontaminate: the probe side hash-joins a BROADCAST bloom
+    frame (never a cartesian), the corpus parquet is scanned exactly twice
+    (bench build + the single train-gram pass), and the only shuffle on
+    the position key is the bench-sized bloom distinct — the corpus never
+    exchanges on pos."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.dedup import bloom_decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = bloom_decontaminate(docs, F.col("source") == "src0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [pos" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 2
+    # the lone pos exchange is the bloom-build distinct (bench-sized)
+    assert plan.count("Exchange hashpartitioning(pos") == 1
+
+
+def test_hard_negatives_broadcast_anchors_windows_on_anchor(spark):
+    """hard_negatives: anchors broadcast (BroadcastNestedLoopJoin over the
+    bounded anchor batch — by design, the scored cross product is the
+    operator); the top-k window partitions on anchor_id, never a
+    single-partition window."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = hard_negatives(emb, F.col("vec_id") % 25 == 0, k=5, ceiling=0.999)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning(anchor_id" in plan
+
+
+def test_label_propagation_no_single_partition_window(spark):
+    """knn_label_propagation: neighbor top-k windows on query_id and the
+    vote argmax windows on query_id — nothing single-partition, no
+    un-broadcast cartesian."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.similarity import knn_label_propagation
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = knn_label_propagation(emb, F.col("vec_id") % 10 == 0, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning(query_id" in plan
