@@ -1270,3 +1270,33 @@ def knn_label_propagation(
             (F.col("votes").cast("double") / F.lit(float(k))).alias("confidence"),
         )
     )
+
+
+def truncated_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval: exact cosine top-k
+    over only the FIRST ``dim`` components of both sides (MRL embeddings
+    front-load information, Kusupati et al. 2022 — so prefix truncation is
+    the sanctioned cheap mode).  At 100 TB, halving the scanned dimensions
+    halves the ANN fold cost and the index footprint; pair with the recall
+    diagnostic (exact top-k vs this) to pick the smallest dim that holds
+    recall, exactly like the LSH/IVF/PQ tuning loop.
+    """
+    if dim < 1:
+        raise ValueError("truncated_topk: dim must be >= 1")
+    t = lambda df, c: df.withColumn(c, F.slice(F.col(c), 1, dim))  # noqa: E731
+    return cosine_topk(
+        t(corpus, vec_col),
+        t(queries, vec_col),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )

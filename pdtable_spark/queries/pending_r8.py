@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all SIXTEEN entries into ``suite.py``
+a coverage gap.  Round 8 moves all SEVENTEEN entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -10,7 +10,8 @@ numeric-dimension drift gates, DSIR importance weights (fused-slice
 spelling), char entropy, line-level boilerplate dedup + its audit, the
 per-source threshold-sweep curve, the cluster profile / balanced sample /
 embedding-drift family, the per-rule curation funnel, the Bloom
-decontamination screen, and the hard-negative / label-propagation pair.
+decontamination screen, the hard-negative / label-propagation pair, and
+the Matryoshka truncation-recall diagnostic.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -896,4 +897,65 @@ def pending_embedding_label_propagation(spark, sf_dir):
 PENDING["embedding_label_propagation"] = (
     pending_embedding_label_propagation,
     PENDING_SQL_LABEL_PROP,
+)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (operators/similarity.py::truncated_topk)
+# ---------------------------------------------------------------------------
+
+from pdtable_spark.queries.suite import _RECALL_EXACT_SQL, _recall_at_10  # noqa: E402
+
+_TRUNC_DIM = 16
+
+PENDING_SQL_TRUNC_RECALL = f"""
+    WITH tq AS (SELECT vec_id AS query_id,
+                       list_slice(CAST(embedding AS DOUBLE[]), 1, {_TRUNC_DIM}) AS qa
+                FROM embeddings WHERE vec_id < 5),
+    tc AS (SELECT vec_id,
+                  list_slice(CAST(embedding AS DOUBLE[]), 1, {_TRUNC_DIM}) AS ca
+           FROM embeddings),
+    tscored AS (SELECT query_id, vec_id, {_COSINE_SQL} AS s
+                FROM tc AS c CROSS JOIN tq AS q),
+    trunc AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, vec_id) AS rank
+        FROM tscored) WHERE rank <= 10
+    ),
+    exact AS ({_RECALL_EXACT_SQL}),
+    hits AS (
+      SELECT e.query_id, COUNT(t.vec_id) AS n_hits
+      FROM exact e LEFT JOIN trunc t
+        ON t.query_id = e.query_id AND t.vec_id = e.vec_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / 10.0 AS recall_at_10
+    FROM hits
+"""
+
+
+def pending_embedding_truncation_recall(spark, sf_dir):
+    """Matryoshka truncation diagnostic: recall@10 of cosine retrieval over
+    only the first 16 of 64 embedding components vs the full-dim exact
+    baseline — the measurement that licenses the 4x-cheaper scan/index
+    dims before pointing truncated retrieval at 100 TB (same tuning-loop
+    shape as the LSH/IVF/PQ recall trio)."""
+    from pdtable_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    trunc = similarity.truncated_topk(emb, queries, dim=_TRUNC_DIM, k=10).select(
+        "query_id", "vec_id"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    return _recall_at_10(exact, trunc)
+
+
+PENDING["embedding_truncation_recall"] = (
+    pending_embedding_truncation_recall,
+    PENDING_SQL_TRUNC_RECALL,
 )

@@ -2453,3 +2453,27 @@ def test_knn_label_propagation_majority_and_ties(spark):
     r = out[0]
     # 2 votes for label 2, 2 for label 1 → tie → smaller label wins
     assert r["predicted_label"] == 1 and r["votes"] == 2 and r["confidence"] == 0.5
+
+
+def test_truncated_topk_prefix_semantics(spark):
+    """truncated_topk ranks by the first `dim` components only: a vector
+    whose similarity lives entirely in the tail drops out of the
+    truncated ranking; dim >= vector length degrades to exact."""
+    from pdtable_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0, 0.0]),    # close in the prefix
+        (2, [-1.0, 0.0, 8.0, 8.0]),   # anti-correlated prefix, similar tail
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0).withColumnRenamed("vec_id", "query_id")
+    t2 = {r["vec_id"]: r["rank"] for r in similarity.truncated_topk(df, q, dim=2, k=3).collect()}
+    # under dim=2 vector 2's prefix is anti-correlated -> last
+    assert t2 == {0: 1, 1: 2, 2: 3}
+    full = similarity.truncated_topk(df, q, dim=4, k=3)
+    exact = similarity.cosine_topk(df, q, k=3)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dim"):
+        similarity.truncated_topk(df, q, dim=0)
