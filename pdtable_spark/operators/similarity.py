@@ -407,13 +407,20 @@ def ivf_index(
     centroids: List[List[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metadata_cols=(),
 ) -> DataFrame:
     """The persistable IVF index: each vector assigned to its nearest cell
-    → (id, vec, cell).  Write ``partitionBy("cell")`` once; each query
-    batch then scans only its ``nprobe`` probed cells (partition-pruned),
-    and new corpus batches append their own cell assignments."""
+    → (id, vec, cell[, metadata...]).  Write ``partitionBy("cell")`` once;
+    each query batch then scans only its ``nprobe`` probed cells
+    (partition-pruned), and new corpus batches append their own cell
+    assignments.  ``metadata_cols`` ride along for filtered search /
+    label-aware mining (same contract as :func:`ann_index`)."""
     cents = [[float(x) for x in c] for c in centroids]
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    c = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("vec"),
+        *[F.col(m) for m in metadata_cols],
+    )
     c = _matrix_frame(c, "__cents", cents, 2)
     return c.withColumn(
         "cell", F.element_at(_cell_ranking(F.col("vec"), F.col("__cents")), 1)
@@ -1299,4 +1306,75 @@ def truncated_topk(
         id_col=id_col,
         vec_col=vec_col,
         query_id_col=query_id_col,
+    )
+
+
+def hard_negatives_ivf(
+    index: DataFrame,
+    anchors: DataFrame,
+    centroids: List[List[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    ceiling: Optional[float] = None,
+) -> DataFrame:
+    """The 100 TB spelling of :func:`hard_negatives`: mine against a
+    persisted :func:`ivf_index` built with ``metadata_cols=[label_col]``
+    instead of scanning the whole corpus per anchor batch — each anchor
+    probes its ``nprobe`` nearest cells (partition-pruned reads on a
+    written index) and the cross-label filter runs inside the probed
+    cells.  ``anchors`` must carry (anchor_id_col, vec_col, label_col).
+
+    Approximate by construction (a hard negative living outside the
+    probed cells is missed); pair with the exact miner's recall
+    diagnostic to tune ``nprobe`` before committing — the same
+    measure-then-scale loop as the LSH/IVF/PQ retrieval trio.
+
+    Returns (anchor_id, neg_id, neg_label, cosine_sim, rank).
+    """
+    cents = [[float(x) for x in c] for c in centroids]
+    a = anchors.select(
+        F.col(anchor_id_col).alias("anchor_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        F.col(label_col).alias("__a_label"),
+    )
+    a = _matrix_frame(a, "__cents", cents, 2)
+    a = a.select(
+        "anchor_id",
+        "q_vec",
+        "__a_label",
+        dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2"),
+        F.explode(
+            F.slice(_cell_ranking(F.col("q_vec"), F.col("__cents")), 1, nprobe)
+        ).alias("cell"),
+    )
+    cand = index.select(
+        F.col("cell"),
+        F.col(id_col).alias("neg_id"),
+        F.col("vec").alias("c_vec"),
+        F.col(label_col).alias("neg_label"),
+    ).withColumn("__c_n2", dot(F.col("c_vec"), F.col("c_vec")))
+    scored = (
+        cand.join(F.broadcast(a), on="cell")
+        .filter(F.col("neg_label") != F.col("__a_label"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            "neg_label",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / F.sqrt(F.col("__q_n2") * F.col("__c_n2"))
+            ).alias("cosine_sim"),
+        )
+    )
+    if ceiling is not None:
+        scored = scored.filter(F.col("cosine_sim") < F.lit(float(ceiling)))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine_sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "neg_label", "cosine_sim", "rank")
     )

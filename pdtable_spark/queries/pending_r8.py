@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all SEVENTEEN entries into ``suite.py``
+a coverage gap.  Round 8 moves all EIGHTEEN entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -10,8 +10,9 @@ numeric-dimension drift gates, DSIR importance weights (fused-slice
 spelling), char entropy, line-level boilerplate dedup + its audit, the
 per-source threshold-sweep curve, the cluster profile / balanced sample /
 embedding-drift family, the per-rule curation funnel, the Bloom
-decontamination screen, the hard-negative / label-propagation pair, and
-the Matryoshka truncation-recall diagnostic.
+decontamination screen, the hard-negative / label-propagation pair (plus
+the IVF-accelerated miner's recall diagnostic), and the Matryoshka
+truncation-recall diagnostic.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -958,4 +959,116 @@ def pending_embedding_truncation_recall(spark, sf_dir):
 PENDING["embedding_truncation_recall"] = (
     pending_embedding_truncation_recall,
     PENDING_SQL_TRUNC_RECALL,
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF-accelerated hard negatives + recall vs the exact miner
+# ---------------------------------------------------------------------------
+
+from pdtable_spark.queries.suite import _IVF_NPROBE, _sql_cos  # noqa: E402
+
+PENDING_SQL_HARD_NEG_RECALL = f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca, label
+               FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qa,
+                 label AS a_label
+          FROM embeddings WHERE vec_id % 25 = 0),
+    cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    cd AS (
+      SELECT c.vec_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY {_sql_dist2('ca', 'ce')}, cent.cid) AS rn
+      FROM c CROSS JOIN cent
+    ),
+    cassign AS (SELECT vec_id, cid AS cell FROM cd WHERE rn = 1),
+    qd AS (
+      SELECT a.anchor_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+                                ORDER BY {_sql_dist2('qa', 'ce')}, cent.cid) AS rn
+      FROM a CROSS JOIN cent
+    ),
+    qprobe AS (SELECT anchor_id, cid AS cell FROM qd WHERE rn <= {_IVF_NPROBE}),
+    ivf_scored AS (
+      SELECT a.anchor_id, c.vec_id AS neg_id, {_sql_cos('qa', 'ca')} AS s
+      FROM cassign JOIN qprobe USING (cell)
+      JOIN c ON c.vec_id = cassign.vec_id
+      JOIN a ON a.anchor_id = qprobe.anchor_id
+      WHERE c.label <> a.a_label
+    ),
+    ivf AS (
+      SELECT anchor_id, neg_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY s DESC, neg_id) AS rank
+        FROM ivf_scored WHERE s < 0.999) WHERE rank <= 5
+    ),
+    exact_scored AS (
+      SELECT a.anchor_id, c.vec_id AS neg_id, {_sql_cos('qa', 'ca')} AS s
+      FROM c CROSS JOIN a WHERE c.label <> a.a_label
+    ),
+    exact AS (
+      SELECT anchor_id, neg_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY s DESC, neg_id) AS rank
+        FROM exact_scored WHERE s < 0.999) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT e.anchor_id, COUNT(i.neg_id) AS n_hits
+      FROM exact e LEFT JOIN ivf i
+        ON i.anchor_id = e.anchor_id AND i.neg_id = e.neg_id
+      GROUP BY e.anchor_id
+    )
+    SELECT anchor_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / 5.0 AS recall_at_5
+    FROM hits
+"""
+
+
+def pending_embedding_hard_negative_recall(spark, sf_dir):
+    """Recall@5 of IVF-mined hard negatives (label-carrying persisted
+    index, nprobe-pruned probes) against the exact cross-label miner —
+    the tuning measurement that licenses index-accelerated mining at
+    100 TB, same loop as the retrieval recall trio."""
+    from pdtable_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    idx = similarity.ivf_index(emb, cents, metadata_cols=["label"])
+    anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    ivf = similarity.hard_negatives_ivf(
+        idx, anchors, cents, k=5, nprobe=_IVF_NPROBE, ceiling=0.999
+    ).select("anchor_id", "neg_id")
+    exact = similarity.hard_negatives(
+        emb, F.col("vec_id") % 25 == 0, k=5, ceiling=0.999
+    ).select("anchor_id", "neg_id")
+    hits = (
+        exact.alias("e")
+        .join(
+            ivf.alias("i"),
+            (F.col("i.anchor_id") == F.col("e.anchor_id"))
+            & (F.col("i.neg_id") == F.col("e.neg_id")),
+            "left",
+        )
+        .groupBy(F.col("e.anchor_id").alias("anchor_id"))
+        .agg(F.count(F.col("i.neg_id")).alias("n_hits"))
+    )
+    return hits.select(
+        "anchor_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+PENDING["embedding_hard_negative_recall"] = (
+    pending_embedding_hard_negative_recall,
+    PENDING_SQL_HARD_NEG_RECALL,
 )

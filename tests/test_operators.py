@@ -2477,3 +2477,24 @@ def test_truncated_topk_prefix_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="dim"):
         similarity.truncated_topk(df, q, dim=0)
+
+
+def test_hard_negatives_ivf_matches_exact_when_probing_all_cells(spark):
+    """With nprobe = n_cells the IVF miner probes everything, so its
+    output equals the exact miner's (same ordering, same ceiling); the
+    index carries the label via metadata_cols."""
+    from pdtable_spark.operators import similarity
+
+    rows = [
+        (i, [float(i % 4 == 0), float(i % 3), 0.25 * i, 1.0], i % 2)
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents = [r["embedding"] for r in df.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()]
+    idx = similarity.ivf_index(df, cents, metadata_cols=["label"])
+    anchors = df.filter(F.col("vec_id") % 8 == 0).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    ivf = similarity.hard_negatives_ivf(idx, anchors, cents, k=4, nprobe=3)
+    exact = similarity.hard_negatives(df, F.col("vec_id") % 8 == 0, k=4)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
