@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all EIGHTEEN entries into ``suite.py``
+a coverage gap.  Round 8 moves all TWENTY entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -10,9 +10,10 @@ numeric-dimension drift gates, DSIR importance weights (fused-slice
 spelling), char entropy, line-level boilerplate dedup + its audit, the
 per-source threshold-sweep curve, the cluster profile / balanced sample /
 embedding-drift family, the per-rule curation funnel, the Bloom
-decontamination screen, the hard-negative / label-propagation pair (plus
-the IVF-accelerated miner's recall diagnostic), and the Matryoshka
-truncation-recall diagnostic.
+decontamination screen + the screen→exact-verify decontamination funnel
++ the streaming (per-micro-batch) screen, the hard-negative /
+label-propagation pair (plus the IVF-accelerated miner's recall
+diagnostic), and the Matryoshka truncation-recall diagnostic.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -1071,4 +1072,154 @@ def pending_embedding_hard_negative_recall(spark, sf_dir):
 PENDING["embedding_hard_negative_recall"] = (
     pending_embedding_hard_negative_recall,
     PENDING_SQL_HARD_NEG_RECALL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage decontamination funnel: Bloom screen -> exact verify on flagged
+# ---------------------------------------------------------------------------
+
+PENDING_SQL_DECON_FUNNEL = f"""
+    WITH screen AS ({PENDING_SQL_BLOOM}),
+    flagged AS (SELECT train_id FROM screen WHERE flagged = 1),
+    base AS (SELECT doc_id, source = 'src0' AS is_bench, {_SQL_SHINGLES} AS sh
+             FROM documents),
+    bench AS (SELECT doc_id AS bench_id, len(sh) AS bench_size, unnest(sh) AS g
+              FROM base WHERE is_bench),
+    train AS (
+      SELECT doc_id AS train_id, unnest(sh) AS g FROM base
+      WHERE NOT is_bench AND doc_id IN (SELECT train_id FROM flagged)
+    ),
+    m AS (
+      SELECT train_id, bench_id, bench_size, COUNT(*) AS n_common
+      FROM train JOIN bench USING (g) GROUP BY 1, 2, 3
+    )
+    SELECT train_id, bench_id, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / CAST(bench_size AS DOUBLE) AS containment
+    FROM m
+    WHERE CAST(n_common AS DOUBLE) / CAST(bench_size AS DOUBLE) >= 0.3
+"""
+
+
+def pending_pipeline_decon_funnel(spark, sf_dir):
+    """The production decontamination shape: the Bloom screen prunes the
+    corpus to its flagged docs, and the exact (train, bench) containment
+    verifier runs ONLY on those — the quadratic-looking pair stage sees a
+    screen-sized input.  As ONE composed plan (this value-oracled
+    spelling) the corpus is re-scanned per stage branch; at 100 TB the
+    stages run separately — land the screen verdicts (a doc-id-sized
+    table), then verify against the flagged ids — so the full corpus
+    pays one scan plus a broadcast hash probe, exactly the batch screen's
+    plan, and only flagged docs are read again."""
+    from pdtable_spark.operators.dedup import (
+        bloom_decontaminate,
+        contamination_report,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    bench_pred = F.col("source") == "src0"
+    flagged = (
+        bloom_decontaminate(
+            docs, bench_pred, shingle_n=5, num_hashes=3,
+            num_bits=_BLOOM_BITS, min_hit_rate=0.5,
+        )
+        .filter(F.col("flagged") == 1)
+        .select(F.col("train_id").alias("doc_id"))
+    )
+    pruned = docs.filter(bench_pred).unionByName(
+        docs.join(flagged, "doc_id", "left_semi")
+    )
+    return contamination_report(
+        pruned, bench_pred, shingle_n=5, min_containment=0.3
+    ).select("train_id", "bench_id", "n_common", "containment")
+
+
+PENDING["pipeline_decon_funnel"] = (
+    pending_pipeline_decon_funnel,
+    PENDING_SQL_DECON_FUNNEL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom screen (streaming/screen.py::bloom_screen_stream)
+# ---------------------------------------------------------------------------
+
+PENDING_SQL_STREAM_BLOOM = f"""
+    WITH waves(w, batch_id) AS (VALUES (1, 0), (3, 1)),
+    bench_g AS (
+      SELECT DISTINCT unnest({_SQL_SHINGLES}) AS g FROM documents
+      WHERE source = 'src0'
+    ),
+    bloom AS (
+      SELECT DISTINCT pos FROM (
+        SELECT {_sql_bloom_pos('g', 0)} AS pos FROM bench_g
+        UNION ALL SELECT {_sql_bloom_pos('g', 1)} FROM bench_g
+        UNION ALL SELECT {_sql_bloom_pos('g', 2)} FROM bench_g
+      )
+    ),
+    train AS (
+      SELECT b.batch_id, doc_id AS train_id, unnest({_SQL_SHINGLES}) AS g
+      FROM documents JOIN waves b ON doc_id % 4 = b.w
+    ),
+    probes AS (
+      SELECT batch_id, train_id, g, pos FROM (
+        SELECT batch_id, train_id, g, {_sql_bloom_pos('g', 0)} AS pos FROM train
+        UNION ALL SELECT batch_id, train_id, g, {_sql_bloom_pos('g', 1)} FROM train
+        UNION ALL SELECT batch_id, train_id, g, {_sql_bloom_pos('g', 2)} FROM train
+      )
+    ),
+    hits AS (
+      SELECT batch_id, train_id, g FROM probes JOIN bloom USING (pos)
+      GROUP BY batch_id, train_id, g HAVING COUNT(*) = 3
+    ),
+    fl AS (SELECT batch_id, train_id, COUNT(*) AS n_hits FROM hits GROUP BY 1, 2),
+    per_doc AS (SELECT batch_id, train_id, COUNT(*) AS n_grams FROM train GROUP BY 1, 2)
+    SELECT p.train_id,
+           CAST(p.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(f.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(f.n_hits, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+             AS hit_rate,
+           CAST(CAST(COALESCE(f.n_hits, 0) AS DOUBLE)
+                / CAST(p.n_grams AS DOUBLE) >= 0.5 AS INT) AS flagged,
+           CAST(p.batch_id AS BIGINT) AS batch_id
+    FROM per_doc p LEFT JOIN fl f USING (batch_id, train_id)
+"""
+
+
+def pending_stream_bloom_screen(spark, sf_dir):
+    """The streaming decontamination path under the correctness gate: two
+    ingestion waves (doc_id%4==1, then %4==3) each picked up by its own
+    ``availableNow`` run over ONE checkpoint, every micro-batch probed
+    against the Bloom filter of the src0 eval set (built and persisted
+    once), landed exactly-once as a batch_id-partitioned dynamic
+    overwrite."""
+    import tempfile
+
+    from pdtable_spark.io.jsonl import read_jsonl_stream
+    from pdtable_spark.operators.dedup import bloom_build
+    from pdtable_spark.streaming.screen import bloom_screen_stream
+
+    d = tempfile.mkdtemp(prefix="pdtable_bloomscreen_")
+    land, out = f"{d}/land", f"{d}/out"
+    docs = load(spark, sf_dir, "documents")
+    bloom = bloom_build(
+        docs.filter(F.col("source") == "src0"),
+        shingle_n=5, num_hashes=3, num_bits=_BLOOM_BITS,
+    )
+    for wave in (1, 3):
+        docs.filter(F.col("doc_id") % 4 == wave).write.json(land, mode="append")
+        bloom_screen_stream(
+            read_jsonl_stream(spark, land), bloom, out, f"{d}/ckpt",
+            shingle_n=5, num_hashes=3, num_bits=_BLOOM_BITS, min_hit_rate=0.5,
+        )
+    rep = spark.read.parquet(out)
+    return rep.select(
+        "train_id", "n_grams", "n_hits", "hit_rate", "flagged",
+        F.col("batch_id").cast("long").alias("batch_id"),
+    )
+
+
+PENDING["stream_bloom_screen"] = (
+    pending_stream_bloom_screen,
+    PENDING_SQL_STREAM_BLOOM,
 )

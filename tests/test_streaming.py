@@ -455,3 +455,55 @@ def test_drift_batch_empty_is_an_alarm(spark, tmp_path):
         assert r["n_new"] == 0 and r["share_new"] == 0.0
         assert r["share_old"] == 0.5
         assert r["tvd"] == 0.5
+
+
+def test_bloom_screen_stream_two_waves(spark, tmp_path):
+    """Per-micro-batch Bloom screening vs a static filter: a wave-2 doc
+    that contains the benchmark text flags; re-delivery of a batch_id is
+    idempotent (dynamic overwrite replaces its own rows only)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.io.jsonl import read_jsonl_stream
+    from pdtable_spark.operators.dedup import bloom_build
+    from pdtable_spark.streaming.screen import _screen_batch, bloom_screen_stream
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "screen")
+    ckpt = str(tmp_path / "ckpt")
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame([(0, bench_text)], ["doc_id", "text"])
+    bloom = bloom_build(bench, shingle_n=3)
+
+    def doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s", "n_chars": len(text)}
+        )
+
+    def run():
+        bloom_screen_stream(
+            read_jsonl_stream(spark, str(land)), bloom, out, ckpt,
+            shingle_n=3, min_hit_rate=0.5,
+        )
+
+    (land / "w1.jsonl").write_text(doc(1, "nothing shared with the benchmark set here"))
+    run()
+    (land / "w2.jsonl").write_text(
+        doc(2, bench_text + " plus a tail") + "\n" + doc(3, "again no overlap at all ok")
+    )
+    run()
+    rows = {r["train_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["flagged"] == 0 and rows[1]["batch_id"] == 0
+    assert rows[2]["flagged"] == 1 and rows[2]["batch_id"] == 1
+    assert rows[3]["flagged"] == 0 and rows[3]["batch_id"] == 1
+    # retried micro-batch replaces its own partition, leaves batch 0 alone
+    retry = spark.createDataFrame(
+        [(2, bench_text + " plus a tail", "s")], ["doc_id", "text", "source"]
+    )
+    _screen_batch(retry, 1, bloom, out, "doc_id", "text", 3, 3, 1 << 16, 0.5)
+    rows2 = spark.read.parquet(out)
+    assert rows2.filter(F.col("batch_id") == 1).count() == 1
+    assert rows2.filter(F.col("batch_id") == 0).count() == 1
