@@ -238,7 +238,11 @@ def main():
         "pipeline_threshold_sweep",
         # staged round-8 additions (cont.): Bloom decontamination screen
         # (the corpus-heavy probe join) and the contrastive-training pair
-        # (broadcast-anchor scans over the embedding table)
+        # (broadcast-anchor scans over the embedding table).  The
+        # streaming screen replay is NOT benched — like the registered
+        # stream_curate_survivors replay, its cost is micro-batch fixed
+        # overhead (~40 s of checkpoint/landing setup at any SF), which
+        # would drown the signal the bench rows exist to trend.
         "pipeline_bloom_screen",
         "embedding_hard_negatives",
         "embedding_label_propagation",

@@ -140,8 +140,14 @@ def test_pending_r8_oracles(spark):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
         )
+    from scripts.check_oracles import oracle_dtype_problems, spark_dtype_problems
+
     for name, (fn, sql) in PENDING.items():
         sdf = fn(spark, "/root/testdata/sf0.001")
+        # the driver-compat dtype gate (round-2 lesson) must hold BEFORE
+        # registration, not surface as a red driver row after it
+        assert not oracle_dtype_problems(con, sql), name
+        assert not spark_dtype_problems(sdf), name
         got = sorted(map(tuple, sdf.collect()))
         cur = con.execute(sql)
         want = sorted(map(tuple, cur.fetchall()))

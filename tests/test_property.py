@@ -492,3 +492,49 @@ def test_retrieval_and_selection_partition_invariance(spark):
         dsir_log_importance(shuffled, tgt.repartition(5), buckets=256)
     )
     assert rows(char_entropy(docs)) == rows(char_entropy(shuffled))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+                 min_size=1, max_size=12).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+                 min_size=1, max_size=12).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+)
+def test_bloom_screen_no_false_negatives_property(spark, bench_texts, train_texts):
+    """The Bloom guarantee under fuzzing: a train doc's hit count is
+    bounded below by its EXACT shared-shingle count with the benchmark
+    shingle set (false positives may push it higher, never lower), and
+    n_grams always equals the doc's distinct shingle count."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators import dedup
+    from pdtable_spark.operators.text import shingles
+
+    rows = [(i, t, "bench") for i, t in enumerate(bench_texts)] + [
+        (1000 + i, t, "train") for i, t in enumerate(train_texts)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    n = 3
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select("doc_id", shingles(F.col("text"), n).alias("sh")).collect()
+    }
+    bench_sh = set().union(*(sh[i] for i in range(len(bench_texts))))
+    out = {
+        r["train_id"]: r
+        for r in dedup.bloom_decontaminate(
+            df, F.col("source") == "bench", shingle_n=n
+        ).collect()
+    }
+    for i in range(len(train_texts)):
+        doc_id = 1000 + i
+        exact_shared = len(sh[doc_id] & bench_sh)
+        assert out[doc_id]["n_grams"] == len(sh[doc_id])
+        assert out[doc_id]["n_hits"] >= exact_shared
