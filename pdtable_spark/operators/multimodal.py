@@ -312,3 +312,99 @@ def binary_dedup(
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing: near-duplicate images via dHash over decoded grids
+# ---------------------------------------------------------------------------
+
+
+def perceptual_hash(
+    feats: DataFrame,
+    id_col: str = "asset_id",
+    feature_col: str = "feature",
+    grid: int = 4,
+) -> DataFrame:
+    """dHash (difference hash) over a decoded ``grid``×``grid`` pixel
+    frame: bit (r, c) is set iff px[r][c] > px[r][c+1] — grid(grid-1)
+    bits total (12 for the 4×4 decode contract).  The standard cheap
+    perceptual key: invariant to uniform brightness/contrast shifts
+    (only ORDER between neighbors matters), so re-encoded/re-leveled
+    copies collide while distinct images scatter.
+
+    Input is :func:`extract_features` output (row-major grid in
+    ``feature_col``); returns (id, phash).  Pure column arithmetic —
+    scan-local, zero shuffle.
+    """
+    f = F.col(feature_col)
+    terms = []
+    for r in range(grid):
+        for c in range(grid - 1):
+            b = r * (grid - 1) + c
+            terms.append(
+                F.when(
+                    F.element_at(f, r * grid + c + 1) > F.element_at(f, r * grid + c + 2),
+                    F.lit(1 << b).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+    phash = terms[0]
+    for t_ in terms[1:]:
+        phash = phash + t_
+    return feats.select(F.col(id_col), phash.alias("phash"))
+
+
+def phash_near_dups(
+    feats: DataFrame,
+    id_col: str = "asset_id",
+    feature_col: str = "feature",
+    grid: int = 4,
+    max_hamming: int = 1,
+    num_blocks: Optional[int] = None,
+    max_bucket: Optional[int] = 1000,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: dHash fingerprints blocked by the
+    SimHash pigeonhole (``max_hamming + 1`` bit-bands — a pair within
+    ``max_hamming`` differs in at most that many bands, so it shares at
+    least one: 100% recall blocking), exact ``bit_count(xor)`` verify
+    inside buckets.  Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Same plan shape as :func:`~pdtable_spark.operators.dedup.simhash_near_dups`:
+    fingerprints are scan-local, ONE band-keyed exchange of (id, 12-bit
+    hash) pairs — payloads and decoded frames never shuffle.
+    """
+    from pdtable_spark.operators.dedup import bucket_pairs, hamming64
+
+    bits = grid * (grid - 1)
+    if num_blocks is None:
+        num_blocks = max_hamming + 1
+    if num_blocks > bits:
+        raise ValueError("num_blocks cannot exceed fingerprint bits")
+    s = perceptual_hash(feats, id_col, feature_col, grid)
+    widths = [bits // num_blocks + (1 if i < bits % num_blocks else 0) for i in range(num_blocks)]
+    offs = [sum(widths[:i]) for i in range(num_blocks)]
+    block_cols = [
+        F.struct(
+            F.lit(b).alias("block"),
+            F.shiftrightunsigned(F.col("phash"), offs[b])
+            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+            .alias("key"),
+        )
+        for b in range(num_blocks)
+    ]
+    buckets = s.select(
+        F.col(id_col), F.col("phash"), F.explode(F.array(*block_cols)).alias("bb")
+    ).select(
+        F.col("bb.block").alias("block"),
+        F.col("bb.key").alias("key"),
+        F.struct(F.col(id_col).alias("id"), F.col("phash").alias("ph")).alias("ent"),
+    )
+    pairs = bucket_pairs(buckets, ["block", "key"], F.col("ent"), max_bucket=max_bucket)
+    return (
+        pairs.select(
+            F.col("ea.id").alias("id_a"),
+            F.col("eb.id").alias("id_b"),
+            hamming64(F.col("ea.ph"), F.col("eb.ph")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all TWENTY entries into ``suite.py``
+a coverage gap.  Round 8 moves all TWENTY-ONE entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -13,7 +13,8 @@ embedding-drift family, the per-rule curation funnel, the Bloom
 decontamination screen + the screen→exact-verify decontamination funnel
 + the streaming (per-micro-batch) screen, the hard-negative /
 label-propagation pair (plus the IVF-accelerated miner's recall
-diagnostic), and the Matryoshka truncation-recall diagnostic.
+diagnostic), the Matryoshka truncation-recall diagnostic, and the
+perceptual-hash (dHash) image near-dup pairs.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -1222,4 +1223,58 @@ def pending_stream_bloom_screen(spark, sf_dir):
 PENDING["stream_bloom_screen"] = (
     pending_stream_bloom_screen,
     PENDING_SQL_STREAM_BLOOM,
+)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual (dHash) near-dup images (operators/multimodal.py::phash_near_dups)
+# ---------------------------------------------------------------------------
+
+from pdtable_spark.queries.suite import _SQL_ASSETS, _assets  # noqa: E402
+
+
+def _sql_px(i: int) -> str:
+    # byte i (0-based) of the fake decode's sha256 digest = grid pixel i
+    return f"CAST('0x' || substr(sha256(payload_text), {2 * i + 1}, 2) AS INT)"
+
+
+def _sql_phash() -> str:
+    terms = []
+    for r in range(4):
+        for c in range(3):
+            b = r * 3 + c
+            terms.append(
+                f"CASE WHEN {_sql_px(4 * r + c)} > {_sql_px(4 * r + c + 1)} "
+                f"THEN {1 << b} ELSE 0 END"
+            )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+#: hamming <= 1 differs in at most one of the operator's two 6-bit bands,
+#: so the pigeonhole blocking is lossless and the oracle is simply "all
+#: pairs within the hamming radius" — no band arithmetic to mirror.
+PENDING_SQL_PHASH_DUPS = f"""
+    WITH assets AS ({_SQL_ASSETS}),
+    px AS (SELECT asset_id, {_sql_phash()} AS phash FROM assets)
+    SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM px a JOIN px b ON a.asset_id < b.asset_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 1
+"""
+
+
+def pending_multimodal_phash_dups(spark, sf_dir):
+    """Perceptual near-duplicate images: dHash (neighbor-difference bits
+    over the decoded 4×4 grid, fake codec = oracle mode) blocked by the
+    SimHash pigeonhole, exact bit_count(xor) verify — payloads and frames
+    never shuffle, only (id, 12-bit hash) pairs do."""
+    from pdtable_spark.operators import multimodal
+
+    feats = multimodal.extract_features(_assets(spark, sf_dir), dim=16, fake=True)
+    return multimodal.phash_near_dups(feats, max_hamming=1)
+
+
+PENDING["multimodal_phash_dups"] = (
+    pending_multimodal_phash_dups,
+    PENDING_SQL_PHASH_DUPS,
 )

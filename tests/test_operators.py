@@ -2498,3 +2498,32 @@ def test_hard_negatives_ivf_matches_exact_when_probing_all_cells(spark):
     ivf = similarity.hard_negatives_ivf(idx, anchors, cents, k=4, nprobe=3)
     exact = similarity.hard_negatives(df, F.col("vec_id") % 8 == 0, k=4)
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_perceptual_hash_brightness_invariant_and_near_dups(spark):
+    """dHash depends only on neighbor ORDER: a uniformly re-leveled copy
+    hashes identically (hamming 0); flipping one neighbor order moves
+    exactly one bit; phash_near_dups recovers both pairs at max_hamming=1
+    and excludes the scrambled image."""
+    from pdtable_spark.operators import multimodal
+
+    base = [float(v) for v in [10, 20, 30, 40, 50, 60, 70, 80,
+                               90, 100, 110, 120, 130, 140, 150, 160]]
+    brighter = [v + 55.0 for v in base]
+    one_flip = list(base)
+    one_flip[0], one_flip[1] = one_flip[1], one_flip[0]  # flips bit 0 only
+    scrambled = [float(v) for v in [160, 10, 150, 20, 140, 30, 130, 40,
+                                    120, 50, 110, 60, 100, 70, 90, 80]]
+    feats = spark.createDataFrame(
+        [(0, base), (1, brighter), (2, one_flip), (3, scrambled)],
+        "asset_id long, feature array<double>",
+    )
+    ph = {r["asset_id"]: r["phash"] for r in multimodal.perceptual_hash(feats).collect()}
+    assert ph[0] == ph[1]
+    assert bin(ph[0] ^ ph[2]).count("1") == 1
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.phash_near_dups(feats, max_hamming=1).collect()
+    }
+    assert (0, 1, 0) in got and (1, 2, 1) in got and (0, 2, 1) in got
+    assert not any(3 in (a, b) for a, b, _ in got)
