@@ -555,3 +555,78 @@ def dsir_log_importance(
         F.size(F.col("__grams")).cast("long").alias("n_grams"),
         (qsum / F.lit(float(quantize))).alias("log_importance"),
     )
+
+
+def epochs_plan(
+    df: DataFrame,
+    targets: Dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    token_col: Optional[str] = None,
+    text_col: str = "text",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Data-constrained training plan: given a total ``token_budget`` and
+    per-source mixture ``targets`` (shares summing to ~1), how many
+    EPOCHS of each source the mixture implies — the pre-flight check from
+    the data-constrained-scaling literature (Muennighoff et al. 2023:
+    value per repeated epoch decays; beyond ~4 epochs marginal value
+    approaches zero).  A source whose ``epochs`` exceeds ``max_epochs``
+    is flagged ``repeat_risk`` = the mixture wants more of it than
+    repetition can usefully supply — rebalance or collect more data
+    BEFORE the training run, not after.
+
+    ``token_col`` names an existing integral token-count column;
+    ``None`` derives whitespace token counts from ``text_col``.
+
+    Returns one row per targeted source: (source, n_docs, total_tokens,
+    target_share, target_tokens, epochs, repeat_risk).  Sources absent
+    from ``targets`` are excluded (they get 0 tokens by construction);
+    a targeted source missing from the corpus raises loudly — a silent 0
+    would plan a mixture the corpus cannot serve.
+
+    100 TB design: ONE map-side-combinable aggregate over (source); the
+    plan itself is a sources-sized frame.  Epochs are exact-integer token
+    ratios (floor to whole target tokens), reproducible anywhere.
+    """
+    from pdtable_spark.operators.text import token_count
+
+    tok = (
+        F.col(token_col).cast("long")
+        if token_col is not None
+        else token_count(F.col(text_col)).cast("long")
+    )
+    per_src = (
+        df.filter(F.col(source_col).isin(*targets.keys()))
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(tok).cast("long").alias("total_tokens"),
+        )
+    )
+    missing_guard = per_src.count()
+    if missing_guard < len(targets):
+        present = {r["source"] for r in per_src.select("source").collect()}
+        raise ValueError(
+            f"epochs_plan: targeted source(s) absent from the corpus: "
+            f"{sorted(set(targets) - present)}"
+        )
+    share = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )[F.col("source")].cast("double")
+    return (
+        per_src.withColumn("target_share", share)
+        .withColumn(
+            "target_tokens",
+            F.floor(F.col("target_share") * F.lit(float(token_budget))).cast("long"),
+        )
+        .withColumn(
+            "epochs",
+            F.col("target_tokens").cast("double") / F.col("total_tokens").cast("double"),
+        )
+        .withColumn("repeat_risk", (F.col("epochs") > F.lit(float(max_epochs))).cast("int"))
+        .select(
+            "source", "n_docs", "total_tokens", "target_share",
+            "target_tokens", "epochs", "repeat_risk",
+        )
+    )

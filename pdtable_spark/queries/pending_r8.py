@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all TWENTY-ONE entries into ``suite.py``
+a coverage gap.  Round 8 moves all TWENTY-TWO entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -13,8 +13,9 @@ embedding-drift family, the per-rule curation funnel, the Bloom
 decontamination screen + the screen→exact-verify decontamination funnel
 + the streaming (per-micro-batch) screen, the hard-negative /
 label-propagation pair (plus the IVF-accelerated miner's recall
-diagnostic), the Matryoshka truncation-recall diagnostic, and the
-perceptual-hash (dHash) image near-dup pairs.
+diagnostic), the Matryoshka truncation-recall diagnostic, the
+perceptual-hash (dHash) image near-dup pairs, and the data-constrained
+epochs plan.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -1277,4 +1278,55 @@ def pending_multimodal_phash_dups(spark, sf_dir):
 PENDING["multimodal_phash_dups"] = (
     pending_multimodal_phash_dups,
     PENDING_SQL_PHASH_DUPS,
+)
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained epochs plan (operators/sampling.py::epochs_plan)
+# ---------------------------------------------------------------------------
+
+from pdtable_spark.queries.suite import _SQL_TOKS  # noqa: E402
+
+_EPOCHS_TARGETS = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+_EPOCHS_BUDGET = 6000
+_EPOCHS_MAX = 2.0
+
+PENDING_SQL_EPOCHS = f"""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len({_SQL_TOKS}) AS DECIMAL(18,0))) AS BIGINT)
+               AS total_tokens
+      FROM documents WHERE source IN ('src1', 'src2', 'src3') GROUP BY 1
+    ),
+    t(source, target_share) AS (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2))
+    SELECT p.source, n_docs, total_tokens,
+           CAST(target_share AS DOUBLE) AS target_share,
+           CAST(FLOOR(CAST(target_share AS DOUBLE) * {float(_EPOCHS_BUDGET)})
+                AS BIGINT) AS target_tokens,
+           CAST(CAST(FLOOR(CAST(target_share AS DOUBLE) * {float(_EPOCHS_BUDGET)})
+                AS BIGINT) AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS epochs,
+           CAST(CAST(CAST(FLOOR(CAST(target_share AS DOUBLE) * {float(_EPOCHS_BUDGET)})
+                AS BIGINT) AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                > {_EPOCHS_MAX} AS INT) AS repeat_risk
+    FROM per p JOIN t USING (source)
+"""
+
+
+def pending_pipeline_epochs_plan(spark, sf_dir):
+    """Data-constrained pre-flight: how many epochs of each targeted
+    source the (budget, mixture) pair implies, with the >max_epochs
+    over-repetition flag (Muennighoff et al. 2023 — marginal value of a
+    repeated epoch decays toward zero past ~4) — the rebalance-or-collect
+    warning BEFORE a training run commits to a mixture."""
+    from pdtable_spark.operators.sampling import epochs_plan
+
+    docs = load(spark, sf_dir, "documents")
+    return epochs_plan(
+        docs, _EPOCHS_TARGETS, _EPOCHS_BUDGET, max_epochs=_EPOCHS_MAX
+    )
+
+
+PENDING["pipeline_epochs_plan"] = (
+    pending_pipeline_epochs_plan,
+    PENDING_SQL_EPOCHS,
 )

@@ -2527,3 +2527,26 @@ def test_perceptual_hash_brightness_invariant_and_near_dups(spark):
     }
     assert (0, 1, 0) in got and (1, 2, 1) in got and (0, 2, 1) in got
     assert not any(3 in (a, b) for a, b, _ in got)
+
+
+def test_epochs_plan_flags_and_missing_source(spark):
+    """Epoch arithmetic: target tokens = floor(share*budget), epochs =
+    target/total; over-max flags; a targeted source absent from the
+    corpus raises loudly instead of planning an unservable mixture."""
+    from pdtable_spark.operators import sampling
+
+    rows = [(i, "w " * 9 + "w", "a" if i < 2 else "b") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # a: 2 docs x 10 tokens = 20; b: 4 x 10 = 40
+    out = {
+        r["source"]: r
+        for r in sampling.epochs_plan(
+            df, {"a": 0.5, "b": 0.5}, token_budget=100, max_epochs=2.0
+        ).collect()
+    }
+    assert out["a"]["total_tokens"] == 20 and out["a"]["target_tokens"] == 50
+    assert out["a"]["epochs"] == 2.5 and out["a"]["repeat_risk"] == 1
+    assert out["b"]["epochs"] == 1.25 and out["b"]["repeat_risk"] == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="absent"):
+        sampling.epochs_plan(df, {"a": 0.5, "zz": 0.5}, token_budget=100)
