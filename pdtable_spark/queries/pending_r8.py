@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all TWENTY-TWO entries into ``suite.py``
+a coverage gap.  Round 8 moves all TWENTY-THREE entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -14,8 +14,8 @@ decontamination screen + the screen→exact-verify decontamination funnel
 + the streaming (per-micro-batch) screen, the hard-negative /
 label-propagation pair (plus the IVF-accelerated miner's recall
 diagnostic), the Matryoshka truncation-recall diagnostic, the
-perceptual-hash (dHash) image near-dup pairs, and the data-constrained
-epochs plan.
+perceptual-hash (dHash) image near-dup pairs, the data-constrained
+epochs plan, and the in-context-pretraining semantic pack.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -1329,4 +1329,54 @@ def pending_pipeline_epochs_plan(spark, sf_dir):
 PENDING["pipeline_epochs_plan"] = (
     pending_pipeline_epochs_plan,
     PENDING_SQL_EPOCHS,
+)
+
+
+# ---------------------------------------------------------------------------
+# Semantic packing: in-context-pretraining shards (cluster-then-pack)
+# ---------------------------------------------------------------------------
+
+PENDING_SQL_SEMANTIC_PACK = f"""
+    WITH {_SQL_CLUSTER_ASSIGN},
+    a AS (SELECT vec_id AS doc_id, CAST(cid AS INT) AS cell FROM cd WHERE rn = 1),
+    d AS (SELECT doc_id, cell, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+          FROM documents JOIN a USING (doc_id))
+    SELECT doc_id, cell, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY cell ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 400.0) AS BIGINT) AS pack_id
+    FROM d
+"""
+
+
+def pending_pipeline_semantic_pack(spark, sf_dir):
+    """In-context-pretraining shards (Shi et al. 2023, ICP): related
+    documents land in the SAME trainer work unit — cluster assignment
+    under the seed centroids, then token-budget packing WITHIN each cell
+    (pack_budget's partitioned spelling: an ordinary per-cell window, no
+    global order).  A long-context model then sees topically-coherent
+    concatenations instead of random ones."""
+    from pdtable_spark.operators import similarity
+    from pdtable_spark.operators.text import pack_budget, token_count
+
+    emb, cents = _seed_centroids(spark, sf_dir)
+    idx = similarity.ivf_index(emb, cents).select(
+        F.col("vec_id").alias("doc_id"), F.col("cell")
+    )
+    docs = load(spark, sf_dir, "documents")
+    d = docs.join(idx, "doc_id").select(
+        "doc_id",
+        F.col("cell").cast("int").alias("cell"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_budget(
+        d, capacity=400, n_tokens_col="n_tokens",
+        order_cols=("doc_id",), partition_cols=("cell",),
+    )
+    return packed.select("doc_id", "cell", "n_tokens", "pack_id")
+
+
+PENDING["pipeline_semantic_pack"] = (
+    pending_pipeline_semantic_pack,
+    PENDING_SQL_SEMANTIC_PACK,
 )
