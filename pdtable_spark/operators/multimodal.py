@@ -334,9 +334,19 @@ def perceptual_hash(
 
     Input is :func:`extract_features` output (row-major grid in
     ``feature_col``); returns (id, phash).  Pure column arithmetic —
-    scan-local, zero shuffle.
+    scan-local, zero shuffle.  A feature shorter than ``grid``² raises
+    loudly (element_at past the end would otherwise read as NULL and
+    silently zero the bit — the module's fail-loudly idiom).
     """
-    f = F.col(feature_col)
+    f = F.when(
+        F.size(F.col(feature_col)) < grid * grid,
+        F.raise_error(
+            F.concat(
+                F.lit(f"perceptual_hash: feature shorter than grid*grid={grid * grid}: "),
+                F.size(F.col(feature_col)).cast("string"),
+            )
+        ).cast(f"array<double>"),
+    ).otherwise(F.col(feature_col))
     terms = []
     for r in range(grid):
         for c in range(grid - 1):

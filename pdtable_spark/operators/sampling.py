@@ -587,7 +587,10 @@ def epochs_plan(
 
     100 TB design: ONE map-side-combinable aggregate over (source); the
     plan itself is a sources-sized frame.  Epochs are exact-integer token
-    ratios (floor to whole target tokens), reproducible anywhere.
+    ratios (floor to whole target tokens), reproducible anywhere.  The
+    missing-source guard materializes that bounded aggregate eagerly at
+    call time (one job, sources-sized result) — deliberate: the error
+    belongs at plan-construction, not mid-training-export.
     """
     from pdtable_spark.operators.text import token_count
 

@@ -2550,3 +2550,15 @@ def test_epochs_plan_flags_and_missing_source(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="absent"):
         sampling.epochs_plan(df, {"a": 0.5, "zz": 0.5}, token_budget=100)
+
+
+def test_perceptual_hash_short_feature_raises(spark):
+    """A feature shorter than grid*grid raises loudly instead of silently
+    zeroing the missing-neighbor bits."""
+    from pdtable_spark.operators import multimodal
+
+    feats = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "asset_id long, feature array<double>"
+    )
+    with pytest.raises(Exception, match="shorter than grid"):
+        multimodal.perceptual_hash(feats).collect()
