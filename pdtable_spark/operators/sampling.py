@@ -633,3 +633,37 @@ def epochs_plan(
             "target_tokens", "epochs", "repeat_risk",
         )
     )
+
+
+def uncertainty_sample(
+    scored: DataFrame,
+    k: int,
+    score_col: str = "clf_score",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Active-learning batch selection: the ``k`` rows whose classifier
+    score sits NEAREST the decision threshold — where the model is least
+    sure and a human label buys the most (margin-based uncertainty
+    sampling, the loop that grows a quality classifier's training set).
+
+    Returns (id, score, margin, rank), rank 1..k by ascending margin,
+    ties toward the smaller id.
+
+    100 TB design: global top-k via sort+limit — Spark plans TakeOrdered
+    (per-partition heaps of k, then one k-sized merge), NOT a
+    single-partition window over the corpus; the only single-partition
+    step is the rank number over the already-k-row result.
+    """
+    from pyspark.sql import Window
+
+    margin = F.abs(F.col(score_col) - F.lit(float(threshold)))
+    top = (
+        scored.select(
+            F.col(id_col), F.col(score_col).alias("score"), margin.alias("margin")
+        )
+        .orderBy(F.asc("margin"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.asc("margin"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

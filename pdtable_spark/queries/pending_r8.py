@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all TWENTY-THREE entries into ``suite.py``
+a coverage gap.  Round 8 moves all TWENTY-FOUR entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -15,7 +15,8 @@ decontamination screen + the screen→exact-verify decontamination funnel
 label-propagation pair (plus the IVF-accelerated miner's recall
 diagnostic), the Matryoshka truncation-recall diagnostic, the
 perceptual-hash (dHash) image near-dup pairs, the data-constrained
-epochs plan, and the in-context-pretraining semantic pack.
+epochs plan, the in-context-pretraining semantic pack, and the
+active-learning uncertainty sample.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -1379,4 +1380,53 @@ def pending_pipeline_semantic_pack(spark, sf_dir):
 PENDING["pipeline_semantic_pack"] = (
     pending_pipeline_semantic_pack,
     PENDING_SQL_SEMANTIC_PACK,
+)
+
+
+# ---------------------------------------------------------------------------
+# Uncertainty sampling for active learning (sampling.py::uncertainty_sample)
+# ---------------------------------------------------------------------------
+
+from pdtable_spark.queries.suite import (  # noqa: E402
+    _CLF_BIAS,
+    _CLF_WEIGHTS,
+    _sql_clf_weights,
+)
+
+PENDING_SQL_UNCERTAINTY = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    w(term, weight) AS (VALUES {_sql_clf_weights()}),
+    s AS (SELECT doc_id, SUM(weight) AS wsum FROM toks JOIN w USING (term) GROUP BY 1),
+    scored AS (
+      SELECT d.doc_id,
+             CAST({_CLF_BIAS!r} AS DOUBLE) + COALESCE(s.wsum, 0.0) AS score
+      FROM documents d LEFT JOIN s USING (doc_id)
+    ),
+    m AS (SELECT doc_id, score, abs(score - 0.0) AS margin FROM scored)
+    SELECT doc_id, score, margin,
+           CAST(row_number() OVER (ORDER BY margin, doc_id) AS INT) AS rank
+    FROM m ORDER BY margin, doc_id LIMIT 20
+"""
+
+
+def pending_pipeline_uncertainty_sample(spark, sf_dir):
+    """Active-learning batch selection: the 20 docs whose linear-classifier
+    score sits nearest the keep/drop threshold — margin-based uncertainty
+    sampling, the label-what-the-model-doubts loop that grows a quality
+    classifier's training set.  Global top-k is sort+limit (TakeOrdered),
+    never a corpus-wide single-partition window."""
+    from pdtable_spark.operators.sampling import uncertainty_sample
+    from pdtable_spark.operators.text import classifier_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = classifier_score(docs, _CLF_WEIGHTS, bias=_CLF_BIAS)
+    return uncertainty_sample(scored, k=20, score_col="clf_score", threshold=0.0)
+
+
+PENDING["pipeline_uncertainty_sample"] = (
+    pending_pipeline_uncertainty_sample,
+    PENDING_SQL_UNCERTAINTY,
 )

@@ -2562,3 +2562,17 @@ def test_perceptual_hash_short_feature_raises(spark):
     )
     with pytest.raises(Exception, match="shorter than grid"):
         multimodal.perceptual_hash(feats).collect()
+
+
+def test_uncertainty_sample_margin_order(spark):
+    """Rows nearest the threshold come first; ties break on id; k bounds
+    the batch."""
+    from pdtable_spark.operators import sampling
+
+    rows = [(0, -0.5), (1, 0.1), (2, -0.1), (3, 2.0), (4, 0.1)]
+    df = spark.createDataFrame(rows, "doc_id long, clf_score double")
+    out = [
+        (r["doc_id"], r["rank"])
+        for r in sampling.uncertainty_sample(df, k=3).orderBy("rank").collect()
+    ]
+    assert out == [(1, 1), (2, 2), (4, 3)]
