@@ -1142,14 +1142,39 @@ def bloom_decontaminate(
     contamination operator family for LLM-pipeline scale).
 
     Returns (train_id, n_grams, n_hits, hit_rate, flagged) for EVERY
-    non-benchmark doc.  Fully value-oracled: positions are md5-based
+    non-benchmark doc.  A NULL ``text_col`` or a NULL ``bench_pred``
+    raises loudly — exploding a NULL shingle array would silently DROP
+    the doc from the screen (an unscreened doc sliding through a
+    decontamination gate is exactly what must not fail quietly), and a
+    NULL predicate would vanish from both sides of the bench split.
+    Fully value-oracled: positions are md5-based
     (:func:`bloom_positions`), hit_rate is one double division.
 
     Pass ``bloom=`` a pre-built (pre-persisted) :func:`bloom_build` frame
     to reuse one filter across many screening batches.
     """
+    text_guarded = F.when(
+        F.col(text_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"bloom_decontaminate: NULL {text_col!r} for {id_col}="),
+                F.col(id_col).cast("string"),
+                F.lit(" — fill or drop null texts explicitly before screening"),
+            )
+        ).cast("string"),
+    ).otherwise(F.col(text_col))
+    pred_guarded = F.when(
+        bench_pred.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"bloom_decontaminate: bench_pred is NULL for {id_col}="),
+                F.col(id_col).cast("string"),
+                F.lit(" — make the predicate null-safe (coalesce) first"),
+            )
+        ).cast("boolean"),
+    ).otherwise(bench_pred)
     base = df.select(
-        F.col(id_col), F.col(text_col), bench_pred.alias("__is_bench")
+        F.col(id_col), text_guarded.alias(text_col), pred_guarded.alias("__is_bench")
     ).select(
         id_col, "__is_bench", shingles(F.col(text_col), shingle_n).alias("sh")
     )

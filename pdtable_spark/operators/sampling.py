@@ -585,12 +585,13 @@ def epochs_plan(
     a targeted source missing from the corpus raises loudly — a silent 0
     would plan a mixture the corpus cannot serve.
 
-    100 TB design: ONE map-side-combinable aggregate over (source); the
-    plan itself is a sources-sized frame.  Epochs are exact-integer token
-    ratios (floor to whole target tokens), reproducible anywhere.  The
-    missing-source guard materializes that bounded aggregate eagerly at
-    call time (one job, sources-sized result) — deliberate: the error
-    belongs at plan-construction, not mid-training-export.
+    100 TB design: ONE map-side-combinable aggregate over (source) — the
+    corpus is scanned exactly once: the sources-sized aggregate is
+    collected at call time (the missing-source guard belongs at
+    plan-construction, not mid-training-export) and the returned frame is
+    rebuilt from those collected rows, so consuming it never re-runs the
+    corpus scan.  Epochs are exact-integer token ratios (floor to whole
+    target tokens), reproducible anywhere.
     """
     from pdtable_spark.operators.text import token_count
 
@@ -607,18 +608,21 @@ def epochs_plan(
             F.sum(tok).cast("long").alias("total_tokens"),
         )
     )
-    missing_guard = per_src.count()
-    if missing_guard < len(targets):
-        present = {r["source"] for r in per_src.select("source").collect()}
+    # ONE corpus scan total: collect the sources-sized aggregate (guard +
+    # result share the same job) and rebuild the plan frame from the rows
+    rows = per_src.collect()
+    present = {r["source"] for r in rows}
+    if len(present) < len(targets):
         raise ValueError(
             f"epochs_plan: targeted source(s) absent from the corpus: "
             f"{sorted(set(targets) - present)}"
         )
+    collected = df.sparkSession.createDataFrame(rows, per_src.schema)
     share = F.create_map(
         *[F.lit(x) for kv in targets.items() for x in kv]
     )[F.col("source")].cast("double")
     return (
-        per_src.withColumn("target_share", share)
+        collected.withColumn("target_share", share)
         .withColumn(
             "target_tokens",
             F.floor(F.col("target_share") * F.lit(float(token_budget))).cast("long"),

@@ -402,6 +402,31 @@ def _cell_ranking(vec, cents_col):
     return F.transform(_cell_scores(vec, cents_col), lambda s: s["cell"])
 
 
+def _cosine_pre(q_vec, c_vec):
+    """Cosine over sides whose SQUARED norms were folded once upstream
+    (``__q_n2`` / ``__c_n2`` columns) — same ``sqrt(q2*c2)`` multiply
+    order as :func:`cosine`, so values are bit-identical with a third of
+    the per-pair array folds (see :func:`cosine_topk`)."""
+    return dot(q_vec, c_vec) / F.sqrt(F.col("__q_n2") * F.col("__c_n2"))
+
+
+def _ivf_probes(queries_sel: DataFrame, centroids, nprobe: int) -> DataFrame:
+    """Shared probe stage of the IVF consumers (:func:`ivf_query`,
+    :func:`hard_negatives_ivf`): a (cols..., q_vec) query frame gains its
+    folded squared norm ``__q_n2`` and one exploded ``cell`` row per
+    nprobe-nearest centroid."""
+    cents = [[float(x) for x in c] for c in centroids]
+    others = list(queries_sel.columns)
+    q = _matrix_frame(queries_sel, "__cents", cents, 2)
+    return q.select(
+        *others,
+        dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2"),
+        F.explode(
+            F.slice(_cell_ranking(F.col("q_vec"), F.col("__cents")), 1, nprobe)
+        ).alias("cell"),
+    )
+
+
 def ivf_index(
     corpus: DataFrame,
     centroids: List[List[float]],
@@ -445,22 +470,21 @@ def ivf_query(
     ``where`` filters candidates on index metadata columns before the
     probe join (filtered/hybrid search) — on a persisted index the
     predicate reaches parquet row-group pushdown inside the probed-cell
-    partitions, the same contract as :func:`ann_query`."""
+    partitions, the same contract as :func:`ann_query`.  Norms fold once
+    per side (see :func:`cosine_topk` — bit-identical, 3x fewer folds).
+    """
     if where is not None:
         index = index.filter(where)
-    cents = [[float(x) for x in c] for c in centroids]
-    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("q_vec"))
-    q = _matrix_frame(q, "__cents", cents, 2)
-    q = q.select(
-        query_id_col,
-        "q_vec",
-        F.explode(
-            F.slice(_cell_ranking(F.col("q_vec"), F.col("__cents")), 1, nprobe)
-        ).alias("cell"),
+    q = _ivf_probes(
+        queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("q_vec")),
+        centroids,
+        nprobe,
     )
-    scored = (
-        index.join(F.broadcast(q), on="cell")
-        .select(query_id_col, id_col, cosine(F.col("q_vec"), F.col("vec")).alias("cosine_sim"))
+    cand = index.withColumn("__c_n2", dot(F.col("vec"), F.col("vec")))
+    scored = cand.join(F.broadcast(q), on="cell").select(
+        query_id_col,
+        id_col,
+        _cosine_pre(F.col("q_vec"), F.col("vec")).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (
@@ -1335,21 +1359,14 @@ def hard_negatives_ivf(
 
     Returns (anchor_id, neg_id, neg_label, cosine_sim, rank).
     """
-    cents = [[float(x) for x in c] for c in centroids]
-    a = anchors.select(
-        F.col(anchor_id_col).alias("anchor_id"),
-        _as_double(F.col(vec_col)).alias("q_vec"),
-        F.col(label_col).alias("__a_label"),
-    )
-    a = _matrix_frame(a, "__cents", cents, 2)
-    a = a.select(
-        "anchor_id",
-        "q_vec",
-        "__a_label",
-        dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2"),
-        F.explode(
-            F.slice(_cell_ranking(F.col("q_vec"), F.col("__cents")), 1, nprobe)
-        ).alias("cell"),
+    a = _ivf_probes(
+        anchors.select(
+            F.col(anchor_id_col).alias("anchor_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+            F.col(label_col).alias("__a_label"),
+        ),
+        centroids,
+        nprobe,
     )
     cand = index.select(
         F.col("cell"),
@@ -1364,10 +1381,7 @@ def hard_negatives_ivf(
             "anchor_id",
             "neg_id",
             "neg_label",
-            (
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / F.sqrt(F.col("__q_n2") * F.col("__c_n2"))
-            ).alias("cosine_sim"),
+            _cosine_pre(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
         )
     )
     if ceiling is not None:

@@ -25,6 +25,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdtable_spark.streaming._await import await_or_raise
+
 from pdtable_spark.operators.dedup import (
     band_buckets,
     exact_dedup_keep_first,
@@ -159,5 +161,4 @@ def curate_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
-    return q
+    return await_or_raise(q, timeout, "continuous_curate")

@@ -21,6 +21,7 @@ from pdtable_spark.operators.monitor import (
     quantized_tvd_scale,
     quantized_tvd_term,
 )
+from pdtable_spark.streaming._await import await_or_raise
 
 
 def _drift_batch(
@@ -95,7 +96,6 @@ def drift_monitor_stream(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout)
-        return q
+        return await_or_raise(q, timeout, "drift_monitor_stream")
     finally:
         ref_counts.unpersist()

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdtable_spark.operators.dedup import bloom_decontaminate
+from pdtable_spark.streaming._await import await_or_raise
 
 
 def _screen_batch(
@@ -100,7 +101,6 @@ def bloom_screen_stream(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout)
-        return q
+        return await_or_raise(q, timeout, "bloom_screen_stream")
     finally:
         bloom_p.unpersist()

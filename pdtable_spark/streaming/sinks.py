@@ -22,6 +22,8 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pdtable_spark.streaming._await import await_or_raise
+
 
 def idempotent_parquet_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function writing each micro-batch to
@@ -64,5 +66,4 @@ def run_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
-    return q
+    return await_or_raise(q, timeout, "run_foreach_batch")

@@ -14,6 +14,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdtable_spark.streaming._await import await_or_raise
+
 
 def read_events_stream(
     spark: SparkSession,
@@ -238,5 +240,4 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
-    return q
+    return await_or_raise(q, timeout, "run_to_memory")

@@ -2576,3 +2576,20 @@ def test_uncertainty_sample_margin_order(spark):
         for r in sampling.uncertainty_sample(df, k=3).orderBy("rank").collect()
     ]
     assert out == [(1, 1), (2, 2), (4, 3)]
+
+
+def test_bloom_decontaminate_null_text_raises(spark):
+    """A NULL text (or NULL predicate) raises loudly instead of silently
+    dropping the doc from the screen."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma", "bench"), (1, None, "train")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(Exception, match="NULL 'text'"):
+        dedup.bloom_decontaminate(df, F.col("source") == "bench", shingle_n=3).collect()
+    df2 = spark.createDataFrame(
+        [(0, "alpha beta gamma", "bench"), (1, "ok words here", None)],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(Exception, match="bench_pred is NULL"):
+        dedup.bloom_decontaminate(df2, F.col("source") == "bench", shingle_n=3).collect()

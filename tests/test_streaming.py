@@ -507,3 +507,27 @@ def test_bloom_screen_stream_two_waves(spark, tmp_path):
     rows2 = spark.read.parquet(out)
     assert rows2.filter(F.col("batch_id") == 1).count() == 1
     assert rows2.filter(F.col("batch_id") == 0).count() == 1
+
+
+def test_await_or_raise_timeout_stops_query():
+    """The shared availableNow guard stops the query and raises on
+    timeout (falling through silently returned a running query whose
+    shared frames the finally blocks then unpersisted mid-probe)."""
+    import pytest as _pytest
+
+    from pdtable_spark.streaming._await import await_or_raise
+
+    class FakeQuery:
+        def __init__(self):
+            self.stopped = False
+
+        def awaitTermination(self, timeout=None):
+            return False  # still running
+
+        def stop(self):
+            self.stopped = True
+
+    q = FakeQuery()
+    with _pytest.raises(TimeoutError, match="did not finish within 1s"):
+        await_or_raise(q, 1, "unit")
+    assert q.stopped
