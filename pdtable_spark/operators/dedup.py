@@ -1217,3 +1217,133 @@ def bloom_decontaminate(
         )
         .withColumn("flagged", (F.col("hit_rate") >= F.lit(float(min_hit_rate))).cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS scheme)
+# ---------------------------------------------------------------------------
+
+
+def _positional_gram_hashes(text: Column, gram_n: int, hash_fn: str) -> Column:
+    """POSITIONAL word-gram hash array (no dedup — element i is the gram
+    starting at token i, which winnowing's window arithmetic needs).
+    md5_60 hashes the gram strings (the DuckDB-reproducible oracle mode);
+    xxhash64 combines token hashes without building strings."""
+    from pdtable_spark.operators.text import _let, _windows_of
+
+    toks_h = (
+        tokens(text)
+        if hash_fn == "md5_60"
+        else F.transform(tokens(text), lambda t: F.xxhash64(t))
+    )
+    if hash_fn == "md5_60":
+        mk = lambda s: md5_60(  # noqa: E731
+            F.concat_ws(" ", *[s[str(i)] for i in range(gram_n)])
+        )
+    else:
+        mk = lambda s: F.xxhash64(  # noqa: E731
+            *[F.coalesce(s[str(i)], F.lit(0)) for i in range(gram_n)]
+        )
+    return _let(toks_h, lambda hs: F.transform(_windows_of(hs, gram_n), mk))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 5,
+    window: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS plagiarism-detection scheme): hash every positional
+    ``gram_n``-gram, slide a window of ``window`` consecutive hashes, and
+    keep each window's MINIMUM hash at its RIGHTMOST minimal position;
+    adjacent windows re-selecting the same (pos, hash) collapse.
+
+    The guarantee the ad-hoc fingerprint family lacks: any shared
+    substring of at least ``window + gram_n - 1`` tokens always
+    contributes a common fingerprint (coverage), while only ~2/(window+1)
+    of the grams are kept (density) — so the inverted fingerprint index
+    of :func:`winnow_overlap_pairs` carries a fraction of
+    :func:`ngram_jaccard_pairs`'s postings at a known detection floor.
+
+    Returns (id, pos, fp), ``pos`` the 1-based gram position.  Zero
+    shuffles: selection is per-document array arithmetic inside the scan
+    projection; only the selected prints explode out.
+    """
+    from pdtable_spark.operators.text import _let
+
+    nsel = lambda h: F.greatest(F.size(h) - (window - 1), F.lit(1))  # noqa: E731
+
+    def pick(h):
+        def over_window(i):
+            return F.element_at(
+                F.transform(
+                    F.array(F.slice(h, i, window)),
+                    lambda s: F.element_at(
+                        F.transform(
+                            F.array(F.array_min(s)),
+                            lambda mn: F.struct(
+                                (
+                                    i
+                                    + F.size(s)
+                                    - F.array_position(F.reverse(s), mn)
+                                )
+                                .cast("int")
+                                .alias("pos"),
+                                mn.alias("fp"),
+                            ),
+                        ),
+                        1,
+                    ),
+                ),
+                1,
+            )
+
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), nsel(h)), over_window)
+        )
+
+    sels = _let(
+        _positional_gram_hashes(F.col(text_col), gram_n, hash_fn), pick
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sels).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 5,
+    window: int = 4,
+    min_common: int = 2,
+    hash_fn: str = "xxhash64",
+    max_bucket: Optional[int] = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_common`` winnowed fingerprints —
+    :func:`ngram_jaccard_pairs`'s detection shape on the ~2/(window+1)
+    selected subset: the postings index shrinks by the winnowing density
+    while the coverage guarantee bounds what can be missed (no shared run
+    of ``window + gram_n - 1`` tokens goes undetected).
+
+    Plan: fingerprint selection is scan-local; ONE fp-keyed exchange of
+    (fp, id) postings (hot-print guard via ``max_bucket``); the pair
+    aggregate is postings-sized.  Returns (id_a, id_b, n_common).
+    """
+    prints = winnow_fingerprints(
+        df, text_col, id_col, gram_n, window, hash_fn
+    ).select(F.col("fp"), F.col(id_col)).distinct()
+    buckets = prints.select(
+        F.col("fp").alias("key"), F.struct(F.col(id_col).alias("id")).alias("ent")
+    )
+    pairs = bucket_pairs(buckets, ["key"], F.col("ent"), max_bucket=max_bucket)
+    return (
+        pairs.select(F.col("ea.id").alias("id_a"), F.col("eb.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

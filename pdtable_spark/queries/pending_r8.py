@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all TWENTY-FOUR entries into ``suite.py``
+a coverage gap.  Round 8 moves all TWENTY-SIX entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -15,8 +15,9 @@ decontamination screen + the screen→exact-verify decontamination funnel
 label-propagation pair (plus the IVF-accelerated miner's recall
 diagnostic), the Matryoshka truncation-recall diagnostic, the
 perceptual-hash (dHash) image near-dup pairs, the data-constrained
-epochs plan, the in-context-pretraining semantic pack, and the
-active-learning uncertainty sample.
+epochs plan, the in-context-pretraining semantic pack, the
+active-learning uncertainty sample, and the winnowing (MOSS) fingerprint
+pair.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -1429,4 +1430,80 @@ def pending_pipeline_uncertainty_sample(spark, sf_dir):
 PENDING["pipeline_uncertainty_sample"] = (
     pending_pipeline_uncertainty_sample,
     PENDING_SQL_UNCERTAINTY,
+)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints + overlap pairs (operators/dedup.py, MOSS scheme)
+# ---------------------------------------------------------------------------
+
+_WINNOW_SEL_SQL = f"""
+    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+            list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+              i -> CAST('0x' || substr(md5(array_to_string(
+                     list_slice(toks, i, i + 4), ' ')), 1, 15) AS BIGINT)) AS h
+          FROM t),
+    w AS (SELECT doc_id, h,
+                 unnest(generate_series(1, greatest(len(h) - 3, 1))) AS i
+          FROM g),
+    w2 AS (SELECT doc_id, CAST(i AS INT) AS i, list_slice(h, i, i + 3) AS s
+           FROM w),
+    sel AS (SELECT DISTINCT doc_id,
+              CAST(i + len(s) - list_position(list_reverse(s), list_min(s))
+                   AS INT) AS pos,
+              list_min(s) AS fp
+            FROM w2)
+"""
+
+PENDING_SQL_WINNOW = f"""
+    WITH {_WINNOW_SEL_SQL}
+    SELECT doc_id, pos, fp FROM sel
+"""
+
+
+def pending_text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    scheme): per 4-window of positional 5-gram hashes, the minimum at its
+    rightmost position — guaranteed to cover any shared run of >= 8
+    tokens while keeping ~2/5 of the grams.  Scan-local array arithmetic;
+    only selected prints explode."""
+    from pdtable_spark.operators.dedup import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, gram_n=5, window=4, hash_fn="md5_60")
+
+
+PENDING["text_winnow_fingerprints"] = (
+    pending_text_winnow_fingerprints,
+    PENDING_SQL_WINNOW,
+)
+
+
+PENDING_SQL_WINNOW_PAIRS = f"""
+    WITH {_WINNOW_SEL_SQL},
+    dsel AS (SELECT DISTINCT doc_id, fp FROM sel)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM dsel a JOIN dsel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def pending_dedup_winnow_pairs(spark, sf_dir):
+    """Document pairs sharing >= 2 winnowed fingerprints — the
+    ngram-Jaccard detection shape on the winnowed subset: the postings
+    index carries ~2/(window+1) of the grams with a known coverage floor
+    (no shared 8-token run goes undetected)."""
+    from pdtable_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs, gram_n=5, window=4, min_common=2, hash_fn="md5_60"
+    )
+
+
+PENDING["dedup_winnow_pairs"] = (
+    pending_dedup_winnow_pairs,
+    PENDING_SQL_WINNOW_PAIRS,
 )

@@ -2593,3 +2593,48 @@ def test_bloom_decontaminate_null_text_raises(spark):
     )
     with pytest.raises(Exception, match="bench_pred is NULL"):
         dedup.bloom_decontaminate(df2, F.col("source") == "bench", shingle_n=3).collect()
+
+
+def test_winnow_fingerprints_coverage_and_density(spark):
+    """Winnowing guarantees: two docs sharing a long run share a print;
+    selections match a brute-force reference (rightmost-min per window,
+    deduped); selection count is well below the gram count."""
+    import hashlib
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, "intro words here " + shared),
+        (1, shared + " totally different tail content follows now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in dedup.winnow_fingerprints(
+            df, gram_n=3, window=4, hash_fn="md5_60"
+        ).collect()
+    }
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = set()
+    for doc_id, text in rows:
+        toks = text.split()
+        h = [md5_60(" ".join(toks[i:i + 3])) for i in range(len(toks) - 2)]
+        for i in range(len(h) - 3):
+            s = h[i:i + 4]
+            mn = min(s)
+            j = max(k for k in range(4) if s[k] == mn)
+            want.add((doc_id, i + j + 1, mn))
+    assert got == want
+    # coverage: the shared 12-token run must contribute a common print
+    fps0 = {fp for d, _, fp in got if d == 0}
+    fps1 = {fp for d, _, fp in got if d == 1}
+    assert fps0 & fps1
+    # density: far fewer prints than grams
+    assert len(got) < sum(len(t[1].split()) - 2 for t in rows)
+    pairs = dedup.winnow_overlap_pairs(
+        df, gram_n=3, window=4, min_common=1, hash_fn="md5_60"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["n_common"] == len(fps0 & fps1)
