@@ -538,3 +538,47 @@ def test_bloom_screen_no_false_negatives_property(spark, bench_texts, train_text
         exact_shared = len(sh[doc_id] & bench_sh)
         assert out[doc_id]["n_grams"] == len(sh[doc_id])
         assert out[doc_id]["n_hits"] >= exact_shared
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee".split()),
+                 min_size=1, max_size=20).map(" ".join),
+        min_size=1, max_size=5,
+    )
+)
+def test_winnow_selection_parity_property(spark, texts):
+    """Fuzzed parity: winnow_fingerprints equals the brute-force
+    rightmost-min-per-window reference on arbitrary small-alphabet docs
+    (heavy hash ties — the tie-break arithmetic's worst case)."""
+    import hashlib
+
+    from pdtable_spark.operators import dedup
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n, w = 2, 3
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in dedup.winnow_fingerprints(
+            df, gram_n=n, window=w, hash_fn="md5_60"
+        ).collect()
+    }
+    want = set()
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        if len(toks) >= n:
+            grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        else:
+            grams = [" ".join(toks)]
+        h = [md5_60(g) for g in grams]
+        nw = max(len(h) - w + 1, 1)
+        for i in range(nw):
+            s = h[i:i + w]
+            mn = min(s)
+            j = max(k for k in range(len(s)) if s[k] == mn)
+            want.add((doc_id, i + j + 1, mn))
+    assert got == want
