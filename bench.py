@@ -246,6 +246,10 @@ def main():
         "pipeline_bloom_screen",
         "embedding_hard_negatives",
         "embedding_label_propagation",
+        # staged round-8 additions (cont.): winnowing — the zero-shuffle
+        # fingerprint selection and the inverted-print pair join
+        "text_winnow_fingerprints",
+        "dedup_winnow_pairs",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2
