@@ -671,3 +671,142 @@ def uncertainty_sample(
     )
     w = Window.orderBy(F.asc("margin"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _cap_order(score_col: Optional[str], id_col: str):
+    """Total order for per-source caps: best-first.  With a score,
+    (score DESC, id ASC) — quality-ranked retention; without one,
+    md5_60(id) ASC then id ASC — content-stable "random" retention (the
+    row's fate is a pure function of its id, like every sampler here)."""
+    if score_col is not None:
+        return [F.col(score_col).desc(), F.col(id_col).asc()]
+    return [md5_60(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
+
+
+def cap_per_source(
+    df: DataFrame,
+    cap: int,
+    score_col: Optional[str] = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per source — the per-domain cap every
+    crawl-curation recipe applies so no single domain (mirror farms,
+    auto-generated boilerplate sites) dominates the training mixture
+    (C4 and the FineWeb/RefinedWeb lineage all cap or downweight hot
+    domains; cf. reference query surface `/root/reference/pdtable`
+    group-by+top-k composition, here as one retention operator).
+
+    Retention order is :func:`_cap_order`: quality-ranked when
+    ``score_col`` is given (keep each source's best ``cap`` rows),
+    content-stable hash order otherwise.  The order is total (id
+    tie-break), so the kept set is deterministic on any engine and the
+    operator carries a full value oracle.
+
+    NULL scores fail LOUDLY (the module idiom — silently ranking a
+    failed scorer's NULLs last would quietly cap them out); a NULL
+    source is a legitimate group and is capped like any other.
+
+    Scale: ONE window partitioned by source — a single source's rows
+    land in one task, fine to tens of millions of rows per source; for
+    crawl-scale hot domains use :func:`cap_per_source_threshold`, which
+    produces the IDENTICAL kept set without any task ever holding a
+    whole source.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(*_cap_order(score_col, id_col))
+    rn = F.row_number().over(w)
+    if score_col is not None:
+        rn = F.when(
+            F.col(score_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"cap_per_source: NULL in score column {score_col!r} — "
+                    "filter or fill null scores explicitly before capping"
+                )
+            ).cast("int"),
+        ).otherwise(rn)
+    return df.withColumn("__rn", rn).filter(F.col("__rn") <= cap).drop("__rn")
+
+
+def cap_per_source_threshold(
+    df: DataFrame,
+    cap: int,
+    score_col: Optional[str] = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = 100,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The crawl-scale spelling of :func:`cap_per_source` — same kept
+    set, no whole-source task.  Two phases:
+
+    1. A map-side-combinable aggregate computes, per source, the row
+       count and a ``buckets``-point ``approx_percentile`` grid of the
+       retention key; the grid element at probability
+       ``p = (n-cap)/n - 2/accuracy`` (floored to the grid) is a
+       SCREENING threshold provably at-or-below the cap-th best key
+       (GK sketch rank error ≤ n/accuracy, so the value at p has
+       ascending rank ≤ p·n + n/accuracy ≤ n - cap).
+    2. Rows with key ≥ threshold survive screening — a guaranteed
+       SUPERSET of the final top-``cap`` — and only the survivors
+       (≈ cap + 2n/accuracy + the tie block at the threshold, per
+       source) enter the exact row_number window, which trims to
+       exactly :func:`cap_per_source`'s kept set.
+
+    The screening filter is scan-local after a broadcast join of the
+    per-source thresholds (#sources rows), so the expensive window
+    operates on a bounded survivor set: the same
+    screen-then-exact-verify shape as the Bloom decontamination funnel.
+    A degenerate tie block AT the threshold (e.g. a constant score and
+    no id in the key) inflates survivors up to the whole source —
+    bounded by giving ties ranking information (the default hash order
+    has none of this; integer-graded scores should tie-break upstream).
+
+    Sources at-or-under ``cap + 2n/accuracy + 1/buckets·n`` rows skip
+    screening (no grid point sits strictly below the top-``cap``) and
+    pass whole into the window — exactly the sources where that window
+    is small.  NULL scores fail loudly; NULL sources are capped like
+    any other group (null-safe join).
+    """
+    from pyspark.sql import Window
+
+    key = (
+        F.col(score_col)
+        if score_col is not None
+        else -md5_60(F.col(id_col).cast("string"))
+    )
+    probs = F.array(*[F.lit((i + 1) / buckets) for i in range(buckets)])
+    agg = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.percentile_approx(key, probs, F.lit(accuracy)).alias("__grid"),
+    )
+    n = F.col("__n").cast("double")
+    p = (n - F.lit(float(cap))) / n - F.lit(2.0 / accuracy)
+    idx = F.floor(p * F.lit(float(buckets))).cast("int")
+    thr = F.when(idx >= 1, F.element_at(F.col("__grid"), idx))
+    bounds = agg.select(
+        F.col(source_col).alias("__src"), thr.alias("__thr")
+    )
+    if score_col is not None:
+        key = F.when(
+            F.col(score_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"cap_per_source_threshold: NULL in score column "
+                    f"{score_col!r} — filter or fill null scores explicitly"
+                )
+            ).cast("double"),
+        ).otherwise(F.col(score_col))
+    screened = (
+        df.join(F.broadcast(bounds), F.col(source_col).eqNullSafe(F.col("__src")))
+        .filter(F.col("__thr").isNull() | (key >= F.col("__thr")))
+        .drop("__src", "__thr")
+    )
+    w = Window.partitionBy(source_col).orderBy(*_cap_order(score_col, id_col))
+    return (
+        screened.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

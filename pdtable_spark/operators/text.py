@@ -1516,3 +1516,82 @@ def curation_funnel(
         for i, c in enumerate(cols)
     ]
     return row.select(F.inline(F.array(*entries)))
+
+
+def top_vocab(
+    df: DataFrame,
+    vocab_size: int = 500,
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus's ``vocab_size`` most frequent whitespace tokens as a
+    ``(token, tf)`` frame — the artifact behind :func:`vocab_coverage`.
+
+    Deterministic boundary: ties at the cut rank are broken by token
+    text ascending, so the vocabulary is identical on every engine and
+    the coverage numbers built on it carry a full value oracle.
+
+    Scale: one map-side-combinable token count (shuffle is
+    vocabulary-domain-sized, not corpus-sized) then global top-k via
+    sort+limit — Spark plans TakeOrdered (per-partition heaps), never a
+    single-partition sort of the token domain.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(vocab_size)
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Per-document vocabulary coverage: how much of each doc is
+    expressible in the corpus's (or a provided) top-``vocab_size``
+    vocabulary — ``n_tokens``, ``n_oov`` (token OCCURRENCES outside the
+    vocabulary), and ``oov_share`` ∈ [0, 1].
+
+    Why: OOV share against a reference vocabulary is a cheap
+    tokenizer-fertility / domain-shift signal — docs that are mostly
+    out-of-vocabulary relative to the training corpus are exactly the
+    docs a fixed tokenizer will shred into high-fertility byte
+    fallbacks, and a rising corpus-level OOV share is an early drift
+    alarm (compose with ``operators.monitor``).
+
+    Pass ``vocab`` (any 1-column-`token` frame, e.g. a frozen training
+    vocabulary) to measure against a FIXED reference instead of the
+    corpus's own top-k.
+
+    Scale: the vocabulary is a bounded artifact (≤ ``vocab_size`` rows,
+    like the IVF centroid and PQ codebook collects) collected and folded
+    into a scan-local membership expression — the per-doc pass is ZERO
+    shuffle, one projection over the scan.  The probe is a linear
+    array_contains per token (O(tokens·vocab_size) comparisons); beyond
+    ~10k vocab entries, explode + broadcast-hash-join the vocabulary and
+    re-aggregate by ``id_col`` instead — that spelling shuffles
+    token-level rows, which is exactly the trade
+    :func:`tfidf_keywords` documents.
+    """
+    if vocab is None:
+        vocab = top_vocab(df, vocab_size, text_col=text_col)
+    words = sorted(r[0] for r in vocab.select("token").collect())
+    lit_vocab = F.array(*[F.lit(w) for w in words])
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks).cast("long")
+    n_oov = F.size(
+        F.filter(toks, lambda t: ~F.array_contains(lit_vocab, t))
+    ).cast("long")
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_oov": n_oov,
+            "oov_share": F.when(
+                n_tokens > 0, n_oov.cast("double") / n_tokens.cast("double")
+            ).otherwise(F.lit(0.0)),
+        }
+    )

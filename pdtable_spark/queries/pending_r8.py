@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all TWENTY-SIX entries into ``suite.py``
+a coverage gap.  Round 8 moves all TWENTY-EIGHT entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -17,7 +17,8 @@ diagnostic), the Matryoshka truncation-recall diagnostic, the
 perceptual-hash (dHash) image near-dup pairs, the data-constrained
 epochs plan, the in-context-pretraining semantic pack, the
 active-learning uncertainty sample, and the winnowing (MOSS) fingerprint
-pair.
+pair, the per-source cap (both spellings pinned), and the
+vocabulary-coverage / OOV-share report.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -1506,4 +1507,102 @@ def pending_dedup_winnow_pairs(spark, sf_dir):
 PENDING["dedup_winnow_pairs"] = (
     pending_dedup_winnow_pairs,
     PENDING_SQL_WINNOW_PAIRS,
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-source cap (operators/sampling.py) — both spellings value-pinned
+# ---------------------------------------------------------------------------
+
+PENDING_SQL_SOURCE_CAP = """
+    WITH s AS (
+      SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id ASC) AS rn
+      FROM s
+    )
+    SELECT doc_id, source, score, CAST(2 AS BIGINT) AS n_spellings
+    FROM r WHERE rn <= 10
+"""
+
+
+def pending_pipeline_source_cap(spark, sf_dir):
+    """Per-domain cap (keep each source's best 10 by a quality proxy) in
+    BOTH spellings pinned against each other: the exact window
+    row_number and the crawl-scale screen-then-trim (per-source
+    approx_percentile threshold broadcast back, then the exact window
+    over the ~cap-sized survivors).  The union's per-row count is the
+    pin — a row either spelling got wrong surfaces as n_spellings=1 (or
+    an extra row), which the value oracle rejects."""
+    from pdtable_spark.operators.sampling import (
+        cap_per_source,
+        cap_per_source_threshold,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score")
+    )
+    exact = cap_per_source(docs, 10, score_col="score")
+    thr = cap_per_source_threshold(docs, 10, score_col="score")
+    return (
+        exact.unionAll(thr)
+        .groupBy("doc_id", "source", "score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_spellings"))
+    )
+
+
+PENDING["pipeline_source_cap"] = (
+    pending_pipeline_source_cap,
+    PENDING_SQL_SOURCE_CAP,
+)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV share (operators/text.py)
+# ---------------------------------------------------------------------------
+
+PENDING_SQL_VOCAB_COVERAGE = r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT t FROM (SELECT t, COUNT(*) AS n FROM tok GROUP BY t)
+      ORDER BY n DESC, t ASC LIMIT 200
+    ),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+      FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           CAST(p.n_oov AS BIGINT) AS n_oov,
+           CASE WHEN p.n_tokens > 0
+                THEN CAST(p.n_oov AS DOUBLE) / p.n_tokens ELSE 0.0 END
+             AS oov_share
+    FROM documents d JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
+def pending_text_vocab_coverage(spark, sf_dir):
+    """Per-doc OOV share against the corpus's top-200 token vocabulary
+    (deterministic tf-desc, token-asc boundary) — the tokenizer-fertility
+    / domain-shift signal.  The vocabulary is a bounded collected
+    artifact folded into a zero-shuffle scan-local membership
+    expression (the IVF-centroid pattern)."""
+    from pdtable_spark.operators.text import vocab_coverage
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=200).select(
+        "doc_id", "source", "n_tokens", "n_oov", "oov_share"
+    )
+
+
+PENDING["text_vocab_coverage"] = (
+    pending_text_vocab_coverage,
+    PENDING_SQL_VOCAB_COVERAGE,
 )

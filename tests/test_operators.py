@@ -2638,3 +2638,107 @@ def test_winnow_fingerprints_coverage_and_density(spark):
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
     assert pairs[0]["n_common"] == len(fps0 & fps1)
+
+
+def test_cap_per_source_window_spelling(spark):
+    """Per-source cap keeps the top-``cap`` rows per source under the
+    (score DESC, id ASC) total order, caps NULL sources as a group, and
+    fails loudly on NULL scores."""
+    from pdtable_spark.operators.sampling import cap_per_source
+
+    rows = (
+        [(i, "a", float(i)) for i in range(10)]      # keep 7,8,9 at cap=3
+        + [(100, "b", 5.0), (101, "b", 5.0)]          # tie → ids 100,101
+        + [(200, "c", -1.0)]                          # under-cap source
+        + [(300, None, 9.0), (301, None, 1.0)]        # NULL-source group
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    kept = sorted(
+        r["doc_id"] for r in cap_per_source(df, 3, score_col="score").collect()
+    )
+    assert kept == [7, 8, 9, 100, 101, 200, 300, 301]
+    # cap=1 takes each source's single best; the tie breaks toward id 100
+    kept1 = sorted(
+        r["doc_id"] for r in cap_per_source(df, 1, score_col="score").collect()
+    )
+    assert kept1 == [9, 100, 200, 300]
+    # hash mode: deterministic, exactly cap rows of the 10-row source
+    h = cap_per_source(df, 4, score_col=None)
+    by_src = {}
+    for r in h.collect():
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["a"]) == 4 and sorted(by_src["c"]) == [200]
+    again = cap_per_source(df, 4, score_col=None)
+    assert sorted(r["doc_id"] for r in h.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    with_null = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None)], "doc_id long, source string, score double"
+    )
+    with pytest.raises(Exception, match="NULL in score column"):
+        cap_per_source(with_null, 1, score_col="score").collect()
+
+
+def test_cap_per_source_threshold_matches_window(spark):
+    """The screen-then-trim crawl-scale spelling returns the IDENTICAL
+    kept set as the window spelling — score mode, hash mode, tie-heavy
+    constant scores, under-cap sources, NULL sources — and fails loudly
+    on NULL scores."""
+    from pdtable_spark.operators.sampling import (
+        cap_per_source,
+        cap_per_source_threshold,
+    )
+
+    rows = (
+        [(i, "a", float(i % 7)) for i in range(60)]   # heavy score ties
+        + [(100 + i, "b", float(i)) for i in range(5)]
+        + [(200, "c", -3.0)]
+        + [(300 + i, None, 1.0) for i in range(4)]    # constant-score NULL src
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    for cap in (1, 3, 10, 100):
+        for score in ("score", None):
+            e = sorted(
+                r["doc_id"]
+                for r in cap_per_source(df, cap, score_col=score).collect()
+            )
+            t = sorted(
+                r["doc_id"]
+                for r in cap_per_source_threshold(
+                    df, cap, score_col=score, buckets=20, accuracy=1000
+                ).collect()
+            )
+            assert t == e, (cap, score)
+    with_null = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None)], "doc_id long, source string, score double"
+    )
+    with pytest.raises(Exception, match="NULL in score column"):
+        cap_per_source_threshold(with_null, 1, score_col="score").collect()
+
+
+def test_vocab_coverage(spark):
+    """top_vocab picks the most frequent tokens with a deterministic
+    token-text tie-break; vocab_coverage counts OOV occurrences per doc,
+    accepts a frozen external vocabulary, and guards empty docs."""
+    from pdtable_spark.operators.text import top_vocab, vocab_coverage
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "zebra xylophone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # frequencies: the=3, sat=2, rest=1 → vocab_size=3 takes the, sat,
+    # then the tie at tf=1 breaks to 'cat' (smallest token text)
+    v = [r["token"] for r in top_vocab(df, 3).orderBy(F.desc("tf"), F.asc("token")).collect()]
+    assert v == ["the", "sat", "cat"]
+    out = {r["doc_id"]: r for r in vocab_coverage(df, vocab_size=3).collect()}
+    assert out[1]["n_tokens"] == 6 and out[1]["n_oov"] == 2  # on, mat
+    assert out[2]["n_tokens"] == 3 and out[2]["n_oov"] == 1  # dog
+    assert out[3]["n_oov"] == 2 and out[3]["oov_share"] == 1.0
+    assert abs(out[1]["oov_share"] - 2.0 / 6.0) < 1e-12
+    # frozen external vocabulary: measure against it, not the corpus
+    frozen = spark.createDataFrame([("zebra",), ("the",)], "token string")
+    out_f = {r["doc_id"]: r for r in vocab_coverage(df, vocab=frozen).collect()}
+    assert out_f[3]["n_oov"] == 1  # xylophone
+    assert out_f[2]["n_oov"] == 2  # dog, sat
