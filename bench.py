@@ -250,6 +250,10 @@ def main():
         # fingerprint selection and the inverted-print pair join
         "text_winnow_fingerprints",
         "dedup_winnow_pairs",
+        # staged round-8 additions (cont.): per-source cap (both spellings
+        # pinned in one frame) and the zero-shuffle OOV-share report
+        "pipeline_source_cap",
+        "text_vocab_coverage",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2
