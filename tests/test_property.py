@@ -582,3 +582,60 @@ def test_winnow_selection_parity_property(spark, texts):
             j = max(k for k in range(len(s)) if s[k] == mn)
             want.add((doc_id, i + j + 1, mn))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),      # hot + NULL sources
+            st.integers(min_value=0, max_value=3),        # tie-heavy scores
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    cap=st.integers(min_value=1, max_value=8),
+    use_score=st.booleans(),
+)
+def test_cap_per_source_threshold_equivalence_property(spark, rows, cap, use_score):
+    """Fuzz the screen-then-trim cap against (a) the window spelling and
+    (b) a Python brute force of the retention order — tie-heavy scores
+    and NULL sources are exactly where a wrong screening threshold or a
+    non-null-safe join would show."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.dedup import md5_60
+    from pdtable_spark.operators.sampling import (
+        cap_per_source,
+        cap_per_source_threshold,
+    )
+
+    data = [(i, s, float(v)) for i, (s, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, source string, score double")
+    score = "score" if use_score else None
+    exact = sorted(
+        r["doc_id"] for r in cap_per_source(df, cap, score_col=score).collect()
+    )
+    thr = sorted(
+        r["doc_id"]
+        for r in cap_per_source_threshold(
+            df, cap, score_col=score, buckets=10, accuracy=200
+        ).collect()
+    )
+    assert thr == exact
+    # brute force: top-cap per source under the documented total order
+    if use_score:
+        keyed = [(s, (-v, i), i) for i, s, v in data]
+    else:
+        h = {
+            r["doc_id"]: r["h"]
+            for r in df.select(
+                "doc_id", md5_60(F.col("doc_id").cast("string")).alias("h")
+            ).collect()
+        }
+        keyed = [(s, (h[i], i), i) for i, s, v in data]
+    want = []
+    for src in {k[0] for k in keyed}:
+        grp = sorted((k[1], k[2]) for k in keyed if k[0] == src)
+        want.extend(i for _, i in grp[:cap])
+    assert exact == sorted(want)
