@@ -492,3 +492,32 @@ def test_label_propagation_no_single_partition_window(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "Exchange hashpartitioning(query_id" in plan
+
+
+def test_vocab_coverage_per_doc_pass_zero_shuffle(spark):
+    """vocab_coverage: the vocabulary is a collected bounded artifact, so
+    the returned per-doc frame is a pure scan+project pipeline — zero
+    exchanges.  (The vocab build itself pays one token-domain-sized
+    shuffle + TakeOrdered, at artifact-build time.)"""
+    from pdtable_spark.operators.text import vocab_coverage
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = vocab_coverage(docs, vocab_size=50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert n_exchanges(plan) == 0
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cap_per_source_threshold_screens_via_broadcast(spark):
+    """cap_per_source_threshold: the per-source thresholds join back as a
+    BROADCAST (never a shuffle of the corpus on source for the screen),
+    the trim window partitions on source (no single-partition window),
+    and there is no cartesian anywhere."""
+    from pdtable_spark.operators.sampling import cap_per_source_threshold
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = cap_per_source_threshold(docs, 10, score_col="n_chars")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
