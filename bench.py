@@ -254,6 +254,9 @@ def main():
         # pinned in one frame) and the zero-shuffle OOV-share report
         "pipeline_source_cap",
         "text_vocab_coverage",
+        # staged round-8 additions (cont.): record-level privacy
+        "pipeline_k_anonymize",
+        "pipeline_anonymity_report",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

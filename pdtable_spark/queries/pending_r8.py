@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all TWENTY-EIGHT entries into ``suite.py``
+a coverage gap.  Round 8 moves all THIRTY entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -18,7 +18,8 @@ perceptual-hash (dHash) image near-dup pairs, the data-constrained
 epochs plan, the in-context-pretraining semantic pack, the
 active-learning uncertainty sample, and the winnowing (MOSS) fingerprint
 pair, the per-source cap (both spellings pinned), and the
-vocabulary-coverage / OOV-share report.
+vocabulary-coverage / OOV-share report, and the record-level privacy
+pair (k-anonymity suppression + the anonymity/l-diversity risk report).
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -1605,4 +1606,84 @@ def pending_text_vocab_coverage(spark, sf_dir):
 PENDING["text_vocab_coverage"] = (
     pending_text_vocab_coverage,
     PENDING_SQL_VOCAB_COVERAGE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Record-level privacy (operators/privacy.py): k-anonymity + risk report
+# ---------------------------------------------------------------------------
+
+PENDING_SQL_K_ANONYMIZE = """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment FROM customer
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+    FROM customer c
+    JOIN g ON c.c_nationkey IS NOT DISTINCT FROM g.c_nationkey
+          AND c.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+"""
+
+
+def pending_pipeline_k_anonymize(spark, sf_dir):
+    """k-anonymity suppression over customer metadata: only rows whose
+    (nation, segment) combination occurs >= 10 times survive — the
+    pre-release privacy floor for record-level corpus metadata.  One
+    map-side-combinable groupBy + a null-safe semi-join back."""
+    from pdtable_spark.operators.privacy import k_anonymize
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return k_anonymize(cust, ["c_nationkey", "c_mktsegment"], 10)
+
+
+PENDING["pipeline_k_anonymize"] = (
+    pending_pipeline_k_anonymize,
+    PENDING_SQL_K_ANONYMIZE,
+)
+
+
+PENDING_SQL_ANONYMITY_REPORT = """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             COUNT(DISTINCT c_acctbal) AS l
+      FROM customer GROUP BY 1, 2
+    ),
+    ks(k) AS (VALUES (5), (10), (20))
+    SELECT CAST(k AS INTEGER) AS k,
+           CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below,
+           CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_below,
+           CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE) AS share_rows_below,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           CAST(MIN(l) AS BIGINT) AS min_l_diversity
+    FROM s CROSS JOIN ks GROUP BY k
+"""
+
+
+def pending_pipeline_anonymity_report(spark, sf_dir):
+    """Re-identification risk report over customer (nation, segment)
+    groups at thresholds 5/10/20, with account balance as the sensitive
+    attribute (min_l_diversity) — the audit that picks k for
+    :func:`~pdtable_spark.operators.privacy.k_anonymize`.  The per-k
+    expansion runs on the distinct-combination-sized group frame, never
+    the corpus."""
+    from pdtable_spark.operators.privacy import anonymity_report
+
+    cust = load(spark, sf_dir, "customer")
+    return anonymity_report(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        ks=(5, 10, 20),
+        sensitive_col="c_acctbal",
+    )
+
+
+PENDING["pipeline_anonymity_report"] = (
+    pending_pipeline_anonymity_report,
+    PENDING_SQL_ANONYMITY_REPORT,
 )

@@ -2742,3 +2742,60 @@ def test_vocab_coverage(spark):
     out_f = {r["doc_id"]: r for r in vocab_coverage(df, vocab=frozen).collect()}
     assert out_f[3]["n_oov"] == 1  # xylophone
     assert out_f[2]["n_oov"] == 2  # dog, sat
+
+
+def test_k_anonymize_suppression(spark):
+    """k-anonymity suppression keeps exactly the rows whose quasi-id
+    combination reaches k, treats NULL quasi values as legitimate group
+    keys (null-safe join), and rejects nonsense k."""
+    from pdtable_spark.operators.privacy import k_anonymize
+
+    rows = [
+        (1, "US", "A"), (2, "US", "A"), (3, "US", "A"),
+        (4, "US", "B"),
+        (5, None, "A"), (6, None, "A"),
+        (7, "FR", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, region string, seg string")
+    assert sorted(
+        r["id"] for r in k_anonymize(df, ["region", "seg"], 2).collect()
+    ) == [1, 2, 3, 5, 6]
+    assert sorted(
+        r["id"] for r in k_anonymize(df, ["region", "seg"], 3).collect()
+    ) == [1, 2, 3]
+    # k=1 suppresses nothing
+    assert k_anonymize(df, ["region", "seg"], 1).count() == 7
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        k_anonymize(df, ["region", "seg"], 0)
+
+
+def test_anonymity_report(spark):
+    """The risk report counts groups/rows below each threshold, carries
+    the corpus facts, and min_l_diversity flags a sensitive-homogeneous
+    group that plain k-anonymity would pass."""
+    from pdtable_spark.operators.privacy import anonymity_report
+
+    rows = [
+        (1, "US", "A", "d1"), (2, "US", "A", "d1"), (3, "US", "A", "d2"),
+        (4, "US", "B", "d1"),
+        (5, None, "A", "d3"), (6, None, "A", "d3"),  # 2-anonymous, l=1
+        (7, "FR", None, "d4"),
+    ]
+    df = spark.createDataFrame(rows, "id long, region string, seg string, diag string")
+    rep = {
+        r["k"]: r
+        for r in anonymity_report(
+            df, ["region", "seg"], ks=(2, 3), sensitive_col="diag"
+        ).collect()
+    }
+    assert rep[2]["n_groups_below"] == 2 and rep[2]["n_rows_below"] == 2
+    assert abs(rep[2]["share_rows_below"] - 2.0 / 7.0) < 1e-12
+    assert rep[2]["n_groups"] == 4 and rep[2]["min_group_size"] == 1
+    # the NULL-region group is 2-anonymous but sensitive-homogeneous
+    assert rep[2]["min_l_diversity"] == 1
+    assert rep[3]["n_groups_below"] == 3 and rep[3]["n_rows_below"] == 4
+    # without a sensitive column the l column is absent
+    cols = anonymity_report(df, ["region"], ks=(2,)).columns
+    assert "min_l_diversity" not in cols
+    with pytest.raises(ValueError, match="thresholds must be >= 1"):
+        anonymity_report(df, ["region"], ks=(0, 2))
