@@ -257,6 +257,8 @@ def main():
         # staged round-8 additions (cont.): record-level privacy
         "pipeline_k_anonymize",
         "pipeline_anonymity_report",
+        # staged round-8 additions (cont.): asymmetric containment near-dups
+        "dedup_containment_pairs",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

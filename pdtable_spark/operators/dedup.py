@@ -817,6 +817,76 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    block_col: Optional[str] = None,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Exact shingle-CONTAINMENT pairs — the asymmetric near-dup measure
+    Jaccard misses: a short document quoted whole inside a long one has
+    containment ~1.0 but Jaccard ~|A|/|B| (arbitrarily small), so a
+    Jaccard threshold never fires on doc-inside-doc duplication
+    (Broder's containment, the measure behind quote/boilerplate
+    subsumption removal).
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (posting
+    self-join on shingles, per-pair intersection aggregate — no O(n²)
+    cross join); returns (id_a, id_b, contain_a_in_b, contain_b_in_a,
+    containment) where ``containment = inter / min(|A|, |B|)`` and the
+    filter keeps pairs with ``containment >= threshold``.
+
+    ``max_doc_freq`` is the same production df-cut (and the same
+    deliberate undercount trade) documented on
+    :func:`ngram_jaccard_pairs`; it is off by default for
+    oracle-exactness.
+    """
+    base = df.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("sh_size", F.size("sh"))
+    posts = base.select(
+        id_col, "sh_size", *([block_col] if block_col else []), F.explode("sh").alias("g")
+    )
+    if max_doc_freq is not None:
+        rare = (
+            posts.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("g")
+        )
+        posts = posts.join(rare, on="g", how="inner")
+    a, b = posts.alias("a"), posts.alias("b")
+    on = [F.col("a.g") == F.col("b.g"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    if block_col:
+        on.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, on=on)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh_size").alias("size_a"),
+            F.col("b.sh_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    i = F.col("inter").cast("double")
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            (i / F.col("size_a").cast("double")).alias("contain_a_in_b"),
+            (i / F.col("size_b").cast("double")).alias("contain_b_in_a"),
+            (i / F.least("size_a", "size_b").cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def keep_best_per_cluster(
     df: DataFrame,
     clusters: DataFrame,

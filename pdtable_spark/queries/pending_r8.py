@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all THIRTY entries into ``suite.py``
+a coverage gap.  Round 8 moves all THIRTY-ONE entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pdtable_spark.queries.suite import _SQL_DRIFT_REPORT, load
+from pdtable_spark.queries.suite import _SQL_DRIFT_REPORT, _SQL_SHINGLES, load
 
 #: BM25 query terms for the staged retrieval query: one rare term
 #: ('dup' — df 25 of 500 docs at sf0.01) and two common ones, so idf
@@ -1686,4 +1686,45 @@ def pending_pipeline_anonymity_report(spark, sf_dir):
 PENDING["pipeline_anonymity_report"] = (
     pending_pipeline_anonymity_report,
     PENDING_SQL_ANONYMITY_REPORT,
+)
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment pairs (operators/dedup.py) — the asymmetric measure
+# ---------------------------------------------------------------------------
+
+PENDING_SQL_CONTAINMENT = f"""
+    WITH base AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    sized AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+    posts AS (SELECT doc_id, sz, unnest(sh) AS g FROM sized),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+             COUNT(*) AS n_common
+      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(size_a AS DOUBLE) AS contain_a_in_b,
+           CAST(n_common AS DOUBLE) / CAST(size_b AS DOUBLE) AS contain_b_in_a,
+           CAST(n_common AS DOUBLE) / CAST(least(size_a, size_b) AS DOUBLE)
+             AS containment
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / CAST(least(size_a, size_b) AS DOUBLE) >= 0.6
+"""
+
+
+def pending_dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric doc-inside-doc near-dups: shingle containment
+    (inter / min set size) >= 0.6 over the same inverted-index plan as
+    ngram_jaccard_pairs — catches a short doc quoted whole inside a long
+    one, where Jaccard is arbitrarily small and never fires."""
+    from pdtable_spark.operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(docs, shingle_n=5, threshold=0.6)
+
+
+PENDING["dedup_containment_pairs"] = (
+    pending_dedup_containment_pairs,
+    PENDING_SQL_CONTAINMENT,
 )

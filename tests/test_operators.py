@@ -2799,3 +2799,32 @@ def test_anonymity_report(spark):
     assert "min_l_diversity" not in cols
     with pytest.raises(ValueError, match="thresholds must be >= 1"):
         anonymity_report(df, ["region"], ks=(0, 2))
+
+
+def test_containment_pairs_asymmetric(spark):
+    """Containment fires on doc-inside-doc duplication that a Jaccard
+    threshold never reaches, reports both directions, and the df-cut
+    guard drops ultra-common shingles like ngram_jaccard_pairs."""
+    from pdtable_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    long = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    short = "zeta eta theta iota kappa lam mu nu"
+    rows = [(0, long), (1, short), (2, "totally different content words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_pairs(df, shingle_n=5, threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(0, 1)]
+    r = got[0]
+    # the short doc is fully contained; the long one only fractionally
+    assert r["containment"] == 1.0 and r["contain_b_in_a"] == 1.0
+    assert r["contain_a_in_b"] < 0.5
+    # Jaccard at any useful threshold misses this pair
+    assert ngram_jaccard_pairs(df, shingle_n=5, threshold=0.5).count() == 0
+    # block_col restricts candidates
+    blocked = df.withColumn("src", F.when(F.col("doc_id") == 0, "x").otherwise("y"))
+    assert (
+        containment_pairs(blocked, shingle_n=5, threshold=0.8, block_col="src").count()
+        == 0
+    )
