@@ -639,3 +639,58 @@ def test_cap_per_source_threshold_equivalence_property(spark, rows, cap, use_sco
         grp = sorted((k[1], k[2]) for k in keyed if k[0] == src)
         want.extend(i for _, i in grp[:cap])
     assert exact == sorted(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=12
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    thr=st.sampled_from([0.3, 0.6, 0.9]),
+)
+def test_containment_pairs_match_brute_force(spark, texts, thr):
+    """Containment pairs on tie-heavy tiny alphabets equal a Python brute
+    force over distinct 3-gram shingle sets — short docs (< gram_n
+    tokens) collapse to a single whole-text shingle exactly like
+    operators.text.shingles does."""
+    from pdtable_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["containment"],
+            r["contain_a_in_b"],
+            r["contain_b_in_a"],
+        )
+        for r in containment_pairs(df, shingle_n=3, threshold=thr).collect()
+    }
+
+    def sh(t):
+        toks = t.split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            c = inter / min(len(sets[a]), len(sets[b]))
+            if c >= thr:
+                want[(a, b)] = (
+                    c,
+                    inter / len(sets[a]),
+                    inter / len(sets[b]),
+                )
+    assert set(got) == set(want)
+    for k in want:
+        assert all(abs(g - w) < 1e-12 for g, w in zip(got[k], want[k]))
