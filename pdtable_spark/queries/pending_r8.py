@@ -16,10 +16,11 @@ label-propagation pair (plus the IVF-accelerated miner's recall
 diagnostic), the Matryoshka truncation-recall diagnostic, the
 perceptual-hash (dHash) image near-dup pairs, the data-constrained
 epochs plan, the in-context-pretraining semantic pack, the
-active-learning uncertainty sample, and the winnowing (MOSS) fingerprint
-pair, the per-source cap (both spellings pinned), and the
-vocabulary-coverage / OOV-share report, and the record-level privacy
-pair (k-anonymity suppression + the anonymity/l-diversity risk report).
+active-learning uncertainty sample, the winnowing (MOSS) fingerprint
+pair, the per-source cap (both spellings pinned), the
+vocabulary-coverage / OOV-share report, the record-level privacy pair
+(k-anonymity suppression + the anonymity/l-diversity risk report), and
+the asymmetric shingle-containment pairs.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
