@@ -259,6 +259,8 @@ def main():
         "pipeline_anonymity_report",
         # staged round-8 additions (cont.): asymmetric containment near-dups
         "dedup_containment_pairs",
+        # staged round-8 additions (cont.): release bookkeeping
+        "pipeline_snapshot_diff",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all THIRTY-ONE entries into ``suite.py``
+a coverage gap.  Round 8 moves all THIRTY-TWO entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -20,7 +20,8 @@ active-learning uncertainty sample, the winnowing (MOSS) fingerprint
 pair, the per-source cap (both spellings pinned), the
 vocabulary-coverage / OOV-share report, the record-level privacy pair
 (k-anonymity suppression + the anonymity/l-diversity risk report), and
-the asymmetric shingle-containment pairs.
+the asymmetric shingle-containment pairs, and the snapshot diff
+(release bookkeeping over io/maintenance.diff_snapshots).
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -1728,4 +1729,52 @@ def pending_dedup_containment_pairs(spark, sf_dir):
 PENDING["dedup_containment_pairs"] = (
     pending_dedup_containment_pairs,
     PENDING_SQL_CONTAINMENT,
+)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (io/maintenance.py) — dataset-release bookkeeping as a query
+# ---------------------------------------------------------------------------
+
+PENDING_SQL_SNAPSHOT_DIFF = """
+    SELECT doc_id, 'removed' AS change_type FROM documents
+    WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id, 'changed' FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, 'added' FROM documents
+    WHERE doc_id % 11 = 0
+"""
+
+
+def pending_pipeline_snapshot_diff(spark, sf_dir):
+    """Keyed diff between two corpus releases (what did this ingest DO):
+    the new snapshot deterministically removes doc_id%7, rewrites the
+    text of doc_id%5, and lands doc_id%11 again under shifted ids —
+    diff_snapshots must classify every key as removed/changed/added with
+    null-safe text comparison.  One key shuffle (full-outer on doc_id)."""
+    from pdtable_spark.io.maintenance import diff_snapshots
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return diff_snapshots(docs, new, "doc_id", compare_cols=["text"])
+
+
+PENDING["pipeline_snapshot_diff"] = (
+    pending_pipeline_snapshot_diff,
+    PENDING_SQL_SNAPSHOT_DIFF,
 )
