@@ -261,6 +261,8 @@ def main():
         "dedup_containment_pairs",
         # staged round-8 additions (cont.): release bookkeeping
         "pipeline_snapshot_diff",
+        # staged round-8 additions (cont.): facade mutation chain (R10-R14)
+        "pipeline_facade_ops",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all THIRTY-TWO entries into ``suite.py``
+a coverage gap.  Round 8 moves all THIRTY-THREE entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -20,8 +20,10 @@ active-learning uncertainty sample, the winnowing (MOSS) fingerprint
 pair, the per-source cap (both spellings pinned), the
 vocabulary-coverage / OOV-share report, the record-level privacy pair
 (k-anonymity suppression + the anonymity/l-diversity risk report), and
-the asymmetric shingle-containment pairs, and the snapshot diff
-(release bookkeeping over io/maintenance.diff_snapshots).
+the asymmetric shingle-containment pairs, the snapshot diff
+(release bookkeeping over io/maintenance.diff_snapshots), and the
+table-facade mutation chain (R10 replace / R11 cast / R12 fillna /
+R14 rename under the value gate).
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -1777,4 +1779,76 @@ def pending_pipeline_snapshot_diff(spark, sf_dir):
 PENDING["pipeline_snapshot_diff"] = (
     pending_pipeline_snapshot_diff,
     PENDING_SQL_SNAPSHOT_DIFF,
+)
+
+
+# ---------------------------------------------------------------------------
+# Table-facade mutation chain (table.py R10-R14) under the value gate
+# ---------------------------------------------------------------------------
+
+def _sql_facade_ops():
+    from pdtable_spark.queries.suite import _sql_dsum
+
+    filled = "CASE WHEN o_orderkey % 3 = 0 THEN 0.0 ELSE o_totalprice END"
+    return f"""
+    SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FILLED'
+                              WHEN 'P' THEN 'PART' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_sql_dsum(filled, 'price_filled_sum')},
+           CAST(MAX(CAST(o_custkey AS INTEGER)) AS INTEGER) AS max_cust
+    FROM orders GROUP BY 1
+"""
+
+
+def pending_pipeline_facade_ops(spark, sf_dir):
+    """The reference's mutation surface (R10 replace, R11 cast, R12
+    fillna, R14 rename — previously pytest-only) chained through the
+    unit-checked Table facade in the graded path: replace order-status
+    codes, cast the customer key to int, fill a deterministically-nulled
+    price, rename it, then aggregate.  The facade's metadata bookkeeping
+    must cost nothing: the plan is the raw DataFrame plan."""
+    from pdtable_spark.frame import attach_units
+    from pdtable_spark.queries.suite import dsum
+    from pdtable_spark.table import Table
+
+    df = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .withColumn(
+            "price_or_null",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    t = Table(
+        attach_units(
+            df,
+            unit_map={
+                "o_orderkey": "-",
+                "o_orderstatus": "text",
+                "o_totalprice": "usd",
+                "o_custkey": "-",
+                "price_or_null": "usd",
+            },
+        ),
+        name="orders",
+    )
+    t = t.replace({"O": "OPEN", "F": "FILLED", "P": "PART"}, subset=["o_orderstatus"])
+    t = t.astype({"o_custkey": "int"})
+    t = t.fillna(0.0, subset=["price_or_null"])
+    t = t.rename_column("price_or_null", "price_filled")
+    assert t["price_filled"].unit == "usd"
+    g = t.group_by("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("price_filled", "price_filled_sum"),
+        F.max("o_custkey").alias("max_cust"),
+    )
+    return g.df.select(
+        F.col("o_orderstatus").alias("status"), "n", "price_filled_sum", "max_cust"
+    )
+
+
+PENDING["pipeline_facade_ops"] = (
+    pending_pipeline_facade_ops,
+    _sql_facade_ops(),
 )

@@ -502,6 +502,11 @@ class Table:
                     f"of column '{name}'"
                 )
         df = self._df.fillna(value, subset=subset)
+        # Spark's fillna rewrites filled columns WITHOUT their field
+        # metadata (coalesce projection) — re-attach each target's unit
+        # so downstream unit checks see 'usd', not the '-' default
+        for name in targets:
+            df = df.withMetadata(name, cm[name].to_field_metadata())
         return self._derive(df, "fillna")
 
     def append_row(self, row: Union[List, Dict[str, Any]]) -> "Table":

@@ -140,6 +140,12 @@ def test_fillna_type_check(spark):
     )
     filled = t.fillna(0.0, subset=["maybe"])
     assert filled.df.filter(F.col("maybe").isNull()).count() == 0
+    # Spark's fillna drops field metadata on filled columns; the facade
+    # must re-attach it, or the unit silently resets to '-' and every
+    # downstream unit check (convert_units, join conflicts) misfires
+    assert filled["maybe"].unit == "km"
+    num = filled.select("distance", "maybe")
+    assert num.fillna(0.0)["maybe"].unit == "km"  # subset=None path too
     with pytest.raises(ColumnUnitException):
         t.fillna("zero", subset=["maybe"])
 
