@@ -1550,6 +1550,7 @@ def vocab_coverage(
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab: Optional[DataFrame] = None,
+    method: str = "array",
 ) -> DataFrame:
     """Per-document vocabulary coverage: how much of each doc is
     expressible in the corpus's (or a provided) top-``vocab_size``
@@ -1567,21 +1568,50 @@ def vocab_coverage(
     vocabulary) to measure against a FIXED reference instead of the
     corpus's own top-k.
 
-    Scale: the vocabulary is a bounded artifact (≤ ``vocab_size`` rows,
-    like the IVF centroid and PQ codebook collects) collected and folded
-    into a scan-local membership expression — the per-doc pass is ZERO
-    shuffle, one projection over the scan.  The probe is a linear
-    array_contains per token (O(tokens·vocab_size) comparisons); beyond
-    ~10k vocab entries, explode + broadcast-hash-join the vocabulary and
-    re-aggregate by ``id_col`` instead — that spelling shuffles
-    token-level rows, which is exactly the trade
-    :func:`tfidf_keywords` documents.
+    Scale — two spellings, IDENTICAL outputs (``method=``):
+
+    - ``"array"`` (default): the vocabulary is a bounded artifact
+      (≤ ``vocab_size`` rows, like the IVF centroid and PQ codebook
+      collects) collected and folded into a scan-local membership
+      expression — the per-doc pass is ZERO shuffle, one projection
+      over the scan.  The probe is a linear array_contains per token
+      (O(tokens·vocab_size) comparisons) — right while the vocabulary
+      stays small (≲ a few thousand entries).
+    - ``"join"``: explode tokens and probe the vocabulary with a real
+      BROADCAST HASH join (O(1) per token), then re-aggregate by
+      ``id_col`` and join the three columns back — the big-vocab
+      spelling (50k+ BPE vocabularies), paying one doc-keyed shuffle
+      for the re-aggregate; exactly the window-vs-aggregate trade
+      :func:`tfidf_keywords` documents.
     """
+    if method not in ("array", "join"):
+        raise ValueError(f"vocab_coverage: unknown method {method!r}")
     if vocab is None:
         vocab = top_vocab(df, vocab_size, text_col=text_col)
+    toks = tokens(F.col(text_col))
+    if method == "join":
+        posts = df.select(F.col(id_col), F.explode(toks).alias("__t"))
+        v = vocab.select(F.col("token").alias("__t"), F.lit(1).alias("__in"))
+        per = (
+            posts.join(F.broadcast(v), "__t", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_oov"),
+            )
+        )
+        out = df.join(per, id_col, "left")
+        n_tokens, n_oov = F.col("n_tokens"), F.col("n_oov")
+        return out.withColumn(
+            "oov_share",
+            F.when(
+                n_tokens > 0, n_oov.cast("double") / n_tokens.cast("double")
+            ).otherwise(F.lit(0.0)),
+        )
     words = sorted(r[0] for r in vocab.select("token").collect())
     lit_vocab = F.array(*[F.lit(w) for w in words])
-    toks = tokens(F.col(text_col))
     n_tokens = F.size(toks).cast("long")
     n_oov = F.size(
         F.filter(toks, lambda t: ~F.array_contains(lit_vocab, t))

@@ -2828,3 +2828,33 @@ def test_containment_pairs_asymmetric(spark):
         containment_pairs(blocked, shingle_n=5, threshold=0.8, block_col="src").count()
         == 0
     )
+
+
+def test_vocab_coverage_join_spelling_matches_array(spark):
+    """The big-vocab broadcast-hash-join spelling returns the identical
+    per-doc coverage as the scan-local array spelling — corpus-built and
+    frozen vocabularies — and rejects unknown methods."""
+    from pdtable_spark.operators.text import vocab_coverage
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "zebra xylophone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def snap(out):
+        return sorted(
+            (r["doc_id"], r["n_tokens"], r["n_oov"], round(r["oov_share"], 12))
+            for r in out.select("doc_id", "n_tokens", "n_oov", "oov_share").collect()
+        )
+
+    assert snap(vocab_coverage(df, vocab_size=3, method="join")) == snap(
+        vocab_coverage(df, vocab_size=3, method="array")
+    )
+    frozen = spark.createDataFrame([("zebra",), ("the",)], "token string")
+    assert snap(vocab_coverage(df, vocab=frozen, method="join")) == snap(
+        vocab_coverage(df, vocab=frozen, method="array")
+    )
+    with pytest.raises(ValueError, match="unknown method"):
+        vocab_coverage(df, method="nope")
