@@ -730,6 +730,54 @@ def cap_per_source(
     return df.withColumn("__rn", rn).filter(F.col("__rn") <= cap).drop("__rn")
 
 
+def _cap_screened(
+    df: DataFrame,
+    cap: int,
+    score_col: Optional[str],
+    source_col: str,
+    id_col: str,
+    buckets: int,
+    accuracy: int,
+) -> DataFrame:
+    """The screening stage of :func:`cap_per_source_threshold`, split out
+    so tests can assert the bound that makes the spelling scale-safe:
+    the frame this returns — the exact window's whole input — holds
+    ≈ cap + n/buckets + 2n/accuracy rows per source (plus any tie block
+    at the threshold), NOT the whole source."""
+    key = (
+        F.col(score_col)
+        if score_col is not None
+        else -md5_60(F.col(id_col).cast("string"))
+    )
+    probs = F.array(*[F.lit((i + 1) / buckets) for i in range(buckets)])
+    agg = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.percentile_approx(key, probs, F.lit(accuracy)).alias("__grid"),
+    )
+    n = F.col("__n").cast("double")
+    p = (n - F.lit(float(cap))) / n - F.lit(2.0 / accuracy)
+    idx = F.floor(p * F.lit(float(buckets))).cast("int")
+    thr = F.when(idx >= 1, F.element_at(F.col("__grid"), idx))
+    bounds = agg.select(
+        F.col(source_col).alias("__src"), thr.alias("__thr")
+    )
+    if score_col is not None:
+        key = F.when(
+            F.col(score_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"cap_per_source_threshold: NULL in score column "
+                    f"{score_col!r} — filter or fill null scores explicitly"
+                )
+            ).cast("double"),
+        ).otherwise(F.col(score_col))
+    return (
+        df.join(F.broadcast(bounds), F.col(source_col).eqNullSafe(F.col("__src")))
+        .filter(F.col("__thr").isNull() | (key >= F.col("__thr")))
+        .drop("__src", "__thr")
+    )
+
+
 def cap_per_source_threshold(
     df: DataFrame,
     cap: int,
@@ -772,37 +820,8 @@ def cap_per_source_threshold(
     """
     from pyspark.sql import Window
 
-    key = (
-        F.col(score_col)
-        if score_col is not None
-        else -md5_60(F.col(id_col).cast("string"))
-    )
-    probs = F.array(*[F.lit((i + 1) / buckets) for i in range(buckets)])
-    agg = df.groupBy(source_col).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.percentile_approx(key, probs, F.lit(accuracy)).alias("__grid"),
-    )
-    n = F.col("__n").cast("double")
-    p = (n - F.lit(float(cap))) / n - F.lit(2.0 / accuracy)
-    idx = F.floor(p * F.lit(float(buckets))).cast("int")
-    thr = F.when(idx >= 1, F.element_at(F.col("__grid"), idx))
-    bounds = agg.select(
-        F.col(source_col).alias("__src"), thr.alias("__thr")
-    )
-    if score_col is not None:
-        key = F.when(
-            F.col(score_col).isNull(),
-            F.raise_error(
-                F.lit(
-                    f"cap_per_source_threshold: NULL in score column "
-                    f"{score_col!r} — filter or fill null scores explicitly"
-                )
-            ).cast("double"),
-        ).otherwise(F.col(score_col))
-    screened = (
-        df.join(F.broadcast(bounds), F.col(source_col).eqNullSafe(F.col("__src")))
-        .filter(F.col("__thr").isNull() | (key >= F.col("__thr")))
-        .drop("__src", "__thr")
+    screened = _cap_screened(
+        df, cap, score_col, source_col, id_col, buckets, accuracy
     )
     w = Window.partitionBy(source_col).orderBy(*_cap_order(score_col, id_col))
     return (

@@ -293,3 +293,35 @@ def test_span_and_cdc_stages_parallelize(spark):
         assert sum(1 for p in parts if p > 0) > 1, parts
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_cap_threshold_screen_bounds_window_input(spark):
+    """The whole point of cap_per_source_threshold: the exact window's
+    input (the screened frame) holds ~cap + n/buckets + 2n/accuracy rows
+    per source, NOT the source — and the final kept set still equals the
+    window spelling's."""
+    from pdtable_spark.operators.sampling import (
+        _cap_screened,
+        cap_per_source,
+        cap_per_source_threshold,
+    )
+
+    n, cap, buckets, accuracy = 5000, 10, 100, 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("src").alias("source"),
+        (F.col("id") * 7 % 4999).cast("double").alias("score"),  # distinct-ish
+    )
+    screened = _cap_screened(df, cap, "score", "source", "doc_id", buckets, accuracy)
+    n_screened = screened.count()
+    bound = cap + n // buckets + 2 * n // accuracy + 2  # +ties slack
+    assert n_screened <= bound, (n_screened, bound)
+    assert n_screened >= cap  # superset guarantee floor
+    e = sorted(r["doc_id"] for r in cap_per_source(df, cap, score_col="score").collect())
+    t = sorted(
+        r["doc_id"]
+        for r in cap_per_source_threshold(
+            df, cap, score_col="score", buckets=buckets, accuracy=accuracy
+        ).collect()
+    )
+    assert t == e and len(e) == cap
