@@ -263,6 +263,8 @@ def main():
         "pipeline_snapshot_diff",
         # staged round-8 additions (cont.): facade mutation chain (R10-R14)
         "pipeline_facade_ops",
+        # staged round-8 additions (cont.): frozen-vocab OOV drift alarm
+        "text_vocab_drift",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

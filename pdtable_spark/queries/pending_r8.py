@@ -2,7 +2,7 @@
 ``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
 allocated to clearing the r4 evidence backlog (plus the two queries
 registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all THIRTY-THREE entries into ``suite.py``
+a coverage gap.  Round 8 moves all THIRTY-FOUR entries into ``suite.py``
 (decorate with ``@q`` and slot them at the head of the rotation alongside
 the two r4-evidence stragglers ``stream_sessionize_stateful`` /
 ``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
@@ -23,7 +23,8 @@ vocabulary-coverage / OOV-share report, the record-level privacy pair
 the asymmetric shingle-containment pairs, the snapshot diff
 (release bookkeeping over io/maintenance.diff_snapshots), and the
 table-facade mutation chain (R10 replace / R11 cast / R12 fillna /
-R14 rename under the value gate).
+R14 rename under the value gate), and the frozen-vocabulary OOV drift
+alarm.
 
 Unlike the round-6 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
@@ -1851,4 +1852,67 @@ def pending_pipeline_facade_ops(spark, sf_dir):
 PENDING["pipeline_facade_ops"] = (
     pending_pipeline_facade_ops,
     _sql_facade_ops(),
+)
+
+
+# ---------------------------------------------------------------------------
+# Frozen-vocabulary OOV drift (operators/text.py vocab= path as designed)
+# ---------------------------------------------------------------------------
+
+PENDING_SQL_VOCAB_DRIFT = r"""
+    WITH ref_tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    vocab AS (
+      SELECT t FROM (SELECT t, COUNT(*) AS n FROM ref_tok GROUP BY t)
+      ORDER BY n DESC, t ASC LIMIT 200
+    ),
+    new_tok AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    per AS (
+      SELECT source, COUNT(*) AS n_tokens,
+             SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END)
+               AS n_oov
+      FROM new_tok GROUP BY source
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_oov AS DOUBLE) / n_tokens ELSE 0.0 END
+             AS oov_share
+    FROM per
+"""
+
+
+def pending_text_vocab_drift(spark, sf_dir):
+    """The frozen-vocabulary drift alarm as designed: build the top-200
+    vocabulary on the REFERENCE half (even doc_ids), measure per-source
+    OOV share on the INCOMING half (odd doc_ids) — a rising share is the
+    early signal that a fixed tokenizer will shred the new data.
+    Exercises the ``vocab=`` frozen path; the per-doc pass stays the
+    zero-shuffle membership projection, aggregated per source."""
+    from pdtable_spark.operators.text import top_vocab, vocab_coverage
+
+    docs = load(spark, sf_dir, "documents")
+    frozen = top_vocab(docs.filter(F.col("doc_id") % 2 == 0), 200)
+    cov = vocab_coverage(docs.filter(F.col("doc_id") % 2 == 1), vocab=frozen)
+    tot = F.sum("n_tokens").cast("long")
+    oov = F.sum("n_oov").cast("long")
+    return cov.groupBy("source").agg(
+        tot.alias("n_tokens"),
+        oov.alias("n_oov"),
+        F.when(tot > 0, oov.cast("double") / tot.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("oov_share"),
+    )
+
+
+PENDING["text_vocab_drift"] = (
+    pending_text_vocab_drift,
+    PENDING_SQL_VOCAB_DRIFT,
 )
