@@ -33,6 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (stream_sessionize_stateful, stream_sliding_counts) sit at 51-52 and
 #: lead r8; both were re-verified in the r6 builder sf1 sweep and their
 #: code is untouched since.  The r5- and r6-evidence blocks follow.
+#:
+#: ROUND-8 RUNBOOK: register the 34 queries/pending_r8.py entries under
+#: @q (each already holds a full DuckDB oracle, a pytest gate row, and
+#: sf0.001/sf0.01/sf1 MATCH evidence — see BENCH_SCALE.md), then lead
+#: _PRIORITY with the two r4 stragglers + the 34 new + 14 oldest
+#: r5-evidence rows = 50 exactly; the remaining r5 block clears in r9.
 _PRIORITY = [
     "embedding_pq_refined",
     "embedding_pq_recall",
