@@ -750,6 +750,52 @@ def connected_components(
 # ---------------------------------------------------------------------------
 
 
+def _shingle_pair_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    block_col: Optional[str],
+    max_doc_freq: Optional[int],
+) -> DataFrame:
+    """Shared engine of :func:`ngram_jaccard_pairs` and
+    :func:`containment_pairs`: the shingle inverted-index self-join,
+    aggregated to one (id_a, id_b, size_a, size_b, inter) row per
+    candidate pair — the similarity projection on top is the only thing
+    the two operators disagree about.  The k²-candidate scale guard
+    (``max_doc_freq`` df-cut) lives HERE so a fix applies to both."""
+    base = df.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("sh_size", F.size("sh"))
+    posts = base.select(
+        id_col, "sh_size", *([block_col] if block_col else []), F.explode("sh").alias("g")
+    )
+    if max_doc_freq is not None:
+        rare = (
+            posts.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("g")
+        )
+        posts = posts.join(rare, on="g", how="inner")
+    a, b = posts.alias("a"), posts.alias("b")
+    on = [F.col("a.g") == F.col("b.g"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    if block_col:
+        on.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, on=on)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh_size").alias("size_a"),
+            F.col("b.sh_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -776,35 +822,8 @@ def ngram_jaccard_pairs(
     so it is off by default for oracle-exactness and ON (e.g. 1000) for
     production corpora.
     """
-    base = df.select(
-        F.col(id_col),
-        *([F.col(block_col)] if block_col else []),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("sh_size", F.size("sh"))
-    posts = base.select(
-        id_col, "sh_size", *([block_col] if block_col else []), F.explode("sh").alias("g")
-    )
-    if max_doc_freq is not None:
-        rare = (
-            posts.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_doc_freq)
-            .select("g")
-        )
-        posts = posts.join(rare, on="g", how="inner")
-    a, b = posts.alias("a"), posts.alias("b")
-    on = [F.col("a.g") == F.col("b.g"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
-    if block_col:
-        on.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    inter = (
-        a.join(b, on=on)
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sh_size").alias("size_a"),
-            F.col("b.sh_size").alias("size_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter = _shingle_pair_intersections(
+        df, text_col, id_col, shingle_n, block_col, max_doc_freq
     )
     return (
         inter.withColumn(
@@ -844,35 +863,8 @@ def containment_pairs(
     :func:`ngram_jaccard_pairs`; it is off by default for
     oracle-exactness.
     """
-    base = df.select(
-        F.col(id_col),
-        *([F.col(block_col)] if block_col else []),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("sh_size", F.size("sh"))
-    posts = base.select(
-        id_col, "sh_size", *([block_col] if block_col else []), F.explode("sh").alias("g")
-    )
-    if max_doc_freq is not None:
-        rare = (
-            posts.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_doc_freq)
-            .select("g")
-        )
-        posts = posts.join(rare, on="g", how="inner")
-    a, b = posts.alias("a"), posts.alias("b")
-    on = [F.col("a.g") == F.col("b.g"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
-    if block_col:
-        on.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    inter = (
-        a.join(b, on=on)
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sh_size").alias("size_a"),
-            F.col("b.sh_size").alias("size_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter = _shingle_pair_intersections(
+        df, text_col, id_col, shingle_n, block_col, max_doc_freq
     )
     i = F.col("inter").cast("double")
     return (

@@ -673,6 +673,23 @@ def uncertainty_sample(
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def _cap_hash_key(id_col: str) -> Column:
+    """Hash-mode retention key — LOUD on NULL ids: a content-stable
+    sample of a NULL identity is meaningless, and the window and
+    screen-then-trim spellings would otherwise disagree on it (nulls
+    sort first in a window; a NULL key silently fails the screening
+    filter)."""
+    return F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"cap_per_source: NULL in id column {id_col!r} — hash-mode "
+                "retention needs a non-null identity; filter or fill first"
+            )
+        ).cast("long"),
+    ).otherwise(md5_60(F.col(id_col).cast("string")))
+
+
 def _cap_order(score_col: Optional[str], id_col: str):
     """Total order for per-source caps: best-first.  With a score,
     (score DESC, id ASC) — quality-ranked retention; without one,
@@ -680,7 +697,7 @@ def _cap_order(score_col: Optional[str], id_col: str):
     row's fate is a pure function of its id, like every sampler here)."""
     if score_col is not None:
         return [F.col(score_col).desc(), F.col(id_col).asc()]
-    return [md5_60(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
+    return [_cap_hash_key(id_col).asc(), F.col(id_col).asc()]
 
 
 def cap_per_source(
@@ -747,7 +764,7 @@ def _cap_screened(
     key = (
         F.col(score_col)
         if score_col is not None
-        else -md5_60(F.col(id_col).cast("string"))
+        else -_cap_hash_key(id_col)
     )
     probs = F.array(*[F.lit((i + 1) / buckets) for i in range(buckets)])
     agg = df.groupBy(source_col).agg(

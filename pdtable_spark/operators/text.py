@@ -1589,9 +1589,20 @@ def vocab_coverage(
     if vocab is None:
         vocab = top_vocab(df, vocab_size, text_col=text_col)
     toks = tokens(F.col(text_col))
+    # Both spellings define a NULL text as zero tokens (n_tokens=0,
+    # n_oov=0, share 0.0) — without this, non-ANSI F.size(NULL) = -1
+    # would silently corrupt downstream sums in the array spelling while
+    # the join spelling produced NULLs for the same doc.  A NULL vocab
+    # token can never match a real token (equi-join semantics) — dropped
+    # from both spellings for the same reason.
     if method == "join":
         posts = df.select(F.col(id_col), F.explode(toks).alias("__t"))
-        v = vocab.select(F.col("token").alias("__t"), F.lit(1).alias("__in"))
+        v = (
+            vocab.select(F.col("token").alias("__t"))
+            .filter(F.col("__t").isNotNull())
+            .distinct()  # a duplicated vocab entry must not fan out postings
+            .withColumn("__in", F.lit(1))
+        )
         per = (
             posts.join(F.broadcast(v), "__t", "left")
             .groupBy(id_col)
@@ -1603,18 +1614,26 @@ def vocab_coverage(
             )
         )
         out = df.join(per, id_col, "left")
-        n_tokens, n_oov = F.col("n_tokens"), F.col("n_oov")
-        return out.withColumn(
-            "oov_share",
-            F.when(
-                n_tokens > 0, n_oov.cast("double") / n_tokens.cast("double")
-            ).otherwise(F.lit(0.0)),
+        n_tokens = F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+        n_oov = F.coalesce(F.col("n_oov"), F.lit(0).cast("long"))
+        return out.withColumns(
+            {
+                "n_tokens": n_tokens,
+                "n_oov": n_oov,
+                "oov_share": F.when(
+                    n_tokens > 0, n_oov.cast("double") / n_tokens.cast("double")
+                ).otherwise(F.lit(0.0)),
+            }
         )
-    words = sorted(r[0] for r in vocab.select("token").collect())
+    words = sorted(
+        r[0] for r in vocab.select("token").collect() if r[0] is not None
+    )
     lit_vocab = F.array(*[F.lit(w) for w in words])
-    n_tokens = F.size(toks).cast("long")
-    n_oov = F.size(
-        F.filter(toks, lambda t: ~F.array_contains(lit_vocab, t))
+    n_tokens = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(toks)
+    ).cast("long")
+    n_oov = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(toks, lambda t: ~F.array_contains(lit_vocab, t)))
     ).cast("long")
     return df.withColumns(
         {

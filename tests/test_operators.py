@@ -2858,3 +2858,53 @@ def test_vocab_coverage_join_spelling_matches_array(spark):
     )
     with pytest.raises(ValueError, match="unknown method"):
         vocab_coverage(df, method="nope")
+
+
+def test_vocab_coverage_null_and_dirty_vocab_edges(spark):
+    """Review-fix regressions: NULL text is zero tokens in BOTH spellings
+    (non-ANSI F.size(NULL)=-1 must never leak into sums), a duplicated
+    or NULL vocab entry changes nothing, and the spellings stay equal on
+    all of it."""
+    from pdtable_spark.operators.text import vocab_coverage
+
+    rows = [(1, "the cat"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dirty = spark.createDataFrame(
+        [("the",), ("the",), (None,)], "token string"
+    )
+    for method in ("array", "join"):
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_share"])
+            for r in vocab_coverage(df, vocab=dirty, method=method).collect()
+        }
+        assert out[1] == (2, 1, 0.5), (method, out[1])   # 'cat' is OOV, once
+        assert out[2] == (0, 0, 0.0), (method, out[2])   # NULL text = empty
+        assert out[3] == (1, 1, 1.0), (method, out[3])   # '' tokenizes to ['']
+
+
+def test_cap_per_source_hash_mode_null_id_fails_loudly(spark):
+    """Review-fix regression: hash-mode retention of a NULL id is
+    meaningless and previously made the two cap spellings disagree —
+    both now fail loudly."""
+    from pdtable_spark.operators.sampling import (
+        cap_per_source,
+        cap_per_source_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (3, "a")], "doc_id long, source string"
+    )
+    for fn in (cap_per_source, cap_per_source_threshold):
+        with pytest.raises(Exception, match="NULL in id column"):
+            fn(df, 1, score_col=None).collect()
+    # score mode still ranks NULL ids consistently (nulls-first tie-break)
+    scored = df.withColumn("s", F.lit(1.0))
+    e = sorted(
+        (r["doc_id"] is None, r["doc_id"] or 0)
+        for r in cap_per_source(scored, 2, score_col="s").collect()
+    )
+    t = sorted(
+        (r["doc_id"] is None, r["doc_id"] or 0)
+        for r in cap_per_source_threshold(scored, 2, score_col="s").collect()
+    )
+    assert e == t and len(e) == 2
