@@ -1,0 +1,88 @@
+"""Oracle sweep for the STAGED (pending_r8) queries — the counterpart of
+scripts/check_oracles.py for entries not yet registered in suite.QUERIES.
+
+Usage: python scripts/check_pending.py [sf_dir] [query ...]
+       (no query names = sweep every PENDING entry)
+
+Runs each staged (spark_fn, duckdb_sql) pair side-by-side and compares
+sorted-by-column-name value tuples, exactly like the driver's gate.
+Exit code 0 iff every requested query MATCHes.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _key_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pdtable_spark.queries.pending_r8 import PENDING
+
+    names = sys.argv[2:] or list(PENDING)
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        except Exception:
+            pass  # a scale dir may carry only the tables its queries read
+
+    rc = 0
+    for name in names:
+        fn, sql = PENDING[name]
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        cur = con.execute(sql)
+        o_cols = [d[0] for d in cur.description]
+        o_rows = cur.fetchall()
+        ok = sorted(s_cols) == sorted(o_cols) and _key_rows(
+            s_cols, s_rows
+        ) == _key_rows(o_cols, o_rows)
+        print(
+            ("MATCH " if ok else "FAIL  ")
+            + f"{name}: {len(s_rows)} vs {len(o_rows)} rows, {time.time() - t0:.1f}s",
+            flush=True,
+        )
+        rc |= 0 if ok else 1
+    spark.stop()
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
