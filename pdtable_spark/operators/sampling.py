@@ -652,7 +652,9 @@ def uncertainty_sample(
     sampling, the loop that grows a quality classifier's training set).
 
     Returns (id, score, margin, rank), rank 1..k by ascending margin,
-    ties toward the smaller id.
+    ties toward the smaller id.  NULL scores fail LOUDLY (the module
+    idiom — a NULL margin sorts FIRST ascending, so failed-scorer rows
+    would otherwise silently consume the whole uncertainty budget).
 
     100 TB design: global top-k via sort+limit — Spark plans TakeOrdered
     (per-partition heaps of k, then one k-sized merge), NOT a
@@ -661,7 +663,15 @@ def uncertainty_sample(
     """
     from pyspark.sql import Window
 
-    margin = F.abs(F.col(score_col) - F.lit(float(threshold)))
+    margin = F.when(
+        F.col(score_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"uncertainty_sample: NULL in score column {score_col!r} — "
+                "filter or fill null scores explicitly before sampling"
+            )
+        ).cast("double"),
+    ).otherwise(F.abs(F.col(score_col) - F.lit(float(threshold))))
     top = (
         scored.select(
             F.col(id_col), F.col(score_col).alias("score"), margin.alias("margin")
@@ -841,8 +851,24 @@ def cap_per_source_threshold(
         df, cap, score_col, source_col, id_col, buckets, accuracy
     )
     w = Window.partitionBy(source_col).orderBy(*_cap_order(score_col, id_col))
+    rn = F.row_number().over(w)
+    if score_col is not None:
+        # _cap_screened's guarded key only fires for SCREENED sources: an
+        # under-cap source gets __thr NULL and the OR short-circuit never
+        # evaluates the key, so without this per-row guard its NULL scores
+        # would rank nulls-LAST here — silently capped out instead of loud,
+        # breaking the claimed exact parity with cap_per_source.
+        rn = F.when(
+            F.col(score_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"cap_per_source_threshold: NULL in score column "
+                    f"{score_col!r} — filter or fill null scores explicitly"
+                )
+            ).cast("int"),
+        ).otherwise(rn)
     return (
-        screened.withColumn("__rn", F.row_number().over(w))
+        screened.withColumn("__rn", rn)
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )

@@ -1313,7 +1313,10 @@ def common_lines(
 
     Whitespace-only lines are excluded from the model — they are document
     structure, not repeated content, and counting them would put the
-    corpus's entire blank-line mass into one key.
+    corpus's entire blank-line mass into one key.  A NULL text contributes
+    no lines (the split is NULL and the explode drops it) but the doc
+    still counts toward ``min_doc_frac``'s denominator — a NULL doc is a
+    doc.
 
     ``min_doc_frac`` (exclusive with ``min_docs``) states the threshold
     as a corpus fraction — ``ceil(frac · N_docs)`` — so one setting means
@@ -1369,7 +1372,8 @@ def line_dedup(
     normalized) spelling.  Returns (id, text_clean, n_lines,
     n_lines_removed, *passthrough); real deployments split on newlines —
     the separator is a parameter so structured corpora (and engines) can
-    pin the semantics on any delimiter.
+    pin the semantics on any delimiter.  A NULL text is zero lines
+    (text_clean='', n_lines=0, n_lines_removed=0) in both spellings.
 
     Two spellings, identical results (parity-tested):
 
@@ -1396,7 +1400,14 @@ def line_dedup(
         raise ValueError(f"line_dedup: via must be 'broadcast' or 'join', got {via!r}")
     passthrough = [c for c in passthrough if c not in (id_col,)]
     boil = common_lines(df, text_col, id_col, line_sep, min_docs, min_doc_frac)
-    lines = _split_lines(F.col(text_col), line_sep)
+    # NULL text is ZERO lines in BOTH spellings (text_clean='', n_lines=0,
+    # n_lines_removed=0) — the vocab_coverage idiom.  Without the coalesce,
+    # non-ANSI F.size(NULL) = -1 would make the spellings diverge (broadcast:
+    # text_clean=NULL/n=-1; join: text_clean=''/n_removed=-1).
+    lines = F.coalesce(
+        _split_lines(F.col(text_col), line_sep),
+        F.array().cast("array<string>"),
+    )
     base = df.select(F.col(id_col), *passthrough, lines.alias("__lines"))
 
     if via == "broadcast":
@@ -1628,13 +1639,21 @@ def vocab_coverage(
     words = sorted(
         r[0] for r in vocab.select("token").collect() if r[0] is not None
     )
-    lit_vocab = F.array(*[F.lit(w) for w in words])
     n_tokens = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
         F.size(toks)
     ).cast("long")
-    n_oov = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
-        F.size(F.filter(toks, lambda t: ~F.array_contains(lit_vocab, t)))
-    ).cast("long")
+    if not words:
+        # An EMPTY vocabulary (empty corpus / empty provided frame) must
+        # mean "everything is OOV" — F.array() with zero elements is an
+        # array<null> literal whose array_contains against string tokens
+        # fails analysis, so short-circuit instead of building it.  The
+        # join spelling already yields this (left join against nothing).
+        n_oov = n_tokens
+    else:
+        lit_vocab = F.array(*[F.lit(w) for w in words])
+        n_oov = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(toks, lambda t: ~F.array_contains(lit_vocab, t)))
+        ).cast("long")
     return df.withColumns(
         {
             "n_tokens": n_tokens,

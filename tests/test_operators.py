@@ -2115,6 +2115,7 @@ def test_line_dedup_spellings_and_edges(spark):
         (4, "", "b"),                 # empty doc
         (5, "   \n  ", "b"),          # whitespace-only lines
         (6, "unique only", "c"),
+        (7, None, "c"),               # NULL text: zero lines, both spellings
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     a = sorted(
@@ -2138,13 +2139,15 @@ def test_line_dedup_spellings_and_edges(spark):
     assert got[4] == (4, "", 1, 0, "b")
     assert got[5] == (5, "   \n  ", 2, 0, "b")   # whitespace lines untouched
     assert got[6] == (6, "unique only", 1, 0, "c")
+    assert got[7] == (7, "", 0, 0, "c")          # NULL text: zero lines
 
     # the audit: normalized keys with distinct-doc counts
     cl = {r["line"]: r["n_docs"] for r in text.common_lines(df, min_docs=2).collect()}
     assert cl == {"cookie banner": 3}
 
     # fraction threshold == absolute threshold at the equivalent setting
-    fa = sorted(map(tuple, text.line_dedup(df, min_docs=None, min_doc_frac=2 / 6, via="broadcast").collect()))
+    # (denominator counts all 7 docs — the NULL-text doc is still a doc)
+    fa = sorted(map(tuple, text.line_dedup(df, min_docs=None, min_doc_frac=2 / 7, via="broadcast").collect()))
     ab = sorted(map(tuple, text.line_dedup(df, min_docs=2, via="broadcast").collect()))
     assert fa == ab
 
@@ -2576,6 +2579,13 @@ def test_uncertainty_sample_margin_order(spark):
         for r in sampling.uncertainty_sample(df, k=3).orderBy("rank").collect()
     ]
     assert out == [(1, 1), (2, 2), (4, 3)]
+    # a NULL score would sort FIRST ascending and silently eat the budget —
+    # it must raise instead (module fail-loudly idiom)
+    with_null = spark.createDataFrame(
+        [(0, 0.5), (1, None)], "doc_id long, clf_score double"
+    )
+    with pytest.raises(Exception, match="NULL in score column"):
+        sampling.uncertainty_sample(with_null, k=1).collect()
 
 
 def test_bloom_decontaminate_null_text_raises(spark):
@@ -2714,6 +2724,11 @@ def test_cap_per_source_threshold_matches_window(spark):
     )
     with pytest.raises(Exception, match="NULL in score column"):
         cap_per_source_threshold(with_null, 1, score_col="score").collect()
+    # UNDER-CAP source (cap >= n): __thr is NULL, the screening filter's OR
+    # short-circuits past the guarded key, and only the final window's
+    # per-row guard stands between a NULL score and a silent nulls-last cap
+    with pytest.raises(Exception, match="NULL in score column"):
+        cap_per_source_threshold(with_null, 2, score_col="score").collect()
 
 
 def test_vocab_coverage(spark):
@@ -2880,6 +2895,18 @@ def test_vocab_coverage_null_and_dirty_vocab_edges(spark):
         assert out[1] == (2, 1, 0.5), (method, out[1])   # 'cat' is OOV, once
         assert out[2] == (0, 0, 0.0), (method, out[2])   # NULL text = empty
         assert out[3] == (1, 1, 1.0), (method, out[3])   # '' tokenizes to ['']
+    # EMPTY vocabulary (empty corpus / empty provided frame): everything is
+    # OOV — the array spelling must short-circuit instead of building an
+    # array<null> literal that breaks array_contains
+    empty_vocab = spark.createDataFrame([], "token string")
+    for method in ("array", "join"):
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_share"])
+            for r in vocab_coverage(df, vocab=empty_vocab, method=method).collect()
+        }
+        assert out[1] == (2, 2, 1.0), (method, out[1])
+        assert out[2] == (0, 0, 0.0), (method, out[2])
+        assert out[3] == (1, 1, 1.0), (method, out[3])
 
 
 def test_cap_per_source_hash_mode_null_id_fails_loudly(spark):
