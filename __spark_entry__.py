@@ -22,118 +22,95 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-row rotation (the driver reports exactly the first 50 queries).
-#: Policy: OLDEST correctness evidence first, every round.  Round-7 head-50
-#: = embedding_pq_refined / embedding_pq_recall (oracle respelled in r6,
-#: never driver-reported since — both judge-verified r6 and locally
-#: verified at sf0.01 + sf1), then the TWO queries NEW this round
-#: (pipeline_score_calibration — both calibration spellings value-pinned
-#: in one frame; stream_drift_monitor — the streaming drift replay as two
-#: checkpointed waves), then 46 of the 48 queries whose latest driver row
-#: is r4 — 50 exactly.  The r4 block's last two entries
-#: (stream_sessionize_stateful, stream_sliding_counts) sit at 51-52 and
-#: lead r8; both were re-verified in the r6 builder sf1 sweep and their
-#: code is untouched since.  The r5- and r6-evidence blocks follow.
-#:
-#: ROUND-8 RUNBOOK: register the 34 queries/pending_r8.py entries under
-#: @q (each already holds a full DuckDB oracle, a pytest gate row, and
-#: sf0.001/sf0.01/sf1 MATCH evidence — see BENCH_SCALE.md), then lead
-#: _PRIORITY with the two r4 stragglers + the 34 new + 14 oldest
-#: r5-evidence rows = 50 exactly; the remaining r5 block clears in r9.
+#: Policy: OLDEST correctness evidence first, every round.  Round-8 head-50
+#: (the executed round-7 runbook) = the two r4-evidence stragglers
+#: (stream_sessionize_stateful / stream_sliding_counts — judge-re-verified
+#: MATCH in r7, code untouched since r4), then the THIRTY-FOUR queries
+#: registered this round from queries/suite_r8.py (staged r7 with full
+#: oracles + sf0.001/sf0.01/sf1 MATCH evidence), then the 14 oldest
+#: r5-evidence rows — 50 exactly.  The remaining 28 r5-evidence rows sit
+#: at 51-78 and lead round 9 (they clear in one window, retiring the
+#: rotation debt: from r9 on, no registered query's evidence is >2 rounds
+#: old); the r6- and r7-evidence blocks follow in file order.
 _PRIORITY = [
-    "embedding_pq_refined",
-    "embedding_pq_recall",
-    "pipeline_score_calibration",
-    "stream_drift_monitor",
-    "dedup_incremental",
-    "embedding_ivf_topk",
-    "embedding_lsh_topk",
-    "pipeline_corpus_shuffle",
-    "pipeline_length_buckets",
-    "q10_returned_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_volume",
-    "q6_forecast_revenue",
-    "q_big_spenders_having",
-    "q_both_status_customers",
-    "q_cube_returns",
-    "q_customers_without_orders",
-    "q_distinct_ship_modes",
-    "q_events_hourly",
-    "q_events_sliding",
-    "q_idle_customers",
-    "q_math_funcs",
-    "q_min_price_supplier",
-    "q_nation_customer_counts",
-    "q_order_gaps",
-    "q_orders_by_month",
-    "q_part_brand_stats",
-    "q_pivot_order_status",
-    "q_range_frame_spend",
-    "q_rollup_returns",
-    "q_running_spend",
-    "q_sql_grouping_sets",
-    "q_string_funcs",
-    "q_table_facade_units",
-    "q_top_orders_per_customer",
-    "q_top_suppliers",
-    "q_unpivot_measures",
-    "stream_attribution",
-    "stream_dedup",
-    "stream_funnel_stateful",
-    "stream_hourly_counts",
-    "stream_session_windows",
     "stream_sessionize_stateful",
     "stream_sliding_counts",
-    "dedup_clusters",
+    "text_bm25_topk",
+    "pipeline_drift_psi",
+    "pipeline_numeric_drift",
+    "hybrid_rrf_topk",
+    "pipeline_dsir_weights",
+    "text_char_entropy",
+    "text_line_dedup",
+    "text_common_lines",
+    "pipeline_threshold_sweep",
+    "embedding_cluster_profile",
+    "embedding_cluster_sample",
+    "embedding_cluster_drift",
+    "pipeline_curation_funnel",
+    "pipeline_bloom_screen",
+    "embedding_hard_negatives",
+    "embedding_label_propagation",
+    "embedding_truncation_recall",
+    "embedding_hard_negative_recall",
+    "pipeline_decon_funnel",
+    "stream_bloom_screen",
+    "multimodal_phash_dups",
+    "pipeline_epochs_plan",
+    "pipeline_semantic_pack",
+    "pipeline_uncertainty_sample",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "pipeline_source_cap",
+    "text_vocab_coverage",
+    "pipeline_k_anonymize",
+    "pipeline_anonymity_report",
+    "dedup_containment_pairs",
+    "pipeline_snapshot_diff",
+    "pipeline_facade_ops",
+    "text_vocab_drift",
     "dedup_exact",
-    "dedup_incremental_verified",
-    "dedup_keep_best",
-    "dedup_normalized",
-    "dedup_spans",
-    "doc_cdc_chunks",
-    "doc_chunks",
-    "embedding_ann_recall",
-    "embedding_incremental_dedup",
-    "embedding_ivf_recall",
-    "embedding_lsh_filtered",
-    "embedding_near_dups",
-    "embedding_semantic_dedup",
-    "embedding_topk",
-    "minhash_candidates",
-    "minhash_estimate_error",
-    "multimodal_asset_stats",
-    "multimodal_dedup",
     "ngram_jaccard_pairs",
-    "pipeline_apply_mixture",
     "pipeline_clean_corpus",
-    "pipeline_cluster_keywords",
-    "pipeline_leakage_safe_split",
-    "pipeline_mixture_temperature",
-    "pipeline_source_overlap",
     "q_events_in_windows",
     "q_events_props_json",
     "q_events_sessions",
-    "q_label_centroids",
     "q_purchase_last_click",
     "q_purchase_nearest_click",
     "q_quantity_percentiles",
-    "q_user_skew_report",
-    "stream_enriched_segments",
     "text_bpe_count",
-    "text_classifier_filter",
     "text_fingerprint",
     "text_lang_id",
-    "text_ngram_novelty",
     "text_quality",
     "text_token_count",
+    "dedup_incremental_verified",
+    "dedup_normalized",
+    "dedup_spans",
+    "pipeline_mixture_temperature",
+    "q_user_skew_report",
+    "text_ngram_novelty",
+    "minhash_estimate_error",
+    "q_label_centroids",
+    "doc_cdc_chunks",
+    "embedding_ivf_recall",
+    "text_classifier_filter",
+    "embedding_semantic_dedup",
+    "embedding_near_dups",
+    "stream_enriched_segments",
+    "embedding_lsh_filtered",
+    "multimodal_dedup",
+    "pipeline_cluster_keywords",
+    "embedding_ann_recall",
+    "embedding_incremental_dedup",
+    "dedup_keep_best",
+    "pipeline_source_overlap",
+    "pipeline_apply_mixture",
+    "pipeline_leakage_safe_split",
+    "dedup_clusters",
+    "doc_chunks",
+    "embedding_topk",
+    "minhash_candidates",
+    "multimodal_asset_stats",
     "multimodal_features",
     "multimodal_frame_sample",
     "pipeline_decontaminate",
@@ -184,6 +161,56 @@ _PRIORITY = [
     "pipeline_drift_report",
     "pipeline_drift_tvd",
     "pipeline_modern_recipe",
+    "embedding_pq_refined",
+    "embedding_pq_recall",
+    "pipeline_score_calibration",
+    "stream_drift_monitor",
+    "dedup_incremental",
+    "embedding_ivf_topk",
+    "embedding_lsh_topk",
+    "pipeline_corpus_shuffle",
+    "pipeline_length_buckets",
+    "q10_returned_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "q_big_spenders_having",
+    "q_both_status_customers",
+    "q_cube_returns",
+    "q_customers_without_orders",
+    "q_distinct_ship_modes",
+    "q_events_hourly",
+    "q_events_sliding",
+    "q_idle_customers",
+    "q_math_funcs",
+    "q_min_price_supplier",
+    "q_nation_customer_counts",
+    "q_order_gaps",
+    "q_orders_by_month",
+    "q_part_brand_stats",
+    "q_pivot_order_status",
+    "q_range_frame_spend",
+    "q_rollup_returns",
+    "q_running_spend",
+    "q_sql_grouping_sets",
+    "q_string_funcs",
+    "q_table_facade_units",
+    "q_top_orders_per_customer",
+    "q_top_suppliers",
+    "q_unpivot_measures",
+    "stream_attribution",
+    "stream_dedup",
+    "stream_funnel_stateful",
+    "stream_hourly_counts",
+    "stream_session_windows",
 ]
 
 

@@ -1168,6 +1168,27 @@ def cluster_balanced_sample(
 # ---------------------------------------------------------------------------
 
 
+def _bounded_broadcast_side(df: DataFrame, limit: Optional[int], opname: str, side: str) -> None:
+    """Loud bound for the broadcast side of the miners: an unbounded
+    predicate must fail with a clear message, not OOM the broadcast on a
+    1000-executor cluster.  The check is an EAGER ``limit(n+1).count()`` —
+    Spark's CollectLimit scans partitions incrementally, so an over-limit
+    side stops after n+1 rows and an in-limit side costs at most one
+    pruned scan of the predicate columns (no extra pass over the payload).
+    ``limit=None`` disables (caller explicitly owns the bound)."""
+    if limit is None:
+        return
+    if limit < 1:
+        raise ValueError(f"{opname}: {side} bound must be >= 1 or None")
+    n = df.limit(int(limit) + 1).count()
+    if n > limit:
+        raise ValueError(
+            f"{opname}: {side} selected more than {limit} rows — this side "
+            "is broadcast, so shard the predicate and run per shard (see "
+            f"docstring), or raise the bound explicitly"
+        )
+
+
 def hard_negatives(
     corpus: DataFrame,
     anchor_pred,
@@ -1176,6 +1197,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     ceiling: Optional[float] = None,
+    max_anchors: Optional[int] = 100_000,
 ) -> DataFrame:
     """Hard-negative mining for contrastive / embedding training: for each
     anchor row (selected by the ``anchor_pred`` Column), the top-``k``
@@ -1193,9 +1215,18 @@ def hard_negatives(
     is scanned once with no shuffle before the per-anchor top-k window,
     which moves ≤ k rows per anchor per partition.  For corpus-scale
     anchor sets, mine in batches against a persisted :func:`ivf_index`
-    (probe with :func:`ivf_query`, then apply the same label filter) —
-    the exact spelling here is the recall oracle for that path.
+    (:func:`hard_negatives_ivf`) — the exact spelling here is the recall
+    oracle for that path.  ``max_anchors`` makes an unbounded
+    ``anchor_pred`` fail loudly BEFORE the broadcast (early-terminating
+    limit+count probe, not a full scan); pass ``None`` only when the
+    caller owns the bound.
     """
+    _bounded_broadcast_side(
+        corpus.filter(anchor_pred).select(F.col(id_col)),
+        max_anchors,
+        "hard_negatives",
+        "anchor_pred",
+    )
     anchors = corpus.filter(anchor_pred).select(
         F.col(id_col).alias("anchor_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
@@ -1241,6 +1272,24 @@ def hard_negatives(
     )
 
 
+def _majority_vote(nn: DataFrame, k: int) -> DataFrame:
+    """Shared vote stage of the label-propagation spellings: (query_id,
+    __nl) neighbor-label rows → (query_id, predicted_label, votes,
+    confidence), majority label with ties toward the smaller label."""
+    votes = nn.groupBy("query_id", "__nl").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__nl"))
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "query_id",
+            F.col("__nl").alias("predicted_label"),
+            F.col("votes").cast("long").alias("votes"),
+            (F.col("votes").cast("double") / F.lit(float(k))).alias("confidence"),
+        )
+    )
+
+
 def knn_label_propagation(
     corpus: DataFrame,
     query_pred,
@@ -1248,6 +1297,7 @@ def knn_label_propagation(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_queries: Optional[int] = 100_000,
 ) -> DataFrame:
     """Semi-supervised label propagation: rows selected by ``query_pred``
     are treated as UNLABELED and receive the majority label of their ``k``
@@ -1263,9 +1313,18 @@ def knn_label_propagation(
     window instead of being re-joined afterward (the cosine_topk + label
     join spelling pays a third corpus scan), norms fold once per side,
     one vocabulary-sized vote aggregate.  Swap the exact neighbor stage
-    for :func:`ivf_query` against a persisted index when the labeled pool
-    itself is corpus-scale.
+    for a persisted index when the labeled pool itself is corpus-scale
+    (:func:`knn_label_propagation_ivf` — this exact spelling is its
+    agreement oracle).  ``max_queries`` makes an unbounded ``query_pred``
+    fail loudly BEFORE the broadcast (early-terminating limit+count
+    probe); pass ``None`` only when the caller owns the bound.
     """
+    _bounded_broadcast_side(
+        corpus.filter(query_pred).select(F.col(id_col)),
+        max_queries,
+        "knn_label_propagation",
+        "query_pred",
+    )
     queries = corpus.filter(query_pred).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
     ).select(
@@ -1289,18 +1348,7 @@ def knn_label_propagation(
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc(id_col))
     nn = scored.withColumn("__r", F.row_number().over(wk)).filter(F.col("__r") <= k)
-    votes = nn.groupBy("query_id", "__nl").agg(F.count(F.lit(1)).alias("votes"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("__nl"))
-    return (
-        votes.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(
-            "query_id",
-            F.col("__nl").alias("predicted_label"),
-            F.col("votes").cast("long").alias("votes"),
-            (F.col("votes").cast("double") / F.lit(float(k))).alias("confidence"),
-        )
-    )
+    return _majority_vote(nn, k)
 
 
 def truncated_topk(
@@ -1392,3 +1440,56 @@ def hard_negatives_ivf(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "neg_id", "neg_label", "cosine_sim", "rank")
     )
+
+
+def knn_label_propagation_ivf(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: List[List[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The 100 TB spelling of :func:`knn_label_propagation`: the labeled
+    pool lives in a persisted :func:`ivf_index` built with
+    ``metadata_cols=[label_col]``, each unlabeled query probes only its
+    ``nprobe`` nearest cells (partition-pruned reads on a written index),
+    and the majority vote runs over the probed-cell neighbors — so
+    labeling against a corpus-scale pool never scans it whole per query
+    batch, the same accelerate-by-index move as :func:`hard_negatives_ivf`.
+    ``queries`` must carry (query_id_col, vec_col).
+
+    Approximate by construction (a true neighbor outside the probed cells
+    is missed, which can flip a close vote); pair with the exact
+    spelling's agreement diagnostic to tune ``nprobe`` before committing
+    — at ``nprobe = len(centroids)`` the result is IDENTICAL to
+    :func:`knn_label_propagation` on the same split (pytest-pinned).
+
+    Returns (query_id, predicted_label, votes, confidence).
+    """
+    q = _ivf_probes(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+        ),
+        centroids,
+        nprobe,
+    )
+    cand = index.select(
+        F.col("cell"),
+        F.col(id_col),
+        F.col("vec").alias("c_vec"),
+        F.col(label_col).alias("__nl"),
+    ).withColumn("__c_n2", dot(F.col("c_vec"), F.col("c_vec")))
+    scored = cand.join(F.broadcast(q), on="cell").select(
+        "query_id",
+        id_col,
+        "__nl",
+        _cosine_pre(F.col("q_vec"), F.col("c_vec")).alias("__s"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc(id_col))
+    nn = scored.withColumn("__r", F.row_number().over(wk)).filter(F.col("__r") <= k)
+    return _majority_vote(nn, k)

@@ -1,0 +1,154 @@
+"""Queries PREPARED for round 9 — deliberately NOT registered in
+``suite.QUERIES`` yet: the round-8 driver window (50 slots) is exactly
+allocated to the two r4-evidence stragglers + the 34-query ``suite_r8``
+block + the 14 oldest r5-evidence rows, and a declared-but-unreported
+query would read as a coverage gap.  Round 9 registers these (same
+runbook as ``suite_r8``: decorate via the registration loop, slot at the
+head of the rotation alongside the remaining 28 r5-evidence rows).
+
+Like the round-7 staging file, every entry here is ALREADY under the
+correctness gate: ``tests/test_env_contract.py::test_pending_r9_oracles``
+runs each (spark, oracle) pair side-by-side at sf0.001 in pytest, so the
+staged queries cannot rot before registration.
+
+Each entry satisfies the driver contract shape:
+``fn(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
+matching column aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdtable_spark.queries.suite import (
+    _COSINE_SQL,
+    _IVF_CELLS,
+    _IVF_NPROBE,
+    _sql_cos,
+    _sql_dist2,
+    load,
+)
+
+#: name → (query fn, oracle sql): what round 9 registers.
+PENDING_R9 = {}
+
+
+# ---------------------------------------------------------------------------
+# IVF-accelerated kNN label propagation + agreement vs the exact spelling
+# (operators/similarity.py::knn_label_propagation_ivf, new round 8 — the
+#  index-accelerated sibling VERDICT r7 asked for: the exact spelling was
+#  the suite's slowest sf1 row at 430 s)
+# ---------------------------------------------------------------------------
+
+R9_SQL_LABEL_PROP_AGREEMENT = f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca, label
+               FROM embeddings WHERE vec_id % 10 <> 0),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
+          FROM embeddings WHERE vec_id % 10 = 0),
+    cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    cd AS (
+      SELECT c.vec_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY {_sql_dist2('ca', 'ce')}, cent.cid) AS rn
+      FROM c CROSS JOIN cent
+    ),
+    cassign AS (SELECT vec_id, cid AS cell FROM cd WHERE rn = 1),
+    qd AS (
+      SELECT q.query_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY {_sql_dist2('qa', 'ce')}, cent.cid) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    qprobe AS (SELECT query_id, cid AS cell FROM qd WHERE rn <= {_IVF_NPROBE}),
+    ivf_scored AS (
+      SELECT q.query_id, c.vec_id, c.label, {_sql_cos('qa', 'ca')} AS s
+      FROM cassign JOIN qprobe USING (cell)
+      JOIN c ON c.vec_id = cassign.vec_id
+      JOIN q ON q.query_id = qprobe.query_id
+    ),
+    ivf_nn AS (
+      SELECT query_id, label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, vec_id) AS rn
+        FROM ivf_scored) WHERE rn <= 10
+    ),
+    ivf_v AS (SELECT query_id, label, COUNT(*) AS votes
+              FROM ivf_nn GROUP BY 1, 2),
+    ivf_p AS (
+      SELECT query_id, label, votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, label) AS rr
+        FROM ivf_v) WHERE rr = 1
+    ),
+    ex_scored AS (
+      SELECT query_id, c.vec_id, c.label, {_COSINE_SQL} AS s
+      FROM c CROSS JOIN q
+    ),
+    ex_nn AS (
+      SELECT query_id, label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, vec_id) AS rn
+        FROM ex_scored) WHERE rn <= 10
+    ),
+    ex_v AS (SELECT query_id, label, COUNT(*) AS votes
+             FROM ex_nn GROUP BY 1, 2),
+    ex_p AS (
+      SELECT query_id, label, votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, label) AS rr
+        FROM ex_v) WHERE rr = 1
+    )
+    SELECT e.query_id,
+           e.label AS exact_label, CAST(e.votes AS BIGINT) AS exact_votes,
+           p.label AS ivf_label, CAST(p.votes AS BIGINT) AS ivf_votes,
+           CAST(e.label = p.label AS INT) AS agree
+    FROM ex_p e JOIN ivf_p p ON p.query_id = e.query_id
+"""
+
+
+def r9_embedding_label_prop_agreement(spark, sf_dir):
+    """Per-query agreement of IVF-accelerated label propagation
+    (label-carrying persisted index over the labeled pool, nprobe-pruned
+    probes) against the exact broadcast spelling — the tuning
+    measurement that licenses index-accelerated labeling at 100 TB
+    before pointing it at a corpus the exact spelling can't scan per
+    batch (same measure-then-scale loop as the retrieval recall trio;
+    at nprobe = n_cells the two spellings are pytest-pinned identical)."""
+    from pdtable_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    pred = F.col("vec_id") % 10 == 0
+    idx = similarity.ivf_index(emb.filter(~pred), cents, metadata_cols=["label"])
+    queries = emb.filter(pred).select(F.col("vec_id").alias("query_id"), "embedding")
+    ivf = similarity.knn_label_propagation_ivf(
+        idx, queries, cents, k=10, nprobe=_IVF_NPROBE
+    )
+    exact = similarity.knn_label_propagation(emb, pred, k=10)
+    return (
+        exact.alias("e")
+        .join(ivf.alias("i"), "query_id")
+        .select(
+            "query_id",
+            F.col("e.predicted_label").alias("exact_label"),
+            F.col("e.votes").cast("long").alias("exact_votes"),
+            F.col("i.predicted_label").alias("ivf_label"),
+            F.col("i.votes").cast("long").alias("ivf_votes"),
+            (F.col("e.predicted_label") == F.col("i.predicted_label"))
+            .cast("int")
+            .alias("agree"),
+        )
+    )
+
+
+PENDING_R9["embedding_label_prop_agreement"] = (
+    r9_embedding_label_prop_agreement,
+    R9_SQL_LABEL_PROP_AGREEMENT,
+)

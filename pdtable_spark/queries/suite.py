@@ -5691,3 +5691,10 @@ def stream_drift_monitor(spark, sf_dir):
         "dim", "value", "n_old", "n_new", "share_old", "share_new",
         "delta", "abs_delta", "tvd", F.col("batch_id").cast("long").alias("batch_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The round-8 block (34 queries staged in r7, registered r8) decorates
+# itself into QUERIES/ORACLES on import — keep this import LAST so every
+# name it references above is already bound.
+from pdtable_spark.queries import suite_r8  # noqa: E402,F401

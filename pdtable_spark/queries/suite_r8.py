@@ -1,39 +1,36 @@
-"""Queries PREPARED for round 8 — deliberately NOT registered in
-``suite.QUERIES`` yet: the round-7 driver window (50 slots) is exactly
-allocated to clearing the r4 evidence backlog (plus the two queries
-registered this round), and a declared-but-unreported query would read as
-a coverage gap.  Round 8 moves all THIRTY-FOUR entries into ``suite.py``
-(decorate with ``@q`` and slot them at the head of the rotation alongside
-the two r4-evidence stragglers ``stream_sessionize_stateful`` /
-``stream_sliding_counts``): BM25 / hybrid RRF retrieval, the PSI and
-numeric-dimension drift gates, DSIR importance weights (fused-slice
-spelling), char entropy, line-level boilerplate dedup + its audit, the
-per-source threshold-sweep curve, the cluster profile / balanced sample /
-embedding-drift family, the per-rule curation funnel, the Bloom
-decontamination screen + the screen→exact-verify decontamination funnel
-+ the streaming (per-micro-batch) screen, the hard-negative /
-label-propagation pair (plus the IVF-accelerated miner's recall
-diagnostic), the Matryoshka truncation-recall diagnostic, the
-perceptual-hash (dHash) image near-dup pairs, the data-constrained
-epochs plan, the in-context-pretraining semantic pack, the
-active-learning uncertainty sample, the winnowing (MOSS) fingerprint
-pair, the per-source cap (both spellings pinned), the
+"""The round-8 block of the declared suite — THIRTY-FOUR queries staged
+(with full DuckDB oracles and sf0.001/sf0.01/sf1 MATCH evidence) during
+round 7 and REGISTERED under ``@q`` here at the top of round 8: BM25 /
+hybrid RRF retrieval, the PSI and numeric-dimension drift gates, DSIR
+importance weights (fused-slice spelling), char entropy, line-level
+boilerplate dedup + its audit, the per-source threshold-sweep curve, the
+cluster profile / balanced sample / embedding-drift family, the per-rule
+curation funnel, the Bloom decontamination screen + the
+screen→exact-verify decontamination funnel + the streaming
+(per-micro-batch) screen, the hard-negative / label-propagation pair
+(plus the IVF-accelerated miner's recall diagnostic), the Matryoshka
+truncation-recall diagnostic, the perceptual-hash (dHash) image near-dup
+pairs, the data-constrained epochs plan, the in-context-pretraining
+semantic pack, the active-learning uncertainty sample, the winnowing
+(MOSS) fingerprint pair, the per-source cap (both spellings pinned), the
 vocabulary-coverage / OOV-share report, the record-level privacy pair
-(k-anonymity suppression + the anonymity/l-diversity risk report), and
-the asymmetric shingle-containment pairs, the snapshot diff
-(release bookkeeping over io/maintenance.diff_snapshots), and the
-table-facade mutation chain (R10 replace / R11 cast / R12 fillna /
-R14 rename under the value gate), and the frozen-vocabulary OOV drift
-alarm.
+(k-anonymity suppression + the anonymity/l-diversity risk report), the
+asymmetric shingle-containment pairs, the snapshot diff (release
+bookkeeping over io/maintenance.diff_snapshots), the table-facade
+mutation chain (R10 replace / R11 cast / R12 fillna / R14 rename under
+the value gate), and the frozen-vocabulary OOV drift alarm.
 
-Unlike the round-6 staging file, every entry here is ALREADY under the
-correctness gate: ``tests/test_env_contract.py::test_pending_r8_oracles``
-runs each (spark, oracle) pair side-by-side at sf0.001 in pytest, so the
-staged queries cannot rot before registration.
+This module is imported at the end of ``suite.py`` so its entries land in
+the SAME ``suite.QUERIES``/``suite.ORACLES`` registries every consumer
+(driver contract, bench, oracle sweeps) reads — the registration loop at
+the bottom is the ``@q`` decoration, applied over the ``R8_QUERIES``
+name → (builder, oracle) table this file builds up.
 
 Each entry satisfies the driver contract shape:
 ``fn(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
-matching column aliases.
+matching column aliases.  The pre-registration correctness gate
+(``tests/test_env_contract.py::test_r8_block_oracles``) stays in force —
+it now additionally asserts every entry IS registered.
 """
 
 from __future__ import annotations
@@ -46,7 +43,7 @@ from pdtable_spark.queries.suite import _SQL_DRIFT_REPORT, _SQL_SHINGLES, load
 #: ('dup' — df 25 of 500 docs at sf0.01) and two common ones, so idf
 #: spread is real.  Sorted-lowercase order matters: the per-term score
 #: sum is evaluated in this order on BOTH engines (IEEE-identical trees).
-PENDING_BM25_TERMS = ["dup", "scan", "vector"]
+R8_BM25_TERMS = ["dup", "scan", "vector"]
 
 
 def _sql_tf(term: str) -> str:
@@ -111,10 +108,10 @@ def _sql_bm25(terms, k: int) -> str:
     """
 
 
-PENDING_SQL_BM25 = _sql_bm25(PENDING_BM25_TERMS, k=25)
+R8_SQL_BM25 = _sql_bm25(R8_BM25_TERMS, k=25)
 
 
-def pending_text_bm25_topk(spark, sf_dir):
+def r8_text_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-25 over the documents table for a mixed rare/common
     term bag — zero-shuffle tf + one broadcast stats row + TakeOrdered
     (see operators/text.py::bm25_topk), in round_digits=9 verification
@@ -123,7 +120,7 @@ def pending_text_bm25_topk(spark, sf_dir):
 
     return bm25_topk(
         load(spark, sf_dir, "documents"),
-        PENDING_BM25_TERMS,
+        R8_BM25_TERMS,
         k=25,
         round_digits=9,
     )
@@ -132,7 +129,7 @@ def pending_text_bm25_topk(spark, sf_dir):
 #: PSI over the same even/odd snapshot halves (and the same report CTE) as
 #: the registered drift queries — the three standard drift gates (report /
 #: TVD / PSI) then share one oracle lineage.
-PENDING_SQL_PSI = f"""
+R8_SQL_PSI = f"""
     WITH rep AS ({_SQL_DRIFT_REPORT})
     SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_values,
            CAST(SUM(CAST(FLOOR(round(
@@ -144,7 +141,7 @@ PENDING_SQL_PSI = f"""
 """
 
 
-def pending_pipeline_drift_psi(spark, sf_dir):
+def r8_pipeline_drift_psi(spark, sf_dir):
     """Population Stability Index between the even/odd snapshot halves
     along source and lang — the rare-category-sensitive companion to
     pipeline_drift_tvd, quantized-BIGINT-summed for bit reproducibility."""
@@ -160,7 +157,7 @@ def pending_pipeline_drift_psi(spark, sf_dir):
 
 #: Numeric drift: n_chars over [0, 600) in 12 fixed bins (width 50.0 —
 #: exact in binary, so floor((x-0)/50) is engine-identical).
-PENDING_SQL_NUMERIC_DRIFT = """
+R8_SQL_NUMERIC_DRIFT = """
     WITH ob AS (
       SELECT CAST(CAST(LEAST(GREATEST(
                FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 50.0), 0), 11)
@@ -195,7 +192,7 @@ PENDING_SQL_NUMERIC_DRIFT = """
 """
 
 
-def pending_pipeline_numeric_drift(spark, sf_dir):
+def r8_pipeline_numeric_drift(spark, sf_dir):
     """Numeric-dimension drift between the snapshot halves: n_chars
     bucketized into 12 shared fixed-width bins over [0, 600), then the
     standard categorical report — the length-distribution alarm a filter
@@ -214,12 +211,12 @@ def pending_pipeline_numeric_drift(spark, sf_dir):
 
 
 #: name → (query fn, oracle sql): what round 8 registers under ``@q``.
-PENDING = {
-    "text_bm25_topk": (pending_text_bm25_topk, PENDING_SQL_BM25),
-    "pipeline_drift_psi": (pending_pipeline_drift_psi, PENDING_SQL_PSI),
+R8_QUERIES = {
+    "text_bm25_topk": (r8_text_bm25_topk, R8_SQL_BM25),
+    "pipeline_drift_psi": (r8_pipeline_drift_psi, R8_SQL_PSI),
     "pipeline_numeric_drift": (
-        pending_pipeline_numeric_drift,
-        PENDING_SQL_NUMERIC_DRIFT,
+        r8_pipeline_numeric_drift,
+        R8_SQL_NUMERIC_DRIFT,
     ),
 }
 
@@ -230,8 +227,8 @@ PENDING = {
 #: cross the fusion boundary, so the oracle needs no score calibration.
 from pdtable_spark.queries.suite import _COSINE_SQL  # noqa: E402
 
-PENDING_SQL_HYBRID = f"""
-    WITH lex AS (SELECT doc_id, rank FROM ({PENDING_SQL_BM25})),
+R8_SQL_HYBRID = f"""
+    WITH lex AS (SELECT doc_id, rank FROM ({R8_SQL_BM25})),
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qa FROM embeddings WHERE vec_id = 0),
     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
     scored AS (SELECT c.vec_id, {_COSINE_SQL} AS s FROM c CROSS JOIN q),
@@ -254,7 +251,7 @@ PENDING_SQL_HYBRID = f"""
 """
 
 
-def pending_hybrid_rrf_topk(spark, sf_dir):
+def r8_hybrid_rrf_topk(spark, sf_dir):
     """Hybrid retrieval end-to-end: BM25 lexical ranks ⊕ embedding cosine
     ranks fused by RRF (k=60) — the standard RAG retrieval stack as one
     value-oracled composition of three operators."""
@@ -262,7 +259,7 @@ def pending_hybrid_rrf_topk(spark, sf_dir):
     from pdtable_spark.operators.text import bm25_topk
 
     docs = load(spark, sf_dir, "documents")
-    lex = bm25_topk(docs, PENDING_BM25_TERMS, k=25, round_digits=9).select(
+    lex = bm25_topk(docs, R8_BM25_TERMS, k=25, round_digits=9).select(
         "doc_id", "rank"
     )
     emb = load(spark, sf_dir, "embeddings")
@@ -275,7 +272,7 @@ def pending_hybrid_rrf_topk(spark, sf_dir):
     return similarity.rrf_fuse([lex, sem], k=60)
 
 
-PENDING["hybrid_rrf_topk"] = (pending_hybrid_rrf_topk, PENDING_SQL_HYBRID)
+R8_QUERIES["hybrid_rrf_topk"] = (r8_hybrid_rrf_topk, R8_SQL_HYBRID)
 
 
 #: DSIR importance weights: raw = the full documents table, target = its
@@ -292,7 +289,7 @@ _SQL_DSIR_GRAMS = (
     f"ELSE [array_to_string({_SQL_DSIR_TOKS}, ' ')] END)"
 )
 
-PENDING_SQL_DSIR = f"""
+R8_SQL_DSIR = f"""
     WITH gb AS (
       SELECT doc_id,
              CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 4096 AS b
@@ -321,7 +318,7 @@ PENDING_SQL_DSIR = f"""
 """
 
 
-def pending_pipeline_dsir_weights(spark, sf_dir):
+def r8_pipeline_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (hashed-ngram importance resampling,
     Xie et al. 2023) for steering the raw corpus toward its lang='en'
     slice — the modern "select data that looks like the target" primitive,
@@ -336,13 +333,13 @@ def pending_pipeline_dsir_weights(spark, sf_dir):
     )
 
 
-PENDING["pipeline_dsir_weights"] = (pending_pipeline_dsir_weights, PENDING_SQL_DSIR)
+R8_QUERIES["pipeline_dsir_weights"] = (r8_pipeline_dsir_weights, R8_SQL_DSIR)
 
 
 #: Character-entropy quality signal; the oracle rebuilds the quantized
 #: −p·ln p sum per document via explode+group (the operator's scan-local
 #: array fold and this relational spelling sum the same exact integers).
-PENDING_SQL_CHAR_ENTROPY = """
+R8_SQL_CHAR_ENTROPY = """
     WITH ch AS (
       SELECT doc_id,
              unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c
@@ -371,7 +368,7 @@ PENDING_SQL_CHAR_ENTROPY = """
 """
 
 
-def pending_text_char_entropy(spark, sf_dir):
+def r8_text_char_entropy(spark, sf_dir):
     """Character-level Shannon entropy per document — the cheap gibberish
     and repetition signal, computed as one scan-local array fold (no
     explode, no shuffle) with the quantized-ln determinism recipe."""
@@ -380,7 +377,7 @@ def pending_text_char_entropy(spark, sf_dir):
     return char_entropy(load(spark, sf_dir, "documents"))
 
 
-PENDING["text_char_entropy"] = (pending_text_char_entropy, PENDING_SQL_CHAR_ENTROPY)
+R8_QUERIES["text_char_entropy"] = (r8_text_char_entropy, R8_SQL_CHAR_ENTROPY)
 
 
 #: Line-level boilerplate dedup (CCNet §4.1 / RefinedWeb): the synthetic
@@ -397,7 +394,7 @@ _SQL_LINE_BOIL = """
   HAVING COUNT(*) >= CEIL(0.78 * (SELECT COUNT(*) FROM documents))
 """
 
-PENDING_SQL_LINE_DEDUP = f"""
+R8_SQL_LINE_DEDUP = f"""
     WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS ls
                   FROM documents),
     l AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
@@ -415,7 +412,7 @@ PENDING_SQL_LINE_DEDUP = f"""
 """
 
 
-def pending_text_line_dedup(spark, sf_dir):
+def r8_text_line_dedup(spark, sf_dir):
     """Line-level boilerplate removal: drop every line whose normalized
     form occurs in ≥78% of documents, survivors kept in original order and
     spelling — the broadcast spelling (scan-local filter + array_join; the
@@ -431,10 +428,10 @@ def pending_text_line_dedup(spark, sf_dir):
     )
 
 
-PENDING["text_line_dedup"] = (pending_text_line_dedup, PENDING_SQL_LINE_DEDUP)
+R8_QUERIES["text_line_dedup"] = (r8_text_line_dedup, R8_SQL_LINE_DEDUP)
 
 
-PENDING_SQL_COMMON_LINES = f"""
+R8_SQL_COMMON_LINES = f"""
     WITH base AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
     l AS (SELECT doc_id, unnest(ls) AS line FROM base),
     c AS (
@@ -447,7 +444,7 @@ PENDING_SQL_COMMON_LINES = f"""
 """
 
 
-def pending_text_common_lines(spark, sf_dir):
+def r8_text_common_lines(spark, sf_dir):
     """The boilerplate audit behind line_dedup: normalized lines in ≥78%
     of documents with their document frequency — per-doc-distinct before
     the explode, so the count is a plain map-side-combinable groupBy."""
@@ -461,13 +458,13 @@ def pending_text_common_lines(spark, sf_dir):
     )
 
 
-PENDING["text_common_lines"] = (pending_text_common_lines, PENDING_SQL_COMMON_LINES)
+R8_QUERIES["text_common_lines"] = (r8_text_common_lines, R8_SQL_COMMON_LINES)
 
 
 #: The filter-tuning curve over doc length: how much of the corpus (docs
 #: AND tokens) survives each candidate n_chars cutoff — one scan, the
 #: curve unpivots from a single aggregate row.
-PENDING_SQL_THRESHOLD_SWEEP = r"""
+R8_SQL_THRESHOLD_SWEEP = r"""
     WITH t(threshold) AS (VALUES (100.0), (200.0), (300.0), (400.0)),
     base AS (SELECT source, CAST(n_chars AS DOUBLE) AS s,
                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok
@@ -489,7 +486,7 @@ PENDING_SQL_THRESHOLD_SWEEP = r"""
 """
 
 
-def pending_pipeline_threshold_sweep(spark, sf_dir):
+def r8_pipeline_threshold_sweep(spark, sf_dir):
     """Per-source threshold sweep over n_chars at 100/200/300/400: docs
     kept, WITHIN-source share, tokens kept, token share per cutoff — the
     per-source cut a mixture rebalance is tuned from, still one scan (T
@@ -505,9 +502,9 @@ def pending_pipeline_threshold_sweep(spark, sf_dir):
     )
 
 
-PENDING["pipeline_threshold_sweep"] = (
-    pending_pipeline_threshold_sweep,
-    PENDING_SQL_THRESHOLD_SWEEP,
+R8_QUERIES["pipeline_threshold_sweep"] = (
+    r8_pipeline_threshold_sweep,
+    R8_SQL_THRESHOLD_SWEEP,
 )
 
 
@@ -528,7 +525,7 @@ _SQL_CLUSTER_ASSIGN = f"""
     )
 """
 
-PENDING_SQL_CLUSTER_PROFILE = f"""
+R8_SQL_CLUSTER_PROFILE = f"""
     WITH {_SQL_CLUSTER_ASSIGN},
     a AS (SELECT vec_id, CAST(cid AS INT) AS cell,
                  CAST(FLOOR(round(d2, 9) * 1000000000.0) AS BIGINT) AS qd
@@ -561,7 +558,7 @@ def _seed_centroids(spark, sf_dir):
     ]
 
 
-def pending_embedding_cluster_profile(spark, sf_dir):
+def r8_embedding_cluster_profile(spark, sf_dir):
     """Per-cell corpus composition under the fixed seed centroids: count,
     share, and quantized mean squared distance — empty cells included (a
     cluster silently emptying is the alarm the profile exists for).  One
@@ -572,13 +569,13 @@ def pending_embedding_cluster_profile(spark, sf_dir):
     return cluster_profile(emb, cents)
 
 
-PENDING["embedding_cluster_profile"] = (
-    pending_embedding_cluster_profile,
-    PENDING_SQL_CLUSTER_PROFILE,
+R8_QUERIES["embedding_cluster_profile"] = (
+    r8_embedding_cluster_profile,
+    R8_SQL_CLUSTER_PROFILE,
 )
 
 
-PENDING_SQL_CLUSTER_SAMPLE = f"""
+R8_SQL_CLUSTER_SAMPLE = f"""
     WITH {_SQL_CLUSTER_ASSIGN},
     a AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM cd WHERE rn = 1),
     h AS (SELECT vec_id, cell,
@@ -594,7 +591,7 @@ PENDING_SQL_CLUSTER_SAMPLE = f"""
 """
 
 
-def pending_embedding_cluster_sample(spark, sf_dir):
+def r8_embedding_cluster_sample(spark, sf_dir):
     """Cluster-balanced subsample: ≤5 vectors per seed-centroid cell in
     deterministic hash order — uniform over topics, not over documents
     (head topics capped, tail topics survive whole)."""
@@ -604,13 +601,13 @@ def pending_embedding_cluster_sample(spark, sf_dir):
     return cluster_balanced_sample(emb, cents, per_cell=5)
 
 
-PENDING["embedding_cluster_sample"] = (
-    pending_embedding_cluster_sample,
-    PENDING_SQL_CLUSTER_SAMPLE,
+R8_QUERIES["embedding_cluster_sample"] = (
+    r8_embedding_cluster_sample,
+    R8_SQL_CLUSTER_SAMPLE,
 )
 
 
-PENDING_SQL_CLUSTER_DRIFT = f"""
+R8_SQL_CLUSTER_DRIFT = f"""
     WITH {_SQL_CLUSTER_ASSIGN},
     a AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM cd WHERE rn = 1),
     oc AS (SELECT CAST(cell AS VARCHAR) AS value, COUNT(*) AS n_old
@@ -640,7 +637,7 @@ PENDING_SQL_CLUSTER_DRIFT = f"""
 """
 
 
-def pending_embedding_cluster_drift(spark, sf_dir):
+def r8_embedding_cluster_drift(spark, sf_dir):
     """Embedding-space drift between the even/odd snapshot halves under
     the fixed seed centroids: the standard categorical report over the
     cell dimension — topic shifts surface here before any metadata
@@ -656,9 +653,9 @@ def pending_embedding_cluster_drift(spark, sf_dir):
     )
 
 
-PENDING["embedding_cluster_drift"] = (
-    pending_embedding_cluster_drift,
-    PENDING_SQL_CLUSTER_DRIFT,
+R8_QUERIES["embedding_cluster_drift"] = (
+    r8_embedding_cluster_drift,
+    R8_SQL_CLUSTER_DRIFT,
 )
 
 
@@ -727,10 +724,10 @@ def _sql_funnel() -> str:
     return flags + "\n    UNION ALL".join(arms)
 
 
-PENDING_SQL_FUNNEL = _sql_funnel()
+R8_SQL_FUNNEL = _sql_funnel()
 
 
-def pending_pipeline_curation_funnel(spark, sf_dir):
+def r8_pipeline_curation_funnel(spark, sf_dir):
     """Per-rule rejection funnel over the full Gopher flag set: n_failed
     (double-counts multi-rule failures by design), within-corpus failure
     share, and the MARGINAL n_failed_alone (what dropping the rule would
@@ -752,9 +749,9 @@ def pending_pipeline_curation_funnel(spark, sf_dir):
     return curation_funnel(gopher_quality_flags(docs, min_words=_GOPHER_MIN_WORDS))
 
 
-PENDING["pipeline_curation_funnel"] = (
-    pending_pipeline_curation_funnel,
-    PENDING_SQL_FUNNEL,
+R8_QUERIES["pipeline_curation_funnel"] = (
+    r8_pipeline_curation_funnel,
+    R8_SQL_FUNNEL,
 )
 
 
@@ -775,7 +772,7 @@ def _sql_bloom_pos(expr: str, i: int) -> str:
     )
 
 
-PENDING_SQL_BLOOM = f"""
+R8_SQL_BLOOM = f"""
     WITH base AS (SELECT doc_id, source = 'src0' AS is_bench, {_SQL_SHINGLES} AS sh
                   FROM documents),
     bench_g AS (SELECT DISTINCT unnest(sh) AS g FROM base WHERE is_bench),
@@ -811,7 +808,7 @@ PENDING_SQL_BLOOM = f"""
 """
 
 
-def pending_pipeline_bloom_screen(spark, sf_dir):
+def r8_pipeline_bloom_screen(spark, sf_dir):
     """Bloom-filter decontamination screen: every non-benchmark doc's
     shingles probed against a 2^16-bit / 3-hash Bloom filter of the
     src0 eval set — the cheap first pass whose flags feed the exact
@@ -830,14 +827,14 @@ def pending_pipeline_bloom_screen(spark, sf_dir):
     )
 
 
-PENDING["pipeline_bloom_screen"] = (pending_pipeline_bloom_screen, PENDING_SQL_BLOOM)
+R8_QUERIES["pipeline_bloom_screen"] = (r8_pipeline_bloom_screen, R8_SQL_BLOOM)
 
 
 # ---------------------------------------------------------------------------
 # Hard-negative mining + kNN label propagation (operators/similarity.py)
 # ---------------------------------------------------------------------------
 
-PENDING_SQL_HARD_NEG = f"""
+R8_SQL_HARD_NEG = f"""
     WITH a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qa,
                       label AS a_label
                FROM embeddings WHERE vec_id % 25 = 0),
@@ -857,7 +854,7 @@ PENDING_SQL_HARD_NEG = f"""
 """
 
 
-def pending_embedding_hard_negatives(spark, sf_dir):
+def r8_embedding_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: for each of 20
     anchors, the top-5 most-similar vectors with a DIFFERENT label, under
     a 0.999 cosine ceiling (cross-label near-exacts are mislabel
@@ -868,13 +865,13 @@ def pending_embedding_hard_negatives(spark, sf_dir):
     return hard_negatives(emb, F.col("vec_id") % 25 == 0, k=5, ceiling=0.999)
 
 
-PENDING["embedding_hard_negatives"] = (
-    pending_embedding_hard_negatives,
-    PENDING_SQL_HARD_NEG,
+R8_QUERIES["embedding_hard_negatives"] = (
+    r8_embedding_hard_negatives,
+    R8_SQL_HARD_NEG,
 )
 
 
-PENDING_SQL_LABEL_PROP = f"""
+R8_SQL_LABEL_PROP = f"""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
                FROM embeddings WHERE vec_id % 10 = 0),
     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca, label
@@ -896,7 +893,7 @@ PENDING_SQL_LABEL_PROP = f"""
 """
 
 
-def pending_embedding_label_propagation(spark, sf_dir):
+def r8_embedding_label_propagation(spark, sf_dir):
     """kNN label propagation: every 10th vector plays unlabeled and takes
     the majority label of its 10 nearest labeled neighbors (ties toward
     the smaller label) — the seed-classifier expansion step of a
@@ -907,9 +904,9 @@ def pending_embedding_label_propagation(spark, sf_dir):
     return knn_label_propagation(emb, F.col("vec_id") % 10 == 0, k=10)
 
 
-PENDING["embedding_label_propagation"] = (
-    pending_embedding_label_propagation,
-    PENDING_SQL_LABEL_PROP,
+R8_QUERIES["embedding_label_propagation"] = (
+    r8_embedding_label_propagation,
+    R8_SQL_LABEL_PROP,
 )
 
 
@@ -921,7 +918,7 @@ from pdtable_spark.queries.suite import _RECALL_EXACT_SQL, _recall_at_10  # noqa
 
 _TRUNC_DIM = 16
 
-PENDING_SQL_TRUNC_RECALL = f"""
+R8_SQL_TRUNC_RECALL = f"""
     WITH tq AS (SELECT vec_id AS query_id,
                        list_slice(CAST(embedding AS DOUBLE[]), 1, {_TRUNC_DIM}) AS qa
                 FROM embeddings WHERE vec_id < 5),
@@ -949,7 +946,7 @@ PENDING_SQL_TRUNC_RECALL = f"""
 """
 
 
-def pending_embedding_truncation_recall(spark, sf_dir):
+def r8_embedding_truncation_recall(spark, sf_dir):
     """Matryoshka truncation diagnostic: recall@10 of cosine retrieval over
     only the first 16 of 64 embedding components vs the full-dim exact
     baseline — the measurement that licenses the 4x-cheaper scan/index
@@ -968,9 +965,9 @@ def pending_embedding_truncation_recall(spark, sf_dir):
     return _recall_at_10(exact, trunc)
 
 
-PENDING["embedding_truncation_recall"] = (
-    pending_embedding_truncation_recall,
-    PENDING_SQL_TRUNC_RECALL,
+R8_QUERIES["embedding_truncation_recall"] = (
+    r8_embedding_truncation_recall,
+    R8_SQL_TRUNC_RECALL,
 )
 
 
@@ -980,7 +977,7 @@ PENDING["embedding_truncation_recall"] = (
 
 from pdtable_spark.queries.suite import _IVF_NPROBE, _sql_cos  # noqa: E402
 
-PENDING_SQL_HARD_NEG_RECALL = f"""
+R8_SQL_HARD_NEG_RECALL = f"""
     WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca, label
                FROM embeddings),
     a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qa,
@@ -1037,7 +1034,7 @@ PENDING_SQL_HARD_NEG_RECALL = f"""
 """
 
 
-def pending_embedding_hard_negative_recall(spark, sf_dir):
+def r8_embedding_hard_negative_recall(spark, sf_dir):
     """Recall@5 of IVF-mined hard negatives (label-carrying persisted
     index, nprobe-pruned probes) against the exact cross-label miner —
     the tuning measurement that licenses index-accelerated mining at
@@ -1080,9 +1077,9 @@ def pending_embedding_hard_negative_recall(spark, sf_dir):
     )
 
 
-PENDING["embedding_hard_negative_recall"] = (
-    pending_embedding_hard_negative_recall,
-    PENDING_SQL_HARD_NEG_RECALL,
+R8_QUERIES["embedding_hard_negative_recall"] = (
+    r8_embedding_hard_negative_recall,
+    R8_SQL_HARD_NEG_RECALL,
 )
 
 
@@ -1090,8 +1087,8 @@ PENDING["embedding_hard_negative_recall"] = (
 # Two-stage decontamination funnel: Bloom screen -> exact verify on flagged
 # ---------------------------------------------------------------------------
 
-PENDING_SQL_DECON_FUNNEL = f"""
-    WITH screen AS ({PENDING_SQL_BLOOM}),
+R8_SQL_DECON_FUNNEL = f"""
+    WITH screen AS ({R8_SQL_BLOOM}),
     flagged AS (SELECT train_id FROM screen WHERE flagged = 1),
     base AS (SELECT doc_id, source = 'src0' AS is_bench, {_SQL_SHINGLES} AS sh
              FROM documents),
@@ -1112,7 +1109,7 @@ PENDING_SQL_DECON_FUNNEL = f"""
 """
 
 
-def pending_pipeline_decon_funnel(spark, sf_dir):
+def r8_pipeline_decon_funnel(spark, sf_dir):
     """The production decontamination shape: the Bloom screen prunes the
     corpus to its flagged docs, and the exact (train, bench) containment
     verifier runs ONLY on those — the quadratic-looking pair stage sees a
@@ -1145,9 +1142,9 @@ def pending_pipeline_decon_funnel(spark, sf_dir):
     ).select("train_id", "bench_id", "n_common", "containment")
 
 
-PENDING["pipeline_decon_funnel"] = (
-    pending_pipeline_decon_funnel,
-    PENDING_SQL_DECON_FUNNEL,
+R8_QUERIES["pipeline_decon_funnel"] = (
+    r8_pipeline_decon_funnel,
+    R8_SQL_DECON_FUNNEL,
 )
 
 
@@ -1155,7 +1152,7 @@ PENDING["pipeline_decon_funnel"] = (
 # Streaming Bloom screen (streaming/screen.py::bloom_screen_stream)
 # ---------------------------------------------------------------------------
 
-PENDING_SQL_STREAM_BLOOM = f"""
+R8_SQL_STREAM_BLOOM = f"""
     WITH waves(w, batch_id) AS (VALUES (1, 0), (3, 1)),
     bench_g AS (
       SELECT DISTINCT unnest({_SQL_SHINGLES}) AS g FROM documents
@@ -1197,7 +1194,7 @@ PENDING_SQL_STREAM_BLOOM = f"""
 """
 
 
-def pending_stream_bloom_screen(spark, sf_dir):
+def r8_stream_bloom_screen(spark, sf_dir):
     """The streaming decontamination path under the correctness gate: two
     ingestion waves (doc_id%4==1, then %4==3) each picked up by its own
     ``availableNow`` run over ONE checkpoint, every micro-batch probed
@@ -1230,9 +1227,9 @@ def pending_stream_bloom_screen(spark, sf_dir):
     )
 
 
-PENDING["stream_bloom_screen"] = (
-    pending_stream_bloom_screen,
-    PENDING_SQL_STREAM_BLOOM,
+R8_QUERIES["stream_bloom_screen"] = (
+    r8_stream_bloom_screen,
+    R8_SQL_STREAM_BLOOM,
 )
 
 
@@ -1263,7 +1260,7 @@ def _sql_phash() -> str:
 #: hamming <= 1 differs in at most one of the operator's two 6-bit bands,
 #: so the pigeonhole blocking is lossless and the oracle is simply "all
 #: pairs within the hamming radius" — no band arithmetic to mirror.
-PENDING_SQL_PHASH_DUPS = f"""
+R8_SQL_PHASH_DUPS = f"""
     WITH assets AS ({_SQL_ASSETS}),
     px AS (SELECT asset_id, {_sql_phash()} AS phash FROM assets)
     SELECT a.asset_id AS id_a, b.asset_id AS id_b,
@@ -1273,7 +1270,7 @@ PENDING_SQL_PHASH_DUPS = f"""
 """
 
 
-def pending_multimodal_phash_dups(spark, sf_dir):
+def r8_multimodal_phash_dups(spark, sf_dir):
     """Perceptual near-duplicate images: dHash (neighbor-difference bits
     over the decoded 4×4 grid, fake codec = oracle mode) blocked by the
     SimHash pigeonhole, exact bit_count(xor) verify — payloads and frames
@@ -1284,9 +1281,9 @@ def pending_multimodal_phash_dups(spark, sf_dir):
     return multimodal.phash_near_dups(feats, max_hamming=1)
 
 
-PENDING["multimodal_phash_dups"] = (
-    pending_multimodal_phash_dups,
-    PENDING_SQL_PHASH_DUPS,
+R8_QUERIES["multimodal_phash_dups"] = (
+    r8_multimodal_phash_dups,
+    R8_SQL_PHASH_DUPS,
 )
 
 
@@ -1300,7 +1297,7 @@ _EPOCHS_TARGETS = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
 _EPOCHS_BUDGET = 6000
 _EPOCHS_MAX = 2.0
 
-PENDING_SQL_EPOCHS = f"""
+R8_SQL_EPOCHS = f"""
     WITH per AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(CAST(len({_SQL_TOKS}) AS DECIMAL(18,0))) AS BIGINT)
@@ -1321,7 +1318,7 @@ PENDING_SQL_EPOCHS = f"""
 """
 
 
-def pending_pipeline_epochs_plan(spark, sf_dir):
+def r8_pipeline_epochs_plan(spark, sf_dir):
     """Data-constrained pre-flight: how many epochs of each targeted
     source the (budget, mixture) pair implies, with the >max_epochs
     over-repetition flag (Muennighoff et al. 2023 — marginal value of a
@@ -1335,9 +1332,9 @@ def pending_pipeline_epochs_plan(spark, sf_dir):
     )
 
 
-PENDING["pipeline_epochs_plan"] = (
-    pending_pipeline_epochs_plan,
-    PENDING_SQL_EPOCHS,
+R8_QUERIES["pipeline_epochs_plan"] = (
+    r8_pipeline_epochs_plan,
+    R8_SQL_EPOCHS,
 )
 
 
@@ -1345,7 +1342,7 @@ PENDING["pipeline_epochs_plan"] = (
 # Semantic packing: in-context-pretraining shards (cluster-then-pack)
 # ---------------------------------------------------------------------------
 
-PENDING_SQL_SEMANTIC_PACK = f"""
+R8_SQL_SEMANTIC_PACK = f"""
     WITH {_SQL_CLUSTER_ASSIGN},
     a AS (SELECT vec_id AS doc_id, CAST(cid AS INT) AS cell FROM cd WHERE rn = 1),
     d AS (SELECT doc_id, cell, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
@@ -1358,7 +1355,7 @@ PENDING_SQL_SEMANTIC_PACK = f"""
 """
 
 
-def pending_pipeline_semantic_pack(spark, sf_dir):
+def r8_pipeline_semantic_pack(spark, sf_dir):
     """In-context-pretraining shards (Shi et al. 2023, ICP): related
     documents land in the SAME trainer work unit — cluster assignment
     under the seed centroids, then token-budget packing WITHIN each cell
@@ -1385,9 +1382,9 @@ def pending_pipeline_semantic_pack(spark, sf_dir):
     return packed.select("doc_id", "cell", "n_tokens", "pack_id")
 
 
-PENDING["pipeline_semantic_pack"] = (
-    pending_pipeline_semantic_pack,
-    PENDING_SQL_SEMANTIC_PACK,
+R8_QUERIES["pipeline_semantic_pack"] = (
+    r8_pipeline_semantic_pack,
+    R8_SQL_SEMANTIC_PACK,
 )
 
 
@@ -1401,7 +1398,7 @@ from pdtable_spark.queries.suite import (  # noqa: E402
     _sql_clf_weights,
 )
 
-PENDING_SQL_UNCERTAINTY = f"""
+R8_SQL_UNCERTAINTY = f"""
     WITH toks AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
       FROM documents
@@ -1420,7 +1417,7 @@ PENDING_SQL_UNCERTAINTY = f"""
 """
 
 
-def pending_pipeline_uncertainty_sample(spark, sf_dir):
+def r8_pipeline_uncertainty_sample(spark, sf_dir):
     """Active-learning batch selection: the 20 docs whose linear-classifier
     score sits nearest the keep/drop threshold — margin-based uncertainty
     sampling, the label-what-the-model-doubts loop that grows a quality
@@ -1434,9 +1431,9 @@ def pending_pipeline_uncertainty_sample(spark, sf_dir):
     return uncertainty_sample(scored, k=20, score_col="clf_score", threshold=0.0)
 
 
-PENDING["pipeline_uncertainty_sample"] = (
-    pending_pipeline_uncertainty_sample,
-    PENDING_SQL_UNCERTAINTY,
+R8_QUERIES["pipeline_uncertainty_sample"] = (
+    r8_pipeline_uncertainty_sample,
+    R8_SQL_UNCERTAINTY,
 )
 
 
@@ -1463,13 +1460,13 @@ _WINNOW_SEL_SQL = f"""
             FROM w2)
 """
 
-PENDING_SQL_WINNOW = f"""
+R8_SQL_WINNOW = f"""
     WITH {_WINNOW_SEL_SQL}
     SELECT doc_id, pos, fp FROM sel
 """
 
 
-def pending_text_winnow_fingerprints(spark, sf_dir):
+def r8_text_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
     scheme): per 4-window of positional 5-gram hashes, the minimum at its
     rightmost position — guaranteed to cover any shared run of >= 8
@@ -1481,13 +1478,13 @@ def pending_text_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(docs, gram_n=5, window=4, hash_fn="md5_60")
 
 
-PENDING["text_winnow_fingerprints"] = (
-    pending_text_winnow_fingerprints,
-    PENDING_SQL_WINNOW,
+R8_QUERIES["text_winnow_fingerprints"] = (
+    r8_text_winnow_fingerprints,
+    R8_SQL_WINNOW,
 )
 
 
-PENDING_SQL_WINNOW_PAIRS = f"""
+R8_SQL_WINNOW_PAIRS = f"""
     WITH {_WINNOW_SEL_SQL},
     dsel AS (SELECT DISTINCT doc_id, fp FROM sel)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1497,7 +1494,7 @@ PENDING_SQL_WINNOW_PAIRS = f"""
 """
 
 
-def pending_dedup_winnow_pairs(spark, sf_dir):
+def r8_dedup_winnow_pairs(spark, sf_dir):
     """Document pairs sharing >= 2 winnowed fingerprints — the
     ngram-Jaccard detection shape on the winnowed subset: the postings
     index carries ~2/(window+1) of the grams with a known coverage floor
@@ -1510,9 +1507,9 @@ def pending_dedup_winnow_pairs(spark, sf_dir):
     )
 
 
-PENDING["dedup_winnow_pairs"] = (
-    pending_dedup_winnow_pairs,
-    PENDING_SQL_WINNOW_PAIRS,
+R8_QUERIES["dedup_winnow_pairs"] = (
+    r8_dedup_winnow_pairs,
+    R8_SQL_WINNOW_PAIRS,
 )
 
 
@@ -1520,7 +1517,7 @@ PENDING["dedup_winnow_pairs"] = (
 # Per-source cap (operators/sampling.py) — both spellings value-pinned
 # ---------------------------------------------------------------------------
 
-PENDING_SQL_SOURCE_CAP = """
+R8_SQL_SOURCE_CAP = """
     WITH s AS (
       SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score FROM documents
     ),
@@ -1535,7 +1532,7 @@ PENDING_SQL_SOURCE_CAP = """
 """
 
 
-def pending_pipeline_source_cap(spark, sf_dir):
+def r8_pipeline_source_cap(spark, sf_dir):
     """Per-domain cap (keep each source's best 10 by a quality proxy) in
     BOTH spellings pinned against each other: the exact window
     row_number and the crawl-scale screen-then-trim (per-source
@@ -1560,9 +1557,9 @@ def pending_pipeline_source_cap(spark, sf_dir):
     )
 
 
-PENDING["pipeline_source_cap"] = (
-    pending_pipeline_source_cap,
-    PENDING_SQL_SOURCE_CAP,
+R8_QUERIES["pipeline_source_cap"] = (
+    r8_pipeline_source_cap,
+    R8_SQL_SOURCE_CAP,
 )
 
 
@@ -1570,7 +1567,7 @@ PENDING["pipeline_source_cap"] = (
 # Vocabulary coverage / OOV share (operators/text.py)
 # ---------------------------------------------------------------------------
 
-PENDING_SQL_VOCAB_COVERAGE = r"""
+R8_SQL_VOCAB_COVERAGE = r"""
     WITH tok AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
       FROM documents
@@ -1594,7 +1591,7 @@ PENDING_SQL_VOCAB_COVERAGE = r"""
 """
 
 
-def pending_text_vocab_coverage(spark, sf_dir):
+def r8_text_vocab_coverage(spark, sf_dir):
     """Per-doc OOV share against the corpus's top-200 token vocabulary
     (deterministic tf-desc, token-asc boundary) — the tokenizer-fertility
     / domain-shift signal.  The vocabulary is a bounded collected
@@ -1608,9 +1605,9 @@ def pending_text_vocab_coverage(spark, sf_dir):
     )
 
 
-PENDING["text_vocab_coverage"] = (
-    pending_text_vocab_coverage,
-    PENDING_SQL_VOCAB_COVERAGE,
+R8_QUERIES["text_vocab_coverage"] = (
+    r8_text_vocab_coverage,
+    R8_SQL_VOCAB_COVERAGE,
 )
 
 
@@ -1618,7 +1615,7 @@ PENDING["text_vocab_coverage"] = (
 # Record-level privacy (operators/privacy.py): k-anonymity + risk report
 # ---------------------------------------------------------------------------
 
-PENDING_SQL_K_ANONYMIZE = """
+R8_SQL_K_ANONYMIZE = """
     WITH g AS (
       SELECT c_nationkey, c_mktsegment FROM customer
       GROUP BY 1, 2 HAVING COUNT(*) >= 10
@@ -1630,7 +1627,7 @@ PENDING_SQL_K_ANONYMIZE = """
 """
 
 
-def pending_pipeline_k_anonymize(spark, sf_dir):
+def r8_pipeline_k_anonymize(spark, sf_dir):
     """k-anonymity suppression over customer metadata: only rows whose
     (nation, segment) combination occurs >= 10 times survive — the
     pre-release privacy floor for record-level corpus metadata.  One
@@ -1643,13 +1640,13 @@ def pending_pipeline_k_anonymize(spark, sf_dir):
     return k_anonymize(cust, ["c_nationkey", "c_mktsegment"], 10)
 
 
-PENDING["pipeline_k_anonymize"] = (
-    pending_pipeline_k_anonymize,
-    PENDING_SQL_K_ANONYMIZE,
+R8_QUERIES["pipeline_k_anonymize"] = (
+    r8_pipeline_k_anonymize,
+    R8_SQL_K_ANONYMIZE,
 )
 
 
-PENDING_SQL_ANONYMITY_REPORT = """
+R8_SQL_ANONYMITY_REPORT = """
     WITH s AS (
       SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
              COUNT(DISTINCT c_acctbal) AS l
@@ -1670,7 +1667,7 @@ PENDING_SQL_ANONYMITY_REPORT = """
 """
 
 
-def pending_pipeline_anonymity_report(spark, sf_dir):
+def r8_pipeline_anonymity_report(spark, sf_dir):
     """Re-identification risk report over customer (nation, segment)
     groups at thresholds 5/10/20, with account balance as the sensitive
     attribute (min_l_diversity) — the audit that picks k for
@@ -1688,9 +1685,9 @@ def pending_pipeline_anonymity_report(spark, sf_dir):
     )
 
 
-PENDING["pipeline_anonymity_report"] = (
-    pending_pipeline_anonymity_report,
-    PENDING_SQL_ANONYMITY_REPORT,
+R8_QUERIES["pipeline_anonymity_report"] = (
+    r8_pipeline_anonymity_report,
+    R8_SQL_ANONYMITY_REPORT,
 )
 
 
@@ -1698,7 +1695,7 @@ PENDING["pipeline_anonymity_report"] = (
 # Shingle containment pairs (operators/dedup.py) — the asymmetric measure
 # ---------------------------------------------------------------------------
 
-PENDING_SQL_CONTAINMENT = f"""
+R8_SQL_CONTAINMENT = f"""
     WITH base AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
     sized AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
     posts AS (SELECT doc_id, sz, unnest(sh) AS g FROM sized),
@@ -1718,7 +1715,7 @@ PENDING_SQL_CONTAINMENT = f"""
 """
 
 
-def pending_dedup_containment_pairs(spark, sf_dir):
+def r8_dedup_containment_pairs(spark, sf_dir):
     """Asymmetric doc-inside-doc near-dups: shingle containment
     (inter / min set size) >= 0.6 over the same inverted-index plan as
     ngram_jaccard_pairs — catches a short doc quoted whole inside a long
@@ -1729,9 +1726,9 @@ def pending_dedup_containment_pairs(spark, sf_dir):
     return containment_pairs(docs, shingle_n=5, threshold=0.6)
 
 
-PENDING["dedup_containment_pairs"] = (
-    pending_dedup_containment_pairs,
-    PENDING_SQL_CONTAINMENT,
+R8_QUERIES["dedup_containment_pairs"] = (
+    r8_dedup_containment_pairs,
+    R8_SQL_CONTAINMENT,
 )
 
 
@@ -1739,7 +1736,7 @@ PENDING["dedup_containment_pairs"] = (
 # Snapshot diff (io/maintenance.py) — dataset-release bookkeeping as a query
 # ---------------------------------------------------------------------------
 
-PENDING_SQL_SNAPSHOT_DIFF = """
+R8_SQL_SNAPSHOT_DIFF = """
     SELECT doc_id, 'removed' AS change_type FROM documents
     WHERE doc_id % 7 = 0
     UNION ALL
@@ -1751,7 +1748,7 @@ PENDING_SQL_SNAPSHOT_DIFF = """
 """
 
 
-def pending_pipeline_snapshot_diff(spark, sf_dir):
+def r8_pipeline_snapshot_diff(spark, sf_dir):
     """Keyed diff between two corpus releases (what did this ingest DO):
     the new snapshot deterministically removes doc_id%7, rewrites the
     text of doc_id%5, and lands doc_id%11 again under shifted ids —
@@ -1777,9 +1774,9 @@ def pending_pipeline_snapshot_diff(spark, sf_dir):
     return diff_snapshots(docs, new, "doc_id", compare_cols=["text"])
 
 
-PENDING["pipeline_snapshot_diff"] = (
-    pending_pipeline_snapshot_diff,
-    PENDING_SQL_SNAPSHOT_DIFF,
+R8_QUERIES["pipeline_snapshot_diff"] = (
+    r8_pipeline_snapshot_diff,
+    R8_SQL_SNAPSHOT_DIFF,
 )
 
 
@@ -1801,7 +1798,7 @@ def _sql_facade_ops():
 """
 
 
-def pending_pipeline_facade_ops(spark, sf_dir):
+def r8_pipeline_facade_ops(spark, sf_dir):
     """The reference's mutation surface (R10 replace, R11 cast, R12
     fillna, R14 rename — previously pytest-only) chained through the
     unit-checked Table facade in the graded path: replace order-status
@@ -1849,8 +1846,8 @@ def pending_pipeline_facade_ops(spark, sf_dir):
     )
 
 
-PENDING["pipeline_facade_ops"] = (
-    pending_pipeline_facade_ops,
+R8_QUERIES["pipeline_facade_ops"] = (
+    r8_pipeline_facade_ops,
     _sql_facade_ops(),
 )
 
@@ -1859,7 +1856,7 @@ PENDING["pipeline_facade_ops"] = (
 # Frozen-vocabulary OOV drift (operators/text.py vocab= path as designed)
 # ---------------------------------------------------------------------------
 
-PENDING_SQL_VOCAB_DRIFT = r"""
+R8_SQL_VOCAB_DRIFT = r"""
     WITH ref_tok AS (
       SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
       FROM documents WHERE doc_id % 2 = 0
@@ -1889,7 +1886,7 @@ PENDING_SQL_VOCAB_DRIFT = r"""
 """
 
 
-def pending_text_vocab_drift(spark, sf_dir):
+def r8_text_vocab_drift(spark, sf_dir):
     """The frozen-vocabulary drift alarm as designed: build the top-200
     vocabulary on the REFERENCE half (even doc_ids), measure per-source
     OOV share on the INCOMING half (odd doc_ids) — a rising share is the
@@ -1912,7 +1909,18 @@ def pending_text_vocab_drift(spark, sf_dir):
     )
 
 
-PENDING["text_vocab_drift"] = (
-    pending_text_vocab_drift,
-    PENDING_SQL_VOCAB_DRIFT,
+R8_QUERIES["text_vocab_drift"] = (
+    r8_text_vocab_drift,
+    R8_SQL_VOCAB_DRIFT,
 )
+
+
+# ---------------------------------------------------------------------------
+# Registration: the @q decoration for the whole block.  suite.py imports
+# this module at the end of its body, so suite.QUERIES / suite.ORACLES —
+# the single registry the driver contract, bench, and oracle sweeps read —
+# contain these 34 entries exactly like any inline @q query.
+from pdtable_spark.queries.suite import q as _q
+
+for _name, (_fn, _sql) in R8_QUERIES.items():
+    _q(_name, _sql)(_fn)

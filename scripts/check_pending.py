@@ -1,10 +1,12 @@
-"""Oracle sweep for the STAGED (pending_r8) queries — the counterpart of
-scripts/check_oracles.py for entries not yet registered in suite.QUERIES.
+"""Targeted oracle sweep over registered suite queries — the per-name
+counterpart of scripts/check_oracles.py (which sweeps everything).
 
 Usage: python scripts/check_pending.py [sf_dir] [query ...]
-       (no query names = sweep every PENDING entry)
+       (no query names = sweep the round-8 block, queries/suite_r8.py,
+        plus the staged queries/pending_r9.py entries — the script also
+        resolves staged names not yet in suite.QUERIES)
 
-Runs each staged (spark_fn, duckdb_sql) pair side-by-side and compares
+Runs each (spark_fn, duckdb_sql) pair side-by-side and compares
 sorted-by-column-name value tuples, exactly like the driver's gate.
 Exit code 0 iff every requested query MATCHes.
 """
@@ -40,9 +42,11 @@ def _key_rows(cols, rows):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    from pdtable_spark.queries.pending_r8 import PENDING
+    from pdtable_spark.queries.pending_r9 import PENDING_R9
+    from pdtable_spark.queries.suite import ORACLES, QUERIES
+    from pdtable_spark.queries.suite_r8 import R8_QUERIES
 
-    names = sys.argv[2:] or list(PENDING)
+    names = sys.argv[2:] or (list(R8_QUERIES) + list(PENDING_R9))
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -63,7 +67,10 @@ def main():
 
     rc = 0
     for name in names:
-        fn, sql = PENDING[name]
+        if name in QUERIES:
+            fn, sql = QUERIES[name], ORACLES[name]
+        else:
+            fn, sql = PENDING_R9[name]
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         s_cols = sdf.columns

@@ -122,14 +122,20 @@ def test_query_registry_contract():
             raise AssertionError(f"oracle for {name!r} fails to parse: {exc}")
 
 
-def test_pending_r8_oracles(spark):
-    """The staged round-8 queries are under the correctness gate BEFORE
-    registration: each (spark, oracle) pair runs side-by-side at sf0.001 —
-    row count, column names, and order-insensitive values must match (the
-    driver's comparison, minus the pandas canonicalization layer)."""
+def test_r8_block_oracles(spark):
+    """The round-8 block (staged r7, registered r8) stays under its own
+    correctness gate: each (spark, oracle) pair runs side-by-side at
+    sf0.001 — row count, column names, and order-insensitive values must
+    match (the driver's comparison, minus the pandas canonicalization
+    layer) — and every entry must actually be REGISTERED in the suite."""
     import duckdb
 
-    from pdtable_spark.queries.pending_r8 import PENDING
+    from pdtable_spark.queries.suite import ORACLES, QUERIES
+    from pdtable_spark.queries.suite_r8 import R8_QUERIES
+
+    for name, (fn, sql) in R8_QUERIES.items():
+        assert QUERIES.get(name) is fn, f"{name} not registered"
+        assert ORACLES.get(name) == sql, f"{name} oracle not registered"
 
     con = duckdb.connect()
     for t in (
@@ -140,9 +146,34 @@ def test_pending_r8_oracles(spark):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
         )
+    _oracle_pair_gate(spark, con, R8_QUERIES)
+
+
+def test_pending_r9_oracles(spark):
+    """The staged round-9 queries are under the correctness gate BEFORE
+    registration (the suite_r8 staging discipline): each (spark, oracle)
+    pair runs side-by-side at sf0.001 in pytest, so staged queries
+    cannot rot between rounds."""
+    import duckdb
+
+    from pdtable_spark.queries.pending_r9 import PENDING_R9
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    _oracle_pair_gate(spark, con, PENDING_R9)
+
+
+def _oracle_pair_gate(spark, con, entries):
     from scripts.check_oracles import oracle_dtype_problems, spark_dtype_problems
 
-    for name, (fn, sql) in PENDING.items():
+    for name, (fn, sql) in entries.items():
         sdf = fn(spark, "/root/testdata/sf0.001")
         # the driver-compat dtype gate (round-2 lesson) must hold BEFORE
         # registration, not surface as a red driver row after it

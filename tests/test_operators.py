@@ -2503,6 +2503,51 @@ def test_hard_negatives_ivf_matches_exact_when_probing_all_cells(spark):
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
 
 
+def test_knn_label_propagation_ivf_matches_exact_when_probing_all_cells(spark):
+    """With nprobe = n_cells the IVF label propagator probes everything,
+    so its votes and predictions equal the exact spelling's on the same
+    query/labeled split; the labeled pool is the label-carrying index."""
+    from pdtable_spark.operators import similarity
+
+    rows = [
+        (i, [float(i % 4 == 0), float(i % 3), 0.25 * i, 1.0], i % 3)
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents = [
+        r["embedding"]
+        for r in df.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    pred = F.col("vec_id") % 8 == 0
+    idx = similarity.ivf_index(df.filter(~pred), cents, metadata_cols=["label"])
+    queries = df.filter(pred).select(F.col("vec_id").alias("query_id"), "embedding")
+    ivf = similarity.knn_label_propagation_ivf(idx, queries, cents, k=4, nprobe=3)
+    exact = similarity.knn_label_propagation(df, pred, k=4)
+    got, want = sorted(map(tuple, ivf.collect())), sorted(map(tuple, exact.collect()))
+    assert got == want and len(got) == 3
+
+
+def test_broadcast_miner_bounds_fail_loudly(spark):
+    """An unbounded anchor/query predicate raises a clear error BEFORE
+    the broadcast (early-terminating limit+count probe); None disables
+    the bound; an in-limit side passes through unchanged."""
+    from pdtable_spark.operators import similarity
+
+    rows = [(i, [float(i), 1.0], i % 2) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    with pytest.raises(ValueError, match="more than 4 rows"):
+        similarity.hard_negatives(df, F.lit(True), k=2, max_anchors=4)
+    with pytest.raises(ValueError, match="more than 4 rows"):
+        similarity.knn_label_propagation(df, F.col("vec_id") < 10, k=2, max_queries=4)
+    with pytest.raises(ValueError, match=">= 1 or None"):
+        similarity.hard_negatives(df, F.lit(True), k=2, max_anchors=0)
+    # disabled bound and in-limit side both build + run
+    assert similarity.hard_negatives(df, F.lit(True), k=1, max_anchors=None).count() > 0
+    assert (
+        similarity.knn_label_propagation(df, F.col("vec_id") == 0, k=3).count() == 1
+    )
+
+
 def test_perceptual_hash_brightness_invariant_and_near_dups(spark):
     """dHash depends only on neighbor ORDER: a uniformly re-leveled copy
     hashes identically (hamming 0); flipping one neighbor order moves
