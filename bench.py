@@ -244,11 +244,38 @@ def main():
         q = emb.limit(16).withColumnRenamed("vec_id", "query_id")
         return similarity.pq_query(idx, q, books, k=10)
 
+    def bench_label_prop_ivf_served(s, d):
+        # steady-state cost of the IVF-accelerated label propagator: the
+        # label-carrying index is built once (like the other serving rows);
+        # the timed region is probe + vote — price it against the exact
+        # broadcast spelling in embedding_label_propagation above
+        if "lp_ivf" not in _state:
+            emb = s.read.parquet(f"{d}/embeddings.parquet")
+            cents = [
+                list(r["v"])
+                for r in emb.filter(F.col("vec_id") < 16)
+                .orderBy("vec_id")
+                .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+                .collect()
+            ]
+            idx = similarity.ivf_index(
+                emb.filter(F.col("vec_id") % 10 != 0), cents, metadata_cols=["label"]
+            ).cache()
+            idx.count()
+            _state["lp_ivf"] = (idx, cents)
+        idx, cents = _state["lp_ivf"]
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.knn_label_propagation_ivf(idx, q, cents, k=10, nprobe=4)
+
     BENCH_QUERIES["dedup_incremental"] = bench_dedup_incremental
     BENCH_QUERIES["dedup_incremental_verified"] = bench_dedup_incremental_verified
     BENCH_QUERIES["ann_query_served"] = bench_ann_query_served
     BENCH_QUERIES["ivf_query_served"] = bench_ivf_query_served
     BENCH_QUERIES["pq_query_served"] = bench_pq_query_served
+    BENCH_QUERIES["label_prop_ivf_served"] = bench_label_prop_ivf_served
 
     # staged round-9 queries (queries/pending_r9.py) — benched
     # pre-registration so their perf trend starts now, like the r8 block
@@ -342,6 +369,7 @@ def main():
         # miner in production df-cut mode (the exact-mode row
         # dedup_containment_pairs stays for round-over-round trend)
         "embedding_label_prop_agreement",
+        "label_prop_ivf_served",
         "dedup_containment_prod",
     ]
 

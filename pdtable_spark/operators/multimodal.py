@@ -6,10 +6,12 @@ The Spark-side plumbing (schemas, batch iteration, partition-preserving
 transforms) is real and tested.  Codecs: image decode has a REAL path
 behind the optional ``pillow`` extra (lazy executor-side import); audio
 decode has a REAL path for RIFF WAV via the stdlib ``wave`` module (no
-extra needed; compressed codecs raise); both also ship the deterministic
-sha256 fake (``fake=True`` — the oracle/testing mode).  Video decode
-raises ``NotImplementedError`` unless ``fake=True`` (codec libraries
-absent in this environment).
+extra needed); video decode and frame sampling have a REAL path for
+UNCOMPRESSED RIFF AVI via a pure-stdlib parser (:func:`_parse_avi` — no
+extra needed), with other containers/codecs behind the optional ``av``
+extra.  Every modality also ships the deterministic sha256 fake
+(``fake=True`` — the oracle/testing mode), and compressed codecs without
+their extra raise ``NotImplementedError`` with the fix in the message.
 
 At scale: blobs stay in parquet/object storage as binary columns; transforms
 are ``mapInPandas`` (arrow batches, no shuffle); heavy assets should be
@@ -61,6 +63,7 @@ _EXT_MODALITY = {
     "mp4": ("video", "video/mp4"),
     "webm": ("video", "video/webm"),
     "mkv": ("video", "video/x-matroska"),
+    "avi": ("video", "video/x-msvideo"),
 }
 
 
@@ -187,6 +190,119 @@ def _decode_audio(payload: bytes, fake: bool):
     return [feats[4 * r : 4 * r + 4] for r in range(4)]
 
 
+def _parse_avi(payload: bytes):
+    """Pure-stdlib RIFF AVI parser for UNCOMPRESSED (BI_RGB) video — the
+    video sibling of the stdlib-WAV audio path: no codec extra needed.
+    Returns ``(width, height, fps, bpp, [frame_bytes, ...])`` where each
+    frame is the raw bottom-up DIB pixel block, or ``None`` if the
+    payload is not RIFF AVI at all.  A COMPRESSED AVI (biCompression !=
+    BI_RGB) raises ``NotImplementedError`` pointing at the ``av`` extra.
+    """
+    import struct
+
+    b = payload or b""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    info = {"w": None, "h": None, "bpp": None, "comp": 0,
+            "uspf": None, "scale": None, "rate": None, "vids": False}
+    frames: list = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fcc = b[pos : pos + 4]
+            size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            d0, d1 = pos + 8, min(pos + 8 + size, end)
+            if fcc == b"LIST" and b[d0 : d0 + 4] in (b"hdrl", b"strl", b"movi"):
+                walk(d0 + 4, d1)
+            elif fcc == b"avih" and size >= 4:
+                info["uspf"] = struct.unpack("<I", b[d0 : d0 + 4])[0]
+            elif fcc == b"strh" and size >= 28:
+                if b[d0 : d0 + 4] == b"vids":
+                    info["vids"] = True
+                    info["scale"], info["rate"] = struct.unpack(
+                        "<II", b[d0 + 20 : d0 + 28]
+                    )
+                else:
+                    info["vids"] = False
+            elif fcc == b"strf" and size >= 20 and info["vids"]:
+                info["w"], info["h"] = struct.unpack("<ii", b[d0 + 4 : d0 + 12])
+                info["bpp"] = struct.unpack("<H", b[d0 + 14 : d0 + 16])[0]
+                info["comp"] = struct.unpack("<I", b[d0 + 16 : d0 + 20])[0]
+            elif fcc[2:4] in (b"db", b"dc") and size > 0:
+                frames.append(b[d0:d1])
+            pos = d0 + size + (size & 1)
+
+    walk(12, min(len(b), 8 + struct.unpack("<I", b[4:8])[0]))
+    if info["w"] is None or not frames:
+        return None
+    if info["comp"] != 0:
+        raise NotImplementedError(
+            "compressed AVI (biCompression != BI_RGB) needs the optional "
+            "'av' extra (pip install av); the stdlib path decodes "
+            "uncompressed AVI only — or pass fake=True for the stub"
+        )
+    if info["rate"] and info["scale"]:
+        fps = info["rate"] / info["scale"]
+    elif info["uspf"]:
+        fps = 1e6 / info["uspf"]
+    else:
+        fps = 1.0
+    return info["w"], abs(info["h"]), fps, info["bpp"], frames
+
+
+def _dib_gray(frame: bytes, w: int, h: int, bpp: int):
+    """Raw bottom-up DIB pixel block → top-down (h, w) float grayscale
+    ndarray (channel mean for BGR; identity for 8-bit)."""
+    import numpy as np
+
+    nch = max(1, bpp // 8)
+    stride = ((w * nch + 3) // 4) * 4
+    a = np.frombuffer(frame[: stride * h], dtype=np.uint8).reshape(h, stride)
+    px = a[:, : w * nch].reshape(h, w, nch).astype(np.float64)
+    return px.mean(axis=2)[::-1]  # DIB rows are bottom-up
+
+
+def _grid4x4(gray) -> list:
+    """(h, w) grayscale ndarray → the module's 4x4 block-mean 0..255 grid
+    (same output contract as the image/audio decoders)."""
+    import numpy as np
+
+    rows = np.array_split(gray, 4, axis=0)
+    return [
+        [int(min(255.0, round(float(c.mean())))) for c in np.array_split(r, 4, axis=1)]
+        for r in rows
+    ]
+
+
+def _decode_video(payload: bytes, fake: bool):
+    """video payload → the 4x4 grid contract (first frame, block-mean
+    grayscale).  Real path: uncompressed RIFF AVI via the pure-stdlib
+    parser (no extra needed); any other container/codec needs the
+    optional ``av`` extra (lazy executor-side import, like pillow)."""
+    if fake:
+        # salted digest domain, like the audio fake
+        d = hashlib.sha256(b"video:" + (payload or b"")).digest()
+        return [[d[(4 * r + c) % 32] for c in range(4)] for r in range(4)]
+    parsed = _parse_avi(payload)
+    if parsed is not None:
+        w, h, _fps, bpp, frames = parsed
+        return _grid4x4(_dib_gray(frames[0], w, h, bpp))
+    try:
+        import io as _io
+
+        import av as _av
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real video decode supports uncompressed RIFF AVI (stdlib); "
+            "other containers/codecs need the optional 'av' extra "
+            "(pip install av) — or pass fake=True for the stub"
+        ) from exc
+    with _av.open(_io.BytesIO(payload or b"")) as container:
+        for frame in container.decode(video=0):
+            return _grid4x4(frame.to_ndarray(format="gray").astype("float64"))
+    raise NotImplementedError("video stream contains no decodable frames")
+
+
 def extract_features(
     assets: DataFrame,
     dim: int = 16,
@@ -215,13 +331,7 @@ def extract_features(
                 if mod == "audio":
                     pixels = _decode_audio(payload, fake)
                 elif mod == "video":
-                    if not fake:
-                        raise NotImplementedError(
-                            "video decode requires a codec library not present "
-                            "here — pass fake=True for the deterministic stub"
-                        )
-                    d = hashlib.sha256(b"video:" + (payload or b"")).digest()
-                    pixels = [[d[(4 * r + c) % 32] for c in range(4)] for r in range(4)]
+                    pixels = _decode_video(payload, fake)
                 else:
                     pixels = _decode_image(payload, fake)
                 flat = [float(v) for row in pixels for v in row]
@@ -243,10 +353,17 @@ def extract_features(
 def sample_frames(
     assets: DataFrame, every_s: float = 1.0, fake: bool = False
 ) -> DataFrame:
-    """video → (asset_id, frame_idx, frame_payload) rows; frame decode stubbed.
+    """video → (asset_id, frame_idx, frame_payload) rows, one per sampled
+    frame at ``every_s`` intervals — the mapInPandas fan-out shape
+    (yielding more rows than consumed, schema-stable).
 
-    Demonstrates the fan-out shape: mapInPandas yielding more rows than it
-    consumes, schema-stable.
+    Real path (``fake=False``): uncompressed RIFF AVI via the pure-stdlib
+    parser — ``frame_idx`` is the SOURCE frame index and
+    ``frame_payload`` the raw DIB pixel block of that frame (feed it to
+    :func:`_dib_gray` / a downstream encoder); any other container needs
+    the optional ``av`` extra and raises without it.  ``fake=True`` keeps
+    the deterministic digest stub (sequential sample index, sha256
+    payloads) — the oracle/testing mode.
     """
     out_schema = T.StructType(
         [
@@ -262,17 +379,28 @@ def sample_frames(
         for pdf in it:
             rows = {"asset_id": [], "frame_idx": [], "frame_payload": []}
             for aid, payload, dur in zip(pdf["asset_id"], pdf["payload"], pdf["duration_s"]):
-                if not fake:
+                if fake:
+                    n = max(1, int((dur or 0.0) / every_s))
+                    for i in range(n):
+                        rows["asset_id"].append(aid)
+                        rows["frame_idx"].append(i)
+                        rows["frame_payload"].append(
+                            hashlib.sha256((payload or b"") + str(i).encode()).digest()
+                        )
+                    continue
+                parsed = _parse_avi(payload)
+                if parsed is None:
                     raise NotImplementedError(
-                        "video decode requires a codec library not present here"
+                        "real frame sampling supports uncompressed RIFF AVI "
+                        "(stdlib); other containers need the optional 'av' "
+                        "extra — or pass fake=True for the stub"
                     )
-                n = max(1, int((dur or 0.0) / every_s))
-                for i in range(n):
+                _w, _h, fps, _bpp, frames = parsed
+                step = max(1, int(round(every_s * fps)))
+                for fi in range(0, len(frames), step):
                     rows["asset_id"].append(aid)
-                    rows["frame_idx"].append(i)
-                    rows["frame_payload"].append(
-                        hashlib.sha256((payload or b"") + str(i).encode()).digest()
-                    )
+                    rows["frame_idx"].append(fi)
+                    rows["frame_payload"].append(frames[fi])
             yield pd.DataFrame(rows)
 
     return assets.select("asset_id", "payload", "duration_s").mapInPandas(

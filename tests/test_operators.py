@@ -1901,6 +1901,87 @@ def test_extract_features_modality_dispatch(spark):
         multimodal.extract_features(bad, modality_col="modality").collect()
 
 
+def _make_avi(frames_px, fps=2, compression=0):
+    """Synthesize an uncompressed 24-bpp RIFF AVI from (h, w, rgb) nested
+    lists — pure stdlib, the video sibling of the WAV fixture above."""
+    import struct
+
+    h, w = len(frames_px[0]), len(frames_px[0][0])
+    stride = ((w * 3 + 3) // 4) * 4
+
+    def chunk(fcc, data):
+        return fcc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(ltype, payload):
+        return chunk(b"LIST", ltype + payload)
+
+    def dib(frame):
+        rows = []
+        for r in reversed(frame):  # DIB rows are bottom-up
+            row = b"".join(bytes([px[2], px[1], px[0]]) for px in r)  # BGR
+            rows.append(row + b"\x00" * (stride - len(row)))
+        return b"".join(rows)
+
+    avih = struct.pack(
+        "<14I", int(1e6 / fps), 0, 0, 0, len(frames_px), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIII", 0, 0, 0, 0, 1, fps)
+        + struct.pack("<IIII", 0, len(frames_px), 0, 0) + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, stride * h, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames_px))
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def test_extract_features_and_sample_frames_real_avi(spark):
+    """The REAL video path: a synthesized uncompressed RIFF AVI (pure
+    stdlib — no extras) decodes through extract_features (first-frame 4x4
+    block-mean grid) and sample_frames (raw DIB frame payloads at every_s
+    intervals, source frame indices); a compressed AVI raises the 'av'
+    extra hint."""
+    half = [[(0, 0, 0)] * 8 for _ in range(4)] + [[(255, 255, 255)] * 8 for _ in range(4)]
+    gray = [[(100, 100, 100)] * 8 for _ in range(8)]
+    avi = _make_avi([half, gray], fps=2)
+
+    df = spark.createDataFrame(
+        [(1, "video", avi, 1.0)],
+        "asset_id long, modality string, payload binary, duration_s double",
+    )
+    out = multimodal.extract_features(df, dim=16, modality_col="modality").collect()
+    assert len(out) == 1
+    # first frame: top half black, bottom half white -> grid rows 0/0/255/255
+    assert list(out[0]["feature"]) == [0.0] * 8 + [255.0] * 8
+
+    frames = {
+        r["frame_idx"]: bytes(r["frame_payload"])
+        for r in multimodal.sample_frames(df, every_s=0.5).collect()
+    }
+    assert sorted(frames) == [0, 1]  # fps=2, every 0.5s -> both source frames
+    # the sampled payload is the raw DIB block: frame 1 is constant 100s
+    assert set(frames[1][:24]) == {100}
+    one = multimodal.sample_frames(df, every_s=1.0).collect()
+    assert [r["frame_idx"] for r in one] == [0]  # step = round(1.0 * 2fps)
+
+    comp = spark.createDataFrame(
+        [(2, "video", _make_avi([gray], compression=1), 1.0)],
+        "asset_id long, modality string, payload binary, duration_s double",
+    )
+    with pytest.raises(Exception, match="'av' extra"):
+        multimodal.extract_features(comp, modality_col="modality").collect()
+    # a non-AVI payload still fails with the clear container message
+    bad = spark.createDataFrame(
+        [(3, "video", b"not a video", 1.0)],
+        "asset_id long, modality string, payload binary, duration_s double",
+    )
+    with pytest.raises(Exception, match="RIFF AVI"):
+        multimodal.sample_frames(bad).collect()
+
+
 def test_bm25_topk_hand_computed(spark):
     """BM25 against hand-computed Okapi scores (Lucene idf variant),
     including the n_hits>0 cut and the id tie-break."""
