@@ -371,6 +371,8 @@ def main():
         "embedding_label_prop_agreement",
         "label_prop_ivf_served",
         "dedup_containment_prod",
+        # round-8 in-round addition: HLL distinct-count ledger + novelty
+        "pipeline_novelty_ledger",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

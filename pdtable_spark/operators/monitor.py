@@ -388,3 +388,99 @@ def cluster_drift(
     return corpus_drift_report_from_counts(
         cell_counts(df_old, "n_old"), cell_counts(df_new, "n_new")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count ledger (Apache DataSketches HLL, JVM-native)
+# ---------------------------------------------------------------------------
+
+
+def distinct_sketch(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    by: str = "source",
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group MERGEABLE distinct-count sketches: (by, sketch, estimate)
+    via Spark's JVM-native Apache DataSketches HLL aggregate
+    (``hll_sketch_agg`` — whole-stage-codegen, partially aggregable, so
+    the shuffle moves one ~2^lgk-byte sketch per group per partition,
+    never keys).
+
+    Why a sketch and not ``count_distinct``: at 100 TB the exact count is
+    a key-domain shuffle EVERY time you ask, and counts from different
+    snapshots/days don't compose — you must re-scan the union.  Sketches
+    persist next to each snapshot and :func:`sketch_union` answers "how
+    many distinct docs across all snapshots" from the ledger alone (one
+    scan of sketch rows, no corpus rescan) — the standing corpus
+    bookkeeping a continuous ingest needs (unique-docs-ever, per-source
+    dedup-rate trends) at ~0.8%% relative error for lgk=12.
+
+    NULL keys are skipped by the sketch aggregate (a NULL identity has no
+    distinct-count meaning); estimates are DETERMINISTIC for fixed data
+    (fixed hash) and layout-independent (merge is associative +
+    commutative) — pytest-pinned, and exact in sparse mode (small
+    groups), so the test-SF oracle can bound them tightly.
+    """
+    return df.groupBy(by).agg(
+        F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(int(lgk))).alias(
+            "sketch"
+        )
+    ).select(
+        by,
+        "sketch",
+        F.hll_sketch_estimate("sketch").alias("estimate"),
+    )
+
+
+def sketch_union(ledgers: DataFrame, by: str = "source") -> DataFrame:
+    """Merge :func:`distinct_sketch` rows across snapshots (stack the
+    per-snapshot ledger frames with ``unionByName`` first): per group,
+    the HLL union sketch and the distinct-count estimate of the UNION of
+    every contributing snapshot — no corpus rescan, sketch-sized work
+    only.  Accepts mixed lgk ledgers (the union downgrades to the
+    coarsest, per DataSketches semantics)."""
+    return (
+        ledgers.groupBy(by)
+        .agg(F.hll_union_agg("sketch", F.lit(True)).alias("sketch"))
+        .select(by, "sketch", F.hll_sketch_estimate("sketch").alias("estimate"))
+    )
+
+
+def novelty_estimate(
+    ledger: DataFrame,
+    batch: DataFrame,
+    key_col: str = "doc_id",
+    by: str = "source",
+    lgk: int = 12,
+) -> DataFrame:
+    """How many NEVER-SEEN keys does this batch add, per group — without
+    storing or rescanning historical ids: ``est(union(ledger, batch)) −
+    est(ledger)``.  Returns (by, n_batch_distinct, est_seen_before,
+    est_after, est_new) — the continuous-ingest novelty dashboard
+    (crawl productivity collapses ⇒ est_new trends to zero long before
+    storage notices).  Estimate arithmetic inherits sketch error; in
+    sparse mode (test SF) it is exact.
+    """
+    b = distinct_sketch(batch, key_col, by, lgk)
+    merged = sketch_union(
+        ledger.select(by, "sketch").unionByName(b.select(by, "sketch")), by
+    )
+    return (
+        b.select(by, F.col("estimate").alias("n_batch_distinct"))
+        .join(
+            ledger.select(by, F.col("estimate").alias("est_seen_before")),
+            by,
+            "left",
+        )
+        .join(merged.select(by, F.col("estimate").alias("est_after")), by)
+        .select(
+            by,
+            "n_batch_distinct",
+            F.coalesce("est_seen_before", F.lit(0)).alias("est_seen_before"),
+            "est_after",
+            (
+                F.col("est_after") - F.coalesce("est_seen_before", F.lit(0))
+            ).alias("est_new"),
+        )
+    )

@@ -152,3 +152,65 @@ PENDING_R9["embedding_label_prop_agreement"] = (
     r9_embedding_label_prop_agreement,
     R9_SQL_LABEL_PROP_AGREEMENT,
 )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count ledger (operators/monitor.py::distinct_sketch /
+# novelty_estimate, new round 8 — DataSketches HLL, JVM-native)
+# ---------------------------------------------------------------------------
+
+R9_SQL_NOVELTY_LEDGER = """
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_batch_exact,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 = 0 THEN doc_id END)
+                AS BIGINT) AS n_new_exact,
+           CAST(1 AS INT) AS sketch_ok
+    FROM documents WHERE doc_id % 2 = 0
+    GROUP BY source
+"""
+
+
+def r9_pipeline_novelty_ledger(spark, sf_dir):
+    """Continuous-ingest novelty bookkeeping from sketches alone: a
+    ledger of per-source HLL distinct sketches over the already-seen
+    corpus (doc_id%3<>0), probed by a new batch (doc_id%2=0) —
+    ``est_new`` estimates the never-seen keys (exactly doc_id%6=0)
+    without storing or rescanning historical ids.  The exact columns are
+    fully value-oracled; ``sketch_ok`` pins both sketch estimates within
+    max(2, 2%) of exact — deterministic (fixed hash, associative merge),
+    so a green row stays green at every layout."""
+    from pdtable_spark.operators import monitor
+
+    docs = load(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    led = monitor.distinct_sketch(seen, "doc_id", "source")
+    nov = monitor.novelty_estimate(led, batch, "doc_id", "source")
+    exact = batch.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_batch_exact"),
+        F.count_distinct(
+            F.when(F.col("doc_id") % 3 == 0, F.col("doc_id"))
+        ).alias("n_new_exact"),
+    )
+
+    def ok(est, ex):
+        tol = F.greatest(F.lit(2.0), ex.cast("double") * F.lit(0.02))
+        return F.abs(est.cast("double") - ex.cast("double")) <= tol
+
+    return nov.join(exact, "source").select(
+        "source",
+        F.col("n_batch_exact").cast("long").alias("n_batch_exact"),
+        F.col("n_new_exact").cast("long").alias("n_new_exact"),
+        (
+            ok(F.col("n_batch_distinct"), F.col("n_batch_exact"))
+            & ok(F.col("est_new"), F.col("n_new_exact"))
+        )
+        .cast("int")
+        .alias("sketch_ok"),
+    )
+
+
+PENDING_R9["pipeline_novelty_ledger"] = (
+    r9_pipeline_novelty_ledger,
+    R9_SQL_NOVELTY_LEDGER,
+)

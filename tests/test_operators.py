@@ -3061,3 +3061,61 @@ def test_cap_per_source_hash_mode_null_id_fails_loudly(spark):
         for r in cap_per_source_threshold(scored, 2, score_col="s").collect()
     )
     assert e == t and len(e) == 2
+
+
+# ---------------------------------------------------------------------------
+# mergeable distinct-count ledger (DataSketches HLL)
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_sketch_exact_in_sparse_mode_and_layout_independent(spark):
+    """Small groups keep the HLL in sparse mode, so estimates equal exact
+    distinct counts; NULL keys are skipped; estimates are identical under
+    a hostile repartition (merge associativity)."""
+    from pdtable_spark.operators import monitor
+
+    rows = [(i % 5, f"d{i % 40}") for i in range(200)] + [(0, None)]
+    df = spark.createDataFrame(rows, "source int, doc_id string")
+    led = {r["source"]: r["estimate"] for r in monitor.distinct_sketch(df).collect()}
+    exact = {
+        r["source"]: r["n"]
+        for r in df.groupBy("source").agg(F.count_distinct("doc_id").alias("n")).collect()
+    }
+    assert led == exact, (led, exact)
+    led13 = {
+        r["source"]: r["estimate"]
+        for r in monitor.distinct_sketch(df.repartition(13)).collect()
+    }
+    assert led13 == led
+
+
+def test_sketch_union_and_novelty_estimate(spark):
+    """Union of two snapshot ledgers estimates the distinct count of the
+    union (exact in sparse mode); novelty_estimate reports exactly the
+    never-seen keys per group, zero seen_before for a brand-new group."""
+    from pdtable_spark.operators import monitor
+
+    a = spark.createDataFrame(
+        [("s", f"d{i}") for i in range(30)], "source string, doc_id string"
+    )
+    b = spark.createDataFrame(
+        [("s", f"d{i}") for i in range(20, 50)] + [("t", "x1"), ("t", "x2")],
+        "source string, doc_id string",
+    )
+    led_a = monitor.distinct_sketch(a)
+    led_b = monitor.distinct_sketch(b)
+    u = {
+        r["source"]: r["estimate"]
+        for r in monitor.sketch_union(
+            led_a.select("source", "sketch").unionByName(led_b.select("source", "sketch"))
+        ).collect()
+    }
+    assert u == {"s": 50, "t": 2}
+    nov = {r["source"]: r for r in monitor.novelty_estimate(led_a, b).collect()}
+    assert (
+        nov["s"]["n_batch_distinct"] == 30
+        and nov["s"]["est_seen_before"] == 30
+        and nov["s"]["est_after"] == 50
+        and nov["s"]["est_new"] == 20
+    )
+    assert nov["t"]["est_seen_before"] == 0 and nov["t"]["est_new"] == 2
