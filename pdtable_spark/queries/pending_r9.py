@@ -214,3 +214,92 @@ PENDING_R9["pipeline_novelty_ledger"] = (
     r9_pipeline_novelty_ledger,
     R9_SQL_NOVELTY_LEDGER,
 )
+
+
+R9_SQL_STREAM_NOVELTY = """
+    SELECT CAST(0 AS BIGINT) AS batch_id, source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_batch_exact,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_new_exact,
+           CAST(1 AS INT) AS sketch_ok
+    FROM documents WHERE doc_id % 3 = 0 GROUP BY source
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 <> 0 THEN doc_id END)
+                AS BIGINT),
+           CAST(1 AS INT)
+    FROM documents WHERE doc_id % 4 = 0 GROUP BY source
+"""
+
+
+def r9_stream_novelty_ledger(spark, sf_dir):
+    """The novelty ledger under the streaming gate: two ingestion waves
+    (doc_id%3==0, then %4==0 — overlapping on %12==0) each picked up by
+    its own ``availableNow`` run over ONE checkpoint; per micro-batch and
+    source the never-seen-key estimate lands exactly-once against the
+    accumulating sketch ledger.  Exact columns are fully value-oracled;
+    ``sketch_ok`` pins both estimates within max(2, 2%) of exact."""
+    import tempfile
+
+    from pdtable_spark.io.jsonl import read_jsonl_stream
+    from pdtable_spark.streaming.monitor import novelty_ledger_stream
+
+    d = tempfile.mkdtemp(prefix="pdtable_novelty_")
+    land, led, out = f"{d}/land", f"{d}/ledger", f"{d}/out"
+    docs = load(spark, sf_dir, "documents")
+    for wave_mod in (3, 4):
+        docs.filter(F.col("doc_id") % wave_mod == 0).write.json(land, mode="append")
+        novelty_ledger_stream(
+            read_jsonl_stream(spark, land), led, out, f"{d}/ckpt"
+        )
+    rep = spark.read.parquet(out)
+    exact = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .groupBy("source")
+        .agg(F.count_distinct("doc_id").alias("n_batch_exact"))
+        .select(
+            F.lit(0).cast("long").alias("batch_id"),
+            "source",
+            "n_batch_exact",
+            F.col("n_batch_exact").alias("n_new_exact"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 0)
+            .groupBy("source")
+            .agg(
+                F.count_distinct("doc_id").alias("n_batch_exact"),
+                F.count_distinct(
+                    F.when(F.col("doc_id") % 3 != 0, F.col("doc_id"))
+                ).alias("n_new_exact"),
+            )
+            .select(
+                F.lit(1).cast("long").alias("batch_id"),
+                "source",
+                "n_batch_exact",
+                "n_new_exact",
+            )
+        )
+    )
+
+    def ok(est, ex):
+        tol = F.greatest(F.lit(2.0), ex.cast("double") * F.lit(0.02))
+        return F.abs(est.cast("double") - ex.cast("double")) <= tol
+
+    return rep.join(exact, ["batch_id", "source"]).select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "source",
+        F.col("n_batch_exact").cast("long").alias("n_batch_exact"),
+        F.col("n_new_exact").cast("long").alias("n_new_exact"),
+        (
+            ok(F.col("n_batch_distinct"), F.col("n_batch_exact"))
+            & ok(F.col("est_new"), F.col("n_new_exact"))
+        )
+        .cast("int")
+        .alias("sketch_ok"),
+    )
+
+
+PENDING_R9["stream_novelty_ledger"] = (
+    r9_stream_novelty_ledger,
+    R9_SQL_STREAM_NOVELTY,
+)

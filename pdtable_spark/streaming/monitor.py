@@ -99,3 +99,105 @@ def drift_monitor_stream(
         return await_or_raise(q, timeout, "drift_monitor_stream")
     finally:
         ref_counts.unpersist()
+
+
+def _novelty_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    ledger_dir: str,
+    out_dir: str,
+    key_col: str,
+    by: str,
+    lgk: int,
+) -> None:
+    """One micro-batch of the novelty ledger (split out for unit tests).
+
+    Reads the cumulative ledger AS-OF the previous batch (max batch_id
+    strictly below this one — so a RETRIED batch recomputes against the
+    same pre-state and both writes below are byte-identical), lands the
+    per-group novelty report for this batch, then writes the advanced
+    cumulative ledger under this batch's partition.
+    """
+    import os
+
+    from pdtable_spark.operators.monitor import (
+        distinct_sketch,
+        novelty_estimate,
+        sketch_union,
+    )
+
+    batch_sk = distinct_sketch(batch_df, key_col, by, lgk)
+    prev = batch_sk.limit(0)  # empty ledger with the right schema
+    if os.path.isdir(ledger_dir):
+        led_all = spark.read.parquet(ledger_dir).filter(F.col("batch_id") < batch_id)
+        mx = led_all.agg(F.max("batch_id")).collect()[0][0]
+        if mx is not None:
+            prev = led_all.filter(F.col("batch_id") == mx).select(
+                by, "sketch", "estimate"
+            )
+    (
+        novelty_estimate(prev, batch_df, key_col, by, lgk)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    (
+        sketch_union(
+            prev.select(by, "sketch").unionByName(batch_sk.select(by, "sketch")), by
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(ledger_dir)
+    )
+
+
+def novelty_ledger_stream(
+    stream_docs: DataFrame,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    by: str = "source",
+    lgk: int = 12,
+    timeout: Optional[int] = 120,
+):
+    """Continuous-ingest novelty bookkeeping: per micro-batch and group,
+    how many NEVER-SEEN keys did this batch add — from HLL sketches
+    alone (:func:`~pdtable_spark.operators.monitor.novelty_estimate`),
+    never storing or rescanning historical ids.  The standing answer to
+    "is the crawl still finding new documents", per source, in the same
+    pipeline run — est_new trending to zero is the refetch alarm.
+
+    State is a PARQUET LEDGER of cumulative per-group sketches,
+    partitioned by ``batch_id`` (the as-of-batch snapshot — KBs per
+    batch; prune old partitions with ``io.maintenance.retention_delete``
+    if they ever matter).  Exactly-once without transactional storage:
+    a retried batch reads the ledger as-of strictly-earlier batches, so
+    its report AND its ledger partition recompute byte-identically and
+    the ``batch_id``-partitioned dynamic overwrites replace themselves
+    (the curate/drift-monitor pattern); sketch-union idempotence means
+    even a duplicated merge of the same batch cannot inflate counts.
+
+    Output rows: (by, n_batch_distinct, est_seen_before, est_after,
+    est_new, batch_id); ledger rows: (by, sketch, estimate, batch_id).
+    """
+    spark = stream_docs.sparkSession
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        _novelty_batch(
+            spark, batch_df, batch_id, ledger_dir, out_dir, key_col, by, lgk
+        )
+
+    q = (
+        stream_docs.writeStream.outputMode("append")
+        .foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return await_or_raise(q, timeout, "novelty_ledger_stream")

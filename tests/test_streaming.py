@@ -531,3 +531,43 @@ def test_await_or_raise_timeout_stops_query():
     with _pytest.raises(TimeoutError, match="did not finish within 1s"):
         await_or_raise(q, 1, "unit")
     assert q.stopped
+
+
+def test_novelty_ledger_batch_retry_idempotent(spark, tmp_path):
+    """The novelty ledger's exactly-once story without transactional
+    storage: batch 1 reports exactly the never-seen keys, and a RETRY of
+    batch 1 (crash after both writes) recomputes against the as-of-batch-0
+    ledger, landing byte-identical report and ledger rows."""
+    from pdtable_spark.streaming.monitor import _novelty_batch
+
+    led, out = str(tmp_path / "ledger"), str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [("s", f"d{i}") for i in range(10)], "source string, doc_id string"
+    )
+    b1 = spark.createDataFrame(
+        [("s", f"d{i}") for i in range(5, 15)] + [("t", "x1")],
+        "source string, doc_id string",
+    )
+    _novelty_batch(spark, b0, 0, led, out, "doc_id", "source", 12)
+    _novelty_batch(spark, b1, 1, led, out, "doc_id", "source", 12)
+
+    def snap(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    rep1, led1 = snap(out), snap(led)
+    got = {
+        (r["batch_id"], r["source"]): (r["n_batch_distinct"], r["est_seen_before"], r["est_new"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(0, "s")] == (10, 0, 10)
+    assert got[(1, "s")] == (10, 10, 5)   # d5..d14: five never-seen
+    assert got[(1, "t")] == (1, 0, 1)
+    # ledger as-of batch 1: union estimates
+    led_rows = {
+        (r["batch_id"], r["source"]): r["estimate"]
+        for r in spark.read.parquet(led).collect()
+    }
+    assert led_rows[(1, "s")] == 15 and led_rows[(1, "t")] == 1
+
+    _novelty_batch(spark, b1, 1, led, out, "doc_id", "source", 12)  # retry
+    assert snap(out) == rep1 and snap(led) == led1
