@@ -521,3 +521,50 @@ def test_cap_per_source_threshold_screens_via_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_label_propagation_ivf_broadcast_probes_no_cartesian(spark):
+    """knn_label_propagation_ivf: the probed queries join the index by
+    CELL as a broadcast hash join (never a shuffle of the index side for
+    the probe), the neighbor top-k and vote windows partition on
+    query_id, and nothing is single-partition or cartesian."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.similarity import (
+        ivf_index,
+        knn_label_propagation_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    idx = ivf_index(emb.filter(F.col("vec_id") % 10 != 0), cents, metadata_cols=["label"])
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = knn_label_propagation_ivf(idx, q, cents, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning(query_id" in plan
+
+
+def test_distinct_sketch_partial_aggregation(spark):
+    """distinct_sketch: the HLL aggregate is PARTIALLY aggregable (an
+    ObjectHashAggregate pair around one group-keyed exchange), so the
+    shuffle moves one sketch per group per partition — never keys — and
+    nothing is single-partition."""
+    from pdtable_spark.operators.monitor import distinct_sketch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = distinct_sketch(docs, "doc_id", "source")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ObjectHashAggregate") >= 2  # partial + final
+    assert n_exchanges(plan) == 1
+    assert "Exchange SinglePartition" not in plan
