@@ -414,7 +414,7 @@ def distinct_sketch(
     many distinct docs across all snapshots" from the ledger alone (one
     scan of sketch rows, no corpus rescan) — the standing corpus
     bookkeeping a continuous ingest needs (unique-docs-ever, per-source
-    dedup-rate trends) at ~0.8%% relative error for lgk=12.
+    dedup-rate trends) at ~0.8% relative error for lgk=12.
 
     NULL keys are skipped by the sketch aggregate (a NULL identity has no
     distinct-count meaning); estimates are DETERMINISTIC for fixed data

@@ -264,9 +264,16 @@ def _dib_gray(frame: bytes, w: int, h: int, bpp: int):
 
 def _grid4x4(gray) -> list:
     """(h, w) grayscale ndarray → the module's 4x4 block-mean 0..255 grid
-    (same output contract as the image/audio decoders)."""
+    (same output contract as the image/audio decoders).  Frames smaller
+    than 4 in either dimension nearest-neighbor upsample first — an
+    empty block's mean would be NaN, not a pixel."""
     import numpy as np
 
+    h, w = gray.shape
+    if h < 4:
+        gray = gray[np.minimum((np.arange(4) * h) // 4, h - 1)]
+    if w < 4:
+        gray = gray[:, np.minimum((np.arange(4) * w) // 4, w - 1)]
     rows = np.array_split(gray, 4, axis=0)
     return [
         [int(min(255.0, round(float(c.mean())))) for c in np.array_split(r, 4, axis=1)]

@@ -1967,6 +1967,14 @@ def test_extract_features_and_sample_frames_real_avi(spark):
     one = multimodal.sample_frames(df, every_s=1.0).collect()
     assert [r["frame_idx"] for r in one] == [0]  # step = round(1.0 * 2fps)
 
+    # a sub-4x4 frame upsamples instead of producing NaN blocks
+    tiny = spark.createDataFrame(
+        [(9, "video", _make_avi([[[(7, 7, 7)] * 2 for _ in range(2)]]), 0.5)],
+        "asset_id long, modality string, payload binary, duration_s double",
+    )
+    tvec = multimodal.extract_features(tiny, dim=16, modality_col="modality").collect()
+    assert list(tvec[0]["feature"]) == [7.0] * 16
+
     comp = spark.createDataFrame(
         [(2, "video", _make_avi([gray], compression=1), 1.0)],
         "asset_id long, modality string, payload binary, duration_s double",
