@@ -47,9 +47,10 @@ def main():
     from pdtable_spark.queries.suite_r8 import R8_QUERIES
 
     names = sys.argv[2:] or (list(R8_QUERIES) + list(PENDING_R9))
+    parts = os.environ.get("CHECK_ORACLES_PARTS", "8")
     spark = (
         SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.driver.memory", "8g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
