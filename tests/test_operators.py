@@ -3127,3 +3127,67 @@ def test_sketch_union_and_novelty_estimate(spark):
         and nov["s"]["est_new"] == 20
     )
     assert nov["t"]["est_seen_before"] == 0 and nov["t"]["est_new"] == 2
+
+
+# ---------------------------------------------------------------------------
+# trained BPE tokenizer (train / encode / fertility)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    """Classic Sennrich toy corpus: merges follow pair frequencies with
+    the lexicographic tie-break, deterministically."""
+    from pdtable_spark.operators import tokenizer as tk
+
+    # 'aaab' x3, 'aab' x1 → pair counts: (a,a): 3*2+1 = 7, (a,b): 4, (b,</w>): 4
+    rows = [(0, "aaab aaab aaab aab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = tk.bpe_train(df, num_merges=3)
+    assert merges[0] == ("a", "a")
+    # after merge1: aaab→[aa,a,b,</w>] x3, aab→[aa,b,</w>] x1
+    # pairs: (aa,a):3, (a,b):3, (aa,b):1, (b,</w>):4 → best (b,</w>)
+    assert merges[1] == ("b", "</w>")
+    # then (a,b</w>):3 vs (aa,a):3 tie → lexicographic: ('a','b</w>') < ('aa','a')
+    assert merges[2] == ("a", "b</w>")
+    # merge loop stops when the table is exhausted, not at num_merges
+    tiny = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    assert len(tk.bpe_train(tiny, num_merges=50)) == 1  # only (x, </w>)
+
+
+def test_bpe_encode_and_fertility(spark):
+    """Encoding applies merges lowest-rank-first; counts and per-source
+    fertility are exact; NULL text is zero; the pandas path equals the
+    driver-side reference apply word-for-word."""
+    from pdtable_spark.operators import tokenizer as tk
+
+    train = spark.createDataFrame(
+        [(0, "low low low lower lowest")], "doc_id long, text string"
+    )
+    merges = tk.bpe_train(train, num_merges=4)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower", "a"),
+            (2, "unseen", "a"),
+            (3, None, "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    enc = {
+        r["doc_id"]: r
+        for r in tk.bpe_encode(docs, merges, return_tokens=True).collect()
+    }
+    assert enc[1]["n_words"] == 2
+    want = tk.bpe_apply_word("low", ranks) + tk.bpe_apply_word("lower", ranks)
+    assert list(enc[1]["bpe_tokens"]) == want
+    assert enc[1]["n_tokens"] == len(want)
+    # unseen word falls back to finer segments, never fails
+    assert enc[2]["n_tokens"] == len(tk.bpe_apply_word("unseen", ranks))
+    assert enc[3] is not None and enc[3]["n_tokens"] == 0 and enc[3]["n_words"] == 0
+
+    fert = {r["source"]: r for r in tk.bpe_fertility(docs, merges).collect()}
+    assert fert["a"]["n_docs"] == 2
+    assert fert["a"]["n_words"] == 3
+    assert fert["a"]["n_tokens"] == enc[1]["n_tokens"] + enc[2]["n_tokens"]
+    assert fert["a"]["fertility"] == fert["a"]["n_tokens"] / 3
+    assert fert["b"]["n_tokens"] == 0 and fert["b"]["fertility"] == 0.0
