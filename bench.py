@@ -270,6 +270,23 @@ def main():
         )
         return similarity.knn_label_propagation_ivf(idx, q, cents, k=10, nprobe=4)
 
+    def bench_bpe_fertility(s, d):
+        # tokenizer artifact trained ONCE (driver-side merge loop over the
+        # bounded word table — the persisted-model pattern); the timed
+        # region is the Arrow-batched corpus encode + fertility aggregate
+        if "bpe" not in _state:
+            from pdtable_spark.operators import tokenizer
+
+            docs = load(s, d, "documents")
+            _state["bpe"] = tokenizer.bpe_train(
+                docs.filter(F.col("doc_id") % 10 == 0), num_merges=200
+            )
+        from pdtable_spark.operators import tokenizer
+
+        return tokenizer.bpe_fertility(load(s, d, "documents"), _state["bpe"])
+
+    BENCH_QUERIES["text_bpe_fertility"] = bench_bpe_fertility
+
     BENCH_QUERIES["dedup_incremental"] = bench_dedup_incremental
     BENCH_QUERIES["dedup_incremental_verified"] = bench_dedup_incremental_verified
     BENCH_QUERIES["ann_query_served"] = bench_ann_query_served
@@ -373,6 +390,8 @@ def main():
         "dedup_containment_prod",
         # round-8 in-round addition: HLL distinct-count ledger + novelty
         "pipeline_novelty_ledger",
+        # round-8 in-round addition: trained-BPE fertility scan
+        "text_bpe_fertility",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2
