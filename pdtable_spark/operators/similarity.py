@@ -1493,3 +1493,108 @@ def knn_label_propagation_ivf(
     wk = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc(id_col))
     nn = scored.withColumn("__r", F.row_number().over(wk)).filter(F.col("__r") <= k)
     return _majority_vote(nn, k)
+
+
+def margin_mining(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_left: Optional[int] = 100_000,
+) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk 2019, the LASER /
+    CCMatrix bitext miner): for each ``left`` row, its best ``right``
+    match by RATIO margin — cos(x,y) normalized by the mean cosine of
+    each side's ``k`` nearest neighbors — kept only above ``threshold``.
+    The margin cancels hubness: a y that is "everyone's neighbor" has a
+    high backward degree, so a merely-globally-popular match scores ~1
+    while a genuinely mutual match scores well above it.  This is the
+    standard aligned-pair miner for parallel-corpus construction and
+    cross-source near-duplicate linking over multilingual embeddings.
+
+    Margin is evaluated on x's top-``k`` cosine candidates (the paper's
+    retrieve-then-rescore form); backward mining is the same call with
+    the frames swapped, and the "intersection" strategy is the inner
+    join of the two outputs on (left_id, right_id) — composition, not a
+    flag.  Returns (left_id, right_id, cosine_sim, margin), one row per
+    left id whose best margin clears ``threshold``.
+
+    Determinism across engines: per-pair cosine is a single identical
+    fold in both spellings, and each k-NN degree is accumulated as
+    SUM over 1e-9-quantized BIGINTs (the PQ ``_dist2`` idiom) — exact
+    integer arithmetic in any row order — so the final margin is ONE
+    double division of identical operands, bit-equal to the SQL oracle.
+
+    100 TB design: ``left`` is the broadcast side (a mining batch /
+    shard — ``max_left`` fails loudly BEFORE the broadcast, same probe
+    as the other miners); ``right`` is scanned once per branch with no
+    pre-window shuffle.  Both top-k windows carry a rank-limit, so
+    Spark's WindowGroupLimit prunes map-side: the forward branch
+    shuffles ≤ k rows per left id per partition, the backward-degree
+    branch ≤ k rows per right id — never the |left|x|right| pair frame.
+    For corpus-scale left sides, shard the calls or mine against a
+    persisted :func:`ivf_index` (the :func:`hard_negatives_ivf` move).
+    """
+    _bounded_broadcast_side(
+        left.select(F.col(id_col)), max_left, "margin_mining", "left"
+    )
+    l = left.select(
+        F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).select(
+        "left_id", "q_vec", dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2")
+    )
+    r = right.select(
+        F.col(id_col).alias("right_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).select(
+        "right_id", "c_vec", dot(F.col("c_vec"), F.col("c_vec")).alias("__c_n2")
+    )
+
+    def pairs() -> DataFrame:
+        # norms folded once per side (see cosine_topk); the pair stage is
+        # one dot fold + one sqrt per (x, y)
+        return r.crossJoin(F.broadcast(l)).select(
+            "left_id",
+            "right_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / F.sqrt(F.col("__q_n2") * F.col("__c_n2"))
+            ).alias("cos"),
+        )
+
+    qcos = F.floor(F.col("cos") * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+    wx = Window.partitionBy("left_id").orderBy(F.desc("cos"), F.asc("right_id"))
+    fwd = (
+        pairs()
+        .withColumn("__rx", F.row_number().over(wx))
+        .filter(F.col("__rx") <= k)
+        .select("left_id", "right_id", "cos", qcos.alias("__cq"))
+    )
+    degx = fwd.groupBy("left_id").agg(
+        F.sum("__cq").alias("__dx"), F.count(F.lit(1)).alias("__nx")
+    )
+    wy = Window.partitionBy("right_id").orderBy(F.desc("cos"), F.asc("left_id"))
+    degy = (
+        pairs()
+        .withColumn("__ry", F.row_number().over(wy))
+        .filter(F.col("__ry") <= k)
+        .select("right_id", qcos.alias("__cq"))
+        .groupBy("right_id")
+        .agg(F.sum("__cq").alias("__dy"), F.count(F.lit(1)).alias("__ny"))
+    )
+    margin = (F.lit(2.0) * F.col("__cq").cast("double")) / (
+        F.col("__dx").cast("double") / F.col("__nx").cast("double")
+        + F.col("__dy").cast("double") / F.col("__ny").cast("double")
+    )
+    wbest = Window.partitionBy("left_id").orderBy(F.desc("margin"), F.asc("right_id"))
+    return (
+        fwd.join(F.broadcast(degx), "left_id")
+        .join(degy, "right_id")
+        .withColumn("margin", margin)
+        .withColumn("__rb", F.row_number().over(wbest))
+        .filter((F.col("__rb") == 1) & (F.col("margin") >= F.lit(float(threshold))))
+        .select(
+            "left_id", "right_id", F.col("cos").alias("cosine_sim"), "margin"
+        )
+    )

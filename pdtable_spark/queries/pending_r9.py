@@ -178,14 +178,22 @@ def r9_pipeline_novelty_ledger(spark, sf_dir):
     without storing or rescanning historical ids.  The exact columns are
     fully value-oracled; ``sketch_ok`` pins both sketch estimates within
     max(2, 2%) of exact — deterministic (fixed hash, associative merge),
-    so a green row stays green at every layout."""
+    so a green row stays green at every layout.
+
+    lgk=16 (64 KB/sketch — still a KB-scale ledger): est_new is a
+    DIFFERENCE of two estimates, so its error scales with the union
+    cardinality, not the (smaller) new-key count; lgk=12's ~1.6% RSE
+    breaks the 2% pin at sf1 (~25k keys/source — measured 7.8% worst
+    rel err on est_new), while lgk=16 measures 0.12% worst — a 16x
+    margin.  At true crawl cardinalities users size lgk the same way:
+    RSE ~1.04/sqrt(2^lgk) against the TIGHTEST pinned quantity."""
     from pdtable_spark.operators import monitor
 
     docs = load(spark, sf_dir, "documents")
     seen = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 2 == 0)
-    led = monitor.distinct_sketch(seen, "doc_id", "source")
-    nov = monitor.novelty_estimate(led, batch, "doc_id", "source")
+    led = monitor.distinct_sketch(seen, "doc_id", "source", lgk=16)
+    nov = monitor.novelty_estimate(led, batch, "doc_id", "source", lgk=16)
     exact = batch.groupBy("source").agg(
         F.count_distinct("doc_id").alias("n_batch_exact"),
         F.count_distinct(
@@ -238,7 +246,9 @@ def r9_stream_novelty_ledger(spark, sf_dir):
     its own ``availableNow`` run over ONE checkpoint; per micro-batch and
     source the never-seen-key estimate lands exactly-once against the
     accumulating sketch ledger.  Exact columns are fully value-oracled;
-    ``sketch_ok`` pins both estimates within max(2, 2%) of exact."""
+    ``sketch_ok`` pins both estimates within max(2, 2%) of exact
+    (lgk=16 — the batch sibling's difference-of-estimates precision
+    argument; 0.12% worst measured error at sf1 vs the 2% pin)."""
     import tempfile
 
     from pdtable_spark.io.jsonl import read_jsonl_stream
@@ -250,7 +260,7 @@ def r9_stream_novelty_ledger(spark, sf_dir):
     for wave_mod in (3, 4):
         docs.filter(F.col("doc_id") % wave_mod == 0).write.json(land, mode="append")
         novelty_ledger_stream(
-            read_jsonl_stream(spark, land), led, out, f"{d}/ckpt"
+            read_jsonl_stream(spark, land), led, out, f"{d}/ckpt", lgk=16
         )
     rep = spark.read.parquet(out)
     exact = (

@@ -2,9 +2,9 @@
 counterpart of scripts/check_oracles.py (which sweeps everything).
 
 Usage: python scripts/check_pending.py [sf_dir] [query ...]
-       (no query names = sweep the round-8 block, queries/suite_r8.py,
-        plus the staged queries/pending_r9.py entries — the script also
-        resolves staged names not yet in suite.QUERIES)
+       (no query names = the round-8 block, queries/suite_r8.py, plus
+        the staged queries/pending_r9.py entries; any suite or staged
+        name can be passed explicitly)
 
 Runs each (spark_fn, duckdb_sql) pair side-by-side and compares
 sorted-by-column-name value tuples, exactly like the driver's gate.
