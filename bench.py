@@ -392,6 +392,8 @@ def main():
         "pipeline_novelty_ledger",
         # round-8 in-round addition: trained-BPE fertility scan
         "text_bpe_fertility",
+        # round-8 in-round addition: margin-based pair mining (staged r9)
+        "embedding_margin_mining",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

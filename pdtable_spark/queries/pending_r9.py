@@ -313,3 +313,67 @@ PENDING_R9["stream_novelty_ledger"] = (
     r9_stream_novelty_ledger,
     R9_SQL_STREAM_NOVELTY,
 )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based pair mining (operators/similarity.py::margin_mining, new
+# round 8 — Artetxe & Schwenk 2019, the LASER/CCMatrix bitext miner)
+# ---------------------------------------------------------------------------
+
+R9_SQL_MARGIN_MINING = f"""
+    WITH l AS (SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS qa
+               FROM embeddings WHERE vec_id % 7 = 0),
+    r AS (SELECT vec_id AS right_id, CAST(embedding AS DOUBLE[]) AS ca
+          FROM embeddings WHERE vec_id % 7 <> 0),
+    p AS (SELECT left_id, right_id, {_sql_cos('qa', 'ca')} AS c
+          FROM l CROSS JOIN r),
+    fk AS (SELECT left_id, right_id, c,
+                  CAST(FLOOR(c * 1000000000.0 + 0.5) AS BIGINT) AS cq
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+                                              ORDER BY c DESC, right_id) AS rx
+                 FROM p) WHERE rx <= 4),
+    degx AS (SELECT left_id, SUM(cq) AS dx, COUNT(*) AS nx
+             FROM fk GROUP BY left_id),
+    degy AS (SELECT right_id,
+                    SUM(CAST(FLOOR(c * 1000000000.0 + 0.5) AS BIGINT)) AS dy,
+                    COUNT(*) AS ny
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY right_id
+                                                ORDER BY c DESC, left_id) AS ry
+                   FROM p) WHERE ry <= 4 GROUP BY right_id),
+    m AS (SELECT fk.left_id, fk.right_id, fk.c,
+                 2.0 * CAST(cq AS DOUBLE)
+                 / (CAST(dx AS DOUBLE) / CAST(nx AS DOUBLE)
+                    + CAST(dy AS DOUBLE) / CAST(ny AS DOUBLE)) AS margin
+          FROM fk JOIN degx USING (left_id) JOIN degy USING (right_id))
+    SELECT left_id, right_id, c AS cosine_sim, margin
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+                                       ORDER BY margin DESC, right_id) AS rb
+          FROM m)
+    WHERE rb = 1 AND margin >= 1.05
+"""
+
+
+def r9_embedding_margin_mining(spark, sf_dir):
+    """Aligned-pair mining across two embedding pools (vec_id%7 split
+    standing in for the two languages/sources): per left vector, its
+    best right match by RATIO margin — cos normalized by the mean of
+    both sides' k-NN cosines (Artetxe & Schwenk 2019) — kept above the
+    paper's 1.05 operating threshold.  Margin arithmetic runs over
+    1e-9-quantized BIGINT degree sums, so the value is order-independent
+    and bit-equal to the oracle; both top-k branches are
+    WindowGroupLimit-pruned, so the |L|x|R| pair frame never shuffles."""
+    from pdtable_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.margin_mining(
+        emb.filter(F.col("vec_id") % 7 == 0),
+        emb.filter(F.col("vec_id") % 7 != 0),
+        k=4,
+        threshold=1.05,
+    )
+
+
+PENDING_R9["embedding_margin_mining"] = (
+    r9_embedding_margin_mining,
+    R9_SQL_MARGIN_MINING,
+)

@@ -3191,3 +3191,109 @@ def test_bpe_encode_and_fertility(spark):
     assert fert["a"]["n_tokens"] == enc[1]["n_tokens"] + enc[2]["n_tokens"]
     assert fert["a"]["fertility"] == fert["a"]["n_tokens"] / 3
     assert fert["b"]["n_tokens"] == 0 and fert["b"]["fertility"] == 0.0
+
+
+def _ref_margin_mining(left_rows, right_rows, k, threshold):
+    """Driver-side reference of margin_mining: same folds, same
+    1e-9-quantized BIGINT degree sums, same tie-breaks."""
+    import math
+
+    def cos(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num = num + x * y
+        n2a = 0.0
+        for x in a:
+            n2a = n2a + x * x
+        n2b = 0.0
+        for y in b:
+            n2b = n2b + y * y
+        return num / math.sqrt(n2a * n2b)
+
+    def q(c):
+        return math.floor(c * 1000000000.0 + 0.5)
+
+    pairs = {
+        (i, j): cos(a, b) for i, a in left_rows.items() for j, b in right_rows.items()
+    }
+    fwd = {
+        i: sorted(right_rows, key=lambda j: (-pairs[(i, j)], j))[:k]
+        for i in left_rows
+    }
+    bwd = {
+        j: sorted(left_rows, key=lambda i: (-pairs[(i, j)], i))[:k]
+        for j in right_rows
+    }
+    dx = {i: (sum(q(pairs[(i, j)]) for j in js), len(js)) for i, js in fwd.items()}
+    dy = {j: (sum(q(pairs[(i, j)]) for i in is_), len(is_)) for j, is_ in bwd.items()}
+    out = []
+    for i, js in fwd.items():
+        cand = []
+        for j in js:
+            m = (2.0 * q(pairs[(i, j)])) / (
+                dx[i][0] / dx[i][1] + dy[j][0] / dy[j][1]
+            )
+            cand.append((m, j))
+        m, j = max(cand, key=lambda t: (t[0], -t[1]))
+        if m >= threshold:
+            out.append((i, j, pairs[(i, j)], m))
+    return sorted(out)
+
+
+def test_margin_mining_matches_bruteforce(spark):
+    """Exact parity with a driver-side reference (same quantized degree
+    arithmetic, same tie-breaks) on a deterministic vector set."""
+    from pdtable_spark.operators import similarity
+
+    left = {i: [1.0 + 0.1 * i, 0.5 * (i % 3), 2.0 - 0.2 * i] for i in range(6)}
+    right = {
+        j: [1.0 + 0.07 * (j % 5), 0.3 * (j % 4), 1.5 - 0.1 * (j % 7)]
+        for j in range(20)
+    }
+    ldf = spark.createDataFrame(
+        [(i, v) for i, v in left.items()], "vec_id long, embedding array<double>"
+    )
+    rdf = spark.createDataFrame(
+        [(j, v) for j, v in right.items()], "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        tuple(r)
+        for r in similarity.margin_mining(ldf, rdf, k=3, threshold=0.0).collect()
+    )
+    assert got == _ref_margin_mining(left, right, k=3, threshold=0.0)
+
+
+def test_margin_mining_hub_suppression(spark):
+    """The ratio margin cancels hubness: a right vector that is EVERY
+    left row's near-neighbor contributes a high backward degree, so the
+    exclusive mutual match out-margins the globally-popular hub even
+    when raw cosines are close."""
+    from pdtable_spark.operators import similarity
+
+    hub = [1.0, 1.0]
+    left = [(0, [1.0, 0.98]), (1, [0.98, 1.0]), (2, [1.02, 1.0])]
+    # y0 = hub (close to every x); y1 = exclusive partner of x0 only
+    right = [(10, hub), (11, [1.0, 0.97]), (12, [-1.0, 0.4]), (13, [0.4, -1.0])]
+    ldf = spark.createDataFrame(left, "vec_id long, embedding array<double>")
+    rdf = spark.createDataFrame(right, "vec_id long, embedding array<double>")
+    out = {
+        r["left_id"]: r
+        for r in similarity.margin_mining(ldf, rdf, k=2, threshold=0.0).collect()
+    }
+    # x0's best match by MARGIN is its exclusive partner y11, though the
+    # hub y10's raw cosine is computed against every left row
+    assert out[0]["right_id"] == 11
+    for r in out.values():
+        assert r["margin"] >= 0.0 and -1.0 <= r["cosine_sim"] <= 1.0 + 1e-12
+
+
+def test_margin_mining_left_bound_raises(spark):
+    """An over-limit left side fails loudly BEFORE the broadcast."""
+    from pdtable_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="more than 3 rows"):
+        similarity.margin_mining(df, df, k=2, max_left=3).collect()

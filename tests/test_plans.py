@@ -568,3 +568,28 @@ def test_distinct_sketch_partial_aggregation(spark):
     assert plan.count("ObjectHashAggregate") >= 2  # partial + final
     assert n_exchanges(plan) == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_margin_mining_group_limits_both_topk_branches(spark):
+    """margin_mining: the left side broadcasts (BroadcastNestedLoopJoin —
+    the bounded mining batch), BOTH top-k branches carry a map-side
+    WindowGroupLimit (so the |L|x|R| pair frame never shuffles — only
+    ≤ k rows per key per partition do), the windows partition on
+    left_id/right_id, and nothing is single-partition."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.similarity import margin_mining
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = margin_mining(
+        emb.filter(F.col("vec_id") % 7 == 0),
+        emb.filter(F.col("vec_id") % 7 != 0),
+        k=4,
+        threshold=1.05,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final per branch
+    assert "Exchange hashpartitioning(left_id" in plan
+    assert "Exchange hashpartitioning(right_id" in plan
+    assert "Exchange SinglePartition" not in plan
