@@ -394,6 +394,11 @@ def main():
         "text_bpe_fertility",
         # round-8 in-round addition: margin-based pair mining (staged r9)
         "embedding_margin_mining",
+        # round-8 in-round additions: corpus lexical diversity (single
+        # scan, digest shuffle) and the per-source unigram divergence
+        # matrix (broadcast vocab probe, |S|x(V+1) tail)
+        "text_distinct_ngrams",
+        "pipeline_source_divergence",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

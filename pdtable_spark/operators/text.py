@@ -1663,3 +1663,170 @@ def vocab_coverage(
             ).otherwise(F.lit(0.0)),
         }
     )
+
+
+def distinct_ngrams(
+    df: DataFrame,
+    ns: Iterable[int] = (1, 2, 3),
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus diversity per group: for each ``n`` in ``ns``, the total
+    and distinct n-gram counts and their ratio (distinct-1/2/3, Li et
+    al. 2016) — the standard lexical-diversity dashboard.  A collapsing
+    distinct-n across snapshots of the same source flags template/
+    boilerplate floods and generation loops long before exact dedup
+    sees byte-identical copies; n=1 doubles as the type-token ratio.
+
+    Returns (``by``, n, n_total, n_distinct, distinct_ratio), one row
+    per group per n (a group whose every doc is shorter than n tokens
+    contributes no n-grams and no row, same as the SQL spelling).
+    Strict windows: a doc shorter than n yields zero n-grams (unlike
+    :func:`shingles`, which degrades to the whole-text shingle for
+    near-dup recall).
+
+    Scale: ONE corpus scan — the per-n gram arrays explode in-scan (the
+    drift-report multi-dim idiom), each gram shuffles as its md5 digest
+    (never the string; the :func:`ngram_novelty` move), and the count
+    is a map-side-combinable aggregate over the (group, n, digest)
+    domain.  NULL text is zero tokens.
+    """
+    ns = sorted(set(int(n) for n in ns))
+    if not ns or ns[0] < 1:
+        raise ValueError("distinct_ngrams: ns must be >= 1")
+
+    def gram_digests(toks, n):
+        if n == 1:
+            return F.transform(toks, lambda t: F.md5(t))
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                _windows_of(toks, n),
+                lambda s: F.md5(F.concat_ws(" ", *[s[str(i)] for i in range(n)])),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    entries = _let(
+        F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>")),
+        lambda t: F.array(
+            *[
+                F.struct(
+                    F.lit(n).cast("int").alias("n"), gram_digests(t, n).alias("g")
+                )
+                for n in ns
+            ]
+        ),
+    )
+    rows = (
+        df.select(F.col(by), F.explode(entries).alias("e"))
+        .select(by, F.col("e.n").alias("n"), F.explode("e.g").alias("__d"))
+    )
+    return (
+        rows.groupBy(by, "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_distinct("__d").alias("n_distinct"),
+        )
+        .select(
+            by,
+            "n",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            (F.col("n_distinct").cast("double") / F.col("n_total").cast("double")).alias(
+                "distinct_ratio"
+            ),
+        )
+    )
+
+
+def source_divergence(
+    df: DataFrame,
+    vocab_size: int = 200,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise distribution distance between per-group unigram
+    distributions over the corpus's top-``vocab_size`` vocabulary (plus
+    one out-of-vocabulary mass bucket, so every distribution sums to 1):
+    Hellinger distance and total variation per group pair — the
+    "which domains are lexically close" matrix that sizes mixture
+    weights, flags a crawl source drifting into another's register, and
+    picks merge candidates before an expensive embedding pass.
+
+    Returns (source_a, source_b, hellinger, tvd), one row per unordered
+    pair (source_a < source_b); hellinger ∈ [0, 1], tvd ∈ [0, 1].
+    Groups with zero tokens have no distribution and no rows.
+
+    Determinism across engines: sqrt is correctly rounded in IEEE (no
+    libm-vs-JVM ulp drift, unlike ln — why Hellinger and not JS/KL
+    here), and both per-token terms accumulate as 1e-15-quantized
+    BIGINTs (the PQ ``_dist2`` idiom), so each distance is exact
+    integer arithmetic + one identical final expression.
+
+    Scale: ONE corpus scan into a map-side-combinable (group, token)
+    count whose shuffle is vocabulary-domain-sized; everything after
+    runs on |groups| x (vocab_size + 1) rows — densified against the
+    observed key domain so absent tokens contribute their full
+    one-sided mass — and the pair frame is |groups|² rows.  The
+    vocabulary boundary is the deterministic tf-desc/token-asc cut of
+    :func:`top_vocab`.
+    """
+    v = (
+        top_vocab(df, vocab_size, text_col=text_col)
+        .select(F.col("token").alias("__vt"))
+        .filter(F.col("__vt").isNotNull())
+        .distinct()
+        .withColumn("__in", F.lit(1))
+    )
+    toks = df.select(
+        F.col(by).alias("src"), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    # OOV bucket = NULL key (one GROUP BY group in both engines — no
+    # sentinel string that a real token could collide with)
+    keyed = toks.join(F.broadcast(v), toks["__t"] == v["__vt"], "left").select(
+        "src", F.when(F.col("__in").isNotNull(), F.col("__t")).alias("__k")
+    )
+    counts = keyed.groupBy("src", "__k").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.groupBy("src").agg(F.sum("__c").alias("__tot"))
+    dom = counts.select("__k").distinct()
+    dens = (
+        totals.crossJoin(F.broadcast(dom))
+        .join(counts, ["src", "__k"], "left")
+        .select(
+            "src",
+            "__k",
+            (
+                F.coalesce(F.col("__c"), F.lit(0)).cast("double")
+                / F.col("__tot").cast("double")
+            ).alias("__p"),
+        )
+    )
+    a, b = dens.alias("a"), dens.alias("b")
+    Q = F.lit(1000000000000000.0)  # 1e15: term <= 1, |domain| <= vocab+1 — no overflow
+    pair_terms = (
+        a.join(b, F.col("a.__k").eqNullSafe(F.col("b.__k")))
+        .filter(F.col("a.src") < F.col("b.src"))
+        .select(
+            F.col("a.src").alias("source_a"),
+            F.col("b.src").alias("source_b"),
+            # explicit d*d, not pow(d, 2): pow is not guaranteed correctly
+            # rounded, multiplication is — both engines agree bit-for-bit
+            F.floor(
+                (F.sqrt(F.col("a.__p")) - F.sqrt(F.col("b.__p")))
+                * (F.sqrt(F.col("a.__p")) - F.sqrt(F.col("b.__p")))
+                * Q
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__h2q"),
+            F.floor(F.abs(F.col("a.__p") - F.col("b.__p")) * Q + F.lit(0.5))
+            .cast("long")
+            .alias("__tvq"),
+        )
+    )
+    return pair_terms.groupBy("source_a", "source_b").agg(
+        F.sqrt(
+            F.sum("__h2q").cast("double") / Q / F.lit(2.0)
+        ).alias("hellinger"),
+        (F.sum("__tvq").cast("double") / Q / F.lit(2.0)).alias("tvd"),
+    )

@@ -377,3 +377,113 @@ PENDING_R9["embedding_margin_mining"] = (
     r9_embedding_margin_mining,
     R9_SQL_MARGIN_MINING,
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus lexical diversity: distinct-n (operators/text.py::distinct_ngrams,
+# new round 8 — Li et al. 2016 distinct-1/2/3; n=1 is the type-token ratio)
+# ---------------------------------------------------------------------------
+
+R9_SQL_DISTINCT_NGRAMS = r"""
+    WITH tok AS (
+      SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT source, n, unnest(gs) AS d FROM (
+        SELECT source, 1 AS n, list_transform(ws, t -> md5(t)) AS gs FROM tok
+        UNION ALL
+        SELECT source, 2, list_transform(range(1, len(ws) - 2 + 2),
+                   i -> md5(array_to_string(list_slice(ws, i, i + 1), ' ')))
+        FROM tok WHERE len(ws) >= 2
+        UNION ALL
+        SELECT source, 3, list_transform(range(1, len(ws) - 3 + 2),
+                   i -> md5(array_to_string(list_slice(ws, i, i + 2), ' ')))
+        FROM tok WHERE len(ws) >= 3
+      )
+    )
+    SELECT source, CAST(n AS INT) AS n, CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS distinct_ratio
+    FROM grams GROUP BY source, n
+"""
+
+
+def r9_text_distinct_ngrams(spark, sf_dir):
+    """Per-source lexical diversity: total/distinct n-gram counts and
+    their ratio for n=1,2,3 (distinct-n; n=1 is the type-token ratio) —
+    the dashboard that flags template floods and generation loops while
+    the docs are still byte-distinct.  ONE corpus scan: the per-n gram
+    arrays explode in-scan and shuffle as md5 digests, never strings."""
+    from pdtable_spark.operators import text
+
+    return text.distinct_ngrams(load(spark, sf_dir, "documents"))
+
+
+PENDING_R9["text_distinct_ngrams"] = (
+    r9_text_distinct_ngrams,
+    R9_SQL_DISTINCT_NGRAMS,
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram divergence matrix
+# (operators/text.py::source_divergence, new round 8)
+# ---------------------------------------------------------------------------
+
+R9_SQL_SOURCE_DIVERGENCE = r"""
+    WITH tok AS (
+      SELECT source AS src, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+      SELECT t FROM (SELECT t, COUNT(*) AS n FROM tok GROUP BY t)
+      ORDER BY n DESC, t ASC LIMIT 200
+    ),
+    keyed AS (
+      SELECT src, CASE WHEN t IN (SELECT t FROM vocab) THEN t END AS k FROM tok
+    ),
+    counts AS (SELECT src, k, COUNT(*) AS c FROM keyed GROUP BY src, k),
+    totals AS (SELECT src, SUM(c) AS tot FROM counts GROUP BY src),
+    dom AS (SELECT DISTINCT k FROM counts),
+    dens AS (
+      SELECT totals.src, dom.k,
+             CAST(COALESCE(c, 0) AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+      FROM totals CROSS JOIN dom
+      LEFT JOIN counts ON counts.src = totals.src
+                      AND counts.k IS NOT DISTINCT FROM dom.k
+    ),
+    terms AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             CAST(FLOOR((SQRT(a.p) - SQRT(b.p)) * (SQRT(a.p) - SQRT(b.p))
+                        * 1000000000000000.0 + 0.5) AS BIGINT) AS h2q,
+             CAST(FLOOR(ABS(a.p - b.p) * 1000000000000000.0 + 0.5) AS BIGINT)
+               AS tvq
+      FROM dens a JOIN dens b ON a.k IS NOT DISTINCT FROM b.k
+      WHERE a.src < b.src
+    )
+    SELECT source_a, source_b,
+           SQRT(CAST(SUM(h2q) AS DOUBLE) / 1000000000000000.0 / 2.0)
+             AS hellinger,
+           CAST(SUM(tvq) AS DOUBLE) / 1000000000000000.0 / 2.0 AS tvd
+    FROM terms GROUP BY source_a, source_b
+"""
+
+
+def r9_pipeline_source_divergence(spark, sf_dir):
+    """Pairwise Hellinger + total-variation distance between per-source
+    unigram distributions over the corpus top-200 vocabulary plus one
+    OOV mass bucket — the "which domains are lexically close" matrix
+    that sizes mixture weights and flags register drift.  Hellinger
+    (sqrt is correctly rounded — no ln ulp drift) with 1e-15-quantized
+    BIGINT term sums: exact integer arithmetic in any row order."""
+    from pdtable_spark.operators import text
+
+    return text.source_divergence(load(spark, sf_dir, "documents"), vocab_size=200)
+
+
+PENDING_R9["pipeline_source_divergence"] = (
+    r9_pipeline_source_divergence,
+    R9_SQL_SOURCE_DIVERGENCE,
+)

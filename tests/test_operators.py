@@ -3297,3 +3297,66 @@ def test_margin_mining_left_bound_raises(spark):
     )
     with pytest.raises(ValueError, match="more than 3 rows"):
         similarity.margin_mining(df, df, k=2, max_left=3).collect()
+
+
+def test_distinct_ngrams_hand_counts(spark):
+    """Hand-computed totals/distincts; strict windows (a doc shorter
+    than n yields no n-grams); NULL text contributes nothing; a group
+    with no n-grams at some n has no row there."""
+    from pdtable_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y", "a"),
+            (2, "x", "a"),
+            (3, None, "a"),
+            (4, "u v", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source"], r["n"]): (r["n_total"], r["n_distinct"], r["distinct_ratio"])
+        for r in T.distinct_ngrams(docs).collect()
+    }
+    assert out[("a", 1)] == (4, 2, 0.5)  # x x y | x
+    assert out[("a", 2)] == (2, 2, 1.0)  # "x x", "x y"
+    assert out[("a", 3)] == (1, 1, 1.0)  # "x x y"
+    assert out[("b", 1)] == (2, 2, 1.0)
+    assert out[("b", 2)] == (1, 1, 1.0)
+    assert ("b", 3) not in out  # both b docs shorter than 3 tokens
+
+    with pytest.raises(ValueError, match="ns must be >= 1"):
+        T.distinct_ngrams(docs, ns=(0, 2))
+
+
+def test_source_divergence_extremes_and_oov_pool(spark):
+    """Identical distributions → 0; disjoint unigram supports → 1 on
+    both distances; tokens outside the vocabulary pool into ONE OOV
+    mass bucket, so sources differing only in OOV tail *identity* are
+    indistinguishable."""
+    from pdtable_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb", "s1"),
+            (2, "cc dd", "s2"),
+            (3, "aa bb", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): (r["hellinger"], r["tvd"])
+        for r in T.source_divergence(docs, vocab_size=10).collect()
+    }
+    assert out[("s1", "s3")] == (0.0, 0.0)
+    h, tv = out[("s1", "s2")]
+    assert abs(h - 1.0) < 1e-9 and abs(tv - 1.0) < 1e-9
+
+    # vocab_size=1 → top token 't' in vocab, u/v pool into the OOV bucket
+    docs2 = spark.createDataFrame(
+        [(1, "t t u", "a"), (2, "t t v", "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = T.source_divergence(docs2, vocab_size=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["hellinger"] == 0.0 and rows[0]["tvd"] == 0.0

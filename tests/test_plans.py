@@ -593,3 +593,35 @@ def test_margin_mining_group_limits_both_topk_branches(spark):
     assert "Exchange hashpartitioning(left_id" in plan
     assert "Exchange hashpartitioning(right_id" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_distinct_ngrams_single_scan_digest_shuffle(spark):
+    """distinct_ngrams: all per-n gram arrays explode inside ONE corpus
+    scan (the drift-report in-scan multi-dim idiom — a per-n loop would
+    pay len(ns) scans), and nothing is single-partition."""
+    from pdtable_spark.operators.text import distinct_ngrams
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        distinct_ngrams(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert n_scans(plan) == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_source_divergence_broadcast_vocab_tiny_tail(spark):
+    """source_divergence: the vocabulary probe is a BROADCAST hash join
+    (the corpus never shuffles on token for membership), the only
+    corpus-domain shuffle is the map-side-combinable (source, key)
+    count, and the pair stage never plans an un-broadcast cartesian."""
+    from pdtable_spark.operators.text import source_divergence
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        source_divergence(docs, vocab_size=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
