@@ -399,6 +399,9 @@ def main():
         # matrix (broadcast vocab probe, |S|x(V+1) tail)
         "text_distinct_ngrams",
         "pipeline_source_divergence",
+        # round-8 in-round addition: mergeable histogram ledger (two
+        # snapshot builds + additive union + interpolated quantiles)
+        "pipeline_quantile_ledger",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

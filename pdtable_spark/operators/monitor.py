@@ -484,3 +484,135 @@ def novelty_estimate(
             ).alias("est_new"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable score-distribution ledger (fixed-boundary histogram sketches)
+# ---------------------------------------------------------------------------
+
+
+def histogram_ledger(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    by: str = "source",
+) -> DataFrame:
+    """Per-group FIXED-BOUNDARY histogram of ``value_col`` as mergeable
+    ``(by, bin, n)`` rows — the quantile sibling of the HLL
+    :func:`distinct_sketch` ledger.  Snapshots persist their bin rows
+    next to the data; cross-snapshot distributions merge by ADDITION
+    (:func:`ledger_union` — a groupBy-sum over KB-scale rows, no corpus
+    rescan), which ``approx_percentile``'s GK state cannot do across
+    separately-written snapshots.  The price of mergeability is the
+    fixed ``[lo, hi)`` grid: quantile estimates from
+    :func:`quantiles_from_ledger` carry at most one bin width of error,
+    chosen up front instead of adaptively.
+
+    Bins: ``bin = floor((v - lo) / width)`` clamped to ``n_bins - 1``
+    (the right edge lands inward, exactly as the SQL spelling), with
+    explicit underflow (``-1``) and overflow (``n_bins``) bins so
+    out-of-range mass is VISIBLE, never silently clamped into the grid.
+    NULL values carry no distribution information and are dropped.
+
+    Scale: one corpus scan into a map-side-combinable count over the
+    ``(by, bin)`` domain — the shuffle is at most groups x (n_bins + 2)
+    rows.  Counts are exact integers, so estimates are deterministic
+    and layout-independent.
+    """
+    if not (hi > lo):
+        raise ValueError("histogram_ledger: need hi > lo")
+    if n_bins < 1:
+        raise ValueError("histogram_ledger: need n_bins >= 1")
+    width = (float(hi) - float(lo)) / float(n_bins)
+    v = F.col(value_col).cast("double")
+    b = (
+        F.when(v < F.lit(float(lo)), F.lit(-1))
+        .when(v >= F.lit(float(hi)), F.lit(int(n_bins)))
+        .otherwise(
+            F.least(
+                F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
+                F.lit(int(n_bins) - 1),
+            )
+        )
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(F.col(by), b.cast("int").alias("bin"))
+        .groupBy(by, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def ledger_union(ledgers: DataFrame, by: str = "source") -> DataFrame:
+    """Merge stacked :func:`histogram_ledger` frames (``unionByName``
+    the snapshots first): bin counts ADD — ledger-sized work only."""
+    return ledgers.groupBy(by, "bin").agg(F.sum("n").alias("n"))
+
+
+def quantiles_from_ledger(
+    ledger: DataFrame,
+    qs,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    by: str = "source",
+) -> DataFrame:
+    """Per-group quantile estimates from a (possibly multi-snapshot)
+    histogram ledger: for each ``q``, linear interpolation inside the
+    first bin whose cumulative count reaches ``q x total`` (the
+    Prometheus ``histogram_quantile`` rule) — at most one bin width of
+    error on the fixed grid, from ledger rows alone.  Underflow /
+    overflow mass clamps its estimate to ``lo`` / ``hi`` (the grid
+    cannot see beyond its boundaries — widen it if those bins matter).
+
+    Returns (``by``, q, est).  Deterministic: counts are exact BIGINTs
+    and every double expression is spelled identically in the SQL
+    oracle, so estimates are bit-equal across engines and layouts.
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 1:
+        raise ValueError("quantiles_from_ledger: need n_bins >= 1")
+    width = (float(hi) - float(lo)) / float(n_bins)
+    led = ledger.groupBy(by, "bin").agg(F.sum("n").alias("n"))
+    wcum = (
+        Window.partitionBy(by)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(by)
+    cum = led.select(
+        by,
+        "bin",
+        "n",
+        F.sum("n").over(wcum).alias("__cum"),
+        F.sum("n").over(wtot).alias("__tot"),
+    )
+    qf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    cand = cum.select(by, "bin", "n", "__cum", "__tot", qf).filter(
+        F.col("__cum").cast("double") >= F.col("q") * F.col("__tot").cast("double")
+    )
+    wpick = Window.partitionBy(by, "q").orderBy("bin")
+    est = (
+        F.when(F.col("bin") < 0, F.lit(float(lo)))
+        .when(F.col("bin") >= n_bins, F.lit(float(hi)))
+        .otherwise(
+            F.lit(float(lo))
+            + F.col("bin").cast("double") * F.lit(width)
+            + (
+                (
+                    F.col("q") * F.col("__tot").cast("double")
+                    - (F.col("__cum") - F.col("n")).cast("double")
+                )
+                / F.col("n").cast("double")
+            )
+            * F.lit(width)
+        )
+    )
+    return (
+        cand.withColumn("__r", F.row_number().over(wpick))
+        .filter(F.col("__r") == 1)
+        .select(by, "q", est.alias("est"))
+    )

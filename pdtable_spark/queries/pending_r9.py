@@ -487,3 +487,73 @@ PENDING_R9["pipeline_source_divergence"] = (
     r9_pipeline_source_divergence,
     R9_SQL_SOURCE_DIVERGENCE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram ledger (operators/monitor.py::histogram_ledger /
+# quantiles_from_ledger, new round 8 — the quantile sibling of the HLL
+# distinct-count ledger)
+# ---------------------------------------------------------------------------
+
+R9_SQL_QUANTILE_LEDGER = r"""
+    WITH led AS (
+      SELECT source,
+             CASE WHEN v < 0.0 THEN -1
+                  WHEN v >= 500.0 THEN 50
+                  ELSE LEAST(CAST(FLOOR((v - 0.0) / 10.0) AS INT), 49) END AS bin,
+             COUNT(*) AS n
+      FROM (SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+            WHERE n_chars IS NOT NULL)
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, bin, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(n) OVER (PARTITION BY source) AS tot
+      FROM led
+    ),
+    cand AS (
+      SELECT source, q, bin, n, c, tot,
+             ROW_NUMBER() OVER (PARTITION BY source, q ORDER BY bin) AS r
+      FROM cum CROSS JOIN (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+      WHERE CAST(c AS DOUBLE) >= q * CAST(tot AS DOUBLE)
+    )
+    SELECT source, q,
+           CASE WHEN bin < 0 THEN 0.0
+                WHEN bin >= 50 THEN 500.0
+                ELSE 0.0 + CAST(bin AS DOUBLE) * 10.0
+                     + ((q * CAST(tot AS DOUBLE) - CAST(c - n AS DOUBLE))
+                        / CAST(n AS DOUBLE)) * 10.0 END AS est
+    FROM cand WHERE r = 1
+"""
+
+
+def r9_pipeline_quantile_ledger(spark, sf_dir):
+    """Cross-snapshot quantiles from histogram ledgers ALONE: two
+    snapshot ledgers (even/odd doc ids) of fixed-boundary n_chars bin
+    counts union by addition — the mergeability approx_percentile's GK
+    state lacks across separately-written snapshots — and the merged
+    ledger answers p50/p90/p99 per source with at most one bin width of
+    error, no corpus rescan.  Overflow mass (n_chars > 500 here) is an
+    explicit bin whose estimate clamps to the grid edge — visible, not
+    silently absorbed.  Counts are exact BIGINTs and the interpolation
+    is spelled identically in SQL, so estimates carry a FULL value
+    oracle (no tolerance pin needed, unlike the HLL ledger)."""
+    from pdtable_spark.operators import monitor
+
+    docs = load(spark, sf_dir, "documents")
+    a = monitor.histogram_ledger(
+        docs.filter(F.col("doc_id") % 2 == 0), "n_chars", 0.0, 500.0, 50
+    )
+    b = monitor.histogram_ledger(
+        docs.filter(F.col("doc_id") % 2 == 1), "n_chars", 0.0, 500.0, 50
+    )
+    merged = monitor.ledger_union(a.unionByName(b))
+    return monitor.quantiles_from_ledger(merged, (0.5, 0.9, 0.99), 0.0, 500.0, 50)
+
+
+PENDING_R9["pipeline_quantile_ledger"] = (
+    r9_pipeline_quantile_ledger,
+    R9_SQL_QUANTILE_LEDGER,
+)

@@ -3360,3 +3360,55 @@ def test_source_divergence_extremes_and_oov_pool(spark):
     rows = T.source_divergence(docs2, vocab_size=1).collect()
     assert len(rows) == 1
     assert rows[0]["hellinger"] == 0.0 and rows[0]["tvd"] == 0.0
+
+
+def test_histogram_ledger_bins_and_quantiles(spark):
+    """Hand-computed bins (underflow -1 / overflow n_bins / right edge
+    lands inward), additive merge, and interpolated quantiles: 10
+    uniform values in one bin interpolate linearly; q=1.0 hits the bin's
+    upper edge; out-of-range mass clamps its estimate to the boundary."""
+    from pdtable_spark.operators import monitor as M
+
+    df = spark.createDataFrame(
+        [(float(v), "a") for v in [-5.0, 0.0, 9.99, 10.0, 100.0, 55.5]]
+        + [(None, "a")],
+        "v double, source string",
+    )
+    led = {
+        r["bin"]: r["n"]
+        for r in M.histogram_ledger(df, "v", 0.0, 100.0, 10).collect()
+    }
+    # -5 underflows; 0 and 9.99 in bin 0; 10.0 in bin 1; 55.5 in bin 5;
+    # 100.0 overflows (right-open grid); NULL dropped
+    assert led == {-1: 1, 0: 2, 1: 1, 5: 1, 10: 1}
+
+    # merge = addition: two copies of the same snapshot double every n
+    one = M.histogram_ledger(df, "v", 0.0, 100.0, 10)
+    merged = {
+        r["bin"]: r["n"]
+        for r in M.ledger_union(one.unionByName(one)).collect()
+    }
+    assert merged == {b: 2 * n for b, n in led.items()}
+
+    # quantiles: 10 values uniform in [0, 10) -> bin 0 holds all mass;
+    # p50 interpolates to 5.0, p100 to the bin's upper edge 10.0
+    u = spark.createDataFrame(
+        [(float(i), "a") for i in range(10)], "v double, source string"
+    )
+    lu = M.histogram_ledger(u, "v", 0.0, 100.0, 10)
+    qs = {
+        r["q"]: r["est"]
+        for r in M.quantiles_from_ledger(lu, (0.5, 1.0), 0.0, 100.0, 10).collect()
+    }
+    assert qs == {0.5: 5.0, 1.0: 10.0}
+
+    # all mass above hi -> overflow bin -> estimate clamps to hi
+    o = spark.createDataFrame([(999.0, "a")], "v double, source string")
+    lo_ = M.histogram_ledger(o, "v", 0.0, 100.0, 10)
+    r = M.quantiles_from_ledger(lo_, (0.5,), 0.0, 100.0, 10).collect()
+    assert [(x["q"], x["est"]) for x in r] == [(0.5, 100.0)]
+
+    with pytest.raises(ValueError, match="hi > lo"):
+        M.histogram_ledger(df, "v", 5.0, 5.0, 10)
+    with pytest.raises(ValueError, match="n_bins >= 1"):
+        M.histogram_ledger(df, "v", 0.0, 1.0, 0)

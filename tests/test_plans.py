@@ -625,3 +625,27 @@ def test_source_divergence_broadcast_vocab_tiny_tail(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_histogram_ledger_partial_aggregation(spark):
+    """histogram_ledger: ONE corpus scan into a map-side-combinable
+    (group, bin) count — partial HashAggregate before the exchange, a
+    shuffle of at most groups x (n_bins + 2) rows, nothing
+    single-partition; the quantile stage runs on ledger rows only (no
+    second corpus scan)."""
+    from pdtable_spark.operators.monitor import (
+        histogram_ledger,
+        quantiles_from_ledger,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    led = histogram_ledger(docs, "n_chars", 0.0, 500.0, 50)
+    plan = led._jdf.queryExecution().executedPlan().toString()
+    assert n_scans(plan) == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Exchange SinglePartition" not in plan
+
+    out = quantiles_from_ledger(led, (0.5, 0.9), 0.0, 500.0, 50)
+    plan2 = out._jdf.queryExecution().executedPlan().toString()
+    assert n_scans(plan2) == 1  # the ledger's scan, not a second one
+    assert "Exchange SinglePartition" not in plan2
