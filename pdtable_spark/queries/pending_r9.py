@@ -557,3 +557,79 @@ PENDING_R9["pipeline_quantile_ledger"] = (
     r9_pipeline_quantile_ledger,
     R9_SQL_QUANTILE_LEDGER,
 )
+
+
+R9_SQL_STREAM_QUANTILE = r"""
+    WITH obs AS (
+      SELECT 0 AS batch_id, source, CAST(n_chars AS DOUBLE) AS v
+      FROM documents WHERE doc_id % 3 = 0 AND n_chars IS NOT NULL
+      UNION ALL
+      SELECT 1, source, CAST(n_chars AS DOUBLE)
+      FROM documents WHERE doc_id % 3 = 0 AND n_chars IS NOT NULL
+      UNION ALL
+      SELECT 1, source, CAST(n_chars AS DOUBLE)
+      FROM documents WHERE doc_id % 4 = 0 AND n_chars IS NOT NULL
+    ),
+    led AS (
+      SELECT batch_id, source,
+             CASE WHEN v < 0.0 THEN -1
+                  WHEN v >= 500.0 THEN 50
+                  ELSE LEAST(CAST(FLOOR((v - 0.0) / 10.0) AS INT), 49) END AS bin,
+             COUNT(*) AS n
+      FROM obs GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT batch_id, source, bin, n,
+             SUM(n) OVER (PARTITION BY batch_id, source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(n) OVER (PARTITION BY batch_id, source) AS tot
+      FROM led
+    ),
+    cand AS (
+      SELECT batch_id, source, q, bin, n, c, tot,
+             ROW_NUMBER() OVER (PARTITION BY batch_id, source, q
+                                ORDER BY bin) AS r
+      FROM cum CROSS JOIN (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+      WHERE CAST(c AS DOUBLE) >= q * CAST(tot AS DOUBLE)
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, source, q,
+           CASE WHEN bin < 0 THEN 0.0
+                WHEN bin >= 50 THEN 500.0
+                ELSE 0.0 + CAST(bin AS DOUBLE) * 10.0
+                     + ((q * CAST(tot AS DOUBLE) - CAST(c - n AS DOUBLE))
+                        / CAST(n AS DOUBLE)) * 10.0 END AS est
+    FROM cand WHERE r = 1
+"""
+
+
+def r9_stream_quantile_ledger(spark, sf_dir):
+    """The histogram ledger under the streaming gate: two ingestion
+    waves (doc_id%3==0, then %4==0 — overlapping on %12==0, counted
+    twice: the ledger tracks OBSERVATIONS) each picked up by its own
+    ``availableNow`` run over one checkpoint; per micro-batch and
+    source the RUNNING n_chars quantiles land exactly-once against the
+    accumulating bin-count ledger.  Counts are exact integers, so every
+    estimate carries the full value oracle — no tolerance pin."""
+    import tempfile
+
+    from pdtable_spark.io.jsonl import read_jsonl_stream
+    from pdtable_spark.streaming.monitor import quantile_ledger_stream
+
+    d = tempfile.mkdtemp(prefix="pdtable_qledger_")
+    land, led, out = f"{d}/land", f"{d}/ledger", f"{d}/out"
+    docs = load(spark, sf_dir, "documents")
+    for wave_mod in (3, 4):
+        docs.filter(F.col("doc_id") % wave_mod == 0).write.json(land, mode="append")
+        quantile_ledger_stream(
+            read_jsonl_stream(spark, land), led, out, f"{d}/ckpt",
+            "n_chars", 0.0, 500.0, 50, qs=(0.5, 0.9),
+        )
+    return spark.read.parquet(out).select(
+        F.col("batch_id").cast("long").alias("batch_id"), "source", "q", "est"
+    )
+
+
+PENDING_R9["stream_quantile_ledger"] = (
+    r9_stream_quantile_ledger,
+    R9_SQL_STREAM_QUANTILE,
+)

@@ -201,3 +201,112 @@ def novelty_ledger_stream(
         .start()
     )
     return await_or_raise(q, timeout, "novelty_ledger_stream")
+
+
+def _quantile_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    ledger_dir: str,
+    out_dir: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    by: str,
+    qs,
+) -> None:
+    """One micro-batch of the quantile ledger (split out for unit tests).
+
+    Reads the cumulative bin-count ledger AS-OF the previous batch (max
+    batch_id strictly below this one — a RETRIED batch recomputes
+    against the same pre-state, so both writes land byte-identically),
+    writes the running per-group quantile report for this batch, then
+    the advanced cumulative ledger under this batch's partition.
+    """
+    import os
+
+    from pdtable_spark.operators.monitor import (
+        histogram_ledger,
+        ledger_union,
+        quantiles_from_ledger,
+    )
+
+    batch_led = histogram_ledger(batch_df, value_col, lo, hi, n_bins, by)
+    prev = batch_led.limit(0)
+    if os.path.isdir(ledger_dir):
+        led_all = spark.read.parquet(ledger_dir).filter(F.col("batch_id") < batch_id)
+        mx = led_all.agg(F.max("batch_id")).collect()[0][0]
+        if mx is not None:
+            prev = led_all.filter(F.col("batch_id") == mx).select(by, "bin", "n")
+    merged = ledger_union(prev.unionByName(batch_led), by)
+    (
+        quantiles_from_ledger(merged, qs, lo, hi, n_bins, by)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    (
+        merged.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(ledger_dir)
+    )
+
+
+def quantile_ledger_stream(
+    stream_docs: DataFrame,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    by: str = "source",
+    qs=(0.5, 0.9, 0.99),
+    timeout: Optional[int] = 120,
+):
+    """Running score-distribution quantiles over a continuous ingest,
+    from mergeable histogram ledgers alone
+    (:func:`~pdtable_spark.operators.monitor.histogram_ledger`): per
+    micro-batch and group, the cumulative p50/p90/p99 of everything
+    ingested so far — a filter-score distribution sliding toward a
+    threshold is visible batches before the survivor-rate alarm fires,
+    with no rescan of earlier batches.
+
+    State is a PARQUET LEDGER of cumulative per-group bin counts
+    partitioned by ``batch_id`` (the as-of-batch snapshot — at most
+    groups x (n_bins + 2) rows per batch).  Exactly-once without
+    transactional storage comes from the AS-OF read discipline alone: a
+    retried batch reads the ledger as-of strictly-earlier batches and
+    recomputes byte-identically into its own dynamic-overwrite
+    partitions.  (Unlike the HLL novelty ledger there is NO idempotent-
+    merge second net — bin counts ADD, so a double-merge would inflate
+    them; the as-of recompute is the mechanism actually doing the work
+    in both ledgers.)  The ledger counts OBSERVATIONS — dedup upstream
+    (:mod:`pdtable_spark.streaming.dedup` or the curate pipeline) if
+    repeated keys must not reweight the distribution.
+
+    Output rows: (``by``, q, est, batch_id); ledger rows:
+    (``by``, bin, n, batch_id).
+    """
+    spark = stream_docs.sparkSession
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        _quantile_batch(
+            spark, batch_df, batch_id, ledger_dir, out_dir,
+            value_col, lo, hi, n_bins, by, qs,
+        )
+
+    q = (
+        stream_docs.writeStream.outputMode("append")
+        .foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return await_or_raise(q, timeout, "quantile_ledger_stream")

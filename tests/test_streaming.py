@@ -571,3 +571,42 @@ def test_novelty_ledger_batch_retry_idempotent(spark, tmp_path):
 
     _novelty_batch(spark, b1, 1, led, out, "doc_id", "source", 12)  # retry
     assert snap(out) == rep1 and snap(led) == led1
+
+
+def test_quantile_ledger_batch_retry_idempotent(spark, tmp_path):
+    """The quantile ledger's exactly-once story: batch 1's running
+    quantiles cover batch 0's and batch 1's observations as ONE
+    merged multiset, and a RETRY of batch 1 (crash after both writes)
+    recomputes against the as-of-batch-0 ledger byte-identically —
+    counts never double despite additive merge."""
+    from pdtable_spark.streaming.monitor import _quantile_batch
+
+    led, out = str(tmp_path / "ledger"), str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [("s", float(v)) for v in range(10)], "source string, v double"
+    )
+    b1 = spark.createDataFrame(
+        [("s", float(v)) for v in range(10, 20)], "source string, v double"
+    )
+    _quantile_batch(spark, b0, 0, led, out, "v", 0.0, 100.0, 10, "source", (0.5, 1.0))
+    _quantile_batch(spark, b1, 1, led, out, "v", 0.0, 100.0, 10, "source", (0.5, 1.0))
+
+    def snap(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    rep1, led1 = snap(out), snap(led)
+    got = {
+        (r["batch_id"], r["q"]): r["est"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch 0: 10 values in bin 0 -> p50 interpolates to 5.0, p100 = 10.0
+    assert got[(0, 0.5)] == 5.0 and got[(0, 1.0)] == 10.0
+    # batch 1 (running): 20 values over bins 0-1 -> p50 = 10.0, p100 = 20.0
+    assert got[(1, 0.5)] == 10.0 and got[(1, 1.0)] == 20.0
+    leds = {
+        (r["batch_id"], r["bin"]): r["n"] for r in spark.read.parquet(led).collect()
+    }
+    assert leds[(0, 0)] == 10 and leds[(1, 0)] == 10 and leds[(1, 1)] == 10
+
+    _quantile_batch(spark, b1, 1, led, out, "v", 0.0, 100.0, 10, "source", (0.5, 1.0))
+    assert snap(out) == rep1 and snap(led) == led1
