@@ -402,6 +402,9 @@ def main():
         # round-8 in-round addition: mergeable histogram ledger (two
         # snapshot builds + additive union + interpolated quantiles)
         "pipeline_quantile_ledger",
+        # round-8 in-round addition: scalar-quantization recall (both
+        # grids vs exact — three broadcast scans)
+        "embedding_sq_recall",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

@@ -633,3 +633,115 @@ PENDING_R9["stream_quantile_ledger"] = (
     r9_stream_quantile_ledger,
     R9_SQL_STREAM_QUANTILE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization + recall (operators/similarity.py::sq_bounds /
+# sq_index / sq_query, new round 8 — the third compression leg after PQ
+# and Matryoshka truncation)
+# ---------------------------------------------------------------------------
+
+def _sq_dq_cte(name: str, levels: int) -> str:
+    return f"""
+    {name} AS (
+      SELECT vec_id,
+             list_transform(ca, (x, i) -> CASE WHEN hi[i] = lo[i] THEN lo[i]
+               ELSE lo[i]
+                    + CAST(LEAST(GREATEST(CAST(FLOOR((x - lo[i]) / (hi[i] - lo[i])
+                          * {levels}.0 + 0.5) AS INT), 0), {levels}) AS DOUBLE)
+                      / {levels}.0 * (hi[i] - lo[i]) END) AS ca
+      FROM ex CROSS JOIN bnd
+    )"""
+
+
+def _sq_topk_cte(name: str, dq: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {_COSINE_SQL} DESC, c.vec_id) AS rank
+        FROM {dq} AS c CROSS JOIN q) WHERE rank <= 10
+    )"""
+
+
+R9_SQL_SQ_RECALL = f"""
+    WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    dims AS (
+      SELECT generate_subscripts(ca, 1) AS i, unnest(ca) AS v FROM ex
+    ),
+    bnd AS (
+      SELECT list(mn ORDER BY i) AS lo, list(mx ORDER BY i) AS hi
+      FROM (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM dims GROUP BY i)
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qa
+          FROM embeddings WHERE vec_id < 5),
+    {_sq_dq_cte('dq8', 255)},
+    {_sq_dq_cte('dq4', 15)},
+    {_sq_topk_cte('sq8', 'dq8')},
+    {_sq_topk_cte('sq4', 'dq4')},
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {_COSINE_SQL} DESC, c.vec_id) AS rank
+        FROM ex AS c CROSS JOIN q) WHERE rank <= 10
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits_int8,
+           CAST(COUNT(a.vec_id) AS DOUBLE) / 10.0 AS recall_int8,
+           CAST(COUNT(b.vec_id) AS BIGINT) AS n_hits_4bit,
+           CAST(COUNT(b.vec_id) AS DOUBLE) / 10.0 AS recall_4bit
+    FROM exact e
+    LEFT JOIN sq8 a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    LEFT JOIN sq4 b ON b.query_id = e.query_id AND b.vec_id = e.vec_id
+    GROUP BY e.query_id
+"""
+
+
+def r9_embedding_sq_recall(spark, sf_dir):
+    """Scalar-quantization recall diagnostic: recall@10 of asymmetric
+    retrieval over the int8 (255-level) AND 4-bit (15-level) SQ grids
+    vs the exact full-precision baseline, in one frame — the
+    measurement that picks the grid before committing the 4x (or 8x)
+    smaller embedding store, completing the PQ/Matryoshka/SQ
+    compression-tuning trio.  Codes store as true 1-byte tinyints;
+    dequantization happens inside the scan projection."""
+    from pdtable_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    bounds = similarity.sq_bounds(emb)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+
+    def hits(levels, suffix):
+        idx = similarity.sq_index(emb, bounds, levels=levels)
+        sq = similarity.sq_query(idx, queries, bounds, k=10, levels=levels).select(
+            "query_id", "vec_id"
+        )
+        return (
+            exact.alias("e")
+            .join(
+                sq.alias("a"),
+                (F.col("a.query_id") == F.col("e.query_id"))
+                & (F.col("a.vec_id") == F.col("e.vec_id")),
+                "left",
+            )
+            .groupBy(F.col("e.query_id").alias("query_id"))
+            .agg(
+                F.count(F.col("a.vec_id")).cast("long").alias(f"n_hits_{suffix}"),
+                (F.count(F.col("a.vec_id")).cast("double") / F.lit(10.0)).alias(
+                    f"recall_{suffix}"
+                ),
+            )
+        )
+
+    return hits(255, "int8").join(hits(15, "4bit"), "query_id")
+
+
+PENDING_R9["embedding_sq_recall"] = (
+    r9_embedding_sq_recall,
+    R9_SQL_SQ_RECALL,
+)

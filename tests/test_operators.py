@@ -3412,3 +3412,56 @@ def test_histogram_ledger_bins_and_quantiles(spark):
         M.histogram_ledger(df, "v", 5.0, 5.0, 10)
     with pytest.raises(ValueError, match="n_bins >= 1"):
         M.histogram_ledger(df, "v", 0.0, 1.0, 0)
+
+
+def test_sq_index_codes_and_dequant_roundtrip(spark):
+    """Grid arithmetic: min codes to 0, max to `levels`, midpoints to the
+    nearest grid line; constant dims code 0 and dequantize to their
+    value; out-of-training-range vectors clamp to the grid edge; codes
+    store as true 1-byte tinyints."""
+    from pdtable_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 5.0, 1.0]), (1, [10.0, 5.0, 3.0]), (2, [5.0, 5.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    bounds = S.sq_bounds(emb)
+    assert bounds == [[0.0, 10.0], [5.0, 5.0], [1.0, 3.0]]
+
+    idx = S.sq_index(emb, bounds, levels=10)
+    assert idx.schema["codes"].dataType.simpleString() == "array<tinyint>"
+    codes = {
+        r["vec_id"]: [c + 128 for c in r["codes"]] for r in idx.collect()
+    }
+    assert codes[0] == [0, 0, 0]       # mins; constant dim -> 0
+    assert codes[1] == [10, 0, 10]     # maxes -> levels
+    assert codes[2] == [5, 0, 5]       # midpoint -> levels/2
+
+    # a vector outside the trained bounds clamps to the grid edge
+    out = S.sq_index(
+        spark.createDataFrame(
+            [(9, [99.0, 5.0, -99.0])], "vec_id long, embedding array<double>"
+        ),
+        bounds,
+        levels=10,
+    ).collect()[0]
+    assert [c + 128 for c in out["codes"]] == [10, 0, 0]
+
+    with pytest.raises(ValueError, match="levels must be in 2..255"):
+        S.sq_index(emb, bounds, levels=256)
+
+    # full-grid retrieval on a small spread corpus matches exact top-k
+    import random
+
+    rnd = random.Random(7)
+    big = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    b = S.sq_bounds(big)
+    q = big.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sq = S.sq_query(S.sq_index(big, b), q, b, k=5).select("query_id", "vec_id")
+    exact = S.cosine_topk(big, q, k=5).select("query_id", "vec_id")
+    assert sq.subtract(exact).count() == 0 and exact.subtract(sq).count() == 0

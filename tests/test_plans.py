@@ -649,3 +649,24 @@ def test_histogram_ledger_partial_aggregation(spark):
     plan2 = out._jdf.queryExecution().executedPlan().toString()
     assert n_scans(plan2) == 1  # the ledger's scan, not a second one
     assert "Exchange SinglePartition" not in plan2
+
+
+def test_sq_query_dequantizes_in_scan_broadcast_queries(spark):
+    """sq_query: dequantization is a scan-local projection over the
+    tinyint codes (no extra exchange beyond cosine_topk's top-k window),
+    queries broadcast, nothing single-partition."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.similarity import sq_bounds, sq_index, sq_query
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    b = sq_bounds(emb)
+    idx = sq_index(emb, b)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = sq_query(idx, q, b, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning(query_id" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # only the top-k window
