@@ -251,3 +251,79 @@ def write_training_shards(
         with open(os.path.join(path, "_shard_manifest.json"), "w") as f:
             f.write(payload)
     return manifest
+
+
+def forget_keys(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str = "doc_id",
+    partition_col: Optional[str] = None,
+    out_path: Optional[str] = None,
+) -> DataFrame:
+    """Right-to-erasure sweep: remove every row whose ``key_col`` appears
+    in the ``keys`` frame, rewriting ONLY what the deletion touches, and
+    return the per-partition erasure certificate — (``partition_col``
+    value, n_forgotten, n_kept) — that a data-protection audit files.
+    :func:`retention_delete` is the predicate/TTL spelling; this is the
+    key-set spelling a GDPR/takedown queue actually produces.
+
+    With ``partition_col`` (a partition-discovered dataset): one
+    column-pruned find pass locates the affected partition values (the
+    keys side broadcasts — takedown batches are small), then ONLY those
+    partitions are rewritten under ``out_path`` (default
+    ``path + ".forget"``), laid out with the same ``partitionBy`` so the
+    caller swaps each listed partition directory — the module's
+    copy-on-write/caller-rename convention, per partition.  Untouched
+    partitions: zero bytes read beyond the find pass, zero written.  A
+    FULLY-erased partition appears in the certificate with
+    ``n_kept = 0`` and writes no output directory — the swap for that
+    entry is a delete; do not skip it.
+
+    Without ``partition_col``: whole-table anti-join rewrite (the
+    :func:`retention_delete` shape) and a single certificate row with a
+    NULL partition value.
+
+    At 100 TB the find pass is the cost floor (one scan of key +
+    partition columns); a per-partition key Bloom/min-max sidecar would
+    prune it further — compose with :func:`write_sorted_parquet` so key
+    ranges are disjoint and the scan skips row groups.
+    """
+    df = spark.read.parquet(path)
+    k = keys.select(F.col(key_col)).distinct()
+    out = out_path or path.rstrip("/") + ".forget"
+    if partition_col is None:
+        n_f = df.join(F.broadcast(k), key_col, "left_semi").count()
+        kept = df.join(F.broadcast(k), key_col, "left_anti")
+        # counts from the kept frame, not a read-back: a fully-erased
+        # table writes an empty dataset parquet cannot re-infer
+        n_k = kept.count()
+        kept.write.mode("overwrite").parquet(out)
+        return spark.createDataFrame(
+            [(None, n_f, n_k)],
+            f"{partition_col or 'partition'} string, n_forgotten long, n_kept long",
+        )
+    hits = (
+        df.join(F.broadcast(k), key_col, "left_semi")
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("n_forgotten"))
+    )
+    parts = [r[0] for r in hits.select(partition_col).collect()]
+    if not parts:
+        return hits.withColumn("n_kept", F.lit(0).cast("long")).select(
+            partition_col, "n_forgotten", F.col("n_kept")
+        )
+    affected = df.filter(F.col(partition_col).isin(parts))
+    kept = affected.join(F.broadcast(k), key_col, "left_anti")
+    kept.write.mode("overwrite").partitionBy(partition_col).parquet(out)
+    kept_counts = kept.groupBy(partition_col).agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return (
+        hits.join(kept_counts, partition_col, "left")
+        .select(
+            partition_col,
+            F.col("n_forgotten").cast("long").alias("n_forgotten"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

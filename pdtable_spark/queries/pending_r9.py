@@ -745,3 +745,47 @@ PENDING_R9["embedding_sq_recall"] = (
     r9_embedding_sq_recall,
     R9_SQL_SQ_RECALL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-erasure sweep (io/maintenance.py::forget_keys, new round 8 —
+# the key-set sibling of retention_delete, under the query gate via its
+# erasure certificate like pipeline_snapshot_diff)
+# ---------------------------------------------------------------------------
+
+R9_SQL_FORGET_AUDIT = """
+    SELECT source,
+           CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_forgotten,
+           CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_kept
+    FROM documents GROUP BY source
+    HAVING SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) > 0
+"""
+
+
+def r9_pipeline_forget_audit(spark, sf_dir):
+    """The GDPR/takedown sweep end-to-end under the value gate: a
+    partitioned copy of documents, a deterministic takedown key set
+    (doc_id%97==0), `forget_keys` rewriting ONLY the affected partition
+    directories, and the per-partition erasure certificate as the
+    result — n_forgotten/n_kept per touched source.  Disk-level effects
+    (untouched dirs absent from out, fully-erased dirs write nothing)
+    are pinned in tests/test_maintenance.py."""
+    import tempfile
+
+    from pdtable_spark.io.maintenance import forget_keys
+
+    d = tempfile.mkdtemp(prefix="pdtable_forget_")
+    docs = load(spark, sf_dir, "documents")
+    docs.write.partitionBy("source").mode("overwrite").parquet(f"{d}/lake")
+    keys = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    return forget_keys(
+        spark, f"{d}/lake", keys, "doc_id", partition_col="source"
+    )
+
+
+PENDING_R9["pipeline_forget_audit"] = (
+    r9_pipeline_forget_audit,
+    R9_SQL_FORGET_AUDIT,
+)

@@ -175,3 +175,64 @@ def test_write_training_shards_remote_manifest(spark, tmp_path):
     assert man_path.is_file()
     man = json.load(open(man_path))
     assert sum(r["n_docs"] for r in man) == 50
+
+
+def test_forget_keys_partitioned_rewrites_only_affected(spark, tmp_path):
+    """The key-set erasure sweep: only partitions containing hits are
+    rewritten (untouched partition dirs never appear under out), deleted
+    keys are gone from the rewritten partitions, a fully-erased
+    partition certifies n_kept=0 and writes no output dir, and the
+    certificate counts are exact."""
+    import os
+
+    from pdtable_spark.io.maintenance import forget_keys
+
+    src = str(tmp_path / "lake")
+    rows = [(i, f"text{i}", f"s{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.partitionBy("source").parquet(src)
+
+    # forget: two keys in s1, every key in s2, none in s0/s3
+    keys = spark.createDataFrame(
+        [(1,), (5,)] + [(i,) for i in range(40) if i % 4 == 2],
+        "doc_id long",
+    )
+    cert = {
+        r["source"]: (r["n_forgotten"], r["n_kept"])
+        for r in forget_keys(
+            spark, src, keys, "doc_id", partition_col="source"
+        ).collect()
+    }
+    assert cert == {"s1": (2, 8), "s2": (10, 0)}
+
+    out = src + ".forget"
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("source="))
+    assert dirs == ["source=s1"]  # s2 fully erased -> no dir; s0/s3 untouched
+    left = spark.read.parquet(f"{out}/source=s1")
+    assert sorted(r["doc_id"] for r in left.collect()) == [
+        i for i in range(40) if i % 4 == 1 and i not in (1, 5)
+    ]
+
+    # no hits anywhere -> empty certificate, nothing written
+    none = forget_keys(
+        spark, src, spark.createDataFrame([(999,)], "doc_id long"),
+        "doc_id", partition_col="source", out_path=str(tmp_path / "none"),
+    )
+    assert none.count() == 0 and not os.path.exists(str(tmp_path / "none"))
+
+
+def test_forget_keys_unpartitioned_whole_table(spark, tmp_path):
+    """Without a partition column the sweep is a whole-table anti-join
+    rewrite with a single NULL-partition certificate row."""
+    from pdtable_spark.io.maintenance import forget_keys
+
+    src = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    ).write.parquet(src)
+    cert = forget_keys(
+        spark, src, spark.createDataFrame([(3,), (7,)], "doc_id long"), "doc_id"
+    ).collect()
+    assert [(r[1], r[2]) for r in cert] == [(2, 8)]
+    kept = spark.read.parquet(src + ".forget")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
