@@ -405,6 +405,11 @@ def main():
         # round-8 in-round addition: scalar-quantization recall (both
         # grids vs exact — three broadcast scans)
         "embedding_sq_recall",
+        # round-8 in-round additions: the filter kappa matrix (one
+        # aggregate row) and the erasure sweep (find pass + partition
+        # rewrite of a derived lake)
+        "pipeline_filter_agreement",
+        "pipeline_forget_audit",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

@@ -616,3 +616,80 @@ def quantiles_from_ledger(
         .filter(F.col("__r") == 1)
         .select(by, "q", est.alias("est"))
     )
+
+
+def filter_agreement(df: DataFrame, flag_cols: List[str]) -> DataFrame:
+    """Pairwise agreement between boolean filter columns — observed
+    agreement and Cohen's kappa per unordered pair: the curation-QA
+    dashboard that says whether two quality filters measure the same
+    thing (kappa near 1: drop one, they are redundant compute) or
+    genuinely different signals (kappa near 0 at high observed
+    agreement just means the flags are imbalanced — exactly the
+    chance-agreement illusion kappa corrects).
+
+    Returns (filter_a, filter_b, n, n_agree, po, kappa): ``po`` is the
+    observed agreement share, kappa = (po − pe)/(1 − pe) with pe the
+    rate-product chance agreement.  ``kappa`` is NULL when pe == 1
+    (both flags constant and equal — agreement is vacuous).  NULL flag
+    values fail loudly: an unevaluated filter in an agreement study is
+    a bug upstream, not a category.
+
+    Scale: ONE corpus scan into ONE map-side-combinable aggregate row —
+    n, per-flag sums, and per-pair co-occurrence sums as int casts of
+    the flags (F flags → F(F−1)/2 pair columns, all codegen; no
+    shuffle of anything row-sized) — then the pair matrix explodes from
+    that single row.  Exact integer counts → every ratio is one
+    identical double expression, bit-equal to the SQL oracle.
+    """
+    flags = list(flag_cols)
+    if len(flags) < 2:
+        raise ValueError("filter_agreement: need at least 2 flag columns")
+    checked = [
+        F.when(F.col(c).isNull(), F.raise_error(F.lit(
+            f"filter_agreement: NULL in flag column {c!r} — evaluate or "
+            "filter the unscored rows first"
+        ))).otherwise(F.col(c).cast("boolean")).cast("int").alias(f"__f{i}")
+        for i, c in enumerate(flags)
+    ]
+    base = df.select(*checked)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs += [F.sum(F.col(f"__f{i}")).alias(f"__s{i}") for i in range(len(flags))]
+    aggs += [
+        F.sum(F.col(f"__f{i}") * F.col(f"__f{j}")).alias(f"__s{i}_{j}")
+        for i in range(len(flags))
+        for j in range(i + 1, len(flags))
+    ]
+    one = base.agg(*aggs)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(flags[i]).alias("filter_a"),
+                    F.lit(flags[j]).alias("filter_b"),
+                    F.col(f"__s{i}").alias("__si"),
+                    F.col(f"__s{j}").alias("__sj"),
+                    F.col(f"__s{i}_{j}").alias("__sij"),
+                )
+                for i in range(len(flags))
+                for j in range(i + 1, len(flags))
+            ]
+        )
+    ).alias("p")
+    n = F.col("__n").cast("double")
+    si, sj = F.col("p.__si").cast("double"), F.col("p.__sj").cast("double")
+    agree = (
+        F.lit(2.0) * F.col("p.__sij").cast("double")
+        - si
+        - sj
+        + n
+    )
+    po = agree / n
+    pe = (si / n) * (sj / n) + (F.lit(1.0) - si / n) * (F.lit(1.0) - sj / n)
+    return one.select(F.col("__n"), pairs).select(
+        F.col("p.filter_a").alias("filter_a"),
+        F.col("p.filter_b").alias("filter_b"),
+        F.col("__n").cast("long").alias("n"),
+        agree.cast("long").alias("n_agree"),
+        po.alias("po"),
+        F.when(pe < F.lit(1.0), (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

@@ -6,6 +6,12 @@ query would read as a coverage gap.  Round 9 registers these (same
 runbook as ``suite_r8``: decorate via the registration loop, slot at the
 head of the rotation alongside the remaining 28 r5-evidence rows).
 
+Round-9 window arithmetic (write it into ``__spark_entry__._PRIORITY``
+at registration time): the 12 queries in this file + the 28 remaining
+r5-evidence rows + the 10 oldest r6-evidence rows = 50 exactly — after
+that window clears, no registered query's evidence is more than two
+rounds old, retiring the rotation debt for good.
+
 Like the round-7 staging file, every entry here is ALREADY under the
 correctness gate: ``tests/test_env_contract.py::test_pending_r9_oracles``
 runs each (spark, oracle) pair side-by-side at sf0.001 in pytest, so the
@@ -788,4 +794,80 @@ def r9_pipeline_forget_audit(spark, sf_dir):
 PENDING_R9["pipeline_forget_audit"] = (
     r9_pipeline_forget_audit,
     R9_SQL_FORGET_AUDIT,
+)
+
+
+# ---------------------------------------------------------------------------
+# Filter agreement / Cohen's kappa matrix
+# (operators/monitor.py::filter_agreement, new round 8)
+# ---------------------------------------------------------------------------
+
+R9_SQL_FILTER_AGREEMENT = r"""
+    WITH fl AS (
+      SELECT CAST(n_chars >= 200 AS INT) AS f0,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) >= 40 AS INT)
+               AS f1,
+             CAST(contains(text, 'the') AS INT) AS f2
+      FROM documents
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n, SUM(f0) AS s0, SUM(f1) AS s1, SUM(f2) AS s2,
+             SUM(f0*f1) AS s01, SUM(f0*f2) AS s02, SUM(f1*f2) AS s12
+      FROM fl
+    ),
+    pairs AS (
+      SELECT 'f_len' AS filter_a, 'f_words' AS filter_b,
+             n, s0 AS si, s1 AS sj, s01 AS sij FROM agg
+      UNION ALL SELECT 'f_len', 'f_the', n, s0, s2, s02 FROM agg
+      UNION ALL SELECT 'f_words', 'f_the', n, s1, s2, s12 FROM agg
+    )
+    SELECT filter_a, filter_b, CAST(n AS BIGINT) AS n,
+           CAST(2.0*CAST(sij AS DOUBLE) - CAST(si AS DOUBLE)
+                - CAST(sj AS DOUBLE) + CAST(n AS DOUBLE) AS BIGINT) AS n_agree,
+           (2.0*CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) - CAST(sj AS DOUBLE)
+            + CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS po,
+           CASE WHEN (CAST(si AS DOUBLE)/CAST(n AS DOUBLE))
+                     * (CAST(sj AS DOUBLE)/CAST(n AS DOUBLE))
+                     + (1.0 - CAST(si AS DOUBLE)/CAST(n AS DOUBLE))
+                     * (1.0 - CAST(sj AS DOUBLE)/CAST(n AS DOUBLE)) < 1.0
+                THEN ((2.0*CAST(sij AS DOUBLE) - CAST(si AS DOUBLE)
+                       - CAST(sj AS DOUBLE) + CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      - ((CAST(si AS DOUBLE)/CAST(n AS DOUBLE))
+                         * (CAST(sj AS DOUBLE)/CAST(n AS DOUBLE))
+                         + (1.0 - CAST(si AS DOUBLE)/CAST(n AS DOUBLE))
+                         * (1.0 - CAST(sj AS DOUBLE)/CAST(n AS DOUBLE))))
+                     / (1.0 - ((CAST(si AS DOUBLE)/CAST(n AS DOUBLE))
+                         * (CAST(sj AS DOUBLE)/CAST(n AS DOUBLE))
+                         + (1.0 - CAST(si AS DOUBLE)/CAST(n AS DOUBLE))
+                         * (1.0 - CAST(sj AS DOUBLE)/CAST(n AS DOUBLE))))
+           END AS kappa
+    FROM pairs
+"""
+
+
+def r9_pipeline_filter_agreement(spark, sf_dir):
+    """Curation QA: pairwise observed agreement + Cohen's kappa between
+    three deterministic quality flags (length, word count, a content
+    membership) — kappa near 1 says two filters are redundant compute,
+    kappa near 0 at high raw agreement is the chance-agreement illusion
+    kappa exists to correct.  ONE corpus scan into ONE
+    map-side-combinable aggregate row; the pair matrix explodes from
+    that single row, so F filters cost F(F−1)/2 codegen sums, never a
+    shuffle of anything row-sized."""
+    from pdtable_spark.operators import monitor
+    from pdtable_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    flagged = docs.select(
+        (F.col("n_chars") >= 200).alias("f_len"),
+        (F.size(tokens(F.col("text"))) >= 40).alias("f_words"),
+        F.col("text").contains("the").alias("f_the"),
+    )
+    return monitor.filter_agreement(flagged, ["f_len", "f_words", "f_the"])
+
+
+PENDING_R9["pipeline_filter_agreement"] = (
+    r9_pipeline_filter_agreement,
+    R9_SQL_FILTER_AGREEMENT,
 )

@@ -3465,3 +3465,50 @@ def test_sq_index_codes_and_dequant_roundtrip(spark):
     sq = S.sq_query(S.sq_index(big, b), q, b, k=5).select("query_id", "vec_id")
     exact = S.cosine_topk(big, q, k=5).select("query_id", "vec_id")
     assert sq.subtract(exact).count() == 0 and exact.subtract(sq).count() == 0
+
+
+def test_filter_agreement_kappa_hand_computed(spark):
+    """Hand-computed kappa: perfect agreement -> 1; 'high raw agreement,
+    imbalanced flags' deflates toward 0 (the chance-agreement illusion);
+    both-constant-equal pairs have vacuous agreement -> NULL kappa; a
+    NULL flag value fails loudly."""
+    from pdtable_spark.operators import monitor as M
+
+    # a == b always; c agrees with a 6/8 but is always-true
+    rows = [
+        (True, True, True),
+        (True, True, True),
+        (True, True, True),
+        (True, True, True),
+        (True, True, True),
+        (True, True, True),
+        (False, False, True),
+        (False, False, True),
+    ]
+    df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+    out = {
+        (r["filter_a"], r["filter_b"]): r for r in M.filter_agreement(
+            df, ["a", "b", "c"]
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n"] == 8 and ab["n_agree"] == 8 and ab["po"] == 1.0
+    # po=1, pe = .75*.75+.25*.25 = .625 -> kappa = .375/.375 = 1.0
+    assert ab["kappa"] == 1.0
+    ac = out[("a", "c")]
+    # po = 6/8; pe = .75*1 + .25*0 = .75 -> kappa = 0: c carries NO
+    # information beyond its base rate despite 75% raw agreement
+    assert ac["po"] == 0.75 and ac["kappa"] == 0.0
+
+    # both constant-true: pe == 1 -> NULL kappa
+    cc = spark.createDataFrame([(True, True)] * 4, "x boolean, y boolean")
+    r = M.filter_agreement(cc, ["x", "y"]).collect()[0]
+    assert r["po"] == 1.0 and r["kappa"] is None
+
+    import pyspark.errors
+
+    nn = spark.createDataFrame([(True, None)], "x boolean, y boolean")
+    with pytest.raises(Exception, match="NULL in flag column 'y'"):
+        M.filter_agreement(nn, ["x", "y"]).collect()
+    with pytest.raises(ValueError, match="at least 2 flag columns"):
+        M.filter_agreement(cc, ["x"])

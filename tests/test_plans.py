@@ -670,3 +670,27 @@ def test_sq_query_dequantizes_in_scan_broadcast_queries(spark):
     assert "Exchange hashpartitioning(query_id" in plan
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # only the top-k window
+
+
+def test_filter_agreement_single_aggregate_no_shuffle_of_rows(spark):
+    """filter_agreement: one corpus scan into one map-side-combinable
+    aggregate row (the threshold-sweep shape); the pair matrix explodes
+    from that single row — no row-sized shuffle, no join."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.monitor import filter_agreement
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    flagged = docs.select(
+        (F.col("n_chars") >= 200).alias("f_len"),
+        F.col("text").contains("the").alias("f_the"),
+    )
+    plan = (
+        filter_agreement(flagged, ["f_len", "f_the"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert n_scans(plan) == 1
+    assert "Join" not in plan
+    assert n_exchanges(plan) == 0  # single-row agg shuffles no hash partitions
