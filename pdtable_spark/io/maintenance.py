@@ -309,6 +309,16 @@ def forget_keys(
         .agg(F.count(F.lit(1)).alias("n_forgotten"))
     )
     parts = [r[0] for r in hits.select(partition_col).collect()]
+    if any(p is None for p in parts):
+        # isin(None) never matches, so a NULL-partition hit would be
+        # SILENTLY skipped — in an erasure sweep that is a compliance
+        # failure, not a detail.  (Hive writes NULL partitions as
+        # __HIVE_DEFAULT_PARTITION__; normalize them before sweeping.)
+        raise ValueError(
+            "forget_keys: keys found in a NULL partition value — rewrite "
+            "the NULL partition explicitly (or run without partition_col) "
+            "before relying on this certificate"
+        )
     if not parts:
         return hits.withColumn("n_kept", F.lit(0).cast("long")).select(
             partition_col, "n_forgotten", F.col("n_kept")

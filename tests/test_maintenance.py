@@ -236,3 +236,22 @@ def test_forget_keys_unpartitioned_whole_table(spark, tmp_path):
     assert [(r[1], r[2]) for r in cert] == [(2, 8)]
     kept = spark.read.parquet(src + ".forget")
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_forget_keys_null_partition_fails_loudly(spark, tmp_path):
+    """A forgotten key living in a NULL partition value cannot be
+    silently skipped by the isin prune — an erasure sweep that misses
+    rows is a compliance failure, so it raises instead."""
+    import pytest as _pytest
+
+    from pdtable_spark.io.maintenance import forget_keys
+
+    src = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, source string"
+    ).write.partitionBy("source").parquet(src)
+    with _pytest.raises(ValueError, match="NULL partition value"):
+        forget_keys(
+            spark, src, spark.createDataFrame([(2,)], "doc_id long"),
+            "doc_id", partition_col="source",
+        )
