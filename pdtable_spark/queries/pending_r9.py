@@ -7,8 +7,8 @@ runbook as ``suite_r8``: decorate via the registration loop, slot at the
 head of the rotation alongside the remaining 28 r5-evidence rows).
 
 Round-9 window arithmetic (write it into ``__spark_entry__._PRIORITY``
-at registration time): the 12 queries in this file + the 28 remaining
-r5-evidence rows + the 10 oldest r6-evidence rows = 50 exactly — after
+at registration time): the 11 queries in this file + the 28 remaining
+r5-evidence rows + the 11 oldest r6-evidence rows = 50 exactly — after
 that window clears, no registered query's evidence is more than two
 rounds old, retiring the rotation debt for good.
 
