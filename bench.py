@@ -410,6 +410,9 @@ def main():
         # rewrite of a derived lake)
         "pipeline_filter_agreement",
         "pipeline_forget_audit",
+        # round-8 in-round addition: collocations by lift (bigram-domain
+        # count + marginal windows + TakeOrdered)
+        "text_collocations",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

@@ -1830,3 +1830,85 @@ def source_divergence(
         ).alias("hellinger"),
         (F.sum("__tvq").cast("double") / Q / F.lit(2.0)).alias("tvd"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` collocations (statistically-bound word pairs) by LIFT on
+    the bigram event space: ``lift = c(a,b)·N / (c1(a)·c2(b))`` with N
+    the total bigram count and c1/c2 the first-/second-position
+    marginals — the contingency-table association PMI exponentiates,
+    kept LOG-FREE deliberately: lift is a ratio of exact integer
+    products (one double division, bit-equal across engines and
+    rank-equivalent to PMI), where ln drifts a ulp between JVM and libm.
+    Collocation lists drive tokenizer-vocab candidates, multi-word PII
+    patterns, and boilerplate-phrase discovery.
+
+    ``min_count`` floors the pair count — rare pairs have unboundedly
+    noisy lift (two hapaxes adjacent once score N) — and the cut is on
+    the PAIR count exactly, so the oracle reproduces the boundary.
+    Returns (w1, w2, n_pair, n_w1, n_w2, lift), ties broken by (w1, w2).
+
+    Scale: ONE corpus scan — adjacent pairs explode from strict token
+    windows into a map-side-combinable (w1, w2) count whose shuffle is
+    bigram-domain-sized; BOTH marginals are window sums over that same
+    counts frame (never a second corpus scan — on the bigram event
+    space the position marginals are exactly the per-key sums), the
+    grand total joins back as a broadcast 1-row frame, and the top-k is
+    sort+limit → TakeOrdered per-partition heaps.
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or min_count < 1:
+        raise ValueError("collocations: k and min_count must be >= 1")
+    toks = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            _windows_of(toks, 2),
+            lambda s: F.struct(s["0"].alias("w1"), s["1"].alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    counts = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    marg = counts.select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.sum("n_pair").over(w1w).alias("n_w1"),
+        F.sum("n_pair").over(w2w).alias("n_w2"),
+    )
+    # the grand total is Σ max(len−1, 0) — a pure scan + scalar count
+    # (the counts-frame spelling re-derived the whole bigram groupBy just
+    # to sum it: one extra bigram-domain shuffle for a number a projection
+    # already knows)
+    total = df.select(
+        F.greatest(F.size(toks) - F.lit(1), F.lit(0)).alias("__c")
+    ).agg(F.sum("__c").alias("__N"))
+    lift = (
+        F.col("n_pair").cast("double") * F.col("__N").cast("double")
+    ) / (F.col("n_w1").cast("double") * F.col("n_w2").cast("double"))
+    return (
+        marg.crossJoin(F.broadcast(total))
+        .filter(F.col("n_pair") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_w1").cast("long").alias("n_w1"),
+            F.col("n_w2").cast("long").alias("n_w2"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(int(k))
+    )

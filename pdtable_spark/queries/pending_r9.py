@@ -7,8 +7,8 @@ runbook as ``suite_r8``: decorate via the registration loop, slot at the
 head of the rotation alongside the remaining 28 r5-evidence rows).
 
 Round-9 window arithmetic (write it into ``__spark_entry__._PRIORITY``
-at registration time): the 11 queries in this file + the 28 remaining
-r5-evidence rows + the 11 oldest r6-evidence rows = 50 exactly — after
+at registration time): the 12 queries in this file + the 28 remaining
+r5-evidence rows + the 10 oldest r6-evidence rows = 50 exactly — after
 that window clears, no registered query's evidence is more than two
 rounds old, retiring the rotation debt for good.
 
@@ -870,4 +870,55 @@ def r9_pipeline_filter_agreement(spark, sf_dir):
 PENDING_R9["pipeline_filter_agreement"] = (
     r9_pipeline_filter_agreement,
     R9_SQL_FILTER_AGREEMENT,
+)
+
+
+# ---------------------------------------------------------------------------
+# Collocations by lift (operators/text.py::collocations, new round 8 —
+# log-free PMI on the bigram event space)
+# ---------------------------------------------------------------------------
+
+R9_SQL_COLLOCATIONS = r"""
+    WITH tok AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2
+      FROM tok CROSS JOIN LATERAL unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    counts AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2),
+    marg AS (
+      SELECT w1, w2, n_pair,
+             SUM(n_pair) OVER (PARTITION BY w1) AS n_w1,
+             SUM(n_pair) OVER (PARTITION BY w2) AS n_w2,
+             SUM(n_pair) OVER () AS N
+      FROM counts
+    )
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_w1 AS BIGINT) AS n_w1, CAST(n_w2 AS BIGINT) AS n_w2,
+           (CAST(n_pair AS DOUBLE) * CAST(N AS DOUBLE))
+             / (CAST(n_w1 AS DOUBLE) * CAST(n_w2 AS DOUBLE)) AS lift
+    FROM marg WHERE n_pair >= 5
+    ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+
+
+def r9_text_collocations(spark, sf_dir):
+    """Top-20 collocations by lift (min pair count 5): the
+    statistically-bound word pairs that seed tokenizer-vocab candidates,
+    multi-word PII patterns, and boilerplate-phrase discovery.  Lift is
+    PMI's log-free rank-equivalent — a ratio of exact integer products,
+    so the score is bit-equal across engines where ln would drift a
+    ulp.  One corpus scan; both position marginals are window sums over
+    the bigram-count frame itself."""
+    from pdtable_spark.operators import text
+
+    return text.collocations(load(spark, sf_dir, "documents"), k=20, min_count=5)
+
+
+PENDING_R9["text_collocations"] = (
+    r9_text_collocations,
+    R9_SQL_COLLOCATIONS,
 )

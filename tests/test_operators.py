@@ -3512,3 +3512,38 @@ def test_filter_agreement_kappa_hand_computed(spark):
         M.filter_agreement(nn, ["x", "y"]).collect()
     with pytest.raises(ValueError, match="at least 2 flag columns"):
         M.filter_agreement(cc, ["x"])
+
+
+def test_collocations_lift_hand_computed(spark):
+    """Hand-computed lift on the bigram event space: an exclusive pair
+    out-lifts a pair whose words are promiscuous; min_count floors the
+    pair count; short/NULL docs contribute nothing."""
+    from pdtable_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            # "a b" twice -> exclusive pair; "x" pairs with many seconds
+            (1, "a b x p a b x q x r", "s"),
+            (2, "x p x q", "s"),
+            (3, None, "s"),
+            (4, "solo", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["w1"], r["w2"]): r for r in T.collocations(docs, k=50, min_count=2).collect()
+    }
+    # bigrams doc1: (a,b)(b,x)(x,p)(p,a)(a,b)(b,x)(x,q)(q,x)(x,r)
+    # doc2: (x,p)(p,x)(x,q);  N = 12
+    ab = rows[("a", "b")]
+    assert (ab["n_pair"], ab["n_w1"], ab["n_w2"]) == (2, 2, 2)
+    assert ab["lift"] == (2.0 * 12.0) / (2.0 * 2.0)  # 6.0 — exclusive
+    xp = rows[("x", "p")]
+    # x leads 5 bigrams ((x,p)x2, (x,q)x2, (x,r)) — its promiscuity
+    # deflates the pair's lift below the exclusive (a,b)'s
+    assert (xp["n_pair"], xp["n_w1"], xp["n_w2"]) == (2, 5, 2)
+    assert xp["lift"] == (2.0 * 12.0) / (5.0 * 2.0)  # 2.4 < 6.0
+    assert ("p", "a") not in rows  # n_pair=1 < min_count
+
+    with pytest.raises(ValueError, match="k and min_count must be >= 1"):
+        T.collocations(docs, k=0)

@@ -694,3 +694,27 @@ def test_filter_agreement_single_aggregate_no_shuffle_of_rows(spark):
     assert n_scans(plan) == 1
     assert "Join" not in plan
     assert n_exchanges(plan) == 0  # single-row agg shuffles no hash partitions
+
+
+def test_collocations_single_scan_takeordered(spark):
+    """collocations: one corpus scan into the bigram-domain count, both
+    marginals as window sums over that frame (no second scan), the
+    grand total a broadcast 1-row frame, and the global top-k a
+    TakeOrdered — never a single-partition sort of the bigram domain."""
+    from pdtable_spark.operators.text import collocations
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        collocations(docs, k=20, min_count=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two scans: the bigram-count branch and the scalar-total branch —
+    # the total is a pure scan+count (NO bigram re-aggregation: exactly
+    # three hash exchanges total — the groupBy and the two marginal
+    # windows), and the global top-k is a TakeOrdered, never a
+    # single-partition sort of the bigram domain
+    assert n_scans(plan) == 2
+    assert n_exchanges(plan) == 3
+    assert "TakeOrderedAndProject" in plan
