@@ -1536,6 +1536,15 @@ def margin_mining(
     branch ≤ k rows per right id — never the |left|x|right| pair frame.
     For corpus-scale left sides, shard the calls or mine against a
     persisted :func:`ivf_index` (the :func:`hard_negatives_ivf` move).
+
+    Deliberate cost: the two branches each fold the pair cosines (2x
+    fold work, 2 corpus scans).  The single-scan alternative — ship
+    ``left`` as a driver-collected matrix column and compute each y's
+    backward degree scan-locally — was evaluated and rejected: it turns
+    the 55 MB *frame* broadcast into a driver-side Python matrix
+    (~400 MB at the 100k bound), capping practical batch size an order
+    of magnitude lower.  Fold work is embarrassingly parallel; batch
+    headroom is the scarcer resource.
     """
     _bounded_broadcast_side(
         left.select(F.col(id_col)), max_left, "margin_mining", "left"
