@@ -1688,6 +1688,10 @@ def sq_index(
     return _sq_lo_hi(df, bounds).select(
         id_col,
         F.transform(code, lambda c: (c - F.lit(128)).cast("tinyint")).alias("codes"),
+        # grid stamp: decoding at a different `levels` is silently-wrong
+        # arithmetic — sq_query verifies this column row-side (RLE'd to
+        # nothing in parquet, zero extra jobs at query time)
+        F.lit(int(levels)).cast("int").alias("sq_levels"),
     )
 
 
@@ -1719,6 +1723,19 @@ def sq_query(
             - F.element_at(F.col("__sq_lo"), i + 1)
         ),
     )
+    if "sq_levels" in index.columns:
+        # row-side grid check: a mismatched `levels` is silently-wrong
+        # arithmetic, not an error Spark would ever raise on its own
+        dq = F.when(
+            F.col("sq_levels") != F.lit(int(levels)),
+            F.raise_error(
+                F.concat(
+                    F.lit("sq_query: index encoded at levels="),
+                    F.col("sq_levels").cast("string"),
+                    F.lit(f", decode requested levels={int(levels)}"),
+                )
+            ).cast("array<double>"),
+        ).otherwise(dq)
     corpus = _sq_lo_hi(index, bounds).select(F.col(id_col), dq.alias(vec_col))
     return cosine_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col,

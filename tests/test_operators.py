@@ -3547,3 +3547,22 @@ def test_collocations_lift_hand_computed(spark):
 
     with pytest.raises(ValueError, match="k and min_count must be >= 1"):
         T.collocations(docs, k=0)
+
+
+def test_sq_query_grid_mismatch_fails_loudly(spark):
+    """Decoding an index at a different grid than it was encoded with is
+    silently-wrong arithmetic — the stamped sq_levels column turns it
+    into a loud row-side error."""
+    from pdtable_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    b = S.sq_bounds(emb)
+    idx = S.sq_index(emb, b, levels=15)
+    q = emb.limit(2).withColumnRenamed("vec_id", "query_id")
+    with pytest.raises(Exception, match="encoded at levels=15"):
+        S.sq_query(idx, q, b, k=3, levels=255).collect()
+    # matching grid passes
+    assert S.sq_query(idx, q, b, k=3, levels=15).count() > 0
