@@ -1789,15 +1789,25 @@ def source_divergence(
     counts = keyed.groupBy("src", "__k").agg(F.count(F.lit(1)).alias("__c"))
     totals = counts.groupBy("src").agg(F.sum("__c").alias("__tot"))
     dom = counts.select("__k").distinct()
+    # null-SAFE key equality: the OOV bucket IS the NULL key, and a
+    # name-list join (EqualTo) would silently zero its mass — caught by
+    # the brute-force fuzz test on a corpus whose token domain actually
+    # exceeds the vocabulary (the fixtures' 31-token domain never
+    # exercises OOV at vocab_size=200, so the oracle alone missed it)
     dens = (
-        totals.crossJoin(F.broadcast(dom))
-        .join(counts, ["src", "__k"], "left")
+        totals.crossJoin(F.broadcast(dom)).alias("d")
+        .join(
+            counts.alias("c"),
+            (F.col("d.src") == F.col("c.src"))
+            & F.col("d.__k").eqNullSafe(F.col("c.__k")),
+            "left",
+        )
         .select(
-            "src",
-            "__k",
+            F.col("d.src").alias("src"),
+            F.col("d.__k").alias("__k"),
             (
-                F.coalesce(F.col("__c"), F.lit(0)).cast("double")
-                / F.col("__tot").cast("double")
+                F.coalesce(F.col("c.__c"), F.lit(0)).cast("double")
+                / F.col("d.__tot").cast("double")
             ).alias("__p"),
         )
     )

@@ -3566,3 +3566,127 @@ def test_sq_query_grid_mismatch_fails_loudly(spark):
         S.sq_query(idx, q, b, k=3, levels=255).collect()
     # matching grid passes
     assert S.sq_query(idx, q, b, k=3, levels=15).count() > 0
+
+
+def test_quantile_ledger_fuzz_error_bound(spark):
+    """Property: for any data and grid, the ledger quantile is within
+    one bin width of the true order statistic whenever the mass sits
+    inside the grid — the operator's whole accuracy contract."""
+    import random
+
+    from pdtable_spark.operators import monitor as M
+
+    rnd = random.Random(42)
+    for trial in range(4):
+        n_bins = rnd.choice([5, 16, 64])
+        lo, hi = 0.0, float(rnd.choice([10, 100]))
+        vals = [rnd.uniform(lo, hi - 1e-9) for _ in range(rnd.randint(20, 200))]
+        df = spark.createDataFrame(
+            [(v, "g") for v in vals], "v double, source string"
+        )
+        led = M.histogram_ledger(df, "v", lo, hi, n_bins)
+        qs = (0.1, 0.5, 0.9)
+        got = {
+            r["q"]: r["est"]
+            for r in M.quantiles_from_ledger(led, qs, lo, hi, n_bins).collect()
+        }
+        width = (hi - lo) / n_bins
+        sv = sorted(vals)
+        for q in qs:
+            import math
+
+            true = sv[max(0, math.ceil(q * len(sv)) - 1)]
+            assert abs(got[q] - true) <= width + 1e-9, (
+                trial, q, got[q], true, width
+            )
+
+
+def test_collocations_fuzz_bruteforce(spark):
+    """Random small corpora: lift, marginals, min_count boundary and the
+    (lift desc, w1, w2) top-k order all match a driver-side reference."""
+    import random
+
+    from pdtable_spark.operators import text as T
+
+    rnd = random.Random(13)
+    for trial in range(3):
+        vocab = [f"w{i}" for i in range(rnd.randint(3, 8))]
+        docs = [
+            (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 12))))
+            for i in range(rnd.randint(5, 25))
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        k, mc = rnd.randint(3, 10), rnd.randint(1, 3)
+        got = [tuple(r) for r in T.collocations(df, k=k, min_count=mc).collect()]
+
+        # reference
+        from collections import Counter
+
+        pairs = Counter()
+        for _, text in docs:
+            ws = text.split() if text.strip() else ([""] if text else [])
+            ws = text.strip().split() if text.strip() else []
+            # match the operator: split('\s+') of trim; empty text -> ['']
+            ws = text.strip().split() if text.strip() else ([''] if text is not None else [])
+            for a, b in zip(ws, ws[1:]):
+                pairs[(a, b)] += 1
+        c1, c2 = Counter(), Counter()
+        for (a, b), c in pairs.items():
+            c1[a] += c
+            c2[b] += c
+        N = sum(pairs.values())
+        rows = [
+            (a, b, c, c1[a], c2[b], (float(c) * float(N)) / (float(c1[a]) * float(c2[b])))
+            for (a, b), c in pairs.items()
+            if c >= mc
+        ]
+        rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+        assert got == rows[:k], (trial, got[:3], rows[:3])
+
+
+def test_source_divergence_fuzz_bruteforce(spark):
+    """Random corpora: Hellinger and TVD match a driver-side reference
+    with the same quantized-term arithmetic."""
+    import math
+    import random
+
+    from pdtable_spark.operators import text as T
+
+    rnd = random.Random(23)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 20))),
+         f"s{i % 3}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    V = 5
+    got = {
+        (r["source_a"], r["source_b"]): (r["hellinger"], r["tvd"])
+        for r in T.source_divergence(df, vocab_size=V).collect()
+    }
+
+    from collections import Counter
+
+    tok = [(s, w) for _, text, s in docs for w in text.split()]
+    tf = Counter(w for _, w in tok)
+    top = sorted(tf.items(), key=lambda t: (-t[1], t[0]))[:V]
+    vset = {w for w, _ in top}
+    counts = Counter((s, w if w in vset else None) for s, w in tok)
+    tot = Counter()
+    for (s, _), c in counts.items():
+        tot[s] += c
+    dom = {kk for (_, kk) in counts}
+    srcs = sorted(tot)
+    Q = 1e15
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            h2q = tvq = 0
+            for kk in dom:
+                pa = counts.get((a, kk), 0) / tot[a]
+                pb = counts.get((b, kk), 0) / tot[b]
+                d = math.sqrt(pa) - math.sqrt(pb)
+                h2q += math.floor(d * d * Q + 0.5)
+                tvq += math.floor(abs(pa - pb) * Q + 0.5)
+            want = (math.sqrt(h2q / Q / 2.0), tvq / Q / 2.0)
+            assert got[(a, b)] == want, (a, b, got[(a, b)], want)
