@@ -1574,7 +1574,7 @@ R8_SQL_VOCAB_COVERAGE = r"""
     ),
     vocab AS (
       SELECT t FROM (SELECT t, COUNT(*) AS n FROM tok GROUP BY t)
-      ORDER BY n DESC, t ASC LIMIT 200
+      ORDER BY n DESC, t ASC LIMIT 16
     ),
     per AS (
       SELECT doc_id, COUNT(*) AS n_tokens,
@@ -1592,15 +1592,19 @@ R8_SQL_VOCAB_COVERAGE = r"""
 
 
 def r8_text_vocab_coverage(spark, sf_dir):
-    """Per-doc OOV share against the corpus's top-200 token vocabulary
+    """Per-doc OOV share against the corpus's top-16 token vocabulary
     (deterministic tf-desc, token-asc boundary) — the tokenizer-fertility
     / domain-shift signal.  The vocabulary is a bounded collected
     artifact folded into a zero-shuffle scan-local membership
-    expression (the IVF-centroid pattern)."""
+    expression (the IVF-centroid pattern).  vocab_size=16 < the
+    fixtures' 31-token domain so n_oov is NON-ZERO at every SF: at the
+    original 200 the fixtures have no OOV at all and the oracle never
+    exercised the OOV counting path (the blind spot the round-8
+    source_divergence fuzz bug exposed)."""
     from pdtable_spark.operators.text import vocab_coverage
 
     docs = load(spark, sf_dir, "documents")
-    return vocab_coverage(docs, vocab_size=200).select(
+    return vocab_coverage(docs, vocab_size=16).select(
         "doc_id", "source", "n_tokens", "n_oov", "oov_share"
     )
 
@@ -1863,7 +1867,7 @@ R8_SQL_VOCAB_DRIFT = r"""
     ),
     vocab AS (
       SELECT t FROM (SELECT t, COUNT(*) AS n FROM ref_tok GROUP BY t)
-      ORDER BY n DESC, t ASC LIMIT 200
+      ORDER BY n DESC, t ASC LIMIT 16
     ),
     new_tok AS (
       SELECT doc_id, source,
@@ -1887,7 +1891,7 @@ R8_SQL_VOCAB_DRIFT = r"""
 
 
 def r8_text_vocab_drift(spark, sf_dir):
-    """The frozen-vocabulary drift alarm as designed: build the top-200
+    """The frozen-vocabulary drift alarm as designed: build the top-16
     vocabulary on the REFERENCE half (even doc_ids), measure per-source
     OOV share on the INCOMING half (odd doc_ids) — a rising share is the
     early signal that a fixed tokenizer will shred the new data.
@@ -1896,7 +1900,8 @@ def r8_text_vocab_drift(spark, sf_dir):
     from pdtable_spark.operators.text import top_vocab, vocab_coverage
 
     docs = load(spark, sf_dir, "documents")
-    frozen = top_vocab(docs.filter(F.col("doc_id") % 2 == 0), 200)
+    # 16 < the fixtures' 31-token domain — OOV non-zero at every SF
+    frozen = top_vocab(docs.filter(F.col("doc_id") % 2 == 0), 16)
     cov = vocab_coverage(docs.filter(F.col("doc_id") % 2 == 1), vocab=frozen)
     tot = F.sum("n_tokens").cast("long")
     oov = F.sum("n_oov").cast("long")

@@ -3690,3 +3690,41 @@ def test_source_divergence_fuzz_bruteforce(spark):
                 tvq += math.floor(abs(pa - pb) * Q + 0.5)
             want = (math.sqrt(h2q / Q / 2.0), tvq / Q / 2.0)
             assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+
+def test_distinct_ngrams_fuzz_bruteforce(spark):
+    """Random corpora: totals, distincts and ratios match a driver-side
+    reference for every (group, n)."""
+    import random
+
+    from pdtable_spark.operators import text as T
+
+    rnd = random.Random(31)
+    vocab = [f"w{i}" for i in range(6)]
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 9))) or None,
+         f"s{i % 3}")
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        (r["source"], r["n"]): (r["n_total"], r["n_distinct"], r["distinct_ratio"])
+        for r in T.distinct_ngrams(df, ns=(1, 2, 3)).collect()
+    }
+
+    from collections import defaultdict
+
+    tot, dis = defaultdict(int), defaultdict(set)
+    for _, text, s in docs:
+        if text is None:
+            continue
+        ws = text.strip().split() if text.strip() else [""]
+        for n in (1, 2, 3):
+            for j in range(len(ws) - n + 1):
+                g = " ".join(ws[j:j + n])
+                tot[(s, n)] += 1
+                dis[(s, n)].add(g)
+    want = {
+        k: (tot[k], len(dis[k]), len(dis[k]) / tot[k]) for k in tot
+    }
+    assert got == want
