@@ -750,7 +750,7 @@ def q_both_status_customers(spark, sf_dir):
            substr(p_name, 1, 8) AS name_prefix,
            length(p_name) AS name_len,
            p_brand || '/' || p_type AS brand_type,
-           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green,
+           CASE WHEN p_name LIKE '%cold%' THEN 1 ELSE 0 END AS has_cold,
            replace(p_type, ' ', '_') AS type_snake
     FROM part
     WHERE p_name LIKE '%ol%'
@@ -766,7 +766,11 @@ def q_string_funcs(spark, sf_dir):
         F.substring("p_name", 1, 8).alias("name_prefix"),
         F.length("p_name").cast("bigint").alias("name_len"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
-        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("has_green"),
+        # '%cold%' is MIXED under the '%ol%' filter ('cold *' rows hit,
+        # '* bolt' rows miss); the original '%green%' could never match —
+        # the fixture adjective vocabulary has no 'green' at any SF, so
+        # the true-branch was dead in the oracle (constant-column audit)
+        F.when(F.col("p_name").like("%cold%"), 1).otherwise(0).alias("has_cold"),
         F.regexp_replace("p_type", " ", "_").alias("type_snake"),
     )
 
@@ -1405,21 +1409,52 @@ _PII_PHONE = r"\d{3}[-. ]\d{3}[-. ]\d{4}"
 @q(
     "text_pii_redact",
     f"""
+    WITH der AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                    THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example for access'
+                  WHEN doc_id % 7 = 0
+                    THEN text || ' call 555-013-4122 or 555.018.8233'
+                  ELSE text END AS text
+      FROM documents
+    )
     SELECT doc_id,
            regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
                           '{_PII_PHONE}', '[PHONE]', 'g') AS clean_text,
            CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones
-    FROM documents
+    FROM der
     """,
 )
 def text_pii_redact(spark, sf_dir):
     """PII scrubbing — the standard pre-training redaction pass: emails and
     phone-shaped digit runs replaced with placeholder tags, plus per-doc
     match counts for pipeline accounting.  Pure codegen regex (RE2/Java
-    common subset), no shuffle."""
+    common subset), no shuffle.
+
+    Derived corpus (the c4/gopher trick): the raw fixtures contain NO
+    email- or phone-shaped strings, so both counting paths sat at a
+    constant 0 in the value oracle (found by the round-8 constant-column
+    audit) — deterministic contacts are appended to the %5/%7 doc slices
+    so redaction and counting take non-trivial values at every SF."""
     d = load(spark, sf_dir, "documents")
-    t = F.col("text")
+    t = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example for access"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" call 555-013-4122 or 555.018.8233")),
+        )
+        .otherwise(F.col("text"))
+    )
     return d.select(
         "doc_id",
         F.regexp_replace(
@@ -4671,7 +4706,11 @@ _MIX_ALPHA = 0.7
 @q(
     "pipeline_mixture_temperature",
     f"""
-    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents
+      WHERE (doc_id % 97) % (CAST(substr(source, 4) AS INT) % 4 + 2) <> 0
+      GROUP BY source
+    ),
     t AS (SELECT SUM(n_docs) AS total FROM c),
     w AS (
       SELECT source, n_docs,
@@ -4691,8 +4730,22 @@ def pipeline_mixture_temperature(spark, sf_dir):
     """Temperature-scaled domain mixing (p_i^0.7 renormalized, mT5-style):
     upsamples small high-quality sources.  The pow() output is quantized
     to 9 decimals as BIGINT before the renormalizing sum, so the weights
-    are bit-reproducible across engines (pow differs by ulps)."""
+    are bit-reproducible across engines (pow differs by ulps).
+
+    The fixture corpus is perfectly UNIFORM (equal docs per source), so
+    on the raw table every share/weight was one constant and the
+    upsampling math was invisible to the oracle (round-8
+    constant-column audit) — a deterministic source-dependent skew
+    (keep fraction varies by source number mod 4) gives four share
+    levels, so mix_share genuinely diverges from share."""
     docs = load(spark, sf_dir, "documents")
+    # doc ids are round-robin-correlated with source, so a direct
+    # doc_id %% m test keeps all-or-none per source — mod 97 first
+    docs = docs.filter(
+        (F.col("doc_id") % 97)
+        % (F.substring(F.col("source"), 4, 10).cast("int") % 4 + 2)
+        != 0
+    )
     from pdtable_spark.operators.sampling import mixture_temperature_weights
 
     return mixture_temperature_weights(docs, alpha=_MIX_ALPHA)
@@ -5006,8 +5059,23 @@ def _sql_gopher_ok(t: str = "text", min_words: int = _GOPHER_MIN_WORDS) -> str:
 #: natural duplicate lines), ' slow'→' ...' (ellipses, some line-final),
 #: ' hash'→' #' (hash symbols).
 _GOPHER_DERIVED_SQL = (
+    # base derivation: ellipses, symbols, bullet-ish lines — then three
+    # doc slices pushed PAST a rule threshold each (de-spaced -> giant
+    # word fails mean_word_len; every-word-bulleted fails bullet_lines;
+    # 8 identical appended lines fail dup_lines): without them those
+    # three pass-flags were constant 1 in the oracle at every SF
+    # (round-8 constant-column audit)
+    "CASE WHEN doc_id % 13 = 0 THEN replace("
     "replace(replace(replace(text, ' slow', ' ...'), ' hash', ' #'),"
-    " ' line', chr(10) || '-')"
+    " ' line', chr(10) || '-'), ' ', '')"
+    " WHEN doc_id % 11 = 0 THEN replace("
+    "replace(replace(replace(text, ' slow', ' ...'), ' hash', ' #'),"
+    " ' line', chr(10) || '-'), ' ', chr(10) || '- ')"
+    " WHEN doc_id % 17 = 0 THEN "
+    "replace(replace(replace(text, ' slow', ' ...'), ' hash', ' #'),"
+    " ' line', chr(10) || '-') || repeat(chr(10) || 'dup dup', 8)"
+    " ELSE replace(replace(replace(text, ' slow', ' ...'), ' hash', ' #'),"
+    " ' line', chr(10) || '-') END"
 )
 
 _GOPHER_M = _sql_gopher_metrics("t.der")
@@ -5059,18 +5127,31 @@ def text_gopher_rules(spark, sf_dir):
     cross-engine hash.  Runs on a deterministic multi-line variant of the
     fixture (see ``_GOPHER_DERIVED_SQL``) so every line-level metric takes
     non-trivial values under the oracle."""
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "text",
+    base = F.replace(
         F.replace(
-            F.replace(
-                F.replace(F.col("text"), F.lit(" slow"), F.lit(" ...")),
-                F.lit(" hash"),
-                F.lit(" #"),
-            ),
-            F.lit(" line"),
-            F.lit("\n-"),
+            F.replace(F.col("text"), F.lit(" slow"), F.lit(" ...")),
+            F.lit(" hash"),
+            F.lit(" #"),
         ),
+        F.lit(" line"),
+        F.lit("\n-"),
     )
+    # three doc slices pushed past a rule threshold each, so the
+    # mean-word-length / bullet-line / duplicate-line FAIL paths are
+    # exercised by the value oracle (they were constant-pass before)
+    der = (
+        F.when(F.col("doc_id") % 13 == 0, F.replace(base, F.lit(" "), F.lit("")))
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.replace(base, F.lit(" "), F.lit("\n- ")),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(base, F.repeat(F.lit("\ndup dup"), 8)),
+        )
+        .otherwise(base)
+    )
+    docs = load(spark, sf_dir, "documents").withColumn("text", der)
     return text.gopher_quality_flags(docs, min_words=_GOPHER_MIN_WORDS)
 
 
@@ -5620,11 +5701,12 @@ _SQL_STREAM_DRIFT = """
     WITH waves(w, batch_id) AS (VALUES (1, 0), (3, 1)),
     oc AS (
       SELECT b.batch_id, CAST(source AS VARCHAR) AS value, COUNT(*) AS n_old
-      FROM documents CROSS JOIN waves b WHERE doc_id % 2 = 0 GROUP BY 1, 2
+      FROM documents CROSS JOIN waves b
+      WHERE (doc_id % 97) % 2 = 0 GROUP BY 1, 2
     ),
     nc AS (
       SELECT b.batch_id, CAST(source AS VARCHAR) AS value, COUNT(*) AS n_new
-      FROM documents JOIN waves b ON doc_id % 4 = b.w GROUP BY 1, 2
+      FROM documents JOIN waves b ON (doc_id % 97) % 4 = b.w GROUP BY 1, 2
     ),
     j AS (
       SELECT COALESCE(oc.batch_id, nc.batch_id) AS batch_id,
@@ -5679,9 +5761,16 @@ def stream_drift_monitor(spark, sf_dir):
     d = tempfile.mkdtemp(prefix="pdtable_drift_")
     land, out = f"{d}/land", f"{d}/out"
     docs = load(spark, sf_dir, "documents")
-    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    # (doc_id %% 97) decorrelates the split from the fixtures' round-robin
+    # doc->source assignment: with plain %%2 / %%4 slices the reference held
+    # only EVEN sources and the waves only ODD ones — disjoint supports, so
+    # n_old was 0 on every row, tvd a constant 1.0, and the drift join's
+    # overlap path invisible to the oracle (round-8 constant-column audit)
+    ref = docs.filter((F.col("doc_id") % 97) % 2 == 0)
     for wave in (1, 3):
-        docs.filter(F.col("doc_id") % 4 == wave).write.json(land, mode="append")
+        docs.filter((F.col("doc_id") % 97) % 4 == wave).write.json(
+            land, mode="append"
+        )
         drift_monitor_stream(
             read_jsonl_stream(spark, land), ref, out, f"{d}/ckpt",
             ["source"], quantize=1e9,

@@ -1304,17 +1304,21 @@ R8_SQL_EPOCHS = f"""
                AS total_tokens
       FROM documents WHERE source IN ('src1', 'src2', 'src3') GROUP BY 1
     ),
+    b AS (
+      SELECT CAST(6 * total_tokens AS DOUBLE) AS budget
+      FROM per WHERE source = 'src2'
+    ),
     t(source, target_share) AS (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2))
     SELECT p.source, n_docs, total_tokens,
            CAST(target_share AS DOUBLE) AS target_share,
-           CAST(FLOOR(CAST(target_share AS DOUBLE) * {float(_EPOCHS_BUDGET)})
+           CAST(FLOOR(CAST(target_share AS DOUBLE) * budget)
                 AS BIGINT) AS target_tokens,
-           CAST(CAST(FLOOR(CAST(target_share AS DOUBLE) * {float(_EPOCHS_BUDGET)})
+           CAST(CAST(FLOOR(CAST(target_share AS DOUBLE) * budget)
                 AS BIGINT) AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS epochs,
-           CAST(CAST(CAST(FLOOR(CAST(target_share AS DOUBLE) * {float(_EPOCHS_BUDGET)})
+           CAST(CAST(CAST(FLOOR(CAST(target_share AS DOUBLE) * budget)
                 AS BIGINT) AS DOUBLE) / CAST(total_tokens AS DOUBLE)
                 > {_EPOCHS_MAX} AS INT) AS repeat_risk
-    FROM per p JOIN t USING (source)
+    FROM per p JOIN t USING (source) CROSS JOIN b
 """
 
 
@@ -1323,12 +1327,27 @@ def r8_pipeline_epochs_plan(spark, sf_dir):
     source the (budget, mixture) pair implies, with the >max_epochs
     over-repetition flag (Muennighoff et al. 2023 — marginal value of a
     repeated epoch decays toward zero past ~4) — the rebalance-or-collect
-    warning BEFORE a training run commits to a mixture."""
+    warning BEFORE a training run commits to a mixture.
+
+    The budget is CORPUS-RELATIVE (6x src2's token count, a bounded
+    scalar collect): the old fixed 6000 left src1 at 1.95 implied
+    epochs — a hair under the 2.0 flag at sf0.01 and far under it at
+    sf1, so repeat_risk was a constant 0 and the flag path was
+    invisible to the value oracle (round-8 constant-column audit).
+    Relative sizing keeps the flags MIXED (src1 fires, src2/src3 do
+    not) at every SF because all per-source token totals scale
+    together."""
     from pdtable_spark.operators.sampling import epochs_plan
+    from pdtable_spark.operators.text import tokens
 
     docs = load(spark, sf_dir, "documents")
+    t2 = docs.filter(F.col("source") == "src2").agg(
+        F.sum(
+            F.when(F.col("text").isNotNull(), F.size(tokens(F.col("text"))))
+        )
+    ).collect()[0][0]
     return epochs_plan(
-        docs, _EPOCHS_TARGETS, _EPOCHS_BUDGET, max_epochs=_EPOCHS_MAX
+        docs, _EPOCHS_TARGETS, 6 * int(t2), max_epochs=_EPOCHS_MAX
     )
 
 
@@ -1410,7 +1429,7 @@ R8_SQL_UNCERTAINTY = f"""
              CAST({_CLF_BIAS!r} AS DOUBLE) + COALESCE(s.wsum, 0.0) AS score
       FROM documents d LEFT JOIN s USING (doc_id)
     ),
-    m AS (SELECT doc_id, score, abs(score - 0.0) AS margin FROM scored)
+    m AS (SELECT doc_id, score, abs(score - (-0.25)) AS margin FROM scored)
     SELECT doc_id, score, margin,
            CAST(row_number() OVER (ORDER BY margin, doc_id) AS INT) AS rank
     FROM m ORDER BY margin, doc_id LIMIT 20
@@ -1422,13 +1441,20 @@ def r8_pipeline_uncertainty_sample(spark, sf_dir):
     score sits nearest the keep/drop threshold — margin-based uncertainty
     sampling, the label-what-the-model-doubts loop that grows a quality
     classifier's training set.  Global top-k is sort+limit (TakeOrdered),
-    never a corpus-wide single-partition window."""
+    never a corpus-wide single-partition window.
+
+    threshold = -0.25 (-16/64, an exact binary fraction like the
+    weights): at 0.0 dozens of fixture docs score exactly zero, so the
+    top-20 margins were a constant 0.0 and the margin ORDERING was only
+    ever exercised as a doc_id tie-break (round-8 constant-column
+    audit); off-mode the top-20 spans margins 1/64..8/64 with a real
+    tie-break boundary inside the last group."""
     from pdtable_spark.operators.sampling import uncertainty_sample
     from pdtable_spark.operators.text import classifier_score
 
     docs = load(spark, sf_dir, "documents")
     scored = classifier_score(docs, _CLF_WEIGHTS, bias=_CLF_BIAS)
-    return uncertainty_sample(scored, k=20, score_col="clf_score", threshold=0.0)
+    return uncertainty_sample(scored, k=20, score_col="clf_score", threshold=-0.25)
 
 
 R8_QUERIES["pipeline_uncertainty_sample"] = (
