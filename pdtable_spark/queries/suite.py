@@ -5078,6 +5078,30 @@ _GOPHER_DERIVED_SQL = (
     " ' line', chr(10) || '-') END"
 )
 
+def _gopher_derived_col():
+    """The Spark Column mirroring ``_GOPHER_DERIVED_SQL`` — ONE shared
+    spelling for every query that grades flags over the derived corpus
+    (gopher rules, curation funnel), so the two sides cannot drift."""
+    base = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit(" slow"), F.lit(" ...")),
+            F.lit(" hash"),
+            F.lit(" #"),
+        ),
+        F.lit(" line"),
+        F.lit("\n-"),
+    )
+    return (
+        F.when(F.col("doc_id") % 13 == 0, F.replace(base, F.lit(" "), F.lit("")))
+        .when(F.col("doc_id") % 11 == 0, F.replace(base, F.lit(" "), F.lit("\n- ")))
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(base, F.repeat(F.lit("\ndup dup"), 8)),
+        )
+        .otherwise(base)
+    )
+
+
 _GOPHER_M = _sql_gopher_metrics("t.der")
 
 
@@ -5127,31 +5151,12 @@ def text_gopher_rules(spark, sf_dir):
     cross-engine hash.  Runs on a deterministic multi-line variant of the
     fixture (see ``_GOPHER_DERIVED_SQL``) so every line-level metric takes
     non-trivial values under the oracle."""
-    base = F.replace(
-        F.replace(
-            F.replace(F.col("text"), F.lit(" slow"), F.lit(" ...")),
-            F.lit(" hash"),
-            F.lit(" #"),
-        ),
-        F.lit(" line"),
-        F.lit("\n-"),
+    # three doc slices pushed past a rule threshold each (see
+    # _gopher_derived_col), so the mean-word-length / bullet-line /
+    # duplicate-line FAIL paths are exercised by the value oracle
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text", _gopher_derived_col()
     )
-    # three doc slices pushed past a rule threshold each, so the
-    # mean-word-length / bullet-line / duplicate-line FAIL paths are
-    # exercised by the value oracle (they were constant-pass before)
-    der = (
-        F.when(F.col("doc_id") % 13 == 0, F.replace(base, F.lit(" "), F.lit("")))
-        .when(
-            F.col("doc_id") % 11 == 0,
-            F.replace(base, F.lit(" "), F.lit("\n- ")),
-        )
-        .when(
-            F.col("doc_id") % 17 == 0,
-            F.concat(base, F.repeat(F.lit("\ndup dup"), 8)),
-        )
-        .otherwise(base)
-    )
-    docs = load(spark, sf_dir, "documents").withColumn("text", der)
     return text.gopher_quality_flags(docs, min_words=_GOPHER_MIN_WORDS)
 
 

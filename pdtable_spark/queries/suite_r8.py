@@ -733,18 +733,10 @@ def r8_pipeline_curation_funnel(spark, sf_dir):
     share, and the MARGINAL n_failed_alone (what dropping the rule would
     recover) — one aggregate row unpivoted via inline."""
     from pdtable_spark.operators.text import curation_funnel, gopher_quality_flags
+    from pdtable_spark.queries.suite import _gopher_derived_col
 
     docs = load(spark, sf_dir, "documents").withColumn(
-        "text",
-        F.replace(
-            F.replace(
-                F.replace(F.col("text"), F.lit(" slow"), F.lit(" ...")),
-                F.lit(" hash"),
-                F.lit(" #"),
-            ),
-            F.lit(" line"),
-            F.lit("\n-"),
-        ),
+        "text", _gopher_derived_col()
     )
     return curation_funnel(gopher_quality_flags(docs, min_words=_GOPHER_MIN_WORDS))
 
