@@ -3271,6 +3271,13 @@ def pipeline_stratified_sample(spark, sf_dir):
 @q(
     "pipeline_source_stats",
     f"""
+    WITH der AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 19 = 0
+                  THEN 'boilerplate notice from ' || source
+                  ELSE text END AS text
+      FROM documents
+    )
     SELECT source,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT md5(text)) AS n_unique,
@@ -3278,7 +3285,7 @@ def pipeline_stratified_sample(spark, sf_dir):
            {_sql_dsum(f'len({_SQL_TOKS})', 'total_tokens', 'DECIMAL(18,0)')},
            CAST(SUM(CAST(len({_SQL_TOKS}) AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
              AS avg_tokens
-    FROM documents
+    FROM der
     GROUP BY source
     """,
 )
@@ -3286,7 +3293,18 @@ def pipeline_source_stats(spark, sf_dir):
     """Per-source corpus health: doc counts, exact-dup ratio (distinct md5
     digests — 16 B/doc shuffle, never bodies), token totals.  The per-domain
     triage report every crawl pipeline starts from."""
-    d = load(spark, sf_dir, "documents")
+    # the raw fixtures contain ZERO exact-duplicate texts (verified at
+    # every SF), so dup_ratio was a constant 0.0 and the dup-detection
+    # arithmetic dead under the oracle (round-8 constant-column audit):
+    # the %19 slice collapses onto a per-source boilerplate string —
+    # intra-source duplicate groups at every SF
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(F.lit("boilerplate notice from "), F.col("source")),
+        ).otherwise(F.col("text")),
+    )
     n_tok = text.token_count(F.col("text")).cast("decimal(18,0)")
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -5281,11 +5299,18 @@ def q_label_centroids(spark, sf_dir):
 @q(
     "pipeline_dataset_card",
     f"""
-    WITH f AS (
+    WITH der AS (
+      SELECT doc_id, source, lang,
+             CASE WHEN doc_id % 19 = 0
+                  THEN 'boilerplate notice from ' || source
+                  ELSE text END AS text
+      FROM documents
+    ),
+    f AS (
       SELECT source, lang, md5(text) AS h,
              len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
              CASE WHEN {_sql_gopher_ok("text")} THEN 1 ELSE 0 END AS ok
-      FROM documents
+      FROM der
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -5304,7 +5329,15 @@ def pipeline_dataset_card(spark, sf_dir):
     one-page answer to "what is in this corpus" before training on it.
     One scan; the two exact distincts expand the aggregate (documented
     cost at 100 TB — swap in approx_count_distinct when ±2% is fine)."""
-    docs = load(spark, sf_dir, "documents")
+    # same %19 derived-dup slice as pipeline_source_stats: the raw
+    # fixtures have no exact-dup texts, so dup_rate was constant 0.0
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(F.lit("boilerplate notice from "), F.col("source")),
+        ).otherwise(F.col("text")),
+    )
     flags = text.gopher_quality_flags(docs, min_words=_GOPHER_MIN_WORDS).select(
         "doc_id", "pass_all"
     )
