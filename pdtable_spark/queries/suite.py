@@ -3795,7 +3795,9 @@ def q_price_trend_by_brand(spark, sf_dir):
     "stream_funnel_stateful",
     """
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
-               WHERE event_type IN ('view', 'click', 'purchase')),
+               WHERE event_type IN ('view', 'click', 'purchase')
+                 AND NOT (user_id % 7 = 0 AND event_type IN ('click', 'purchase'))
+                 AND NOT (user_id % 5 = 0 AND event_type = 'purchase')),
     mx AS (SELECT MAX(ts) AS m FROM e),
     u  AS (SELECT user_id, MAX(ts) AS last_ts FROM e GROUP BY user_id),
     fv AS (SELECT user_id, MIN(ts) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
@@ -3832,7 +3834,17 @@ def stream_funnel_stateful(spark, sf_dir):
     name = f"q_stream_funnel_{_STREAM_SEQ[0]}"
     from pdtable_spark.streaming import run_to_memory
 
-    q_ = run_to_memory(funnel_with_state(_events_stream(spark, sf_dir)), name)
+    # derived stream: %7 users never click/purchase, %5 users never
+    # purchase — every fixture user who finalized did so at stage 3, so
+    # the partial-stage timeout emission (stages 1/2, NULL stage
+    # timestamps) was invisible to the oracle (round-8 constant-column
+    # audit); the slices make all three finalization shapes appear
+    ev = _events_stream(spark, sf_dir).filter(
+        ~((F.col("user_id") % 7 == 0)
+          & F.col("event_type").isin("click", "purchase"))
+        & ~((F.col("user_id") % 5 == 0) & (F.col("event_type") == "purchase"))
+    )
+    q_ = run_to_memory(funnel_with_state(ev), name)
     q_.stop()
     return spark.table(name)
 
