@@ -1274,13 +1274,32 @@ def q_purchase_nearest_click(spark, sf_dir):
 @q(
     "dedup_exact",
     """
+    WITH der AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 19 = 0
+                  THEN 'boilerplate notice from ' || source
+                  ELSE text END AS text
+      FROM documents
+    )
     SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-    FROM documents GROUP BY md5(text)
+    FROM der GROUP BY md5(text)
     """,
 )
 def dedup_exact(spark, sf_dir):
-    """Exact dedup groups on the 16-byte digest, not the body (SURVEY ext)."""
-    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+    """Exact dedup groups on the 16-byte digest, not the body (SURVEY ext).
+
+    Derived %19 boilerplate slice (shared with pipeline_source_stats):
+    the raw fixtures contain ZERO exact-duplicate texts, so every group
+    had n_dups = 1 and the oracle never saw a multi-row group — group
+    sizes now vary per source at every SF."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(F.lit("boilerplate notice from "), F.col("source")),
+        ).otherwise(F.col("text")),
+    )
+    return dedup.exact_dedup(docs)
 
 
 _SQL_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
