@@ -168,10 +168,10 @@ PENDING_R9["embedding_label_prop_agreement"] = (
 R9_SQL_NOVELTY_LEDGER = """
     SELECT source,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_batch_exact,
-           CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 = 0 THEN doc_id END)
+           CAST(COUNT(DISTINCT CASE WHEN (doc_id % 97) % 3 = 0 THEN doc_id END)
                 AS BIGINT) AS n_new_exact,
            CAST(1 AS INT) AS sketch_ok
-    FROM documents WHERE doc_id % 2 = 0
+    FROM documents WHERE (doc_id % 97) % 2 = 0
     GROUP BY source
 """
 
@@ -179,8 +179,8 @@ R9_SQL_NOVELTY_LEDGER = """
 def r9_pipeline_novelty_ledger(spark, sf_dir):
     """Continuous-ingest novelty bookkeeping from sketches alone: a
     ledger of per-source HLL distinct sketches over the already-seen
-    corpus (doc_id%3<>0), probed by a new batch (doc_id%2=0) —
-    ``est_new`` estimates the never-seen keys (exactly doc_id%6=0)
+    corpus ((doc_id%97)%3<>0), probed by a new batch ((doc_id%97)%2=0)
+    — ``est_new`` estimates the never-seen keys ((doc_id%97)%6=0)
     without storing or rescanning historical ids.  The exact columns are
     fully value-oracled; ``sketch_ok`` pins both sketch estimates within
     max(2, 2%) of exact — deterministic (fixed hash, associative merge),
@@ -196,14 +196,17 @@ def r9_pipeline_novelty_ledger(spark, sf_dir):
     from pdtable_spark.operators import monitor
 
     docs = load(spark, sf_dir, "documents")
-    seen = docs.filter(F.col("doc_id") % 3 != 0)
-    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    # (doc_id %% 97) decorrelates from the fixtures' round-robin
+    # doc->source assignment: plain %%2 gave every source EXACTLY 25
+    # batch docs (n_batch_exact constant — staged-oracle audit)
+    seen = docs.filter((F.col("doc_id") % 97) % 3 != 0)
+    batch = docs.filter((F.col("doc_id") % 97) % 2 == 0)
     led = monitor.distinct_sketch(seen, "doc_id", "source", lgk=16)
     nov = monitor.novelty_estimate(led, batch, "doc_id", "source", lgk=16)
     exact = batch.groupBy("source").agg(
         F.count_distinct("doc_id").alias("n_batch_exact"),
         F.count_distinct(
-            F.when(F.col("doc_id") % 3 == 0, F.col("doc_id"))
+            F.when((F.col("doc_id") % 97) % 3 == 0, F.col("doc_id"))
         ).alias("n_new_exact"),
     )
 
@@ -767,19 +770,19 @@ PENDING_R9["embedding_sq_recall"] = (
 
 R9_SQL_FORGET_AUDIT = """
     SELECT source,
-           CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN (doc_id % 97) % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_forgotten,
-           CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+           CAST(SUM(CASE WHEN (doc_id % 97) % 9 = 0 THEN 0 ELSE 1 END) AS BIGINT)
              AS n_kept
     FROM documents GROUP BY source
-    HAVING SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) > 0
+    HAVING SUM(CASE WHEN (doc_id % 97) % 9 = 0 THEN 1 ELSE 0 END) > 0
 """
 
 
 def r9_pipeline_forget_audit(spark, sf_dir):
     """The GDPR/takedown sweep end-to-end under the value gate: a
     partitioned copy of documents, a deterministic takedown key set
-    (doc_id%97==0), `forget_keys` rewriting ONLY the affected partition
+    ((doc_id%97)%9==0), `forget_keys` rewriting ONLY the affected partition
     directories, and the per-partition erasure certificate as the
     result — n_forgotten/n_kept per touched source.  Disk-level effects
     (untouched dirs absent from out, fully-erased dirs write nothing)
@@ -791,7 +794,11 @@ def r9_pipeline_forget_audit(spark, sf_dir):
     d = tempfile.mkdtemp(prefix="pdtable_forget_")
     docs = load(spark, sf_dir, "documents")
     docs.write.partitionBy("source").mode("overwrite").parquet(f"{d}/lake")
-    keys = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    # (doc_id%97)%9: ~6%% of docs, decorrelated from the round-robin
+    # doc->source assignment so per-source certificate counts VARY (the
+    # old %97 set hit exactly one doc in each touched source — constant
+    # certificate, staged-oracle audit)
+    keys = docs.filter((F.col("doc_id") % 97) % 9 == 0).select("doc_id")
     return forget_keys(
         spark, f"{d}/lake", keys, "doc_id", partition_col="source"
     )
