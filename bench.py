@@ -413,6 +413,9 @@ def main():
         # round-8 in-round addition: collocations by lift (bigram-domain
         # count + marginal windows + TakeOrdered)
         "text_collocations",
+        # round-8 in-round addition: embedding covariance matrix (one
+        # scan, d²-domain shuffle — the PCA/anisotropy precursor)
+        "embedding_gram",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

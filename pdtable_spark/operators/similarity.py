@@ -1741,3 +1741,120 @@ def sq_query(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col,
     )
+
+
+def gram_matrix(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    quantize: float = 1e6,
+) -> DataFrame:
+    """Second-moment (Gram) and covariance matrices of an embedding
+    column as (i, j, n, gram, cov) rows over the upper triangle — the
+    embedding-health precursor: a covariance spectrum collapsing onto a
+    few directions is the standard anisotropy/embedding-collapse
+    diagnostic, and its eigenbasis (:func:`pca_basis`) drives
+    whitening/dimensionality reduction (:func:`pca_project`).
+
+    Determinism: each component is quantized to ``1/quantize`` BIGINTs
+    inside the scan, so every pair product and dimension sum is EXACT
+    integer arithmetic in any row order (gram = Σ qv_i·qv_j / quantize²;
+    cov subtracts the exact-mean outer product) — a FULL value oracle,
+    not a tolerance pin.  With values O(1) and the 1e6 default,
+    products stay ≤ 1e12 and sums safely inside BIGINT up to ~10⁶ rows
+    per aggregation; lower ``quantize`` for larger corpora (the
+    granularity is a defined part of the statistic, like the TVD sums).
+
+    Scale: ONE corpus scan — each row explodes its d(d+1)/2 upper-
+    triangle products in-scan into a map-side-combinable sum whose
+    shuffle is the d²-domain, never rows; the per-dimension sums ride
+    the same aggregate as the j = i diagonal plus a d-domain explode.
+    """
+    from pdtable_spark.operators.text import _let
+
+    q = F.lit(float(quantize))
+    qv = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x: F.floor(x * q + F.lit(0.5)).cast("long"),
+    )
+    d_pairs = _let(
+        qv,
+        lambda v: F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda i: F.transform(
+                    F.sequence(i, F.size(v) - 1),
+                    lambda j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        (F.element_at(v, i + 1) * F.element_at(v, j + 1)).alias(
+                            "p"
+                        ),
+                        F.element_at(v, i + 1).alias("vi"),
+                        F.element_at(v, j + 1).alias("vj"),
+                    ),
+                ),
+            )
+        ),
+    )
+    agg = (
+        corpus.select(F.explode(d_pairs).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("e.p").alias("__sp"),
+            F.sum("e.vi").alias("__si"),
+            F.sum("e.vj").alias("__sj"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    q2 = F.lit(float(quantize) * float(quantize))
+    gram = F.col("__sp").cast("double") / q2 / n
+    cov = (
+        F.col("__sp").cast("double")
+        - F.col("__si").cast("double") * F.col("__sj").cast("double") / n
+    ) / q2 / n
+    return agg.select(
+        "i", "j", F.col("__n").cast("long").alias("n"),
+        gram.alias("gram"), cov.alias("cov"),
+    )
+
+
+def pca_basis(gram_rows, dim: int, top_k: Optional[int] = None):
+    """Eigen-decompose collected :func:`gram_matrix` rows (driver-side
+    numpy over the d x d matrix — d², not corpus-sized; the
+    centroid/codebook bounded-artifact pattern): returns
+    (components, eigenvalues) with components[k] the k-th principal
+    axis (descending eigenvalue), using the COVARIANCE entries.  The
+    eigenvalue spectrum IS the anisotropy report — a top-1 share near 1
+    means the embedding space has collapsed onto a line."""
+    import numpy as np
+
+    m = np.zeros((dim, dim))
+    for r in gram_rows:
+        m[r["i"], r["j"]] = m[r["j"], r["i"]] = r["cov"]
+    w, v = np.linalg.eigh(m)
+    order = np.argsort(w)[::-1]
+    k = top_k or dim
+    comps = [[float(x) for x in v[:, o]] for o in order[:k]]
+    return comps, [float(w[o]) for o in order[:k]]
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto a :func:`pca_basis` (dimensionality
+    reduction / whitening precursor): appends ``out_col`` with k = 
+    len(components) coordinates.  The basis ships as ONE broadcast
+    nested-array column (the RHP-plane pattern) and the projection is a
+    scan-local fold per output coordinate — zero shuffle, no UDF."""
+    d = _matrix_frame(
+        df, "__pca_b", [[float(x) for x in c] for c in components], 2
+    )
+    proj = F.transform(
+        F.col("__pca_b"),
+        lambda comp: dot(comp, _as_double(F.col(vec_col))),
+    )
+    return d.select(*df.columns, proj.alias(out_col))

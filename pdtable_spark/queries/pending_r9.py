@@ -7,8 +7,8 @@ runbook as ``suite_r8``: decorate via the registration loop, slot at the
 head of the rotation alongside the remaining 28 r5-evidence rows).
 
 Round-9 window arithmetic (write it into ``__spark_entry__._PRIORITY``
-at registration time): the 12 queries in this file + the 28 remaining
-r5-evidence rows + the 10 oldest r6-evidence rows = 50 exactly — after
+at registration time): the 13 queries in this file + the 28 remaining
+r5-evidence rows + the 9 oldest r6-evidence rows = 50 exactly — after
 that window clears, no registered query's evidence is more than two
 rounds old, retiring the rotation debt for good.
 
@@ -934,4 +934,54 @@ def r9_text_collocations(spark, sf_dir):
 PENDING_R9["text_collocations"] = (
     r9_text_collocations,
     R9_SQL_COLLOCATIONS,
+)
+
+
+# ---------------------------------------------------------------------------
+# Embedding second-moment / covariance matrix
+# (operators/similarity.py::gram_matrix, new round 8 — the anisotropy /
+#  embedding-collapse diagnostic and the PCA/whitening precursor)
+# ---------------------------------------------------------------------------
+
+R9_SQL_EMBEDDING_GRAM = """
+    WITH q AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT CAST(t1.i AS INT) AS i, CAST(t2.j AS INT) AS j,
+             v[t1.i + 1] * v[t2.j + 1] AS p,
+             v[t1.i + 1] AS vi, v[t2.j + 1] AS vj
+      FROM q, range(0, 64) t1(i), range(0, 64) t2(j)
+      WHERE t2.j >= t1.i
+    )
+    SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p) AS DOUBLE) / 1000000000000.0
+             / CAST(COUNT(*) AS DOUBLE) AS gram,
+           (CAST(SUM(p) AS DOUBLE)
+            - CAST(SUM(vi) AS DOUBLE) * CAST(SUM(vj) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE))
+           / 1000000000000.0 / CAST(COUNT(*) AS DOUBLE) AS cov
+    FROM cells GROUP BY i, j
+"""
+
+
+def r9_embedding_gram(spark, sf_dir):
+    """The embedding-health matrix: second-moment and covariance entries
+    over the upper triangle of the 64-dim embedding space — a collapsing
+    covariance spectrum is the standard anisotropy alarm, and this
+    matrix's eigenbasis (pca_basis, driver-side over d² entries) drives
+    the pca_project whitening path (numpy-parity pytest).  Components
+    quantize to 1e-6 BIGINTs in-scan, so every product and mean is exact
+    integer arithmetic — a FULL value oracle on a second-moment
+    statistic, no tolerance pin."""
+    from pdtable_spark.operators import similarity
+
+    return similarity.gram_matrix(load(spark, sf_dir, "embeddings"))
+
+
+PENDING_R9["embedding_gram"] = (
+    r9_embedding_gram,
+    R9_SQL_EMBEDDING_GRAM,
 )

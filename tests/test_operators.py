@@ -3728,3 +3728,41 @@ def test_distinct_ngrams_fuzz_bruteforce(spark):
         k: (tot[k], len(dis[k]), len(dis[k]) / tot[k]) for k in tot
     }
     assert got == want
+
+
+def test_gram_matrix_pca_numpy_parity(spark):
+    """gram_matrix cells equal the numpy reference on the SAME 1e-6
+    quantization (exact, not approximate); pca_basis recovers the
+    dominant axis of an anisotropic cloud; pca_project equals the
+    numpy matrix product."""
+    import numpy as np
+
+    from pdtable_spark.operators import similarity as S
+
+    rng = np.random.RandomState(5)
+    # anisotropic: x-axis variance 25x the rest
+    X = rng.randn(80, 4) * np.array([5.0, 1.0, 0.5, 0.25])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = S.gram_matrix(df).collect()
+    assert len(rows) == 4 * 5 // 2
+    Q = np.floor(X * 1e6 + 0.5)
+    n = len(Q)
+    for r in rows:
+        i, j = r["i"], r["j"]
+        sp = float(np.sum(Q[:, i] * Q[:, j]))
+        si, sj = float(Q[:, i].sum()), float(Q[:, j].sum())
+        assert r["gram"] == sp / 1e12 / n
+        assert r["cov"] == (sp - si * sj / n) / 1e12 / n
+
+    comps, eig = S.pca_basis(rows, 4)
+    assert eig[0] > 5 * eig[1]  # the x-axis dominates
+    assert abs(abs(comps[0][0]) - 1.0) < 0.05  # first axis ~ e_x
+
+    proj = {r["vec_id"]: list(r["pca"]) for r in S.pca_project(df, comps[:2]).collect()}
+    B = np.array(comps[:2])
+    for i in range(0, 80, 17):
+        want = B @ X[i]
+        assert np.allclose(proj[i], want, atol=1e-9)

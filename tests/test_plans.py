@@ -718,3 +718,29 @@ def test_collocations_single_scan_takeordered(spark):
     assert n_scans(plan) == 2
     assert n_exchanges(plan) == 3
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gram_matrix_single_scan_domain_shuffle(spark):
+    """gram_matrix: each row explodes its d(d+1)/2 upper-triangle cells
+    inside ONE corpus scan; the only exchange is the d²-domain
+    map-side-combinable sum; pca_project is a pure scan+projection
+    (zero exchanges — the basis is a broadcast matrix column)."""
+    from pdtable_spark.operators.similarity import (
+        gram_matrix,
+        pca_basis,
+        pca_project,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    g = gram_matrix(emb)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert n_scans(plan) == 1
+    assert n_exchanges(plan) == 1
+    assert "Exchange SinglePartition" not in plan
+
+    comps, _ = pca_basis(g.collect(), 64, top_k=8)
+    plan2 = (
+        pca_project(emb, comps)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert n_scans(plan2) == 1
+    assert n_exchanges(plan2) == 0
