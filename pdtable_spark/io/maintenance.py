@@ -292,15 +292,23 @@ def forget_keys(
     df = spark.read.parquet(path)
     k = keys.select(F.col(key_col)).distinct()
     out = out_path or path.rstrip("/") + ".forget"
+    kf = F.broadcast(k.withColumn("__hit", F.lit(1)))
     if partition_col is None:
-        n_f = df.join(F.broadcast(k), key_col, "left_semi").count()
-        kept = df.join(F.broadcast(k), key_col, "left_anti")
-        # counts from the kept frame, not a read-back: a fully-erased
-        # table writes an empty dataset parquet cannot re-infer
-        n_k = kept.count()
-        kept.write.mode("overwrite").parquet(out)
+        # ONE counting scan (SUM(hit) + SUM(1-hit) off a single
+        # broadcast-join pass) instead of separate semi- and anti-join
+        # counts — at the scale this module sizes against, each extra
+        # count is a full table read, and a certificate assembled from
+        # independent reads of a mutable path can disagree with itself
+        flagged = df.join(kf, key_col, "left")
+        row = flagged.agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_f"),
+            F.sum(F.lit(1) - F.coalesce(F.col("__hit"), F.lit(0))).alias("n_k"),
+        ).collect()[0]
+        flagged.filter(F.col("__hit").isNull()).drop("__hit").write.mode(
+            "overwrite"
+        ).parquet(out)
         return spark.createDataFrame(
-            [(None, n_f, n_k)],
+            [(None, int(row["n_f"] or 0), int(row["n_k"] or 0))],
             f"{partition_col or 'partition'} string, n_forgotten long, n_kept long",
         )
     hits = (
@@ -323,17 +331,23 @@ def forget_keys(
         return hits.withColumn("n_kept", F.lit(0).cast("long")).select(
             partition_col, "n_forgotten", F.col("n_kept")
         )
-    affected = df.filter(F.col(partition_col).isin(parts))
-    kept = affected.join(F.broadcast(k), key_col, "left_anti")
-    kept.write.mode("overwrite").partitionBy(partition_col).parquet(out)
-    kept_counts = kept.groupBy(partition_col).agg(
-        F.count(F.lit(1)).alias("n_kept")
+    # ONE flagged frame over the affected partitions feeds BOTH
+    # certificate counts (one agg) and the rewrite — the certificate's
+    # forgotten and kept numbers come from the same pass, never from
+    # independent reads of a mutable path
+    flagged = df.filter(F.col(partition_col).isin(parts)).join(
+        kf, key_col, "left"
     )
-    return (
-        hits.join(kept_counts, partition_col, "left")
-        .select(
-            partition_col,
-            F.col("n_forgotten").cast("long").alias("n_forgotten"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        )
+    cert = flagged.groupBy(partition_col).agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_forgotten"),
+        F.sum(F.lit(1) - F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
     )
+    cert_rows = cert.collect()  # certificate pinned BEFORE the write
+    flagged.filter(F.col("__hit").isNull()).drop("__hit").write.mode(
+        "overwrite"
+    ).partitionBy(partition_col).parquet(out)
+    return spark.createDataFrame(cert_rows, cert.schema)

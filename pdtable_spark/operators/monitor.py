@@ -542,13 +542,45 @@ def histogram_ledger(
         .select(F.col(by), b.cast("int").alias("bin"))
         .groupBy(by, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
+        # grid stamp (the sq_index sq_levels pattern): merging or
+        # interpolating under a DIFFERENT (lo, hi, n_bins) is
+        # silently-wrong arithmetic — downstream ops verify these;
+        # constant columns RLE to nothing in parquet
+        .select(
+            by, "bin", "n",
+            F.lit(float(lo)).alias("grid_lo"),
+            F.lit(float(hi)).alias("grid_hi"),
+            F.lit(int(n_bins)).cast("int").alias("grid_bins"),
+        )
     )
 
 
 def ledger_union(ledgers: DataFrame, by: str = "source") -> DataFrame:
     """Merge stacked :func:`histogram_ledger` frames (``unionByName``
-    the snapshots first): bin counts ADD — ledger-sized work only."""
-    return ledgers.groupBy(by, "bin").agg(F.sum("n").alias("n"))
+    the snapshots first): bin counts ADD — ledger-sized work only.
+    Mixed GRIDS fail loudly (bin counts from different (lo, hi,
+    n_bins) add without error but mean nothing): the check is one
+    distinct over the grid-stamp columns of a KB-scale frame."""
+    grid_cols = ["grid_lo", "grid_hi", "grid_bins"]
+    out_grid = []
+    if all(c in ledgers.columns for c in grid_cols):
+        grids = ledgers.select(*grid_cols).distinct().collect()
+        if len(grids) > 1:
+            raise ValueError(
+                f"ledger_union: mixed histogram grids {sorted(map(tuple, grids))}"
+                " — re-bin to one grid before merging"
+            )
+        g = grids[0]
+        out_grid = [
+            F.lit(float(g["grid_lo"])).alias("grid_lo"),
+            F.lit(float(g["grid_hi"])).alias("grid_hi"),
+            F.lit(int(g["grid_bins"])).cast("int").alias("grid_bins"),
+        ]
+    return (
+        ledgers.groupBy(by, "bin")
+        .agg(F.sum("n").alias("n"))
+        .select(by, "bin", "n", *out_grid)
+    )
 
 
 def quantiles_from_ledger(
@@ -575,6 +607,21 @@ def quantiles_from_ledger(
 
     if n_bins < 1:
         raise ValueError("quantiles_from_ledger: need n_bins >= 1")
+    grid_cols = ["grid_lo", "grid_hi", "grid_bins"]
+    if all(c in ledger.columns for c in grid_cols):
+        bad = ledger.filter(
+            (F.col("grid_lo") != F.lit(float(lo)))
+            | (F.col("grid_hi") != F.lit(float(hi)))
+            | (F.col("grid_bins") != F.lit(int(n_bins)))
+        ).limit(1).collect()
+        if bad:
+            r = bad[0]
+            raise ValueError(
+                "quantiles_from_ledger: ledger written at grid "
+                f"({r['grid_lo']}, {r['grid_hi']}, {r['grid_bins']}) but "
+                f"interpolation requested ({float(lo)}, {float(hi)}, "
+                f"{int(n_bins)}) — silently-wrong arithmetic refused"
+            )
     width = (float(hi) - float(lo)) / float(n_bins)
     led = ledger.groupBy(by, "bin").agg(F.sum("n").alias("n"))
     wcum = (
@@ -644,10 +691,16 @@ def filter_agreement(df: DataFrame, flag_cols: List[str]) -> DataFrame:
     flags = list(flag_cols)
     if len(flags) < 2:
         raise ValueError("filter_agreement: need at least 2 flag columns")
+    # the NULL check runs on the CAST result, not the raw column: a
+    # non-ANSI cast of a malformed value PRODUCES a NULL that a
+    # raw-column guard would miss (silently skipped by SUM while
+    # COUNT(*) still counts the row — exactly the quiet corruption
+    # this guard exists to prevent)
     checked = [
-        F.when(F.col(c).isNull(), F.raise_error(F.lit(
-            f"filter_agreement: NULL in flag column {c!r} — evaluate or "
-            "filter the unscored rows first"
+        F.when(F.col(c).cast("boolean").isNull(), F.raise_error(F.lit(
+            f"filter_agreement: NULL in flag column {c!r} (raw NULL or a "
+            "value that does not cast to boolean) — evaluate or filter "
+            "the unscored rows first"
         ))).otherwise(F.col(c).cast("boolean")).cast("int").alias(f"__f{i}")
         for i, c in enumerate(flags)
     ]

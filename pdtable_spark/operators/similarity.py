@@ -1757,12 +1757,15 @@ def gram_matrix(
 
     Determinism: each component is quantized to ``1/quantize`` BIGINTs
     inside the scan, so every pair product and dimension sum is EXACT
-    integer arithmetic in any row order (gram = Σ qv_i·qv_j / quantize²;
-    cov subtracts the exact-mean outer product) — a FULL value oracle,
-    not a tolerance pin.  With values O(1) and the 1e6 default,
-    products stay ≤ 1e12 and sums safely inside BIGINT up to ~10⁶ rows
-    per aggregation; lower ``quantize`` for larger corpora (the
-    granularity is a defined part of the statistic, like the TVD sums).
+    integer arithmetic in any row order (gram = sum qv_i*qv_j / quantize^2).
+    The covariance's mean-product term si*sj is then ONE double multiply
+    of those exact integers — bit-identical across engines and layouts
+    (a full value oracle, not a tolerance pin), though itself rounded
+    once n pushes si*sj past 2^53.  With values O(1) and the 1e6
+    default, pair products stay <= 1e12 and their sums safely inside
+    BIGINT up to ~1e6 rows per aggregation; lower ``quantize`` for
+    larger corpora (the granularity is a defined part of the statistic,
+    like the TVD sums).
 
     Scale: ONE corpus scan — each row explodes its d(d+1)/2 upper-
     triangle products in-scan into a map-side-combinable sum whose

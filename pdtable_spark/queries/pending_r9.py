@@ -822,6 +822,7 @@ R9_SQL_FILTER_AGREEMENT = r"""
                AS f1,
              CAST(contains(text, 'the') AS INT) AS f2
       FROM documents
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL
     ),
     agg AS (
       SELECT COUNT(*) AS n, SUM(f0) AS s0, SUM(f1) AS s1, SUM(f2) AS s2,
@@ -871,7 +872,12 @@ def r9_pipeline_filter_agreement(spark, sf_dir):
     from pdtable_spark.operators import monitor
     from pdtable_spark.operators.text import tokens
 
-    docs = load(spark, sf_dir, "documents")
+    # explicit NULL lockstep with the oracle: the operator raises
+    # loudly on NULL flags, the oracle's SUMs would silently skip them
+    # — both sides exclude unscorable rows up front
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
     flagged = docs.select(
         (F.col("n_chars") >= 200).alias("f_len"),
         (F.size(tokens(F.col("text"))) >= 40).alias("f_words"),

@@ -1286,7 +1286,6 @@ R8_QUERIES["multimodal_phash_dups"] = (
 from pdtable_spark.queries.suite import _SQL_TOKS  # noqa: E402
 
 _EPOCHS_TARGETS = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
-_EPOCHS_BUDGET = 6000
 _EPOCHS_MAX = 2.0
 
 R8_SQL_EPOCHS = f"""

@@ -238,7 +238,9 @@ def _quantile_batch(
         led_all = spark.read.parquet(ledger_dir).filter(F.col("batch_id") < batch_id)
         mx = led_all.agg(F.max("batch_id")).collect()[0][0]
         if mx is not None:
-            prev = led_all.filter(F.col("batch_id") == mx).select(by, "bin", "n")
+            prev = led_all.filter(F.col("batch_id") == mx).select(
+                by, "bin", "n", "grid_lo", "grid_hi", "grid_bins"
+            )
     merged = ledger_union(prev.unionByName(batch_led), by)
     (
         quantiles_from_ledger(merged, qs, lo, hi, n_bins, by)

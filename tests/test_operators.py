@@ -3624,8 +3624,6 @@ def test_collocations_fuzz_bruteforce(spark):
 
         pairs = Counter()
         for _, text in docs:
-            ws = text.split() if text.strip() else ([""] if text else [])
-            ws = text.strip().split() if text.strip() else []
             # match the operator: split('\s+') of trim; empty text -> ['']
             ws = text.strip().split() if text.strip() else ([''] if text is not None else [])
             for a, b in zip(ws, ws[1:]):
@@ -3766,3 +3764,25 @@ def test_gram_matrix_pca_numpy_parity(spark):
     for i in range(0, 80, 17):
         want = B @ X[i]
         assert np.allclose(proj[i], want, atol=1e-9)
+
+
+def test_histogram_ledger_grid_mismatch_fails_loudly(spark):
+    """Merging or interpolating ledgers under a different grid is
+    silently-wrong arithmetic — the grid stamp turns both into loud
+    errors (the sq_levels pattern)."""
+    from pdtable_spark.operators import monitor as M
+
+    df = spark.createDataFrame(
+        [(float(v), "a") for v in range(10)], "v double, source string"
+    )
+    a = M.histogram_ledger(df, "v", 0.0, 100.0, 10)
+    b = M.histogram_ledger(df, "v", 0.0, 200.0, 10)
+    with pytest.raises(ValueError, match="mixed histogram grids"):
+        M.ledger_union(a.unionByName(b))
+    with pytest.raises(ValueError, match="silently-wrong arithmetic refused"):
+        M.quantiles_from_ledger(a, (0.5,), 0.0, 200.0, 10).collect()
+    # matching grid still flows end-to-end
+    out = M.quantiles_from_ledger(
+        M.ledger_union(a.unionByName(a)), (0.5,), 0.0, 100.0, 10
+    ).collect()
+    assert out[0]["est"] == 5.0
