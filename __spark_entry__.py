@@ -22,67 +22,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-row rotation (the driver reports exactly the first 50 queries).
-#: Policy: OLDEST correctness evidence first, every round.  Round-8 head-50
-#: (the executed round-7 runbook) = the two r4-evidence stragglers
-#: (stream_sessionize_stateful / stream_sliding_counts — judge-re-verified
-#: MATCH in r7, code untouched since r4), then the THIRTY-FOUR queries
-#: registered this round from queries/suite_r8.py (staged r7 with full
-#: oracles + sf0.001/sf0.01/sf1 MATCH evidence), then the 14 oldest
-#: r5-evidence rows — 50 exactly.  The remaining 28 r5-evidence rows sit
-#: at 51-78 and lead round 9 (they clear in one window, retiring the
-#: rotation debt: from r9 on, no registered query's evidence is >2 rounds
-#: old); the r6- and r7-evidence blocks follow in file order.
+#: Policy: OLDEST correctness evidence first, every round.  Round-9 head-50
+#: (the executed round-8 runbook, VERDICT r8 task #1) = the THIRTEEN
+#: queries registered this round from queries/pending_r9.py (staged r8
+#: with full oracles + sf0.001/sf0.01 MATCH evidence), then the 28
+#: remaining r5-evidence rows, then the 9 oldest r6-evidence rows — 50
+#: exactly.  After this window clears, no registered query's evidence is
+#: more than two rounds old: the rotation debt is retired, and the
+#: steady state from r10 on is simply "oldest evidence first" over the
+#: remaining r6- (41), r7- (50) and r8-evidence (50) blocks that follow
+#: in report order.
 _PRIORITY = [
-    "stream_sessionize_stateful",
-    "stream_sliding_counts",
-    "text_bm25_topk",
-    "pipeline_drift_psi",
-    "pipeline_numeric_drift",
-    "hybrid_rrf_topk",
-    "pipeline_dsir_weights",
-    "text_char_entropy",
-    "text_line_dedup",
-    "text_common_lines",
-    "pipeline_threshold_sweep",
-    "embedding_cluster_profile",
-    "embedding_cluster_sample",
-    "embedding_cluster_drift",
-    "pipeline_curation_funnel",
-    "pipeline_bloom_screen",
-    "embedding_hard_negatives",
-    "embedding_label_propagation",
-    "embedding_truncation_recall",
-    "embedding_hard_negative_recall",
-    "pipeline_decon_funnel",
-    "stream_bloom_screen",
-    "multimodal_phash_dups",
-    "pipeline_epochs_plan",
-    "pipeline_semantic_pack",
-    "pipeline_uncertainty_sample",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "pipeline_source_cap",
-    "text_vocab_coverage",
-    "pipeline_k_anonymize",
-    "pipeline_anonymity_report",
-    "dedup_containment_pairs",
-    "pipeline_snapshot_diff",
-    "pipeline_facade_ops",
-    "text_vocab_drift",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "pipeline_clean_corpus",
-    "q_events_in_windows",
-    "q_events_props_json",
-    "q_events_sessions",
-    "q_purchase_last_click",
-    "q_purchase_nearest_click",
-    "q_quantity_percentiles",
-    "text_bpe_count",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
+    "embedding_label_prop_agreement",
+    "pipeline_novelty_ledger",
+    "stream_novelty_ledger",
+    "embedding_margin_mining",
+    "text_distinct_ngrams",
+    "pipeline_source_divergence",
+    "pipeline_quantile_ledger",
+    "stream_quantile_ledger",
+    "embedding_sq_recall",
+    "pipeline_forget_audit",
+    "pipeline_filter_agreement",
+    "text_collocations",
+    "embedding_gram",
     "dedup_incremental_verified",
     "dedup_normalized",
     "dedup_spans",
@@ -211,6 +174,56 @@ _PRIORITY = [
     "stream_funnel_stateful",
     "stream_hourly_counts",
     "stream_session_windows",
+    "stream_sessionize_stateful",
+    "stream_sliding_counts",
+    "text_bm25_topk",
+    "pipeline_drift_psi",
+    "pipeline_numeric_drift",
+    "hybrid_rrf_topk",
+    "pipeline_dsir_weights",
+    "text_char_entropy",
+    "text_line_dedup",
+    "text_common_lines",
+    "pipeline_threshold_sweep",
+    "embedding_cluster_profile",
+    "embedding_cluster_sample",
+    "embedding_cluster_drift",
+    "pipeline_curation_funnel",
+    "pipeline_bloom_screen",
+    "embedding_hard_negatives",
+    "embedding_label_propagation",
+    "embedding_truncation_recall",
+    "embedding_hard_negative_recall",
+    "pipeline_decon_funnel",
+    "stream_bloom_screen",
+    "multimodal_phash_dups",
+    "pipeline_epochs_plan",
+    "pipeline_semantic_pack",
+    "pipeline_uncertainty_sample",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "pipeline_source_cap",
+    "text_vocab_coverage",
+    "pipeline_k_anonymize",
+    "pipeline_anonymity_report",
+    "dedup_containment_pairs",
+    "pipeline_snapshot_diff",
+    "pipeline_facade_ops",
+    "text_vocab_drift",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "pipeline_clean_corpus",
+    "q_events_in_windows",
+    "q_events_props_json",
+    "q_events_sessions",
+    "q_purchase_last_click",
+    "q_purchase_nearest_click",
+    "q_quantity_percentiles",
+    "text_bpe_count",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
 ]
 
 

@@ -1,21 +1,20 @@
-"""Queries PREPARED for round 9 — deliberately NOT registered in
-``suite.QUERIES`` yet: the round-8 driver window (50 slots) is exactly
-allocated to the two r4-evidence stragglers + the 34-query ``suite_r8``
-block + the 14 oldest r5-evidence rows, and a declared-but-unreported
-query would read as a coverage gap.  Round 9 registers these (same
-runbook as ``suite_r8``: decorate via the registration loop, slot at the
-head of the rotation alongside the remaining 28 r5-evidence rows).
+"""The round-9 block of the declared suite — THIRTEEN queries staged
+(with full DuckDB oracles and sf0.001/sf0.01 — most sf1 — MATCH
+evidence) during round 8 and REGISTERED under ``@q`` here at the top of
+round 9, executing the staging file's own runbook: the registration
+loop at the bottom decorates every entry into the same
+``suite.QUERIES``/``suite.ORACLES`` registries the driver contract,
+bench, and oracle sweeps read.
 
-Round-9 window arithmetic (write it into ``__spark_entry__._PRIORITY``
-at registration time): the 13 queries in this file + the 28 remaining
-r5-evidence rows + the 9 oldest r6-evidence rows = 50 exactly — after
-that window clears, no registered query's evidence is more than two
-rounds old, retiring the rotation debt for good.
+Round-9 window arithmetic (written into ``__spark_entry__._PRIORITY``):
+the 13 queries in this file + the 28 remaining r5-evidence rows + the 9
+oldest r6-evidence rows = 50 exactly — after that window clears, no
+registered query's evidence is more than two rounds old, retiring the
+rotation debt for good.
 
-Like the round-7 staging file, every entry here is ALREADY under the
-correctness gate: ``tests/test_env_contract.py::test_pending_r9_oracles``
-runs each (spark, oracle) pair side-by-side at sf0.001 in pytest, so the
-staged queries cannot rot before registration.
+The pre-registration correctness gate
+(``tests/test_env_contract.py::test_pending_r9_oracles``) stays in
+force — it now additionally asserts every entry IS registered.
 
 Each entry satisfies the driver contract shape:
 ``fn(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
@@ -991,3 +990,15 @@ PENDING_R9["embedding_gram"] = (
     r9_embedding_gram,
     R9_SQL_EMBEDDING_GRAM,
 )
+
+
+# ---------------------------------------------------------------------------
+# Registration: the @q decoration for the whole block (executed round-9
+# runbook — VERDICT r8 task #1).  suite.py imports this module at the end
+# of its body, so suite.QUERIES / suite.ORACLES — the single registry the
+# driver contract, bench, and oracle sweeps read — contain these 13
+# entries exactly like any inline @q query.
+from pdtable_spark.queries.suite import q as _q
+
+for _name, (_fn, _sql) in PENDING_R9.items():
+    _q(_name, _sql)(_fn)

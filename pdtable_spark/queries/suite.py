@@ -5852,7 +5852,9 @@ def stream_drift_monitor(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# The round-8 block (34 queries staged in r7, registered r8) decorates
-# itself into QUERIES/ORACLES on import — keep this import LAST so every
-# name it references above is already bound.
+# The round-8 block (34 queries staged in r7, registered r8) and the
+# round-9 block (13 queries staged in r8, registered r9) decorate
+# themselves into QUERIES/ORACLES on import — keep these imports LAST so
+# every name they reference above is already bound.
 from pdtable_spark.queries import suite_r8  # noqa: E402,F401
+from pdtable_spark.queries import pending_r9  # noqa: E402,F401

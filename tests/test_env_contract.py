@@ -150,13 +150,18 @@ def test_r8_block_oracles(spark):
 
 
 def test_pending_r9_oracles(spark):
-    """The staged round-9 queries are under the correctness gate BEFORE
-    registration (the suite_r8 staging discipline): each (spark, oracle)
-    pair runs side-by-side at sf0.001 in pytest, so staged queries
-    cannot rot between rounds."""
+    """The round-9 block (staged r8, registered r9) stays under its own
+    correctness gate: each (spark, oracle) pair runs side-by-side at
+    sf0.001 — and every entry must actually be REGISTERED in the suite
+    (the r8-block discipline)."""
     import duckdb
 
     from pdtable_spark.queries.pending_r9 import PENDING_R9
+    from pdtable_spark.queries.suite import ORACLES, QUERIES
+
+    for name, (fn, sql) in PENDING_R9.items():
+        assert QUERIES.get(name) is fn, f"{name} not registered"
+        assert ORACLES.get(name) == sql, f"{name} oracle not registered"
 
     con = duckdb.connect()
     for t in (
