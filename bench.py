@@ -18,6 +18,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession
 
+#: BENCH_r08 lesson: the driver's bounded tail capture truncated the result
+#: JSON because ~75 per-query progress lines preceded it (the driver merges
+#: stdout+stderr).  Stdout discipline is now: the result JSON is the ONLY
+#: line this process prints by default; per-query chatter is opt-in via
+#: SPARK_GRAFT_BENCH_VERBOSE=1, and a byte-identical copy of the JSON lands
+#: in BENCH_LAST.json next to this file so the artifact survives any capture.
+_VERBOSE = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE", "") not in ("", "0")
+
+
+def _progress(msg: str) -> None:
+    if _VERBOSE:
+        print(msg, file=sys.stderr)
+
 #: The headline set: one per operator family — scan+agg, join+topk, star
 #: join, window, sessionization, as-of join, dedup (exact + minhash),
 #: text stats, similarity search.
@@ -83,10 +96,9 @@ def _ambient_guard(max_wait_sec: float = 120.0) -> dict:
     while waited < max_wait_sec and (
         load1 / ncpu > 0.30 or (calib is not None and p > 1.25 * calib)
     ):
-        print(
+        _progress(
             f"# ambient: busy (load1={load1:.1f}/{ncpu}, probe={p * 1e3:.0f}ms"
-            f" vs calib={calib and round(calib * 1e3)}ms) — waiting 15s",
-            file=sys.stderr,
+            f" vs calib={calib and round(calib * 1e3)}ms) — waiting 15s"
         )
         time.sleep(15.0)
         waited += 15.0
@@ -437,16 +449,20 @@ def main():
             n = df.count()
             el = time.time() - t0
             best = el if best is None or el < best else best
-        print(f"# {name}: {n} rows in {round(best, 3)}s", file=sys.stderr)
+        _progress(f"# {name}: {n} rows in {round(best, 3)}s")
         return round(best, 3)
 
     timings = {name: time_query(name) for name in HEADLINE}
     extended = {name: time_query(name) for name in EXTENDED}
-    # Second headline pass, per-query min-merged: the headline total is the
-    # round-over-round series the judge reads, so it gets one more chance
-    # (~10 s) to dodge a transient burst that hit the first pass.
-    for name in HEADLINE:
-        timings[name] = min(timings[name], time_query(name))
+    # Second headline pass: one more chance (~10 s) to dodge a transient
+    # burst that hit the first pass.  ADVICE r8: min-merging this INTO the
+    # series silently turned the r08 headline into min-of-6 while
+    # BENCH_r01..r07 were min-of-3 — a one-sided bias.  The comparable
+    # series ("value"/"headline16_total"/"queries") stays strictly
+    # min-of-3; the merged min-of-6 is recorded SEPARATELY.
+    timings_min6 = {
+        name: min(timings[name], time_query(name)) for name in HEADLINE
+    }
 
     # "value" stays the HEADLINE-16 total — the round-over-round comparable
     # series (BENCH_r01..r04 measured exactly this set).  The extended rows
@@ -454,20 +470,26 @@ def main():
     # plus as their own total so their trend is tracked without breaking
     # the headline series.  See BENCH_NOTES.md.
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": {**timings, **extended},
-                "headline16_total": total,
-                "extended_total": round(sum(extended.values()), 3),
-                "ambient": ambient,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {**timings, **extended},
+            "headline16_total": total,
+            "headline16_total_min6": round(sum(timings_min6.values()), 3),
+            "extended_total": round(sum(extended.values()), 3),
+            "ambient": ambient,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+        "w",
+    ) as fh:
+        fh.write(result + "\n")
+    print(result, flush=True)
 
 
 if __name__ == "__main__":

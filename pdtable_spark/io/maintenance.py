@@ -299,14 +299,22 @@ def forget_keys(
         # counts — at the scale this module sizes against, each extra
         # count is a full table read, and a certificate assembled from
         # independent reads of a mutable path can disagree with itself
-        flagged = df.join(kf, key_col, "left")
-        row = flagged.agg(
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_f"),
-            F.sum(F.lit(1) - F.coalesce(F.col("__hit"), F.lit(0))).alias("n_k"),
-        ).collect()[0]
-        flagged.filter(F.col("__hit").isNull()).drop("__hit").write.mode(
-            "overwrite"
-        ).parquet(out)
+        # persist() so the certificate agg and the rewrite consume ONE
+        # materialization of the source — without it they are two jobs
+        # re-reading the same mutable path, and a concurrent writer
+        # between them makes the certificate disagree with the output
+        # (ADVICE r8); MEMORY_AND_DISK spills rather than OOMs at scale
+        flagged = df.join(kf, key_col, "left").persist()
+        try:
+            row = flagged.agg(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_f"),
+                F.sum(F.lit(1) - F.coalesce(F.col("__hit"), F.lit(0))).alias("n_k"),
+            ).collect()[0]
+            flagged.filter(F.col("__hit").isNull()).drop("__hit").write.mode(
+                "overwrite"
+            ).parquet(out)
+        finally:
+            flagged.unpersist()
         return spark.createDataFrame(
             [(None, int(row["n_f"] or 0), int(row["n_k"] or 0))],
             f"{partition_col or 'partition'} string, n_forgotten long, n_kept long",
@@ -332,22 +340,29 @@ def forget_keys(
             partition_col, "n_forgotten", F.col("n_kept")
         )
     # ONE flagged frame over the affected partitions feeds BOTH
-    # certificate counts (one agg) and the rewrite — the certificate's
-    # forgotten and kept numbers come from the same pass, never from
-    # independent reads of a mutable path
-    flagged = df.filter(F.col(partition_col).isin(parts)).join(
-        kf, key_col, "left"
+    # certificate counts (one agg) and the rewrite — persist() pins the
+    # single materialization both consume (the lazy frame alone still
+    # re-READ the path per job, so a concurrent mutation between the
+    # cert collect and the write could make them disagree — ADVICE r8);
+    # MEMORY_AND_DISK spills rather than OOMs on a large touched set
+    flagged = (
+        df.filter(F.col(partition_col).isin(parts))
+        .join(kf, key_col, "left")
+        .persist()
     )
-    cert = flagged.groupBy(partition_col).agg(
-        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-        .cast("long")
-        .alias("n_forgotten"),
-        F.sum(F.lit(1) - F.coalesce(F.col("__hit"), F.lit(0)))
-        .cast("long")
-        .alias("n_kept"),
-    )
-    cert_rows = cert.collect()  # certificate pinned BEFORE the write
-    flagged.filter(F.col("__hit").isNull()).drop("__hit").write.mode(
-        "overwrite"
-    ).partitionBy(partition_col).parquet(out)
+    try:
+        cert = flagged.groupBy(partition_col).agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_forgotten"),
+            F.sum(F.lit(1) - F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        cert_rows = cert.collect()  # certificate pinned BEFORE the write
+        flagged.filter(F.col("__hit").isNull()).drop("__hit").write.mode(
+            "overwrite"
+        ).partitionBy(partition_col).parquet(out)
+    finally:
+        flagged.unpersist()
     return spark.createDataFrame(cert_rows, cert.schema)

@@ -194,8 +194,11 @@ def _parse_avi(payload: bytes):
     """Pure-stdlib RIFF AVI parser for UNCOMPRESSED (BI_RGB) video — the
     video sibling of the stdlib-WAV audio path: no codec extra needed.
     Returns ``(width, height, fps, bpp, [frame_bytes, ...])`` where each
-    frame is the raw bottom-up DIB pixel block, or ``None`` if the
-    payload is not RIFF AVI at all.  A COMPRESSED AVI (biCompression !=
+    frame is the raw DIB pixel block and ``height`` keeps biHeight's
+    SIGN (positive = bottom-up rows, negative = top-down — the DIB
+    convention :func:`_dib_gray` needs to orient correctly; take
+    ``abs()`` for the pixel dimension), or ``None`` if the payload is
+    not RIFF AVI at all.  A COMPRESSED AVI (biCompression !=
     BI_RGB) raises ``NotImplementedError`` pointing at the ``av`` extra.
     """
     import struct
@@ -247,19 +250,25 @@ def _parse_avi(payload: bytes):
         fps = 1e6 / info["uspf"]
     else:
         fps = 1.0
-    return info["w"], abs(info["h"]), fps, info["bpp"], frames
+    return info["w"], info["h"], fps, info["bpp"], frames
 
 
 def _dib_gray(frame: bytes, w: int, h: int, bpp: int):
-    """Raw bottom-up DIB pixel block → top-down (h, w) float grayscale
-    ndarray (channel mean for BGR; identity for 8-bit)."""
+    """Raw DIB pixel block → top-down (|h|, w) float grayscale ndarray
+    (channel mean for BGR; identity for 8-bit).  ``h`` carries
+    biHeight's sign: positive means the stored rows are bottom-up and
+    get flipped; negative means top-down and rows are kept as stored
+    (flipping unconditionally vertically mirrored top-down DIBs —
+    ADVICE r8)."""
     import numpy as np
 
+    ah = abs(h)
     nch = max(1, bpp // 8)
     stride = ((w * nch + 3) // 4) * 4
-    a = np.frombuffer(frame[: stride * h], dtype=np.uint8).reshape(h, stride)
-    px = a[:, : w * nch].reshape(h, w, nch).astype(np.float64)
-    return px.mean(axis=2)[::-1]  # DIB rows are bottom-up
+    a = np.frombuffer(frame[: stride * ah], dtype=np.uint8).reshape(ah, stride)
+    px = a[:, : w * nch].reshape(ah, w, nch).astype(np.float64)
+    gray = px.mean(axis=2)
+    return gray[::-1] if h > 0 else gray
 
 
 def _grid4x4(gray) -> list:

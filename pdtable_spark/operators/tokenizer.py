@@ -132,7 +132,11 @@ def bpe_encode(
     passthrough = tuple(c for c in passthrough if c not in (id_col, text_col))
     src = df.select(F.col(id_col).alias("__id"), text_col, *passthrough)
     fields = [
-        T.StructField("__id", T.LongType(), False),
+        # the id field mirrors the INPUT id column's type — hardcoding
+        # LongType broke string doc ids at Arrow conversion (ADVICE r8)
+        T.StructField(
+            "__id", src.schema["__id"].dataType, src.schema["__id"].nullable
+        ),
         *[src.schema[c] for c in passthrough],
         T.StructField("n_words", T.LongType(), True),
         T.StructField("n_tokens", T.LongType(), True),

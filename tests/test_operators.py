@@ -1901,9 +1901,11 @@ def test_extract_features_modality_dispatch(spark):
         multimodal.extract_features(bad, modality_col="modality").collect()
 
 
-def _make_avi(frames_px, fps=2, compression=0):
+def _make_avi(frames_px, fps=2, compression=0, topdown=False):
     """Synthesize an uncompressed 24-bpp RIFF AVI from (h, w, rgb) nested
-    lists — pure stdlib, the video sibling of the WAV fixture above."""
+    lists — pure stdlib, the video sibling of the WAV fixture above.
+    ``topdown=True`` stores rows in natural order with negative biHeight
+    (the top-down DIB convention)."""
     import struct
 
     h, w = len(frames_px[0]), len(frames_px[0][0])
@@ -1917,7 +1919,7 @@ def _make_avi(frames_px, fps=2, compression=0):
 
     def dib(frame):
         rows = []
-        for r in reversed(frame):  # DIB rows are bottom-up
+        for r in frame if topdown else reversed(frame):  # DIB default: bottom-up
             row = b"".join(bytes([px[2], px[1], px[0]]) for px in r)  # BGR
             rows.append(row + b"\x00" * (stride - len(row)))
         return b"".join(rows)
@@ -1930,7 +1932,8 @@ def _make_avi(frames_px, fps=2, compression=0):
         + struct.pack("<IIII", 0, len(frames_px), 0, 0) + struct.pack("<4H", 0, 0, w, h)
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, stride * h, 0, 0, 0, 0
+        "<IiiHHIIiiII",
+        40, w, -h if topdown else h, 1, 24, compression, stride * h, 0, 0, 0, 0,
     )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames_px))
@@ -1988,6 +1991,26 @@ def test_extract_features_and_sample_frames_real_avi(spark):
     )
     with pytest.raises(Exception, match="RIFF AVI"):
         multimodal.sample_frames(bad).collect()
+
+
+def test_extract_features_topdown_avi_not_mirrored(spark):
+    """A top-down DIB AVI (negative biHeight, rows stored in natural
+    order) must decode to the SAME grid as its bottom-up twin — the
+    unconditional row flip vertically mirrored it (ADVICE r8)."""
+    half = [[(0, 0, 0)] * 8 for _ in range(4)] + [
+        [(255, 255, 255)] * 8 for _ in range(4)
+    ]
+    rows = {}
+    for name, td in (("up", False), ("down", True)):
+        df = spark.createDataFrame(
+            [(1, "video", _make_avi([half], topdown=td), 1.0)],
+            "asset_id long, modality string, payload binary, duration_s double",
+        )
+        out = multimodal.extract_features(df, dim=16, modality_col="modality")
+        rows[name] = list(out.collect()[0]["feature"])
+    # top half black, bottom half white — in BOTH storage conventions
+    assert rows["up"] == [0.0] * 8 + [255.0] * 8
+    assert rows["down"] == rows["up"]
 
 
 def test_bm25_topk_hand_computed(spark):
@@ -3184,6 +3207,21 @@ def test_bpe_encode_and_fertility(spark):
     # unseen word falls back to finer segments, never fails
     assert enc[2]["n_tokens"] == len(tk.bpe_apply_word("unseen", ranks))
     assert enc[3] is not None and enc[3]["n_tokens"] == 0 and enc[3]["n_words"] == 0
+
+    # non-bigint id column: the output id field mirrors the INPUT type —
+    # a hardcoded LongType broke string doc ids at Arrow conversion
+    # (ADVICE r8)
+    sdocs = spark.createDataFrame(
+        [("u-1", "low lower"), ("u-2", None)], "uri string, text string"
+    )
+    senc = {
+        r["uri"]: r for r in tk.bpe_encode(sdocs, merges, id_col="uri").collect()
+    }
+    assert dict(tk.bpe_encode(sdocs, merges, id_col="uri").dtypes)["uri"] == "string"
+    assert senc["u-1"]["n_tokens"] == len(
+        tk.bpe_apply_word("low", ranks) + tk.bpe_apply_word("lower", ranks)
+    )
+    assert senc["u-2"]["n_tokens"] == 0
 
     fert = {r["source"]: r for r in tk.bpe_fertility(docs, merges).collect()}
     assert fert["a"]["n_docs"] == 2
