@@ -306,11 +306,12 @@ def main():
     BENCH_QUERIES["pq_query_served"] = bench_pq_query_served
     BENCH_QUERIES["label_prop_ivf_served"] = bench_label_prop_ivf_served
 
-    # staged round-9 queries (queries/pending_r9.py) — benched
-    # pre-registration so their perf trend starts now, like the r8 block
-    from pdtable_spark.queries.pending_r9 import PENDING_R9 as _PENDING_R9
+    # staged round-10 queries (queries/pending_r10.py) — benched
+    # pre-registration so their perf trend starts now, like the r8/r9
+    # blocks (the r9 block is registered now and rides dict(QUERIES))
+    from pdtable_spark.queries.pending_r10 import PENDING_R10 as _PENDING_R10
 
-    for _name, (_fn, _sql) in _PENDING_R9.items():
+    for _name, (_fn, _sql) in _PENDING_R10.items():
         BENCH_QUERIES.setdefault(_name, _fn)
 
     # the suite's containment row runs EXACT mode (no df-cut — the oracle
@@ -428,6 +429,11 @@ def main():
         # round-8 in-round addition: embedding covariance matrix (one
         # scan, d²-domain shuffle — the PCA/anisotropy precursor)
         "embedding_gram",
+        # round-9 in-round additions (staged r10): IVF-served margin
+        # mining agreement (exact + probed spellings in one frame) and
+        # the PCA rotation-invariance projection gate
+        "embedding_margin_agreement",
+        "embedding_pca_project",
     ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2

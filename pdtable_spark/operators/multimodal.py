@@ -290,30 +290,65 @@ def _grid4x4(gray) -> list:
     ]
 
 
-def _decode_video(payload: bytes, fake: bool):
-    """video payload → the 4x4 grid contract (first frame, block-mean
-    grayscale).  Real path: uncompressed RIFF AVI via the pure-stdlib
-    parser (no extra needed); any other container/codec needs the
-    optional ``av`` extra (lazy executor-side import, like pillow)."""
-    if fake:
-        # salted digest domain, like the audio fake
-        d = hashlib.sha256(b"video:" + (payload or b"")).digest()
-        return [[d[(4 * r + c) % 32] for c in range(4)] for r in range(4)]
-    parsed = _parse_avi(payload)
-    if parsed is not None:
-        w, h, _fps, bpp, frames = parsed
-        return _grid4x4(_dib_gray(frames[0], w, h, bpp))
+def _try_av():
+    """The optional compressed-codec backend, or None when absent (lazy
+    executor-side import, like pillow)."""
     try:
-        import io as _io
-
         import av as _av
-    except ImportError as exc:
+
+        return _av
+    except ImportError:
+        return None
+
+
+def _parse_avi_or_route(payload: bytes):
+    """``_parse_avi``, except a COMPRESSED AVI routes to the ``av`` extra
+    when it is installed (returns None = "not stdlib-decodable, try av")
+    instead of raising the install hint the extra just satisfied."""
+    try:
+        return _parse_avi(payload)
+    except NotImplementedError:
+        if _try_av() is None:
+            raise
+        return None
+
+
+def _av_open(payload: bytes):
+    """Open any non-AVI (or compressed-AVI) container via the ``av``
+    extra; loud install hint without it, loud container error with it."""
+    _av = _try_av()
+    if _av is None:
         raise NotImplementedError(
             "real video decode supports uncompressed RIFF AVI (stdlib); "
             "other containers/codecs need the optional 'av' extra "
             "(pip install av) — or pass fake=True for the stub"
+        )
+    import io as _io
+
+    try:
+        return _av.open(_io.BytesIO(payload or b""))
+    except Exception as exc:
+        raise ValueError(
+            "payload is neither RIFF AVI nor a container the 'av' extra "
+            "can open"
         ) from exc
-    with _av.open(_io.BytesIO(payload or b"")) as container:
+
+
+def _decode_video(payload: bytes, fake: bool):
+    """video payload → the 4x4 grid contract (first frame, block-mean
+    grayscale).  Real path: uncompressed RIFF AVI via the pure-stdlib
+    parser (no extra needed); any other container/codec — including a
+    COMPRESSED AVI — decodes through the optional ``av`` extra when
+    installed (lazy executor-side import, like pillow)."""
+    if fake:
+        # salted digest domain, like the audio fake
+        d = hashlib.sha256(b"video:" + (payload or b"")).digest()
+        return [[d[(4 * r + c) % 32] for c in range(4)] for r in range(4)]
+    parsed = _parse_avi_or_route(payload)
+    if parsed is not None:
+        w, h, _fps, bpp, frames = parsed
+        return _grid4x4(_dib_gray(frames[0], w, h, bpp))
+    with _av_open(payload) as container:
         for frame in container.decode(video=0):
             return _grid4x4(frame.to_ndarray(format="gray").astype("float64"))
     raise NotImplementedError("video stream contains no decodable frames")
@@ -376,10 +411,13 @@ def sample_frames(
     Real path (``fake=False``): uncompressed RIFF AVI via the pure-stdlib
     parser — ``frame_idx`` is the SOURCE frame index and
     ``frame_payload`` the raw DIB pixel block of that frame (feed it to
-    :func:`_dib_gray` / a downstream encoder); any other container needs
-    the optional ``av`` extra and raises without it.  ``fake=True`` keeps
-    the deterministic digest stub (sequential sample index, sha256
-    payloads) — the oracle/testing mode.
+    :func:`_dib_gray` / a downstream encoder).  Any other container —
+    including a compressed AVI — decodes through the optional ``av``
+    extra when installed (``frame_payload`` is then the decoded
+    grayscale plane bytes, row-major top-down) and raises the install
+    hint without it.  ``fake=True`` keeps the deterministic digest stub
+    (sequential sample index, sha256 payloads) — the oracle/testing
+    mode.
     """
     out_schema = T.StructType(
         [
@@ -404,19 +442,37 @@ def sample_frames(
                             hashlib.sha256((payload or b"") + str(i).encode()).digest()
                         )
                     continue
-                parsed = _parse_avi(payload)
-                if parsed is None:
+                parsed = _parse_avi_or_route(payload)
+                if parsed is None and _try_av() is None:
                     raise NotImplementedError(
                         "real frame sampling supports uncompressed RIFF AVI "
                         "(stdlib); other containers need the optional 'av' "
                         "extra — or pass fake=True for the stub"
                     )
-                _w, _h, fps, _bpp, frames = parsed
-                step = max(1, int(round(every_s * fps)))
-                for fi in range(0, len(frames), step):
-                    rows["asset_id"].append(aid)
-                    rows["frame_idx"].append(fi)
-                    rows["frame_payload"].append(frames[fi])
+                if parsed is not None:
+                    _w, _h, fps, _bpp, frames = parsed
+                    step = max(1, int(round(every_s * fps)))
+                    for fi in range(0, len(frames), step):
+                        rows["asset_id"].append(aid)
+                        rows["frame_idx"].append(fi)
+                        rows["frame_payload"].append(frames[fi])
+                    continue
+                with _av_open(payload) as container:
+                    stream = container.streams.video[0]
+                    fps = (
+                        float(stream.average_rate)
+                        if stream.average_rate
+                        else 1.0
+                    )
+                    step = max(1, int(round(every_s * fps)))
+                    for fi, frame in enumerate(container.decode(video=0)):
+                        if fi % step:
+                            continue
+                        rows["asset_id"].append(aid)
+                        rows["frame_idx"].append(fi)
+                        rows["frame_payload"].append(
+                            frame.to_ndarray(format="gray").tobytes()
+                        )
             yield pd.DataFrame(rows)
 
     return assets.select("asset_id", "payload", "duration_s").mapInPandas(

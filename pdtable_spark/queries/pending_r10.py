@@ -1,0 +1,265 @@
+"""Queries STAGED for round 10 — built, oracled, pytest-gated and
+benched this round (the ``suite_r8``/``pending_r9`` staging discipline),
+registered under ``@q`` at the top of round 10 so the driver's 50-row
+window arithmetic stays exact.
+
+Round-10 window note: these entries slot at the HEAD of the rotation at
+registration time, alongside whatever rows then carry the oldest
+evidence (steady state after the r9 window cleared the rotation debt:
+no registered query's evidence is more than two rounds old).
+
+Every entry here is ALREADY under the correctness gate:
+``tests/test_env_contract.py::test_pending_r10_oracles`` runs each
+(spark, oracle) pair side-by-side at sf0.001 in pytest, so staged
+queries cannot rot before registration.
+
+Each entry satisfies the driver contract shape:
+``fn(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
+matching column aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdtable_spark.queries.suite import (
+    _IVF_CELLS,
+    _IVF_NPROBE,
+    _sql_cos,
+    _sql_dist2,
+    load,
+)
+
+#: name → (query fn, oracle sql): what round 10 registers.
+PENDING_R10 = {}
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale margin mining: agreement of the IVF-served spelling vs the
+# exact broadcast miner (operators/similarity.py::margin_mining_ivf, new
+# round 9 — VERDICT r8 task #5: bitext mining uncapped from the 100k
+# broadcast-scan bound)
+# ---------------------------------------------------------------------------
+
+def _sql_margin_pipeline(pair_cte: str, tag: str, k: int, threshold: float) -> str:
+    """The margin rescore (R9_SQL_MARGIN_MINING's fk/deg/m/best chain)
+    parameterized over the pair CTE it runs on — the SQL mirror of the
+    shared ``_margin_rescore`` tail, so both spellings' oracles are one
+    spelling too."""
+    return f"""
+    fk{tag} AS (SELECT left_id, right_id, c,
+                  CAST(FLOOR(c * 1000000000.0 + 0.5) AS BIGINT) AS cq
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+                                              ORDER BY c DESC, right_id) AS rx
+                 FROM {pair_cte}) WHERE rx <= {k}),
+    degx{tag} AS (SELECT left_id, SUM(cq) AS dx, COUNT(*) AS nx
+             FROM fk{tag} GROUP BY left_id),
+    degy{tag} AS (SELECT right_id,
+                    SUM(CAST(FLOOR(c * 1000000000.0 + 0.5) AS BIGINT)) AS dy,
+                    COUNT(*) AS ny
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY right_id
+                                                ORDER BY c DESC, left_id) AS ry
+                   FROM {pair_cte}) WHERE ry <= {k} GROUP BY right_id),
+    m{tag} AS (SELECT f.left_id, f.right_id, f.c,
+                 2.0 * CAST(cq AS DOUBLE)
+                 / (CAST(dx AS DOUBLE) / CAST(nx AS DOUBLE)
+                    + CAST(dy AS DOUBLE) / CAST(ny AS DOUBLE)) AS margin
+          FROM fk{tag} f JOIN degx{tag} USING (left_id)
+          JOIN degy{tag} USING (right_id)),
+    best{tag} AS (
+      SELECT left_id, right_id, c, margin
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+                                         ORDER BY margin DESC, right_id) AS rb
+            FROM m{tag})
+      WHERE rb = 1 AND margin >= {threshold})"""
+
+
+R10_SQL_MARGIN_AGREEMENT = f"""
+    WITH l AS (SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS qa
+               FROM embeddings WHERE vec_id % 7 = 0),
+    r AS (SELECT vec_id AS right_id, CAST(embedding AS DOUBLE[]) AS ca
+          FROM embeddings WHERE vec_id % 7 <> 0),
+    p AS (SELECT left_id, right_id, {_sql_cos('qa', 'ca')} AS c
+          FROM l CROSS JOIN r),
+    {_sql_margin_pipeline('p', 'e', 4, 1.05)},
+    cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    cd AS (
+      SELECT r.right_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY r.right_id
+                                ORDER BY {_sql_dist2('ca', 'ce')}, cent.cid) AS rn
+      FROM r CROSS JOIN cent
+    ),
+    cassign AS (SELECT right_id, cid AS cell FROM cd WHERE rn = 1),
+    qd AS (
+      SELECT l.left_id, cent.cid,
+             ROW_NUMBER() OVER (PARTITION BY l.left_id
+                                ORDER BY {_sql_dist2('qa', 'ce')}, cent.cid) AS rn
+      FROM l CROSS JOIN cent
+    ),
+    qprobe AS (SELECT left_id, cid AS cell FROM qd WHERE rn <= {_IVF_NPROBE}),
+    p2 AS (
+      SELECT l.left_id, r.right_id, {_sql_cos('qa', 'ca')} AS c
+      FROM cassign JOIN qprobe USING (cell)
+      JOIN r ON r.right_id = cassign.right_id
+      JOIN l ON l.left_id = qprobe.left_id
+    ),
+    {_sql_margin_pipeline('p2', 'i', 4, 1.05)}
+    SELECT COALESCE(e.left_id, i.left_id) AS left_id,
+           e.right_id AS exact_right_id, e.margin AS exact_margin,
+           i.right_id AS ivf_right_id, i.margin AS ivf_margin,
+           CAST(e.right_id IS NOT DISTINCT FROM i.right_id AS INT) AS agree
+    FROM beste e FULL OUTER JOIN besti i ON i.left_id = e.left_id
+"""
+
+
+def r10_embedding_margin_agreement(spark, sf_dir):
+    """Per-left agreement of IVF-served margin mining (candidate pool in
+    a persisted partition-pruned index, nprobe-probed; degrees over the
+    probed pair frame) against the exact broadcast miner — the tuning
+    measurement that licenses index-served bitext mining at 100 TB
+    before pointing it at a right side the exact spelling can't scan
+    per batch (the label-prop/hard-negative measure-then-scale loop; at
+    nprobe = n_cells the two spellings are pytest-pinned identical, the
+    rescore tail being literally shared code).  A left mined by only
+    one spelling survives the FULL OUTER join with NULLs on the other
+    side — the disagreement the diagnostic exists to surface."""
+    from pdtable_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    lp = F.col("vec_id") % 7 == 0
+    left, right = emb.filter(lp), emb.filter(~lp)
+    exact = similarity.margin_mining(left, right, k=4, threshold=1.05)
+    idx = similarity.ivf_index(right, cents)
+    ivf = similarity.margin_mining_ivf(
+        idx, left, cents, k=4, threshold=1.05, nprobe=_IVF_NPROBE
+    )
+    return (
+        exact.alias("e")
+        .join(
+            ivf.alias("i"),
+            F.col("i.left_id") == F.col("e.left_id"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("e.left_id"), F.col("i.left_id")).alias("left_id"),
+            F.col("e.right_id").alias("exact_right_id"),
+            F.col("e.margin").alias("exact_margin"),
+            F.col("i.right_id").alias("ivf_right_id"),
+            F.col("i.margin").alias("ivf_margin"),
+            F.col("e.right_id")
+            .eqNullSafe(F.col("i.right_id"))
+            .cast("int")
+            .alias("agree"),
+        )
+    )
+
+
+PENDING_R10["embedding_margin_agreement"] = (
+    r10_embedding_margin_agreement,
+    R10_SQL_MARGIN_AGREEMENT,
+)
+
+
+# ---------------------------------------------------------------------------
+# PCA projection under the value gate
+# (operators/similarity.py::pca_basis / pca_project — VERDICT r8 task #4:
+#  the pytest-only PCA leg rides a staged query)
+# ---------------------------------------------------------------------------
+
+R10_SQL_PCA_PROJECT = """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id < 8
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+                                        i -> a.v[i] * b.v[i])) AS DOUBLE)
+             / 1000000000000.0 AS dot_q,
+           CAST(1 AS INT) AS rotation_ok
+    FROM q a JOIN q b ON a.vec_id <= b.vec_id
+"""
+
+
+def r10_embedding_pca_project(spark, sf_dir):
+    """The PCA leg end-to-end under the value gate: gram_matrix (exact
+    integer second moments, the registered ``embedding_gram`` statistic)
+    → pca_basis (driver-side eigh over the d² bounded artifact) →
+    pca_project of a probe set onto the FULL eigenbasis.  The check is
+    the rotation invariance that makes an orthonormal basis an
+    orthonormal basis: projected pairwise dot products equal the
+    original ones.  ``dot_q`` (1e-6-quantized BIGINT dot of the ORIGINAL
+    embeddings — exact integer arithmetic, the gram oracle's idiom) is
+    fully value-oracled; ``rotation_ok`` pins |dot(pca_a, pca_b) −
+    dot(emb_a, emb_b)| within max(1e-9, 1e-9·|dot|) — deterministic
+    (the basis derives from exact integers; every fold is scan-local
+    sequential), measured slack ~1e-13 vs eigh's ~1e-15 orthonormality,
+    so a green row stays green at every layout.  The eigensolver itself
+    is numpy-parity pytest (oracle the projection, not the eigensolver).
+
+    Scale: the projection is a zero-shuffle scan-local fold per
+    coordinate with the basis broadcast as one matrix column; the d²
+    gram collect is the centroid/codebook bounded-artifact pattern —
+    nothing here grows with the corpus except the one gram scan."""
+    from pdtable_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    comps, _eig = similarity.pca_basis(
+        similarity.gram_matrix(emb).collect(), dim=64
+    )
+    probe = emb.filter(F.col("vec_id") < 8)
+    proj = similarity.pca_project(probe, comps, out_col="pca")
+
+    def side(tag):
+        qv = F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+        )
+        return proj.select(
+            F.col("vec_id").alias(f"id_{tag}"),
+            F.col("embedding").cast("array<double>").alias(f"e{tag}"),
+            F.col("pca").alias(f"p{tag}"),
+            qv.alias(f"v{tag}"),
+        )
+
+    def ldot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def ddot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = side("a").join(side("b"), F.col("id_a") <= F.col("id_b"))
+    dot_raw = ddot(F.col("ea"), F.col("eb"))
+    dot_proj = ddot(F.col("pa"), F.col("pb"))
+    tol = F.greatest(F.lit(1e-9), F.abs(dot_raw) * F.lit(1e-9))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (ldot(F.col("va"), F.col("vb")).cast("double") / F.lit(1e12)).alias(
+            "dot_q"
+        ),
+        (F.abs(dot_proj - dot_raw) <= tol).cast("int").alias("rotation_ok"),
+    )
+
+
+PENDING_R10["embedding_pca_project"] = (
+    r10_embedding_pca_project,
+    R10_SQL_PCA_PROJECT,
+)

@@ -2013,6 +2013,52 @@ def test_extract_features_topdown_avi_not_mirrored(spark):
     assert rows["down"] == rows["up"]
 
 
+def test_compressed_video_via_av_extra(spark):
+    """Extras-gated real path for a COMPRESSED container: with the av
+    extra installed, an mpeg4 clip decodes through extract_features
+    (first-frame 4x4 block-mean grid, lossy-codec tolerance) and
+    sample_frames (fps-stepped SOURCE frame indices, grayscale plane
+    payloads).  Skips where av is absent — the stdlib ships no codecs
+    (the pillow PNG gate's pattern)."""
+    av = pytest.importorskip("av")
+    import io as _io
+
+    import numpy as np
+
+    buf = _io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=2)
+        stream.width, stream.height, stream.pix_fmt = 64, 64, "yuv420p"
+        img = np.zeros((64, 64, 3), dtype=np.uint8)
+        img[32:, :, :] = 255  # top half black, bottom half white
+        for _ in range(4):
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, "video", payload, 2.0)],
+        "asset_id long, modality string, payload binary, duration_s double",
+    )
+    feat = list(
+        multimodal.extract_features(df, dim=16, modality_col="modality")
+        .collect()[0]["feature"]
+    )
+    # mpeg4 is lossy (and yuv420 rounds) — gate the halves, not the bytes
+    assert all(v < 64.0 for v in feat[:8]), feat
+    assert all(v > 191.0 for v in feat[8:]), feat
+
+    frames = multimodal.sample_frames(df, every_s=1.0).collect()
+    idxs = sorted(r["frame_idx"] for r in frames)
+    assert idxs == [0, 2]  # fps=2 → step 2 over 4 source frames
+    gray = np.frombuffer(bytes(frames[0]["frame_payload"]), dtype=np.uint8)
+    assert gray.size == 64 * 64
+    assert gray.reshape(64, 64)[:16].mean() < 64.0  # top-down plane
+
+
 def test_bm25_topk_hand_computed(spark):
     """BM25 against hand-computed Okapi scores (Lucene idf variant),
     including the n_hits>0 cut and the id tie-break."""
@@ -3335,6 +3381,38 @@ def test_margin_mining_left_bound_raises(spark):
     )
     with pytest.raises(ValueError, match="more than 3 rows"):
         similarity.margin_mining(df, df, k=2, max_left=3).collect()
+
+
+def test_margin_mining_ivf_matches_exact_when_probing_all_cells(spark):
+    """With nprobe = n_cells the IVF miner's probed pair frame is the
+    full cross product and the rescore tail is literally shared code, so
+    its output equals margin_mining's row-for-row; with nprobe = 1 it
+    returns a subset of lefts (missed cells), never extra rows above
+    threshold 0 parity is not expected."""
+    from pdtable_spark.operators import similarity
+
+    rows = [
+        (i, [1.0 + 0.07 * (i % 5), 0.3 * (i % 4), 1.5 - 0.1 * (i % 7)])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lp = F.col("vec_id") % 7 == 0
+    ldf, rdf = df.filter(lp), df.filter(~lp)
+    cents = [
+        r["embedding"]
+        for r in rdf.orderBy("vec_id").limit(3).collect()
+    ]
+    idx = similarity.ivf_index(rdf, cents)
+    ivf = similarity.margin_mining_ivf(idx, ldf, cents, k=3, threshold=0.0, nprobe=3)
+    exact = similarity.margin_mining(ldf, rdf, k=3, threshold=0.0)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
+    # reduced probing: still one row per surviving left, drawn from the
+    # probed cells only; the left-side bound stays loud
+    few = similarity.margin_mining_ivf(idx, ldf, cents, k=3, threshold=0.0, nprobe=1)
+    got = few.collect()
+    assert len(got) == len({r["left_id"] for r in got})
+    with pytest.raises(ValueError, match="more than 1 rows"):
+        similarity.margin_mining_ivf(idx, ldf, cents, k=2, max_left=1).collect()
 
 
 def test_distinct_ngrams_hand_counts(spark):
