@@ -59,8 +59,16 @@ def bucket_pairs(
     with ea < eb (entry structs must lead with the id field).
 
     Two regimes, split by a per-bucket count (window over the bucket key —
-    the same hash partitioning the downstream aggregate/join needs, so the
-    shuffle happens ONCE and Spark's ReuseExchange serves every branch):
+    the same hash partitioning the downstream aggregate/join needs).  Cost
+    model (verified in the executed plan, round 9 — the earlier static-
+    ReuseExchange reading was wrong): the INITIAL plan carries both
+    branches' full lineage, but at runtime AQE's empty-relation
+    propagation deletes the self-join branch whenever no bucket exceeds
+    ``max_bucket``, leaving ONE scan and ONE exchange in the final plan
+    (pinned by tests/test_plans.py::
+    test_bucket_pairs_guard_collapses_when_no_hot_buckets); the guard's
+    steady-state overhead is the probe-side sort+window that discovers
+    the branch is empty — bounded, and it IS the OOM insurance:
 
     - **small buckets** (``≤ max_bucket``): ``collect_list`` + in-row array
       pair expansion — no self-join, no second exchange (the measured-fast

@@ -744,3 +744,37 @@ def test_gram_matrix_single_scan_domain_shuffle(spark):
     )
     assert n_scans(plan2) == 1
     assert n_exchanges(plan2) == 0
+
+
+def test_bucket_pairs_guard_collapses_when_no_hot_buckets(spark):
+    """The hot-bucket guard's two-regime union must cost ~nothing at
+    runtime when no bucket exceeds max_bucket: AQE's empty-relation
+    propagation eliminates the self-join branch, leaving ONE scan and
+    ONE exchange in the FINAL plan.  (The r8 docstring claimed static
+    ReuseExchange served both branches — round-9 plan audit showed the
+    actual mechanism is runtime branch elimination: the initial plan
+    carries three scans, the executed one carries one.  Pinned here so
+    a Spark upgrade or refactor that silently revives the triple
+    evaluation fails CI instead of only showing up at 100 TB.)"""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.dedup import bucket_pairs
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", (F.col("doc_id") % 50).alias("b"))
+    )
+    bp = bucket_pairs(df, ["b"], F.col("doc_id"), max_bucket=1000)
+    assert bp.count() > 0
+    bp.collect()
+    s = bp._jdf.queryExecution().executedPlan().toString()
+    final = s.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("FileScan") == 1
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Join" not in final
+    # and the guard path DOES engage when a bucket is genuinely hot
+    hot = bucket_pairs(df, ["b"], F.col("doc_id"), max_bucket=2)
+    hot.collect()
+    sh = hot._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in sh.split("== Initial Plan ==")[0]
