@@ -53,6 +53,121 @@ HEADLINE = [
     "text_tfidf_keywords",
 ]
 
+EXTENDED = [
+    "stream_hourly_counts",
+    "stream_funnel_stateful",
+    "dedup_incremental",
+    "dedup_incremental_verified",
+    "ann_query_served",
+    "embedding_lsh_topk",
+    # round-5 operators: model-based filtering, SemDeDup, stream-static
+    "text_classifier_filter",
+    "embedding_semantic_dedup",
+    "stream_enriched_segments",
+    # round-5 additions: span-level dedup and compressed-index ANN serving
+    "dedup_spans",
+    "pq_query_served",
+    # round-6 additions: the remaining serving path (IVF), the
+    # now-default skew-safe TF-IDF df spelling (window spelling stays
+    # in the headline series for round-over-round comparability), and
+    # the quality-rule family (full Gopher set; word-level repetition)
+    "ivf_query_served",
+    "text_tfidf_agg",
+    "text_gopher_rules",
+    "text_repetition_signals",
+    # round-7 additions: the remaining r6 operator families (C4 page
+    # cleaning, term blocklist, the composite curation recipe, the
+    # drift monitor — now single-scan-per-side) and the r7
+    # per-source score calibration (both spellings in one frame)
+    "text_c4_rules",
+    "text_blocklist_filter",
+    "pipeline_modern_recipe",
+    "pipeline_drift_report",
+    "pipeline_score_calibration",
+    # round-8 registered queries (queries/suite_r8.py): BM25 retrieval
+    # (zero-postings-shuffle) and DSIR importance scoring (bounded-LUT
+    # scan-local fold) are the two corpus-heavy ones
+    "text_bm25_topk",
+    "pipeline_dsir_weights",
+    # round-8 additions (cont.): line-level boilerplate dedup
+    # (broadcast spelling — the corpus-heavy one), the embedding
+    # cluster profile/sample pair, and the one-scan threshold curve
+    "text_line_dedup",
+    "embedding_cluster_profile",
+    "embedding_cluster_sample",
+    "pipeline_threshold_sweep",
+    # round-8 additions (cont.): Bloom decontamination screen
+    # (the corpus-heavy probe join) and the contrastive-training pair
+    # (broadcast-anchor scans over the embedding table).  The
+    # streaming screen replay is NOT benched — like the registered
+    # stream_curate_survivors replay, its cost is micro-batch fixed
+    # overhead (~40 s of checkpoint/landing setup at any SF), which
+    # would drown the signal the bench rows exist to trend.
+    "pipeline_bloom_screen",
+    "embedding_hard_negatives",
+    "embedding_label_propagation",
+    # round-8 additions (cont.): winnowing — the zero-shuffle
+    # fingerprint selection and the inverted-print pair join
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    # round-8 additions (cont.): per-source cap (both spellings
+    # pinned in one frame) and the zero-shuffle OOV-share report
+    "pipeline_source_cap",
+    "text_vocab_coverage",
+    # round-8 additions (cont.): record-level privacy
+    "pipeline_k_anonymize",
+    "pipeline_anonymity_report",
+    # round-8 additions (cont.): asymmetric containment near-dups
+    "dedup_containment_pairs",
+    # round-8 additions (cont.): release bookkeeping
+    "pipeline_snapshot_diff",
+    # round-8 additions (cont.): facade mutation chain (R10-R14)
+    "pipeline_facade_ops",
+    # round-8 additions (cont.): frozen-vocab OOV drift alarm
+    "text_vocab_drift",
+    # round-8 in-round additions: the IVF-accelerated label
+    # propagation (staged r9 — priced against its exact sibling
+    # embedding_label_propagation above) and the containment pair
+    # miner in production df-cut mode (the exact-mode row
+    # dedup_containment_pairs stays for round-over-round trend)
+    "embedding_label_prop_agreement",
+    "label_prop_ivf_served",
+    "dedup_containment_prod",
+    # round-8 in-round addition: HLL distinct-count ledger + novelty
+    "pipeline_novelty_ledger",
+    # round-8 in-round addition: trained-BPE fertility scan
+    "text_bpe_fertility",
+    # round-8 in-round addition: margin-based pair mining (staged r9)
+    "embedding_margin_mining",
+    # round-8 in-round additions: corpus lexical diversity (single
+    # scan, digest shuffle) and the per-source unigram divergence
+    # matrix (broadcast vocab probe, |S|x(V+1) tail)
+    "text_distinct_ngrams",
+    "pipeline_source_divergence",
+    # round-8 in-round addition: mergeable histogram ledger (two
+    # snapshot builds + additive union + interpolated quantiles)
+    "pipeline_quantile_ledger",
+    # round-8 in-round addition: scalar-quantization recall (both
+    # grids vs exact — three broadcast scans)
+    "embedding_sq_recall",
+    # round-8 in-round additions: the filter kappa matrix (one
+    # aggregate row) and the erasure sweep (find pass + partition
+    # rewrite of a derived lake)
+    "pipeline_filter_agreement",
+    "pipeline_forget_audit",
+    # round-8 in-round addition: collocations by lift (bigram-domain
+    # count + marginal windows + TakeOrdered)
+    "text_collocations",
+    # round-8 in-round addition: embedding covariance matrix (one
+    # scan, d²-domain shuffle — the PCA/anisotropy precursor)
+    "embedding_gram",
+    # round-9 in-round additions (staged r10): IVF-served margin
+    # mining agreement (exact + probed spellings in one frame) and
+    # the PCA rotation-invariance projection gate
+    "embedding_margin_agreement",
+    "embedding_pca_project",
+]
+
 
 def _ambient_guard(max_wait_sec: float = 120.0) -> dict:
     """Contention guard for the recorded artifact: BENCH_r06/r07 were both
@@ -321,120 +436,6 @@ def main():
         load(s, d, "documents"), shingle_n=5, threshold=0.6, max_doc_freq=50
     )
 
-    EXTENDED = [
-        "stream_hourly_counts",
-        "stream_funnel_stateful",
-        "dedup_incremental",
-        "dedup_incremental_verified",
-        "ann_query_served",
-        "embedding_lsh_topk",
-        # round-5 operators: model-based filtering, SemDeDup, stream-static
-        "text_classifier_filter",
-        "embedding_semantic_dedup",
-        "stream_enriched_segments",
-        # round-5 additions: span-level dedup and compressed-index ANN serving
-        "dedup_spans",
-        "pq_query_served",
-        # round-6 additions: the remaining serving path (IVF), the
-        # now-default skew-safe TF-IDF df spelling (window spelling stays
-        # in the headline series for round-over-round comparability), and
-        # the quality-rule family (full Gopher set; word-level repetition)
-        "ivf_query_served",
-        "text_tfidf_agg",
-        "text_gopher_rules",
-        "text_repetition_signals",
-        # round-7 additions: the remaining r6 operator families (C4 page
-        # cleaning, term blocklist, the composite curation recipe, the
-        # drift monitor — now single-scan-per-side) and the r7
-        # per-source score calibration (both spellings in one frame)
-        "text_c4_rules",
-        "text_blocklist_filter",
-        "pipeline_modern_recipe",
-        "pipeline_drift_report",
-        "pipeline_score_calibration",
-        # round-8 registered queries (queries/suite_r8.py): BM25 retrieval
-        # (zero-postings-shuffle) and DSIR importance scoring (bounded-LUT
-        # scan-local fold) are the two corpus-heavy ones
-        "text_bm25_topk",
-        "pipeline_dsir_weights",
-        # round-8 additions (cont.): line-level boilerplate dedup
-        # (broadcast spelling — the corpus-heavy one), the embedding
-        # cluster profile/sample pair, and the one-scan threshold curve
-        "text_line_dedup",
-        "embedding_cluster_profile",
-        "embedding_cluster_sample",
-        "pipeline_threshold_sweep",
-        # round-8 additions (cont.): Bloom decontamination screen
-        # (the corpus-heavy probe join) and the contrastive-training pair
-        # (broadcast-anchor scans over the embedding table).  The
-        # streaming screen replay is NOT benched — like the registered
-        # stream_curate_survivors replay, its cost is micro-batch fixed
-        # overhead (~40 s of checkpoint/landing setup at any SF), which
-        # would drown the signal the bench rows exist to trend.
-        "pipeline_bloom_screen",
-        "embedding_hard_negatives",
-        "embedding_label_propagation",
-        # round-8 additions (cont.): winnowing — the zero-shuffle
-        # fingerprint selection and the inverted-print pair join
-        "text_winnow_fingerprints",
-        "dedup_winnow_pairs",
-        # round-8 additions (cont.): per-source cap (both spellings
-        # pinned in one frame) and the zero-shuffle OOV-share report
-        "pipeline_source_cap",
-        "text_vocab_coverage",
-        # round-8 additions (cont.): record-level privacy
-        "pipeline_k_anonymize",
-        "pipeline_anonymity_report",
-        # round-8 additions (cont.): asymmetric containment near-dups
-        "dedup_containment_pairs",
-        # round-8 additions (cont.): release bookkeeping
-        "pipeline_snapshot_diff",
-        # round-8 additions (cont.): facade mutation chain (R10-R14)
-        "pipeline_facade_ops",
-        # round-8 additions (cont.): frozen-vocab OOV drift alarm
-        "text_vocab_drift",
-        # round-8 in-round additions: the IVF-accelerated label
-        # propagation (staged r9 — priced against its exact sibling
-        # embedding_label_propagation above) and the containment pair
-        # miner in production df-cut mode (the exact-mode row
-        # dedup_containment_pairs stays for round-over-round trend)
-        "embedding_label_prop_agreement",
-        "label_prop_ivf_served",
-        "dedup_containment_prod",
-        # round-8 in-round addition: HLL distinct-count ledger + novelty
-        "pipeline_novelty_ledger",
-        # round-8 in-round addition: trained-BPE fertility scan
-        "text_bpe_fertility",
-        # round-8 in-round addition: margin-based pair mining (staged r9)
-        "embedding_margin_mining",
-        # round-8 in-round additions: corpus lexical diversity (single
-        # scan, digest shuffle) and the per-source unigram divergence
-        # matrix (broadcast vocab probe, |S|x(V+1) tail)
-        "text_distinct_ngrams",
-        "pipeline_source_divergence",
-        # round-8 in-round addition: mergeable histogram ledger (two
-        # snapshot builds + additive union + interpolated quantiles)
-        "pipeline_quantile_ledger",
-        # round-8 in-round addition: scalar-quantization recall (both
-        # grids vs exact — three broadcast scans)
-        "embedding_sq_recall",
-        # round-8 in-round additions: the filter kappa matrix (one
-        # aggregate row) and the erasure sweep (find pass + partition
-        # rewrite of a derived lake)
-        "pipeline_filter_agreement",
-        "pipeline_forget_audit",
-        # round-8 in-round addition: collocations by lift (bigram-domain
-        # count + marginal windows + TakeOrdered)
-        "text_collocations",
-        # round-8 in-round addition: embedding covariance matrix (one
-        # scan, d²-domain shuffle — the PCA/anisotropy precursor)
-        "embedding_gram",
-        # round-9 in-round additions (staged r10): IVF-served margin
-        # mining agreement (exact + probed spellings in one frame) and
-        # the PCA rotation-invariance projection gate
-        "embedding_margin_agreement",
-        "embedding_pca_project",
-    ]
 
     # Warm-up pass: run every headline query once, untimed.  The JVM's C2
     # compiler needs 1-2 executions before a query's generated code runs at
@@ -486,6 +487,10 @@ def main():
             "headline16_total_min6": round(sum(timings_min6.values()), 3),
             "extended_total": round(sum(extended.values()), 3),
             "ambient": ambient,
+            # second probe AFTER the timed region: contention that
+            # arrives mid-run is adjudicable from the artifact too
+            # (round-9 drift root-cause — see BENCH_NOTES.md)
+            "ambient_end": _ambient_guard(max_wait_sec=0.0),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },
         separators=(",", ":"),
