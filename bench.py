@@ -162,10 +162,12 @@ EXTENDED = [
     # scan, d²-domain shuffle — the PCA/anisotropy precursor)
     "embedding_gram",
     # round-9 in-round additions (staged r10): IVF-served margin
-    # mining agreement (exact + probed spellings in one frame) and
-    # the PCA rotation-invariance projection gate
+    # mining agreement (exact + probed spellings in one frame), the
+    # PCA rotation-invariance projection gate, and the heavy-hitters
+    # ledger (two snapshot builds + bounded merge)
     "embedding_margin_agreement",
     "embedding_pca_project",
+    "pipeline_heavy_hitters",
 ]
 
 

@@ -746,3 +746,113 @@ def filter_agreement(df: DataFrame, flag_cols: List[str]) -> DataFrame:
         po.alias("po"),
         F.when(pe < F.lit(1.0), (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+def heavy_hitter_ledger(
+    df: DataFrame,
+    key_col: str,
+    by: str = "source",
+    m: int = 64,
+) -> DataFrame:
+    """Per-group TRUNCATED frequency ledger of ``key_col`` as mergeable
+    ``(by, key, n, floor)`` rows — the frequent-items sibling of the HLL
+    :func:`distinct_sketch` and :func:`histogram_ledger` summaries,
+    completing the monitoring-ledger trio (distinct counts, quantiles,
+    heavy hitters).  Each snapshot keeps the EXACT counts of its top-m
+    keys (count desc, key asc — deterministic boundary) plus the
+    group's truncation ``floor``: the LARGEST count that was dropped
+    (0 when nothing was).  That floor is what makes truncation honest
+    at merge time — a key absent from a snapshot's ledger has true
+    count ≤ that snapshot's floor, so
+    :func:`heavy_hitters_from_ledgers` can bound every merged estimate
+    from both sides (the SpaceSaving/Mergeable-Summaries guarantee,
+    Agarwal et al. 2013, carried by exact integers instead of counter
+    arithmetic).  NULL keys carry no frequency information and are
+    dropped.
+
+    Scale: one map-side-combinable count over the (by, key) domain,
+    then ONE group-partitioned rank window whose ``rn ≤ m+1`` filter is
+    WindowGroupLimit-pruned map-side — per group only m+1 rows survive
+    the shuffle of the (already key-domain-sized) count frame; the
+    floor is read off the (m+1)-th row, never a second pass.
+    """
+    if m < 1:
+        raise ValueError("heavy_hitter_ledger: need m >= 1")
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(by), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(by).orderBy(F.desc("n"), F.asc("key"))
+    wg = Window.partitionBy(by)
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= m + 1)
+        .withColumn(
+            "floor",
+            F.coalesce(
+                F.max(F.when(F.col("__rn") == m + 1, F.col("n"))).over(wg),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .filter(F.col("__rn") <= m)
+        .select(by, "key", F.col("n").cast("long").alias("n"), "floor")
+    )
+
+
+def heavy_hitters_from_ledgers(
+    ledgers: DataFrame,
+    k: int = 10,
+    by: str = "source",
+    snapshot_col: str = "snapshot",
+) -> DataFrame:
+    """Merged per-group top-k from stacked :func:`heavy_hitter_ledger`
+    snapshots (``unionByName`` them with a ``snapshot_col`` id first):
+    ledger-sized work only, no corpus rescan — the merge
+    ``approx_count_distinct``-style one-shot aggregates cannot do
+    across separately-written snapshots.
+
+    Deterministic two-sided bounds instead of a point estimate:
+    ``est_lo`` = the counts actually observed (a key absent from a
+    snapshot contributes 0), ``est_hi`` = ``est_lo`` + the floors of
+    every snapshot the key is ABSENT from (its count there can hide
+    anywhere in [0, floor]).  ``est_lo ≤ true ≤ est_hi`` always, and
+    any key whose true group total exceeds the group's summed floors is
+    GUARANTEED to surface (it cannot have been truncated everywhere) —
+    both properties are exact integer arithmetic, pytest-pinned.
+    Returns (``by``, key, est_lo, est_hi, rank) — top-k by (est_lo
+    desc, key asc).
+
+    Scale: every frame here is ledger-domain (≤ m x snapshots rows per
+    group); the rank window is WindowGroupLimit-pruned.
+    """
+    if k < 1:
+        raise ValueError("heavy_hitters_from_ledgers: need k >= 1")
+    from pyspark.sql import Window
+
+    # one floor row per (snapshot, group): floor is constant within it
+    floors = ledgers.select(snapshot_col, by, "floor").distinct()
+    total_floor = floors.groupBy(by).agg(
+        F.sum("floor").alias("__tot_floor")
+    )
+    merged = ledgers.groupBy(by, "key").agg(
+        F.sum("n").alias("est_lo"),
+        # floors of the snapshots this key IS present in
+        F.sum("floor").alias("__present_floor"),
+    )
+    w = Window.partitionBy(by).orderBy(F.desc("est_lo"), F.asc("key"))
+    return (
+        merged.join(total_floor, by)
+        .select(
+            by,
+            "key",
+            F.col("est_lo").cast("long").alias("est_lo"),
+            (F.col("est_lo") + F.col("__tot_floor") - F.col("__present_floor"))
+            .cast("long")
+            .alias("est_hi"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -263,3 +263,85 @@ PENDING_R10["embedding_pca_project"] = (
     r10_embedding_pca_project,
     R10_SQL_PCA_PROJECT,
 )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitters ledger (operators/monitor.py::heavy_hitter_ledger /
+# heavy_hitters_from_ledgers, new round 9 — the frequent-items leg that
+# completes the monitoring-ledger trio: HLL distinct counts, histogram
+# quantiles, heavy hitters)
+# ---------------------------------------------------------------------------
+
+R10_SQL_HEAVY_HITTERS = r"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS snap, source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS key
+      FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+      SELECT snap, source, key, COUNT(*) AS n FROM tok GROUP BY 1, 2, 3
+    ),
+    rn AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY snap, source
+                                   ORDER BY n DESC, key ASC) AS rn
+      FROM counts
+    ),
+    led AS (
+      SELECT snap, source, key, n, rn,
+             COALESCE(MAX(CASE WHEN rn = 17 THEN n END)
+                      OVER (PARTITION BY snap, source), 0) AS floor
+      FROM rn WHERE rn <= 17
+    ),
+    kept AS (SELECT * FROM led WHERE rn <= 16),
+    floors AS (SELECT DISTINCT snap, source, floor FROM kept),
+    tot AS (SELECT source, SUM(floor) AS tot_floor FROM floors GROUP BY source),
+    merged AS (
+      SELECT source, key, SUM(n) AS est_lo, SUM(floor) AS present_floor
+      FROM kept GROUP BY source, key
+    )
+    SELECT source, key, est_lo, est_hi, rank FROM (
+      SELECT m.source, m.key, CAST(m.est_lo AS BIGINT) AS est_lo,
+             CAST(m.est_lo + t.tot_floor - m.present_floor AS BIGINT) AS est_hi,
+             CAST(ROW_NUMBER() OVER (PARTITION BY m.source
+                                     ORDER BY m.est_lo DESC, m.key ASC) AS INT)
+               AS rank
+      FROM merged m JOIN tot t ON t.source = m.source
+    ) WHERE rank <= 8
+"""
+
+
+def r10_pipeline_heavy_hitters(spark, sf_dir):
+    """The frequent-items ledger end-to-end under the value gate: two
+    snapshot ledgers (even/odd doc ids) of per-source token counts
+    truncated to top-16 with their truncation floors, merged to the
+    per-source top-8 with DETERMINISTIC two-sided bounds — est_lo sums
+    observed counts, est_hi adds the floors of the snapshots each key
+    is absent from, and est_lo ≤ true ≤ est_hi is an exact-integer
+    invariant (pytest-pinned alongside the surfacing guarantee: a key
+    whose true total beats the summed floors cannot be truncated
+    everywhere).  m=16 < the fixtures' token domain, so truncation and
+    the absent-snapshot bound are both EXERCISED at every SF, not just
+    passed through.  Everything after the one token count is
+    ledger-domain work; no corpus rescan at merge time."""
+    from pdtable_spark.operators import monitor
+    from pdtable_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("key")
+    )
+    stacked = None
+    for s in (0, 1):
+        led = monitor.heavy_hitter_ledger(
+            tok.filter(F.col("doc_id") % 2 == s), "key", m=16
+        ).withColumn("snapshot", F.lit(s))
+        stacked = led if stacked is None else stacked.unionByName(led)
+    return monitor.heavy_hitters_from_ledgers(stacked, k=8).select(
+        "source", "key", "est_lo", "est_hi", "rank"
+    )
+
+
+PENDING_R10["pipeline_heavy_hitters"] = (
+    r10_pipeline_heavy_hitters,
+    R10_SQL_HEAVY_HITTERS,
+)

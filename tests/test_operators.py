@@ -3902,3 +3902,91 @@ def test_histogram_ledger_grid_mismatch_fails_loudly(spark):
         M.ledger_union(a.unionByName(a)), (0.5,), 0.0, 100.0, 10
     ).collect()
     assert out[0]["est"] == 5.0
+
+
+def test_heavy_hitter_ledger_hand_computed_merge_bounds(spark):
+    """Hand-computed two-snapshot merge: floors come off the (m+1)-th
+    row, est_lo sums observed counts, est_hi adds the floors of absent
+    snapshots, and est_lo <= true <= est_hi holds through a truncation
+    that actually drops a heavy key (c is cut from snapshot A)."""
+    from pdtable_spark.operators import monitor
+
+    def df_of(counts):
+        rows = [("g", k) for k, n in counts.items() for _ in range(n)]
+        return spark.createDataFrame(rows, "source string, key string")
+
+    a = monitor.heavy_hitter_ledger(df_of({"a": 5, "b": 3, "c": 2, "d": 1}), "key", m=2)
+    b = monitor.heavy_hitter_ledger(df_of({"c": 4, "a": 1, "e": 1}), "key", m=2)
+    arows = {r["key"]: r for r in a.collect()}
+    brows = {r["key"]: r for r in b.collect()}
+    assert set(arows) == {"a", "b"} and arows["a"]["floor"] == 2  # c dropped
+    # B ties a/e at 1 -> key asc keeps a; floor is e's 1
+    assert set(brows) == {"c", "a"} and brows["c"]["floor"] == 1
+    stacked = a.withColumn("snapshot", F.lit(0)).unionByName(
+        b.withColumn("snapshot", F.lit(1))
+    )
+    top = {r["key"]: r for r in monitor.heavy_hitters_from_ledgers(stacked, k=4).collect()}
+    true = {"a": 6, "b": 3, "c": 6, "d": 1, "e": 1}
+    assert top["a"]["est_lo"] == 6 and top["a"]["est_hi"] == 6  # present in both
+    assert top["b"]["est_lo"] == 3 and top["b"]["est_hi"] == 3 + 1  # absent from B
+    assert top["c"]["est_lo"] == 4 and top["c"]["est_hi"] == 4 + 2  # cut from A
+    for k_, r in top.items():
+        assert r["est_lo"] <= true[k_] <= r["est_hi"], (k_, dict(r.asDict()))
+    # deterministic order: (est_lo desc, key asc)
+    ranked = sorted(top.values(), key=lambda r: r["rank"])
+    assert [r["key"] for r in ranked] == ["a", "c", "b"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="m >= 1"):
+        monitor.heavy_hitter_ledger(df_of({"a": 1}), "key", m=0)
+    with _pytest.raises(ValueError, match="k >= 1"):
+        monitor.heavy_hitters_from_ledgers(stacked, k=0)
+
+
+def test_heavy_hitter_ledger_fuzz_guarantees(spark):
+    """Property over random snapshots: for every surfaced key,
+    est_lo <= true <= est_hi; every key whose true group total exceeds
+    the group's summed floors DOES surface (the mergeable-summary
+    guarantee); est_lo equals true when nothing was truncated."""
+    import random
+
+    from pdtable_spark.operators import monitor
+
+    rng = random.Random(907)
+    for trial in range(4):
+        m = rng.choice([1, 2, 3, 5])
+        snaps = []
+        true: dict = {}
+        for s in range(3):
+            rows = []
+            for g in ("x", "y"):
+                for _ in range(rng.randrange(0, 40)):
+                    k_ = chr(97 + rng.randrange(8))
+                    rows.append((g, k_))
+                    true[(g, k_)] = true.get((g, k_), 0) + 1
+            df = spark.createDataFrame(rows or [("x", "a")], "source string, key string")
+            if not rows:
+                df = df.limit(0)
+            snaps.append(
+                monitor.heavy_hitter_ledger(df, "key", m=m).withColumn(
+                    "snapshot", F.lit(s)
+                )
+            )
+        stacked = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
+        floors = {
+            (r["snapshot"], r["source"]): r["floor"]
+            for r in stacked.select("snapshot", "source", "floor").distinct().collect()
+        }
+        tot_floor = {}
+        for (s, g), f in floors.items():
+            tot_floor[g] = tot_floor.get(g, 0) + f
+        out = monitor.heavy_hitters_from_ledgers(stacked, k=100).collect()
+        seen = {(r["source"], r["key"]) for r in out}
+        for r in out:
+            t = true.get((r["source"], r["key"]), 0)
+            assert r["est_lo"] <= t <= r["est_hi"], (trial, dict(r.asDict()), t)
+            if tot_floor.get(r["source"], 0) == 0:
+                assert r["est_lo"] == t
+        for (g, k_), t in true.items():
+            if t > tot_floor.get(g, 0):
+                assert (g, k_) in seen, (trial, g, k_, t, tot_floor)
