@@ -345,3 +345,116 @@ PENDING_R10["pipeline_heavy_hitters"] = (
     r10_pipeline_heavy_hitters,
     R10_SQL_HEAVY_HITTERS,
 )
+
+
+R10_SQL_STREAM_HEAVY_HITTERS = r"""
+    WITH tok AS (
+      SELECT wave, source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS key
+      FROM (
+        SELECT 0 AS wave, source, text FROM documents
+        WHERE doc_id % 3 = 0 AND text IS NOT NULL
+        UNION ALL
+        SELECT 1, source, text FROM documents
+        WHERE doc_id % 4 = 0 AND text IS NOT NULL
+      )
+    ),
+    counts AS (
+      SELECT wave, source, key, COUNT(*) AS n FROM tok GROUP BY 1, 2, 3
+    ),
+    rn AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY wave, source
+                                   ORDER BY n DESC, key ASC) AS rn
+      FROM counts
+    ),
+    led AS (
+      SELECT wave, source, key, n, rn,
+             COALESCE(MAX(CASE WHEN rn = 17 THEN n END)
+                      OVER (PARTITION BY wave, source), 0) AS floor
+      FROM rn WHERE rn <= 17
+    ),
+    kept AS (SELECT * FROM led WHERE rn <= 16),
+    f AS (SELECT wave, source, MAX(floor) AS f FROM kept GROUP BY 1, 2),
+    cum0 AS (SELECT source, key, n AS lo, n AS hi FROM kept WHERE wave = 0),
+    b1 AS (SELECT source, key, n FROM kept WHERE wave = 1),
+    scal AS (
+      SELECT COALESCE(a.source, b.source) AS source,
+             COALESCE(a.f, 0) AS f1, COALESCE(b.f, 0) AS fc_prev
+      FROM (SELECT source, f FROM f WHERE wave = 1) a
+      FULL OUTER JOIN (SELECT source, f FROM f WHERE wave = 0) b
+        ON b.source = a.source
+    ),
+    cum1 AS (
+      SELECT COALESCE(c.source, n.source) AS source,
+             COALESCE(c.key, n.key) AS key,
+             COALESCE(c.lo, 0) + COALESCE(n.n, 0) AS lo,
+             CASE WHEN c.key IS NOT NULL AND n.key IS NOT NULL THEN c.hi + n.n
+                  WHEN c.key IS NOT NULL THEN c.hi + s.f1
+                  ELSE n.n + s.fc_prev END AS hi
+      FROM cum0 c FULL OUTER JOIN b1 n
+        ON n.source = c.source AND n.key = c.key
+      JOIN scal s ON s.source = COALESCE(c.source, n.source)
+    ),
+    rep0 AS (
+      SELECT CAST(0 AS BIGINT) AS batch_id, source, key,
+             CAST(lo AS BIGINT) AS est_lo, CAST(hi AS BIGINT) AS est_hi,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY lo DESC, key ASC) AS INT) AS rank
+      FROM cum0
+    ),
+    rep1 AS (
+      SELECT CAST(1 AS BIGINT) AS batch_id, source, key,
+             CAST(lo AS BIGINT) AS est_lo, CAST(hi AS BIGINT) AS est_hi,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY lo DESC, key ASC) AS INT) AS rank
+      FROM cum1
+    )
+    SELECT * FROM rep0 WHERE rank <= 8
+    UNION ALL
+    SELECT * FROM rep1 WHERE rank <= 8
+"""
+
+
+def r10_stream_heavy_hitters(spark, sf_dir):
+    """The heavy-hitters ledger under the streaming gate: two ingestion
+    waves (doc_id%3==0, then %4==0 — overlapping on %12==0, counted
+    twice: the ledger tracks OBSERVATIONS, the quantile stream's
+    posture) each picked up by its own ``availableNow`` run over ONE
+    checkpoint; per micro-batch and source the RUNNING top-8 tokens
+    land exactly-once with their two-sided bounds against the
+    accumulating truncated-count state.  Exact integer arithmetic
+    end-to-end — the est_lo/est_hi bounds carry the FULL value oracle,
+    no tolerance pin."""
+    import tempfile
+
+    from pdtable_spark.io.jsonl import read_jsonl_stream
+    from pdtable_spark.operators.text import tokens
+    from pdtable_spark.streaming.monitor import heavy_hitter_stream
+
+    d = tempfile.mkdtemp(prefix="pdtable_hh_")
+    land, led, out = f"{d}/land", f"{d}/ledger", f"{d}/out"
+    docs = load(spark, sf_dir, "documents")
+    for wave_mod in (3, 4):
+        docs.filter(F.col("doc_id") % wave_mod == 0).write.json(land, mode="append")
+        s = (
+            read_jsonl_stream(spark, land)
+            .filter(F.col("text").isNotNull())
+            .select("source", F.explode(tokens(F.col("text"))).alias("key"))
+        )
+        heavy_hitter_stream(
+            s, led, out, f"{d}/ckpt", key_col="key", by="source", m=16, k=8
+        )
+    return spark.read.parquet(out).select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "source",
+        "key",
+        "est_lo",
+        "est_hi",
+        "rank",
+    )
+
+
+PENDING_R10["stream_heavy_hitters"] = (
+    r10_stream_heavy_hitters,
+    R10_SQL_STREAM_HEAVY_HITTERS,
+)

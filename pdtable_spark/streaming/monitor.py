@@ -312,3 +312,158 @@ def quantile_ledger_stream(
         .start()
     )
     return await_or_raise(q, timeout, "quantile_ledger_stream")
+
+
+def _heavy_hitter_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    ledger_dir: str,
+    out_dir: str,
+    key_col: str,
+    by: str,
+    m: int,
+    k: int,
+) -> None:
+    """One micro-batch of the heavy-hitters ledger (split out for unit
+    tests).  Reads the cumulative bounded-counts state AS-OF the
+    previous batch (max batch_id strictly below this one — a RETRIED
+    batch recomputes against the same pre-state, so both writes land
+    byte-identically), merges this batch's truncated top-m ledger into
+    it with the two-sided-bound update rules, writes the running
+    per-group top-k report, then the advanced cumulative state under
+    this batch's partition.
+
+    Update arithmetic (all exact integers; ``f_b`` = this batch's
+    truncation floor per group, ``fc_prev`` = the summed floors of all
+    previous batches):
+
+    - key in BOTH:        lo += n_b ; hi += n_b
+    - key in state only:  lo keeps  ; hi += f_b   (it may hide ≤ f_b here)
+    - key in batch only:  lo = n_b  ; hi = n_b + fc_prev  (hidden before)
+
+    so ``est_lo ≤ true ≤ est_hi`` is invariant across any number of
+    batches.  State is ≤ m rows per group per batch plus what earlier
+    batches surfaced — KB-scale, never corpus-scale.
+    """
+    import os
+
+    from pdtable_spark.operators.monitor import heavy_hitter_ledger
+
+    led = heavy_hitter_ledger(batch_df, key_col, by, m)
+    prev = spark.createDataFrame(
+        [], f"{by} string, key string, est_lo long, est_hi long, floor_cum long"
+    )
+    if os.path.isdir(ledger_dir):
+        all_prev = spark.read.parquet(ledger_dir).filter(
+            F.col("batch_id") < batch_id
+        )
+        mx = all_prev.agg(F.max("batch_id")).collect()[0][0]
+        if mx is not None:
+            prev = all_prev.filter(F.col("batch_id") == mx).select(
+                by, "key", "est_lo", "est_hi", "floor_cum"
+            )
+    fb = led.select(by, "floor").distinct()
+    fcp = prev.select(by, "floor_cum").distinct()
+    scalars = (
+        fb.withColumnRenamed("floor", "__fb")
+        .join(fcp.withColumnRenamed("floor_cum", "__fcp"), by, "full_outer")
+        .select(
+            by,
+            F.coalesce(F.col("__fb"), F.lit(0)).cast("long").alias("__fb"),
+            F.coalesce(F.col("__fcp"), F.lit(0)).cast("long").alias("__fcp"),
+        )
+    )
+    j = (
+        prev.select(by, "key", "est_lo", "est_hi")
+        .join(
+            led.select(by, "key", F.col("n").alias("__nb")),
+            [by, "key"],
+            "full_outer",
+        )
+        .join(scalars, by)
+    )
+    both = F.col("est_lo").isNotNull() & F.col("__nb").isNotNull()
+    prev_only = F.col("est_lo").isNotNull() & F.col("__nb").isNull()
+    state = j.select(
+        by,
+        "key",
+        (F.coalesce(F.col("est_lo"), F.lit(0)) + F.coalesce(F.col("__nb"), F.lit(0)))
+        .cast("long")
+        .alias("est_lo"),
+        F.when(both, F.col("est_hi") + F.col("__nb"))
+        .when(prev_only, F.col("est_hi") + F.col("__fb"))
+        .otherwise(F.col("__nb") + F.col("__fcp"))
+        .cast("long")
+        .alias("est_hi"),
+        (F.col("__fb") + F.col("__fcp")).cast("long").alias("floor_cum"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(F.desc("est_lo"), F.asc("key"))
+    (
+        state.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(by, "key", "est_lo", "est_hi", "rank")
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    (
+        state.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(ledger_dir)
+    )
+
+
+def heavy_hitter_stream(
+    stream_docs: DataFrame,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    by: str = "source",
+    m: int = 64,
+    k: int = 10,
+    timeout: Optional[int] = 120,
+):
+    """Running per-group frequent items over a continuous ingest, from
+    truncated-count ledgers alone
+    (:func:`~pdtable_spark.operators.monitor.heavy_hitter_ledger`): per
+    micro-batch and group, the cumulative top-k keys with DETERMINISTIC
+    two-sided bounds (``est_lo ≤ true ≤ est_hi``) — the template-flood
+    / hot-domain / boilerplate-phrase alarm that fires while the batch
+    lands, with no rescan of earlier batches.  Completes the streaming
+    ledger trio next to the HLL novelty and histogram quantile streams.
+
+    State is a PARQUET LEDGER of cumulative bounded counts partitioned
+    by ``batch_id`` (as-of-batch snapshots).  Exactly-once without
+    transactional storage comes from the AS-OF read discipline alone
+    (the quantile ledger's posture: counts ADD, so the as-of recompute
+    — a retried batch reads strictly-earlier partitions and recomputes
+    byte-identically — is the mechanism doing the work; there is no
+    idempotent-merge second net).  The ledger counts OBSERVATIONS —
+    dedup upstream if repeated keys must not reweight the counts.
+
+    Output rows: (``by``, key, est_lo, est_hi, rank, batch_id); state
+    rows: (``by``, key, est_lo, est_hi, floor_cum, batch_id).
+    """
+    spark = stream_docs.sparkSession
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        _heavy_hitter_batch(
+            spark, batch_df, batch_id, ledger_dir, out_dir, key_col, by, m, k
+        )
+
+    q = (
+        stream_docs.writeStream.outputMode("append")
+        .foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return await_or_raise(q, timeout, "heavy_hitter_stream")

@@ -610,3 +610,56 @@ def test_quantile_ledger_batch_retry_idempotent(spark, tmp_path):
 
     _quantile_batch(spark, b1, 1, led, out, "v", 0.0, 100.0, 10, "source", (0.5, 1.0))
     assert snap(out) == rep1 and snap(led) == led1
+
+
+def test_heavy_hitter_batch_retry_idempotent(spark, tmp_path):
+    """The heavy-hitters ledger's exactly-once story: batch 1's running
+    bounds cover batch 0 + batch 1 as one multiset under the update
+    rules (both / state-only / batch-only keys all exercised, with a
+    truncation floor in play), and a RETRY of batch 1 recomputes
+    against the as-of-batch-0 state byte-identically."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.streaming.monitor import _heavy_hitter_batch
+
+    led, out = str(tmp_path / "hh_ledger"), str(tmp_path / "hh_out")
+
+    def df_of(counts):
+        rows = [("s", k) for k, n in counts.items() for _ in range(n)]
+        return spark.createDataFrame(rows, "source string, key string")
+
+    # m=2: batch0 keeps a(5), b(3); floor = c's 2.  batch1 keeps c(4),
+    # a? ties a(1)/e(1) -> key asc keeps a; floor = e's 1.
+    b0 = df_of({"a": 5, "b": 3, "c": 2, "d": 1})
+    b1 = df_of({"c": 4, "a": 1, "e": 1})
+    _heavy_hitter_batch(spark, b0, 0, led, out, "key", "source", 2, 10)
+    _heavy_hitter_batch(spark, b1, 1, led, out, "key", "source", 2, 10)
+
+    def snap(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    rep1, led1 = snap(out), snap(led)
+    got = {
+        (r["batch_id"], r["key"]): (r["est_lo"], r["est_hi"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch 0 report: exact for surfaced keys (fc_prev = 0)
+    assert got[(0, "a")] == (5, 5) and got[(0, "b")] == (3, 3)
+    # batch 1 running: a in both -> (6, 6); b state-only -> hi += f_1=1;
+    # c batch-only -> lo=4, hi = 4 + fc_prev=2
+    assert got[(1, "a")] == (6, 6)
+    assert got[(1, "b")] == (3, 4)
+    assert got[(1, "c")] == (4, 6)
+    true = {"a": 6, "b": 3, "c": 6}
+    for (bid, k_), (lo, hi) in got.items():
+        if bid == 1:
+            assert lo <= true[k_] <= hi
+    state = {
+        r["key"]: r for r in spark.read.parquet(led)
+        .filter(F.col("batch_id") == 1).collect()
+    }
+    assert all(r["floor_cum"] == 3 for r in state.values())  # 2 + 1
+
+    # retry of batch 1: byte-identical report and state
+    _heavy_hitter_batch(spark, b1, 1, led, out, "key", "source", 2, 10)
+    assert snap(out) == rep1 and snap(led) == led1
