@@ -778,3 +778,52 @@ def test_bucket_pairs_guard_collapses_when_no_hot_buckets(spark):
     hot.collect()
     sh = hot._jdf.queryExecution().executedPlan().toString()
     assert "Join" in sh.split("== Initial Plan ==")[0]
+
+
+def test_heavy_hitter_ledger_windowgrouplimit_single_count_shuffle(spark):
+    """heavy_hitter_ledger: the token count is one map-side-combinable
+    aggregate (partial_count before its exchange), the rank window is
+    WindowGroupLimit-pruned (only m+1 rows per group survive the
+    group shuffle), and nothing is single-partition — the shuffles are
+    the (by, key) count domain and the (by) rank domain, never rows."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.monitor import heavy_hitter_ledger
+    from pdtable_spark.operators.text import tokens
+
+    tok = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.explode(tokens(F.col("text"))).alias("key"))
+    )
+    led = heavy_hitter_ledger(tok, "key", m=16)
+    plan = led._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan  # map-side combine before the count shuffle
+    assert n_exchanges(plan) == 2  # (by, key) count + (by) rank window
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_margin_mining_ivf_broadcast_probes_pruned_windows(spark):
+    """margin_mining_ivf: the probe side broadcasts (never the index),
+    both rescore windows are WindowGroupLimit-pruned exactly like the
+    exact miner's (shared tail), and nothing is single-partition."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.similarity import ivf_index, margin_mining_ivf
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    lp = F.col("vec_id") % 7 == 0
+    idx = ivf_index(emb.filter(~lp), cents)
+    df = margin_mining_ivf(idx, emb.filter(lp), cents, k=4, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # probes joined broadcast on cell
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final per branch
+    assert "Exchange SinglePartition" not in plan
