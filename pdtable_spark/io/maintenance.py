@@ -253,6 +253,119 @@ def write_training_shards(
     return manifest
 
 
+def key_sidecar(
+    spark: SparkSession,
+    path: str,
+    key_col: str = "doc_id",
+    num_hashes: int = 3,
+    num_bits: int = 1 << 16,
+) -> DataFrame:
+    """Per-FILE key-pruning sidecar for a parquet dataset: one row per
+    data file with ``(file, n_rows, key_min, key_max, bloom_pos)`` —
+    ``bloom_pos`` is the RELATIONAL Bloom filter of the file's keys
+    (sorted distinct md5_60 bit positions, the ``bloom_build``
+    convention, so membership is "all of a key's positions present" with
+    zero false negatives).  Write it next to the lake (e.g.
+    ``path + ".sidecar"``) after each append/compaction; pass it to
+    :func:`forget_keys` and the erasure FIND pass opens ONLY the files
+    whose stats can contain a takedown key — at 100 TB that turns the
+    find-pass cost floor (a full key+partition scan) into a
+    sidecar-domain join plus a scan of the few candidate files, and a
+    :func:`write_sorted_parquet` layout makes the [min, max] ranges
+    disjoint so a key batch prunes to ~one file per key.
+
+    Scale shape: one column-pruned scan of the dataset; the bloom
+    aggregate is ``collect_set`` over EXPLODED positions, so its
+    per-file buffer is bounded by ``num_bits`` entries (≤ 0.5 MB at the
+    2^16 default), never by file row count.  ``bloom_hashes`` /
+    ``bloom_bits`` stamps ride along (the grid-stamp pattern) so a
+    probe at different Bloom parameters fails loudly instead of
+    silently pruning wrong.
+    """
+    from pdtable_spark.operators.dedup import bloom_positions
+
+    src = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file"),
+        F.col(key_col).alias("__k"),
+    )
+    stats = src.groupBy("file").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("__k").alias("key_min"),
+        F.max("__k").alias("key_max"),
+    )
+    pos = (
+        src.select(
+            "file",
+            F.explode(
+                bloom_positions(F.col("__k").cast("string"), num_hashes, num_bits)
+            ).alias("p"),
+        )
+        .groupBy("file")
+        .agg(F.array_sort(F.collect_set("p")).alias("bloom_pos"))
+    )
+    return stats.join(pos, "file").select(
+        "file",
+        "n_rows",
+        "key_min",
+        "key_max",
+        "bloom_pos",
+        F.lit(int(num_hashes)).cast("int").alias("bloom_hashes"),
+        F.lit(int(num_bits)).cast("int").alias("bloom_bits"),
+    )
+
+
+def _sidecar_candidate_files(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    sidecar: DataFrame,
+) -> List[str]:
+    """The files a takedown batch can possibly touch: sidecar files whose
+    ``[key_min, key_max]`` contains a key AND whose Bloom positions cover
+    ALL of that key's positions (no false negatives — a present key's
+    positions are all set), plus any dataset file ABSENT from the sidecar
+    (stale-sidecar safety: files appended after the sidecar was written
+    are unconditional candidates, never silently skipped)."""
+    from pdtable_spark.operators.dedup import bloom_positions
+
+    stamps = sidecar.select("bloom_hashes", "bloom_bits").distinct().collect()
+    if len(stamps) != 1:
+        raise ValueError(
+            "key_sidecar: mixed Bloom parameter stamps "
+            f"{sorted(map(tuple, stamps))} — rebuild to one parameter set"
+        )
+    num_hashes, num_bits = int(stamps[0][0]), int(stamps[0][1])
+    probe = (
+        keys.select(F.col(key_col).alias("__k"))
+        .distinct()
+        .withColumn(
+            "__pos",
+            bloom_positions(F.col("__k").cast("string"), num_hashes, num_bits),
+        )
+    )
+    cand = (
+        sidecar.join(
+            F.broadcast(probe),
+            (F.col("__k") >= F.col("key_min"))
+            & (F.col("__k") <= F.col("key_max"))
+            & F.forall(
+                F.col("__pos"),
+                lambda p: F.array_contains(F.col("bloom_pos"), p),
+            ),
+            "left_semi",
+        )
+        .select("file")
+    )
+    dataset_files = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("file"))
+        .distinct()
+    )
+    stale = dataset_files.join(sidecar.select("file"), "file", "left_anti")
+    return [r["file"] for r in cand.unionByName(stale).distinct().collect()]
+
+
 def forget_keys(
     spark: SparkSession,
     path: str,
@@ -260,6 +373,7 @@ def forget_keys(
     key_col: str = "doc_id",
     partition_col: Optional[str] = None,
     out_path: Optional[str] = None,
+    sidecar: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Right-to-erasure sweep: remove every row whose ``key_col`` appears
     in the ``keys`` frame, rewriting ONLY what the deletion touches, and
@@ -285,9 +399,18 @@ def forget_keys(
     NULL partition value.
 
     At 100 TB the find pass is the cost floor (one scan of key +
-    partition columns); a per-partition key Bloom/min-max sidecar would
-    prune it further — compose with :func:`write_sorted_parquet` so key
-    ranges are disjoint and the scan skips row groups.
+    partition columns).  Pass ``sidecar`` (a :func:`key_sidecar` frame
+    written for ``path``) and the find pass opens ONLY the candidate
+    files the sidecar's min/max + Bloom stats cannot rule out (files
+    newer than the sidecar stay unconditional candidates, Bloom false
+    positives only cost extra reads — correctness never depends on the
+    sidecar); compose with :func:`write_sorted_parquet` so key ranges
+    are disjoint and a key batch prunes to ~one file per key.  The
+    rewrite still reads its affected partitions IN FULL from ``path``
+    (a partition directory swap must carry the partition's untouched
+    files too).  ``sidecar`` applies to the partitioned mode only — the
+    whole-table rewrite must read everything regardless, so it is
+    ignored without ``partition_col``.
     """
     df = spark.read.parquet(path)
     k = keys.select(F.col(key_col)).distinct()
@@ -319,8 +442,19 @@ def forget_keys(
             [(None, int(row["n_f"] or 0), int(row["n_k"] or 0))],
             f"{partition_col or 'partition'} string, n_forgotten long, n_kept long",
         )
+    find_src = df
+    if sidecar is not None:
+        cand_files = _sidecar_candidate_files(spark, path, k, key_col, sidecar)
+        if not cand_files:
+            return (
+                df.select(partition_col)
+                .limit(0)
+                .withColumn("n_forgotten", F.lit(0).cast("long"))
+                .withColumn("n_kept", F.lit(0).cast("long"))
+            )
+        find_src = spark.read.option("basePath", path).parquet(*cand_files)
     hits = (
-        df.join(F.broadcast(k), key_col, "left_semi")
+        find_src.join(F.broadcast(k), key_col, "left_semi")
         .groupBy(partition_col)
         .agg(F.count(F.lit(1)).alias("n_forgotten"))
     )

@@ -255,3 +255,76 @@ def test_forget_keys_null_partition_fails_loudly(spark, tmp_path):
             spark, src, spark.createDataFrame([(2,)], "doc_id long"),
             "doc_id", partition_col="source",
         )
+
+
+def test_forget_keys_sidecar_prunes_find_pass(spark, tmp_path):
+    """The key sidecar closes forget_keys' documented find-pass gap:
+    candidate files are a strict subset chosen by min/max + Bloom
+    coverage, the sidecar-pruned sweep's certificate and rewritten
+    output are IDENTICAL to the unpruned sweep's, files appended after
+    the sidecar build stay unconditional candidates (stale safety),
+    out-of-range keys prune to an empty certificate without a scan, and
+    mixed Bloom stamps fail loudly."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.io.maintenance import (
+        _sidecar_candidate_files,
+        forget_keys,
+        key_sidecar,
+    )
+
+    lake = str(tmp_path / "lake")
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("source"),
+        F.concat(F.lit("txt"), F.col("id")).alias("text"),
+    )
+    # range-partitioned tasks -> several files per partition dir with
+    # disjoint doc_id ranges (the write_sorted_parquet layout)
+    docs.repartitionByRange(4, F.col("doc_id")).write.partitionBy(
+        "source"
+    ).parquet(lake)
+    sc = key_sidecar(spark, lake, "doc_id").cache()
+    n_files = sc.count()
+    assert n_files >= 8  # 4 range tasks x 2 partition dirs
+
+    keys = spark.createDataFrame([(5,), (7,)], "doc_id long")
+    cand = _sidecar_candidate_files(spark, lake, keys, "doc_id", sc)
+    assert 0 < len(cand) < n_files  # pruned, not everything
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    plain = forget_keys(spark, lake, keys, "doc_id", "source", out_a)
+    pruned = forget_keys(spark, lake, keys, "doc_id", "source", out_b, sidecar=sc)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, pruned.collect()))
+    assert sorted(map(tuple, spark.read.parquet(out_a).collect())) == sorted(
+        map(tuple, spark.read.parquet(out_b).collect())
+    )
+
+    # out-of-range key batch: empty certificate, schema intact
+    far = forget_keys(
+        spark, lake,
+        spark.createDataFrame([(10**9,)], "doc_id long"),
+        "doc_id", "source", str(tmp_path / "c"), sidecar=sc,
+    )
+    assert far.count() == 0 and far.columns == ["source", "n_forgotten", "n_kept"]
+
+    # stale-sidecar safety: rows appended AFTER the sidecar build are
+    # unconditional candidates — the new key is still erased
+    spark.createDataFrame(
+        [(5000, "A", "late")], "doc_id long, source string, text string"
+    ).write.mode("append").partitionBy("source").parquet(lake)
+    late = forget_keys(
+        spark, lake,
+        spark.createDataFrame([(5000,)], "doc_id long"),
+        "doc_id", "source", str(tmp_path / "d"), sidecar=sc,
+    )
+    got = {r["source"]: r for r in late.collect()}
+    assert got["A"]["n_forgotten"] == 1
+
+    # mixed Bloom stamps fail loudly
+    import pytest as _pytest
+
+    mixed = sc.unionByName(key_sidecar(spark, lake, "doc_id", num_bits=1 << 8))
+    with _pytest.raises(ValueError, match="mixed Bloom parameter stamps"):
+        _sidecar_candidate_files(spark, lake, keys, "doc_id", mixed)
+    sc.unpersist()
