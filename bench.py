@@ -168,6 +168,10 @@ EXTENDED = [
     "embedding_margin_agreement",
     "embedding_pca_project",
     "pipeline_heavy_hitters",
+    "margin_mining_ivf_served",
+    # round-9 in-round addition (staged r10): frozen bigram-LM quality
+    # scoring (train on the even half, score the odd half)
+    "text_lm_bigram_nll",
 ]
 
 
@@ -415,6 +419,34 @@ def main():
         return tokenizer.bpe_fertility(load(s, d, "documents"), _state["bpe"])
 
     BENCH_QUERIES["text_bpe_fertility"] = bench_bpe_fertility
+
+    def bench_margin_mining_ivf_served(s, d):
+        # steady-state cost of IVF-served margin mining: the candidate
+        # index is built once (the serving-row pattern); the timed
+        # region is probe + shared rescore — price it against the exact
+        # spelling inside embedding_margin_agreement
+        if "mm_ivf" not in _state:
+            emb = s.read.parquet(f"{d}/embeddings.parquet")
+            cents = [
+                list(r["v"])
+                for r in emb.filter(F.col("vec_id") < 16)
+                .orderBy("vec_id")
+                .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+                .collect()
+            ]
+            idx = similarity.ivf_index(
+                emb.filter(F.col("vec_id") % 7 != 0), cents
+            ).cache()
+            idx.count()
+            _state["mm_ivf"] = (idx, cents)
+        idx, cents = _state["mm_ivf"]
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        left = emb.filter(F.col("vec_id") % 7 == 0)
+        return similarity.margin_mining_ivf(
+            idx, left, cents, k=4, threshold=1.05, nprobe=4
+        )
+
+    BENCH_QUERIES["margin_mining_ivf_served"] = bench_margin_mining_ivf_served
 
     BENCH_QUERIES["dedup_incremental"] = bench_dedup_incremental
     BENCH_QUERIES["dedup_incremental_verified"] = bench_dedup_incremental_verified

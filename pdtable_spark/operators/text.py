@@ -1922,3 +1922,96 @@ def collocations(
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(int(k))
     )
+
+
+def bigram_lm_nll(
+    df: DataFrame,
+    ref_pred,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frozen n-gram language-model quality score — the CCNet/KenLM
+    perplexity-filter shape (Wenzek et al. 2020) at bigram order: an
+    interpolated conditional model trains on the REFERENCE slice
+    (``ref_pred`` — the curated/high-quality pool), then every document
+    scores its mean −ln p(w2 | w1) under that FROZEN model.  Low
+    mean_nll ≈ fluent in-domain text, high ≈ gibberish or out-of-domain
+    — CCNet keeps the head/middle of the distribution; pick thresholds
+    per source with ``threshold_sweep``.
+
+    Model: ``p(w2|w1) = lam·c(w1,w2)/c(w1·) + (1−lam)·(c(w2)+1)/(N+V+1)``
+    — bigram MLE over the reference's bigram event space (``c(w1·)`` the
+    first-position marginal, so unseen contexts contribute 0 to the
+    bigram term), backed by a Laplace unigram (the ``+1`` type is OOV),
+    so every probability is strictly positive and the NLL finite.
+
+    Returns (``id_col``, n_bigrams, mean_nll) for documents with at
+    least one bigram (sub-2-token docs carry no conditional evidence).
+
+    Determinism (the ``text_surprisal`` pattern, stacked): every count
+    ratio is one double expression of exact integers spelled identically
+    in the SQL oracle, ln rounds at 9 decimals (JVM/libm last-ulp), and
+    the per-bigram values sum as quantized BIGINTs — order-independent.
+
+    Scale: the frozen model is two reference-vocab-domain count frames
+    (bigram counts + their first-position marginal + unigram counts)
+    joined onto the scored bigrams — AQE broadcasts them while they
+    fit, and at crawl scale they shuffle on the term key exactly like
+    the surprisal vocabulary; one scan of each side, no windows.
+    """
+    toks = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            _windows_of(toks, 2),
+            lambda s: F.struct(s["0"].alias("w1"), s["1"].alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    ref = df.filter(ref_pred)
+    rtoks = ref.select(F.explode(toks).alias("w"))
+    uni = rtoks.groupBy(F.col("w").alias("u_w")).agg(F.count(F.lit(1)).alias("cu"))
+    scal = rtoks.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.count_distinct("w").alias("__V"),
+    )
+    big = (
+        ref.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("b_w1"), F.col("p.w2").alias("b_w2"))
+        .groupBy("b_w1", "b_w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ctx = big.groupBy(F.col("b_w1").alias("c_w1")).agg(F.sum("cb").alias("cw1"))
+
+    scored = (
+        df.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .join(
+            big,
+            (F.col("w1") == F.col("b_w1")) & (F.col("w2") == F.col("b_w2")),
+            "left",
+        )
+        .join(ctx, F.col("w1") == F.col("c_w1"), "left")
+        .join(uni, F.col("w2") == F.col("u_w"), "left")
+        .crossJoin(F.broadcast(scal))
+    )
+    p = F.lit(float(lam)) * F.when(
+        F.col("cb").isNotNull(),
+        F.col("cb").cast("double") / F.col("cw1").cast("double"),
+    ).otherwise(F.lit(0.0)) + F.lit(1.0 - float(lam)) * (
+        (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("__N") + F.col("__V") + F.lit(1)).cast("double")
+    )
+    qnll = F.floor(F.round(-F.log(p), 9) * F.lit(1e9)).cast("long")
+    return (
+        scored.select(id_col, qnll.alias("__q"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (
+                F.sum("__q").cast("double")
+                / (F.lit(1e9) * F.count(F.lit(1)).cast("double"))
+            ).alias("mean_nll"),
+        )
+    )

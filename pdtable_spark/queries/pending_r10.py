@@ -3,10 +3,13 @@ benched this round (the ``suite_r8``/``pending_r9`` staging discipline),
 registered under ``@q`` at the top of round 10 so the driver's 50-row
 window arithmetic stays exact.
 
-Round-10 window note: these entries slot at the HEAD of the rotation at
-registration time, alongside whatever rows then carry the oldest
-evidence (steady state after the r9 window cleared the rotation debt:
-no registered query's evidence is more than two rounds old).
+Round-10 window arithmetic (write it into ``__spark_entry__._PRIORITY``
+at registration time): after CORRECTNESS_r09 reports the r9 head-50,
+the evidence ages are r9: 50, r6: 41, r7: 50, r8: 50 — so the round-10
+head-50 is the 6 queries in this file + the 41 remaining r6-evidence
+rows + the 3 oldest r7-evidence rows (CORRECTNESS_r07 report order) =
+50 exactly, keeping the steady state the r9 rotation established: no
+registered query's evidence more than two rounds old.
 
 Every entry here is ALREADY under the correctness gate:
 ``tests/test_env_contract.py::test_pending_r10_oracles`` runs each
@@ -457,4 +460,78 @@ def r10_stream_heavy_hitters(spark, sf_dir):
 PENDING_R10["stream_heavy_hitters"] = (
     r10_stream_heavy_hitters,
     R10_SQL_STREAM_HEAVY_HITTERS,
+)
+
+
+# ---------------------------------------------------------------------------
+# Frozen bigram-LM quality score (operators/text.py::bigram_lm_nll, new
+# round 9 — the CCNet/KenLM perplexity-filter shape at bigram order,
+# next to the unigram text_surprisal)
+# ---------------------------------------------------------------------------
+
+R10_SQL_LM_BIGRAM = r"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    rt AS (SELECT unnest(ws) AS w FROM d WHERE doc_id % 2 = 0),
+    uni AS (SELECT w, COUNT(*) AS cu FROM rt GROUP BY w),
+    scal AS (SELECT COUNT(*) AS n, COUNT(DISTINCT w) AS v FROM rt),
+    rb AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2
+      FROM d CROSS JOIN LATERAL unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2 AND doc_id % 2 = 0
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS cb FROM rb GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(cb) AS cw1 FROM big GROUP BY w1),
+    sb AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM d CROSS JOIN LATERAL unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2 AND doc_id % 2 = 1
+    ),
+    scored AS (
+      SELECT sb.doc_id,
+             CAST(floor(round(-ln(
+                 0.7 * (CASE WHEN big.cb IS NOT NULL
+                             THEN CAST(big.cb AS DOUBLE) / CAST(ctx.cw1 AS DOUBLE)
+                             ELSE 0.0 END)
+                 + (1.0 - 0.7)
+                   * (CAST(COALESCE(uni.cu, 0) + 1 AS DOUBLE)
+                      / CAST(scal.n + scal.v + 1 AS DOUBLE))
+             ), 9) * 1000000000.0) AS BIGINT) AS q
+      FROM sb
+      LEFT JOIN big ON big.w1 = sb.w1 AND big.w2 = sb.w2
+      LEFT JOIN ctx ON ctx.w1 = sb.w1
+      LEFT JOIN uni ON uni.w = sb.w2
+      CROSS JOIN scal
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(q) AS DOUBLE) / (1000000000.0 * CAST(COUNT(*) AS DOUBLE))
+             AS mean_nll
+    FROM scored GROUP BY doc_id
+"""
+
+
+def r10_text_lm_bigram_nll(spark, sf_dir):
+    """CCNet-style frozen-LM quality scoring end-to-end under the value
+    gate: the interpolated bigram model trains on the even-doc_id half
+    (the curated reference pool) and scores the odd half — the
+    perplexity filter that keeps fluent in-domain text and surfaces
+    gibberish/out-of-domain docs, at the n-gram order the Spark-side
+    quantized-ln determinism pattern can carry a FULL value oracle for.
+    Unseen contexts fall to the Laplace unigram floor, so every score
+    is finite and the even/odd split exercises all three join-miss
+    shapes at every SF."""
+    from pdtable_spark.operators import text
+
+    docs = load(spark, sf_dir, "documents")
+    scored = text.bigram_lm_nll(docs, F.col("doc_id") % 2 == 0)
+    return scored.join(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "n_bigrams", "mean_nll")
+
+
+PENDING_R10["text_lm_bigram_nll"] = (
+    r10_text_lm_bigram_nll,
+    R10_SQL_LM_BIGRAM,
 )

@@ -3990,3 +3990,48 @@ def test_heavy_hitter_ledger_fuzz_guarantees(spark):
         for (g, k_), t in true.items():
             if t > tot_floor.get(g, 0):
                 assert (g, k_) in seen, (trial, g, k_, t, tot_floor)
+
+
+def test_bigram_lm_nll_hand_computed(spark):
+    """Hand-computed frozen bigram LM: interpolated conditionals on the
+    reference slice, Laplace unigram floor for unseen pairs/contexts,
+    sub-2-token docs absent, and the quantized-mean determinism
+    pattern reproduced exactly driver-side."""
+    import math
+
+    from pdtable_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a c"),   # reference: N=4, V=3; bigrams ab, ba, ac
+            (1, "a b x"),     # scored: seen pair + unseen-token pair
+            (3, "z z"),       # scored: unseen context twice
+            (5, "solo"),      # scored: no bigram -> absent
+            (7, None),        # scored: NULL text -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.bigram_lm_nll(df, F.col("doc_id") % 2 == 0).collect()
+    }
+
+    def q(p):
+        return math.floor(round(-math.log(p), 9) * 1e9)
+
+    lam, n, v = 0.7, 4, 3
+    def pu(cu):
+        return (1.0 - lam) * ((cu + 1) / float(n + v + 1))
+
+    p_ab = lam * (1 / 2) + pu(1)   # c(a,b)=1, c(a.)=2, cu(b)=1
+    p_bx = 0.0 + pu(0)             # unseen pair, unseen token
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["mean_nll"] == (q(p_ab) + q(p_bx)) / (1e9 * 2.0)
+    p_zz = 0.0 + pu(0)             # unseen context entirely
+    assert out[3]["n_bigrams"] == 1
+    assert out[3]["mean_nll"] == q(p_zz) / 1e9
+    # the reference slice scores too (callers filter if they want)
+    assert out[0]["n_bigrams"] == 3
+    assert 5 not in out and 7 not in out
+    # fluent text under the model scores lower than gibberish
+    assert out[0]["mean_nll"] < out[3]["mean_nll"]
