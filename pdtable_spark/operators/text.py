@@ -1924,50 +1924,66 @@ def collocations(
     )
 
 
-def bigram_lm_nll(
+def ngram_lm_nll(
     df: DataFrame,
     ref_pred,
+    order: int = 2,
     lam: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Frozen n-gram language-model quality score — the CCNet/KenLM
-    perplexity-filter shape (Wenzek et al. 2020) at bigram order: an
-    interpolated conditional model trains on the REFERENCE slice
-    (``ref_pred`` — the curated/high-quality pool), then every document
-    scores its mean −ln p(w2 | w1) under that FROZEN model.  Low
-    mean_nll ≈ fluent in-domain text, high ≈ gibberish or out-of-domain
-    — CCNet keeps the head/middle of the distribution; pick thresholds
-    per source with ``threshold_sweep``.
+    perplexity-filter shape (Wenzek et al. 2020) at ``order``-gram
+    order: an interpolated conditional model trains on the REFERENCE
+    slice (``ref_pred`` — the curated/high-quality pool), then every
+    document scores its mean −ln p(w | context) under that FROZEN
+    model.  Low mean_nll ≈ fluent in-domain text, high ≈ gibberish or
+    out-of-domain — CCNet keeps the head/middle of the distribution;
+    pick thresholds per source with ``threshold_sweep``.
 
-    Model: ``p(w2|w1) = lam·c(w1,w2)/c(w1·) + (1−lam)·(c(w2)+1)/(N+V+1)``
-    — bigram MLE over the reference's bigram event space (``c(w1·)`` the
-    first-position marginal, so unseen contexts contribute 0 to the
-    bigram term), backed by a Laplace unigram (the ``+1`` type is OOV),
-    so every probability is strictly positive and the NLL finite.
+    Model: ``p(w|ctx) = lam·c(ctx,w)/c(ctx·) + (1−lam)·(c(w)+1)/(N+V+1)``
+    with ``ctx`` the previous ``order−1`` tokens — n-gram MLE over the
+    reference's n-gram event space (``c(ctx·)`` the context marginal,
+    so unseen contexts contribute 0 to the n-gram term), backed by a
+    Laplace unigram (the ``+1`` type is OOV), so every probability is
+    strictly positive and the NLL finite.  Higher orders sharpen the
+    filter and grow the model table; at crawl scale the KenLM default
+    is order 5 — size ``order`` to the reference corpus like any LM.
 
-    Returns (``id_col``, n_bigrams, mean_nll) for documents with at
-    least one bigram (sub-2-token docs carry no conditional evidence).
+    Returns (``id_col``, n_ngrams, mean_nll) for documents with at
+    least one full window (shorter docs carry no conditional evidence).
 
     Determinism (the ``text_surprisal`` pattern, stacked): every count
     ratio is one double expression of exact integers spelled identically
     in the SQL oracle, ln rounds at 9 decimals (JVM/libm last-ulp), and
-    the per-bigram values sum as quantized BIGINTs — order-independent.
+    the per-window values sum as quantized BIGINTs — order-independent.
 
     Scale: the frozen model is two reference-vocab-domain count frames
-    (bigram counts + their first-position marginal + unigram counts)
-    joined onto the scored bigrams — AQE broadcasts them while they
-    fit, and at crawl scale they shuffle on the term key exactly like
-    the surprisal vocabulary; one scan of each side, no windows.
+    (n-gram counts + their context marginal + unigram counts) joined
+    onto the scored windows — AQE broadcasts them while they fit, and
+    at crawl scale they shuffle on the term key exactly like the
+    surprisal vocabulary; one scan of each side, no windows.
     """
+    if order < 2:
+        raise ValueError("ngram_lm_nll: need order >= 2")
     toks = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            _windows_of(toks, 2),
-            lambda s: F.struct(s["0"].alias("w1"), s["1"].alias("w2")),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    def window_pairs():
+        # (ctx, w) per full window: ctx = the previous order−1 tokens
+        # joined on a non-token separator (for order 2 this is w1
+        # itself, so the bigram spelling is byte-identical to r9's)
+        return F.when(
+            F.size(toks) >= order,
+            F.transform(
+                _windows_of(toks, order),
+                lambda s: F.struct(
+                    F.concat_ws(
+                        "\x1f", *[s[str(i)] for i in range(order - 1)]
+                    ).alias("cx"),
+                    s[str(order - 1)].alias("w"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<cx:string,w:string>>"))
 
     ref = df.filter(ref_pred)
     rtoks = ref.select(F.explode(toks).alias("w"))
@@ -1977,23 +1993,23 @@ def bigram_lm_nll(
         F.count_distinct("w").alias("__V"),
     )
     big = (
-        ref.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.w1").alias("b_w1"), F.col("p.w2").alias("b_w2"))
-        .groupBy("b_w1", "b_w2")
+        ref.select(F.explode(window_pairs()).alias("p"))
+        .select(F.col("p.cx").alias("b_cx"), F.col("p.w").alias("b_w"))
+        .groupBy("b_cx", "b_w")
         .agg(F.count(F.lit(1)).alias("cb"))
     )
-    ctx = big.groupBy(F.col("b_w1").alias("c_w1")).agg(F.sum("cb").alias("cw1"))
+    ctx = big.groupBy(F.col("b_cx").alias("c_cx")).agg(F.sum("cb").alias("cw1"))
 
     scored = (
-        df.select(F.col(id_col), F.explode(pairs).alias("p"))
-        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        df.select(F.col(id_col), F.explode(window_pairs()).alias("p"))
+        .select(id_col, F.col("p.cx").alias("cx"), F.col("p.w").alias("w"))
         .join(
             big,
-            (F.col("w1") == F.col("b_w1")) & (F.col("w2") == F.col("b_w2")),
+            (F.col("cx") == F.col("b_cx")) & (F.col("w") == F.col("b_w")),
             "left",
         )
-        .join(ctx, F.col("w1") == F.col("c_w1"), "left")
-        .join(uni, F.col("w2") == F.col("u_w"), "left")
+        .join(ctx, F.col("cx") == F.col("c_cx"), "left")
+        .join(uni, F.col("w") == F.col("u_w"), "left")
         .crossJoin(F.broadcast(scal))
     )
     p = F.lit(float(lam)) * F.when(
@@ -2008,10 +2024,24 @@ def bigram_lm_nll(
         scored.select(id_col, qnll.alias("__q"))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
             (
                 F.sum("__q").cast("double")
                 / (F.lit(1e9) * F.count(F.lit(1)).cast("double"))
             ).alias("mean_nll"),
         )
     )
+
+
+def bigram_lm_nll(
+    df: DataFrame,
+    ref_pred,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`ngram_lm_nll` at bigram order — the registered-query
+    spelling (column named ``n_bigrams``); see that docstring."""
+    return ngram_lm_nll(
+        df, ref_pred, order=2, lam=lam, text_col=text_col, id_col=id_col
+    ).withColumnRenamed("n_ngrams", "n_bigrams")

@@ -4035,3 +4035,49 @@ def test_bigram_lm_nll_hand_computed(spark):
     assert 5 not in out and 7 not in out
     # fluent text under the model scores lower than gibberish
     assert out[0]["mean_nll"] < out[3]["mean_nll"]
+
+
+def test_ngram_lm_nll_order3_hand_computed(spark):
+    """Order-3 generalization: the context is the previous two tokens,
+    unseen contexts fall to the unigram floor, sub-3-token docs are
+    absent, and order=2 remains byte-identical to bigram_lm_nll."""
+    import math
+
+    from pdtable_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c a b d"),  # reference: trigrams abc, bca, cab, abd
+            (1, "a b c"),        # scored: seen trigram
+            (3, "a b"),          # scored: too short for order 3 -> absent
+            (5, "x y z"),        # scored: unseen everything
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.ngram_lm_nll(df, F.col("doc_id") % 2 == 0, order=3).collect()
+    }
+
+    def q(p):
+        return math.floor(round(-math.log(p), 9) * 1e9)
+
+    lam, n, v = 0.7, 6, 4  # ref tokens: a b c a b d -> N=6, V=4
+    # ctx 'a b' continues with c or d (1 of 2); cu('c') = 1 in the reference
+    p_abc = lam * (1 / 2) + (1 - lam) * ((1 + 1) / (n + v + 1))
+    assert out[1]["n_ngrams"] == 1
+    assert out[1]["mean_nll"] == q(p_abc) / 1e9
+    p_unseen = 0.0 + (1 - lam) * (1 / (n + v + 1))
+    assert out[5]["n_ngrams"] == 1
+    assert out[5]["mean_nll"] == q(p_unseen) / 1e9
+    assert 3 not in out
+    # order=2 path unchanged: wrapper equals the generic spelling
+    a = sorted(map(tuple, T.bigram_lm_nll(df, F.col("doc_id") % 2 == 0).collect()))
+    b = sorted(
+        map(tuple, T.ngram_lm_nll(df, F.col("doc_id") % 2 == 0, order=2).collect())
+    )
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order >= 2"):
+        T.ngram_lm_nll(df, F.col("doc_id") % 2 == 0, order=1)
