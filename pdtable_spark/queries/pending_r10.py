@@ -6,8 +6,8 @@ window arithmetic stays exact.
 Round-10 window arithmetic (write it into ``__spark_entry__._PRIORITY``
 at registration time): after CORRECTNESS_r09 reports the r9 head-50,
 the evidence ages are r9: 50, r6: 41, r7: 50, r8: 50 — so the round-10
-head-50 is the 6 queries in this file + the 41 remaining r6-evidence
-rows + the 3 oldest r7-evidence rows (CORRECTNESS_r07 report order) =
+head-50 is the 5 queries in this file + the 41 remaining r6-evidence
+rows + the 4 oldest r7-evidence rows (CORRECTNESS_r07 report order) =
 50 exactly, keeping the steady state the r9 rotation established: no
 registered query's evidence more than two rounds old.
 
