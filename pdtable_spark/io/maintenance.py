@@ -274,43 +274,44 @@ def key_sidecar(
     :func:`write_sorted_parquet` layout makes the [min, max] ranges
     disjoint so a key batch prunes to ~one file per key.
 
-    Scale shape: one column-pruned scan of the dataset; the bloom
-    aggregate is ``collect_set`` over EXPLODED positions, so its
-    per-file buffer is bounded by ``num_bits`` entries (≤ 0.5 MB at the
-    2^16 default), never by file row count.  ``bloom_hashes`` /
-    ``bloom_bits`` stamps ride along (the grid-stamp pattern) so a
-    probe at different Bloom parameters fails loudly instead of
-    silently pruning wrong.
+    Scale shape: ONE column-pruned scan of the dataset — the row stats
+    and the Bloom ride the same aggregate over the exploded positions
+    (``bloom_positions`` emits exactly ``num_hashes`` rows per input
+    row, so ``n_rows = count / num_hashes`` is exact and min/max are
+    unchanged by the duplication); the ``collect_set`` buffer is
+    bounded by ``num_bits`` entries (≤ 0.5 MB at the 2^16 default),
+    never by file row count.  ``bloom_hashes`` / ``bloom_bits`` stamps
+    ride along (the grid-stamp pattern) so a probe at different Bloom
+    parameters fails loudly instead of silently pruning wrong.
     """
     from pdtable_spark.operators.dedup import bloom_positions
 
-    src = spark.read.parquet(path).select(
+    ex = spark.read.parquet(path).select(
         F.col("_metadata.file_path").alias("file"),
         F.col(key_col).alias("__k"),
+        F.explode(
+            bloom_positions(F.col(key_col).cast("string"), num_hashes, num_bits)
+        ).alias("p"),
     )
-    stats = src.groupBy("file").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("__k").alias("key_min"),
-        F.max("__k").alias("key_max"),
-    )
-    pos = (
-        src.select(
-            "file",
-            F.explode(
-                bloom_positions(F.col("__k").cast("string"), num_hashes, num_bits)
-            ).alias("p"),
+    return (
+        ex.groupBy("file")
+        .agg(
+            (F.count(F.lit(1)) / F.lit(int(num_hashes)))
+            .cast("long")
+            .alias("n_rows"),
+            F.min("__k").alias("key_min"),
+            F.max("__k").alias("key_max"),
+            F.array_sort(F.collect_set("p")).alias("bloom_pos"),
         )
-        .groupBy("file")
-        .agg(F.array_sort(F.collect_set("p")).alias("bloom_pos"))
-    )
-    return stats.join(pos, "file").select(
-        "file",
-        "n_rows",
-        "key_min",
-        "key_max",
-        "bloom_pos",
-        F.lit(int(num_hashes)).cast("int").alias("bloom_hashes"),
-        F.lit(int(num_bits)).cast("int").alias("bloom_bits"),
+        .select(
+            "file",
+            "n_rows",
+            "key_min",
+            "key_max",
+            "bloom_pos",
+            F.lit(int(num_hashes)).cast("int").alias("bloom_hashes"),
+            F.lit(int(num_bits)).cast("int").alias("bloom_bits"),
+        )
     )
 
 
@@ -329,12 +330,22 @@ def _sidecar_candidate_files(
     are unconditional candidates, never silently skipped)."""
     from pdtable_spark.operators.dedup import bloom_positions
 
+    dataset_files = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("file"))
+        .distinct()
+    )
     stamps = sidecar.select("bloom_hashes", "bloom_bits").distinct().collect()
-    if len(stamps) != 1:
+    if len(stamps) > 1:
         raise ValueError(
             "key_sidecar: mixed Bloom parameter stamps "
             f"{sorted(map(tuple, stamps))} — rebuild to one parameter set"
         )
+    if not stamps:
+        # an EMPTY sidecar prunes nothing and rules nothing out: every
+        # current file is a candidate (not a 'mixed stamps []' error —
+        # review r9)
+        return [r["file"] for r in dataset_files.collect()]
     num_hashes, num_bits = int(stamps[0][0]), int(stamps[0][1])
     probe = (
         keys.select(F.col(key_col).alias("__k"))
@@ -357,13 +368,18 @@ def _sidecar_candidate_files(
         )
         .select("file")
     )
-    dataset_files = (
-        spark.read.parquet(path)
-        .select(F.col("_metadata.file_path").alias("file"))
-        .distinct()
-    )
     stale = dataset_files.join(sidecar.select("file"), "file", "left_anti")
-    return [r["file"] for r in cand.unionByName(stale).distinct().collect()]
+    # intersect with the CURRENT listing: a sidecar naming files a
+    # compaction has since removed must not send deleted paths to the
+    # reader (those files' rows live in new, sidecar-absent files, which
+    # the stale branch already marks candidates — review r9)
+    return [
+        r["file"]
+        for r in cand.unionByName(stale)
+        .distinct()
+        .join(dataset_files, "file", "left_semi")
+        .collect()
+    ]
 
 
 def forget_keys(
@@ -422,11 +438,13 @@ def forget_keys(
         # counts — at the scale this module sizes against, each extra
         # count is a full table read, and a certificate assembled from
         # independent reads of a mutable path can disagree with itself
-        # persist() so the certificate agg and the rewrite consume ONE
-        # materialization of the source — without it they are two jobs
-        # re-reading the same mutable path, and a concurrent writer
-        # between them makes the certificate disagree with the output
-        # (ADVICE r8); MEMORY_AND_DISK spills rather than OOMs at scale
+        # persist() so the certificate agg and the rewrite normally
+        # consume one materialization instead of two reads of a mutable
+        # path (ADVICE r8).  Best-effort, NOT a transaction: an evicted
+        # or lost cached block recomputes from the source, so a
+        # concurrent writer in that window can still skew the pair —
+        # snapshot the input (or stop writers) for a court-grade
+        # certificate; MEMORY_AND_DISK spills rather than OOMs at scale
         flagged = df.join(kf, key_col, "left").persist()
         try:
             row = flagged.agg(
@@ -474,11 +492,14 @@ def forget_keys(
             partition_col, "n_forgotten", F.col("n_kept")
         )
     # ONE flagged frame over the affected partitions feeds BOTH
-    # certificate counts (one agg) and the rewrite — persist() pins the
-    # single materialization both consume (the lazy frame alone still
-    # re-READ the path per job, so a concurrent mutation between the
-    # cert collect and the write could make them disagree — ADVICE r8);
-    # MEMORY_AND_DISK spills rather than OOMs on a large touched set
+    # certificate counts (one agg) and the rewrite — persist() makes
+    # them normally consume a single materialization instead of two
+    # reads of a mutable path (ADVICE r8).  Best-effort, NOT a
+    # transaction: an evicted/lost cached block recomputes from the
+    # source, so a concurrent writer in that window can still skew the
+    # pair — snapshot the input (or stop writers) for a court-grade
+    # certificate; MEMORY_AND_DISK spills rather than OOMs on a large
+    # touched set
     flagged = (
         df.filter(F.col(partition_col).isin(parts))
         .join(kf, key_col, "left")

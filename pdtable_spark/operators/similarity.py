@@ -1804,19 +1804,18 @@ def sq_query(
     if "sq_levels" in index.columns:
         # grid check: a mismatched `levels` is silently-wrong arithmetic,
         # not an error Spark would ever raise on its own.  One bounded
-        # pre-check over the stamp column (RLE'd constant — a min/max agg
-        # reads next to nothing) instead of a per-row when/raise_error
-        # branch inside the scan projection: same loud failure, zero
-        # per-row decode cost (VERDICT r8 #4).
-        got = index.agg(
-            F.min("sq_levels").alias("lo"), F.max("sq_levels").alias("hi")
-        ).first()
-        if got["lo"] is not None and not (got["lo"] == got["hi"] == int(levels)):
-            stamp = (
-                str(got["lo"])
-                if got["lo"] == got["hi"]
-                else f"{got['lo']}..{got['hi']}"
-            )
+        # pre-check over the stamp column ALONE — column pruning drops
+        # the sibling encode expressions from the projection, so even an
+        # unwritten sq_index(...) pipeline pays a cheap literal-column
+        # pass here, never a second encode (review r9); on a written
+        # index the RLE'd constant reads next to nothing.  Replaces the
+        # per-row when/raise_error branch (VERDICT r8 #4): same loud
+        # failure, zero per-row decode cost.
+        got = sorted(
+            r["sq_levels"] for r in index.select("sq_levels").distinct().collect()
+        )
+        if got and got != [int(levels)]:
+            stamp = str(got[0]) if len(got) == 1 else f"{got[0]}..{got[-1]}"
             raise ValueError(
                 f"sq_query: index encoded at levels={stamp}, "
                 f"decode requested levels={int(levels)}"

@@ -1970,15 +1970,19 @@ def ngram_lm_nll(
 
     def window_pairs():
         # (ctx, w) per full window: ctx = the previous order−1 tokens
-        # joined on a non-token separator (for order 2 this is w1
-        # itself, so the bigram spelling is byte-identical to r9's)
+        # joined on a SPACE — tokens() splits on \s+, so no token can
+        # contain whitespace and the space-joined context is injective
+        # (a control-char separator was NOT: \x1f survives tokenization,
+        # so ('a\x1fb','c') and ('a','b\x1fc') would conflate — review
+        # r9).  For order 2 the ctx is the bare token, so the bigram
+        # spelling is byte-identical to the registered r9 oracle.
         return F.when(
             F.size(toks) >= order,
             F.transform(
                 _windows_of(toks, order),
                 lambda s: F.struct(
                     F.concat_ws(
-                        "\x1f", *[s[str(i)] for i in range(order - 1)]
+                        " ", *[s[str(i)] for i in range(order - 1)]
                     ).alias("cx"),
                     s[str(order - 1)].alias("w"),
                 ),

@@ -351,8 +351,22 @@ def _heavy_hitter_batch(
     from pdtable_spark.operators.monitor import heavy_hitter_ledger
 
     led = heavy_hitter_ledger(batch_df, key_col, by, m)
+    # the empty prior state takes its key/group FIELD TYPES from the
+    # batch ledger — a hardcoded string schema would coerce a bigint
+    # key's full_outer join to double (2^53 rounding) on batch 0
+    from pyspark.sql import types as T
+
     prev = spark.createDataFrame(
-        [], f"{by} string, key string, est_lo long, est_hi long, floor_cum long"
+        [],
+        T.StructType(
+            [
+                led.schema[by],
+                led.schema["key"],
+                T.StructField("est_lo", T.LongType()),
+                T.StructField("est_hi", T.LongType()),
+                T.StructField("floor_cum", T.LongType()),
+            ]
+        ),
     )
     if os.path.isdir(ledger_dir):
         all_prev = spark.read.parquet(ledger_dir).filter(

@@ -328,3 +328,36 @@ def test_forget_keys_sidecar_prunes_find_pass(spark, tmp_path):
     with _pytest.raises(ValueError, match="mixed Bloom parameter stamps"):
         _sidecar_candidate_files(spark, lake, keys, "doc_id", mixed)
     sc.unpersist()
+
+
+def test_sidecar_empty_and_removed_file_edges(spark, tmp_path):
+    """Review-r9 edges: an EMPTY sidecar prunes nothing (all current
+    files are candidates — not a 'mixed stamps' error), and a sidecar
+    naming files a compaction since removed never sends deleted paths
+    to the reader (candidates intersect the current listing)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.io.maintenance import _sidecar_candidate_files, key_sidecar
+
+    lake = str(tmp_path / "lake2")
+    spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("A").alias("source")
+    ).repartitionByRange(3, F.col("doc_id")).write.partitionBy("source").parquet(
+        lake
+    )
+    sc = key_sidecar(spark, lake, "doc_id").cache()
+    n_files = sc.count()
+    keys = spark.createDataFrame([(1,)], "doc_id long")
+
+    empty = _sidecar_candidate_files(spark, lake, keys, "doc_id", sc.limit(0))
+    assert len(empty) == n_files  # prunes nothing, errors nothing
+
+    # simulate compaction removing a file the sidecar still names
+    victim = sorted(glob.glob(f"{lake}/source=A/*.parquet"))[0]
+    os.remove(victim)
+    cand = _sidecar_candidate_files(spark, lake, keys, "doc_id", sc)
+    assert all(not c.endswith(os.path.basename(victim)) for c in cand)
+    sc.unpersist()

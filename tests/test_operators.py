@@ -4081,3 +4081,32 @@ def test_ngram_lm_nll_order3_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="order >= 2"):
         T.ngram_lm_nll(df, F.col("doc_id") % 2 == 0, order=1)
+
+
+def test_ngram_lm_nll_context_separator_injective(spark):
+    """Context joining must not conflate distinct contexts when a token
+    contains a control character: tokens cannot contain whitespace, so
+    the space-joined context is injective (the \\x1f separator was not
+    — review r9)."""
+    import math
+
+    from pdtable_spark.operators import text as T
+
+    t1, t2 = "a\x1fb", "b\x1fc"  # legal tokens: no whitespace inside
+    df = spark.createDataFrame(
+        [
+            (0, f"{t1} c X"),   # reference: ctx ('a\x1fb', 'c') -> X
+            (2, f"a {t2} Y"),   # reference: ctx ('a', 'b\x1fc') -> Y
+            (1, f"{t1} c X"),   # scored: its ctx has exactly ONE continuation
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.ngram_lm_nll(df, F.col("doc_id") % 2 == 0, order=3).collect()
+    }
+    lam, n, v = 0.7, 6, 6
+    # under the old conflating separator both refs shared one ctx and
+    # the trigram term was 1/2; injective ctx -> 1/1
+    p = lam * 1.0 + (1 - lam) * ((1 + 1) / (n + v + 1))
+    assert out[1]["mean_nll"] == math.floor(round(-math.log(p), 9) * 1e9) / 1e9

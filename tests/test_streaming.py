@@ -663,3 +663,30 @@ def test_heavy_hitter_batch_retry_idempotent(spark, tmp_path):
     # retry of batch 1: byte-identical report and state
     _heavy_hitter_batch(spark, b1, 1, led, out, "key", "source", 2, 10)
     assert snap(out) == rep1 and snap(led) == led1
+
+
+def test_heavy_hitter_batch_long_keys_keep_type(spark, tmp_path):
+    """A bigint key column must survive the batch-0 empty-state join
+    with its TYPE intact — a hardcoded string prev-schema coerced the
+    full_outer join to double (2^53 rounding territory) — and big
+    int64 keys must merge exactly across batches."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.streaming.monitor import _heavy_hitter_batch
+
+    led, out = str(tmp_path / "hk_ledger"), str(tmp_path / "hk_out")
+    big_key = (1 << 62) + 12345  # not representable as a double
+    b0 = spark.createDataFrame(
+        [("s", big_key)] * 3 + [("s", 7)], "source string, key long"
+    )
+    b1 = spark.createDataFrame([("s", big_key)] * 2, "source string, key long")
+    _heavy_hitter_batch(spark, b0, 0, led, out, "key", "source", 10, 10)
+    _heavy_hitter_batch(spark, b1, 1, led, out, "key", "source", 10, 10)
+    rep = spark.read.parquet(out)
+    assert dict(rep.dtypes)["key"] == "bigint"
+    got = {
+        (r["batch_id"], r["key"]): (r["est_lo"], r["est_hi"])
+        for r in rep.collect()
+    }
+    assert got[(1, big_key)] == (5, 5)  # exact merge, no double rounding
+    assert got[(1, 7)] == (1, 1)
