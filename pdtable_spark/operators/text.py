@@ -2049,3 +2049,76 @@ def bigram_lm_nll(
     return ngram_lm_nll(
         df, ref_pred, order=2, lam=lam, text_col=text_col, id_col=id_col
     ).withColumnRenamed("n_ngrams", "n_bigrams")
+
+
+def train_text_classifier(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    vocab_size: int = 10_000,
+    min_df: float = 1.0,
+    reg_param: float = 0.0,
+    max_iter: int = 50,
+):
+    """Train the fastText-style bag-of-words quality classifier that
+    :func:`classifier_score` serves — closing the model-based-filtering
+    loop (label a seed set, train HERE, freeze the artifact, score the
+    corpus with the zero-shuffle scan paths).  Distributed training via
+    ``pyspark.ml``: CountVectorizer (top ``vocab_size`` terms by
+    document frequency over the :func:`tokens` convention, lowercased)
+    into LogisticRegression, whose objective — ``intercept +
+    Σ_token count·weight`` — is EXACTLY the serving score
+    :func:`classifier_score` computes as a per-occurrence fold, so
+    train and serve cannot diverge in formulation.
+
+    Returns ``(weights, bias)``: a ``dict[str, float]`` over the
+    learned vocabulary (zero coefficients dropped) plus the intercept —
+    the bounded driver artifact (≤ vocab_size floats, the
+    centroid/codebook pattern) to persist next to the corpus and feed
+    either ``classifier_score`` path.
+
+    Determinism note: LBFGS accumulates float gradients in partition
+    order, so re-training on a different layout can move weights in the
+    last ulps — train ONCE, persist the artifact, and serve the frozen
+    copy (the BPE/centroid discipline); the suite's value-oracled
+    classifier queries run fixed published weights for exactly this
+    reason.  Rows with NULL text or NULL label are rejected loudly —
+    silently dropping labeled examples skews the classes.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import CountVectorizer
+
+    bad = df.filter(
+        F.col(text_col).isNull() | F.col(label_col).isNull()
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "train_text_classifier: NULL text or label in the training "
+            "set — clean or relabel before training"
+        )
+    prepared = df.select(
+        F.col(label_col).cast("double").alias("__lbl"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    cv = CountVectorizer(
+        inputCol="__toks",
+        outputCol="__feat",
+        vocabSize=int(vocab_size),
+        minDF=float(min_df),
+    )
+    lr = LogisticRegression(
+        featuresCol="__feat",
+        labelCol="__lbl",
+        regParam=float(reg_param),
+        maxIter=int(max_iter),
+    )
+    model = Pipeline(stages=[cv, lr]).fit(prepared)
+    cvm, lrm = model.stages
+    coefs = lrm.coefficients
+    weights = {
+        term: float(coefs[i])
+        for i, term in enumerate(cvm.vocabulary)
+        if float(coefs[i]) != 0.0
+    }
+    return weights, float(lrm.intercept)

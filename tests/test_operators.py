@@ -4110,3 +4110,30 @@ def test_ngram_lm_nll_context_separator_injective(spark):
     # the trigram term was 1/2; injective ctx -> 1/1
     p = lam * 1.0 + (1 - lam) * ((1 + 1) / (n + v + 1))
     assert out[1]["mean_nll"] == math.floor(round(-math.log(p), 9) * 1e9) / 1e9
+
+
+def test_train_text_classifier_end_to_end(spark):
+    """The model-based-filtering loop closes: train on a labeled seed
+    set, serve the frozen artifact through classifier_score, and the
+    separable synthetic corpus classifies perfectly with the expected
+    weight signs; NULLs in the training set fail loudly."""
+    from pdtable_spark.operators import text as T
+
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, f"great insightful great prose {i % 3}", 1))
+        rows.append((2 * i + 1, f"spam click spam buy {i % 3}", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    weights, bias = T.train_text_classifier(df, vocab_size=64)
+    assert weights["great"] > 0 > weights["spam"]
+    scored = T.classifier_score(df, weights, bias=bias)
+    out = scored.select("doc_id", "label", "clf_prob").collect()
+    assert all((r["clf_prob"] >= 0.5) == (r["label"] == 1) for r in out)
+
+    import pytest as _pytest
+
+    withnull = df.unionByName(
+        spark.createDataFrame([(999, None, 1)], "doc_id long, text string, label int")
+    )
+    with _pytest.raises(ValueError, match="NULL text or label"):
+        T.train_text_classifier(withnull)
