@@ -618,3 +618,75 @@ def phash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _be_uint(payload, pos: int, n: int):
+    """Big-endian unsigned int from ``n`` bytes at 1-indexed ``pos``."""
+    return F.conv(F.hex(F.substring(payload, pos, n)), 16, 10).cast("long")
+
+
+def _le_uint(payload, pos: int, n: int):
+    """Little-endian unsigned int from ``n`` bytes at 1-indexed ``pos``
+    (sum of per-byte values — stays in codegen, no string reversal)."""
+    out = F.lit(0).cast("long")
+    for i in range(n):
+        out = out + _be_uint(payload, pos + i, 1) * F.lit(1 << (8 * i))
+    return out
+
+
+def image_meta(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    format_col: str = "img_format",
+    width_col: str = "img_width",
+    height_col: str = "img_height",
+) -> DataFrame:
+    """Header-only image metadata — (format, width, height) columns from
+    the first bytes of an opaque binary payload, as PURE JVM column
+    expressions: zero decode, zero Python, no codec extras, whole-stage
+    codegen.  This is the scan you run over 100 TB of crawl images
+    BEFORE deciding what to decode: resolution filters, aspect-ratio
+    caps, and format routing all come from fixed-offset header fields.
+
+    Formats: PNG (IHDR width/height, big-endian at offset 17/21),
+    GIF87a/89a (logical-screen size, little-endian at 7/9), BMP
+    (BITMAPINFOHEADER biWidth/biHeight, little-endian at 19/23 —
+    |biHeight|, since negative means top-down, the `_dib_gray` sign
+    convention).  JPEG dimensions live in a variable-offset SOF marker
+    a fixed projection cannot reach: JPEG rows report their format with
+    NULL dims (route them to the decode path if dims matter).  Unknown
+    payloads and NULLs report NULL format.
+    """
+    p = F.col(payload_col)
+    is_png = F.substring(p, 1, 8) == F.lit(
+        bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])
+    )
+    is_gif = F.substring(p, 1, 6).isin(F.lit(b"GIF87a"), F.lit(b"GIF89a"))
+    is_bmp = F.substring(p, 1, 2) == F.lit(b"BM")
+    is_jpg = F.substring(p, 1, 3) == F.lit(bytes([0xFF, 0xD8, 0xFF]))
+    bmp_h_raw = _le_uint(p, 23, 4)
+    bmp_h = F.when(
+        bmp_h_raw >= F.lit(1 << 31), F.lit(1 << 32) - bmp_h_raw
+    ).otherwise(bmp_h_raw)
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_bmp, F.lit("bmp"))
+        .when(is_jpg, F.lit("jpeg"))
+    )
+    width = (
+        F.when(is_png, _be_uint(p, 17, 4))
+        .when(is_gif, _le_uint(p, 7, 2))
+        .when(is_bmp, _le_uint(p, 19, 4))
+    )
+    height = (
+        F.when(is_png, _be_uint(p, 21, 4))
+        .when(is_gif, _le_uint(p, 9, 2))
+        .when(is_bmp, bmp_h)
+    )
+    return assets.select(
+        "*",
+        fmt.alias(format_col),
+        width.alias(width_col),
+        height.alias(height_col),
+    )

@@ -4137,3 +4137,51 @@ def test_train_text_classifier_end_to_end(spark):
     )
     with _pytest.raises(ValueError, match="NULL text or label"):
         T.train_text_classifier(withnull)
+
+
+def test_image_meta_header_only(spark):
+    """Zero-decode image metadata: real PNG/GIF/BMP headers parse to
+    (format, width, height) via pure column expressions; JPEG reports
+    format with NULL dims (variable-offset SOF); garbage and NULL
+    payloads report NULL format; a top-down BMP (negative biHeight)
+    reports |height|.  The plan stays codegen — no Python stages."""
+    import struct
+    import zlib
+
+    def png(w, h):
+        ihdr = struct.pack(">II", w, h) + bytes([8, 0, 0, 0, 0])
+        chunk = b"IHDR" + ihdr
+        return (
+            bytes([0x89]) + b"PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+        )
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + bytes([0, 0, 0])
+
+    def bmp(w, h):
+        return (
+            b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, w, h, 1, 24) + bytes(24)
+        )
+
+    rows = [
+        (1, png(640, 480)),
+        (2, gif(320, 200)),
+        (3, bmp(100, 50)),
+        (4, bmp(100, -50)),                     # top-down: |height|
+        (5, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"JFIF"),
+        (6, b"not an image"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r["asset_id"]: r for r in multimodal.image_meta(df).collect()}
+    assert (out[1]["img_format"], out[1]["img_width"], out[1]["img_height"]) == ("png", 640, 480)
+    assert (out[2]["img_format"], out[2]["img_width"], out[2]["img_height"]) == ("gif", 320, 200)
+    assert (out[3]["img_format"], out[3]["img_width"], out[3]["img_height"]) == ("bmp", 100, 50)
+    assert (out[4]["img_format"], out[4]["img_height"]) == ("bmp", 50)
+    assert out[5]["img_format"] == "jpeg" and out[5]["img_width"] is None
+    assert out[6]["img_format"] is None and out[7]["img_format"] is None
+    plan = multimodal.image_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan  # pure codegen scan
