@@ -172,6 +172,9 @@ EXTENDED = [
     # round-9 in-round addition (staged r10): frozen bigram-LM quality
     # scoring (train on the even half, score the odd half)
     "text_lm_bigram_nll",
+    # round-9 in-round addition (staged r10): zero-decode header
+    # metadata scan (synthesize + parse, one codegen projection)
+    "multimodal_image_meta",
 ]
 
 

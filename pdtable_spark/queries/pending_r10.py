@@ -6,8 +6,8 @@ window arithmetic stays exact.
 Round-10 window arithmetic (write it into ``__spark_entry__._PRIORITY``
 at registration time): after CORRECTNESS_r09 reports the r9 head-50,
 the evidence ages are r9: 50, r6: 41, r7: 50, r8: 50 — so the round-10
-head-50 is the 5 queries in this file + the 41 remaining r6-evidence
-rows + the 4 oldest r7-evidence rows (CORRECTNESS_r07 report order) =
+head-50 is the 6 queries in this file + the 41 remaining r6-evidence
+rows + the 3 oldest r7-evidence rows (CORRECTNESS_r07 report order) =
 50 exactly, keeping the steady state the r9 rotation established: no
 registered query's evidence more than two rounds old.
 
@@ -534,4 +534,57 @@ def r10_text_lm_bigram_nll(spark, sf_dir):
 PENDING_R10["text_lm_bigram_nll"] = (
     r10_text_lm_bigram_nll,
     R10_SQL_LM_BIGRAM,
+)
+
+
+# ---------------------------------------------------------------------------
+# Header-only image metadata under the value gate
+# (operators/multimodal.py::image_meta, new round 9 — zero-decode
+#  format/dimension extraction as pure JVM column expressions)
+# ---------------------------------------------------------------------------
+
+R10_SQL_IMAGE_META = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS img_format,
+           CAST(n_chars AS BIGINT) AS img_width,
+           CAST(doc_id % 4096 + 1 AS BIGINT) AS img_height
+    FROM documents WHERE n_chars IS NOT NULL
+"""
+
+
+def r10_multimodal_image_meta(spark, sf_dir):
+    """The zero-decode metadata scan under the driver value gate: real
+    PNG and GIF header BYTES are synthesized in-engine per document
+    (magic + width/height fields at the formats' fixed offsets —
+    big-endian IHDR for even ids, little-endian GIF logical screen for
+    odd), then ``image_meta``'s pure-JVM projection parses them back;
+    the oracle states the expected (format, dims) from the source
+    columns directly, so every byte-offset and endianness choice in the
+    parser is value-gated on 500+ rows per SF — while the query itself
+    is one codegen scan, no Python, no decode."""
+    from pdtable_spark.operators.multimodal import image_meta
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    w, h = F.col("n_chars").cast("long"), (F.col("doc_id") % 4096 + 1).cast("long")
+    be8 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    le4 = lambda c: F.concat(  # noqa: E731
+        F.lpad(F.hex(c % 256), 2, "0"), F.lpad(F.hex((c / 256).cast("long")), 2, "0")
+    )
+    png = F.concat(
+        F.lit("89504E470D0A1A0A"),  # magic
+        F.lit("0000000D49484452"),  # IHDR length + type
+        be8(w), be8(h),
+        F.lit("0800000000"),        # bit depth / color / crc filler
+    )
+    gif = F.concat(F.lit("474946383961"), le4(w), le4(h), F.lit("000000"))
+    payload = F.unhex(F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif))
+    assets = docs.select("doc_id", payload.alias("payload"))
+    return image_meta(assets).select(
+        "doc_id", "img_format", "img_width", "img_height"
+    )
+
+
+PENDING_R10["multimodal_image_meta"] = (
+    r10_multimodal_image_meta,
+    R10_SQL_IMAGE_META,
 )

@@ -4185,3 +4185,67 @@ def test_image_meta_header_only(spark):
     assert out[6]["img_format"] is None and out[7]["img_format"] is None
     plan = multimodal.image_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan  # pure codegen scan
+
+
+def test_ngram_lm_nll_fuzz_vs_bruteforce(spark):
+    """Property: for random tiny corpora and orders, ngram_lm_nll equals
+    a pure-Python reference model exactly (the quantization makes the
+    comparison bit-exact, not approximate)."""
+    import math
+    import random
+
+    from pdtable_spark.operators import text as T
+
+    rng = random.Random(4242)
+    for trial in range(3):
+        order = rng.choice([2, 3])
+        vocab = ["aa", "bb", "cc", "dd"]
+        docs = []
+        for i in range(14):
+            n = rng.randrange(0, 7)
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n)) or None))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        ref_ids = {i for i, _ in docs if i % 2 == 0}
+
+        # pure-Python reference
+        def toks(s):
+            return s.strip().split() if s and s.strip() != "" else ([""] if s is not None else [])
+
+        ref_docs = [toks(t) for i, t in docs if i in ref_ids and t is not None]
+        uni: dict = {}
+        for ws in ref_docs:
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+        n_tot, v_tot = sum(uni.values()), len(uni)
+        big: dict = {}
+        ctx: dict = {}
+        for ws in ref_docs:
+            for j in range(len(ws) - order + 1):
+                c = " ".join(ws[j : j + order - 1])
+                w = ws[j + order - 1]
+                big[(c, w)] = big.get((c, w), 0) + 1
+                ctx[c] = ctx.get(c, 0) + 1
+        lam = 0.7
+        want = {}
+        for i, t in docs:
+            if t is None:
+                continue
+            ws = toks(t)
+            qs = []
+            for j in range(len(ws) - order + 1):
+                c = " ".join(ws[j : j + order - 1])
+                w = ws[j + order - 1]
+                p = lam * (big.get((c, w), 0) / ctx[c] if (c, w) in big else 0.0) + (
+                    1.0 - lam
+                ) * ((uni.get(w, 0) + 1) / (n_tot + v_tot + 1))
+                qs.append(math.floor(round(-math.log(p), 9) * 1e9))
+            if qs:
+                want[i] = (len(qs), sum(qs) / (1e9 * len(qs)))
+
+        got = {
+            r["doc_id"]: (r["n_ngrams"], r["mean_nll"])
+            for r in T.ngram_lm_nll(
+                df, F.col("doc_id") % 2 == 0, order=order
+            ).collect()
+        }
+        assert got == want, (trial, order)
