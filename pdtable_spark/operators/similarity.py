@@ -1633,6 +1633,7 @@ def margin_mining_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_left: Optional[int] = 100_000,
+    where=None,
 ) -> DataFrame:
     """The 100 TB spelling of :func:`margin_mining`: the candidate
     (right) pool lives in a persisted :func:`ivf_index`, each left/query
@@ -1655,7 +1656,17 @@ def margin_mining_ivf(
 
     Returns (left_id, right_id, cosine_sim, margin), one row per left
     id whose best probed margin clears ``threshold``.
+
+    ``where`` filters candidates on index metadata columns BEFORE the
+    probe join (e.g. mine only against one language/source of a mixed
+    pool) — on a persisted index the predicate reaches parquet
+    row-group pushdown inside the probed-cell partitions, the
+    :func:`ivf_query`/:func:`ann_query` filtered-search contract.  The
+    degree means then describe the FILTERED pool, which is exactly the
+    population being mined against.
     """
+    if where is not None:
+        index = index.filter(where)
     _bounded_broadcast_side(
         left.select(F.col(id_col)), max_left, "margin_mining_ivf", "left"
     )

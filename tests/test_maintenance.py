@@ -361,3 +361,34 @@ def test_sidecar_empty_and_removed_file_edges(spark, tmp_path):
     cand = _sidecar_candidate_files(spark, lake, keys, "doc_id", sc)
     assert all(not c.endswith(os.path.basename(victim)) for c in cand)
     sc.unpersist()
+
+
+def test_key_sidecar_string_keys(spark, tmp_path):
+    """The sidecar contract holds for STRING keys too: min/max prune on
+    lexicographic ranges, the Bloom probe hashes the same cast-to-string
+    domain, and the pruned sweep's certificate equals the unpruned one."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.io.maintenance import (
+        _sidecar_candidate_files,
+        forget_keys,
+        key_sidecar,
+    )
+
+    lake = str(tmp_path / "slake")
+    docs = spark.range(0, 400).select(
+        F.format_string("doc-%04d", F.col("id")).alias("uri"),
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("source"),
+    )
+    docs.repartitionByRange(4, F.col("uri")).write.partitionBy("source").parquet(lake)
+    sc = key_sidecar(spark, lake, "uri").cache()
+    n_files = sc.count()
+    keys = spark.createDataFrame([("doc-0005",), ("doc-0007",)], "uri string")
+    cand = _sidecar_candidate_files(spark, lake, keys, "uri", sc)
+    assert 0 < len(cand) < n_files
+    a = forget_keys(spark, lake, keys, "uri", "source", str(tmp_path / "sa"))
+    b = forget_keys(
+        spark, lake, keys, "uri", "source", str(tmp_path / "sb"), sidecar=sc
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    sc.unpersist()

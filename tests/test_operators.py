@@ -4249,3 +4249,34 @@ def test_ngram_lm_nll_fuzz_vs_bruteforce(spark):
             ).collect()
         }
         assert got == want, (trial, order)
+
+
+def test_margin_mining_ivf_where_filters_candidate_pool(spark):
+    """Filtered mining: `where` restricts the candidate pool on index
+    metadata BEFORE probing (the ivf_query contract), and the result
+    equals exact margin_mining against the pre-filtered pool at
+    nprobe = n_cells — degrees describe the filtered population."""
+    from pdtable_spark.operators import similarity
+
+    rows = [
+        (i, [1.0 + 0.07 * (i % 5), 0.3 * (i % 4), 1.5 - 0.1 * (i % 7)],
+         "en" if i % 2 == 0 else "de")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, lang string"
+    )
+    lp = F.col("vec_id") % 7 == 0
+    ldf, rdf = df.filter(lp), df.filter(~lp)
+    cents = [r["embedding"] for r in rdf.orderBy("vec_id").limit(3).collect()]
+    idx = similarity.ivf_index(rdf, cents, metadata_cols=["lang"])
+    ivf = similarity.margin_mining_ivf(
+        idx, ldf, cents, k=3, threshold=0.0, nprobe=3, where=F.col("lang") == "de"
+    )
+    exact = similarity.margin_mining(
+        ldf, rdf.filter(F.col("lang") == "de"), k=3, threshold=0.0
+    )
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
+    # every mined right id really is from the filtered pool
+    de_ids = {r["vec_id"] for r in rdf.filter(F.col("lang") == "de").collect()}
+    assert {r["right_id"] for r in ivf.collect()} <= de_ids
