@@ -650,12 +650,16 @@ def image_meta(
 
     Formats: PNG (IHDR width/height, big-endian at offset 17/21),
     GIF87a/89a (logical-screen size, little-endian at 7/9), BMP
-    (BITMAPINFOHEADER biWidth/biHeight, little-endian at 19/23 —
-    |biHeight|, since negative means top-down, the `_dib_gray` sign
-    convention).  JPEG dimensions live in a variable-offset SOF marker
-    a fixed projection cannot reach: JPEG rows report their format with
-    NULL dims (route them to the decode path if dims matter).  Unknown
-    payloads and NULLs report NULL format.
+    (biWidth/biHeight little-endian at 19/23 — |biHeight|, since
+    negative means top-down, the `_dib_gray` sign convention; the dim
+    fields are gated on ``biSize ≥ 40``, i.e. BITMAPINFOHEADER or a
+    successor, so an OS/2 BITMAPCOREHEADER — 2-byte fields at different
+    offsets — reports format 'bmp' with NULL dims instead of garbage,
+    and a random payload starting 'BM' cannot fake dimensions).  JPEG
+    dimensions live in a variable-offset SOF marker a fixed projection
+    cannot reach: JPEG rows report their format with NULL dims (route
+    them to the decode path if dims matter).  Unknown payloads and
+    NULLs report NULL format.
     """
     p = F.col(payload_col)
     is_png = F.substring(p, 1, 8) == F.lit(
@@ -663,6 +667,8 @@ def image_meta(
     )
     is_gif = F.substring(p, 1, 6).isin(F.lit(b"GIF87a"), F.lit(b"GIF89a"))
     is_bmp = F.substring(p, 1, 2) == F.lit(b"BM")
+    # dims only for the BITMAPINFOHEADER family (biSize at offset 15)
+    is_bmp_info = is_bmp & (_le_uint(p, 15, 4) >= F.lit(40))
     is_jpg = F.substring(p, 1, 3) == F.lit(bytes([0xFF, 0xD8, 0xFF]))
     bmp_h_raw = _le_uint(p, 23, 4)
     bmp_h = F.when(
@@ -677,12 +683,12 @@ def image_meta(
     width = (
         F.when(is_png, _be_uint(p, 17, 4))
         .when(is_gif, _le_uint(p, 7, 2))
-        .when(is_bmp, _le_uint(p, 19, 4))
+        .when(is_bmp_info, _le_uint(p, 19, 4))
     )
     height = (
         F.when(is_png, _be_uint(p, 21, 4))
         .when(is_gif, _le_uint(p, 9, 2))
-        .when(is_bmp, bmp_h)
+        .when(is_bmp_info, bmp_h)
     )
     return assets.select(
         "*",

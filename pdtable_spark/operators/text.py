@@ -521,39 +521,70 @@ def train_quality_classifier(
     vocab_size: int = 1 << 14,
     reg: float = 0.0,
     max_iter: int = 50,
+    min_df: float = 1.0,
+    as_dict: bool = False,
 ):
     """Train the linear quality filter distributed (pyspark.ml logistic
     regression over bag-of-words counts) and return ``(weights, bias)``
     where ``weights`` is a ``(term, weight)`` DataFrame ready for
-    :func:`classifier_score`'s broadcast-join path (or ``.collect()`` into
-    a dict for the map-literal path).
+    :func:`classifier_score`'s broadcast-join path — or, with
+    ``as_dict=True``, the ``dict[str, float]`` (zero coefficients
+    dropped) that feeds the zero-shuffle map-literal path directly.
+    The objective — ``intercept + Σ count·weight`` over the SAME
+    :func:`tokens`/lowercase convention — is exactly the serving score,
+    so train and serve cannot diverge in formulation.
 
-    The vocabulary (CountVectorizer, most-frequent ``vocab_size`` terms)
-    and the coefficient vector are the bounded driver-side model artifact —
-    vocab_size floats, KBs to low MBs, the same contract as IVF centroids.
-    Fitting itself is distributed: LBFGS gradient aggregation over
-    executor partitions, so the labeled corpus never collects.
+    The vocabulary (CountVectorizer, most-frequent ``vocab_size`` terms
+    at document frequency ≥ ``min_df``) and the coefficient vector are
+    the bounded driver-side model artifact — vocab_size floats, KBs to
+    low MBs, the same contract as IVF centroids.  Fitting itself is
+    distributed: LBFGS gradient aggregation over executor partitions,
+    so the labeled corpus never collects — and accumulates float
+    gradients in partition order, so re-training on a different layout
+    can move weights in the last ulps: train ONCE, persist the frozen
+    artifact (the BPE/centroid discipline; the value-oracled classifier
+    queries run fixed published weights for exactly this reason).
 
     This is the training half of the public curation recipe (CCNet /
     LLaMA-style "quality classifier trained on reference text"): label a
     sample (reference corpus = 1, raw crawl = 0), train here, then score
     the full 100 TB corpus with :func:`classifier_score` — training
-    touches only the labeled sample; inference is a scan.
+    touches only the labeled sample; inference is a scan.  Rows with
+    NULL text or NULL label are rejected loudly — silently dropping
+    labeled examples skews the classes.
     """
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import CountVectorizer
 
+    bad = df.filter(
+        F.col(text_col).isNull() | F.col(label_col).isNull()
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "train_quality_classifier: NULL text or label in the training "
+            "set — clean or relabel before training"
+        )
     toks = df.select(
         F.col(label_col).cast("double").alias("label"),
         tokens(F.lower(F.col(text_col))).alias("toks"),
     )
-    cv = CountVectorizer(inputCol="toks", outputCol="features", vocabSize=vocab_size)
+    cv = CountVectorizer(
+        inputCol="toks", outputCol="features",
+        vocabSize=vocab_size, minDF=float(min_df),
+    )
     cvm = cv.fit(toks)
     lr = LogisticRegression(
         featuresCol="features", labelCol="label", regParam=reg, maxIter=max_iter
     )
     lrm = lr.fit(cvm.transform(toks))
     coefs = lrm.coefficients.toArray().tolist()
+    if as_dict:
+        weights_d = {
+            term: float(c)
+            for term, c in zip(cvm.vocabulary, coefs)
+            if float(c) != 0.0
+        }
+        return weights_d, float(lrm.intercept)
     spark = df.sparkSession
     weights = spark.createDataFrame(
         list(zip(cvm.vocabulary, [float(c) for c in coefs])),
@@ -2050,75 +2081,3 @@ def bigram_lm_nll(
         df, ref_pred, order=2, lam=lam, text_col=text_col, id_col=id_col
     ).withColumnRenamed("n_ngrams", "n_bigrams")
 
-
-def train_text_classifier(
-    df: DataFrame,
-    label_col: str = "label",
-    text_col: str = "text",
-    vocab_size: int = 10_000,
-    min_df: float = 1.0,
-    reg_param: float = 0.0,
-    max_iter: int = 50,
-):
-    """Train the fastText-style bag-of-words quality classifier that
-    :func:`classifier_score` serves — closing the model-based-filtering
-    loop (label a seed set, train HERE, freeze the artifact, score the
-    corpus with the zero-shuffle scan paths).  Distributed training via
-    ``pyspark.ml``: CountVectorizer (top ``vocab_size`` terms by
-    document frequency over the :func:`tokens` convention, lowercased)
-    into LogisticRegression, whose objective — ``intercept +
-    Σ_token count·weight`` — is EXACTLY the serving score
-    :func:`classifier_score` computes as a per-occurrence fold, so
-    train and serve cannot diverge in formulation.
-
-    Returns ``(weights, bias)``: a ``dict[str, float]`` over the
-    learned vocabulary (zero coefficients dropped) plus the intercept —
-    the bounded driver artifact (≤ vocab_size floats, the
-    centroid/codebook pattern) to persist next to the corpus and feed
-    either ``classifier_score`` path.
-
-    Determinism note: LBFGS accumulates float gradients in partition
-    order, so re-training on a different layout can move weights in the
-    last ulps — train ONCE, persist the artifact, and serve the frozen
-    copy (the BPE/centroid discipline); the suite's value-oracled
-    classifier queries run fixed published weights for exactly this
-    reason.  Rows with NULL text or NULL label are rejected loudly —
-    silently dropping labeled examples skews the classes.
-    """
-    from pyspark.ml import Pipeline
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import CountVectorizer
-
-    bad = df.filter(
-        F.col(text_col).isNull() | F.col(label_col).isNull()
-    ).limit(1).count()
-    if bad:
-        raise ValueError(
-            "train_text_classifier: NULL text or label in the training "
-            "set — clean or relabel before training"
-        )
-    prepared = df.select(
-        F.col(label_col).cast("double").alias("__lbl"),
-        tokens(F.lower(F.col(text_col))).alias("__toks"),
-    )
-    cv = CountVectorizer(
-        inputCol="__toks",
-        outputCol="__feat",
-        vocabSize=int(vocab_size),
-        minDF=float(min_df),
-    )
-    lr = LogisticRegression(
-        featuresCol="__feat",
-        labelCol="__lbl",
-        regParam=float(reg_param),
-        maxIter=int(max_iter),
-    )
-    model = Pipeline(stages=[cv, lr]).fit(prepared)
-    cvm, lrm = model.stages
-    coefs = lrm.coefficients
-    weights = {
-        term: float(coefs[i])
-        for i, term in enumerate(cvm.vocabulary)
-        if float(coefs[i]) != 0.0
-    }
-    return weights, float(lrm.intercept)

@@ -567,16 +567,28 @@ def r10_multimodal_image_meta(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
     w, h = F.col("n_chars").cast("long"), (F.col("doc_id") % 4096 + 1).cast("long")
     be8 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
-    le4 = lambda c: F.concat(  # noqa: E731
-        F.lpad(F.hex(c % 256), 2, "0"), F.lpad(F.hex((c / 256).cast("long")), 2, "0")
-    )
+
+    def le16(c):
+        # GIF dims are uint16 LITTLE-endian (2 bytes / 4 hex chars) — a
+        # value past 65535 must fail the FIXTURE loudly, not have lpad
+        # silently truncate the high byte into a confusing oracle
+        # mismatch (review r9; n_chars is bounded far below this)
+        return F.when(
+            c >= F.lit(65536),
+            F.raise_error(F.lit("image_meta fixture: dim exceeds uint16")),
+        ).otherwise(
+            F.concat(
+                F.lpad(F.hex(c % 256), 2, "0"),
+                F.lpad(F.hex((c / 256).cast("long")), 2, "0"),
+            )
+        )
     png = F.concat(
         F.lit("89504E470D0A1A0A"),  # magic
         F.lit("0000000D49484452"),  # IHDR length + type
         be8(w), be8(h),
         F.lit("0800000000"),        # bit depth / color / crc filler
     )
-    gif = F.concat(F.lit("474946383961"), le4(w), le4(h), F.lit("000000"))
+    gif = F.concat(F.lit("474946383961"), le16(w), le16(h), F.lit("000000"))
     payload = F.unhex(F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif))
     assets = docs.select("doc_id", payload.alias("payload"))
     return image_meta(assets).select(

@@ -4112,11 +4112,13 @@ def test_ngram_lm_nll_context_separator_injective(spark):
     assert out[1]["mean_nll"] == math.floor(round(-math.log(p), 9) * 1e9) / 1e9
 
 
-def test_train_text_classifier_end_to_end(spark):
-    """The model-based-filtering loop closes: train on a labeled seed
-    set, serve the frozen artifact through classifier_score, and the
-    separable synthetic corpus classifies perfectly with the expected
-    weight signs; NULLs in the training set fail loudly."""
+def test_train_quality_classifier_dict_path_end_to_end(spark):
+    """The model-based-filtering loop closes through the MAP-LITERAL
+    serving path: train on a labeled seed set (as_dict=True — zero
+    coefficients dropped, the bounded artifact), serve the frozen dict
+    through classifier_score, and the separable synthetic corpus
+    classifies perfectly with the expected weight signs; NULLs in the
+    training set fail loudly."""
     from pdtable_spark.operators import text as T
 
     rows = []
@@ -4124,7 +4126,10 @@ def test_train_text_classifier_end_to_end(spark):
         rows.append((2 * i, f"great insightful great prose {i % 3}", 1))
         rows.append((2 * i + 1, f"spam click spam buy {i % 3}", 0))
     df = spark.createDataFrame(rows, "doc_id long, text string, label int")
-    weights, bias = T.train_text_classifier(df, vocab_size=64)
+    weights, bias = T.train_quality_classifier(
+        df, "label", vocab_size=64, as_dict=True
+    )
+    assert isinstance(weights, dict)
     assert weights["great"] > 0 > weights["spam"]
     scored = T.classifier_score(df, weights, bias=bias)
     out = scored.select("doc_id", "label", "clf_prob").collect()
@@ -4136,7 +4141,7 @@ def test_train_text_classifier_end_to_end(spark):
         spark.createDataFrame([(999, None, 1)], "doc_id long, text string, label int")
     )
     with _pytest.raises(ValueError, match="NULL text or label"):
-        T.train_text_classifier(withnull)
+        T.train_quality_classifier(withnull, "label")
 
 
 def test_image_meta_header_only(spark):
@@ -4157,13 +4162,13 @@ def test_image_meta_header_only(spark):
             + struct.pack(">I", zlib.crc32(chunk))
         )
 
-    def gif(w, h):
-        return b"GIF89a" + struct.pack("<HH", w, h) + bytes([0, 0, 0])
+    def gif(w, h, magic=b"GIF89a"):
+        return magic + struct.pack("<HH", w, h) + bytes([0, 0, 0])
 
-    def bmp(w, h):
+    def bmp(w, h, bisize=40):
         return (
             b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
-            + struct.pack("<IiiHH", 40, w, h, 1, 24) + bytes(24)
+            + struct.pack("<IiiHH", bisize, w, h, 1, 24) + bytes(24)
         )
 
     rows = [
@@ -4174,6 +4179,11 @@ def test_image_meta_header_only(spark):
         (5, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"JFIF"),
         (6, b"not an image"),
         (7, None),
+        (8, gif(64, 32, magic=b"GIF87a")),      # the 87a arm of the magic
+        # OS/2 BITMAPCOREHEADER (biSize=12, 2-byte dims at other
+        # offsets): format recognized, dims NULL — never garbage
+        (9, b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 100, 50, 1, 24)),
     ]
     df = spark.createDataFrame(rows, "asset_id long, payload binary")
     out = {r["asset_id"]: r for r in multimodal.image_meta(df).collect()}
@@ -4183,6 +4193,8 @@ def test_image_meta_header_only(spark):
     assert (out[4]["img_format"], out[4]["img_height"]) == ("bmp", 50)
     assert out[5]["img_format"] == "jpeg" and out[5]["img_width"] is None
     assert out[6]["img_format"] is None and out[7]["img_format"] is None
+    assert (out[8]["img_format"], out[8]["img_width"], out[8]["img_height"]) == ("gif", 64, 32)
+    assert out[9]["img_format"] == "bmp" and out[9]["img_width"] is None
     plan = multimodal.image_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan  # pure codegen scan
 
