@@ -321,13 +321,23 @@ def _sidecar_candidate_files(
     keys: DataFrame,
     key_col: str,
     sidecar: DataFrame,
-) -> List[str]:
+    max_files: int = 65536,
+) -> Optional[List[str]]:
     """The files a takedown batch can possibly touch: sidecar files whose
     ``[key_min, key_max]`` contains a key AND whose Bloom positions cover
     ALL of that key's positions (no false negatives — a present key's
     positions are all set), plus any dataset file ABSENT from the sidecar
     (stale-sidecar safety: files appended after the sidecar was written
-    are unconditional candidates, never silently skipped)."""
+    are unconditional candidates, never silently skipped).
+
+    Returns ``None`` when pruning cannot help and the caller should scan
+    the dataset directly (ADVICE r9 — never funnel an unbounded path list
+    through the driver): an EMPTY sidecar rules nothing out, and a
+    candidate set past ``max_files`` means the sidecar prunes too weakly
+    for an explicit driver-side file list to beat the plain scan (the
+    list is fetched with ``limit(max_files + 1)``, so driver memory is
+    bounded by the cap regardless of how weak the pruning is).  Returns
+    ``[]`` when the stats PROVE no current file can contain a key."""
     from pdtable_spark.operators.dedup import bloom_positions
 
     dataset_files = (
@@ -342,10 +352,10 @@ def _sidecar_candidate_files(
             f"{sorted(map(tuple, stamps))} — rebuild to one parameter set"
         )
     if not stamps:
-        # an EMPTY sidecar prunes nothing and rules nothing out: every
-        # current file is a candidate (not a 'mixed stamps []' error —
-        # review r9)
-        return [r["file"] for r in dataset_files.collect()]
+        # an EMPTY sidecar prunes nothing and rules nothing out (not a
+        # 'mixed stamps []' error — review r9); scan the dataset directly
+        # instead of collecting its entire file listing to the driver
+        return None
     num_hashes, num_bits = int(stamps[0][0]), int(stamps[0][1])
     probe = (
         keys.select(F.col(key_col).alias("__k"))
@@ -373,13 +383,16 @@ def _sidecar_candidate_files(
     # compaction has since removed must not send deleted paths to the
     # reader (those files' rows live in new, sidecar-absent files, which
     # the stale branch already marks candidates — review r9)
-    return [
-        r["file"]
-        for r in cand.unionByName(stale)
+    listed = (
+        cand.unionByName(stale)
         .distinct()
         .join(dataset_files, "file", "left_semi")
+        .limit(max_files + 1)
         .collect()
-    ]
+    )
+    if len(listed) > max_files:
+        return None
+    return [r["file"] for r in listed]
 
 
 def forget_keys(
@@ -463,14 +476,18 @@ def forget_keys(
     find_src = df
     if sidecar is not None:
         cand_files = _sidecar_candidate_files(spark, path, k, key_col, sidecar)
-        if not cand_files:
+        if cand_files is not None and not cand_files:
+            # the stats PROVE no file can contain a takedown key
             return (
                 df.select(partition_col)
                 .limit(0)
                 .withColumn("n_forgotten", F.lit(0).cast("long"))
                 .withColumn("n_kept", F.lit(0).cast("long"))
             )
-        find_src = spark.read.option("basePath", path).parquet(*cand_files)
+        if cand_files is not None:
+            find_src = spark.read.option("basePath", path).parquet(*cand_files)
+        # cand_files is None: pruning can't help (empty or weakly-pruning
+        # sidecar) — find_src stays the plain dataset scan
     hits = (
         find_src.join(F.broadcast(k), key_col, "left_semi")
         .groupBy(partition_col)

@@ -1997,6 +1997,15 @@ def ngram_lm_nll(
     """
     if order < 2:
         raise ValueError("ngram_lm_nll: need order >= 2")
+    if not (0.0 <= float(lam) < 1.0):
+        # lam=1.0 (or out of range) removes the strictly-positive unigram
+        # share: an unseen (ctx, w) window then hits p=0, -ln(p)=inf, and
+        # floor(inf*1e9).cast('long') turns the doc's mean_nll into silent
+        # garbage instead of a loud error (ADVICE r9)
+        raise ValueError(
+            "ngram_lm_nll: need 0.0 <= lam < 1.0 — the finiteness guarantee "
+            "requires a strictly positive unigram interpolation share"
+        )
     toks = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
 
     def window_pairs():

@@ -24,6 +24,19 @@ from pdtable_spark.operators.monitor import (
 from pdtable_spark.streaming._await import await_or_raise
 
 
+def _ledger_exists(spark, path: str) -> bool:
+    """Whether a cumulative ledger already has state at ``path``, via the
+    Hadoop FileSystem API — so the check resolves against whatever
+    filesystem the path actually names (HDFS, S3A, local).  The previous
+    ``os.path.isdir`` spelling was local-filesystem-only: on an object-store
+    ledger it was always False, silently restarting cumulative state from
+    empty every batch with no error (ADVICE r9)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _drift_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -119,8 +132,6 @@ def _novelty_batch(
     per-group novelty report for this batch, then writes the advanced
     cumulative ledger under this batch's partition.
     """
-    import os
-
     from pdtable_spark.operators.monitor import (
         distinct_sketch,
         novelty_estimate,
@@ -129,7 +140,7 @@ def _novelty_batch(
 
     batch_sk = distinct_sketch(batch_df, key_col, by, lgk)
     prev = batch_sk.limit(0)  # empty ledger with the right schema
-    if os.path.isdir(ledger_dir):
+    if _ledger_exists(spark, ledger_dir):
         led_all = spark.read.parquet(ledger_dir).filter(F.col("batch_id") < batch_id)
         mx = led_all.agg(F.max("batch_id")).collect()[0][0]
         if mx is not None:
@@ -224,8 +235,6 @@ def _quantile_batch(
     writes the running per-group quantile report for this batch, then
     the advanced cumulative ledger under this batch's partition.
     """
-    import os
-
     from pdtable_spark.operators.monitor import (
         histogram_ledger,
         ledger_union,
@@ -234,7 +243,7 @@ def _quantile_batch(
 
     batch_led = histogram_ledger(batch_df, value_col, lo, hi, n_bins, by)
     prev = batch_led.limit(0)
-    if os.path.isdir(ledger_dir):
+    if _ledger_exists(spark, ledger_dir):
         led_all = spark.read.parquet(ledger_dir).filter(F.col("batch_id") < batch_id)
         mx = led_all.agg(F.max("batch_id")).collect()[0][0]
         if mx is not None:
@@ -346,8 +355,6 @@ def _heavy_hitter_batch(
     batches.  State is ≤ m rows per group per batch plus what earlier
     batches surfaced — KB-scale, never corpus-scale.
     """
-    import os
-
     from pdtable_spark.operators.monitor import heavy_hitter_ledger
 
     led = heavy_hitter_ledger(batch_df, key_col, by, m)
@@ -368,7 +375,7 @@ def _heavy_hitter_batch(
             ]
         ),
     )
-    if os.path.isdir(ledger_dir):
+    if _ledger_exists(spark, ledger_dir):
         all_prev = spark.read.parquet(ledger_dir).filter(
             F.col("batch_id") < batch_id
         )

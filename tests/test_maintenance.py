@@ -352,8 +352,24 @@ def test_sidecar_empty_and_removed_file_edges(spark, tmp_path):
     n_files = sc.count()
     keys = spark.createDataFrame([(1,)], "doc_id long")
 
-    empty = _sidecar_candidate_files(spark, lake, keys, "doc_id", sc.limit(0))
-    assert len(empty) == n_files  # prunes nothing, errors nothing
+    # empty sidecar → None: prunes nothing, errors nothing, and never
+    # collects the dataset's file listing to the driver (ADVICE r9 —
+    # the caller falls back to the plain dataset scan)
+    assert _sidecar_candidate_files(spark, lake, keys, "doc_id", sc.limit(0)) is None
+    # a weakly-pruning sidecar (candidate set past max_files) also → None
+    assert (
+        _sidecar_candidate_files(spark, lake, keys, "doc_id", sc, max_files=0)
+        is None
+    )
+    # and forget_keys under an empty sidecar falls back to the plain scan
+    # end-to-end — same certificate as no sidecar at all
+    from pdtable_spark.io.maintenance import forget_keys
+
+    cert = forget_keys(
+        spark, lake, keys, "doc_id", "source",
+        str(tmp_path / "e"), sidecar=sc.limit(0),
+    )
+    assert [(r["source"], r["n_forgotten"]) for r in cert.collect()] == [("A", 1)]
 
     # simulate compaction removing a file the sidecar still names
     victim = sorted(glob.glob(f"{lake}/source=A/*.parquet"))[0]

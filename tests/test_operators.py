@@ -4081,6 +4081,12 @@ def test_ngram_lm_nll_order3_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="order >= 2"):
         T.ngram_lm_nll(df, F.col("doc_id") % 2 == 0, order=1)
+    # lam outside [0, 1) kills the strictly-positive unigram floor: an
+    # unseen window would hit -ln(0)=inf and poison mean_nll silently
+    # (ADVICE r9) — loud instead
+    for bad in (1.0, -0.1, 1.5):
+        with _pytest.raises(ValueError, match="lam"):
+            T.ngram_lm_nll(df, F.col("doc_id") % 2 == 0, lam=bad)
 
 
 def test_ngram_lm_nll_context_separator_injective(spark):
