@@ -514,30 +514,45 @@ def main():
     # plus as their own total so their trend is tracked without breaking
     # the headline series.  See BENCH_NOTES.md.
     total = round(sum(timings.values()), 3)
-    result = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": {**timings, **extended},
-            "headline16_total": total,
-            "headline16_total_min6": round(sum(timings_min6.values()), 3),
-            "extended_total": round(sum(extended.values()), 3),
-            "ambient": ambient,
-            # second probe AFTER the timed region: contention that
-            # arrives mid-run is adjudicable from the artifact too
-            # (round-9 drift root-cause — see BENCH_NOTES.md)
-            "ambient_end": _ambient_guard(max_wait_sec=0.0),
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {**timings, **extended},
+        "headline16_total": total,
+        "headline16_total_min6": round(sum(timings_min6.values()), 3),
+        "extended_total": round(sum(extended.values()), 3),
+        "ambient": ambient,
+        # second probe AFTER the timed region: contention that
+        # arrives mid-run is adjudicable from the artifact too
+        # (round-9 drift root-cause — see BENCH_NOTES.md)
+        "ambient_end": _ambient_guard(max_wait_sec=0.0),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # FULL artifact (every per-query cell) → BENCH_LAST.json, always.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
         "w",
     ) as fh:
-        fh.write(result + "\n")
-    print(result, flush=True)
+        fh.write(json.dumps(payload, separators=(",", ":")) + "\n")
+    # BENCH_r09 lesson (VERDICT r9 "what's wrong" #1, second round running):
+    # the driver keeps only the LAST 2000 BYTES of output, so the stdout
+    # line must fit that tail or the artifact's "parsed" stays null.  The
+    # full map is ~2.5k chars and growing one row per bench addition —
+    # stdout carries the compact summary with the HEADLINE-16 map only
+    # (~1.1k chars, the round-over-round comparable series); the extended
+    # rows live in BENCH_LAST.json.  A hard guard drops the map rather
+    # than ever exceeding the tail again.
+    line = json.dumps(
+        {**payload, "queries": timings, "full_map": "BENCH_LAST.json"},
+        separators=(",", ":"),
+    )
+    if len(line) > 1900:
+        line = json.dumps(
+            {**payload, "queries": {}, "full_map": "BENCH_LAST.json"},
+            separators=(",", ":"),
+        )
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -545,7 +545,8 @@ PENDING_R10["text_lm_bigram_nll"] = (
 
 R10_SQL_IMAGE_META = """
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS img_format,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'jpeg' END AS img_format,
            CAST(n_chars AS BIGINT) AS img_width,
            CAST(doc_id % 4096 + 1 AS BIGINT) AS img_height
     FROM documents WHERE n_chars IS NOT NULL
@@ -554,34 +555,44 @@ R10_SQL_IMAGE_META = """
 
 def r10_multimodal_image_meta(spark, sf_dir):
     """The zero-decode metadata scan under the driver value gate: real
-    PNG and GIF header BYTES are synthesized in-engine per document
-    (magic + width/height fields at the formats' fixed offsets —
-    big-endian IHDR for even ids, little-endian GIF logical screen for
-    odd), then ``image_meta``'s pure-JVM projection parses them back;
+    PNG, GIF and JPEG header BYTES are synthesized in-engine per
+    document (doc_id % 3 picks the format: big-endian IHDR, little-
+    endian GIF logical screen, or an SOI → APP0 → variable-length COM →
+    SOF0 JPEG whose SOF OFFSET varies with the document — COM padding of
+    ``doc_id % 7`` bytes plus a fill ``FF`` on every fifth doc — so the
+    bounded marker walk, not a fixed projection, is what the oracle
+    gates), then ``image_meta``'s pure-JVM projection parses them back;
     the oracle states the expected (format, dims) from the source
-    columns directly, so every byte-offset and endianness choice in the
-    parser is value-gated on 500+ rows per SF — while the query itself
-    is one codegen scan, no Python, no decode."""
+    columns directly, so every byte-offset, endianness and walk-hop
+    choice in the parser is value-gated on 500+ rows per SF — while the
+    query itself is one codegen scan, no Python, no decode."""
     from pdtable_spark.operators.multimodal import image_meta
 
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
     w, h = F.col("n_chars").cast("long"), (F.col("doc_id") % 4096 + 1).cast("long")
     be8 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
 
-    def le16(c):
-        # GIF dims are uint16 LITTLE-endian (2 bytes / 4 hex chars) — a
+    def _u16_guard(c):
+        # dims are uint16 in GIF and JPEG (2 bytes / 4 hex chars) — a
         # value past 65535 must fail the FIXTURE loudly, not have lpad
         # silently truncate the high byte into a confusing oracle
         # mismatch (review r9; n_chars is bounded far below this)
         return F.when(
             c >= F.lit(65536),
             F.raise_error(F.lit("image_meta fixture: dim exceeds uint16")),
-        ).otherwise(
+        )
+
+    def le16(c):
+        return _u16_guard(c).otherwise(
             F.concat(
                 F.lpad(F.hex(c % 256), 2, "0"),
                 F.lpad(F.hex((c / 256).cast("long")), 2, "0"),
             )
         )
+
+    def be16(c):
+        return _u16_guard(c).otherwise(F.lpad(F.hex(c), 4, "0"))
+
     png = F.concat(
         F.lit("89504E470D0A1A0A"),  # magic
         F.lit("0000000D49484452"),  # IHDR length + type
@@ -589,7 +600,21 @@ def r10_multimodal_image_meta(spark, sf_dir):
         F.lit("0800000000"),        # bit depth / color / crc filler
     )
     gif = F.concat(F.lit("474946383961"), le16(w), le16(h), F.lit("000000"))
-    payload = F.unhex(F.when(F.col("doc_id") % 2 == 0, png).otherwise(gif))
+    com_pad = (F.col("doc_id") % 7).cast("int")  # COM payload bytes: 0..6
+    jpg = F.concat(
+        F.lit("FFD8"),                            # SOI
+        F.lit("FFE000104A4649460001010000010001" + "0000"),  # APP0 JFIF
+        F.lit("FFFE"), be16(com_pad + 2),          # COM, variable length
+        F.repeat(F.lit("41"), com_pad),            # 'A' * (doc_id % 7)
+        F.when(F.col("doc_id") % 5 == 0, F.lit("FF")).otherwise(F.lit("")),
+        F.lit("FFC0001108"), be16(h), be16(w),     # SOF0: Y (height) first
+        F.lit("03012200021101031101"),             # 3 component specs
+    )
+    payload = F.unhex(
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, gif)
+        .otherwise(jpg)
+    )
     assets = docs.select("doc_id", payload.alias("payload"))
     return image_meta(assets).select(
         "doc_id", "img_format", "img_width", "img_height"

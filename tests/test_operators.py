@@ -4152,8 +4152,11 @@ def test_train_quality_classifier_dict_path_end_to_end(spark):
 
 def test_image_meta_header_only(spark):
     """Zero-decode image metadata: real PNG/GIF/BMP headers parse to
-    (format, width, height) via pure column expressions; JPEG reports
-    format with NULL dims (variable-offset SOF); garbage and NULL
+    (format, width, height) via pure column expressions; JPEG dims come
+    from the bounded SOF marker walk (baseline and progressive, through
+    variable-length APPn/COM segments and fill bytes), and every corrupt
+    shape — truncated segment, SOS before SOF, non-marker byte, cap
+    exhausted — degrades to NULL dims, never garbage; garbage and NULL
     payloads report NULL format; a top-down BMP (negative biHeight)
     reports |height|.  The plan stays codegen — no Python stages."""
     import struct
@@ -4177,11 +4180,27 @@ def test_image_meta_header_only(spark):
             + struct.pack("<IiiHH", bisize, w, h, 1, 24) + bytes(24)
         )
 
+    def seg(marker, payload=b""):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sof(w, h, marker=0xC0):
+        # precision 8, HEIGHT then WIDTH (T.81 B.2.2), 3 components
+        return seg(
+            marker,
+            bytes([8]) + struct.pack(">HH", h, w)
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+
+    soi = bytes([0xFF, 0xD8])
+    jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+
     rows = [
         (1, png(640, 480)),
         (2, gif(320, 200)),
         (3, bmp(100, 50)),
         (4, bmp(100, -50)),                     # top-down: |height|
+        # truncated APP0 (bogus segment length points past the end):
+        # format recognized, walk fails closed → NULL dims
         (5, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"JFIF"),
         (6, b"not an image"),
         (7, None),
@@ -4190,6 +4209,27 @@ def test_image_meta_header_only(spark):
         # offsets): format recognized, dims NULL — never garbage
         (9, b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
             + struct.pack("<IHHHH", 12, 100, 50, 1, 24)),
+        # baseline JFIF: SOF0 behind APP0 + a variable-length COM
+        (10, soi + jfif + seg(0xFE, b"a comment") + sof(1280, 720)),
+        # progressive (SOF2) behind a big EXIF APP1 + fill FF bytes
+        (11, soi + seg(0xE1, b"Exif\x00\x00" + bytes(300)) + b"\xff"
+             + sof(800, 601, marker=0xC2)),
+        # SOF immediately after SOI (no APPn at all)
+        (12, soi + sof(17, 9)),
+        # SOS before any SOF: fail closed
+        (13, soi + jfif + seg(0xDA, bytes([1, 1, 0])) + sof(9, 9)),
+        # EOI before any SOF: fail closed
+        (14, soi + jfif + bytes([0xFF, 0xD9])),
+        # SOF truncated mid-dimensions: fail closed
+        (15, soi + jfif + (sof(1280, 720)[:7])),
+        # non-FF byte where a marker must start: fail closed
+        (16, soi + jfif + b"garbage entropy bytes"),
+        # more segments than the walk cap: fail closed (not garbage)
+        (17, soi + seg(0xFE) * 100 + sof(5, 5)),
+        # DHT (C4) is NOT a SOF even though it's in C0-CF: hop it
+        (18, soi + seg(0xC4, bytes(19)) + sof(33, 44)),
+        # RST standalone marker between segments: hop 2 bytes
+        (19, soi + bytes([0xFF, 0xD0]) + sof(21, 12)),
     ]
     df = spark.createDataFrame(rows, "asset_id long, payload binary")
     out = {r["asset_id"]: r for r in multimodal.image_meta(df).collect()}
@@ -4201,6 +4241,14 @@ def test_image_meta_header_only(spark):
     assert out[6]["img_format"] is None and out[7]["img_format"] is None
     assert (out[8]["img_format"], out[8]["img_width"], out[8]["img_height"]) == ("gif", 64, 32)
     assert out[9]["img_format"] == "bmp" and out[9]["img_width"] is None
+    assert (out[10]["img_format"], out[10]["img_width"], out[10]["img_height"]) == ("jpeg", 1280, 720)
+    assert (out[11]["img_format"], out[11]["img_width"], out[11]["img_height"]) == ("jpeg", 800, 601)
+    assert (out[12]["img_width"], out[12]["img_height"]) == (17, 9)
+    for bad in (13, 14, 15, 16, 17):
+        assert out[bad]["img_format"] == "jpeg", bad
+        assert out[bad]["img_width"] is None and out[bad]["img_height"] is None, bad
+    assert (out[18]["img_width"], out[18]["img_height"]) == (33, 44)
+    assert (out[19]["img_width"], out[19]["img_height"]) == (21, 12)
     plan = multimodal.image_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan  # pure codegen scan
 
