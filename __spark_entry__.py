@@ -22,67 +22,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-row rotation (the driver reports exactly the first 50 queries).
-#: Policy: OLDEST correctness evidence first, every round.  Round-9 head-50
-#: (the executed round-8 runbook, VERDICT r8 task #1) = the THIRTEEN
-#: queries registered this round from queries/pending_r9.py (staged r8
-#: with full oracles + sf0.001/sf0.01 MATCH evidence), then the 28
-#: remaining r5-evidence rows, then the 9 oldest r6-evidence rows — 50
-#: exactly.  After this window clears, no registered query's evidence is
-#: more than two rounds old: the rotation debt is retired, and the
-#: steady state from r10 on is simply "oldest evidence first" over the
-#: remaining r6- (41), r7- (50) and r8-evidence (50) blocks that follow
-#: in report order.
+#: Policy: OLDEST correctness evidence first, every round.  Round-10
+#: head-50 (the executed round-9 runbook, VERDICT r9 tasks #1/#6) = the
+#: SIX queries registered this round from queries/pending_r10.py (staged
+#: r9 with full oracles + sf0.001/0.01/1 MATCH evidence), plus the newly
+#: built q22_idle_customers (the TPC-H Q22 analog, registered straight
+#: into the window so it starts with driver evidence), then the 41
+#: remaining r6-evidence rows, then the 2 oldest r7-evidence rows
+#: (CORRECTNESS_r07 report order) — 50 exactly.  The tail is the same
+#: policy continued: remaining r7-evidence rows, then the r8 block, then
+#: the r9 block, each in report order.
+#:
+#: Honest cycle arithmetic (VERDICT r9 task #5 — the previous docstring
+#: overstated freshness): 198 registered queries through a 50-row window
+#: is a ceil(198/50) = FOUR-round steady-state cycle, so a query's
+#: driver evidence can be up to 3 rounds old by the time its row
+#: rotates back in (at r10 close: 50 r10 / 48 r7 / 50 r8 / 50 r9).
+#: The local gate is tighter than the driver window: scripts/
+#: verify_all.sh sweeps ALL registered oracles twice per round
+#: (default + partitions=7 layouts), so a rotted query is caught the
+#: round it rots, not the round its driver row comes up.
 _PRIORITY = [
-    "embedding_label_prop_agreement",
-    "pipeline_novelty_ledger",
-    "stream_novelty_ledger",
-    "embedding_margin_mining",
-    "text_distinct_ngrams",
-    "pipeline_source_divergence",
-    "pipeline_quantile_ledger",
-    "stream_quantile_ledger",
-    "embedding_sq_recall",
-    "pipeline_forget_audit",
-    "pipeline_filter_agreement",
-    "text_collocations",
-    "embedding_gram",
-    "dedup_incremental_verified",
-    "dedup_normalized",
-    "dedup_spans",
-    "pipeline_mixture_temperature",
-    "q_user_skew_report",
-    "text_ngram_novelty",
-    "minhash_estimate_error",
-    "q_label_centroids",
-    "doc_cdc_chunks",
-    "embedding_ivf_recall",
-    "text_classifier_filter",
-    "embedding_semantic_dedup",
-    "embedding_near_dups",
-    "stream_enriched_segments",
-    "embedding_lsh_filtered",
-    "multimodal_dedup",
-    "pipeline_cluster_keywords",
-    "embedding_ann_recall",
-    "embedding_incremental_dedup",
-    "dedup_keep_best",
-    "pipeline_source_overlap",
-    "pipeline_apply_mixture",
-    "pipeline_leakage_safe_split",
-    "dedup_clusters",
-    "doc_chunks",
-    "embedding_topk",
-    "minhash_candidates",
-    "multimodal_asset_stats",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "pipeline_decontaminate",
-    "pipeline_mix_report",
-    "pipeline_pack_budget",
-    "pipeline_source_stats",
-    "pipeline_stratified_sample",
-    "pipeline_train_split",
-    "pipeline_weighted_sample",
+    "embedding_margin_agreement",
+    "embedding_pca_project",
+    "pipeline_heavy_hitters",
+    "stream_heavy_hitters",
+    "text_lm_bigram_nll",
+    "multimodal_image_meta",
+    "q22_idle_customers",
     "q11_part_value",
     "q12_latency_priority",
     "q16_supplier_part_counts",
@@ -224,6 +191,56 @@ _PRIORITY = [
     "text_lang_id",
     "text_quality",
     "text_token_count",
+    "embedding_label_prop_agreement",
+    "pipeline_novelty_ledger",
+    "stream_novelty_ledger",
+    "embedding_margin_mining",
+    "text_distinct_ngrams",
+    "pipeline_source_divergence",
+    "pipeline_quantile_ledger",
+    "stream_quantile_ledger",
+    "embedding_sq_recall",
+    "pipeline_forget_audit",
+    "pipeline_filter_agreement",
+    "text_collocations",
+    "embedding_gram",
+    "dedup_incremental_verified",
+    "dedup_normalized",
+    "dedup_spans",
+    "pipeline_mixture_temperature",
+    "q_user_skew_report",
+    "text_ngram_novelty",
+    "minhash_estimate_error",
+    "q_label_centroids",
+    "doc_cdc_chunks",
+    "embedding_ivf_recall",
+    "text_classifier_filter",
+    "embedding_semantic_dedup",
+    "embedding_near_dups",
+    "stream_enriched_segments",
+    "embedding_lsh_filtered",
+    "multimodal_dedup",
+    "pipeline_cluster_keywords",
+    "embedding_ann_recall",
+    "embedding_incremental_dedup",
+    "dedup_keep_best",
+    "pipeline_source_overlap",
+    "pipeline_apply_mixture",
+    "pipeline_leakage_safe_split",
+    "dedup_clusters",
+    "doc_chunks",
+    "embedding_topk",
+    "minhash_candidates",
+    "multimodal_asset_stats",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "pipeline_decontaminate",
+    "pipeline_mix_report",
+    "pipeline_pack_budget",
+    "pipeline_source_stats",
+    "pipeline_stratified_sample",
+    "pipeline_train_split",
+    "pipeline_weighted_sample",
 ]
 
 

@@ -175,6 +175,13 @@ EXTENDED = [
     # round-9 in-round addition (staged r10): zero-decode header
     # metadata scan (synthesize + parse, one codegen projection)
     "multimodal_image_meta",
+    # round-10 addition: the full TPC-H Q22 analog (pool filter +
+    # broadcast scalar threshold + anti-join + dim rollup)
+    "q22_idle_customers",
+    # round-10 in-round addition (staged r11): the full model-quality
+    # recipe (frozen classifier fold + frozen LM buckets + one-scan
+    # threshold sweep)
+    "pipeline_model_quality_recipe",
 ]
 
 
@@ -458,12 +465,12 @@ def main():
     BENCH_QUERIES["pq_query_served"] = bench_pq_query_served
     BENCH_QUERIES["label_prop_ivf_served"] = bench_label_prop_ivf_served
 
-    # staged round-10 queries (queries/pending_r10.py) — benched
-    # pre-registration so their perf trend starts now, like the r8/r9
-    # blocks (the r9 block is registered now and rides dict(QUERIES))
-    from pdtable_spark.queries.pending_r10 import PENDING_R10 as _PENDING_R10
+    # staged round-11 queries (queries/pending_r11.py) — benched
+    # pre-registration so their perf trend starts now, like the r8-r10
+    # blocks (the r10 block is registered now and rides dict(QUERIES))
+    from pdtable_spark.queries.pending_r11 import PENDING_R11 as _PENDING_R11
 
-    for _name, (_fn, _sql) in _PENDING_R10.items():
+    for _name, (_fn, _sql) in _PENDING_R11.items():
         BENCH_QUERIES.setdefault(_name, _fn)
 
     # the suite's containment row runs EXACT mode (no df-cut — the oracle

@@ -593,6 +593,38 @@ def train_quality_classifier(
     return weights, float(lrm.intercept)
 
 
+def freeze_classifier(weights, bias: float, quantum_bits: int = 6, top_k=None):
+    """Turn a :func:`train_quality_classifier` result into the PUBLISHED
+    frozen artifact the value-oracled serving queries run: weights
+    rounded to multiples of ``2^-quantum_bits`` (binary fractions, so a
+    document's weight sum is exact in double regardless of addition
+    order — the dict fold, the broadcast-join SUM and a SQL oracle's
+    unordered SUM all agree bit-for-bit), optionally truncated to the
+    ``top_k`` terms by |weight| (deterministic: ties break on the term),
+    zero-quantized terms dropped.  Returns ``(dict, bias)`` ready for
+    :func:`classifier_score`'s zero-shuffle map-literal path.
+
+    This is the freeze step of the train-once discipline the trainer's
+    docstring mandates: LBFGS accumulates float gradients in partition
+    order, so re-training on a different layout moves raw weights in the
+    last ulps — the frozen artifact is what gets published, versioned and
+    served, and the quantum (default 2^-6 ≈ 0.016, well above last-ulp
+    noise) is what makes "same model" a checkable claim."""
+    if isinstance(weights, dict):
+        items = list(weights.items())
+    else:
+        items = [(r["term"], float(r["weight"])) for r in weights.collect()]
+    q = 1 << int(quantum_bits)
+    if top_k is not None:
+        items = sorted(items, key=lambda kv: (-abs(kv[1]), kv[0]))[: int(top_k)]
+    frozen = {}
+    for term, w in items:
+        qw = round(float(w) * q)
+        if qw:
+            frozen[term] = qw / q
+    return frozen, round(float(bias) * q) / q
+
+
 def ngram_novelty(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

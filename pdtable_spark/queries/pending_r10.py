@@ -1,20 +1,22 @@
-"""Queries STAGED for round 10 — built, oracled, pytest-gated and
-benched this round (the ``suite_r8``/``pending_r9`` staging discipline),
-registered under ``@q`` at the top of round 10 so the driver's 50-row
-window arithmetic stays exact.
+"""The round-10 query block — staged (built, oracled, pytest-gated,
+benched) in round 9 under the ``suite_r8``/``pending_r9`` staging
+discipline, REGISTERED at the top of round 10 via the ``@q`` loop at the
+bottom of this file.
 
-Round-10 window arithmetic (write it into ``__spark_entry__._PRIORITY``
-at registration time): after CORRECTNESS_r09 reports the r9 head-50,
-the evidence ages are r9: 50, r6: 41, r7: 50, r8: 50 — so the round-10
-head-50 is the 6 queries in this file + the 41 remaining r6-evidence
-rows + the 3 oldest r7-evidence rows (CORRECTNESS_r07 report order) =
-50 exactly, keeping the steady state the r9 rotation established: no
-registered query's evidence more than two rounds old.
+Round-10 window (as executed; it deviates from the r9-staged "6 + 41 +
+3" plan by ONE row because VERDICT r9 task #6 added a newly built
+query): the head-50 is the 6 queries in this file + ``q22_idle_
+customers`` (registered straight into the window so it starts with
+driver evidence) + the 41 remaining r6-evidence rows + the 2 oldest
+r7-evidence rows (CORRECTNESS_r07 report order) = 50 exactly.  The
+third-oldest r7 row (``pipeline_score_calibration``) heads the r11
+window instead — see ``__spark_entry__._PRIORITY`` for the honest
+four-round cycle arithmetic.
 
-Every entry here is ALREADY under the correctness gate:
+Every entry here stays under the correctness gate:
 ``tests/test_env_contract.py::test_pending_r10_oracles`` runs each
-(spark, oracle) pair side-by-side at sf0.001 in pytest, so staged
-queries cannot rot before registration.
+(spark, oracle) pair side-by-side at sf0.001 in pytest and asserts the
+registration took.
 
 Each entry satisfies the driver contract shape:
 ``fn(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
@@ -625,3 +627,15 @@ PENDING_R10["multimodal_image_meta"] = (
     r10_multimodal_image_meta,
     R10_SQL_IMAGE_META,
 )
+
+
+# ---------------------------------------------------------------------------
+# Registration: the @q decoration for the whole block (executed round-10
+# runbook — VERDICT r9 task #1).  suite.py imports this module at the end
+# of its body, so suite.QUERIES / suite.ORACLES — the single registry the
+# driver contract, bench, and oracle sweeps read — contain these 6
+# entries exactly like any inline @q query.
+from pdtable_spark.queries.suite import q as _q
+
+for _name, (_fn, _sql) in PENDING_R10.items():
+    _q(_name, _sql)(_fn)

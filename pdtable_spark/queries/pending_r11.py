@@ -1,0 +1,210 @@
+"""Queries STAGED for round 11 — built, oracled, pytest-gated and
+benched this round (the ``suite_r8``/``pending_r9``/``pending_r10``
+staging discipline), registered under ``@q`` at the top of round 11.
+
+Round-11 window arithmetic (write it into ``__spark_entry__._PRIORITY``
+at registration time): after CORRECTNESS_r10 reports the r10 head-50,
+the evidence ages are r10: 50, r7: 48, r8: 50, r9: 50 — so the round-11
+head-50 is the entries in this file + the oldest r7-evidence rows
+(CORRECTNESS_r07 report order, starting at ``pipeline_score_
+calibration``) topped up to 50 exactly.
+
+Every entry here is ALREADY under the correctness gate:
+``tests/test_env_contract.py::test_pending_r11_oracles`` runs each
+(spark, oracle) pair side-by-side at sf0.001 in pytest, so staged
+queries cannot rot before registration.
+
+Each entry satisfies the driver contract shape:
+``fn(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
+matching column aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdtable_spark.queries.suite import load
+
+#: name → (query fn, oracle sql): what round 11 registers.
+PENDING_R11 = {}
+
+
+# ---------------------------------------------------------------------------
+# The model-based quality recipe end-to-end (VERDICT r9 task #7): a frozen
+# trained classifier + the frozen n-gram LM scorer feeding one
+# threshold-sweep decision table — train → freeze → score → sweep.
+# ---------------------------------------------------------------------------
+
+#: The FROZEN classifier artifact — produced by ONE documented run of
+#: ``text.train_quality_classifier`` on the sf0.001 labeled split
+#: (label 1 = ``lang == 'en'``, the CCNet-shape "reference language"
+#: classifier; vocab_size=256, reg=0.01, max_iter=40) then
+#: ``text.freeze_classifier(…, quantum_bits=6, top_k=24)``.  Train-once
+#: discipline: LBFGS accumulates float gradients in partition order, so
+#: the PUBLISHED binary-fraction artifact — not a per-run retrain — is
+#: what serves and what both engines embed (the ``text_classifier_
+#: filter`` convention).  Frozen train accuracy 0.634 on the split (the
+#: synthetic corpus' token soup is weakly language-separable — the
+#: recipe gates the MECHANISM; ``tests/test_operators.py`` pins the
+#: train→freeze→serve loop on a separable fixture).
+_RECIPE_CLF_WEIGHTS = {
+    "a": -6 / 64, "batch": 2 / 64, "big": 5 / 64, "column": 9 / 64,
+    "customer": -2 / 64, "data": 2 / 64, "dup": 18 / 64, "filter": -3 / 64,
+    "group": -8 / 64, "hash": -2 / 64, "join": 5 / 64, "key": 5 / 64,
+    "line": -3 / 64, "merge": 2 / 64, "order": -7 / 64, "part": -3 / 64,
+    "query": 4 / 64, "row": -3 / 64, "sort": 6 / 64, "table": -4 / 64,
+    "the": -9 / 64, "value": 2 / 64, "vector": -3 / 64, "window": 2 / 64,
+}
+_RECIPE_CLF_BIAS = -15 / 64
+
+#: CCNet-style LM buckets: head/middle/tail cuts on the frozen bigram
+#: model's mean NLL (measured tertiles of the corpus at sf0.001/0.01 —
+#: both engines compute bit-identical mean_nll doubles, so the cuts are
+#: safe even at an exact boundary).
+_RECIPE_NLL_HEAD = 3.38
+_RECIPE_NLL_TAIL = 3.41
+
+#: Sweep thresholds on the classifier score (binary fractions — the
+#: ``>= t`` comparisons are exact in both engines).
+_RECIPE_THRESHOLDS = [-16 / 64, -8 / 64, 0.0, 8 / 64, 16 / 64]
+
+
+def _sql_recipe_weights() -> str:
+    return ", ".join(
+        f"('{t}', CAST({v!r} AS DOUBLE))"
+        for t, v in _RECIPE_CLF_WEIGHTS.items()
+    )
+
+
+R11_SQL_MODEL_QUALITY_RECIPE = rf"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS lws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tk AS (SELECT doc_id, unnest(lws) AS term FROM d),
+    w(term, weight) AS (VALUES {_sql_recipe_weights()}),
+    cs AS (SELECT doc_id, SUM(weight) AS wsum
+           FROM tk JOIN w USING (term) GROUP BY 1),
+    clf AS (
+      SELECT d.doc_id,
+             CAST({_RECIPE_CLF_BIAS!r} AS DOUBLE) + COALESCE(cs.wsum, 0.0)
+               AS clf_score
+      FROM d LEFT JOIN cs USING (doc_id)
+    ),
+    rt AS (SELECT unnest(ws) AS w FROM d WHERE doc_id % 2 = 0),
+    uni AS (SELECT w, COUNT(*) AS cu FROM rt GROUP BY w),
+    scal AS (SELECT COUNT(*) AS n, COUNT(DISTINCT w) AS v FROM rt),
+    rb AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2
+      FROM d CROSS JOIN LATERAL unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2 AND doc_id % 2 = 0
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS cb FROM rb GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(cb) AS cw1 FROM big GROUP BY w1),
+    sb AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM d CROSS JOIN LATERAL unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    scoredq AS (
+      SELECT sb.doc_id,
+             CAST(floor(round(-ln(
+                 0.7 * (CASE WHEN big.cb IS NOT NULL
+                             THEN CAST(big.cb AS DOUBLE) / CAST(ctx.cw1 AS DOUBLE)
+                             ELSE 0.0 END)
+                 + (1.0 - 0.7)
+                   * (CAST(COALESCE(uni.cu, 0) + 1 AS DOUBLE)
+                      / CAST(scal.n + scal.v + 1 AS DOUBLE))
+             ), 9) * 1000000000.0) AS BIGINT) AS q
+      FROM sb
+      LEFT JOIN big ON big.w1 = sb.w1 AND big.w2 = sb.w2
+      LEFT JOIN ctx ON ctx.w1 = sb.w1
+      LEFT JOIN uni ON uni.w = sb.w2
+      CROSS JOIN scal
+    ),
+    nll AS (
+      SELECT doc_id,
+             CAST(SUM(q) AS DOUBLE) / (1000000000.0 * CAST(COUNT(*) AS DOUBLE))
+               AS mean_nll
+      FROM scoredq GROUP BY doc_id
+    ),
+    base AS (
+      SELECT CASE WHEN nll.mean_nll IS NULL THEN 'unscored'
+                  WHEN nll.mean_nll < {_RECIPE_NLL_HEAD!r} THEN 'head'
+                  WHEN nll.mean_nll < {_RECIPE_NLL_TAIL!r} THEN 'middle'
+                  ELSE 'tail' END AS lm_bucket,
+             clf.clf_score AS s,
+             CAST(len(d.ws) AS BIGINT) AS tok
+      FROM d JOIN clf USING (doc_id) LEFT JOIN nll USING (doc_id)
+    ),
+    t(threshold) AS (VALUES (-0.25), (-0.125), (0.0), (0.125), (0.25))
+    SELECT base.lm_bucket, CAST(t.threshold AS DOUBLE) AS threshold,
+           CAST(SUM(CASE WHEN s >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(CASE WHEN s >= t.threshold THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                ELSE 0.0 END AS share_kept,
+           CAST(SUM(CASE WHEN s >= t.threshold THEN tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CASE WHEN SUM(tok) > 0
+                THEN CAST(SUM(CASE WHEN s >= t.threshold THEN tok ELSE 0 END)
+                          AS DOUBLE) / CAST(SUM(tok) AS DOUBLE)
+                ELSE 0.0 END AS token_share
+    FROM base CROSS JOIN t GROUP BY base.lm_bucket, t.threshold
+"""
+
+
+def r11_pipeline_model_quality_recipe(spark, sf_dir):
+    """The full model-based curation recipe under ONE value gate (VERDICT
+    r9 task #7): the published FROZEN classifier (trained once by
+    ``train_quality_classifier``, quantized by ``freeze_classifier`` —
+    provenance on ``_RECIPE_CLF_WEIGHTS``) scores every document via the
+    zero-shuffle map-literal fold; the frozen bigram LM (trained on the
+    even-doc_id reference half) buckets every document CCNet-style into
+    head/middle/tail by mean NLL (docs too short to carry a bigram land
+    in 'unscored'); and one single-scan :func:`threshold_sweep` per LM
+    bucket emits the decision table — docs kept, share, tokens kept,
+    token share per classifier cutoff — that a curation run actually
+    reads to pick its operating point.
+
+    Everything downstream of the two frozen artifacts is exact or
+    bit-deterministic cross-engine: binary-fraction weights (exact
+    sums, exact ``>=`` cuts), quantized-ln NLL (bit-equal doubles), and
+    integer sweep counts — so the full recipe carries a FULL value
+    oracle, while the training legs stay pytest-pinned (LBFGS float
+    reduction is layout-sensitive by nature; that is exactly WHY the
+    recipe serves a frozen artifact).
+
+    Scale shape: one corpus scan for the classifier fold, one for the
+    LM windows (reference-count frames broadcast), one for the sweep —
+    no pairwise stage, no driver data path; at 100 TB the sweep output
+    stays |buckets| × |thresholds| rows."""
+    from pdtable_spark.operators import text
+    from pdtable_spark.operators.monitor import threshold_sweep
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = text.classifier_score(
+        docs, _RECIPE_CLF_WEIGHTS, bias=_RECIPE_CLF_BIAS
+    ).select("doc_id", "text", "clf_score")
+    nll = text.bigram_lm_nll(docs, F.col("doc_id") % 2 == 0).select(
+        "doc_id", "mean_nll"
+    )
+    bucket = (
+        F.when(F.col("mean_nll").isNull(), F.lit("unscored"))
+        .when(F.col("mean_nll") < F.lit(_RECIPE_NLL_HEAD), F.lit("head"))
+        .when(F.col("mean_nll") < F.lit(_RECIPE_NLL_TAIL), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    staged = scored.join(nll, "doc_id", "left").withColumn("lm_bucket", bucket)
+    return threshold_sweep(
+        staged, "clf_score", _RECIPE_THRESHOLDS, text_col="text",
+        by=["lm_bucket"],
+    )
+
+
+PENDING_R11["pipeline_model_quality_recipe"] = (
+    r11_pipeline_model_quality_recipe,
+    R11_SQL_MODEL_QUALITY_RECIPE,
+)

@@ -677,6 +677,87 @@ def q_idle_customers(spark, sf_dir):
 
 
 @q(
+    "q22_idle_customers",
+    """
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    scal AS (
+      SELECT SUM(cents) AS s, COUNT(*) AS n FROM pool WHERE c_acctbal > 0.0
+    ),
+    cand AS (
+      SELECT p.* FROM pool p CROSS JOIN scal WHERE p.cents * scal.n > scal.s
+    ),
+    idle AS (
+      SELECT * FROM cand
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = cand.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    )
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM idle JOIN nation n ON n.n_nationkey = idle.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q22_idle_customers(spark, sf_dir):
+    """The full TPC-H Q22 analog (VERDICT r9 task #6): "country code"
+    membership filter (the testdata has no ``c_phone``, so the 7-code
+    prefix set maps to 7 nationkeys), balance above the POSITIVE-balance
+    average of that pool (the correlated scalar subquery), customers
+    with no recent orders (anti-join; the testdata generator gives EVERY
+    customer orders, so the literal no-orders-at-all spelling is empty
+    by construction at every SF — the date window keeps the value gate
+    non-vacuous without changing the plan shape, just adding a pushed
+    filter on the anti side), rolled up per nation.
+
+    The above-average threshold compares EXACT INTEGER CENTS cross-
+    multiplied against the pool's (sum, count) — ``cents·n > Σcents`` —
+    instead of a floating AVG, so a boundary-balance customer cannot
+    flip membership on engine-specific double summation order.
+
+    Scale shape: the scalar aggregate is one broadcast row; the
+    anti-join shuffles on custkey like every Q22 at scale (orders is the
+    big side — Spark builds the hash side from the FILTERED candidate
+    pool under AQE); the nation rollup broadcasts the 25-row dim."""
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    pool = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin([1, 3, 5, 7, 9, 11, 13]))
+        .select("c_custkey", "c_nationkey", "c_acctbal", cents.alias("__cents"))
+    )
+    scal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum("__cents").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    cand = pool.crossJoin(F.broadcast(scal)).filter(
+        F.col("__cents") * F.col("__n") > F.col("__s")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    idle = cand.join(orders, cand.c_custkey == orders.o_custkey, "left_anti")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        idle.join(
+            F.broadcast(nation), idle.c_nationkey == nation.n_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
+
+
+@q(
     "q_min_price_supplier",
     """
     WITH mn AS (
@@ -5852,9 +5933,11 @@ def stream_drift_monitor(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# The round-8 block (34 queries staged in r7, registered r8) and the
-# round-9 block (13 queries staged in r8, registered r9) decorate
+# The round-8 block (34 queries staged in r7, registered r8), the
+# round-9 block (13 queries staged in r8, registered r9) and the
+# round-10 block (6 queries staged in r9, registered r10) decorate
 # themselves into QUERIES/ORACLES on import — keep these imports LAST so
 # every name they reference above is already bound.
 from pdtable_spark.queries import suite_r8  # noqa: E402,F401
 from pdtable_spark.queries import pending_r9  # noqa: E402,F401
+from pdtable_spark.queries import pending_r10  # noqa: E402,F401

@@ -176,13 +176,18 @@ def test_pending_r9_oracles(spark):
 
 
 def test_pending_r10_oracles(spark):
-    """The staged round-10 queries are under the correctness gate BEFORE
-    registration (the suite_r8/pending_r9 staging discipline): each
-    (spark, oracle) pair runs side-by-side at sf0.001 in pytest, so
-    staged queries cannot rot between rounds."""
+    """The round-10 block (staged r9, registered r10) stays under its
+    own correctness gate: each (spark, oracle) pair runs side-by-side at
+    sf0.001 — and every entry must actually be REGISTERED in the suite
+    (the r8/r9-block discipline)."""
     import duckdb
 
     from pdtable_spark.queries.pending_r10 import PENDING_R10
+    from pdtable_spark.queries.suite import ORACLES, QUERIES
+
+    for name, (fn, sql) in PENDING_R10.items():
+        assert QUERIES.get(name) is fn, f"{name} not registered"
+        assert ORACLES.get(name) == sql, f"{name} oracle not registered"
 
     con = duckdb.connect()
     for t in (
@@ -194,6 +199,27 @@ def test_pending_r10_oracles(spark):
             f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
         )
     _oracle_pair_gate(spark, con, PENDING_R10)
+
+
+def test_pending_r11_oracles(spark):
+    """The staged round-11 queries are under the correctness gate BEFORE
+    registration (the suite_r8/pending_r9/pending_r10 staging
+    discipline): each (spark, oracle) pair runs side-by-side at sf0.001
+    in pytest, so staged queries cannot rot between rounds."""
+    import duckdb
+
+    from pdtable_spark.queries.pending_r11 import PENDING_R11
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    _oracle_pair_gate(spark, con, PENDING_R11)
 
 
 def _oracle_pair_gate(spark, con, entries):

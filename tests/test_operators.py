@@ -4150,6 +4150,41 @@ def test_train_quality_classifier_dict_path_end_to_end(spark):
         T.train_quality_classifier(withnull, "label")
 
 
+def test_freeze_classifier_train_freeze_serve_loop(spark):
+    """The train → freeze → serve loop behind the recipe query
+    (pending_r11): freezing a trained model to binary fractions keeps a
+    separable fixture perfectly separated, every frozen weight is an
+    exact multiple of 2^-quantum, top_k truncation is deterministic
+    (|weight| desc, term asc), zero-quantized terms drop, and the dict
+    and DataFrame trainer outputs freeze to the SAME artifact."""
+    from pdtable_spark.operators import text as T
+
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, f"great insightful great prose {i % 3}", 1))
+        rows.append((2 * i + 1, f"spam click spam buy {i % 3}", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    wd, bias = T.train_quality_classifier(df, "label", vocab_size=64, as_dict=True)
+    frozen, fbias = T.freeze_classifier(wd, bias, quantum_bits=6)
+    q = 1 << 6
+    assert all(float(w * q).is_integer() and w != 0.0 for w in frozen.values())
+    assert float(fbias * q).is_integer()
+    scored = T.classifier_score(df, frozen, bias=fbias)
+    out = scored.select("label", "clf_prob").collect()
+    assert all((r["clf_prob"] >= 0.5) == (r["label"] == 1) for r in out)
+    # DataFrame-form weights freeze identically to the dict form
+    wdf, bias2 = T.train_quality_classifier(df, "label", vocab_size=64)
+    frozen2, fbias2 = T.freeze_classifier(wdf, bias2, quantum_bits=6)
+    assert frozen2 == frozen and fbias2 == fbias
+    # top_k keeps the largest |weight| terms, ties broken on the term
+    top2, _ = T.freeze_classifier(wd, bias, quantum_bits=6, top_k=2)
+    full_rank = sorted(wd.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:2]
+    assert set(top2) <= {t for t, _ in full_rank}
+    # a weight under half the quantum freezes to zero and drops
+    tiny, _ = T.freeze_classifier({"x": 0.001, "y": 0.5}, 0.0, quantum_bits=6)
+    assert tiny == {"y": 0.5}
+
+
 def test_image_meta_header_only(spark):
     """Zero-decode image metadata: real PNG/GIF/BMP headers parse to
     (format, width, height) via pure column expressions; JPEG dims come
