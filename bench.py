@@ -182,6 +182,9 @@ EXTENDED = [
     # recipe (frozen classifier fold + frozen LM buckets + one-scan
     # threshold sweep)
     "pipeline_model_quality_recipe",
+    # round-10 in-round addition (staged r11): zero-decode WAV chunk
+    # walk (synthesize + parse, one codegen projection)
+    "multimodal_audio_meta",
 ]
 
 

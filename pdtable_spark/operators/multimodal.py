@@ -789,3 +789,162 @@ def image_meta(
         width.alias(width_col),
         height.alias(height_col),
     )
+
+
+def _wav_chunk_walk(payload, max_chunks: int = 64):
+    """``fmt `` + ``data`` fields from a RIFF/WAVE payload's chunk list as
+    ONE pure-JVM expression — the audio sibling of :func:`_jpeg_sof_walk`
+    (same bounded ``F.aggregate`` fold; constant codegen size): hop the
+    chunk chain from byte 13 (id 4B, size 4B little-endian, payload
+    padded to even), read channels / sample rate / bits-per-sample from
+    the first ``fmt `` chunk (RIFF spec offsets +10/+12/+22 within the
+    chunk) and the byte count from the first ``data`` chunk's SIZE FIELD
+    (the header names the length — the walk never crosses the audio
+    bytes themselves), in either order, stopping when both are found.  A
+    truncated header, a chunk running past the payload's length field,
+    or ``max_chunks`` exhausted leaves the missing fields NULL, never
+    garbage.
+
+    Returns a struct column ``(ch, rate, bits, data)`` (all long,
+    NULL-able per field: a WAV with a ``fmt `` chunk but a truncated
+    chunk list still reports its sample rate).
+    """
+    def le_at(pos, n):
+        # ONE binary substring + hex, byte order fixed by swizzling hex
+        # PAIRS (cheap string ops) — 4x fewer conv/substring nodes per
+        # read than a per-byte sum, and this walk reads 64x per row
+        h = F.hex(F.substring(payload, pos, F.lit(n)))
+        return F.conv(
+            F.concat(*[F.substring(h, 2 * i + 1, 2) for i in reversed(range(n))]),
+            16,
+            10,
+        ).cast("long")
+
+    plen = F.length(payload)
+
+    def mk(pos, ch, rate, bits, data, st):
+        none = F.lit(None).cast("long")
+        return F.struct(
+            pos.cast("long").alias("pos"),
+            (ch if ch is not None else none).cast("long").alias("ch"),
+            (rate if rate is not None else none).cast("long").alias("rate"),
+            (bits if bits is not None else none).cast("long").alias("bits"),
+            (data if data is not None else none).cast("long").alias("data"),
+            F.lit(st).cast("int").alias("st"),
+        )
+
+    def step(acc, _):
+        pos = acc["pos"]
+        cid = F.substring(payload, pos, F.lit(4))
+        csz = le_at(pos + 4, 4)
+        # chunks pad to even length; the size field excludes the pad
+        nxt = pos + 8 + csz + (csz % 2)
+        is_fmt = (cid == F.lit(b"fmt ")) & acc["ch"].isNull()
+        is_data = (cid == F.lit(b"data")) & acc["data"].isNull()
+        after_fmt = F.struct(
+            acc["pos"].alias("pos"),
+            le_at(pos + 10, 2).alias("ch"),
+            le_at(pos + 12, 4).alias("rate"),
+            le_at(pos + 22, 2).alias("bits"),
+            acc["data"].alias("data"),
+            acc["st"].alias("st"),
+        )
+        after_data = F.struct(
+            acc["pos"].alias("pos"), acc["ch"].alias("ch"),
+            acc["rate"].alias("rate"), acc["bits"].alias("bits"),
+            csz.alias("data"), acc["st"].alias("st"),
+        )
+        upd = F.when(is_fmt & (pos + 23 <= plen), after_fmt).when(
+            is_data & (pos + 7 <= plen), after_data
+        ).otherwise(acc)
+        done = upd["ch"].isNotNull() & upd["data"].isNotNull()
+        return (
+            F.when(acc["st"] != 0, acc)  # finished or failed: carry
+            # a chunk header is 8 bytes at pos..pos+7 (1-indexed): the
+            # last header of a contents-less fixture ends ON plen
+            .when(pos + 7 > plen, mk(pos, acc["ch"], acc["rate"],
+                                     acc["bits"], acc["data"], 2))
+            .otherwise(
+                F.struct(
+                    F.when(done, upd["pos"]).otherwise(nxt).alias("pos"),
+                    upd["ch"].alias("ch"),
+                    upd["rate"].alias("rate"),
+                    upd["bits"].alias("bits"),
+                    upd["data"].alias("data"),
+                    F.when(done, F.lit(1)).otherwise(F.lit(0))
+                    .cast("int")
+                    .alias("st"),
+                )
+            )
+        )
+
+    final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_chunks))),
+        mk(F.lit(13), None, None, None, None, 0),  # 1-indexed, after WAVE
+        step,
+    )
+    return F.struct(
+        final["ch"].alias("ch"), final["rate"].alias("rate"),
+        final["bits"].alias("bits"), final["data"].alias("data"),
+    )
+
+
+def audio_meta(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    format_col: str = "audio_format",
+    max_chunks: int = 64,
+) -> DataFrame:
+    """Header-only audio metadata — the audio sibling of
+    :func:`image_meta`: format, channel count, sample rate, bit depth,
+    data-chunk byte count and exact floor-milliseconds duration from the
+    first bytes of an opaque binary payload, as PURE JVM column
+    expressions (zero decode, zero Python, whole-stage codegen).  This
+    is the scan that runs over 100 TB of crawl audio BEFORE deciding
+    what to decode: sample-rate floors, mono/stereo routing, duration
+    caps — the resolution-filter story, per modality.
+
+    Formats: RIFF/WAVE (the :func:`_wav_chunk_walk` bounded chunk-chain
+    fold — ``fmt `` and ``data`` at any chunk position, any order;
+    ``duration_ms = data_bytes·8000 / (rate·channels·bits)`` in exact
+    BIGINT floor arithmetic, NULL when any factor is missing or zero);
+    FLAC (``fLaC``), Ogg (``OggS``) and ID3-tagged MP3 report their
+    format with NULL fields — their field encodings (big-endian
+    bit-packed STREAMINFO, Vorbis/Opus headers behind page framing,
+    sync-frame scan) belong to the decode path, the
+    :func:`image_meta` JPEG honesty convention before r10's walk.
+    Unknown payloads and NULLs report NULL format.
+    """
+    p = F.col(payload_col)
+    is_wav = (F.substring(p, 1, 4) == F.lit(b"RIFF")) & (
+        F.substring(p, 9, 4) == F.lit(b"WAVE")
+    )
+    is_flac = F.substring(p, 1, 4) == F.lit(b"fLaC")
+    is_ogg = F.substring(p, 1, 4) == F.lit(b"OggS")
+    is_mp3 = F.substring(p, 1, 3) == F.lit(b"ID3")
+    w = _wav_chunk_walk(p, max_chunks)
+    fmt = (
+        F.when(is_wav, F.lit("wav"))
+        .when(is_flac, F.lit("flac"))
+        .when(is_ogg, F.lit("ogg"))
+        .when(is_mp3, F.lit("mp3"))
+    )
+    wv = F.when(is_wav, w)
+    denom = wv["rate"] * wv["ch"] * wv["bits"]
+    d8 = wv["data"] * F.lit(8000)
+    dur = F.when(
+        denom.isNotNull() & (denom > 0) & wv["data"].isNotNull(),
+        # exact integer floor-division: subtracting the modulus first makes
+        # the double division exact, so a duration landing ON an integer
+        # boundary cannot round across it (all terms are longs < 2^53)
+        ((d8 - d8 % denom) / denom).cast("long"),
+    )
+    return assets.select(
+        "*",
+        fmt.alias(format_col),
+        wv["ch"].alias("n_channels"),
+        wv["rate"].alias("sample_rate"),
+        wv["bits"].alias("bits_per_sample"),
+        wv["data"].alias("data_bytes"),
+        dur.alias("duration_ms"),
+    )

@@ -208,3 +208,109 @@ PENDING_R11["pipeline_model_quality_recipe"] = (
     r11_pipeline_model_quality_recipe,
     R11_SQL_MODEL_QUALITY_RECIPE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Header-only AUDIO metadata under the value gate
+# (operators/multimodal.py::audio_meta, new round 10 — the audio sibling
+#  of the image_meta pre-decode scan: the WAV chunk walk as one pure-JVM
+#  bounded fold)
+# ---------------------------------------------------------------------------
+
+R11_SQL_AUDIO_META = """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 2 + 1 AS ch,
+             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+             CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+             n_chars * 4 AS data_bytes
+      FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'flac' ELSE 'wav' END AS audio_format,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(ch AS BIGINT) END AS n_channels,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(rate AS BIGINT) END AS sample_rate,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(bits AS BIGINT) END AS bits_per_sample,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(data_bytes AS BIGINT) END AS data_bytes,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE CAST(data_bytes * 8000 // (rate * ch * bits) AS BIGINT)
+                END AS duration_ms
+    FROM d
+"""
+
+
+def r11_multimodal_audio_meta(spark, sf_dir):
+    """The zero-decode AUDIO metadata scan under the driver value gate
+    (the ``multimodal_image_meta`` idiom, next modality): real RIFF/WAVE
+    header BYTES are synthesized in-engine per document — a
+    variable-length LIST chunk of ``doc_id % 5`` bytes (odd sizes
+    carrying their spec pad byte) sits BEFORE the fmt chunk so the
+    bounded chunk walk, not a fixed projection, is what the oracle
+    gates; channels/rate/bits/data-size derive from the source columns;
+    every seventh doc is a fLaC payload (format recognized, fields NULL
+    — the honesty arm).  ``audio_meta`` parses them back in one codegen
+    projection — no Python, no decode — and the oracle states the
+    expected fields, including the exact floor-integer ``duration_ms``,
+    from the source columns directly."""
+    from pdtable_spark.operators.multimodal import audio_meta
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+
+    def le_hex(c, n):
+        # n-byte little-endian hex of a non-negative long column
+        return F.concat(
+            *[
+                F.lpad(
+                    F.hex((c / F.lit(256 ** i)).cast("long") % 256), 2, "0"
+                )
+                for i in range(n)
+            ]
+        )
+
+    ch = (F.col("doc_id") % 2 + 1).cast("long")
+    rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    ).cast("long")
+    bits = F.when(F.col("doc_id") % 3 == 0, F.lit(8)).otherwise(F.lit(16)).cast("long")
+    data_bytes = (F.col("n_chars") * 4).cast("long")
+    k = (F.col("doc_id") % 5).cast("int")  # LIST payload bytes: 0..4
+    list_chunk = F.concat(
+        F.lit("4C495354"),                    # 'LIST'
+        le_hex(k.cast("long"), 4),
+        F.repeat(F.lit("41"), k),             # 'A' * k
+        F.when(k % 2 == 1, F.lit("00")).otherwise(F.lit("")),  # spec pad
+    )
+    fmt_chunk = F.concat(
+        F.lit("666D7420"), le_hex(F.lit(16).cast("long"), 4),  # 'fmt ', 16
+        le_hex(F.lit(1).cast("long"), 2),      # PCM
+        le_hex(ch, 2), le_hex(rate, 4),
+        le_hex(rate * ch * bits / F.lit(8), 4),  # byte rate (unread)
+        le_hex(ch * bits / F.lit(8), 2),         # block align (unread)
+        le_hex(bits, 2),
+    )
+    wav = F.concat(
+        F.lit("52494646"), F.lit("00000000"), F.lit("57415645"),  # RIFF/WAVE
+        list_chunk, fmt_chunk,
+        F.lit("64617461"), le_hex(data_bytes, 4),  # 'data' + size field
+    )
+    flac = F.concat(F.lit("664C6143"), F.repeat(F.lit("00"), 30))
+    payload = F.unhex(
+        F.when(F.col("doc_id") % 7 == 0, flac).otherwise(wav)
+    )
+    assets = docs.select("doc_id", payload.alias("payload"))
+    return audio_meta(assets).select(
+        "doc_id", "audio_format", "n_channels", "sample_rate",
+        "bits_per_sample", "data_bytes", "duration_ms",
+    )
+
+
+PENDING_R11["multimodal_audio_meta"] = (
+    r11_multimodal_audio_meta,
+    R11_SQL_AUDIO_META,
+)

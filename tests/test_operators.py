@@ -4288,6 +4288,86 @@ def test_image_meta_header_only(spark):
     assert "Python" not in plan and "Arrow" not in plan  # pure codegen scan
 
 
+def test_audio_meta_header_only(spark):
+    """Zero-decode audio metadata: REAL stdlib-wave WAV files parse to
+    (format, channels, rate, bits, data bytes, exact floor-ms duration)
+    via the bounded chunk walk; extra chunks before fmt/data and
+    data-before-fmt ordering both resolve; truncated chunk lists keep
+    the fields they reached (NULL for the rest, never garbage); FLAC /
+    Ogg / ID3-MP3 report format only; garbage and NULL payloads report
+    NULL format.  The plan stays codegen — no Python stages."""
+    import io
+    import struct
+    import wave
+
+    from pdtable_spark.operators import multimodal
+
+    def real_wav(ch, rate, width, nframes):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setframerate(rate)
+            w.setsampwidth(width)
+            w.writeframes(b"\x01\x02" * (nframes * ch * width // 2))
+        return buf.getvalue()
+
+    def chunk(cid, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    def fmt_chunk(ch, rate, bits):
+        return chunk(
+            b"fmt ",
+            struct.pack(
+                "<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                ch * bits // 8, bits,
+            ),
+        )
+
+    def riff(*chunks):
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rows = [
+        (1, real_wav(1, 16000, 2, 16000)),        # mono 16 kHz s16: 1000 ms
+        (2, real_wav(2, 44100, 2, 4410)),         # stereo 44.1 kHz: 100 ms
+        # LIST + fact chunks BEFORE fmt, data before fmt (legal layouts)
+        (3, riff(chunk(b"LIST", b"INFOsoftware"), fmt_chunk(1, 8000, 8),
+                 chunk(b"data", b"\x80" * 800))),  # 100 ms of 8-bit mono
+        (4, riff(chunk(b"data", b"\x00\x01" * 120), fmt_chunk(2, 12000, 16))),
+        # fmt present, chunk list then truncated: rate survives, data NULL
+        (5, riff(fmt_chunk(1, 22050, 16))[:40]),
+        (6, b"fLaC" + bytes(30)),
+        (7, b"OggS" + bytes(30)),
+        (8, b"ID3\x04\x00" + bytes(30)),
+        (9, b"not audio at all"),
+        (10, None),
+        # odd-sized chunk: the pad byte must be hopped to reach data
+        (11, riff(chunk(b"LIST", b"abc"), fmt_chunk(1, 1000, 8),
+                  chunk(b"data", b"\x80" * 250))),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r["asset_id"]: r for r in multimodal.audio_meta(df).collect()}
+
+    def wavrow(r):
+        return (r["audio_format"], r["n_channels"], r["sample_rate"],
+                r["bits_per_sample"], r["data_bytes"], r["duration_ms"])
+
+    assert wavrow(out[1]) == ("wav", 1, 16000, 16, 32000, 1000)
+    assert wavrow(out[2]) == ("wav", 2, 44100, 16, 17640, 100)
+    assert wavrow(out[3]) == ("wav", 1, 8000, 8, 800, 100)
+    assert wavrow(out[4]) == ("wav", 2, 12000, 16, 240, 5)
+    assert (out[5]["audio_format"], out[5]["sample_rate"]) == ("wav", 22050)
+    assert out[5]["data_bytes"] is None and out[5]["duration_ms"] is None
+    for aid, f in ((6, "flac"), (7, "ogg"), (8, "mp3")):
+        assert out[aid]["audio_format"] == f, aid
+        assert out[aid]["sample_rate"] is None and out[aid]["duration_ms"] is None
+    assert out[9]["audio_format"] is None and out[10]["audio_format"] is None
+    assert wavrow(out[11]) == ("wav", 1, 1000, 8, 250, 250)
+    plan = multimodal.audio_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan  # pure codegen scan
+
+
 def test_ngram_lm_nll_fuzz_vs_bruteforce(spark):
     """Property: for random tiny corpora and orders, ngram_lm_nll equals
     a pure-Python reference model exactly (the quantization makes the
