@@ -182,9 +182,11 @@ EXTENDED = [
     # recipe (frozen classifier fold + frozen LM buckets + one-scan
     # threshold sweep)
     "pipeline_model_quality_recipe",
-    # round-10 in-round addition (staged r11): zero-decode WAV chunk
-    # walk (synthesize + parse, one codegen projection)
+    # round-10 in-round additions (staged r11): zero-decode WAV chunk
+    # walk and AVI header walk (synthesize + parse, one codegen
+    # projection each — the audio/video arms of the pre-decode trio)
     "multimodal_audio_meta",
+    "multimodal_video_meta",
 ]
 
 

@@ -948,3 +948,133 @@ def audio_meta(
         wv["data"].alias("data_bytes"),
         dur.alias("duration_ms"),
     )
+
+
+def _avi_header_walk(payload, max_chunks: int = 16):
+    """``avih`` main-header fields from a RIFF/AVI payload as ONE
+    pure-JVM expression — the video arm of the bounded-fold family
+    (:func:`_jpeg_sof_walk`, :func:`_wav_chunk_walk`): hop top-level
+    chunks (a muxer may emit JUNK padding) until the ``LIST hdrl``
+    whose FIRST subchunk the spec mandates to be ``avih``, then read
+    dwMicroSecPerFrame / dwTotalFrames / dwWidth / dwHeight at their
+    fixed offsets inside it.  A missing hdrl, an undersized avih, a
+    truncated payload or ``max_chunks`` exhausted → NULL fields, never
+    garbage.
+
+    Returns a struct column ``(uspf, frames, w, h)`` (all long).
+    """
+    def le_at(pos, n):
+        h = F.hex(F.substring(payload, pos, F.lit(n)))
+        return F.conv(
+            F.concat(*[F.substring(h, 2 * i + 1, 2) for i in reversed(range(n))]),
+            16,
+            10,
+        ).cast("long")
+
+    plen = F.length(payload)
+
+    def mk(pos, uspf, frames, w, h, st):
+        none = F.lit(None).cast("long")
+        return F.struct(
+            pos.cast("long").alias("pos"),
+            (uspf if uspf is not None else none).cast("long").alias("uspf"),
+            (frames if frames is not None else none).cast("long").alias("frames"),
+            (w if w is not None else none).cast("long").alias("w"),
+            (h if h is not None else none).cast("long").alias("h"),
+            F.lit(st).cast("int").alias("st"),
+        )
+
+    def step(acc, _):
+        pos = acc["pos"]
+        cid = F.substring(payload, pos, F.lit(4))
+        csz = le_at(pos + 4, 4)
+        nxt = pos + 8 + csz + (csz % 2)
+        is_hdrl = (
+            (cid == F.lit(b"LIST"))
+            & (F.substring(payload, pos + 8, F.lit(4)) == F.lit(b"hdrl"))
+            & (F.substring(payload, pos + 12, F.lit(4)) == F.lit(b"avih"))
+            # avih carries at least the 40 bytes up to dwHeight
+            & (le_at(pos + 16, 4) >= F.lit(40))
+        )
+        fail = mk(pos, None, None, None, None, 2)
+        return (
+            F.when(acc["st"] != 0, acc)
+            .when(pos + 7 > plen, fail)  # no full chunk header left
+            .when(
+                is_hdrl,
+                F.when(
+                    pos + 59 <= plen,
+                    mk(pos, le_at(pos + 20, 4), le_at(pos + 36, 4),
+                       le_at(pos + 52, 4), le_at(pos + 56, 4), 1),
+                ).otherwise(fail),  # hdrl found but truncated
+            )
+            .otherwise(mk(nxt, None, None, None, None, 0))
+        )
+
+    final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_chunks))),
+        mk(F.lit(13), None, None, None, None, 0),  # after RIFF size + 'AVI '
+        step,
+    )
+    return F.struct(
+        final["uspf"].alias("uspf"), final["frames"].alias("frames"),
+        final["w"].alias("w"), final["h"].alias("h"),
+    )
+
+
+def video_meta(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    format_col: str = "video_format",
+    max_chunks: int = 16,
+) -> DataFrame:
+    """Header-only video metadata — completing the pre-decode scan trio
+    (:func:`image_meta`, :func:`audio_meta`): container format, frame
+    dimensions, frame count, per-frame microseconds and exact
+    floor-milliseconds duration from the first bytes of an opaque
+    binary payload, as PURE JVM column expressions (zero decode, zero
+    Python, whole-stage codegen).  The 100 TB story is identical:
+    resolution floors, duration caps and fps routing run as a scan
+    BEFORE any codec touches a byte.
+
+    Formats: RIFF/AVI (the :func:`_avi_header_walk` bounded fold —
+    JUNK-tolerant hop to ``LIST hdrl``/``avih``; ``duration_ms =
+    us_per_frame·n_frames / 1000`` in exact BIGINT floor arithmetic,
+    NULL when either factor is missing or zero); MP4/MOV (``ftyp`` at
+    offset 5), Matroska/WebM (EBML magic) and MPEG-PS report their
+    format with NULL fields — their sample tables / EBML trees belong
+    to the decode path (the JPEG/FLAC honesty convention).  Unknown
+    payloads and NULLs report NULL format.
+    """
+    p = F.col(payload_col)
+    is_avi = (F.substring(p, 1, 4) == F.lit(b"RIFF")) & (
+        F.substring(p, 9, 4) == F.lit(b"AVI ")
+    )
+    is_mp4 = F.substring(p, 5, 4) == F.lit(b"ftyp")
+    is_ebml = F.substring(p, 1, 4) == F.lit(
+        bytes([0x1A, 0x45, 0xDF, 0xA3])
+    )
+    is_mpeg = F.substring(p, 1, 4) == F.lit(bytes([0x00, 0x00, 0x01, 0xBA]))
+    w = _avi_header_walk(p, max_chunks)
+    av = F.when(is_avi, w)
+    fmt = (
+        F.when(is_avi, F.lit("avi"))
+        .when(is_mp4, F.lit("mp4"))
+        .when(is_ebml, F.lit("webm"))
+        .when(is_mpeg, F.lit("mpeg"))
+    )
+    us_total = av["uspf"] * av["frames"]
+    dur = F.when(
+        us_total.isNotNull() & (av["uspf"] > 0),
+        # exact integer floor-division (the audio_meta idiom)
+        ((us_total - us_total % F.lit(1000)) / F.lit(1000)).cast("long"),
+    )
+    return assets.select(
+        "*",
+        fmt.alias(format_col),
+        av["w"].alias("vid_width"),
+        av["h"].alias("vid_height"),
+        av["frames"].alias("n_frames"),
+        av["uspf"].alias("us_per_frame"),
+        dur.alias("duration_ms"),
+    )

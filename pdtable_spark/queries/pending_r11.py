@@ -314,3 +314,105 @@ PENDING_R11["multimodal_audio_meta"] = (
     r11_multimodal_audio_meta,
     R11_SQL_AUDIO_META,
 )
+
+
+# ---------------------------------------------------------------------------
+# Header-only VIDEO metadata under the value gate
+# (operators/multimodal.py::video_meta, new round 10 — completes the
+#  image/audio/video pre-decode scan trio)
+# ---------------------------------------------------------------------------
+
+R11_SQL_VIDEO_META = """
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 16667 WHEN 1 THEN 33333
+                  WHEN 2 THEN 40000 ELSE 200000 END AS uspf,
+             n_chars AS frames,
+             n_chars * 2 AS w,
+             doc_id % 2048 + 1 AS h
+      FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0 THEN 'mp4' ELSE 'avi' END AS video_format,
+           CASE WHEN doc_id % 9 = 0 THEN NULL
+                ELSE CAST(w AS BIGINT) END AS vid_width,
+           CASE WHEN doc_id % 9 = 0 THEN NULL
+                ELSE CAST(h AS BIGINT) END AS vid_height,
+           CASE WHEN doc_id % 9 = 0 THEN NULL
+                ELSE CAST(frames AS BIGINT) END AS n_frames,
+           CASE WHEN doc_id % 9 = 0 THEN NULL
+                ELSE CAST(uspf AS BIGINT) END AS us_per_frame,
+           CASE WHEN doc_id % 9 = 0 THEN NULL
+                ELSE CAST(uspf * frames // 1000 AS BIGINT) END AS duration_ms
+    FROM d
+"""
+
+
+def r11_multimodal_video_meta(spark, sf_dir):
+    """The zero-decode VIDEO metadata scan under the driver value gate,
+    completing the modality trio next to ``multimodal_image_meta`` and
+    ``multimodal_audio_meta``: real RIFF/AVI header BYTES are
+    synthesized in-engine per document — a variable-length JUNK chunk
+    of ``doc_id % 6`` bytes (odd sizes carrying their pad) sits before
+    the ``LIST hdrl`` so the chunk hop, not a fixed projection, is what
+    the oracle gates; per-frame microseconds / frame count / dims
+    derive from the source columns; every ninth doc is an MP4 ``ftyp``
+    (format recognized, fields NULL — the honesty arm).  ``video_meta``
+    parses them back in one codegen projection, and the oracle states
+    every field including the exact floor-integer ``duration_ms``."""
+    from pdtable_spark.operators.multimodal import video_meta
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+
+    def le_hex(c, n):
+        return F.concat(
+            *[
+                F.lpad(
+                    F.hex((c / F.lit(256 ** i)).cast("long") % 256), 2, "0"
+                )
+                for i in range(n)
+            ]
+        )
+
+    uspf = F.element_at(
+        F.array(F.lit(16667), F.lit(33333), F.lit(40000), F.lit(200000)),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    ).cast("long")
+    frames = F.col("n_chars").cast("long")
+    w, h = (F.col("n_chars") * 2).cast("long"), (F.col("doc_id") % 2048 + 1).cast("long")
+    k = (F.col("doc_id") % 6).cast("int")
+    junk = F.concat(
+        F.lit("4A554E4B"), le_hex(k.cast("long"), 4),
+        F.repeat(F.lit("00"), k),
+        F.when(k % 2 == 1, F.lit("00")).otherwise(F.lit("")),
+    )
+    zeros4 = F.lit("00000000")
+    avih_data = F.concat(
+        le_hex(uspf, 4), zeros4, zeros4, zeros4,        # uspf, maxbps, pad, flags
+        le_hex(frames, 4), zeros4,                       # total frames, initial
+        le_hex(F.lit(1).cast("long"), 4), zeros4,        # streams, sugg. buffer
+        le_hex(w, 4), le_hex(h, 4),                      # width, height
+        F.repeat(F.lit("00"), 16),                       # dwReserved[4]
+    )
+    avi = F.concat(
+        F.lit("52494646"), F.lit("00000000"), F.lit("41564920"),  # RIFF/AVI
+        junk,
+        F.lit("4C495354"), le_hex(F.lit(68).cast("long"), 4),     # LIST, size
+        F.lit("6864726C"),                                        # 'hdrl'
+        F.lit("61766968"), le_hex(F.lit(56).cast("long"), 4),     # 'avih', 56
+        avih_data,
+    )
+    mp4 = F.concat(F.lit("00000018"), F.lit("6674797069736F6D"),
+                   F.repeat(F.lit("00"), 12))
+    payload = F.unhex(F.when(F.col("doc_id") % 9 == 0, mp4).otherwise(avi))
+    assets = docs.select("doc_id", payload.alias("payload"))
+    return video_meta(assets).select(
+        "doc_id", "video_format", "vid_width", "vid_height",
+        "n_frames", "us_per_frame", "duration_ms",
+    )
+
+
+PENDING_R11["multimodal_video_meta"] = (
+    r11_multimodal_video_meta,
+    R11_SQL_VIDEO_META,
+)

@@ -4368,6 +4368,57 @@ def test_audio_meta_header_only(spark):
     assert "Python" not in plan and "Arrow" not in plan  # pure codegen scan
 
 
+def test_video_meta_header_only(spark):
+    """Zero-decode video metadata: REAL `_make_avi` containers parse to
+    (format, dims, frame count, per-frame us, exact floor-ms duration)
+    via the bounded header walk; JUNK padding before hdrl is hopped; a
+    truncated header keeps format with NULL fields, never garbage;
+    MP4 / WebM-EBML / MPEG-PS report format only; garbage and NULL
+    payloads report NULL format.  Plan stays codegen — no Python."""
+    import struct
+
+    from pdtable_spark.operators import multimodal
+
+    px = [[(1, 2, 3)] * 3 for _ in range(2)]  # 3x2 frames
+    avi2 = _make_avi([px, px], fps=2)          # 2 frames @ 2 fps: 1000 ms
+    avi4 = _make_avi([px], fps=4, topdown=True)  # 1 frame @ 4 fps: 250 ms
+
+    def chunk(fcc, data):
+        return fcc + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    junked = avi2[:12] + chunk(b"JUNK", b"\x00" * 9) + avi2[12:]
+    rows = [
+        (1, avi2),
+        (2, avi4),
+        (3, junked),                     # JUNK (odd size + pad) before hdrl
+        (4, avi2[:30]),                  # truncated inside hdrl
+        (5, struct.pack(">I", 24) + b"ftypisom" + bytes(16)),
+        (6, bytes([0x1A, 0x45, 0xDF, 0xA3]) + bytes(20)),
+        (7, bytes([0x00, 0x00, 0x01, 0xBA]) + bytes(20)),
+        (8, b"definitely not video"),
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r["asset_id"]: r for r in multimodal.video_meta(df).collect()}
+
+    def vrow(r):
+        return (r["video_format"], r["vid_width"], r["vid_height"],
+                r["n_frames"], r["us_per_frame"], r["duration_ms"])
+
+    assert vrow(out[1]) == ("avi", 3, 2, 2, 500000, 1000)
+    assert vrow(out[2]) == ("avi", 3, 2, 1, 250000, 250)
+    assert vrow(out[3]) == ("avi", 3, 2, 2, 500000, 1000)
+    assert out[4]["video_format"] == "avi" and out[4]["vid_width"] is None
+    assert out[4]["duration_ms"] is None
+    for aid, f in ((5, "mp4"), (6, "webm"), (7, "mpeg")):
+        assert out[aid]["video_format"] == f and out[aid]["n_frames"] is None
+    assert out[8]["video_format"] is None and out[9]["video_format"] is None
+    plan = multimodal.video_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
 def test_ngram_lm_nll_fuzz_vs_bruteforce(spark):
     """Property: for random tiny corpora and orders, ngram_lm_nll equals
     a pure-Python reference model exactly (the quantization makes the
