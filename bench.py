@@ -187,6 +187,9 @@ EXTENDED = [
     # projection each — the audio/video arms of the pre-decode trio)
     "multimodal_audio_meta",
     "multimodal_video_meta",
+    # round-10 in-round addition (staged r11): the mergeable moment
+    # ledger (two snapshot gram states + d²-domain merge)
+    "embedding_gram_ledger",
 ]
 
 

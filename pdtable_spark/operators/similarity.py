@@ -1866,7 +1866,52 @@ def gram_matrix(
     triangle products in-scan into a map-side-combinable sum whose
     shuffle is the d²-domain, never rows; the per-dimension sums ride
     the same aggregate as the j = i diagonal plus a d-domain explode.
+
+    Implemented as :func:`gram_ledger` (the mergeable exact-integer
+    state) + :func:`_gram_finalize` (the statistic derivation), so the
+    one-pass and merged-ledger spellings are literally the same code.
     """
+    return _gram_finalize(gram_ledger(corpus, vec_col, quantize), quantize)
+
+
+def _gram_finalize(ledger: DataFrame, quantize: float) -> DataFrame:
+    """(i, j, n, sp, si, sj) exact-integer moment state → the published
+    (i, j, n, gram, cov) rows — shared by the one-pass
+    :func:`gram_matrix` and the merged-ledger path, so the two spellings
+    cannot diverge in derivation."""
+    n = F.col("n").cast("double")
+    q2 = F.lit(float(quantize) * float(quantize))
+    gram = F.col("sp").cast("double") / q2 / n
+    cov = (
+        F.col("sp").cast("double")
+        - F.col("si").cast("double") * F.col("sj").cast("double") / n
+    ) / q2 / n
+    return ledger.select(
+        "i", "j", F.col("n").cast("long").alias("n"),
+        gram.alias("gram"), cov.alias("cov"),
+    )
+
+
+def gram_ledger(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    quantize: float = 1e6,
+) -> DataFrame:
+    """The MERGEABLE form of :func:`gram_matrix` — the moment ledger that
+    completes the monitoring-ledger family (HLL novelty, histogram
+    quantiles, heavy hitters, second moments): per upper-triangle cell,
+    the exact-integer state (i, j, n, sp, si, sj) with ``sp/si/sj`` the
+    quantized pair-product and per-dimension sums.  All four fields are
+    ADDITIVE integers, so per-batch/per-shard snapshots union and re-sum
+    (:func:`gram_from_ledgers`) into EXACTLY the state one pass over the
+    concatenated corpus would produce — bit-identical gram/cov, no
+    corpus rescan when a new batch lands, and an incremental-PCA loop
+    (ledger += batch → :func:`pca_basis` on the merged artifact) at the
+    cost of a d²-domain merge.
+
+    Same one-scan shape and BIGINT-headroom arithmetic as
+    :func:`gram_matrix` (its docstring's bounds apply per MERGED total,
+    not per snapshot — quantize governs the end state)."""
     from pdtable_spark.operators.text import _let
 
     q = F.lit(float(quantize))
@@ -1894,27 +1939,34 @@ def gram_matrix(
             )
         ),
     )
-    agg = (
+    return (
         corpus.select(F.explode(d_pairs).alias("e"))
         .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
         .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum("e.p").alias("__sp"),
-            F.sum("e.vi").alias("__si"),
-            F.sum("e.vj").alias("__sj"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("e.p").cast("long").alias("sp"),
+            F.sum("e.vi").cast("long").alias("si"),
+            F.sum("e.vj").cast("long").alias("sj"),
         )
     )
-    n = F.col("__n").cast("double")
-    q2 = F.lit(float(quantize) * float(quantize))
-    gram = F.col("__sp").cast("double") / q2 / n
-    cov = (
-        F.col("__sp").cast("double")
-        - F.col("__si").cast("double") * F.col("__sj").cast("double") / n
-    ) / q2 / n
-    return agg.select(
-        "i", "j", F.col("__n").cast("long").alias("n"),
-        gram.alias("gram"), cov.alias("cov"),
+
+
+def gram_from_ledgers(
+    ledgers: DataFrame, quantize: float = 1e6
+) -> DataFrame:
+    """Merge stacked :func:`gram_ledger` snapshots (any number, any
+    extra snapshot columns ignored) into the (i, j, n, gram, cov) rows
+    :func:`gram_matrix` would produce over the concatenated corpora —
+    exact integers in, bit-identical statistics out.  Ledger-domain
+    work only: the merge shuffles d(d+1)/2 rows per snapshot, never
+    corpus rows."""
+    merged = ledgers.groupBy("i", "j").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sp").cast("long").alias("sp"),
+        F.sum("si").cast("long").alias("si"),
+        F.sum("sj").cast("long").alias("sj"),
     )
+    return _gram_finalize(merged, quantize)
 
 
 def pca_basis(gram_rows, dim: int, top_k: Optional[int] = None):

@@ -416,3 +416,41 @@ PENDING_R11["multimodal_video_meta"] = (
     r11_multimodal_video_meta,
     R11_SQL_VIDEO_META,
 )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable moment (gram) ledger under the value gate
+# (operators/similarity.py::gram_ledger / gram_from_ledgers, new round 10
+#  — the fourth monitoring ledger: HLL novelty, histogram quantiles,
+#  heavy hitters, second moments; the incremental-PCA state)
+# ---------------------------------------------------------------------------
+
+def r11_embedding_gram_ledger(spark, sf_dir):
+    """The moment ledger end-to-end under the value gate: two snapshot
+    ledgers (even/odd vec_id — per-cell exact-integer (n, sp, si, sj)
+    state) merge through ``gram_from_ledgers`` into the (i, j, n, gram,
+    cov) rows, and the ORACLE is the registered ``embedding_gram``
+    statement itself over the whole table — the merge must reproduce
+    the one-pass statistic bit-for-bit, because the state is additive
+    integers and the finalize is shared code.  This is the
+    incremental-PCA shape: a new batch lands as one d²-domain ledger,
+    the merge never rescans earlier batches, and ``pca_basis`` runs on
+    the merged bounded artifact."""
+    from pdtable_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    stacked = None
+    for s in (0, 1):
+        led = similarity.gram_ledger(
+            emb.filter(F.col("vec_id") % 2 == s)
+        ).withColumn("snapshot", F.lit(s))
+        stacked = led if stacked is None else stacked.unionByName(led)
+    return similarity.gram_from_ledgers(stacked)
+
+
+from pdtable_spark.queries.pending_r9 import R9_SQL_EMBEDDING_GRAM  # noqa: E402
+
+PENDING_R11["embedding_gram_ledger"] = (
+    r11_embedding_gram_ledger,
+    R9_SQL_EMBEDDING_GRAM,
+)

@@ -131,13 +131,21 @@ def main():
         "pipeline_filter_agreement",
         "text_collocations",
         "embedding_gram",
-        # round-10 staged queries (queries/pending_r10.py — plan evidence
-        # a round before registration, same policy)
+        # the round-10 block (queries/pending_r10.py — registered r10;
+        # stream_heavy_hitters excluded per the streaming policy above)
         "embedding_margin_agreement",
         "embedding_pca_project",
         "pipeline_heavy_hitters",
         "text_lm_bigram_nll",
         "multimodal_image_meta",
+        # registered round 10 (built in-round)
+        "q22_idle_customers",
+        # round-11 staged queries (queries/pending_r11.py — plan evidence
+        # a round before registration, same policy)
+        "pipeline_model_quality_recipe",
+        "multimodal_audio_meta",
+        "multimodal_video_meta",
+        "embedding_gram_ledger",
     ]
 
     out = [
@@ -149,10 +157,10 @@ def main():
         "| query | shuffles | broadcast joins | sort-merge joins | pushed filters |",
         "|---|---|---|---|---|",
     ]
-    from pdtable_spark.queries.pending_r10 import PENDING_R10
+    from pdtable_spark.queries.pending_r11 import PENDING_R11
 
     resolved = dict(QUERIES)
-    resolved.update({n: fn for n, (fn, _sql) in PENDING_R10.items()})
+    resolved.update({n: fn for n, (fn, _sql) in PENDING_R11.items()})
 
     details = []
     for name in HEADLINE + extra:

@@ -4368,6 +4368,38 @@ def test_audio_meta_header_only(spark):
     assert "Python" not in plan and "Arrow" not in plan  # pure codegen scan
 
 
+def test_gram_ledger_merge_bit_identical(spark):
+    """The moment ledger is exactly mergeable: gram_from_ledgers over
+    per-snapshot gram_ledger states equals the one-pass gram_matrix over
+    the concatenated corpus BIT-FOR-BIT (exact integers in, shared
+    finalize out), snapshot-extra columns are ignored, and a three-way
+    split merges the same as a two-way one."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators import similarity
+
+    rng = random.Random(77)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    whole = sorted(map(tuple, similarity.gram_matrix(df).collect()))
+
+    def split_merge(mod):
+        stacked = None
+        for s in range(mod):
+            led = similarity.gram_ledger(
+                df.filter(F.col("vec_id") % mod == s)
+            ).withColumn("snapshot", F.lit(s))
+            stacked = led if stacked is None else stacked.unionByName(led)
+        return sorted(map(tuple, similarity.gram_from_ledgers(stacked).collect()))
+
+    assert split_merge(2) == whole
+    assert split_merge(3) == whole
+
+
 def test_video_meta_header_only(spark):
     """Zero-decode video metadata: REAL `_make_avi` containers parse to
     (format, dims, frame count, per-frame us, exact floor-ms duration)
