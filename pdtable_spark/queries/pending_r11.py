@@ -454,3 +454,75 @@ PENDING_R11["embedding_gram_ledger"] = (
     r11_embedding_gram_ledger,
     R9_SQL_EMBEDDING_GRAM,
 )
+
+
+R11_SQL_STREAM_GRAM_LEDGER = """
+    WITH base AS (
+      SELECT 0 AS wave,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id % 3 = 0
+      UNION ALL
+      SELECT 1,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))
+      FROM embeddings WHERE vec_id % 4 = 0
+    ),
+    cells AS (
+      SELECT bb.b AS batch_id, CAST(t1.i AS INT) AS i, CAST(t2.j AS INT) AS j,
+             v[t1.i + 1] * v[t2.j + 1] AS p,
+             v[t1.i + 1] AS vi, v[t2.j + 1] AS vj
+      FROM (VALUES (0), (1)) AS bb(b), base, range(0, 64) t1(i),
+           range(0, 64) t2(j)
+      WHERE base.wave <= bb.b AND t2.j >= t1.i
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, i, j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p) AS DOUBLE) / 1000000000000.0
+             / CAST(COUNT(*) AS DOUBLE) AS gram,
+           (CAST(SUM(p) AS DOUBLE)
+            - CAST(SUM(vi) AS DOUBLE) * CAST(SUM(vj) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE))
+           / 1000000000000.0 / CAST(COUNT(*) AS DOUBLE) AS cov
+    FROM cells GROUP BY batch_id, i, j
+"""
+
+
+def r11_stream_gram_ledger(spark, sf_dir):
+    """The moment ledger under the streaming gate, completing the
+    streaming ledger QUARTET: two ingestion waves (vec_id%3==0, then
+    %4==0 — overlapping on %12==0, counted twice: the ledger tracks
+    OBSERVATIONS) each picked up by its own ``availableNow`` run over
+    ONE checkpoint; per micro-batch the RUNNING (i, j, n, gram, cov)
+    matrix lands exactly-once against the accumulating exact-integer
+    state.  The landing is PARQUET, not JSONL — a float column printed
+    to JSON and re-read as double widens differently than parquet's
+    exact float→double cast, which would shift ~1e-8-relative values
+    across the 1e-6 quantization boundary and break the bit-exact
+    oracle; parquet preserves the bytes.  Full value oracle, no
+    tolerance pin."""
+    import tempfile
+
+    from pdtable_spark.streaming.monitor import moment_ledger_stream
+
+    d = tempfile.mkdtemp(prefix="pdtable_gramled_")
+    land, led, out = f"{d}/land", f"{d}/ledger", f"{d}/out"
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for wave_mod in (3, 4):
+        emb.filter(F.col("vec_id") % wave_mod == 0).write.parquet(
+            land, mode="append"
+        )
+        s = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(land)
+        moment_ledger_stream(s, led, out, f"{d}/ckpt")
+    return spark.read.parquet(out).select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "i", "j", "n", "gram", "cov",
+    )
+
+
+PENDING_R11["stream_gram_ledger"] = (
+    r11_stream_gram_ledger,
+    R11_SQL_STREAM_GRAM_LEDGER,
+)

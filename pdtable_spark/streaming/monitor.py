@@ -488,3 +488,110 @@ def heavy_hitter_stream(
         .start()
     )
     return await_or_raise(q, timeout, "heavy_hitter_stream")
+
+
+def _moment_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    ledger_dir: str,
+    out_dir: str,
+    vec_col: str,
+    quantize: float,
+) -> None:
+    """One micro-batch of the moment (gram) ledger (split out for unit
+    tests).  Reads the cumulative exact-integer state AS-OF the previous
+    batch (max batch_id strictly below this one — a RETRIED batch
+    recomputes against the same pre-state, so both writes land
+    byte-identically), adds this batch's :func:`~pdtable_spark.operators.
+    similarity.gram_ledger` into it (all four fields are additive
+    integers — the merge IS addition), writes the running finalized
+    (i, j, n, gram, cov) report for this batch, then the advanced
+    cumulative state under this batch's partition."""
+    from pdtable_spark.operators.similarity import _gram_finalize, gram_ledger
+
+    batch_led = gram_ledger(batch_df, vec_col, quantize)
+    prev = batch_led.limit(0)
+    if _ledger_exists(spark, ledger_dir):
+        led_all = spark.read.parquet(ledger_dir).filter(F.col("batch_id") < batch_id)
+        mx = led_all.agg(F.max("batch_id")).collect()[0][0]
+        if mx is not None:
+            prev = led_all.filter(F.col("batch_id") == mx).select(
+                "i", "j", "n", "sp", "si", "sj"
+            )
+    merged = (
+        prev.unionByName(batch_led)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sp").cast("long").alias("sp"),
+            F.sum("si").cast("long").alias("si"),
+            F.sum("sj").cast("long").alias("sj"),
+        )
+    )
+    (
+        _gram_finalize(merged, quantize)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    (
+        merged.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(ledger_dir)
+    )
+
+
+def moment_ledger_stream(
+    stream_vecs: DataFrame,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    quantize: float = 1e6,
+    timeout: Optional[int] = 120,
+):
+    """Running second-moment/covariance matrix over a continuous
+    embedding ingest, from mergeable moment ledgers alone
+    (:func:`~pdtable_spark.operators.similarity.gram_ledger`): per
+    micro-batch, the cumulative (i, j, n, gram, cov) of everything
+    ingested so far — the embedding-collapse/anisotropy alarm (and the
+    incremental-PCA input: run ``pca_basis`` on any batch's report)
+    that fires while the batch lands, with no rescan of earlier
+    batches.  Completes the streaming ledger QUARTET next to the HLL
+    novelty, histogram quantile and heavy-hitter streams.
+
+    State is a PARQUET LEDGER of cumulative exact-integer sums
+    partitioned by ``batch_id`` (as-of-batch snapshots, d(d+1)/2 rows
+    each).  Exactly-once without transactional storage comes from the
+    AS-OF read discipline alone (the quantile/heavy-hitter posture:
+    integer sums ADD, so a retried batch recomputing against
+    strictly-earlier state lands byte-identically; there is no
+    idempotent-merge second net).  The ledger counts OBSERVATIONS —
+    dedup upstream if re-ingested vectors must not reweight the
+    moments.  ``quantize`` bounds apply to the cumulative TOTALS (the
+    ``gram_matrix`` docstring's 2^53 headroom arithmetic) — size it to
+    the stream's lifetime row count, not the batch size.
+
+    Output rows: (i, j, n, gram, cov, batch_id); state rows:
+    (i, j, n, sp, si, sj, batch_id).
+    """
+    spark = stream_vecs.sparkSession
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        _moment_batch(
+            spark, batch_df, batch_id, ledger_dir, out_dir, vec_col, quantize
+        )
+
+    q = (
+        stream_vecs.writeStream.outputMode("append")
+        .foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return await_or_raise(q, timeout, "moment_ledger_stream")

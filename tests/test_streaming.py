@@ -612,6 +612,47 @@ def test_quantile_ledger_batch_retry_idempotent(spark, tmp_path):
     assert snap(out) == rep1 and snap(led) == led1
 
 
+def test_moment_ledger_batch_retry_idempotent(spark, tmp_path):
+    """The moment ledger's exactly-once story: batch 1's running gram/cov
+    equals the one-pass gram_matrix over batch 0 + batch 1 as ONE
+    multiset BIT-FOR-BIT (additive integer state, shared finalize), and
+    a RETRY of batch 1 (crash after both writes) recomputes against the
+    as-of-batch-0 ledger byte-identically — sums never double."""
+    import random
+
+    from pdtable_spark.operators.similarity import gram_matrix
+    from pdtable_spark.streaming.monitor import _moment_batch
+
+    rng = random.Random(11)
+    led, out = str(tmp_path / "ledger"), str(tmp_path / "out")
+    mk = lambda ids: spark.createDataFrame(  # noqa: E731
+        [(i, [rng.uniform(-1, 1) for _ in range(5)]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    b0, b1 = mk(range(12)), mk(range(12, 20))
+    _moment_batch(spark, b0, 0, led, out, "embedding", 1e6)
+    _moment_batch(spark, b1, 1, led, out, "embedding", 1e6)
+
+    def snap(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    rep1, led1 = snap(out), snap(led)
+    running = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .filter(F.col("batch_id") == 1)
+            .drop("batch_id")
+            .collect(),
+        )
+    )
+    whole = sorted(map(tuple, gram_matrix(b0.unionByName(b1)).collect()))
+    assert running == whole  # bit-identical, not approximately equal
+
+    _moment_batch(spark, b1, 1, led, out, "embedding", 1e6)
+    assert snap(out) == rep1 and snap(led) == led1
+
+
 def test_heavy_hitter_batch_retry_idempotent(spark, tmp_path):
     """The heavy-hitters ledger's exactly-once story: batch 1's running
     bounds cover batch 0 + batch 1 as one multiset under the update
