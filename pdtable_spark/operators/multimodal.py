@@ -908,14 +908,23 @@ def audio_meta(
     fold — ``fmt `` and ``data`` at any chunk position, any order;
     ``duration_ms = data_bytes·8000 / (rate·channels·bits)`` in exact
     BIGINT floor arithmetic, NULL when any factor is missing or zero);
-    FLAC (``fLaC``), Ogg (``OggS``) and ID3-tagged MP3 report their
-    format with NULL fields — their field encodings (big-endian
-    bit-packed STREAMINFO, Vorbis/Opus headers behind page framing,
-    sync-frame scan) belong to the decode path, the
+    FLAC (STREAMINFO is spec-MANDATED to be the first metadata block,
+    so its bit-packed fields sit at fixed byte offsets — sample rate
+    20 bits, channels 3, bits-per-sample 5, total samples 36, unpacked
+    with shift/mask arithmetic; ``data_bytes`` is NULL — FLAC frames
+    carry no raw-byte count — and ``duration_ms = total_samples·1000 /
+    rate`` exact floor; a first block that is NOT STREAMINFO, or a
+    truncated header, reports format with NULL fields); Ogg (``OggS``)
+    and ID3-tagged MP3 report their format with NULL fields — page
+    framing and sync-frame scans belong to the decode path, the
     :func:`image_meta` JPEG honesty convention before r10's walk.
     Unknown payloads and NULLs report NULL format.
     """
     p = F.col(payload_col)
+
+    def b_at(pos: int):
+        return F.conv(F.hex(F.substring(p, pos, 1)), 16, 10).cast("long")
+
     is_wav = (F.substring(p, 1, 4) == F.lit(b"RIFF")) & (
         F.substring(p, 9, 4) == F.lit(b"WAVE")
     )
@@ -930,22 +939,50 @@ def audio_meta(
         .when(is_mp3, F.lit("mp3"))
     )
     wv = F.when(is_wav, w)
+    # FLAC STREAMINFO: block header at byte 5 (type in the low 7 bits of
+    # b5 must be 0 = STREAMINFO, length b6..b8 BE >= 34), block data at
+    # byte 9; the packed rate/channels/bps/total-samples fields occupy
+    # data bytes +10..+17 = payload bytes 19..26 (1-indexed)
+    flac_ok = (
+        is_flac
+        & (F.length(p) >= 26)
+        & ((b_at(5) % 128) == 0)
+        & ((b_at(6) * 65536 + b_at(7) * 256 + b_at(8)) >= 34)
+    )
+    fl_rate = b_at(19) * 4096 + b_at(20) * 16 + F.floor(b_at(21) / 16).cast("long")
+    fl_ch = (F.floor(b_at(21) / 2).cast("long") % 8) + 1
+    fl_bps = (b_at(21) % 2) * 16 + F.floor(b_at(22) / 16).cast("long") + 1
+    fl_total = (
+        (b_at(22) % 16) * F.lit(1 << 32)
+        + b_at(23) * F.lit(1 << 24)
+        + b_at(24) * F.lit(1 << 16)
+        + b_at(25) * F.lit(1 << 8)
+        + b_at(26)
+    )
+    ch = F.when(is_wav, w["ch"]).when(flac_ok, fl_ch)
+    rate = F.when(is_wav, w["rate"]).when(flac_ok, fl_rate)
+    bits = F.when(is_wav, w["bits"]).when(flac_ok, fl_bps)
+    data = wv["data"]
     denom = wv["rate"] * wv["ch"] * wv["bits"]
     d8 = wv["data"] * F.lit(8000)
+    fl_ms = fl_total * F.lit(1000)
     dur = F.when(
-        denom.isNotNull() & (denom > 0) & wv["data"].isNotNull(),
+        is_wav & denom.isNotNull() & (denom > 0) & wv["data"].isNotNull(),
         # exact integer floor-division: subtracting the modulus first makes
         # the double division exact, so a duration landing ON an integer
         # boundary cannot round across it (all terms are longs < 2^53)
         ((d8 - d8 % denom) / denom).cast("long"),
+    ).when(
+        flac_ok & (fl_rate > 0),
+        ((fl_ms - fl_ms % fl_rate) / fl_rate).cast("long"),
     )
     return assets.select(
         "*",
         fmt.alias(format_col),
-        wv["ch"].alias("n_channels"),
-        wv["rate"].alias("sample_rate"),
-        wv["bits"].alias("bits_per_sample"),
-        wv["data"].alias("data_bytes"),
+        ch.alias("n_channels"),
+        rate.alias("sample_rate"),
+        bits.alias("bits_per_sample"),
+        data.alias("data_bytes"),
         dur.alias("duration_ms"),
     )
 

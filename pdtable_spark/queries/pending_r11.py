@@ -224,20 +224,20 @@ R11_SQL_AUDIO_META = """
              CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                   WHEN 2 THEN 22050 ELSE 44100 END AS rate,
              CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
-             n_chars * 4 AS data_bytes
+             n_chars * 4 AS data_bytes,
+             n_chars * 8 AS fl_total
       FROM documents WHERE n_chars IS NOT NULL
     )
     SELECT doc_id,
            CASE WHEN doc_id % 7 = 0 THEN 'flac' ELSE 'wav' END AS audio_format,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                ELSE CAST(ch AS BIGINT) END AS n_channels,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
-                ELSE CAST(rate AS BIGINT) END AS sample_rate,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
+           CAST(ch AS BIGINT) AS n_channels,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CASE WHEN doc_id % 7 = 0 THEN CAST(16 AS BIGINT)
                 ELSE CAST(bits AS BIGINT) END AS bits_per_sample,
            CASE WHEN doc_id % 7 = 0 THEN NULL
                 ELSE CAST(data_bytes AS BIGINT) END AS data_bytes,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
+           CASE WHEN doc_id % 7 = 0
+                THEN CAST(fl_total * 1000 // rate AS BIGINT)
                 ELSE CAST(data_bytes * 8000 // (rate * ch * bits) AS BIGINT)
                 END AS duration_ms
     FROM d
@@ -252,11 +252,15 @@ def r11_multimodal_audio_meta(spark, sf_dir):
     carrying their spec pad byte) sits BEFORE the fmt chunk so the
     bounded chunk walk, not a fixed projection, is what the oracle
     gates; channels/rate/bits/data-size derive from the source columns;
-    every seventh doc is a fLaC payload (format recognized, fields NULL
-    — the honesty arm).  ``audio_meta`` parses them back in one codegen
-    projection — no Python, no decode — and the oracle states the
-    expected fields, including the exact floor-integer ``duration_ms``,
-    from the source columns directly."""
+    every seventh doc is a FLAC payload with a REAL bit-packed
+    STREAMINFO block (rate 20 bits / channels 3 / bps 5 / total samples
+    36 packed into one big-endian u64 — so the shift/mask unpack
+    arithmetic is value-gated too; FLAC carries no raw byte count, so
+    ``data_bytes`` is NULL and duration derives from total samples).
+    ``audio_meta`` parses them back in one codegen projection — no
+    Python, no decode — and the oracle states the expected fields,
+    including the exact floor-integer ``duration_ms``, from the source
+    columns directly."""
     from pdtable_spark.operators.multimodal import audio_meta
 
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
@@ -299,7 +303,22 @@ def r11_multimodal_audio_meta(spark, sf_dir):
         list_chunk, fmt_chunk,
         F.lit("64617461"), le_hex(data_bytes, 4),  # 'data' + size field
     )
-    flac = F.concat(F.lit("664C6143"), F.repeat(F.lit("00"), 30))
+    # FLAC: 'fLaC' + STREAMINFO header (type 0, 24-bit length 34) + the
+    # 34-byte block — block/frame sizes, the packed u64, 16-byte md5.
+    # total_samples = n_chars * 8; bps fixed 16 (bps-1 = 15 -> 0xF)
+    fl_total = (F.col("n_chars") * 8).cast("long")
+    packed = (
+        rate * F.lit(1 << 44)
+        + (ch - 1) * F.lit(1 << 41)
+        + F.lit(15 * (1 << 36))
+        + fl_total
+    )
+    flac = F.concat(
+        F.lit("664C6143"), F.lit("00"), F.lit("000022"),
+        F.lit("10001000"), F.repeat(F.lit("00"), 6),
+        F.lpad(F.hex(packed), 16, "0"),
+        F.repeat(F.lit("00"), 16),
+    )
     payload = F.unhex(
         F.when(F.col("doc_id") % 7 == 0, flac).otherwise(wav)
     )

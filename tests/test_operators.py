@@ -4328,6 +4328,13 @@ def test_audio_meta_header_only(spark):
         body = b"WAVE" + b"".join(chunks)
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
+    def flac_streaminfo(rate, ch, bps, total, first_type=0):
+        data = struct.pack(">HH", 4096, 4096) + bytes(6)  # block/frame sizes
+        packed = (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+        data += struct.pack(">Q", packed) + bytes(16)      # + md5
+        hdr = bytes([first_type]) + struct.pack(">I", len(data))[1:]
+        return b"fLaC" + hdr + data
+
     rows = [
         (1, real_wav(1, 16000, 2, 16000)),        # mono 16 kHz s16: 1000 ms
         (2, real_wav(2, 44100, 2, 4410)),         # stereo 44.1 kHz: 100 ms
@@ -4345,6 +4352,15 @@ def test_audio_meta_header_only(spark):
         # odd-sized chunk: the pad byte must be hopped to reach data
         (11, riff(chunk(b"LIST", b"abc"), fmt_chunk(1, 1000, 8),
                   chunk(b"data", b"\x80" * 250))),
+        # FLAC STREAMINFO (spec-mandated first block): bit-packed fields
+        (12, flac_streaminfo(44100, 2, 16, 44100)),        # 1000 ms
+        # high bits of every packed field: 192 kHz, 8 ch, 24 bps, a
+        # 36-bit total-samples value crossing the 32-bit boundary
+        (13, flac_streaminfo(192000, 8, 24, (7 << 32) + 5)),
+        # first block is NOT STREAMINFO: fail closed to NULL fields
+        (14, flac_streaminfo(44100, 2, 16, 44100, first_type=4)),
+        # truncated before the packed fields: fail closed
+        (15, flac_streaminfo(44100, 2, 16, 44100)[:20]),
     ]
     df = spark.createDataFrame(rows, "asset_id long, payload binary")
     out = {r["asset_id"]: r for r in multimodal.audio_meta(df).collect()}
@@ -4359,11 +4375,21 @@ def test_audio_meta_header_only(spark):
     assert wavrow(out[4]) == ("wav", 2, 12000, 16, 240, 5)
     assert (out[5]["audio_format"], out[5]["sample_rate"]) == ("wav", 22050)
     assert out[5]["data_bytes"] is None and out[5]["duration_ms"] is None
+    # bare fLaC magic with zeroed header: type reads 0 but the length
+    # field is < 34, so fields stay NULL (never garbage)
     for aid, f in ((6, "flac"), (7, "ogg"), (8, "mp3")):
         assert out[aid]["audio_format"] == f, aid
         assert out[aid]["sample_rate"] is None and out[aid]["duration_ms"] is None
     assert out[9]["audio_format"] is None and out[10]["audio_format"] is None
     assert wavrow(out[11]) == ("wav", 1, 1000, 8, 250, 250)
+    assert wavrow(out[12]) == ("flac", 2, 44100, 16, None, 1000)
+    total13 = (7 << 32) + 5
+    assert wavrow(out[13]) == (
+        "flac", 8, 192000, 24, None, total13 * 1000 // 192000
+    )
+    for bad in (14, 15):
+        assert out[bad]["audio_format"] == "flac", bad
+        assert out[bad]["sample_rate"] is None and out[bad]["duration_ms"] is None
     plan = multimodal.audio_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan  # pure codegen scan
 
