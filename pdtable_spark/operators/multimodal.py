@@ -1078,10 +1078,15 @@ def video_meta(
     JUNK-tolerant hop to ``LIST hdrl``/``avih``; ``duration_ms =
     us_per_frame·n_frames / 1000`` in exact BIGINT floor arithmetic,
     NULL when either factor is missing or zero); MP4/MOV (``ftyp`` at
-    offset 5), Matroska/WebM (EBML magic) and MPEG-PS report their
-    format with NULL fields — their sample tables / EBML trees belong
-    to the decode path (the JPEG/FLAC honesty convention).  Unknown
-    payloads and NULLs report NULL format.
+    offset 5 — for a FASTSTART layout, ``duration_ms`` comes from the
+    :func:`_mp4_mvhd_walk` box walk, ``duration·1000 / timescale``
+    exact floor; a trailing-``moov`` file, the non-faststart default,
+    reports format with NULL fields and routes to the decode path —
+    dimensions live per-track in ``tkhd`` and stay NULL here);
+    Matroska/WebM (EBML magic) and MPEG-PS report their format with
+    NULL fields — sample tables / EBML trees belong to the decode path
+    (the JPEG/FLAC honesty convention).  Unknown payloads and NULLs
+    report NULL format.
     """
     p = F.col(payload_col)
     is_avi = (F.substring(p, 1, 4) == F.lit(b"RIFF")) & (
@@ -1100,11 +1105,16 @@ def video_meta(
         .when(is_ebml, F.lit("webm"))
         .when(is_mpeg, F.lit("mpeg"))
     )
+    mv = F.when(is_mp4, _mp4_mvhd_walk(p))
+    mp4_ms = mv["dur"] * F.lit(1000)
     us_total = av["uspf"] * av["frames"]
     dur = F.when(
-        us_total.isNotNull() & (av["uspf"] > 0),
+        is_avi & us_total.isNotNull() & (av["uspf"] > 0),
         # exact integer floor-division (the audio_meta idiom)
         ((us_total - us_total % F.lit(1000)) / F.lit(1000)).cast("long"),
+    ).when(
+        is_mp4 & mv["ts"].isNotNull() & (mv["ts"] > 0),
+        ((mp4_ms - mp4_ms % mv["ts"]) / mv["ts"]).cast("long"),
     )
     return assets.select(
         "*",
@@ -1115,3 +1125,72 @@ def video_meta(
         av["uspf"].alias("us_per_frame"),
         dur.alias("duration_ms"),
     )
+
+
+def _mp4_mvhd_walk(payload, max_boxes: int = 24):
+    """``mvhd`` timescale + duration from an MP4/MOV payload as ONE
+    pure-JVM expression — the ISO-BMFF arm of the bounded-fold family:
+    hop top-level boxes (big-endian 32-bit size + fourcc) until
+    ``moov``, descend ONE level and hop its children until ``mvhd``,
+    then read timescale/duration at the version-dependent fixed offsets
+    (v0: 32-bit at +20/+24; v1: 64-bit times, timescale at +28,
+    duration 64-bit at +32 — ISO 14496-12 §8.2.2).  Fails closed to
+    NULL on: no ``moov`` inside the cap (the common NON-faststart
+    layout with ``moov`` trailing gigabytes of ``mdat`` — route those
+    to the decode path), 64-bit ``largesize`` boxes (size==1) or
+    to-end-of-file boxes (size==0) on the walk path, a box size under
+    8, truncation, or an unknown mvhd version.
+
+    Returns a struct column ``(ts, dur)`` (both long, NULL when not
+    found).
+    """
+    def be(pos, n):
+        return F.conv(F.hex(F.substring(payload, pos, F.lit(n))), 16, 10).cast(
+            "long"
+        )
+
+    plen = F.length(payload)
+
+    def mk(pos, end, ts, dur, st):
+        none = F.lit(None).cast("long")
+        return F.struct(
+            pos.cast("long").alias("pos"),
+            end.cast("long").alias("end"),
+            (ts if ts is not None else none).cast("long").alias("ts"),
+            (dur if dur is not None else none).cast("long").alias("dur"),
+            F.lit(st).cast("int").alias("st"),
+        )
+
+    def step(acc, _):
+        pos, end = acc["pos"], acc["end"]
+        size = be(pos, 4)
+        btype = F.substring(payload, pos + 4, F.lit(4))
+        ver = be(pos + 8, 1)
+        fail = mk(pos, end, None, None, 2)
+        v0_ok = (ver == 0) & (pos + 27 <= end)
+        v1_ok = (ver == 1) & (pos + 39 <= end)
+        return (
+            F.when(acc["st"] != 0, acc)
+            .when(pos + 7 > end, fail)  # no full box header in bounds
+            .when(size < 8, fail)  # largesize/to-eof/corrupt: fail closed
+            .when(
+                btype == F.lit(b"moov"),
+                # descend: children start at pos+8, bounded by the
+                # smaller of the moov box end and the payload end
+                mk(pos + 8, F.least(end, pos + size - 1), None, None, 0),
+            )
+            .when(
+                btype == F.lit(b"mvhd"),
+                F.when(v0_ok, mk(pos, end, be(pos + 20, 4), be(pos + 24, 4), 1))
+                .when(v1_ok, mk(pos, end, be(pos + 28, 4), be(pos + 32, 8), 1))
+                .otherwise(fail),
+            )
+            .otherwise(mk(pos + size, end, None, None, 0))
+        )
+
+    final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_boxes))),
+        mk(F.lit(1), plen, None, None, 0),
+        step,
+    )
+    return F.struct(final["ts"].alias("ts"), final["dur"].alias("dur"))

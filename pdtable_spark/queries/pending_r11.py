@@ -348,7 +348,8 @@ R11_SQL_VIDEO_META = """
                   WHEN 2 THEN 40000 ELSE 200000 END AS uspf,
              n_chars AS frames,
              n_chars * 2 AS w,
-             doc_id % 2048 + 1 AS h
+             doc_id % 2048 + 1 AS h,
+             n_chars * 100 AS mp4_dur
       FROM documents WHERE n_chars IS NOT NULL
     )
     SELECT doc_id,
@@ -361,9 +362,11 @@ R11_SQL_VIDEO_META = """
                 ELSE CAST(frames AS BIGINT) END AS n_frames,
            CASE WHEN doc_id % 9 = 0 THEN NULL
                 ELSE CAST(uspf AS BIGINT) END AS us_per_frame,
-           CASE WHEN doc_id % 9 = 0 THEN NULL
+           CASE WHEN doc_id % 9 = 0
+                THEN CAST(mp4_dur * 1000 // ts AS BIGINT)
                 ELSE CAST(uspf * frames // 1000 AS BIGINT) END AS duration_ms
-    FROM d
+    FROM (SELECT *, CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                         ELSE 90000 END AS ts FROM d)
 """
 
 
@@ -375,10 +378,13 @@ def r11_multimodal_video_meta(spark, sf_dir):
     of ``doc_id % 6`` bytes (odd sizes carrying their pad) sits before
     the ``LIST hdrl`` so the chunk hop, not a fixed projection, is what
     the oracle gates; per-frame microseconds / frame count / dims
-    derive from the source columns; every ninth doc is an MP4 ``ftyp``
-    (format recognized, fields NULL — the honesty arm).  ``video_meta``
-    parses them back in one codegen projection, and the oracle states
-    every field including the exact floor-integer ``duration_ms``."""
+    derive from the source columns; every ninth doc is a FASTSTART MP4
+    — ftyp, then a variable-length ``free`` box, then ``moov``/``mvhd``
+    with a real timescale/duration pair, so the ISO-BMFF box walk is
+    value-gated too (dims/frames stay NULL: ``tkhd`` is per-track, the
+    decode path's job).  ``video_meta`` parses them back in one codegen
+    projection, and the oracle states every field including the exact
+    floor-integer ``duration_ms`` for BOTH container families."""
     from pdtable_spark.operators.multimodal import video_meta
 
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
@@ -421,8 +427,29 @@ def r11_multimodal_video_meta(spark, sf_dir):
         F.lit("61766968"), le_hex(F.lit(56).cast("long"), 4),     # 'avih', 56
         avih_data,
     )
-    mp4 = F.concat(F.lit("00000018"), F.lit("6674797069736F6D"),
-                   F.repeat(F.lit("00"), 12))
+    def be_hex(c, n):
+        return F.lpad(F.hex(c), 2 * n, "0")
+
+    ts = F.element_at(
+        F.array(F.lit(600), F.lit(1000), F.lit(90000)),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    ).cast("long")
+    mp4_dur = (F.col("n_chars") * 100).cast("long")
+    mvhd = F.concat(
+        be_hex(F.lit(108).cast("long"), 4), F.lit("6D766864"),  # size, 'mvhd'
+        F.lit("00000000"),                                       # v0 + flags
+        F.lit("00000000"), F.lit("00000000"),                    # ctime, mtime
+        be_hex(ts, 4), be_hex(mp4_dur, 4),
+        F.repeat(F.lit("00"), 80),                               # rate..matrix
+    )
+    mp4 = F.concat(
+        F.lit("00000010"), F.lit("66747970"), F.lit("69736F6D"),
+        F.lit("00000000"),                                       # ftyp box
+        be_hex((k + 8).cast("long"), 4), F.lit("66726565"),      # 'free' + pad
+        F.repeat(F.lit("00"), k),
+        be_hex(F.lit(116).cast("long"), 4), F.lit("6D6F6F76"),   # 'moov'
+        mvhd,
+    )
     payload = F.unhex(F.when(F.col("doc_id") % 9 == 0, mp4).otherwise(avi))
     assets = docs.select("doc_id", payload.alias("payload"))
     return video_meta(assets).select(

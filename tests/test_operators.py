@@ -4447,16 +4447,46 @@ def test_video_meta_header_only(spark):
         )
 
     junked = avi2[:12] + chunk(b"JUNK", b"\x00" * 9) + avi2[12:]
+
+    def box(fourcc, body):
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    def mp4(timescale, duration, v=0, pre=b"", moov_last=False):
+        if v == 0:
+            body = bytes(4) + struct.pack(">IIII", 0, 0, timescale, duration)
+        else:
+            body = bytes([1, 0, 0, 0]) + struct.pack(
+                ">QQIQ", 0, 0, timescale, duration
+            )
+        moov = box(b"moov", box(b"mvhd", body + bytes(80)))
+        ftyp = box(b"ftyp", b"isom" + bytes(4))
+        mdat = box(b"mdat", bytes(32))
+        return (
+            ftyp + mdat + pre + moov if moov_last else ftyp + pre + moov + mdat
+        )
+
     rows = [
         (1, avi2),
         (2, avi4),
         (3, junked),                     # JUNK (odd size + pad) before hdrl
         (4, avi2[:30]),                  # truncated inside hdrl
+        # bare ftyp, nothing else readable: format only
         (5, struct.pack(">I", 24) + b"ftypisom" + bytes(16)),
         (6, bytes([0x1A, 0x45, 0xDF, 0xA3]) + bytes(20)),
         (7, bytes([0x00, 0x00, 0x01, 0xBA]) + bytes(20)),
         (8, b"definitely not video"),
         (9, None),
+        # faststart MP4, mvhd v0: 90 s at timescale 600
+        (10, mp4(600, 54000)),
+        # v1 (64-bit times), a free box hopped before moov
+        (11, mp4(90000, 90000 * 3 + 1, v=1, pre=box(b"free", bytes(6)))),
+        # the non-faststart layout (moov after mdat inside the payload
+        # still resolves — the walk hops mdat)
+        (12, mp4(1000, 2500, moov_last=True)),
+        # mdat size pointing past the available bytes (the REAL trailing
+        # -moov shape a header-prefix read sees): fail closed
+        (13, box(b"ftyp", b"isom" + bytes(4))
+             + struct.pack(">I", 1 << 30) + b"mdat" + bytes(64)),
     ]
     df = spark.createDataFrame(rows, "asset_id long, payload binary")
     out = {r["asset_id"]: r for r in multimodal.video_meta(df).collect()}
@@ -4473,6 +4503,13 @@ def test_video_meta_header_only(spark):
     for aid, f in ((5, "mp4"), (6, "webm"), (7, "mpeg")):
         assert out[aid]["video_format"] == f and out[aid]["n_frames"] is None
     assert out[8]["video_format"] is None and out[9]["video_format"] is None
+    # MP4 mvhd: duration_ms = duration*1000 // timescale, exact floor;
+    # dims/frames stay NULL (tkhd is per-track — decode path)
+    assert (out[10]["video_format"], out[10]["duration_ms"]) == ("mp4", 90000)
+    assert out[10]["vid_width"] is None and out[10]["n_frames"] is None
+    assert out[11]["duration_ms"] == (90000 * 3 + 1) * 1000 // 90000
+    assert out[12]["duration_ms"] == 2500
+    assert out[13]["video_format"] == "mp4" and out[13]["duration_ms"] is None
     plan = multimodal.video_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
 
