@@ -914,9 +914,12 @@ def audio_meta(
     with shift/mask arithmetic; ``data_bytes`` is NULL — FLAC frames
     carry no raw-byte count — and ``duration_ms = total_samples·1000 /
     rate`` exact floor; a first block that is NOT STREAMINFO, or a
-    truncated header, reports format with NULL fields); Ogg (``OggS``)
-    and ID3-tagged MP3 report their format with NULL fields — page
-    framing and sync-frame scans belong to the decode path, the
+    truncated header, reports format with NULL fields); Ogg (the id
+    header is the first packet of the first page, just past the
+    segment table — an OpusHead or ``\\x01vorbis`` id packet yields
+    channels + sample rate; duration needs the LAST page's granule
+    position and stays NULL); ID3-tagged MP3 reports its format with
+    NULL fields — sync-frame scans belong to the decode path, the
     :func:`image_meta` JPEG honesty convention before r10's walk.
     Unknown payloads and NULLs report NULL format.
     """
@@ -959,8 +962,41 @@ def audio_meta(
         + b_at(25) * F.lit(1 << 8)
         + b_at(26)
     )
-    ch = F.when(is_wav, w["ch"]).when(flac_ok, fl_ch)
-    rate = F.when(is_wav, w["rate"]).when(flac_ok, fl_rate)
+    # Ogg: the id header is the FIRST packet of the FIRST page, so it
+    # sits right after the fixed 27-byte page header + the segment
+    # table (length = the page_segments byte) — a dynamic but
+    # walk-free offset.  OpusHead carries channels at +9 and the
+    # ORIGINAL input sample rate at +12 LE (Opus itself decodes at 48k
+    # — this is the metadata field, RFC 7845 §5.1); a Vorbis id packet
+    # (\\x01vorbis) carries channels at +11, rate at +12 LE.  Duration
+    # needs the LAST page's granule position — decode path, NULL here.
+    def b_dyn(pos):
+        return F.conv(F.hex(F.substring(p, pos, F.lit(1))), 16, 10).cast("long")
+
+    def le_dyn(pos, n):
+        out = F.lit(0).cast("long")
+        for i in range(n):
+            out = out + b_dyn(pos + i) * F.lit(1 << (8 * i))
+        return out
+
+    ogg_pay = F.lit(28) + b_dyn(F.lit(27))
+    is_opus = is_ogg & (
+        F.substring(p, ogg_pay, F.lit(8)) == F.lit(b"OpusHead")
+    ) & (ogg_pay + 15 <= F.length(p))
+    is_vorb = is_ogg & (
+        F.substring(p, ogg_pay, F.lit(7)) == F.lit(b"\x01vorbis")
+    ) & (ogg_pay + 15 <= F.length(p))
+    ch = (
+        F.when(is_wav, w["ch"])
+        .when(flac_ok, fl_ch)
+        .when(is_opus, b_dyn(ogg_pay + 9))
+        .when(is_vorb, b_dyn(ogg_pay + 11))
+    )
+    rate = (
+        F.when(is_wav, w["rate"])
+        .when(flac_ok, fl_rate)
+        .when(is_opus | is_vorb, le_dyn(ogg_pay + 12, 4))
+    )
     bits = F.when(is_wav, w["bits"]).when(flac_ok, fl_bps)
     data = wv["data"]
     denom = wv["rate"] * wv["ch"] * wv["bits"]

@@ -4328,6 +4328,12 @@ def test_audio_meta_header_only(spark):
         body = b"WAVE" + b"".join(chunks)
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
+    def ogg_page(packet, nsegs=1):
+        # 27-byte page header + nsegs-byte segment table + the packet
+        hdr = b"OggS\x00\x02" + bytes(8) + bytes(4) + bytes(4) + bytes(4)
+        segs = bytes([len(packet)] + [0] * (nsegs - 1))
+        return hdr + bytes([nsegs]) + segs + packet
+
     def flac_streaminfo(rate, ch, bps, total, first_type=0):
         data = struct.pack(">HH", 4096, 4096) + bytes(6)  # block/frame sizes
         packed = (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
@@ -4352,6 +4358,13 @@ def test_audio_meta_header_only(spark):
         # odd-sized chunk: the pad byte must be hopped to reach data
         (11, riff(chunk(b"LIST", b"abc"), fmt_chunk(1, 1000, 8),
                   chunk(b"data", b"\x80" * 250))),
+        # Ogg first pages: the id packet sits past the segment table
+        (16, ogg_page(b"OpusHead\x01\x02\x38\x01" + struct.pack("<I", 48000)
+                      + b"\x00\x00\x00")),
+        (17, ogg_page(b"\x01vorbis" + struct.pack("<IB I", 0, 2, 44100)
+                      + bytes(13), nsegs=2)),
+        # OggS but a data page first (no id packet): format only
+        (18, ogg_page(b"\x42\x17raw audio data")),
         # FLAC STREAMINFO (spec-mandated first block): bit-packed fields
         (12, flac_streaminfo(44100, 2, 16, 44100)),        # 1000 ms
         # high bits of every packed field: 192 kHz, 8 ch, 24 bps, a
@@ -4390,6 +4403,11 @@ def test_audio_meta_header_only(spark):
     for bad in (14, 15):
         assert out[bad]["audio_format"] == "flac", bad
         assert out[bad]["sample_rate"] is None and out[bad]["duration_ms"] is None
+    # Ogg id packets: channels + the id header's sample rate; duration
+    # stays NULL (it lives in the LAST page's granule position)
+    assert wavrow(out[16]) == ("ogg", 2, 48000, None, None, None)
+    assert wavrow(out[17]) == ("ogg", 2, 44100, None, None, None)
+    assert wavrow(out[18]) == ("ogg", None, None, None, None, None)
     plan = multimodal.audio_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan  # pure codegen scan
 
