@@ -918,10 +918,14 @@ def audio_meta(
     header is the first packet of the first page, just past the
     segment table — an OpusHead or ``\\x01vorbis`` id packet yields
     channels + sample rate; duration needs the LAST page's granule
-    position and stays NULL); ID3-tagged MP3 reports its format with
-    NULL fields — sync-frame scans belong to the decode path, the
-    :func:`image_meta` JPEG honesty convention before r10's walk.
-    Unknown payloads and NULLs report NULL format.
+    position and stays NULL); ID3-tagged MP3 (the ID3v2 tag's syncsafe
+    size names exactly where the first MPEG audio frame starts, and the
+    4-byte frame header carries the samplerate index and channel mode —
+    sample rate + channels resolve for all MPEG1/2/2.5 layers; duration
+    would need a full VBR frame scan and bits-per-sample is not an MP3
+    concept, so both stay NULL; a non-frame byte where the tag says
+    audio starts fails closed).  Unknown payloads and NULLs report
+    NULL format.
     """
     p = F.col(payload_col)
 
@@ -979,6 +983,46 @@ def audio_meta(
             out = out + b_dyn(pos + i) * F.lit(1 << (8 * i))
         return out
 
+    # MP3: the ID3v2 header's syncsafe 28-bit size (bytes 7-10, 7 bits
+    # each) + optional 10-byte footer (flags bit 0x10) locate the first
+    # MPEG audio frame; its 4-byte header yields the samplerate index
+    # (MPEG1 table, halved for MPEG2, quartered for MPEG2.5) and the
+    # channel mode (3 = mono).  Reserved version/layer/samplerate codes
+    # fail closed.
+    id3_size = (
+        (b_at(7) % 128) * F.lit(1 << 21)
+        + (b_at(8) % 128) * F.lit(1 << 14)
+        + (b_at(9) % 128) * F.lit(1 << 7)
+        + (b_at(10) % 128)
+    )
+    id3_footer = (F.floor(b_at(6) / 16).cast("long") % 2) * 10
+    fpos = F.lit(11) + id3_size + id3_footer
+    fb2, fb3, fb4 = b_dyn(fpos + 1), b_dyn(fpos + 2), b_dyn(fpos + 3)
+    ver_bits = F.floor(fb2 / 8).cast("long") % 4  # 3=MPEG1, 2=MPEG2, 0=2.5
+    layer_bits = F.floor(fb2 / 2).cast("long") % 4  # 0 = reserved
+    sr_idx = F.floor(fb3 / 4).cast("long") % 4  # 3 = reserved
+    mp3_ok = (
+        is_mp3
+        & (fpos + 3 <= F.length(p))
+        & (b_dyn(fpos) == 255)
+        & (fb2 >= 224)  # frame sync 11 bits set
+        & (ver_bits != 1)
+        & (layer_bits != 0)
+        & (sr_idx <= 2)
+    )
+    mp3_base = F.element_at(
+        F.array(F.lit(44100), F.lit(48000), F.lit(32000)),
+        (sr_idx + 1).cast("int"),
+    ).cast("long")
+    mp3_rate = (
+        F.when(ver_bits == 3, mp3_base)
+        .when(ver_bits == 2, (mp3_base / 2).cast("long"))
+        .otherwise((mp3_base / 4).cast("long"))
+    )
+    mp3_ch = F.when(
+        F.floor(fb4 / 64).cast("long") % 4 == 3, F.lit(1)
+    ).otherwise(F.lit(2)).cast("long")
+
     ogg_pay = F.lit(28) + b_dyn(F.lit(27))
     is_opus = is_ogg & (
         F.substring(p, ogg_pay, F.lit(8)) == F.lit(b"OpusHead")
@@ -991,11 +1035,13 @@ def audio_meta(
         .when(flac_ok, fl_ch)
         .when(is_opus, b_dyn(ogg_pay + 9))
         .when(is_vorb, b_dyn(ogg_pay + 11))
+        .when(mp3_ok, mp3_ch)
     )
     rate = (
         F.when(is_wav, w["rate"])
         .when(flac_ok, fl_rate)
         .when(is_opus | is_vorb, le_dyn(ogg_pay + 12, 4))
+        .when(mp3_ok, mp3_rate)
     )
     bits = F.when(is_wav, w["bits"]).when(flac_ok, fl_bps)
     data = wv["data"]

@@ -4328,6 +4328,19 @@ def test_audio_meta_header_only(spark):
         body = b"WAVE" + b"".join(chunks)
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
+    def id3(tagsize, footer=False):
+        # ID3v2.4 header: 'ID3' ver(2) flags(1) syncsafe size(4), then
+        # tagsize bytes of tag body (+10 footer bytes when flagged)
+        flags = 0x10 if footer else 0
+        ss = bytes(
+            [(tagsize >> 21) & 127, (tagsize >> 14) & 127,
+             (tagsize >> 7) & 127, tagsize & 127]
+        )
+        return (
+            b"ID3\x04\x00" + bytes([flags]) + ss + bytes(tagsize)
+            + (bytes(10) if footer else b"")
+        )
+
     def ogg_page(packet, nsegs=1):
         # 27-byte page header + nsegs-byte segment table + the packet
         hdr = b"OggS\x00\x02" + bytes(8) + bytes(4) + bytes(4) + bytes(4)
@@ -4365,6 +4378,17 @@ def test_audio_meta_header_only(spark):
                       + bytes(13), nsegs=2)),
         # OggS but a data page first (no id packet): format only
         (18, ogg_page(b"\x42\x17raw audio data")),
+        # MP3: ID3v2 tag (syncsafe size crossing a 7-bit byte) then an
+        # MPEG1 Layer III 44.1 kHz stereo frame header
+        (19, id3(200) + bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(8)),
+        # MPEG2.5 (version bits 00) Layer III, sr idx 1 -> 12000, mono
+        (20, id3(3) + bytes([0xFF, 0xE2, 0x94, 0xC0]) + bytes(8)),
+        # footer flag set: frame sits 10 further out
+        (21, id3(3, footer=True) + bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(4)),
+        # garbage where the tag says audio starts: fail closed
+        (22, id3(3) + b"noise"),
+        # reserved samplerate index: fail closed
+        (23, id3(3) + bytes([0xFF, 0xFB, 0x9C, 0x00]) + bytes(4)),
         # FLAC STREAMINFO (spec-mandated first block): bit-packed fields
         (12, flac_streaminfo(44100, 2, 16, 44100)),        # 1000 ms
         # high bits of every packed field: 192 kHz, 8 ch, 24 bps, a
@@ -4408,6 +4432,12 @@ def test_audio_meta_header_only(spark):
     assert wavrow(out[16]) == ("ogg", 2, 48000, None, None, None)
     assert wavrow(out[17]) == ("ogg", 2, 44100, None, None, None)
     assert wavrow(out[18]) == ("ogg", None, None, None, None, None)
+    # MP3 first frame header past the syncsafe ID3 tag (+footer)
+    assert wavrow(out[19]) == ("mp3", 2, 44100, None, None, None)
+    assert wavrow(out[20]) == ("mp3", 1, 12000, None, None, None)
+    assert wavrow(out[21]) == ("mp3", 2, 44100, None, None, None)
+    assert wavrow(out[22]) == ("mp3", None, None, None, None, None)
+    assert wavrow(out[23]) == ("mp3", None, None, None, None, None)
     plan = multimodal.audio_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan  # pure codegen scan
 
