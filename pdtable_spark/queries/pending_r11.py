@@ -266,14 +266,22 @@ def r11_multimodal_audio_meta(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
 
     def le_hex(c, n):
-        # n-byte little-endian hex of a non-negative long column
-        return F.concat(
-            *[
-                F.lpad(
-                    F.hex((c / F.lit(256 ** i)).cast("long") % 256), 2, "0"
-                )
-                for i in range(n)
-            ]
+        # n-byte little-endian hex of a non-negative long column; a value
+        # past 256^n must fail the FIXTURE loudly — per-byte %256 would
+        # silently WRAP the high bytes into a confusing oracle mismatch
+        # (the image fixture's u16-guard convention, review r9)
+        return F.when(
+            c >= F.lit(256 ** n),
+            F.raise_error(F.lit(f"audio_meta fixture: value exceeds u{8 * n}")),
+        ).otherwise(
+            F.concat(
+                *[
+                    F.lpad(
+                        F.hex((c / F.lit(256 ** i)).cast("long") % 256), 2, "0"
+                    )
+                    for i in range(n)
+                ]
+            )
         )
 
     ch = (F.col("doc_id") % 2 + 1).cast("long")
@@ -390,13 +398,19 @@ def r11_multimodal_video_meta(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
 
     def le_hex(c, n):
-        return F.concat(
-            *[
-                F.lpad(
-                    F.hex((c / F.lit(256 ** i)).cast("long") % 256), 2, "0"
-                )
-                for i in range(n)
-            ]
+        # loud u8n bound — per-byte %256 would silently wrap (review r9)
+        return F.when(
+            c >= F.lit(256 ** n),
+            F.raise_error(F.lit(f"video_meta fixture: value exceeds u{8 * n}")),
+        ).otherwise(
+            F.concat(
+                *[
+                    F.lpad(
+                        F.hex((c / F.lit(256 ** i)).cast("long") % 256), 2, "0"
+                    )
+                    for i in range(n)
+                ]
+            )
         )
 
     uspf = F.element_at(
@@ -428,7 +442,12 @@ def r11_multimodal_video_meta(spark, sf_dir):
         avih_data,
     )
     def be_hex(c, n):
-        return F.lpad(F.hex(c), 2 * n, "0")
+        # loud u8n bound — lpad TRUNCATES an over-long hex string, which
+        # would silently corrupt the box's high bytes (review r9)
+        return F.when(
+            c >= F.lit(256 ** n),
+            F.raise_error(F.lit(f"video_meta fixture: value exceeds u{8 * n}")),
+        ).otherwise(F.lpad(F.hex(c), 2 * n, "0"))
 
     ts = F.element_at(
         F.array(F.lit(600), F.lit(1000), F.lit(90000)),
