@@ -740,13 +740,16 @@ def image_meta(
     fields are gated on ``biSize ≥ 40``, i.e. BITMAPINFOHEADER or a
     successor, so an OS/2 BITMAPCOREHEADER — 2-byte fields at different
     offsets — reports format 'bmp' with NULL dims instead of garbage,
-    and a random payload starting 'BM' cannot fake dimensions), and
-    JPEG (SOI then the :func:`_jpeg_sof_walk` bounded marker walk to
-    the variable-offset SOF frame header — still one JVM expression,
-    capped at ``jpeg_max_segments`` header segments; a JPEG whose walk
-    finds no SOF inside the cap, hits SOS/EOI first, or is truncated
-    reports format 'jpeg' with NULL dims, never garbage).  Unknown
-    payloads and NULLs report NULL format.
+    and a random payload starting 'BM' cannot fake dimensions), JPEG
+    (SOI then the :func:`_jpeg_sof_walk` bounded marker walk to the
+    variable-offset SOF frame header — still one JVM expression, capped
+    at ``jpeg_max_segments`` header segments; a JPEG whose walk finds
+    no SOF inside the cap, hits SOS/EOI first, or is truncated reports
+    format 'jpeg' with NULL dims, never garbage), and WebP (RIFF/WEBP
+    with the first chunk at a fixed offset: VP8X canvas dims, VP8 lossy
+    frame dims behind the 9D012A sync, VP8L lossless 14+14-bit packed
+    dims — an unknown or truncated first chunk reports 'webp' with NULL
+    dims).  Unknown payloads and NULLs report NULL format.
     """
     p = F.col(payload_col)
     is_png = F.substring(p, 1, 8) == F.lit(
@@ -757,6 +760,44 @@ def image_meta(
     # dims only for the BITMAPINFOHEADER family (biSize at offset 15)
     is_bmp_info = is_bmp & (_le_uint(p, 15, 4) >= F.lit(40))
     is_jpg = F.substring(p, 1, 3) == F.lit(bytes([0xFF, 0xD8, 0xFF]))
+    # WebP: RIFF/WEBP with the FIRST chunk id at byte 13 and its payload
+    # at 21 — all three variants carry dims at fixed offsets there:
+    # VP8X extended: canvas width-1 / height-1 as 24-bit LE at +4 / +7;
+    # VP8 lossy: 9D 01 2A sync at +3, then 14-bit LE dims at +6 / +8;
+    # VP8L lossless: 2F signature, then width-1 / height-1 as the low
+    # 14+14 bits of the next 32 LE bits.  An unknown/truncated first
+    # chunk reports format 'webp' with NULL dims.
+    is_webp = (F.substring(p, 1, 4) == F.lit(b"RIFF")) & (
+        F.substring(p, 9, 4) == F.lit(b"WEBP")
+    )
+    webp_tag = F.substring(p, 13, 4)
+    is_vp8x = is_webp & (webp_tag == F.lit(b"VP8X")) & (F.length(p) >= 30)
+    is_vp8 = (
+        is_webp
+        & (webp_tag == F.lit(b"VP8 "))
+        & (F.length(p) >= 30)
+        & (
+            F.substring(p, 24, 3)
+            == F.lit(bytes([0x9D, 0x01, 0x2A]))
+        )
+    )
+    is_vp8l = (
+        is_webp
+        & (webp_tag == F.lit(b"VP8L"))
+        & (F.length(p) >= 25)
+        & (_be_uint(p, 21, 1) == 0x2F)
+    )
+    vp8l_bits = _le_uint(p, 22, 4)
+    webp_w = (
+        F.when(is_vp8x, _le_uint(p, 25, 3) + 1)
+        .when(is_vp8, _le_uint(p, 27, 2) % 16384)
+        .when(is_vp8l, (vp8l_bits % 16384) + 1)
+    )
+    webp_h = (
+        F.when(is_vp8x, _le_uint(p, 28, 3) + 1)
+        .when(is_vp8, _le_uint(p, 29, 2) % 16384)
+        .when(is_vp8l, (F.floor(vp8l_bits / 16384).cast("long") % 16384) + 1)
+    )
     bmp_h_raw = _le_uint(p, 23, 4)
     bmp_h = F.when(
         bmp_h_raw >= F.lit(1 << 31), F.lit(1 << 32) - bmp_h_raw
@@ -766,6 +807,7 @@ def image_meta(
         .when(is_gif, F.lit("gif"))
         .when(is_bmp, F.lit("bmp"))
         .when(is_jpg, F.lit("jpeg"))
+        .when(is_webp, F.lit("webp"))
     )
     # the walk is CaseWhen-guarded: non-JPEG rows never evaluate it (the
     # fold's two uses below each re-evaluate on JPEG rows — a bounded
@@ -776,12 +818,14 @@ def image_meta(
         .when(is_gif, _le_uint(p, 7, 2))
         .when(is_bmp_info, _le_uint(p, 19, 4))
         .when(is_jpg, jd["w"])
+        .when(is_webp, webp_w)
     )
     height = (
         F.when(is_png, _be_uint(p, 21, 4))
         .when(is_gif, _le_uint(p, 9, 2))
         .when(is_bmp_info, bmp_h)
         .when(is_jpg, jd["h"])
+        .when(is_webp, webp_h)
     )
     return assets.select(
         "*",

@@ -547,8 +547,8 @@ PENDING_R10["text_lm_bigram_nll"] = (
 
 R10_SQL_IMAGE_META = """
     SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                ELSE 'jpeg' END AS img_format,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'jpeg' ELSE 'webp' END AS img_format,
            CAST(n_chars AS BIGINT) AS img_width,
            CAST(doc_id % 4096 + 1 AS BIGINT) AS img_height
     FROM documents WHERE n_chars IS NOT NULL
@@ -557,13 +557,15 @@ R10_SQL_IMAGE_META = """
 
 def r10_multimodal_image_meta(spark, sf_dir):
     """The zero-decode metadata scan under the driver value gate: real
-    PNG, GIF and JPEG header BYTES are synthesized in-engine per
-    document (doc_id % 3 picks the format: big-endian IHDR, little-
-    endian GIF logical screen, or an SOI → APP0 → variable-length COM →
+    PNG, GIF, JPEG and WebP header BYTES are synthesized in-engine per
+    document (doc_id % 4 picks the format: big-endian IHDR, little-
+    endian GIF logical screen, an SOI → APP0 → variable-length COM →
     SOF0 JPEG whose SOF OFFSET varies with the document — COM padding of
     ``doc_id % 7`` bytes plus a fill ``FF`` on every fifth doc — so the
     bounded marker walk, not a fixed projection, is what the oracle
-    gates), then ``image_meta``'s pure-JVM projection parses them back;
+    gates, or a RIFF/WEBP VP8X whose 24-bit LE canvas-minus-one fields
+    gate the extended-header arm), then ``image_meta``'s pure-JVM
+    projection parses them back;
     the oracle states the expected (format, dims) from the source
     columns directly, so every byte-offset, endianness and walk-hop
     choice in the parser is value-gated on 500+ rows per SF — while the
@@ -612,10 +614,26 @@ def r10_multimodal_image_meta(spark, sf_dir):
         F.lit("FFC0001108"), be16(h), be16(w),     # SOF0: Y (height) first
         F.lit("03012200021101031101"),             # 3 component specs
     )
+    def le24(c):
+        # 24-bit LE of a value KNOWN < 2^24 (dims are u16-guarded above)
+        return F.concat(
+            F.lpad(F.hex(c % 256), 2, "0"),
+            F.lpad(F.hex((c / 256).cast("long") % 256), 2, "0"),
+            F.lpad(F.hex((c / 65536).cast("long") % 256), 2, "0"),
+        )
+
+    webp = F.concat(
+        F.lit("52494646"), F.lit("16000000"), F.lit("57454250"),  # RIFF/WEBP
+        F.lit("56503858"), F.lit("0A000000"),   # VP8X, size 10
+        F.lit("00"), F.lit("000000"),           # flags + reserved
+        le24(_u16_guard(w).otherwise(w - 1)),   # canvas width - 1
+        le24(_u16_guard(h).otherwise(h - 1)),   # canvas height - 1
+    )
     payload = F.unhex(
-        F.when(F.col("doc_id") % 3 == 0, png)
-        .when(F.col("doc_id") % 3 == 1, gif)
-        .otherwise(jpg)
+        F.when(F.col("doc_id") % 4 == 0, png)
+        .when(F.col("doc_id") % 4 == 1, gif)
+        .when(F.col("doc_id") % 4 == 2, jpg)
+        .otherwise(webp)
     )
     assets = docs.select("doc_id", payload.alias("payload"))
     return image_meta(assets).select(

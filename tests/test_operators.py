@@ -4229,6 +4229,13 @@ def test_image_meta_header_only(spark):
     soi = bytes([0xFF, 0xD8])
     jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
 
+    def webp(tag, payload):
+        payload = payload + bytes(max(0, 18 - len(payload)))  # pad past guards
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+            + tag + struct.pack("<I", len(payload)) + payload
+        )
+
     rows = [
         (1, png(640, 480)),
         (2, gif(320, 200)),
@@ -4265,6 +4272,16 @@ def test_image_meta_header_only(spark):
         (18, soi + seg(0xC4, bytes(19)) + sof(33, 44)),
         # RST standalone marker between segments: hop 2 bytes
         (19, soi + bytes([0xFF, 0xD0]) + sof(21, 12)),
+        # WebP, all three first-chunk variants
+        (20, webp(b"VP8X", bytes(4) + struct.pack("<I", 1280 - 1)[:3]
+                  + struct.pack("<I", 720 - 1)[:3])),
+        (21, webp(b"VP8 ", bytes(3) + bytes([0x9D, 0x01, 0x2A])
+                  + struct.pack("<HH", 640, 480))),
+        (22, webp(b"VP8L", bytes([0x2F]) + struct.pack(
+            "<I", (99 - 1) | ((77 - 1) << 14)))),
+        # unknown first chunk / bad VP8 sync: format only, NULL dims
+        (23, webp(b"ANMF", bytes(12))),
+        (24, webp(b"VP8 ", bytes(3) + bytes([0x00, 0x01, 0x2A]) + bytes(4))),
     ]
     df = spark.createDataFrame(rows, "asset_id long, payload binary")
     out = {r["asset_id"]: r for r in multimodal.image_meta(df).collect()}
@@ -4284,6 +4301,11 @@ def test_image_meta_header_only(spark):
         assert out[bad]["img_width"] is None and out[bad]["img_height"] is None, bad
     assert (out[18]["img_width"], out[18]["img_height"]) == (33, 44)
     assert (out[19]["img_width"], out[19]["img_height"]) == (21, 12)
+    assert (out[20]["img_format"], out[20]["img_width"], out[20]["img_height"]) == ("webp", 1280, 720)
+    assert (out[21]["img_format"], out[21]["img_width"], out[21]["img_height"]) == ("webp", 640, 480)
+    assert (out[22]["img_format"], out[22]["img_width"], out[22]["img_height"]) == ("webp", 99, 77)
+    for wid in (23, 24):
+        assert out[wid]["img_format"] == "webp" and out[wid]["img_width"] is None, wid
     plan = multimodal.image_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan  # pure codegen scan
 
