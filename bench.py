@@ -190,6 +190,10 @@ EXTENDED = [
     # round-10 in-round addition (staged r11): the mergeable moment
     # ledger (two snapshot gram states + d²-domain merge)
     "embedding_gram_ledger",
+    # round-10 in-round addition (staged r11): Z-order clustering key
+    # profile (bounded min/max artifact + codegen bit interleave + one
+    # 64-cell aggregate — the layout job's certificate pass)
+    "lake_zorder_cells",
 ]
 
 

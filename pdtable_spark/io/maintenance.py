@@ -13,8 +13,11 @@ between query rounds:
   scheduling), so compaction to ~target-sized files is routine hygiene.
 - **sorted write**: parquet footers carry per-row-group min/max stats;
   writing sorted by a filter column makes those ranges disjoint so readers
-  skip row groups wholesale (poor-man's clustering / Z-order for the
-  1-column case).
+  skip row groups wholesale.
+- **Z-order write**: the multi-column clustering case — bit-interleaved
+  bucket key, one range shuffle, so EVERY clustered column gets tight
+  per-file min/max stats (the plain-parquet ``OPTIMIZE ZORDER BY``),
+  with :func:`clustering_stats` as the pruning certificate.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ from __future__ import annotations
 import os
 from typing import List, Optional, Sequence, Union
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -95,6 +98,149 @@ def write_sorted_parquet(
         else df.repartitionByRange(*cols)
     )
     parted.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def int_bucket(col: Column, lo: int, hi: int, bits: int) -> Column:
+    """Bucket an INTEGRAL column into ``[0, 2**bits)`` with exact integer
+    arithmetic: ``((x - lo) * 2**bits) DIV (hi - lo + 1)``, clamped, NULLs
+    to bucket 0.
+
+    Integer-only on purpose — the Z-order key must be reproducible across
+    engines (the value oracle recomputes it in DuckDB), and float bucket
+    edges would put boundary rows on different sides per engine.  Callers
+    quantize doubles first (the suite's integer-cents idiom:
+    ``floor(x * 100 + 0.5)``).
+
+    The quotient runs through IEEE double division + floor; that floor is
+    PROVABLY equal to exact integer division only while the denominator
+    stays under ~2^36 (a boundary crossing needs ``span * ulp/2 > 1``;
+    with buckets ≤ 2^16 the ulp is ≥ 2^-36), so spans past 2^36 are
+    rejected loudly rather than risking an engine-dependent edge bucket.
+    2^36 ≈ 7e10 distinct key values per clustering column — far past any
+    id/cents domain here; re-quantize coarser if a column ever exceeds it.
+    """
+    if hi < lo:
+        raise ValueError(f"int_bucket: hi < lo ({hi} < {lo})")
+    if not 1 <= bits <= 16:
+        raise ValueError(f"int_bucket: bits must be in [1, 16], got {bits}")
+    n = 1 << bits
+    span = hi - lo + 1
+    if span > (1 << 36):
+        raise ValueError(
+            f"int_bucket: span {span} exceeds 2^36 — the double-division "
+            "floor is no longer provably exact; quantize the key coarser"
+        )
+    raw = ((col.cast("long") - F.lit(int(lo))) * F.lit(n)) / F.lit(int(span))
+    bucket = F.floor(raw).cast("long")
+    clamped = F.least(F.greatest(bucket, F.lit(0)), F.lit(n - 1))
+    return F.coalesce(clamped, F.lit(0)).cast("long")
+
+
+def zorder_key(bucket_cols: Sequence[Column], bits_per_col: int) -> Column:
+    """Morton (Z-order) key: bit-interleave ``k`` bucket ids of
+    ``bits_per_col`` bits each into one long — bit ``b`` of column ``i``
+    lands at position ``b*k + i``.
+
+    Pure JVM bit arithmetic (``shiftright``/``shiftleft``/AND/OR), so the
+    key stays inside whole-stage codegen — no UDF, no shuffle of its own.
+    Sorting by this key gives MULTI-column locality: a contiguous key
+    range maps to a small hyper-rectangle in bucket space, so after a
+    range-partitioned write EVERY clustered column gets tight per-file
+    min/max footer stats (a linear sort gives that only to its leading
+    column).  This is the plain-parquet spelling of Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``.
+    """
+    cols = list(bucket_cols)
+    k = len(cols)
+    if k < 1:
+        raise ValueError("zorder_key: need at least one bucket column")
+    if bits_per_col < 1 or k * bits_per_col > 63:
+        raise ValueError(
+            f"zorder_key: k*bits_per_col must be in [1, 63], got "
+            f"{k}*{bits_per_col}={k * bits_per_col}"
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_col):
+        for ci, c in enumerate(cols):
+            piece = F.shiftright(c.cast("long"), bit).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(piece, bit * k + ci))
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    bits_per_col: int = 8,
+    partitions: Optional[int] = None,
+    bounds: Optional[dict] = None,
+) -> dict:
+    """Write ``df`` Z-order-clustered on ``cluster_cols`` (integral columns
+    — pre-quantize doubles, see :func:`int_bucket`): the multi-column
+    completion of :func:`write_sorted_parquet`.
+
+    Plan shape: one bounded min/max aggregate (skipped when ``bounds`` is
+    passed — persist the returned artifact next to the data so later
+    appends bucket against the SAME edges), then ONE range shuffle on the
+    interleaved key + an in-partition sort; the helper key column is
+    dropped before the write.  ``repartitionByRange`` makes the per-file
+    key ranges disjoint, so each file covers one small Z-curve segment ≈
+    one bucket-space hyper-rectangle: with ``m`` files and ``k`` columns,
+    per-file min/max width shrinks like ``m**(-1/k)`` of each column's
+    domain — every clustered column prunes, which is the property a
+    100 TB lake wants when queries filter on more than the leading sort
+    column.  Returns the ``{col: (lo, hi)}`` bounds artifact.
+
+    Verify with :func:`clustering_stats` (per-file footer-stat widths —
+    the pruning certificate).
+    """
+    cols = list(cluster_cols)
+    if bounds is None:
+        row = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        bounds = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+    missing = [c for c in cols if c not in bounds]
+    if missing:
+        raise ValueError(f"write_zordered_parquet: bounds missing for {missing}")
+    buckets = [
+        int_bucket(F.col(c), int(bounds[c][0]), int(bounds[c][1]), bits_per_col)
+        for c in cols
+    ]
+    keyed = df.withColumn("__z", zorder_key(buckets, bits_per_col))
+    parted = (
+        keyed.repartitionByRange(partitions, "__z")
+        if partitions is not None
+        else keyed.repartitionByRange("__z")
+    )
+    parted.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").parquet(path)
+    return bounds
+
+
+def clustering_stats(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """The pruning certificate for a clustered layout: per part-file
+    min/max of ``cols`` — exactly the footer stats a reader prunes on —
+    via the ``_metadata.file_path`` hidden column (one scan of just those
+    columns, one file-count-bounded aggregate).
+
+    A predicate ``c BETWEEN a AND b`` can skip every file whose
+    ``[min_c, max_c]`` misses ``[a, b]``, so
+    ``stats.filter(~(max_c < a | min_c > b)).count()`` IS the scan cost
+    in files.  Tests assert the Z-ordered layout beats a linear sort on
+    the non-leading column and beats round-robin on every column.
+    """
+    cols = list(cols)
+    df = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file"), *cols
+    )
+    return df.groupBy("file").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+    )
 
 
 def diff_snapshots(

@@ -591,3 +591,105 @@ PENDING_R11["stream_gram_ledger"] = (
     r11_stream_gram_ledger,
     R11_SQL_STREAM_GRAM_LEDGER,
 )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key under the value gate
+# (io/maintenance.py::int_bucket / zorder_key / write_zordered_parquet,
+#  new round 10 — the multi-column completion of write_sorted_parquet:
+#  plain-parquet OPTIMIZE ZORDER BY)
+# ---------------------------------------------------------------------------
+
+def _sql_interleave2(b1: str, b2: str, bits: int) -> str:
+    """The Morton interleave as explicit SQL bit arithmetic — bit ``b`` of
+    ``b1`` at position ``2b``, of ``b2`` at ``2b+1`` (matches
+    ``maintenance.zorder_key``'s ``b*k + i`` layout for k=2)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({b1} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({b2} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+_ZBITS = 6  # 64 buckets/column -> 4096-key curve, 64 cells after >> 6
+
+R11_SQL_LAKE_ZORDER = f"""
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT MIN(ck) AS lo1, MAX(ck) AS hi1,
+             MIN(cents) AS lo2, MAX(cents) AS hi2
+      FROM o
+    ),
+    k AS (
+      SELECT LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((ck - lo1) * {1 << _ZBITS}) / (hi1 - lo1 + 1.0))
+                    AS BIGINT))) AS b1,
+             LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((cents - lo2) * {1 << _ZBITS}) / (hi2 - lo2 + 1.0))
+                    AS BIGINT))) AS b2,
+             cents
+      FROM o CROSS JOIN b
+    ),
+    z AS (SELECT cents, {_sql_interleave2('b1', 'b2', _ZBITS)} AS zkey FROM k)
+    SELECT zkey >> {_ZBITS} AS z_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(zkey) AS BIGINT) AS min_z,
+           CAST(MAX(zkey) AS BIGINT) AS max_z
+    FROM z GROUP BY z_cell ORDER BY z_cell
+"""
+
+
+def r11_lake_zorder_cells(spark, sf_dir):
+    """The Z-order clustering key under the value gate: bucket
+    (o_custkey, integer-cents totalprice) into 2^6 edges each — the same
+    exact-integer arithmetic ``write_zordered_parquet`` sorts the lake
+    by — interleave, and profile the 64 coarse curve cells (count, cents
+    mass, key range).  The oracle recomputes bucket, interleave and cell
+    arithmetic bit-for-bit in DuckDB, which is exactly the property the
+    layout job needs: engine-independent keys mean an append written by a
+    different engine lands in the same curve position.
+
+    Plan shape: one bounded 4-value min/max aggregate (the persistable
+    bounds artifact), then one scan + codegen bit arithmetic + one
+    64-group aggregate — the profiling pass is strictly cheaper than the
+    layout job it certifies (which adds only the range shuffle)."""
+    from pdtable_spark.io import maintenance as mnt
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    row = o.agg(
+        F.min("ck"), F.max("ck"), F.min("cents"), F.max("cents")
+    ).collect()[0]
+    z = mnt.zorder_key(
+        [
+            mnt.int_bucket(F.col("ck"), int(row[0]), int(row[1]), _ZBITS),
+            mnt.int_bucket(F.col("cents"), int(row[2]), int(row[3]), _ZBITS),
+        ],
+        _ZBITS,
+    )
+    return (
+        o.withColumn("zkey", z)
+        .groupBy(F.shiftright(F.col("zkey"), _ZBITS).alias("z_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("zkey").alias("min_z"),
+            F.max("zkey").alias("max_z"),
+        )
+        .orderBy("z_cell")
+    )
+
+
+PENDING_R11["lake_zorder_cells"] = (
+    r11_lake_zorder_cells,
+    R11_SQL_LAKE_ZORDER,
+)

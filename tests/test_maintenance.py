@@ -408,3 +408,124 @@ def test_key_sidecar_string_keys(spark, tmp_path):
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     sc.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering
+# ---------------------------------------------------------------------------
+
+def _py_zorder(buckets, bits):
+    z = 0
+    k = len(buckets)
+    for bit in range(bits):
+        for ci, b in enumerate(buckets):
+            z |= ((b >> bit) & 1) << (bit * k + ci)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(x, y) for x in range(0, 97, 7) for y in range(0, 97, 11)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    bits = 5
+    got = df.select(
+        "x",
+        "y",
+        maintenance.zorder_key(
+            [
+                maintenance.int_bucket(F.col("x"), 0, 96, bits),
+                maintenance.int_bucket(F.col("y"), 0, 96, bits),
+            ],
+            bits,
+        ).alias("z"),
+    ).collect()
+    n = 1 << bits
+    for r in got:
+        bx = min(n - 1, (r["x"] - 0) * n // 97)
+        by = min(n - 1, (r["y"] - 0) * n // 97)
+        assert r["z"] == _py_zorder([bx, by], bits), (r["x"], r["y"])
+
+
+def test_int_bucket_edges_nulls_and_guards(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0,), (99,), (100,), (None,), (-5,), (1000,)], "x int"
+    )
+    got = [
+        r["b"]
+        for r in df.select(
+            maintenance.int_bucket(F.col("x"), 0, 99, 3).alias("b")
+        ).collect()
+    ]
+    # lo -> 0, hi -> 7, out-of-range clamps, NULL -> 0
+    assert got == [0, 7, 7, 0, 0, 7]
+    with pytest.raises(ValueError, match="hi < lo"):
+        maintenance.int_bucket(F.col("x"), 5, 4, 3)
+    with pytest.raises(ValueError, match="bits_per_col"):
+        maintenance.zorder_key([F.col("x"), F.col("x")], 32)
+    with pytest.raises(ValueError, match="at least one"):
+        maintenance.zorder_key([], 4)
+
+
+def test_zorder_write_identity_and_pruning_certificate(spark, tmp_path):
+    # A uniform 2-D grid: the layout where linear sort helps only its
+    # leading column and Z-order must help both.
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 48271 + 11) % 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    n_files = 16
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "lin")
+    bounds = maintenance.write_zordered_parquet(
+        df, zpath, ["x", "y"], bits_per_col=8, partitions=n_files
+    )
+    assert bounds == {"x": (0, 199), "y": (0, 199)}
+    maintenance.write_sorted_parquet(df, spath, "x", partitions=n_files)
+
+    # row identity and helper-column hygiene
+    back = spark.read.parquet(zpath)
+    assert back.columns == ["x", "y", "payload"]
+    assert back.count() == 40_000
+    assert (
+        back.agg(F.sum("payload")).collect()[0][0]
+        == df.agg(F.sum("payload")).collect()[0][0]
+    )
+
+    def widths(path):
+        st = maintenance.clustering_stats(spark, path, ["x", "y"]).collect()
+        wx = sum(r["max_x"] - r["min_x"] for r in st) / len(st)
+        wy = sum(r["max_y"] - r["min_y"] for r in st) / len(st)
+        return wx, wy, st
+
+    zx, zy, zst = widths(zpath)
+    sx, sy, _ = widths(spath)
+    # linear sort: leading column tight, trailing column spans ~everything
+    assert sx < 25 and sy > 150
+    # z-order: BOTH columns well under the full 0..199 domain (~200/sqrt(16))
+    assert zx < 100 and zy < 100
+
+    # the certificate IS the scan cost: a point-ish predicate on y alone
+    # must prune files under z-order and nothing under the x-sort
+    lo, hi = 100, 110
+    z_touch = sum(1 for r in zst if not (r["max_y"] < lo or r["min_y"] > hi))
+    assert z_touch <= len(zst) // 2
+
+
+def test_zorder_explicit_bounds_skip_the_minmax_job(spark, tmp_path):
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("x"), (F.col("id") % 31).alias("y")
+    )
+    out = str(tmp_path / "zb")
+    b = maintenance.write_zordered_parquet(
+        df, out, ["x", "y"], bits_per_col=4, partitions=2,
+        bounds={"x": (0, 49), "y": (0, 30)},
+    )
+    assert b == {"x": (0, 49), "y": (0, 30)}
+    assert spark.read.parquet(out).count() == 1000
+    import pytest
+
+    with pytest.raises(ValueError, match="bounds missing"):
+        maintenance.write_zordered_parquet(
+            df, out, ["x", "y"], bounds={"x": (0, 49)}
+        )
