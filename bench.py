@@ -194,6 +194,10 @@ EXTENDED = [
     # profile (bounded min/max artifact + codegen bit interleave + one
     # 64-cell aggregate — the layout job's certificate pass)
     "lake_zorder_cells",
+    # round-10 in-round addition (staged r11): per-column ANALYZE
+    # pre-flight (one aggregate pass per table, unpivot on the single
+    # aggregate row)
+    "pipeline_column_profile",
 ]
 
 

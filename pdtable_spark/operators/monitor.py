@@ -15,7 +15,7 @@ domain; nothing corpus-sized ever sits on the driver.
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -662,6 +662,78 @@ def quantiles_from_ledger(
         cand.withColumn("__r", F.row_number().over(wpick))
         .filter(F.col("__r") == 1)
         .select(by, "q", est.alias("est"))
+    )
+
+
+def table_profile(
+    df: DataFrame,
+    cols: Optional[List[str]] = None,
+    exact_ndv: bool = True,
+    ndv_rsd: float = 0.05,
+) -> DataFrame:
+    """Per-column table profile in ONE aggregate pass: row count, NULL
+    count/fraction, and distinct count — the ANALYZE-TABLE pre-flight
+    that sizes a join's shuffle key domain (NDV), flags the null-heavy
+    foreign keys that serialize a reducer (the :func:`~pdtable_spark.
+    operators.skew.skew_report` companion — NULLs all land on one key),
+    and validates an ingest before it joins anything.
+
+    Returns (col_name, n_rows, n_null, null_frac, ndv), one row per
+    profiled column, ordered by name.  ``ndv`` counts distinct NON-NULL
+    values (both engines' COUNT(DISTINCT) contract); ``null_frac`` is
+    the single double division ``n_null / n_rows`` so the oracle
+    reproduces it bit-for-bit.
+
+    Scale: every statistic is an expression in one ``agg`` — no
+    per-column jobs, no driver loop over columns.  ``exact_ndv=True``
+    plans the multiple DISTINCT aggregates through Spark's Expand (one
+    scan, rows×cols intermediate — exact, and what the value oracle
+    checks); at 100 TB set ``exact_ndv=False`` for
+    ``approx_count_distinct`` (HLL at ``ndv_rsd``, map-side-combinable
+    single pass, no Expand) — same output shape, estimates documented
+    by the rsd.  The unpivot runs on the single aggregate ROW, never on
+    data.
+    """
+    names = list(cols) if cols is not None else list(df.columns)
+    if not names:
+        raise ValueError("table_profile: no columns to profile")
+    missing = [c for c in names if c not in df.columns]
+    if missing:
+        raise ValueError(f"table_profile: columns not in frame: {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in names:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__null_{c}")
+        )
+        ndv = (
+            F.count_distinct(F.col(c))
+            if exact_ndv
+            else F.approx_count_distinct(c, ndv_rsd)
+        )
+        aggs.append(ndv.cast("long").alias(f"__ndv_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__null_{c}`, `__ndv_{c}`" for c in names
+    )
+    return (
+        one.select(
+            F.col("__n").cast("long").alias("n_rows"),
+            F.expr(
+                f"stack({len(names)}, {stack_args}) AS (col_name, n_null, ndv)"
+            ),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_null",
+            (F.col("n_null").cast("double") / F.col("n_rows").cast("double")).alias(
+                "null_frac"
+            ),
+            "ndv",
+        )
+        .orderBy("col_name")
     )
 
 

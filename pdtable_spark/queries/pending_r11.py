@@ -693,3 +693,64 @@ PENDING_R11["lake_zorder_cells"] = (
     r11_lake_zorder_cells,
     R11_SQL_LAKE_ZORDER,
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-column table profile under the value gate
+# (operators/monitor.py::table_profile, new round 10 — the ANALYZE-TABLE
+#  pre-flight: one-pass row/null/ndv stats per column)
+# ---------------------------------------------------------------------------
+
+def _sql_profile_arm(table: str, col: str) -> str:
+    return f"""
+      SELECT '{table}' AS table_name, '{col}' AS col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS null_frac,
+             CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv
+      FROM {table}"""
+
+
+_PROFILE_COLS = {
+    "documents": ["doc_id", "lang", "source", "n_chars"],
+    "events": ["event_type", "user_id", "value", "props"],
+}
+
+R11_SQL_COLUMN_PROFILE = (
+    " UNION ALL ".join(
+        _sql_profile_arm(t, c) for t, cs in _PROFILE_COLS.items() for c in cs
+    )
+    + " ORDER BY table_name, col_name"
+)
+
+
+def r11_pipeline_column_profile(spark, sf_dir):
+    """The ANALYZE-TABLE pre-flight under the value gate: one-pass
+    (n_rows, n_null, null_frac, ndv) per column over two tables — the
+    numbers that size a join's shuffle key domain and flag null-heavy
+    foreign keys before anything shuffles.  Exact NDV here (what the
+    oracle checks, planned through one Expand per table); production at
+    100 TB flips ``exact_ndv=False`` for the single-pass HLL spelling
+    with the same output shape.
+
+    Plan shape per table: one scan → one aggregate row → a row-count-1
+    unpivot; the two profiles union.  Nothing row-sized shuffles."""
+    from pdtable_spark.operators.monitor import table_profile
+
+    out = None
+    for t, cs in _PROFILE_COLS.items():
+        prof = table_profile(load(spark, sf_dir, t), cs).withColumn(
+            "table_name", F.lit(t)
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out.select(
+        "table_name", "col_name", "n_rows", "n_null", "null_frac", "ndv"
+    ).orderBy("table_name", "col_name")
+
+
+PENDING_R11["pipeline_column_profile"] = (
+    r11_pipeline_column_profile,
+    R11_SQL_COLUMN_PROFILE,
+)

@@ -4677,3 +4677,31 @@ def test_margin_mining_ivf_where_filters_candidate_pool(spark):
     # every mined right id really is from the filtered pool
     de_ids = {r["vec_id"] for r in rdf.filter(F.col("lang") == "de").collect()}
     assert {r["right_id"] for r in ivf.collect()} <= de_ids
+
+
+def test_table_profile_counts_and_guards(spark):
+    import pytest
+
+    from pdtable_spark.operators.monitor import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.5), (3, None, 1.5), (4, "b", None)],
+        ["id", "s", "v"],
+    )
+    rows = {r["col_name"]: r for r in table_profile(df).collect()}
+    assert set(rows) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert (rows["id"]["n_null"], rows["id"]["ndv"]) == (0, 4)
+    assert (rows["s"]["n_null"], rows["s"]["ndv"]) == (1, 2)
+    assert (rows["v"]["n_null"], rows["v"]["ndv"]) == (2, 1)
+    assert rows["v"]["null_frac"] == 0.5
+    # approx spelling: same shape, ndv within rsd of exact on tiny input
+    approx = {
+        r["col_name"]: r for r in table_profile(df, exact_ndv=False).collect()
+    }
+    assert set(approx) == {"id", "s", "v"}
+    assert approx["s"]["ndv"] == 2
+    with pytest.raises(ValueError, match="not in frame"):
+        table_profile(df, ["id", "nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        table_profile(df.select("id"), [])
