@@ -218,6 +218,47 @@ def write_zordered_parquet(
     return bounds
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cluster_cols: Sequence[str],
+    bits_per_col: int = 8,
+    out_path: Optional[str] = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bounds: Optional[dict] = None,
+) -> tuple:
+    """The OPTIMIZE job: compaction and Z-order clustering in ONE rewrite
+    of the dataset at ``path`` — file count sized from on-disk bytes like
+    :func:`compact_parquet`, layout from :func:`write_zordered_parquet`.
+    A streaming-ingest partition directory gets both hygiene passes for
+    the cost of one copy (the copy dominates at 100 TB; run it per
+    partition directory between query rounds, never on the whole lake).
+
+    Same copy-on-write contract as the other maintenance ops: writes to
+    ``out_path`` (default ``path + ".zordered"``), the atomic swap is the
+    caller's rename.  Returns ``(out_path, bounds)`` — persist the bounds
+    next to the data so later optimize runs keep appends on the same
+    curve.
+    """
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") or f.startswith("part-")
+    )
+    n_files = max(1, -(-size // target_file_bytes))
+    out = out_path or path.rstrip("/") + ".zordered"
+    got = write_zordered_parquet(
+        spark.read.parquet(path),
+        out,
+        cluster_cols,
+        bits_per_col=bits_per_col,
+        partitions=n_files,
+        bounds=bounds,
+    )
+    return out, got
+
+
 def clustering_stats(
     spark: SparkSession, path: str, cols: Sequence[str]
 ) -> DataFrame:

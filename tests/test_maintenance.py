@@ -529,3 +529,48 @@ def test_zorder_explicit_bounds_skip_the_minmax_job(spark, tmp_path):
         maintenance.write_zordered_parquet(
             df, out, ["x", "y"], bounds={"x": (0, 49)}
         )
+
+
+def test_optimize_zorder_compacts_and_clusters(spark, tmp_path):
+    frag = str(tmp_path / "frag")
+    df = spark.range(20_000).select(
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") * 48271 + 11) % 100).alias("y"),
+    )
+    df.repartition(40).write.parquet(frag)
+    assert len(_parts(frag)) == 40
+    out, bounds = maintenance.optimize_zorder(
+        spark, frag, ["x", "y"], bits_per_col=6, target_file_bytes=10**9
+    )
+    assert bounds == {"x": (0, 99), "y": (0, 99)}
+    assert len(_parts(out)) == 1
+    assert spark.read.parquet(out).count() == 20_000
+    # bounds round-trip: a second optimize with the persisted artifact
+    # reproduces the same layout without the min/max job
+    out2, b2 = maintenance.optimize_zorder(
+        spark, frag, ["x", "y"], bits_per_col=6,
+        out_path=str(tmp_path / "z2"), target_file_bytes=10**9, bounds=bounds,
+    )
+    assert b2 == bounds
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
+
+
+def test_zorder_write_plan_single_range_exchange(spark, tmp_path):
+    # plan contract: the layout job is ONE range shuffle on the key —
+    # the bit interleave must not introduce its own exchange or a UDF
+    import re
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 64).alias("x"), ((F.col("id") * 7) % 64).alias("y")
+    )
+    buckets = [
+        maintenance.int_bucket(F.col(c), 0, 63, 6) for c in ("x", "y")
+    ]
+    keyed = df.withColumn("__z", maintenance.zorder_key(buckets, 6))
+    shaped = keyed.repartitionByRange(8, "__z").sortWithinPartitions("__z").drop("__z")
+    plan = shaped._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
