@@ -718,6 +718,60 @@ def _jpeg_sof_walk(payload, max_segments: int = 64):
     return F.struct(final["w"].alias("w"), final["h"].alias("h"))
 
 
+def _tiff_ifd_walk(payload, le: bool, max_entries: int = 32):
+    """ImageWidth/ImageLength from a TIFF payload's first IFD as ONE
+    pure-JVM expression, for a FIXED endianness (the caller picks the
+    ``II``/``MM`` variant per row with a CaseWhen, so codegen evaluates
+    only the taken branch): read the u32 IFD offset at byte 5, the u16
+    entry count at the IFD, then scan up to ``max_entries`` 12-byte
+    entries for tags 256/257 (TIFF 6.0 §2 orders entries ascending by
+    tag, so the dimension tags sit at the front of any real IFD).  A
+    value is served only for type SHORT (3) or LONG (4) with count 1 —
+    both left-justified in the 4-byte value field per spec — anything
+    else (RATIONAL dims, out-of-line values, a truncated or garbage IFD
+    offset, more than ``max_entries`` preceding entries) reports NULL,
+    never garbage.
+
+    Returns a struct column ``(w, h)``.  The scan is an ``F.transform``
+    over a constant sequence + ``F.filter``/``F.get`` — constant codegen
+    size, bounded header reads per row, same contract as
+    :func:`_jpeg_sof_walk`.
+    """
+    def u(pos, n):
+        h = F.hex(F.substring(payload, pos, F.lit(n)))
+        if le:
+            h = F.concat(
+                *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(n))]
+            )
+        return F.conv(h, 16, 10).cast("long")
+
+    plen = F.length(payload)
+    ifd = u(F.lit(5), 4) + 1  # file offset is 0-based; substring is 1-based
+    n_entries = F.when((ifd >= 9) & (ifd + 1 <= plen), u(ifd, 2)).otherwise(
+        F.lit(0)
+    )
+
+    def entry(i):
+        epos = ifd + 2 + i * 12
+        ok = (i < n_entries) & (epos + 11 <= plen)
+        typ = u(epos + 2, 2)
+        cnt = u(epos + 4, 4)
+        val = F.when(typ == 3, u(epos + 8, 2)).when(typ == 4, u(epos + 8, 4))
+        return F.struct(
+            F.when(ok, u(epos, 2)).alias("tag"),
+            F.when(ok & (cnt == 1), val).alias("val"),
+        )
+
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(int(max_entries) - 1)), entry
+    )
+
+    def find(tag):
+        return F.get(F.filter(entries, lambda e: e["tag"] == tag), 0)["val"]
+
+    return F.struct(find(256).alias("w"), find(257).alias("h"))
+
+
 def image_meta(
     assets: DataFrame,
     payload_col: str = "payload",
@@ -749,7 +803,11 @@ def image_meta(
     with the first chunk at a fixed offset: VP8X canvas dims, VP8 lossy
     frame dims behind the 9D012A sync, VP8L lossless 14+14-bit packed
     dims — an unknown or truncated first chunk reports 'webp' with NULL
-    dims).  Unknown payloads and NULLs report NULL format.
+    dims), and TIFF (``II``/``MM`` header, then the
+    :func:`_tiff_ifd_walk` bounded first-IFD scan for tags 256/257 in
+    the row's endianness — SHORT/LONG count-1 values only; RATIONAL or
+    out-of-line dims report 'tiff' with NULL dims).  Unknown payloads
+    and NULLs report NULL format.
     """
     p = F.col(payload_col)
     is_png = F.substring(p, 1, 8) == F.lit(
@@ -798,6 +856,9 @@ def image_meta(
         .when(is_vp8, _le_uint(p, 29, 2) % 16384)
         .when(is_vp8l, (F.floor(vp8l_bits / 16384).cast("long") % 16384) + 1)
     )
+    is_tiff_le = F.substring(p, 1, 4) == F.lit(bytes([0x49, 0x49, 0x2A, 0x00]))
+    is_tiff_be = F.substring(p, 1, 4) == F.lit(bytes([0x4D, 0x4D, 0x00, 0x2A]))
+    is_tiff = is_tiff_le | is_tiff_be
     bmp_h_raw = _le_uint(p, 23, 4)
     bmp_h = F.when(
         bmp_h_raw >= F.lit(1 << 31), F.lit(1 << 32) - bmp_h_raw
@@ -808,17 +869,22 @@ def image_meta(
         .when(is_bmp, F.lit("bmp"))
         .when(is_jpg, F.lit("jpeg"))
         .when(is_webp, F.lit("webp"))
+        .when(is_tiff, F.lit("tiff"))
     )
     # the walk is CaseWhen-guarded: non-JPEG rows never evaluate it (the
     # fold's two uses below each re-evaluate on JPEG rows — a bounded
     # header-byte loop, cheaper than forcing a materialization barrier)
     jd = _jpeg_sof_walk(p, jpeg_max_segments)
+    td = F.when(is_tiff_le, _tiff_ifd_walk(p, le=True)).otherwise(
+        _tiff_ifd_walk(p, le=False)
+    )
     width = (
         F.when(is_png, _be_uint(p, 17, 4))
         .when(is_gif, _le_uint(p, 7, 2))
         .when(is_bmp_info, _le_uint(p, 19, 4))
         .when(is_jpg, jd["w"])
         .when(is_webp, webp_w)
+        .when(is_tiff, td["w"])
     )
     height = (
         F.when(is_png, _be_uint(p, 21, 4))
@@ -826,6 +892,7 @@ def image_meta(
         .when(is_bmp_info, bmp_h)
         .when(is_jpg, jd["h"])
         .when(is_webp, webp_h)
+        .when(is_tiff, td["h"])
     )
     return assets.select(
         "*",

@@ -547,8 +547,9 @@ PENDING_R10["text_lm_bigram_nll"] = (
 
 R10_SQL_IMAGE_META = """
     SELECT doc_id,
-           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                WHEN 2 THEN 'jpeg' ELSE 'webp' END AS img_format,
+           CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'webp'
+                ELSE 'tiff' END AS img_format,
            CAST(n_chars AS BIGINT) AS img_width,
            CAST(doc_id % 4096 + 1 AS BIGINT) AS img_height
     FROM documents WHERE n_chars IS NOT NULL
@@ -557,15 +558,17 @@ R10_SQL_IMAGE_META = """
 
 def r10_multimodal_image_meta(spark, sf_dir):
     """The zero-decode metadata scan under the driver value gate: real
-    PNG, GIF, JPEG and WebP header BYTES are synthesized in-engine per
-    document (doc_id % 4 picks the format: big-endian IHDR, little-
+    PNG, GIF, JPEG, WebP and TIFF header BYTES are synthesized in-engine
+    per document (doc_id % 6 picks the format: big-endian IHDR, little-
     endian GIF logical screen, an SOI → APP0 → variable-length COM →
     SOF0 JPEG whose SOF OFFSET varies with the document — COM padding of
     ``doc_id % 7`` bytes plus a fill ``FF`` on every fifth doc — so the
     bounded marker walk, not a fixed projection, is what the oracle
-    gates, or a RIFF/WEBP VP8X whose 24-bit LE canvas-minus-one fields
-    gate the extended-header arm), then ``image_meta``'s pure-JVM
-    projection parses them back;
+    gates, a RIFF/WEBP VP8X whose 24-bit LE canvas-minus-one fields
+    gate the extended-header arm, or a TIFF in EITHER byte order whose
+    IFD sits behind a doc-varying filler run so the u32 offset read and
+    the ascending-tag entry scan are both gated), then ``image_meta``'s
+    pure-JVM projection parses them back;
     the oracle states the expected (format, dims) from the source
     columns directly, so every byte-offset, endianness and walk-hop
     choice in the parser is value-gated on 500+ rows per SF — while the
@@ -629,11 +632,42 @@ def r10_multimodal_image_meta(spark, sf_dir):
         le24(_u16_guard(w).otherwise(w - 1)),   # canvas width - 1
         le24(_u16_guard(h).otherwise(h - 1)),   # canvas height - 1
     )
+    # TIFF, both byte orders (doc_id % 6 ∈ {4, 5}): header, a doc-varying
+    # run of 0..4 filler bytes so the u32 IFD-OFFSET read (not a fixed
+    # projection) is what the oracle gates, then one 3-entry IFD with
+    # the tags ascending (256 SHORT width, 257 LONG height, 259 SHORT
+    # compression) — width exercises the type-3 left-justified u16 read,
+    # height the type-4 u32 read, 259 proves the scan doesn't stop at
+    # the first hit it doesn't need
+    pad = (F.col("doc_id") % 5).cast("int")
+    ifd_off = (pad + 8).cast("long")
+    tiff_le = F.concat(
+        F.lit("49492A00"),
+        le16(ifd_off), F.lit("0000"),           # u32 LE offset (< 256)
+        F.repeat(F.lit("00"), pad),
+        F.lit("0300"),                          # 3 entries, u16 LE
+        F.lit("00010300"), F.lit("01000000"), le16(w), F.lit("0000"),
+        F.lit("01010400"), F.lit("01000000"), le16(h), F.lit("0000"),
+        F.lit("03010300"), F.lit("01000000"), F.lit("01000000"),
+        F.lit("00000000"),                      # no next IFD
+    )
+    tiff_be = F.concat(
+        F.lit("4D4D002A"),
+        F.lit("0000"), be16(ifd_off),           # u32 BE offset
+        F.repeat(F.lit("00"), pad),
+        F.lit("0003"),
+        F.lit("01000003"), F.lit("00000001"), be16(w), F.lit("0000"),
+        F.lit("01010004"), F.lit("00000001"), be8(h),
+        F.lit("01030003"), F.lit("00000001"), F.lit("00010000"),
+        F.lit("00000000"),
+    )
     payload = F.unhex(
-        F.when(F.col("doc_id") % 4 == 0, png)
-        .when(F.col("doc_id") % 4 == 1, gif)
-        .when(F.col("doc_id") % 4 == 2, jpg)
-        .otherwise(webp)
+        F.when(F.col("doc_id") % 6 == 0, png)
+        .when(F.col("doc_id") % 6 == 1, gif)
+        .when(F.col("doc_id") % 6 == 2, jpg)
+        .when(F.col("doc_id") % 6 == 3, webp)
+        .when(F.col("doc_id") % 6 == 4, tiff_le)
+        .otherwise(tiff_be)
     )
     assets = docs.select("doc_id", payload.alias("payload"))
     return image_meta(assets).select(

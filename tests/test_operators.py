@@ -4705,3 +4705,58 @@ def test_table_profile_counts_and_guards(spark):
         table_profile(df, ["id", "nope"])
     with pytest.raises(ValueError, match="no columns"):
         table_profile(df.select("id"), [])
+
+
+def _tiff_bytes(le, w, h, w_type=3, h_type=4, pad=0, extra_entry=True,
+                w_count=1):
+    """Minimal TIFF: header, `pad` filler bytes, then one IFD whose
+    entries are ascending by tag (256 width, 257 height, optional 259
+    compression) — value types/counts parameterized to exercise the
+    walk's honesty gates."""
+    import struct
+
+    e = "<" if le else ">"
+    ifd_off = 8 + pad
+    head = (b"II*\x00" if le else b"MM\x00*") + struct.pack(e + "I", ifd_off)
+    head += b"\x00" * pad
+
+    def entry(tag, typ, cnt, val):
+        vf = struct.pack(e + ("H2x" if typ == 3 else "I"), val)
+        return struct.pack(e + "HHI", tag, typ, cnt) + vf
+
+    entries = [entry(256, w_type, w_count, w), entry(257, h_type, 1, h)]
+    if extra_entry:
+        entries.append(entry(259, 3, 1, 1))
+    body = struct.pack(e + "H", len(entries)) + b"".join(entries)
+    body += struct.pack(e + "I", 0)  # no next IFD
+    return head + body
+
+
+def test_image_meta_tiff_both_endians(spark):
+    from pdtable_spark.operators.multimodal import image_meta
+
+    rows = [
+        (1, _tiff_bytes(True, 640, 480)),            # LE, SHORT w / LONG h
+        (2, _tiff_bytes(False, 1920, 1080)),         # BE
+        (3, _tiff_bytes(True, 12, 7, w_type=3, h_type=3, pad=5)),  # offset IFD
+        (4, _tiff_bytes(False, 300, 200, w_type=4, h_type=4)),     # both LONG
+        (5, _tiff_bytes(True, 9, 9, w_type=5)),      # RATIONAL width -> NULL w
+        (6, _tiff_bytes(True, 9, 9, w_count=2)),     # count!=1 -> NULL w
+        (7, b"II*\x00\xff\xff\xff\xff"),             # garbage IFD offset
+        (8, _tiff_bytes(True, 11, 22)[:14]),         # truncated mid-IFD
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in image_meta(
+            spark.createDataFrame(rows, "doc_id int, payload binary")
+        ).collect()
+    }
+    assert all(out[i]["img_format"] == "tiff" for i in out)
+    assert (out[1]["img_width"], out[1]["img_height"]) == (640, 480)
+    assert (out[2]["img_width"], out[2]["img_height"]) == (1920, 1080)
+    assert (out[3]["img_width"], out[3]["img_height"]) == (12, 7)
+    assert (out[4]["img_width"], out[4]["img_height"]) == (300, 200)
+    assert out[5]["img_width"] is None and out[5]["img_height"] == 9
+    assert out[6]["img_width"] is None and out[6]["img_height"] == 9
+    assert out[7]["img_width"] is None and out[7]["img_height"] is None
+    assert out[8]["img_width"] is None and out[8]["img_height"] is None
