@@ -1035,8 +1035,12 @@ def audio_meta(
     sample rate + channels resolve for all MPEG1/2/2.5 layers; duration
     would need a full VBR frame scan and bits-per-sample is not an MP3
     concept, so both stay NULL; a non-frame byte where the tag says
-    audio starts fails closed).  Unknown payloads and NULLs report
-    NULL format.
+    audio starts fails closed); bare ADTS AAC (frame-sync FFF with the
+    spec-fixed layer 00 — the bit that separates it from a bare MPEG
+    audio frame; sampling-frequency index against the 13-entry table,
+    channel config across the byte 3/4 boundary, config-0 inline-PCE
+    and reserved indexes fail closed; duration and bits stay NULL).
+    Unknown payloads and NULLs report NULL format.
     """
     p = F.col(payload_col)
 
@@ -1050,11 +1054,45 @@ def audio_meta(
     is_ogg = F.substring(p, 1, 4) == F.lit(b"OggS")
     is_mp3 = F.substring(p, 1, 3) == F.lit(b"ID3")
     w = _wav_chunk_walk(p, max_chunks)
+    # ADTS AAC: a bare stream starts at the first frame header — 12-bit
+    # sync FFF with LAYER 00 (which is what separates it from a bare MP3
+    # frame: MPEG audio layers are 01/10/11, ADTS is spec-fixed to 00).
+    # Byte 3 carries the 4-bit sampling-frequency index (table of 13,
+    # index ≥ 13 reserved → fail closed) and the top bit of the 3-bit
+    # channel configuration whose low bits lead byte 4; config 0 means
+    # "channels in an inline PCE" — decode path, NULL here; config 7
+    # means 7.1 = 8 channels.  Duration needs a full frame scan and
+    # bits-per-sample is not an AAC concept: both stay NULL.
+    is_adts = (
+        (F.length(p) >= 7)
+        & (b_at(1) == 255)
+        & (b_at(2) >= 240)
+        & (F.floor(b_at(2) / 2).cast("long") % 4 == 0)
+    )
+    aac_sfi = F.floor(b_at(3) / 4).cast("long") % 16
+    aac_ok = is_adts & (aac_sfi <= 12)
+    aac_rate = F.element_at(
+        F.array(
+            *[
+                F.lit(v)
+                for v in (
+                    96000, 88200, 64000, 48000, 44100, 32000, 24000,
+                    22050, 16000, 12000, 11025, 8000, 7350,
+                )
+            ]
+        ),
+        (aac_sfi + 1).cast("int"),
+    ).cast("long")
+    aac_cfg = (b_at(3) % 2) * 4 + F.floor(b_at(4) / 64).cast("long")
+    aac_ch = (
+        F.when(aac_cfg == 7, F.lit(8)).when(aac_cfg >= 1, aac_cfg).cast("long")
+    )
     fmt = (
         F.when(is_wav, F.lit("wav"))
         .when(is_flac, F.lit("flac"))
         .when(is_ogg, F.lit("ogg"))
         .when(is_mp3, F.lit("mp3"))
+        .when(is_adts, F.lit("aac"))
     )
     wv = F.when(is_wav, w)
     # FLAC STREAMINFO: block header at byte 5 (type in the low 7 bits of
@@ -1147,12 +1185,14 @@ def audio_meta(
         .when(is_opus, b_dyn(ogg_pay + 9))
         .when(is_vorb, b_dyn(ogg_pay + 11))
         .when(mp3_ok, mp3_ch)
+        .when(aac_ok, aac_ch)
     )
     rate = (
         F.when(is_wav, w["rate"])
         .when(flac_ok, fl_rate)
         .when(is_opus | is_vorb, le_dyn(ogg_pay + 12, 4))
         .when(mp3_ok, mp3_rate)
+        .when(aac_ok, aac_rate)
     )
     bits = F.when(is_wav, w["bits"]).when(flac_ok, fl_bps)
     data = wv["data"]

@@ -229,15 +229,18 @@ R11_SQL_AUDIO_META = """
       FROM documents WHERE n_chars IS NOT NULL
     )
     SELECT doc_id,
-           CASE WHEN doc_id % 7 = 0 THEN 'flac' ELSE 'wav' END AS audio_format,
+           CASE WHEN doc_id % 7 = 0 THEN 'flac'
+                WHEN doc_id % 7 = 3 THEN 'aac' ELSE 'wav' END AS audio_format,
            CAST(ch AS BIGINT) AS n_channels,
            CAST(rate AS BIGINT) AS sample_rate,
            CASE WHEN doc_id % 7 = 0 THEN CAST(16 AS BIGINT)
+                WHEN doc_id % 7 = 3 THEN NULL
                 ELSE CAST(bits AS BIGINT) END AS bits_per_sample,
-           CASE WHEN doc_id % 7 = 0 THEN NULL
+           CASE WHEN doc_id % 7 IN (0, 3) THEN NULL
                 ELSE CAST(data_bytes AS BIGINT) END AS data_bytes,
            CASE WHEN doc_id % 7 = 0
                 THEN CAST(fl_total * 1000 // rate AS BIGINT)
+                WHEN doc_id % 7 = 3 THEN NULL
                 ELSE CAST(data_bytes * 8000 // (rate * ch * bits) AS BIGINT)
                 END AS duration_ms
     FROM d
@@ -327,8 +330,24 @@ def r11_multimodal_audio_meta(spark, sf_dir):
         F.lpad(F.hex(packed), 16, "0"),
         F.repeat(F.lit("00"), 16),
     )
+    # ADTS AAC (doc_id % 7 == 3): first frame header with the layer-00
+    # sync, the sampling-frequency INDEX for the same rate table the
+    # oracle states, and the channel config split across bytes 3/4 —
+    # rate/channels resolve, bits/data/duration are decode-path NULLs
+    sfi = F.element_at(
+        F.array(F.lit(11), F.lit(8), F.lit(7), F.lit(4)),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    ).cast("long")
+    aac = F.concat(
+        F.lit("FFF1"),
+        F.lpad(F.hex(F.lit(0x40) + sfi * 4), 2, "0"),
+        F.lpad(F.hex(ch * 64), 2, "0"),
+        F.lit("001FFC"),
+    )
     payload = F.unhex(
-        F.when(F.col("doc_id") % 7 == 0, flac).otherwise(wav)
+        F.when(F.col("doc_id") % 7 == 0, flac)
+        .when(F.col("doc_id") % 7 == 3, aac)
+        .otherwise(wav)
     )
     assets = docs.select("doc_id", payload.alias("payload"))
     return audio_meta(assets).select(

@@ -4760,3 +4760,41 @@ def test_image_meta_tiff_both_endians(spark):
     assert out[6]["img_width"] is None and out[6]["img_height"] == 9
     assert out[7]["img_width"] is None and out[7]["img_height"] is None
     assert out[8]["img_width"] is None and out[8]["img_height"] is None
+
+
+def test_audio_meta_adts_aac(spark):
+    from pdtable_spark.operators.multimodal import audio_meta
+
+    def adts(sfi, cfg, ver=0, crc_absent=1):
+        b2 = 0xF0 | (ver << 3) | crc_absent  # sync low nibble: V 00 P
+        b3 = (0x40 | (sfi << 2) | (cfg >> 2)) & 0xFF  # profile LC
+        b4 = (cfg & 3) << 6
+        return bytes([0xFF, b2, b3, b4, 0x00, 0x1F, 0xFC]) + b"\x00" * 8
+
+    rows = [
+        (1, adts(4, 2)),            # 44100 Hz stereo, MPEG-4
+        (2, adts(11, 1, ver=1)),    # 8000 Hz mono, MPEG-2 ADTS
+        (3, adts(6, 7)),            # 24000 Hz, config 7 -> 8 channels
+        (4, adts(13, 2)),           # reserved sf index -> NULL fields
+        (5, adts(4, 0)),            # inline-PCE channels -> NULL channels
+        (6, bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 8),  # bare MP3 frame
+        (7, adts(4, 2)[:5]),        # truncated under 7 bytes
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in audio_meta(
+            spark.createDataFrame(rows, "doc_id int, payload binary")
+        ).collect()
+    }
+    assert out[1]["audio_format"] == "aac"
+    assert (out[1]["n_channels"], out[1]["sample_rate"]) == (2, 44100)
+    assert (out[2]["n_channels"], out[2]["sample_rate"]) == (1, 8000)
+    assert (out[3]["n_channels"], out[3]["sample_rate"]) == (8, 24000)
+    assert out[4]["audio_format"] == "aac"
+    assert out[4]["sample_rate"] is None and out[4]["n_channels"] is None
+    assert out[5]["sample_rate"] == 44100 and out[5]["n_channels"] is None
+    # a bare MPEG audio frame (layer != 00) must NOT classify as aac
+    assert out[6]["audio_format"] is None
+    assert out[7]["audio_format"] is None
+    # duration/bits are decode-path for ADTS: stay NULL
+    assert out[1]["duration_ms"] is None and out[1]["bits_per_sample"] is None
