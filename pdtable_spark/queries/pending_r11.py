@@ -773,3 +773,78 @@ PENDING_R11["pipeline_column_profile"] = (
     r11_pipeline_column_profile,
     R11_SQL_COLUMN_PROFILE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MERGE-by-key with change log under the value gate
+# (streaming/ingest.py::upsert_stream, new round 10 — the "streaming
+#  MERGE INTO" shape: versioned table state + added/changed delta log,
+#  exactly-once under the ledger-stream retry discipline)
+# ---------------------------------------------------------------------------
+
+R11_SQL_STREAM_UPSERT = """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(0 AS BIGINT) AS batch_id, 'added' AS change_type,
+           k AS o_orderkey, s AS o_orderstatus, cents
+    FROM o WHERE k % 3 = 0
+    UNION ALL
+    SELECT 1, 'changed', k, 'X', cents + 1 FROM o WHERE k % 6 = 0
+    UNION ALL
+    SELECT 1, 'added', k, s, cents FROM o WHERE k % 3 = 1
+"""
+
+
+def r11_stream_upsert_changelog(spark, sf_dir):
+    """The streaming MERGE under the value gate: wave 1 seeds the
+    versioned table with every o_orderkey % 3 == 0 order; wave 2 mixes
+    all three CDC shapes — changed rows (% 6 == 0: new status, bumped
+    cents), IDENTICAL re-sends (% 6 == 3: the null-safe compare must
+    emit NO log row — the property that makes the log a delta feed, not
+    an echo of traffic), and added rows (% 3 == 1).  Each wave is its
+    own ``availableNow`` run over one checkpoint; the oracle states the
+    exact expected change log for both batches, so the as-of state
+    read, the full-outer classification and the dynamic-overwrite
+    idempotency are all value-gated.  The table versions land as
+    integer cents (exact), and the final version is separately pinned
+    by the pytest retry/merge suite."""
+    import tempfile
+
+    from pdtable_spark.streaming.ingest import upsert_stream
+
+    d = tempfile.mkdtemp(prefix="pdtable_upsert_")
+    land, tdir, cdir = f"{d}/land", f"{d}/table", f"{d}/log"
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    w1 = o.filter(F.col("o_orderkey") % 3 == 0)
+    w2 = (
+        o.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("cents", F.col("cents") + 1)
+        .unionByName(o.filter(F.col("o_orderkey") % 6 == 3))
+        .unionByName(o.filter(F.col("o_orderkey") % 3 == 1))
+    )
+    for w in (w1, w2):
+        w.write.parquet(land, mode="append")
+        s = spark.readStream.schema(
+            "o_orderkey long, o_orderstatus string, cents long"
+        ).parquet(land)
+        upsert_stream(s, tdir, cdir, f"{d}/ckpt", "o_orderkey")
+    return spark.read.parquet(cdir).select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "change_type", "o_orderkey", "o_orderstatus", "cents",
+    )
+
+
+PENDING_R11["stream_upsert_changelog"] = (
+    r11_stream_upsert_changelog,
+    R11_SQL_STREAM_UPSERT,
+)

@@ -1,0 +1,190 @@
+"""Streaming upsert ingest: MERGE-by-key per micro-batch with an emitted
+change log — the Delta/Iceberg "streaming MERGE INTO" shape on plain
+parquet, under the repo's exactly-once ledger discipline.
+
+A CDC-ish updates stream (new keys, changed rows, re-sent identical rows)
+lands against a versioned table state:
+
+- the table lives as FULL versions partitioned by ``batch_id`` — each
+  micro-batch writes the complete post-merge table under its own
+  partition (copy-on-write MERGE cost, same as
+  ``io.maintenance.upsert_parquet``, paid per batch); readers take the
+  max-``batch_id`` version (:func:`read_table_version`), old versions
+  are time travel and are pruned by dropping their partitions when they
+  stop mattering;
+- the CHANGE LOG gets one row per key the batch actually changed —
+  ``added`` or ``changed``; an identical re-send produces NO row (the
+  null-safe column comparison of ``io.maintenance.diff_snapshots``), so
+  downstream consumers see deltas, not traffic;
+- exactly-once without transactional storage, the ledger-stream pattern:
+  state reads are AS-OF strictly-earlier batches (a retried batch
+  recomputes against the same pre-state, byte-identically) and both
+  writes are ``batch_id``-partitioned dynamic overwrites that replace
+  themselves on retry.
+
+At 100 TB the full-version rewrite is the documented cost knob: partition
+the table and feed this per partition directory (the
+``compact_parquet``/``forget_keys`` posture), or fall back to the batch
+``upsert_parquet`` + rename for hourly cadences.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdtable_spark.streaming._await import await_or_raise
+from pdtable_spark.streaming.monitor import _ledger_exists
+
+
+def read_table_version(
+    spark: SparkSession, table_dir: str, batch_id: Optional[int] = None
+) -> DataFrame:
+    """The merged table AS-OF a version: the max-``batch_id`` full
+    version (default), or the state right after ``batch_id`` — time
+    travel over the retained partitions."""
+    all_v = spark.read.parquet(table_dir)
+    if batch_id is not None:
+        all_v = all_v.filter(F.col("batch_id") <= batch_id)
+    mx = all_v.agg(F.max("batch_id")).collect()[0][0]
+    if mx is None:
+        raise ValueError(f"read_table_version: no versions under {table_dir}")
+    return all_v.filter(F.col("batch_id") == mx).drop("batch_id")
+
+
+def _upsert_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    table_dir: str,
+    changelog_dir: str,
+    key_cols: List[str],
+    compare_cols: List[str],
+    seq_col: Optional[str],
+) -> None:
+    """One micro-batch of the streaming MERGE (split out for unit tests
+    and retry-idempotence proofs).  See module docstring for the state
+    and exactly-once contract."""
+    keys, comps = list(key_cols), list(compare_cols)
+    cols = keys + comps
+    b = batch_df.select(*cols, *([seq_col] if seq_col else []))
+    if seq_col:
+        # last-writer-wins WITHIN the batch, deterministically: highest
+        # seq, ties to the lexicographically-greatest compared values
+        # (a total order, so a retried batch picks the same winner)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc(seq_col), *[F.desc(c) for c in comps]
+        )
+        b = (
+            b.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*cols)
+        )
+    else:
+        # without a sequence column the batch must already be key-unique
+        # — a silent arbitrary pick would make retries nondeterministic
+        dup = b.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                "upsert_stream: batch has duplicate keys and no seq_col "
+                f"to pick a winner (e.g. {tuple(dup[0][k] for k in keys)}); "
+                "pass seq_col= for last-writer-wins"
+            )
+        b = b.select(*cols)
+
+    prev = spark.createDataFrame([], b.schema)
+    if _ledger_exists(spark, table_dir):
+        all_prev = spark.read.parquet(table_dir).filter(
+            F.col("batch_id") < batch_id
+        )
+        mx = all_prev.agg(F.max("batch_id")).collect()[0][0]
+        if mx is not None:
+            prev = all_prev.filter(F.col("batch_id") == mx).select(*cols)
+
+    # null-safe full outer on the keys, presence tracked with marker
+    # columns (the diff_snapshots contract: a NULL key can match)
+    o = prev.withColumn("_o", F.lit(True)).alias("o")
+    n = b.withColumn("_n", F.lit(True)).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    j = o.join(n, cond, "full_outer")
+    same = None
+    for c in comps:
+        eq = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("o._o").isNull(), F.lit("added"))
+        .when(F.col("n._n").isNull(), F.lit(None))  # untouched key
+        .when(same if same is not None else F.lit(True), F.lit(None))
+        .otherwise(F.lit("changed"))
+    )
+    merged = j.select(
+        *[F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys],
+        *[
+            F.when(F.col("n._n").isNotNull(), F.col(f"n.{c}"))
+            .otherwise(F.col(f"o.{c}"))
+            .alias(c)
+            for c in comps
+        ],
+        change.alias("change_type"),
+    )
+    (
+        merged.filter(F.col("change_type").isNotNull())
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(changelog_dir)
+    )
+    (
+        merged.drop("change_type")
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(table_dir)
+    )
+
+
+def upsert_stream(
+    updates: DataFrame,
+    table_dir: str,
+    changelog_dir: str,
+    checkpoint_dir: str,
+    key_cols: Union[str, Sequence[str]],
+    compare_cols: Optional[Sequence[str]] = None,
+    seq_col: Optional[str] = None,
+    timeout: Optional[int] = 120,
+):
+    """Run the streaming MERGE over ``updates``: per micro-batch,
+    dedup by key (``seq_col`` last-writer-wins, or loud error on a
+    non-unique batch), merge into the previous table version, emit
+    ``added``/``changed`` change-log rows (identical re-sends emit
+    nothing), and write the new full version — both under this batch's
+    partition, retry-idempotent.  ``compare_cols`` defaults to every
+    non-key, non-seq column of the stream."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in updates.columns if c not in keys and c != seq_col
+        ]
+    comps = list(compare_cols)
+    spark = updates.sparkSession
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        _upsert_batch(
+            spark, batch_df, batch_id, table_dir, changelog_dir,
+            keys, comps, seq_col,
+        )
+
+    q = (
+        updates.writeStream.outputMode("append")
+        .foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return await_or_raise(q, timeout, "upsert_stream")

@@ -731,3 +731,92 @@ def test_heavy_hitter_batch_long_keys_keep_type(spark, tmp_path):
     }
     assert got[(1, big_key)] == (5, 5)  # exact merge, no double rounding
     assert got[(1, 7)] == (1, 1)
+
+
+def test_upsert_batch_merge_changelog_and_retry(spark, tmp_path):
+    """The streaming MERGE's exactly-once story: batch 0 adds everything,
+    batch 1 classifies changed / identical-resend (no log row) / added /
+    untouched, the full version advances, and a RETRY of batch 1
+    recomputes byte-identically against the as-of-batch-0 state."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.streaming.ingest import (
+        _upsert_batch,
+        read_table_version,
+    )
+
+    tdir, cdir = str(tmp_path / "table"), str(tmp_path / "log")
+    b0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k int, s string, v int",
+    )
+    # 2 changed, 3 re-sent identical, 5 added, 1/4 untouched; NULL
+    # compare-value transitions must count as changes (null-safe eq)
+    b1 = spark.createDataFrame(
+        [(2, "B", 20), (3, "c", 30), (5, "e", 50), (4, "d", 40)],
+        "k int, s string, v int",
+    )
+    for bid, df in ((0, b0), (1, b1)):
+        _upsert_batch(spark, df, bid, tdir, cdir, ["k"], ["s", "v"], None)
+
+    log = {
+        (r["batch_id"], r["k"]): r["change_type"]
+        for r in spark.read.parquet(cdir).collect()
+    }
+    assert {k: v for k, v in log.items() if k[0] == 0} == {
+        (0, 1): "added", (0, 2): "added", (0, 3): "added", (0, 4): "added"
+    }
+    # batch 1: 2 changed, 4 changed (NULL -> 'd'), 5 added, 3 NO row
+    assert {k: v for k, v in log.items() if k[0] == 1} == {
+        (1, 2): "changed", (1, 4): "changed", (1, 5): "added"
+    }
+    cur = {r["k"]: (r["s"], r["v"]) for r in read_table_version(spark, tdir).collect()}
+    assert cur == {1: ("a", 10), 2: ("B", 20), 3: ("c", 30),
+                   4: ("d", 40), 5: ("e", 50)}
+    # time travel to the batch-0 version
+    v0 = {r["k"]: r["s"] for r in read_table_version(spark, tdir, 0).collect()}
+    assert v0 == {1: "a", 2: "b", 3: "c", 4: None}
+
+    def snap(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()), key=repr)
+
+    before, log_before = snap(tdir), snap(cdir)
+    _upsert_batch(spark, b1, 1, tdir, cdir, ["k"], ["s", "v"], None)  # retry
+    assert snap(tdir) == before and snap(cdir) == log_before
+
+    # duplicate keys without seq_col fail loudly; with seq_col the
+    # highest sequence wins deterministically
+    dup = spark.createDataFrame(
+        [(7, "x", 1, 100), (7, "y", 2, 200)], "k int, s string, seq int, v int"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        _upsert_batch(spark, dup.drop("seq"), 2, tdir, cdir, ["k"], ["s", "v"], None)
+    _upsert_batch(spark, dup, 2, tdir, cdir, ["k"], ["s", "v"], "seq")
+    cur2 = {r["k"]: (r["s"], r["v"]) for r in read_table_version(spark, tdir).collect()}
+    assert cur2[7] == ("y", 200)
+
+
+def test_upsert_stream_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.streaming.ingest import read_table_version, upsert_stream
+
+    land = str(tmp_path / "land")
+    tdir, cdir, ck = (
+        str(tmp_path / "table"), str(tmp_path / "log"), str(tmp_path / "ck")
+    )
+    w1 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    w2 = spark.createDataFrame([(2, 99), (3, 30)], "k int, v int")
+    for w in (w1, w2):
+        w.write.parquet(land, mode="append")
+        s = spark.readStream.schema("k int, v int").parquet(land)
+        upsert_stream(s, tdir, cdir, ck, "k")
+    cur = {r["k"]: r["v"] for r in read_table_version(spark, tdir).collect()}
+    assert cur == {1: 10, 2: 99, 3: 30}
+    log = sorted(
+        (r["batch_id"], r["k"], r["change_type"])
+        for r in spark.read.parquet(cdir).collect()
+    )
+    assert log == [(0, 1, "added"), (0, 2, "added"),
+                   (1, 2, "changed"), (1, 3, "added")]
