@@ -250,7 +250,11 @@ def r10_embedding_pca_project(spark, sf_dir):
             lambda acc, v: acc + v,
         )
 
-    pairs = side("a").join(side("b"), F.col("id_a") <= F.col("id_b"))
+    # the probe set is 8 rows by construction — broadcast one side so
+    # the non-equi pairing plans as a bounded BroadcastNestedLoopJoin,
+    # never a raw CartesianProduct (the plans.lint error class; caught
+    # by the dump_plans lint gate the round it was added)
+    pairs = side("a").join(F.broadcast(side("b")), F.col("id_a") <= F.col("id_b"))
     dot_raw = ddot(F.col("ea"), F.col("eb"))
     dot_proj = ddot(F.col("pa"), F.col("pb"))
     tol = F.greatest(F.lit(1e-9), F.abs(dot_raw) * F.lit(1e-9))

@@ -146,6 +146,10 @@ def main():
         "multimodal_audio_meta",
         "multimodal_video_meta",
         "embedding_gram_ledger",
+        "lake_zorder_cells",
+        "pipeline_column_profile",
+        # (stream_gram_ledger / stream_upsert_changelog excluded per the
+        # streaming policy above)
     ]
 
     out = [
@@ -154,15 +158,17 @@ def main():
         f"Generated by `scripts/dump_plans.py` at {SF_DIR} (final adaptive plans —",
         "executed, AQE conversions applied).",
         "",
-        "| query | shuffles | broadcast joins | sort-merge joins | pushed filters |",
-        "|---|---|---|---|---|",
+        "| query | shuffles | broadcast joins | sort-merge joins | pushed filters | lint |",
+        "|---|---|---|---|---|---|",
     ]
+    from pdtable_spark.plans import plan_lint
     from pdtable_spark.queries.pending_r11 import PENDING_R11
 
     resolved = dict(QUERIES)
     resolved.update({n: fn for n, (fn, _sql) in PENDING_R11.items()})
 
     details = []
+    lint_errors = []
     for name in HEADLINE + extra:
         df = resolved[name](spark, SF_DIR)
         formatted = df._jdf.queryExecution().explainString(
@@ -183,9 +189,17 @@ def main():
         n_smj = len(re.findall(r"SortMergeJoin", plan))
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
         n_pushed = sum(1 for p in pushed if p.strip())
+        # the automated gate: error-severity lint findings (row-Python
+        # eval, unbounded cartesians) fail this script — the per-query
+        # plan contracts in tests/test_plans.py pin shapes; this sweeps
+        # the whole evidence set every regeneration
+        findings = plan_lint(df)
+        errs = [f for f in findings if f["severity"] == "error"]
+        lint_errors.extend((name, f) for f in errs)
+        lint_cell = "ERROR" if errs else "ok"
         out.append(
             f"| {name} | {n_shuffle} | {n_bhj} | {n_smj} | "
-            f"{n_pushed} scan(s) with pushdown |"
+            f"{n_pushed} scan(s) with pushdown | {lint_cell} |"
         )
         # per-query detail: the scan lines (pushdown + read schema width)
         scans = re.findall(
@@ -213,6 +227,10 @@ def main():
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     print("wrote PLANS.md")
+    if lint_errors:
+        for name, f in lint_errors:
+            print(f"LINT ERROR {name}: {f['code']} — {f['detail']}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -827,3 +827,68 @@ def test_margin_mining_ivf_broadcast_probes_pruned_windows(spark):
     assert "BroadcastHashJoin" in plan  # probes joined broadcast on cell
     assert plan.count("WindowGroupLimit") >= 4  # partial+final per branch
     assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# plan_lint: the automated plan-contract gate
+# ---------------------------------------------------------------------------
+
+def test_plan_lint_detects_each_smell(spark, tmp_path):
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pdtable_spark.plans import assert_clean, plan_lint
+
+    def codes(df):
+        return {f["code"] for f in plan_lint(df)}
+
+    a = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    b = spark.range(50).select(F.col("id").alias("id2"))
+
+    # row-at-a-time Python UDF -> error
+    slow = F.udf(lambda x: x + 1, T.LongType())
+    assert "python-row-eval" in codes(a.select(slow("id")))
+    with pytest.raises(AssertionError, match="python-row-eval"):
+        assert_clean(a.select(slow("id")))
+
+    # cartesian product -> error (hint forces the shuffle-replicate
+    # spelling; an unhinted tiny side would broadcast-nested-loop)
+    assert "cartesian-product" in codes(
+        a.hint("shuffle_replicate_nl").crossJoin(b)
+    )
+
+    # broadcast nested loop -> warn; allowlist lets it pass as documented
+    bnl = a.join(F.broadcast(b), F.col("id") > F.col("id2"))
+    assert "broadcast-nested-loop" in codes(bnl)
+    assert_clean(bnl, allow=["broadcast-nested-loop"])
+
+    # global window -> single-partition exchange warn
+    from pyspark.sql import Window
+
+    gw = a.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert "single-partition-exchange" in codes(gw)
+
+    # arrow-batched pandas stage -> info only; clean at warn level
+    @F.pandas_udf("long")
+    def fast(s: pd.Series) -> pd.Series:
+        return s + 1
+
+    arrow = a.select(fast("id"))
+    assert "python-arrow-eval" in codes(arrow)
+    assert_clean(arrow)  # info does not gate
+
+    # unpushed filter: predicate on a computed column over parquet
+    p = str(tmp_path / "t")
+    a.write.parquet(p)
+    unpushed = spark.read.parquet(p).filter((F.col("id") * 3 % 11) == 1)
+    assert "filter-not-pushed" in codes(unpushed)
+    # pushed filter on a raw column: no finding
+    pushed = spark.read.parquet(p).filter(F.col("id") > 50)
+    assert "filter-not-pushed" not in codes(pushed)
+
+    # a clean aggregation: one shuffle, reported as info only
+    agg = a.groupBy("k").count()
+    fs = assert_clean(agg)
+    assert {"shuffle-count"} >= {f["code"] for f in fs}
