@@ -198,6 +198,10 @@ EXTENDED = [
     # pre-flight (one aggregate pass per table, unpivot on the single
     # aggregate row)
     "pipeline_column_profile",
+    # round-10 in-round addition (staged r11): JSON shape census
+    # (synthesize varying-shape docs, two bounded explodes, one
+    # path-domain aggregate)
+    "pipeline_json_profile",
 ]
 
 

@@ -737,6 +737,83 @@ def table_profile(
     )
 
 
+def json_profile(
+    df: DataFrame, json_col: str, max_depth: int = 2
+) -> DataFrame:
+    """Schema profile of a semi-structured JSON column: (path, kind, n)
+    counts over the key paths actually present — the ingest-QA pass that
+    answers "what shapes are in this events feed, and did yesterday's
+    producer change them" before anything writes a typed schema.
+
+    ``kind`` classifies each value as ``object`` / ``array`` /
+    ``scalar`` / ``null`` (numbers, strings and booleans all land in
+    ``scalar``: the map-typed reparse this runs on unquotes JSON
+    strings, so "1" and 1 are indistinguishable — typed drill-down is
+    the VARIANT/typed-schema step AFTER this profile names the paths).
+    A string value that merely LOOKS like JSON does not fool the
+    classifier: object/array require the bracket AND a successful
+    reparse.  The root path ``$`` classifies each document —
+    ``object`` or ``invalid`` (unparseable / non-object) — so feed
+    corruption shows up as its own row instead of silently vanishing.
+
+    Depth is capped at ``max_depth`` (1 or 2) BY CONSTRUCTION — each
+    level is one ``explode`` of a parsed map, so codegen size is fixed
+    and a pathological deeply-nested document cannot recurse.  Scale:
+    one scan, per-level explodes bounded by key counts, one
+    path-domain-sized aggregate — nothing row-sized shuffles.
+    """
+    if max_depth not in (1, 2):
+        raise ValueError(f"json_profile: max_depth must be 1 or 2, got {max_depth}")
+
+    def kind_of(val):
+        obj = F.from_json(val, "map<string,string>")
+        arr = F.from_json(val, "array<string>")
+        return (
+            F.when(val.isNull(), F.lit("null"))
+            .when(val.startswith("{") & obj.isNotNull(), F.lit("object"))
+            .when(val.startswith("[") & arr.isNotNull(), F.lit("array"))
+            .otherwise(F.lit("scalar"))
+        )
+
+    raw = F.col(json_col)
+    m1 = F.from_json(raw, "map<string,string>")
+    root = df.select(
+        F.lit("$").alias("path"),
+        F.when(raw.isNotNull() & raw.startswith("{") & m1.isNotNull(),
+               F.lit("object"))
+        .otherwise(F.lit("invalid"))
+        .alias("kind"),
+    )
+    l1 = df.select(F.explode(m1).alias("k1", "v1")).select(
+        F.concat(F.lit("$."), F.col("k1")).alias("path"),
+        kind_of(F.col("v1")).alias("kind"),
+        F.col("v1"),
+        F.col("k1"),
+    )
+    levels = [root, l1.select("path", "kind")]
+    if max_depth >= 2:
+        m2 = F.from_json(F.col("v1"), "map<string,string>")
+        l2 = (
+            l1.filter(F.col("kind") == "object")
+            .select(F.col("k1"), F.explode(m2).alias("k2", "v2"))
+            .select(
+                F.concat(
+                    F.lit("$."), F.col("k1"), F.lit("."), F.col("k2")
+                ).alias("path"),
+                kind_of(F.col("v2")).alias("kind"),
+            )
+        )
+        levels.append(l2)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return (
+        out.groupBy("path", "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("path", "kind")
+    )
+
+
 def filter_agreement(df: DataFrame, flag_cols: List[str]) -> DataFrame:
     """Pairwise agreement between boolean filter columns — observed
     agreement and Cohen's kappa per unordered pair: the curation-QA

@@ -848,3 +848,74 @@ PENDING_R11["stream_upsert_changelog"] = (
     r11_stream_upsert_changelog,
     R11_SQL_STREAM_UPSERT,
 )
+
+
+# ---------------------------------------------------------------------------
+# JSON schema profile under the value gate
+# (operators/monitor.py::json_profile, new round 10 — the semi-structured
+#  ingest-QA pass: (path, kind, n) over the key paths actually present)
+# ---------------------------------------------------------------------------
+
+R11_SQL_JSON_PROFILE = """
+    WITH e AS (SELECT event_id FROM events)
+    SELECT path, kind, CAST(n AS BIGINT) AS n FROM (
+      SELECT '$' AS path, 'object' AS kind, COUNT(*) AS n FROM e
+      UNION ALL
+      SELECT '$.t', 'scalar', COUNT(*) FROM e
+      UNION ALL
+      SELECT '$.v', 'scalar', COUNT(*) FROM e WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT '$.ctx', 'object', COUNT(*) FROM e WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT '$.ctx.u', 'scalar', COUNT(*) FROM e WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT '$.ctx.m', 'scalar', COUNT(*) FROM e WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT '$.tags', 'array', COUNT(*) FROM e WHERE event_id % 4 = 0
+    ) ORDER BY path, kind
+"""
+
+
+def r11_pipeline_json_profile(spark, sf_dir):
+    """The semi-structured ingest-QA pass under the value gate: per-event
+    JSON documents are synthesized in-engine with VARYING shape —
+    ``t`` always present, ``v`` a scalar on even event_ids, ``ctx`` a
+    nested object (two scalar children) on every third, ``tags`` an
+    array on every fourth; ``to_json``'s null-field omission makes
+    absence REAL absence, not a null placeholder — then ``json_profile``
+    reconstructs the (path, kind, n) census and the oracle states every
+    count as pure arithmetic over event_id (no JSON functions on the
+    oracle side at all: shape IS a function of the source columns).
+
+    Scale shape: one scan, bounded per-level explodes, one
+    path-domain aggregate."""
+    from pdtable_spark.operators.monitor import json_profile
+
+    ev = load(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.when(
+                F.col("event_id") % 2 == 0, F.coalesce(F.col("value"), F.lit(0.0))
+            ).alias("v"),
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.struct(
+                    F.col("user_id").alias("u"),
+                    (F.col("event_id") % 5).alias("m"),
+                ),
+            ).alias("ctx"),
+            F.when(
+                F.col("event_id") % 4 == 0,
+                F.array(F.col("event_id") % 3, F.col("event_id") % 7),
+            ).alias("tags"),
+        ),
+        {"ignoreNullFields": "true"},
+    )
+    return json_profile(ev.select(doc.alias("j")), "j")
+
+
+PENDING_R11["pipeline_json_profile"] = (
+    r11_pipeline_json_profile,
+    R11_SQL_JSON_PROFILE,
+)

@@ -4798,3 +4798,39 @@ def test_audio_meta_adts_aac(spark):
     assert out[7]["audio_format"] is None
     # duration/bits are decode-path for ADTS: stay NULL
     assert out[1]["duration_ms"] is None and out[1]["bits_per_sample"] is None
+
+
+def test_json_profile_paths_kinds_and_guards(spark):
+    import pytest
+
+    from pdtable_spark.operators.monitor import json_profile
+
+    rows = [
+        ('{"a": 1, "b": "x", "c": {"d": 2, "e": [1]}, "f": [1,2], "g": null}',),
+        ('{"a": "1", "c": {"d": "y"}}',),
+        ('{"a": true, "s": "{not json", "t": "[nope"}',),
+        ("not json at all",),
+        (None,),
+        ("[1, 2]",),  # valid JSON but not an object: invalid root
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    got = {
+        (r["path"], r["kind"]): r["n"] for r in json_profile(df, "j").collect()
+    }
+    assert got[("$", "object")] == 3 and got[("$", "invalid")] == 3
+    # "1" (string) and 1 and true all land in scalar — documented
+    assert got[("$.a", "scalar")] == 3
+    assert got[("$.b", "scalar")] == 1
+    assert got[("$.c", "object")] == 2
+    assert got[("$.c.d", "scalar")] == 2
+    assert got[("$.c.e", "array")] == 1
+    assert got[("$.f", "array")] == 1
+    assert got[("$.g", "null")] == 1
+    # look-like-JSON strings must NOT classify as object/array
+    assert got[("$.s", "scalar")] == 1 and got[("$.t", "scalar")] == 1
+    # depth cap: no $.c.e.* rows ever, and max_depth=1 drops level 2
+    assert not any(p.count(".") > 2 for p, _ in got)
+    d1 = {r["path"] for r in json_profile(df, "j", max_depth=1).collect()}
+    assert "$.c" in d1 and not any(p.startswith("$.c.") for p in d1)
+    with pytest.raises(ValueError, match="max_depth"):
+        json_profile(df, "j", max_depth=3)
