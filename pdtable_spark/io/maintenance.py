@@ -167,6 +167,55 @@ def zorder_key(bucket_cols: Sequence[Column], bits_per_col: int) -> Column:
     return z
 
 
+def hilbert_key(bx: Column, by: Column, bits: int) -> Column:
+    """Hilbert-curve key for TWO bucket columns of ``bits`` bits each —
+    the locality upgrade over :func:`zorder_key`: consecutive keys are
+    always Manhattan-adjacent cells (the Z curve jumps at power-of-two
+    seams), so per-file bounding boxes come out tighter for the same
+    file count.
+
+    The classic xy→d walk (rotate-and-reflect per quadrant, MSB down)
+    runs as ONE bounded ``F.aggregate`` fold over the bit sequence —
+    state is a (x, y, d) struct, codegen size constant in ``bits``,
+    pure JVM arithmetic, no UDF.  Costs ~4x the Z key's expression
+    work per row; both are noise next to the range shuffle that
+    follows.  The Z spelling keeps the cross-engine value oracle (its
+    interleave is plain bit SQL); Hilbert is pinned by the python-
+    reference parity + adjacency pytest instead.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"hilbert_key: bits must be in [1, 31], got {bits}")
+
+    def step(acc, _):
+        # the per-level cell size s rides IN the accumulator (halving
+        # each step) because shiftleft takes only literal shift counts
+        s = acc["s"]
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        d = acc["d"] + s * s * ((rx * 3).bitwiseXOR(ry))
+        # quadrant rotation: on ry == 0, reflect when rx == 1, then swap
+        fx = F.when(rx == 1, s - 1 - acc["x"]).otherwise(acc["x"])
+        fy = F.when(rx == 1, s - 1 - acc["y"]).otherwise(acc["y"])
+        nx = F.when(ry == 1, acc["x"]).otherwise(fy)
+        ny = F.when(ry == 1, acc["y"]).otherwise(fx)
+        return F.struct(
+            nx.alias("x"),
+            ny.alias("y"),
+            d.alias("d"),
+            F.floor(s / 2).cast("long").alias("s"),
+        )
+
+    init = F.struct(
+        bx.cast("long").alias("x"),
+        by.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+        F.lit(1 << (bits - 1)).cast("long").alias("s"),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(bits))), init, step
+    )["d"]
+
+
 def write_zordered_parquet(
     df: DataFrame,
     path: str,
@@ -174,6 +223,7 @@ def write_zordered_parquet(
     bits_per_col: int = 8,
     partitions: Optional[int] = None,
     bounds: Optional[dict] = None,
+    curve: str = "z",
 ) -> dict:
     """Write ``df`` Z-order-clustered on ``cluster_cols`` (integral columns
     — pre-quantize doubles, see :func:`int_bucket`): the multi-column
@@ -191,8 +241,10 @@ def write_zordered_parquet(
     100 TB lake wants when queries filter on more than the leading sort
     column.  Returns the ``{col: (lo, hi)}`` bounds artifact.
 
-    Verify with :func:`clustering_stats` (per-file footer-stat widths —
-    the pruning certificate).
+    ``curve="hilbert"`` (2-D only) swaps the interleave for
+    :func:`hilbert_key` — adjacency-preserving, tighter boxes, same
+    one-shuffle plan.  Verify either with :func:`clustering_stats`
+    (per-file footer-stat widths — the pruning certificate).
     """
     cols = list(cluster_cols)
     if bounds is None:
@@ -208,7 +260,20 @@ def write_zordered_parquet(
         int_bucket(F.col(c), int(bounds[c][0]), int(bounds[c][1]), bits_per_col)
         for c in cols
     ]
-    keyed = df.withColumn("__z", zorder_key(buckets, bits_per_col))
+    if curve == "z":
+        key = zorder_key(buckets, bits_per_col)
+    elif curve == "hilbert":
+        if len(buckets) != 2:
+            raise ValueError(
+                f"write_zordered_parquet: curve='hilbert' is 2-D only, "
+                f"got {len(buckets)} cluster columns"
+            )
+        key = hilbert_key(buckets[0], buckets[1], bits_per_col)
+    else:
+        raise ValueError(
+            f"write_zordered_parquet: unknown curve {curve!r} (z | hilbert)"
+        )
+    keyed = df.withColumn("__z", key)
     parted = (
         keyed.repartitionByRange(partitions, "__z")
         if partitions is not None

@@ -5,9 +5,10 @@ staging discipline), registered under ``@q`` at the top of round 11.
 Round-11 window arithmetic (write it into ``__spark_entry__._PRIORITY``
 at registration time): after CORRECTNESS_r10 reports the r10 head-50,
 the evidence ages are r10: 50, r7: 48, r8: 50, r9: 50 — so the round-11
-head-50 is the entries in this file + the oldest r7-evidence rows
-(CORRECTNESS_r07 report order, starting at ``pipeline_score_
-calibration``) topped up to 50 exactly.
+head-50 is the NINE entries in this file + the 41 oldest r7-evidence
+rows (CORRECTNESS_r07 report order, starting at ``pipeline_score_
+calibration``) = 50 exactly; the remaining 7 r7-evidence rows head the
+r12 window.
 
 Every entry here is ALREADY under the correctness gate:
 ``tests/test_env_contract.py::test_pending_r11_oracles`` runs each

@@ -574,3 +574,60 @@ def test_zorder_write_plan_single_range_exchange(spark, tmp_path):
     assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _py_hilbert(x, y, bits):
+    d, s = 0, 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_parity_and_adjacency(spark, tmp_path):
+    import pytest
+
+    bits, n = 4, 16
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", maintenance.hilbert_key(F.col("x"), F.col("y"), bits).alias("d")
+    ).collect()
+    by_d = {}
+    for r in got:
+        assert r["d"] == _py_hilbert(r["x"], r["y"], bits), (r["x"], r["y"])
+        by_d[r["d"]] = (r["x"], r["y"])
+    # a true Hilbert walk: bijective onto [0, 4^bits) and every
+    # consecutive pair of keys is Manhattan-adjacent (the property the
+    # Z curve lacks at power-of-two seams)
+    assert sorted(by_d) == list(range(n * n))
+    for d in range(1, n * n):
+        (x1, y1), (x2, y2) = by_d[d - 1], by_d[d]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+    with pytest.raises(ValueError, match="bits"):
+        maintenance.hilbert_key(F.col("x"), F.col("y"), 0)
+
+    # curve="hilbert" layout: identity + 2-D-only guard
+    out = str(tmp_path / "hil")
+    big = spark.range(5000).select(
+        (F.col("id") % 64).alias("x"), ((F.col("id") * 31) % 64).alias("y")
+    )
+    maintenance.write_zordered_parquet(
+        big, out, ["x", "y"], bits_per_col=6, partitions=4, curve="hilbert"
+    )
+    assert spark.read.parquet(out).count() == 5000
+    with pytest.raises(ValueError, match="2-D only"):
+        maintenance.write_zordered_parquet(
+            big.withColumn("z3", F.col("x")), out, ["x", "y", "z3"],
+            bits_per_col=4, curve="hilbert",
+        )
+    with pytest.raises(ValueError, match="unknown curve"):
+        maintenance.write_zordered_parquet(
+            big, out, ["x", "y"], bits_per_col=4, curve="peano"
+        )
