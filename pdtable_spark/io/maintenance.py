@@ -349,6 +349,45 @@ def clustering_stats(
     )
 
 
+def lake_report(
+    spark: SparkSession,
+    path: str,
+    small_file_bytes: int = 16 * 1024 * 1024,
+) -> DataFrame:
+    """Lake-health summary for a parquet dataset — the compaction
+    pre-flight: ONE row with file count, bytes, row counts, per-file
+    extremes, and how many files sit under ``small_file_bytes`` (the
+    scan-overhead population :func:`compact_parquet` exists to retire).
+
+    Reads only the ``_metadata`` hidden columns plus nothing from the
+    data pages (column-pruned scan; row counts come from a per-file
+    aggregate of the same scan).  At 100 TB run it per partition
+    directory like the other maintenance ops — the output is one row
+    either way.
+    """
+    per_file = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.file_size").alias("bytes"),
+        )
+        .groupBy("file", "bytes")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.min("bytes").cast("long").alias("min_file_bytes"),
+        F.max("bytes").cast("long").alias("max_file_bytes"),
+        F.sum(F.when(F.col("bytes") < small_file_bytes, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_files"),
+        F.min("n_rows").cast("long").alias("min_file_rows"),
+        F.max("n_rows").cast("long").alias("max_file_rows"),
+    )
+
+
 def diff_snapshots(
     old: DataFrame,
     new: DataFrame,

@@ -631,3 +631,18 @@ def test_hilbert_key_parity_and_adjacency(spark, tmp_path):
         maintenance.write_zordered_parquet(
             big, out, ["x", "y"], bits_per_col=4, curve="peano"
         )
+
+
+def test_lake_report_counts_small_files(spark, tmp_path):
+    p = str(tmp_path / "lake")
+    spark.range(10_000).repartition(8).write.parquet(p)
+    r = maintenance.lake_report(spark, p, small_file_bytes=10**9).collect()[0]
+    assert r["n_files"] == 8 and r["total_rows"] == 10_000
+    assert r["n_small_files"] == 8  # everything under 1 GB here
+    assert r["min_file_bytes"] > 0 and r["max_file_bytes"] >= r["min_file_bytes"]
+    assert r["min_file_rows"] + r["max_file_rows"] <= 10_000
+    # after compaction the small-file population collapses
+    out = maintenance.compact_parquet(spark, p, target_file_bytes=10**9)
+    r2 = maintenance.lake_report(spark, out, small_file_bytes=1).collect()[0]
+    assert r2["n_files"] == 1 and r2["n_small_files"] == 0
+    assert r2["total_rows"] == 10_000
