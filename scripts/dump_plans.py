@@ -148,6 +148,7 @@ def main():
         "embedding_gram_ledger",
         "lake_zorder_cells",
         "pipeline_column_profile",
+        "pipeline_json_profile",
         # (stream_gram_ledger / stream_upsert_changelog excluded per the
         # streaming policy above)
     ]
