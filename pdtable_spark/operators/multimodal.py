@@ -710,12 +710,12 @@ def _jpeg_sof_walk(payload, max_segments: int = 64):
             .otherwise(fail)
         )
 
-    final = F.aggregate(
+    # one copy of the fold tree in the plan — see _wav_chunk_walk's note
+    return F.aggregate(
         F.sequence(F.lit(1), F.lit(int(max_segments))),
         mk(F.lit(3), None, None, 0),  # 1-indexed: first marker after SOI
         step,
     )
-    return F.struct(final["w"].alias("w"), final["h"].alias("h"))
 
 
 def _tiff_ifd_walk(payload, le: bool, max_entries: int = 32):
@@ -874,10 +874,26 @@ def image_meta(
     # the walk is CaseWhen-guarded: non-JPEG rows never evaluate it (the
     # fold's two uses below each re-evaluate on JPEG rows — a bounded
     # header-byte loop, cheaper than forcing a materialization barrier)
-    jd = _jpeg_sof_walk(p, jpeg_max_segments)
-    td = F.when(is_tiff_le, _tiff_ifd_walk(p, le=True)).otherwise(
-        _tiff_ifd_walk(p, le=False)
+    # same one-evaluation discipline as audio_meta: the walks are
+    # interpreted folds referenced by BOTH dim columns — materialize each
+    # once (CollapseProject keeps non-cheap aliases un-inlined)
+    assets = assets.withColumn(
+        "__jpeg_walk",
+        F.when(
+            F.substring(p, 1, 3) == F.lit(bytes([0xFF, 0xD8, 0xFF])),
+            _jpeg_sof_walk(p, jpeg_max_segments),
+        ),
+    ).withColumn(
+        "__tiff_walk",
+        F.when(
+            F.substring(p, 1, 4) == F.lit(bytes([0x49, 0x49, 0x2A, 0x00])),
+            _tiff_ifd_walk(p, le=True),
+        ).when(
+            F.substring(p, 1, 4) == F.lit(bytes([0x4D, 0x4D, 0x00, 0x2A])),
+            _tiff_ifd_walk(p, le=False),
+        ),
     )
+    jd, td = F.col("__jpeg_walk"), F.col("__tiff_walk")
     width = (
         F.when(is_png, _be_uint(p, 17, 4))
         .when(is_gif, _le_uint(p, 7, 2))
@@ -899,7 +915,7 @@ def image_meta(
         fmt.alias(format_col),
         width.alias(width_col),
         height.alias(height_col),
-    )
+    ).drop("__jpeg_walk", "__tiff_walk")
 
 
 def _wav_chunk_walk(payload, max_chunks: int = 64):
@@ -989,14 +1005,15 @@ def _wav_chunk_walk(payload, max_chunks: int = 64):
             )
         )
 
-    final = F.aggregate(
+    # return the fold struct ITSELF (callers extract fields from the
+    # materialized column): re-wrapping per field would put one full copy
+    # of the aggregate tree in the plan per consumed field, and analysis
+    # cost scales with plan size.  The pos/st bookkeeping fields ride
+    # along, documented internals.
+    return F.aggregate(
         F.sequence(F.lit(1), F.lit(int(max_chunks))),
         mk(F.lit(13), None, None, None, None, 0),  # 1-indexed, after WAVE
         step,
-    )
-    return F.struct(
-        final["ch"].alias("ch"), final["rate"].alias("rate"),
-        final["bits"].alias("bits"), final["data"].alias("data"),
     )
 
 
@@ -1053,7 +1070,18 @@ def audio_meta(
     is_flac = F.substring(p, 1, 4) == F.lit(b"fLaC")
     is_ogg = F.substring(p, 1, 4) == F.lit(b"OggS")
     is_mp3 = F.substring(p, 1, 3) == F.lit(b"ID3")
-    w = _wav_chunk_walk(p, max_chunks)
+    # materialize the chunk-walk FOLD once per row in an inner projection:
+    # higher-order-function lambdas run interpreted (outside codegen) and
+    # their trees are expensive for Catalyst to ANALYZE — six output
+    # columns each embedding the fold would put six copies in the plan.
+    # CollapseProject deliberately does not re-inline non-cheap aliases
+    # (SPARK-36718), so the two-stage select keeps ONE copy; the format
+    # guard rides on the column (CaseWhen is lazy), so non-WAV rows skip
+    # the fold and field access on the NULL struct degrades to NULL.
+    assets = assets.withColumn(
+        "__wav_walk", F.when(is_wav, _wav_chunk_walk(p, max_chunks))
+    )
+    w = F.col("__wav_walk")
     # ADTS AAC: a bare stream starts at the first frame header — 12-bit
     # sync FFF with LAYER 00 (which is what separates it from a bare MP3
     # frame: MPEG audio layers are 01/10/11, ADTS is spec-fixed to 00).
@@ -1217,7 +1245,7 @@ def audio_meta(
         bits.alias("bits_per_sample"),
         data.alias("data_bytes"),
         dur.alias("duration_ms"),
-    )
+    ).drop("__wav_walk")
 
 
 def _avi_header_walk(payload, max_chunks: int = 16):
