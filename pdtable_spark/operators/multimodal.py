@@ -1309,14 +1309,11 @@ def _avi_header_walk(payload, max_chunks: int = 16):
             .otherwise(mk(nxt, None, None, None, None, 0))
         )
 
-    final = F.aggregate(
+    # one copy of the fold tree in the plan — see _wav_chunk_walk's note
+    return F.aggregate(
         F.sequence(F.lit(1), F.lit(int(max_chunks))),
         mk(F.lit(13), None, None, None, None, 0),  # after RIFF size + 'AVI '
         step,
-    )
-    return F.struct(
-        final["uspf"].alias("uspf"), final["frames"].alias("frames"),
-        final["w"].alias("w"), final["h"].alias("h"),
     )
 
 
@@ -1358,15 +1355,19 @@ def video_meta(
         bytes([0x1A, 0x45, 0xDF, 0xA3])
     )
     is_mpeg = F.substring(p, 1, 4) == F.lit(bytes([0x00, 0x00, 0x01, 0xBA]))
-    w = _avi_header_walk(p, max_chunks)
-    av = F.when(is_avi, w)
+    # one materialized, format-guarded copy of each walk — the
+    # audio_meta/image_meta plan-size discipline (see _wav_chunk_walk)
+    assets = assets.withColumn(
+        "__avi_walk", F.when(is_avi, _avi_header_walk(p, max_chunks))
+    ).withColumn("__mvhd_walk", F.when(is_mp4, _mp4_mvhd_walk(p)))
+    av = F.col("__avi_walk")
     fmt = (
         F.when(is_avi, F.lit("avi"))
         .when(is_mp4, F.lit("mp4"))
         .when(is_ebml, F.lit("webm"))
         .when(is_mpeg, F.lit("mpeg"))
     )
-    mv = F.when(is_mp4, _mp4_mvhd_walk(p))
+    mv = F.col("__mvhd_walk")
     mp4_ms = mv["dur"] * F.lit(1000)
     us_total = av["uspf"] * av["frames"]
     dur = F.when(
@@ -1385,7 +1386,7 @@ def video_meta(
         av["frames"].alias("n_frames"),
         av["uspf"].alias("us_per_frame"),
         dur.alias("duration_ms"),
-    )
+    ).drop("__avi_walk", "__mvhd_walk")
 
 
 def _mp4_mvhd_walk(payload, max_boxes: int = 24):
@@ -1449,9 +1450,9 @@ def _mp4_mvhd_walk(payload, max_boxes: int = 24):
             .otherwise(mk(pos + size, end, None, None, 0))
         )
 
-    final = F.aggregate(
+    # one copy of the fold tree in the plan — see _wav_chunk_walk's note
+    return F.aggregate(
         F.sequence(F.lit(1), F.lit(int(max_boxes))),
         mk(F.lit(1), plen, None, None, 0),
         step,
     )
-    return F.struct(final["ts"].alias("ts"), final["dur"].alias("dur"))
