@@ -700,6 +700,14 @@ def table_profile(
     missing = [c for c in names if c not in df.columns]
     if missing:
         raise ValueError(f"table_profile: columns not in frame: {missing}")
+    # the unpivot goes through one F.expr(stack(...)) — a name carrying a
+    # quote or backtick would splice into that string, so reject loudly
+    bad = [c for c in names if "'" in c or "`" in c]
+    if bad:
+        raise ValueError(
+            f"table_profile: column names with quotes/backticks are not "
+            f"supported: {bad}"
+        )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in names:
         aggs.append(

@@ -96,7 +96,10 @@ def plan_lint(df: DataFrame) -> List[Dict[str, str]]:
     in which case materialize or restructure so it reaches the scan.
     """
     qe = df._jdf.queryExecution()
-    plan = qe.executedPlan().toString()
+    # an executed AdaptiveSparkPlan prints the FINAL plan followed by an
+    # "== Initial Plan ==" echo — lint only the final (a pre-AQE
+    # sort-merge join that converted to broadcast is not a finding)
+    plan = qe.executedPlan().toString().split("== Initial Plan ==")[0]
     spark = df.sparkSession
     formatted = qe.explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
