@@ -256,6 +256,12 @@ def write_zordered_parquet(
     missing = [c for c in cols if c not in bounds]
     if missing:
         raise ValueError(f"write_zordered_parquet: bounds missing for {missing}")
+    all_null = [c for c in cols if bounds[c][0] is None or bounds[c][1] is None]
+    if all_null:
+        raise ValueError(
+            f"write_zordered_parquet: cluster column(s) {all_null} have no "
+            "non-NULL values — no bounds to bucket against"
+        )
     buckets = [
         int_bucket(F.col(c), int(bounds[c][0]), int(bounds[c][1]), bits_per_col)
         for c in cols

@@ -646,3 +646,15 @@ def test_lake_report_counts_small_files(spark, tmp_path):
     r2 = maintenance.lake_report(spark, out, small_file_bytes=1).collect()[0]
     assert r2["n_files"] == 1 and r2["n_small_files"] == 0
     assert r2["total_rows"] == 10_000
+
+
+def test_zorder_all_null_cluster_column_fails_loudly(spark, tmp_path):
+    import pytest
+
+    df = spark.range(10).select(
+        F.col("id").alias("x"), F.lit(None).cast("long").alias("y")
+    )
+    with pytest.raises(ValueError, match="no\\s+non-NULL values"):
+        maintenance.write_zordered_parquet(
+            df, str(tmp_path / "zn"), ["x", "y"], bits_per_col=4
+        )
