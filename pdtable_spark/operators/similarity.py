@@ -452,6 +452,34 @@ def ivf_index(
     ).drop("__cents")
 
 
+def ivf_append(
+    index_path: str,
+    new_batch: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metadata_cols=(),
+) -> None:
+    """Incremental index maintenance: assign ONLY the new corpus batch to
+    the FROZEN centroids and append its rows under their ``cell``
+    partitions of the persisted :func:`ivf_index` at ``index_path`` — no
+    retrain, no rescan of what's already indexed.  This is the contract
+    the frozen ``centroids`` artifact exists for: same geometry → a new
+    vector lands in exactly the cell a full rebuild would put it in, so
+    append-then-query ≡ rebuild-then-query row-for-row (pinned in
+    pytest).
+
+    Retrain (``ivf_train_centroids``) only when drift makes cells
+    unbalanced — :func:`~pdtable_spark.operators.monitor.cluster_drift`
+    is the alarm for that; a retrain is a REBUILD (new geometry, new
+    index path), never an append.
+    """
+    ivf_index(
+        new_batch, centroids, id_col=id_col, vec_col=vec_col,
+        metadata_cols=metadata_cols,
+    ).write.mode("append").partitionBy("cell").parquet(index_path)
+
+
 def ivf_query(
     index: DataFrame,
     queries: DataFrame,

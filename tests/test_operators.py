@@ -4834,3 +4834,34 @@ def test_json_profile_paths_kinds_and_guards(spark):
     assert "$.c" in d1 and not any(p.startswith("$.c.") for p in d1)
     with pytest.raises(ValueError, match="max_depth"):
         json_profile(df, "j", max_depth=3)
+
+
+def test_ivf_append_equals_rebuild(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_train_centroids(emb, n_cells=4, seed=7)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    appended = str(tmp_path / "ivf_app")
+    similarity.ivf_index(half_a, cents).write.partitionBy("cell").parquet(appended)
+    similarity.ivf_append(appended, half_b, cents)
+
+    rebuilt = str(tmp_path / "ivf_full")
+    similarity.ivf_index(emb, cents).write.partitionBy("cell").parquet(rebuilt)
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lambda p: sorted(  # noqa: E731
+        map(
+            tuple,
+            similarity.ivf_query(
+                spark.read.parquet(p), q, cents, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    assert got(appended) == got(rebuilt)
