@@ -355,6 +355,26 @@ def clustering_stats(
     )
 
 
+def prunable_files(stats: DataFrame, predicates: dict) -> DataFrame:
+    """Turn a :func:`clustering_stats` frame into the SCAN SET a
+    footer-pruning reader would touch under conjunctive range
+    predicates: keep every file whose ``[min_c, max_c]`` intersects the
+    requested ``{col: (lo, hi)}`` range for ALL predicate columns (a
+    point predicate is ``(v, v)``).  ``stats.count() - result.count()``
+    is the number of files skipped without opening — the certificate as
+    one number instead of a hand-written filter per test.
+
+    NULL stats are kept conservatively: a file whose min/max is unknown
+    for a predicate column (all-NULL column chunk) cannot be ruled out.
+    """
+    out = stats
+    for c, (lo, hi) in predicates.items():
+        mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
+        miss = (mx < F.lit(lo)) | (mn > F.lit(hi))
+        out = out.filter(~F.coalesce(miss, F.lit(False)))
+    return out
+
+
 def lake_report(
     spark: SparkSession,
     path: str,

@@ -658,3 +658,25 @@ def test_zorder_all_null_cluster_column_fails_loudly(spark, tmp_path):
         maintenance.write_zordered_parquet(
             df, str(tmp_path / "zn"), ["x", "y"], bits_per_col=4
         )
+
+
+def test_prunable_files_matches_hand_filter(spark, tmp_path):
+    df = spark.range(20_000).select(
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") * 48271 + 11) % 100).alias("y"),
+    )
+    zp = str(tmp_path / "zp")
+    maintenance.write_zordered_parquet(df, zp, ["x", "y"], bits_per_col=6,
+                                       partitions=8)
+    st = maintenance.clustering_stats(spark, zp, ["x", "y"])
+    got = maintenance.prunable_files(st, {"y": (40, 45)}).collect()
+    hand = [
+        r for r in st.collect()
+        if not (r["max_y"] < 40 or r["min_y"] > 45)
+    ]
+    assert sorted(r["file"] for r in got) == sorted(r["file"] for r in hand)
+    # a 2-D point predicate on a z-ordered layout prunes to a minority
+    both = maintenance.prunable_files(st, {"x": (10, 12), "y": (80, 82)})
+    assert 0 < both.count() < st.count()
+    # out-of-domain range: everything pruned
+    assert maintenance.prunable_files(st, {"x": (1000, 2000)}).count() == 0
