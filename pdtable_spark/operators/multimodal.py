@@ -1248,6 +1248,102 @@ def audio_meta(
     ).drop("__wav_walk")
 
 
+#: EBML master elements the dimension walk DESCENDS into (content starts
+#: right after the size field): Segment, Tracks, TrackEntry, Video.
+_EBML_MASTERS = [0x18538067, 0x1654AE6B, 0xAE, 0xE0]
+
+
+def _ebml_dims_walk(payload, max_steps: int = 32):
+    """PixelWidth/PixelHeight from a WebM/Matroska payload as ONE
+    pure-JVM expression — the EBML arm of the bounded-fold family:
+    decode the variable-length id + size vints at each position, DESCEND
+    into the master chain that leads to the video track (Segment →
+    Tracks → TrackEntry → Video), SKIP everything else by its size
+    (EBML header, SeekHead, Info, audio TrackEntrys' non-video children
+    — the walk doesn't care what they are), and read the 0xB0/0xBA
+    unsigned-int payloads when it lands on them.
+
+    Vint mechanics, from the spec: the count of leading zero bits of the
+    FIRST byte names the field length; ids keep their marker bit (they
+    are matched as the full encoded number), sizes strip it
+    (``raw - 2^(7*len)``).  An all-ones size is "unknown" — legal on a
+    STREAMED master (we descend regardless of a master's size, so
+    unknown there is harmless) but fail-closed on a skip element, whose
+    end position it leaves undefined.  Truncation, an invalid vint
+    marker, an oversized dim payload (> 8 bytes) or ``max_steps``
+    exhausted → NULL dims, never garbage.
+
+    Returns the fold struct (fields ``w``, ``h``; pos/st bookkeeping
+    rides along) — ONE copy of the aggregate tree, the
+    :func:`_wav_chunk_walk` plan-size discipline.
+    """
+    def be(pos, n):
+        return F.conv(F.hex(F.substring(payload, pos, n)), 16, 10).cast("long")
+
+    plen = F.length(payload)
+
+    def vlen(b, deepest: int):
+        # leading-zeros decode of the first byte; deepest=4 for ids,
+        # 8 for sizes
+        out = F.lit(None).cast("long")
+        expr = F.when(b >= 0x80, F.lit(1))
+        for i in range(2, deepest + 1):
+            expr = expr.when(b >= (1 << (8 - i)), F.lit(i))
+        return expr.otherwise(out).cast("long")
+
+    def mk(pos, w, h, st):
+        none = F.lit(None).cast("long")
+        stc = F.lit(st) if isinstance(st, int) else st
+        return F.struct(
+            pos.cast("long").alias("pos"),
+            (w if w is not None else none).cast("long").alias("w"),
+            (h if h is not None else none).cast("long").alias("h"),
+            stc.cast("int").alias("st"),
+        )
+
+    def step(acc, _):
+        pos = acc["pos"]
+        id_len = vlen(be(pos, F.lit(1)), 4)
+        idv = be(pos, id_len)
+        p2 = pos + id_len
+        size_len = vlen(be(p2, F.lit(1)), 8)
+        raw = be(p2, size_len)
+        sizev = raw - F.pow(F.lit(2.0), size_len * 7).cast("long")
+        unknown = sizev == F.pow(F.lit(2.0), size_len * 7).cast("long") - 1
+        p3 = p2 + size_len
+        is_master = idv.isin([F.lit(x) for x in _EBML_MASTERS])
+        is_dim = idv.isin(F.lit(0xB0), F.lit(0xBA))
+        dim_ok = (sizev >= 1) & (sizev <= 8) & (p3 + sizev - 1 <= plen)
+        dim_val = be(p3, sizev)
+        new_w = F.when(idv == 0xB0, dim_val).otherwise(acc["w"])
+        new_h = F.when(idv == 0xBA, dim_val).otherwise(acc["h"])
+        done = new_w.isNotNull() & new_h.isNotNull()
+        fail = mk(pos, acc["w"], acc["h"], 2)
+        return (
+            F.when(acc["st"] != 0, acc)  # found or failed: carry
+            .when(pos > plen, fail)  # ran off the end
+            .when(id_len.isNull() | size_len.isNull(), fail)
+            .when(p3 - 1 > plen, fail)  # vints themselves truncated
+            .when(
+                is_dim,
+                F.when(
+                    dim_ok,
+                    mk(p3 + sizev, new_w, new_h, F.when(done, 1).otherwise(0)),
+                ).otherwise(fail),
+            )
+            .when(is_master, mk(p3, acc["w"], acc["h"], 0))  # descend
+            .when(unknown, fail)  # unknown size on a SKIP element
+            .otherwise(mk(p3 + sizev, acc["w"], acc["h"], 0))  # skip
+        )
+
+    final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_steps))),
+        mk(F.lit(1), None, None, 0),
+        step,
+    )
+    return final
+
+
 def _avi_header_walk(payload, max_chunks: int = 16):
     """``avih`` main-header fields from a RIFF/AVI payload as ONE
     pure-JVM expression — the video arm of the bounded-fold family
@@ -1359,8 +1455,10 @@ def video_meta(
     # audio_meta/image_meta plan-size discipline (see _wav_chunk_walk)
     assets = assets.withColumn(
         "__avi_walk", F.when(is_avi, _avi_header_walk(p, max_chunks))
-    ).withColumn("__mvhd_walk", F.when(is_mp4, _mp4_mvhd_walk(p)))
-    av = F.col("__avi_walk")
+    ).withColumn("__mvhd_walk", F.when(is_mp4, _mp4_mvhd_walk(p))).withColumn(
+        "__ebml_walk", F.when(is_ebml, _ebml_dims_walk(p))
+    )
+    av, eb = F.col("__avi_walk"), F.col("__ebml_walk")
     fmt = (
         F.when(is_avi, F.lit("avi"))
         .when(is_mp4, F.lit("mp4"))
@@ -1381,12 +1479,12 @@ def video_meta(
     return assets.select(
         "*",
         fmt.alias(format_col),
-        av["w"].alias("vid_width"),
-        av["h"].alias("vid_height"),
+        F.when(is_avi, av["w"]).when(is_ebml, eb["w"]).alias("vid_width"),
+        F.when(is_avi, av["h"]).when(is_ebml, eb["h"]).alias("vid_height"),
         av["frames"].alias("n_frames"),
         av["uspf"].alias("us_per_frame"),
         dur.alias("duration_ms"),
-    ).drop("__avi_walk", "__mvhd_walk")
+    ).drop("__avi_walk", "__mvhd_walk", "__ebml_walk")
 
 
 def _mp4_mvhd_walk(payload, max_boxes: int = 24):

@@ -381,17 +381,19 @@ R11_SQL_VIDEO_META = """
       FROM documents WHERE n_chars IS NOT NULL
     )
     SELECT doc_id,
-           CASE WHEN doc_id % 9 = 0 THEN 'mp4' ELSE 'avi' END AS video_format,
+           CASE WHEN doc_id % 9 = 0 THEN 'mp4'
+                WHEN doc_id % 9 = 4 THEN 'webm' ELSE 'avi' END AS video_format,
            CASE WHEN doc_id % 9 = 0 THEN NULL
                 ELSE CAST(w AS BIGINT) END AS vid_width,
            CASE WHEN doc_id % 9 = 0 THEN NULL
                 ELSE CAST(h AS BIGINT) END AS vid_height,
-           CASE WHEN doc_id % 9 = 0 THEN NULL
+           CASE WHEN doc_id % 9 IN (0, 4) THEN NULL
                 ELSE CAST(frames AS BIGINT) END AS n_frames,
-           CASE WHEN doc_id % 9 = 0 THEN NULL
+           CASE WHEN doc_id % 9 IN (0, 4) THEN NULL
                 ELSE CAST(uspf AS BIGINT) END AS us_per_frame,
            CASE WHEN doc_id % 9 = 0
                 THEN CAST(mp4_dur * 1000 // ts AS BIGINT)
+                WHEN doc_id % 9 = 4 THEN NULL
                 ELSE CAST(uspf * frames // 1000 AS BIGINT) END AS duration_ms
     FROM (SELECT *, CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
                          ELSE 90000 END AS ts FROM d)
@@ -410,9 +412,13 @@ def r11_multimodal_video_meta(spark, sf_dir):
     — ftyp, then a variable-length ``free`` box, then ``moov``/``mvhd``
     with a real timescale/duration pair, so the ISO-BMFF box walk is
     value-gated too (dims/frames stay NULL: ``tkhd`` is per-track, the
-    decode path's job).  ``video_meta`` parses them back in one codegen
-    projection, and the oracle states every field including the exact
-    floor-integer ``duration_ms`` for BOTH container families."""
+    decode path's job); every doc_id % 9 == 4 is a WebM whose EBML
+    master chain — behind a doc-varying Void pad and an
+    unknown-size-Segment arm on even docs — serves 4-byte PixelWidth/
+    PixelHeight through the vint walk.  ``video_meta`` parses them back
+    in one codegen projection, and the oracle states every field
+    including the exact floor-integer ``duration_ms`` for all three
+    container families."""
     from pdtable_spark.operators.multimodal import video_meta
 
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
@@ -489,7 +495,34 @@ def r11_multimodal_video_meta(spark, sf_dir):
         be_hex(F.lit(116).cast("long"), 4), F.lit("6D6F6F76"),   # 'moov'
         mvhd,
     )
-    payload = F.unhex(F.when(F.col("doc_id") % 9 == 0, mp4).otherwise(avi))
+    # WebM (doc_id % 9 == 4): EBML header, then a Segment whose size is
+    # UNKNOWN (0xFF) on every other doc — the streamed-file spelling the
+    # walk must descend through — then a doc-varying Void pad (so the
+    # element offsets, not a fixed projection, are what the oracle
+    # gates), an Info the walk SKIPS whole, and the Tracks → TrackEntry
+    # → Video → PixelWidth/Height master chain with 4-byte uint dims
+    k2 = (F.col("doc_id") % 5).cast("long")
+    webm = F.concat(
+        F.lit("1A45DFA3" + "87" + "4282" + "84" + "7765626D"),  # header
+        F.lit("18538067"),                                       # Segment
+        F.when(F.col("doc_id") % 2 == 0, F.lit("FF")).otherwise(
+            F.lpad(F.hex(k2 + 42 + 128), 2, "0")
+        ),
+        F.lit("EC"), F.lpad(F.hex(k2 + 128), 2, "0"),            # Void pad
+        F.repeat(F.lit("00"), k2.cast("int")),
+        F.lit("1549A966" + "87" + "2AD7B1" + "83" + "0F4240"),   # Info (skip)
+        F.lit("1654AE6B" + "97"),                                # Tracks
+        F.lit("AE" + "95"),                                      # TrackEntry
+        F.lit("86" + "85" + "565F565039"),                       # CodecID V_VP9
+        F.lit("E0" + "8C"),                                      # Video
+        F.lit("B0" + "84"), be_hex(w, 4),
+        F.lit("BA" + "84"), be_hex(h, 4),
+    )
+    payload = F.unhex(
+        F.when(F.col("doc_id") % 9 == 0, mp4)
+        .when(F.col("doc_id") % 9 == 4, webm)
+        .otherwise(avi)
+    )
     assets = docs.select("doc_id", payload.alias("payload"))
     return video_meta(assets).select(
         "doc_id", "video_format", "vid_width", "vid_height",

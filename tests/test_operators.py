@@ -4865,3 +4865,65 @@ def test_ivf_append_equals_rebuild(spark, tmp_path):
         )
     )
     assert got(appended) == got(rebuilt)
+
+
+def _ebml(eid, content):
+    """Encode one EBML element: raw id bytes + minimal size vint + content."""
+    n = len(content)
+    if n < 0x7F:
+        size = bytes([0x80 | n])
+    else:
+        size = bytes([0x40 | (n >> 8), n & 0xFF])
+    return eid + size + content
+
+
+def _webm_bytes(w, h, extra_track=False, unknown_segment=False,
+                wide_dims=False):
+    def uint(v, nbytes):
+        return v.to_bytes(nbytes, "big")
+
+    dims = _ebml(b"\xB0", uint(w, 4 if wide_dims else (2 if w > 255 else 1)))
+    dims += _ebml(b"\xBA", uint(h, 2 if h > 255 else 1))
+    video = _ebml(b"\xE0", dims)
+    track_v = _ebml(b"\xAE", _ebml(b"\x86", b"V_VP9") + video)
+    tracks_content = track_v
+    if extra_track:  # an AUDIO TrackEntry FIRST: its children get skipped
+        track_a = _ebml(b"\xAE", _ebml(b"\x86", b"A_OPUS") + _ebml(b"\xE1", b"\x9F\x42"))
+        tracks_content = track_a + track_v
+    tracks = _ebml(b"\x16\x54\xAE\x6B", tracks_content)
+    info = _ebml(b"\x15\x49\xA9\x66", _ebml(b"\x2A\xD7\xB1", uint(1000000, 3)))
+    seg_content = info + tracks
+    if unknown_segment:
+        segment = b"\x18\x53\x80\x67" + b"\xFF" + seg_content
+    else:
+        segment = _ebml(b"\x18\x53\x80\x67", seg_content)
+    header = _ebml(b"\x1A\x45\xDF\xA3", _ebml(b"\x42\x82", b"webm"))
+    return header + segment
+
+
+def test_video_meta_webm_ebml_walk(spark):
+    from pdtable_spark.operators.multimodal import video_meta
+
+    rows = [
+        (1, _webm_bytes(640, 480)),
+        (2, _webm_bytes(1920, 1080, extra_track=True)),
+        (3, _webm_bytes(320, 240, unknown_segment=True)),  # streamed segment
+        (4, _webm_bytes(12, 7, wide_dims=True)),            # 4-byte uint dims
+        (5, _webm_bytes(640, 480)[:20]),                    # truncated
+        (6, b"\x1A\x45\xDF\xA3" + b"\xFF" + b"\x00" * 8),   # unknown-size SKIP
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in video_meta(
+            spark.createDataFrame(rows, "doc_id int, payload binary")
+        ).collect()
+    }
+    assert all(out[i]["video_format"] == "webm" for i in out)
+    assert (out[1]["vid_width"], out[1]["vid_height"]) == (640, 480)
+    assert (out[2]["vid_width"], out[2]["vid_height"]) == (1920, 1080)
+    assert (out[3]["vid_width"], out[3]["vid_height"]) == (320, 240)
+    assert (out[4]["vid_width"], out[4]["vid_height"]) == (12, 7)
+    assert out[5]["vid_width"] is None and out[5]["vid_height"] is None
+    assert out[6]["vid_width"] is None and out[6]["vid_height"] is None
+    # duration stays decode-path NULL for webm
+    assert all(out[i]["duration_ms"] is None for i in out)
