@@ -22,77 +22,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-row rotation (the driver reports exactly the first 50 queries).
-#: Policy: OLDEST correctness evidence first, every round.  Round-10
-#: head-50 (the executed round-9 runbook, VERDICT r9 tasks #1/#6) = the
-#: SIX queries registered this round from queries/pending_r10.py (staged
-#: r9 with full oracles + sf0.001/0.01/1 MATCH evidence), plus the newly
-#: built q22_idle_customers (the TPC-H Q22 analog, registered straight
-#: into the window so it starts with driver evidence), then the 41
-#: remaining r6-evidence rows, then the 2 oldest r7-evidence rows
-#: (CORRECTNESS_r07 report order) — 50 exactly.  The tail is the same
-#: policy continued: remaining r7-evidence rows, then the r8 block, then
-#: the r9 block, each in report order.
+#: Policy: OLDEST correctness evidence first, every round.  Round-11
+#: head-50 (the executed round-10 runbook, VERDICT r10 task #1) = the
+#: NINE queries registered this round from queries/pending_r11.py
+#: (staged r10 with full oracles + sf0.001/0.01/1 MATCH evidence), plus
+#: the 41 oldest r7-evidence rows (CORRECTNESS_r07 report order,
+#: starting at pipeline_score_calibration — r7 rows 0-1 were refreshed
+#: in the r10 window) — 50 exactly.  The tail is the same policy
+#: continued: the remaining 7 r7-evidence rows, then the r8 block, then
+#: the r9 block, then the r10 block, each in report order.
 #:
-#: Honest cycle arithmetic (VERDICT r9 task #5 — the previous docstring
-#: overstated freshness): 198 registered queries through a 50-row window
-#: is a ceil(198/50) = FOUR-round steady-state cycle, so a query's
-#: driver evidence can be up to 3 rounds old by the time its row
-#: rotates back in (at r10 close: 50 r10 / 48 r7 / 50 r8 / 50 r9).
+#: Honest cycle arithmetic: 207 registered queries through a 50-row
+#: window is a ceil(207/50) = FIVE-round steady-state cycle, so a
+#: query's driver evidence can be up to 4 rounds old by the time its
+#: row rotates back in (at r11 close: 50 r11 / 7 r7 / 50 r8 / 50 r9 /
+#: 50 r10; the 7 remaining r7-evidence rows HEAD the r12 window).
 #: The local gate is tighter than the driver window: scripts/
 #: verify_all.sh sweeps ALL registered oracles twice per round
 #: (default + partitions=7 layouts), so a rotted query is caught the
 #: round it rots, not the round its driver row comes up.
 _PRIORITY = [
-    "embedding_margin_agreement",
-    "embedding_pca_project",
-    "pipeline_heavy_hitters",
-    "stream_heavy_hitters",
-    "text_lm_bigram_nll",
-    "multimodal_image_meta",
-    "q22_idle_customers",
-    "q11_part_value",
-    "q12_latency_priority",
-    "q16_supplier_part_counts",
-    "q20_excess_suppliers",
-    "q21_late_sole_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_corr_stats",
-    "q_custkey_median_pandas",
-    "q_customer_quartiles",
-    "q_discount_rank_ties",
-    "q_embedding_norms",
-    "q_events_funnel",
-    "q_events_interpolate",
-    "q_events_outliers",
-    "q_events_rolling",
-    "q_fuzzy_part_names",
-    "q_price_histogram",
-    "q_price_trend_by_brand",
-    "q_session_conversion",
-    "q_user_retention",
-    "simhash_fingerprints",
-    "simhash_near_dups",
-    "text_pii_redact",
-    "text_repetition",
-    "text_surprisal",
-    "text_top_bigrams",
-    "text_gopher_rules",
-    "text_tfidf_keywords",
-    "text_tfidf_agg",
-    "pipeline_dataset_card",
-    "stream_curate_survivors",
-    "embedding_pq_topk",
-    "text_repetition_signals",
-    "text_c4_rules",
-    "text_blocklist_filter",
-    "pipeline_mixture_tokens",
-    "pipeline_drift_report",
-    "pipeline_drift_tvd",
-    "pipeline_modern_recipe",
-    "embedding_pq_refined",
-    "embedding_pq_recall",
+    "pipeline_model_quality_recipe",
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
+    "embedding_gram_ledger",
+    "stream_gram_ledger",
+    "lake_zorder_cells",
+    "pipeline_column_profile",
+    "stream_upsert_changelog",
+    "pipeline_json_profile",
     "pipeline_score_calibration",
     "stream_drift_monitor",
     "dedup_incremental",
@@ -241,6 +199,56 @@ _PRIORITY = [
     "pipeline_stratified_sample",
     "pipeline_train_split",
     "pipeline_weighted_sample",
+    "embedding_margin_agreement",
+    "embedding_pca_project",
+    "pipeline_heavy_hitters",
+    "stream_heavy_hitters",
+    "text_lm_bigram_nll",
+    "multimodal_image_meta",
+    "q22_idle_customers",
+    "q11_part_value",
+    "q12_latency_priority",
+    "q16_supplier_part_counts",
+    "q20_excess_suppliers",
+    "q21_late_sole_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_corr_stats",
+    "q_custkey_median_pandas",
+    "q_customer_quartiles",
+    "q_discount_rank_ties",
+    "q_embedding_norms",
+    "q_events_funnel",
+    "q_events_interpolate",
+    "q_events_outliers",
+    "q_events_rolling",
+    "q_fuzzy_part_names",
+    "q_price_histogram",
+    "q_price_trend_by_brand",
+    "q_session_conversion",
+    "q_user_retention",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "text_pii_redact",
+    "text_repetition",
+    "text_surprisal",
+    "text_top_bigrams",
+    "text_gopher_rules",
+    "text_tfidf_keywords",
+    "text_tfidf_agg",
+    "pipeline_dataset_card",
+    "stream_curate_survivors",
+    "embedding_pq_topk",
+    "text_repetition_signals",
+    "text_c4_rules",
+    "text_blocklist_filter",
+    "pipeline_mixture_tokens",
+    "pipeline_drift_report",
+    "pipeline_drift_tvd",
+    "pipeline_modern_recipe",
+    "embedding_pq_refined",
+    "embedding_pq_recall",
 ]
 
 

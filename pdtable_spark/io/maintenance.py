@@ -130,7 +130,14 @@ def int_bucket(col: Column, lo: int, hi: int, bits: int) -> Column:
             f"int_bucket: span {span} exceeds 2^36 — the double-division "
             "floor is no longer provably exact; quantize the key coarser"
         )
-    raw = ((col.cast("long") - F.lit(int(lo))) * F.lit(n)) / F.lit(int(span))
+    # Clamp the RAW value into [lo, hi] before the multiply: with
+    # persisted bounds a later append can carry values far outside the
+    # recorded range, and (x - lo) * 2**bits on a huge long would wrap
+    # negative and land in bucket 0 instead of n-1.  Clamping first
+    # makes the documented edge-bucket placement exact for ANY input
+    # and keeps the multiplication within 2^36 * 2^16 < 2^63.
+    v = F.least(F.greatest(col.cast("long"), F.lit(int(lo))), F.lit(int(hi)))
+    raw = ((v - F.lit(int(lo))) * F.lit(n)) / F.lit(int(span))
     bucket = F.floor(raw).cast("long")
     clamped = F.least(F.greatest(bucket, F.lit(0)), F.lit(n - 1))
     return F.coalesce(clamped, F.lit(0)).cast("long")
@@ -373,6 +380,57 @@ def prunable_files(stats: DataFrame, predicates: dict) -> DataFrame:
         miss = (mx < F.lit(lo)) | (mn > F.lit(hi))
         out = out.filter(~F.coalesce(miss, F.lit(False)))
     return out
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+    columns: Optional[Sequence[str]] = None,
+) -> tuple:
+    """The READ side of the clustering certificate: scan ONLY the files
+    :func:`prunable_files` keeps under the conjunctive range
+    ``predicates`` (``{col: (lo, hi)}``), then apply the exact predicate
+    as the residual filter — the plain-parquet spelling of a
+    Delta/Iceberg data-skipping read, where the stats manifest (here:
+    one :func:`clustering_stats` pass) decides file membership BEFORE
+    the scan instead of relying on per-row-group footer checks inside
+    an open-every-file scan.
+
+    Returns ``(df, report)``: ``df`` is the filtered frame (plus
+    ``columns`` pruning when given), ``report`` is ``{"n_files_total",
+    "n_files_read", "n_files_skipped"}`` — the certificate as measured
+    numbers.  The plan-contract test pins that the scan's own
+    ``number of files read`` metric equals ``n_files_read``; on a
+    Z-ordered layout with a selective predicate ``n_files_skipped > 0``
+    is the whole point.
+
+    Scale posture: the stats pass reads just the predicate columns and
+    aggregates to ONE ROW PER FILE, and only that file-count-bounded
+    frame is collected (run per partition directory at 100 TB, like
+    every maintenance op here); the pruning logic itself runs through
+    :func:`prunable_files` on the collected rows — one code path for
+    certificate and read, no drift between what the test proves and
+    what the reader does.
+    """
+    stats = clustering_stats(spark, path, list(predicates))
+    rows = stats.collect()
+    local = spark.createDataFrame(rows, stats.schema)
+    keep = [r["file"] for r in prunable_files(local, predicates).collect()]
+    report = {
+        "n_files_total": len(rows),
+        "n_files_read": len(keep),
+        "n_files_skipped": len(rows) - len(keep),
+    }
+    if not keep:
+        df = spark.read.parquet(path).where(F.lit(False))
+    else:
+        df = spark.read.option("basePath", path).parquet(*keep)
+    for c, (lo, hi) in predicates.items():
+        df = df.filter(F.col(c).between(F.lit(lo), F.lit(hi)))
+    if columns is not None:
+        df = df.select(*columns)
+    return df, report
 
 
 def lake_report(

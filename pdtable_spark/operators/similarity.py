@@ -474,6 +474,34 @@ def ivf_append(
     is the alarm for that; a retrain is a REBUILD (new geometry, new
     index path), never an append.
     """
+    # Layout guard: ivf_index returns a frame — partitionBy("cell") at
+    # write time is a caller convention, so probe the existing index
+    # and fail loudly rather than silently appending cell=... Hive
+    # partitions under a flat directory (a mixed layout misbehaves on
+    # read: the flat files carry a physical ``cell`` column, the
+    # partitioned ones infer it from the path).
+    spark = new_batch.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        statuses = fs.listStatus(hpath)
+        has_cell_dirs = any(
+            s.isDirectory() and s.getPath().getName().startswith("cell=")
+            for s in statuses
+        )
+        has_flat_parquet = any(
+            not s.isDirectory() and s.getPath().getName().endswith(".parquet")
+            for s in statuses
+        )
+        if has_flat_parquet and not has_cell_dirs:
+            raise ValueError(
+                f"ivf_append: existing index at {index_path!r} is NOT "
+                "partitioned by cell (flat parquet files, no cell=* "
+                "directories) — appending partitionBy('cell') would "
+                "produce a mixed layout; rebuild the index with "
+                ".write.partitionBy('cell') first"
+            )
     ivf_index(
         new_batch, centroids, id_col=id_col, vec_col=vec_col,
         metadata_cols=metadata_cols,

@@ -85,9 +85,21 @@ _PATTERN_CHECKS = [
 ]
 
 
-def plan_lint(df: DataFrame) -> List[Dict[str, str]]:
-    """Lint a DataFrame's executed physical plan; returns findings as
+def plan_lint(df: DataFrame, execute: bool = False) -> List[Dict[str, str]]:
+    """Lint a DataFrame's physical plan; returns findings as
     ``{code, severity, detail, evidence}`` dicts, errors first.
+
+    AQE honesty: on a frame that has already RUN (the PLANS.md sweep
+    collects each query before linting), ``executedPlan()`` is the final
+    adaptive plan and AQE conversions (SMJ→broadcast, coalesced
+    exchanges) are reflected.  On an UNEXECUTED frame it is the
+    AdaptiveSparkPlan's *initial* plan (``isFinalPlan=false``), so a
+    shape AQE would fix at runtime can still surface as a finding —
+    pass ``execute=True`` to drive THIS frame's plan first (a JVM-side
+    RDD count over the executed plan: full execution cost, nothing
+    shipped to the driver) so the lint reads what will actually run.
+    A noop-sink write would NOT work here — ``df.write`` builds a new
+    QueryExecution and leaves this frame's adaptive plan initial.
 
     The unpushed-filter check compares the formatted explain's per-scan
     ``PushedFilters`` against Filter nodes in the plan: a scan that
@@ -95,6 +107,12 @@ def plan_lint(df: DataFrame) -> List[Dict[str, str]]:
     classic silent 100x — unless the predicate is on a computed column,
     in which case materialize or restructure so it reaches the scan.
     """
+    if execute and "isFinalPlan=false" in (
+        df._jdf.queryExecution().executedPlan().toString()
+    ):
+        # AdaptiveSparkPlanExec.doExecute resolves the final plan and
+        # runs it; the RDD count stays on the JVM side.
+        df._jdf.queryExecution().executedPlan().execute().count()
     qe = df._jdf.queryExecution()
     # an executed AdaptiveSparkPlan prints the FINAL plan followed by an
     # "== Initial Plan ==" echo — lint only the final (a pre-AQE

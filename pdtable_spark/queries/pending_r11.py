@@ -953,3 +953,15 @@ PENDING_R11["pipeline_json_profile"] = (
     r11_pipeline_json_profile,
     R11_SQL_JSON_PROFILE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Registration: the @q decoration for the whole block (executed round-11
+# runbook — VERDICT r10 task #1).  suite.py imports this module at the
+# end of its body, so suite.QUERIES / suite.ORACLES — the single registry
+# the driver contract, bench, and oracle sweeps read — contain these 9
+# entries exactly like any inline @q query.
+from pdtable_spark.queries.suite import q as _q
+
+for _name, (_fn, _sql) in PENDING_R11.items():
+    _q(_name, _sql)(_fn)

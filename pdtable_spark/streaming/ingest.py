@@ -131,14 +131,14 @@ def _upsert_batch(
         ],
         change.alias("change_type"),
     )
-    (
-        merged.filter(F.col("change_type").isNotNull())
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(changelog_dir)
-    )
+    # Table version FIRST, changelog LAST: a consumer that keys off
+    # max(batch_id) in the changelog then never leads the table state —
+    # a crash between the two writes leaves a version with no changelog
+    # yet (invisible to such consumers) rather than a changelog entry
+    # pointing at a version that does not exist until the retry.  Both
+    # writes re-execute ``merged`` against the SAME ``prev`` snapshot:
+    # the parquet FileIndex listed table_dir when ``prev`` was created,
+    # before either write.
     (
         merged.drop("change_type")
         .withColumn("batch_id", F.lit(batch_id))
@@ -146,6 +146,14 @@ def _upsert_batch(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(table_dir)
+    )
+    (
+        merged.filter(F.col("change_type").isNotNull())
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(changelog_dir)
     )
 
 

@@ -4866,6 +4866,13 @@ def test_ivf_append_equals_rebuild(spark, tmp_path):
     )
     assert got(appended) == got(rebuilt)
 
+    # layout guard (ADVICE r10): appending onto a FLAT (unpartitioned)
+    # index must fail loudly instead of producing a mixed directory
+    flat = str(tmp_path / "ivf_flat")
+    similarity.ivf_index(half_a, cents).write.parquet(flat)
+    with pytest.raises(ValueError, match="NOT\\s+partitioned by cell"):
+        similarity.ivf_append(flat, half_b, cents)
+
 
 def _ebml(eid, content):
     """Encode one EBML element: raw id bytes + minimal size vint + content."""

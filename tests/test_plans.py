@@ -892,3 +892,44 @@ def test_plan_lint_detects_each_smell(spark, tmp_path):
     agg = a.groupBy("k").count()
     fs = assert_clean(agg)
     assert {"shuffle-count"} >= {f["code"] for f in fs}
+
+
+def test_plan_lint_execute_reads_final_adaptive_plan(spark):
+    # ADVICE r10: on an UNEXECUTED frame plan_lint sees the adaptive
+    # plan's INITIAL shape; execute=True drives this frame's own plan so
+    # AQE conversions (here SMJ -> broadcast via the adaptive threshold)
+    # are reflected in the findings.
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.plans import plan_lint
+
+    conf = spark.conf
+    old_static = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_adapt = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+
+        def frame():
+            a = spark.range(10_000).select((F.col("id") % 97).alias("k"), "id")
+            b = spark.range(50).select(F.col("id").alias("k2"))
+            return a.join(b, F.col("k") == F.col("k2"))
+
+        # unexecuted: the initial plan carries the sort-merge join
+        initial = {f["code"] for f in plan_lint(frame())}
+        assert "sort-merge-join" in initial
+
+        # execute=True: AQE converts to broadcast at runtime; the lint
+        # must read the FINAL plan (no SMJ finding any more)
+        df = frame()
+        final = {f["code"] for f in plan_lint(df, execute=True)}
+        assert "sort-merge-join" not in final
+        assert "isFinalPlan=true" in (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        if old_adapt is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_adapt)
