@@ -485,12 +485,12 @@ def main():
     BENCH_QUERIES["pq_query_served"] = bench_pq_query_served
     BENCH_QUERIES["label_prop_ivf_served"] = bench_label_prop_ivf_served
 
-    # staged round-11 queries (queries/pending_r11.py) — benched
-    # pre-registration so their perf trend starts now, like the r8-r10
-    # blocks (the r10 block is registered now and rides dict(QUERIES))
-    from pdtable_spark.queries.pending_r11 import PENDING_R11 as _PENDING_R11
+    # staged round-12 queries (queries/pending_r12.py) — benched
+    # pre-registration so their perf trend starts now, like the r8-r11
+    # blocks (the r11 block is registered now and rides dict(QUERIES))
+    from pdtable_spark.queries.pending_r12 import PENDING_R12 as _PENDING_R12
 
-    for _name, (_fn, _sql) in _PENDING_R11.items():
+    for _name, (_fn, _sql) in _PENDING_R12.items():
         BENCH_QUERIES.setdefault(_name, _fn)
 
     # the suite's containment row runs EXACT mode (no df-cut — the oracle

@@ -822,6 +822,81 @@ def json_profile(
     )
 
 
+def json_extract_typed(
+    df: DataFrame, json_col: str, plan: dict, prefix: str = ""
+) -> DataFrame:
+    """The typed drill-down AFTER :func:`json_profile` names the paths:
+    compile a ``{path: spark_type}`` plan (paths in the profile's
+    ``$.a`` / ``$.a.b`` spelling, types like ``"long"`` / ``"double"``
+    / ``"string"`` / ``"array<long>"``) into ONE nested ``from_json``
+    schema and project each path as a typed top-level column — the
+    VARIANT-shaped step the profile docstring defers, as a single
+    codegen-friendly parse instead of one ``get_json_object`` walk per
+    path (which re-parses the document N times).
+
+    Output columns are the paths with ``$.`` stripped and ``.`` →
+    ``_`` (``$.geo.lat`` → ``geo_lat``), optionally ``prefix``-ed; the
+    source columns ride through unchanged.  Missing paths and values
+    that do not parse as the planned type come back NULL — the same
+    permissive contract ``from_json`` gives a typed schema, so one
+    malformed producer row cannot fail the batch (count the NULLs
+    against the profile if you need the alarm).
+
+    Depth is capped at 2 like the profile itself; a plan that names
+    both ``$.a`` and ``$.a.b`` is contradictory (scalar AND object) and
+    fails loudly at compile time, as does a path outside the ``$.``
+    grammar.
+    """
+    if not plan:
+        raise ValueError("json_extract_typed: empty plan")
+    top: dict = {}
+    for path in plan:
+        if not path.startswith("$.") or path == "$.":
+            raise ValueError(
+                f"json_extract_typed: path {path!r} must look like "
+                "'$.key' or '$.key.child'"
+            )
+        parts = path[2:].split(".")
+        if len(parts) > 2 or any(not p for p in parts):
+            raise ValueError(
+                f"json_extract_typed: path {path!r} exceeds the depth-2 "
+                "grammar ('$.key' or '$.key.child')"
+            )
+        if len(parts) == 1:
+            if isinstance(top.get(parts[0]), dict):
+                raise ValueError(
+                    f"json_extract_typed: {path!r} conflicts with a "
+                    "nested path under the same key"
+                )
+            top[parts[0]] = plan[path]
+        else:
+            node = top.setdefault(parts[0], {})
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"json_extract_typed: {path!r} conflicts with a "
+                    "scalar plan entry for its parent"
+                )
+            node[parts[1]] = plan[path]
+
+    def ddl(node: dict) -> str:
+        fields = []
+        for k in sorted(node):
+            v = node[k]
+            typ = ddl(v) if isinstance(v, dict) else v
+            fields.append(f"`{k}`:{typ}")
+        return "struct<" + ",".join(fields) + ">"
+
+    parsed = F.from_json(F.col(json_col), ddl(top))
+    outs = []
+    for path in plan:
+        parts = path[2:].split(".")
+        col = parsed[parts[0]]
+        if len(parts) == 2:
+            col = col[parts[1]]
+        outs.append(col.alias(prefix + "_".join(parts)))
+    return df.select("*", *outs)
+
+
 def filter_agreement(df: DataFrame, flag_cols: List[str]) -> DataFrame:
     """Pairwise agreement between boolean filter columns — observed
     agreement and Cohen's kappa per unordered pair: the curation-QA

@@ -508,6 +508,131 @@ def ivf_append(
     ).write.mode("append").partitionBy("cell").parquet(index_path)
 
 
+def ivf_cell_ledger(
+    corpus: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+    quantum: float = 1e6,
+) -> DataFrame:
+    """Per-cell assignment ledger: ``(cell, n, sum_qd2)`` where each
+    vector contributes ``floor(d2 * quantum + 0.5)`` of its squared L2
+    distance to its ASSIGNED (nearest) centroid — the quantized-BIGINT
+    convention every mergeable ledger here uses, so the state is
+    additive (two ledgers over disjoint batches sum to the ledger over
+    the union, bit-identically) and cross-engine exact.
+
+    Persist the ledger produced AT TRAIN TIME next to the frozen
+    centroids artifact: it is the n_cells-row baseline
+    :func:`ivf_staleness` compares appends against.  One scan, one
+    n_cells-group aggregate — KB-sized state at any corpus scale.
+    """
+    cents = [[float(x) for x in c] for c in centroids]
+    c = corpus.select(_as_double(F.col(vec_col)).alias("vec"))
+    c = _matrix_frame(c, "__cents", cents, 2)
+    nearest = F.element_at(
+        _cell_scores(F.col("vec"), F.col("__cents")), 1
+    )
+    return (
+        c.select(
+            nearest["cell"].cast("long").alias("cell"),
+            F.floor(nearest["d"] * F.lit(float(quantum)) + F.lit(0.5))
+            .cast("long")
+            .alias("qd2"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qd2").alias("sum_qd2"),
+        )
+    )
+
+
+def ivf_staleness(
+    corpus: DataFrame,
+    centroids: List[List[float]],
+    train_ledger: DataFrame,
+    vec_col: str = "embedding",
+    quantum: float = 1e6,
+    appended_frac_warn: float = 0.5,
+    dist_ratio_warn: float = 1.25,
+) -> DataFrame:
+    """WHEN-to-retrain diagnostic for :func:`ivf_append` (the sketch-
+    quality convention of ``embedding_ivf_recall`` /
+    ``minhash_estimate_error``): appends against frozen centroids
+    degrade recall as the appended mass drifts away from the geometry
+    the centroids were trained on.  Compares the CURRENT corpus's
+    per-cell ledger against the persisted train-time
+    :func:`ivf_cell_ledger`, per cell:
+
+    - ``appended_frac`` = (n_now − n_train) / n_now — how much of the
+      cell postdates training (probe-cost skew: a hot appended cell
+      slows every query probing it);
+    - ``dist_ratio`` = mean assigned d² now / at train time — the drift
+      signal: a ratio well above 1 means new members sit farther from
+      the frozen centroid than the training population did, exactly the
+      population whose true nearest neighbors leak into unprobed cells;
+    - ``retrain`` = appended_frac > ``appended_frac_warn`` OR
+      dist_ratio > ``dist_ratio_warn`` — the alarm bit.  A retrain is a
+      REBUILD (new geometry, new index path), never an append.
+
+    All ratios divide exact integers in a fixed order, so the frame is
+    value-oracle-able.  Cells absent from one side coalesce to 0 /
+    NULL (``dist_ratio`` is NULL where the train ledger has no
+    members).  Cost: one corpus scan + one n_cells-row broadcast join.
+    """
+    now = ivf_cell_ledger(corpus, centroids, vec_col=vec_col, quantum=quantum)
+    t = train_ledger.select(
+        F.col("cell"),
+        F.col("n").alias("__n_t"),
+        F.col("sum_qd2").alias("__sq_t"),
+    )
+    n = now.select(
+        F.col("cell"),
+        F.col("n").alias("__n_n"),
+        F.col("sum_qd2").alias("__sq_n"),
+    )
+    j = n.join(F.broadcast(t), "cell", "full_outer").select(
+        F.col("cell"),
+        F.coalesce(F.col("__n_t"), F.lit(0)).cast("long").alias("n_train"),
+        F.coalesce(F.col("__n_n"), F.lit(0)).cast("long").alias("n_now"),
+        F.coalesce(F.col("__sq_t"), F.lit(0)).cast("long").alias("sq_train"),
+        F.coalesce(F.col("__sq_n"), F.lit(0)).cast("long").alias("sq_now"),
+    )
+    q = F.lit(float(quantum))
+    mean_train = F.when(
+        F.col("n_train") > 0,
+        F.col("sq_train").cast("double") / F.col("n_train").cast("double") / q,
+    )
+    mean_now = F.when(
+        F.col("n_now") > 0,
+        F.col("sq_now").cast("double") / F.col("n_now").cast("double") / q,
+    )
+    dist_ratio = F.when(
+        (F.col("n_train") > 0) & (F.col("n_now") > 0) & (F.col("sq_train") > 0),
+        (F.col("sq_now").cast("double") / F.col("n_now").cast("double"))
+        / (F.col("sq_train").cast("double") / F.col("n_train").cast("double")),
+    )
+    appended_frac = F.when(
+        F.col("n_now") > 0,
+        (F.col("n_now") - F.col("n_train")).cast("double")
+        / F.col("n_now").cast("double"),
+    )
+    return j.select(
+        "cell",
+        "n_train",
+        "n_now",
+        (F.col("n_now") - F.col("n_train")).cast("long").alias("n_appended"),
+        appended_frac.alias("appended_frac"),
+        mean_train.alias("mean_d2_train"),
+        mean_now.alias("mean_d2_now"),
+        dist_ratio.alias("dist_ratio"),
+        (
+            F.coalesce(appended_frac > F.lit(appended_frac_warn), F.lit(False))
+            | F.coalesce(dist_ratio > F.lit(dist_ratio_warn), F.lit(False))
+        ).alias("retrain"),
+    ).orderBy("cell")
+
+
 def ivf_query(
     index: DataFrame,
     queries: DataFrame,

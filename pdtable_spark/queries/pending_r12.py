@@ -1,0 +1,383 @@
+"""Queries STAGED for round 12 — built, oracled, pytest-gated and
+benched this round (the ``suite_r8``…``pending_r11`` staging
+discipline), registered under ``@q`` at the top of round 12.
+
+Round-12 window arithmetic (write it into ``__spark_entry__._PRIORITY``
+at registration time): after CORRECTNESS_r11 reports the r11 head-50,
+the evidence ages are r11: 50, r7: 7, r8: 50, r9: 50, r10: 50 — so the
+round-12 head-50 is the entries in this file + the 7 remaining
+r7-evidence rows (CORRECTNESS_r07 report order, starting after the r11
+window's last r7 row) + the oldest r8-evidence rows (CORRECTNESS_r08
+report order) to fill 50 exactly.
+
+Every entry here is ALREADY under the correctness gate:
+``tests/test_env_contract.py::test_pending_r12_oracles`` runs each
+(spark, oracle) pair side-by-side at sf0.001 in pytest, so staged
+queries cannot rot before registration.
+
+Each entry satisfies the driver contract shape:
+``fn(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle string with
+matching column aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdtable_spark.queries.pending_r11 import _ZBITS, _sql_interleave2
+from pdtable_spark.queries.suite import load
+
+#: name → (query fn, oracle sql): what round 12 registers.
+PENDING_R12 = {}
+
+
+# ---------------------------------------------------------------------------
+# The READ side of the Z-order pruning certificate (VERDICT r10 task #2):
+# write a clustered lake with a DETERMINISTIC file layout, plan a
+# conjunctive range predicate, read through io.maintenance.pruned_read,
+# and return BOTH the files-read accounting and the pruned answer — the
+# oracle recomputes file membership, intersection and the answer from
+# the same exact-integer curve arithmetic.
+# ---------------------------------------------------------------------------
+
+R12_SQL_LAKE_PRUNED_READ = f"""
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT MIN(ck) AS lo1, MAX(ck) AS hi1,
+             MIN(cents) AS lo2, MAX(cents) AS hi2
+      FROM o
+    ),
+    k AS (
+      SELECT ck, cents,
+             LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((ck - lo1) * {1 << _ZBITS}) / (hi1 - lo1 + 1.0))
+                    AS BIGINT))) AS b1,
+             LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((cents - lo2) * {1 << _ZBITS}) / (hi2 - lo2 + 1.0))
+                    AS BIGINT))) AS b2
+      FROM o CROSS JOIN b
+    ),
+    z AS (
+      SELECT ck, cents,
+             ({_sql_interleave2('b1', 'b2', _ZBITS)}) >> {_ZBITS} AS z_file
+      FROM k
+    ),
+    p AS (
+      SELECT lo1 + CAST(FLOOR((hi1 - lo1) * 30 / 100.0) AS BIGINT) AS ck_lo,
+             lo1 + CAST(FLOOR((hi1 - lo1) * 45 / 100.0) AS BIGINT) AS ck_hi,
+             lo2 + CAST(FLOOR((hi2 - lo2) * 40 / 100.0) AS BIGINT) AS ce_lo,
+             lo2 + CAST(FLOOR((hi2 - lo2) * 60 / 100.0) AS BIGINT) AS ce_hi
+      FROM b
+    ),
+    fstats AS (
+      SELECT z_file, MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+             MIN(cents) AS min_ce, MAX(cents) AS max_ce
+      FROM z GROUP BY z_file
+    ),
+    kept AS (
+      SELECT z_file FROM fstats CROSS JOIN p
+      WHERE NOT (max_ck < ck_lo OR min_ck > ck_hi)
+        AND NOT (max_ce < ce_lo OR min_ce > ce_hi)
+    ),
+    answer AS (
+      SELECT COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+      FROM z CROSS JOIN p
+      WHERE ck BETWEEN ck_lo AND ck_hi AND cents BETWEEN ce_lo AND ce_hi
+    )
+    SELECT CAST((SELECT COUNT(*) FROM fstats) AS BIGINT) AS n_files_total,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_files_read,
+           CAST((SELECT COUNT(*) FROM fstats)
+                - (SELECT COUNT(*) FROM kept) AS BIGINT) AS n_files_skipped,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM answer
+"""
+
+
+def r12_lake_pruned_read(spark, sf_dir):
+    """End-to-end read-side pruning proof: orders are written as a
+    clustered lake whose FILE layout is deterministic by construction —
+    one file per coarse Z-curve cell (``zkey >> {bits}``), achieved by
+    hashing each cell id to one task and ``partitionBy``-ing on it, so
+    per-file min/max footer stats ARE per-cell min/max and the oracle
+    can restate the whole certificate as curve arithmetic.  A
+    conjunctive range predicate (a 15%x20% band of the bounds) then
+    reads through :func:`pdtable_spark.io.maintenance.pruned_read`:
+    files-total/read/skipped come from the CERTIFICATE-driven scan (the
+    frame's FileIndex holds exactly the kept files), and
+    (n_orders, sum_cents) is the residual-filtered answer off that
+    pruned scan — if pruning dropped a file it shouldn't have, the
+    aggregate is wrong and the value oracle catches it.
+
+    Scale shape: one bounded min/max aggregate, one clustered write
+    (the lake being certified), one file-count-bounded stats pass, then
+    a scan that opens ONLY intersecting files — the 100 TB story where
+    a selective predicate touches a handful of files, not the lake.
+    """
+    import tempfile
+
+    from pdtable_spark.io import maintenance as mnt
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    row = o.agg(
+        F.min("ck"), F.max("ck"), F.min("cents"), F.max("cents")
+    ).collect()[0]
+    lo1, hi1, lo2, hi2 = (int(v) for v in row)
+    z = mnt.zorder_key(
+        [
+            mnt.int_bucket(F.col("ck"), lo1, hi1, _ZBITS),
+            mnt.int_bucket(F.col("cents"), lo2, hi2, _ZBITS),
+        ],
+        _ZBITS,
+    )
+    keyed = o.withColumn("z_file", F.shiftright(z, _ZBITS))
+    d = tempfile.mkdtemp(prefix="pdtable_lakeread_")
+    (
+        keyed.repartition(1 << _ZBITS, "z_file")
+        .write.mode("overwrite")
+        .partitionBy("z_file")
+        .parquet(d)
+    )
+    preds = {
+        "ck": (lo1 + (hi1 - lo1) * 30 // 100, lo1 + (hi1 - lo1) * 45 // 100),
+        "cents": (lo2 + (hi2 - lo2) * 40 // 100, lo2 + (hi2 - lo2) * 60 // 100),
+    }
+    pruned, rep = mnt.pruned_read(spark, d, preds)
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(
+        F.lit(rep["n_files_total"]).cast("long").alias("n_files_total"),
+        F.lit(rep["n_files_read"]).cast("long").alias("n_files_read"),
+        F.lit(rep["n_files_skipped"]).cast("long").alias("n_files_skipped"),
+        "n_orders",
+        "sum_cents",
+    )
+
+
+PENDING_R12["lake_pruned_read"] = (
+    r12_lake_pruned_read,
+    R12_SQL_LAKE_PRUNED_READ,
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF staleness diagnostic (VERDICT r10 task #3): the when-to-retrain
+# companion of ivf_append — per-cell appended fraction + assigned-d²
+# drift vs the train-time ledger, in the embedding_ivf_recall /
+# minhash_estimate_error sketch-quality convention.
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 16  # the suite's seeded-centroid convention (vec_id < 16)
+_STALE_Q = "1000000.0"  # quantum literal: 1e6, spelled once for both engines
+
+
+def _sql_stale_dist2(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+    )
+
+
+R12_SQL_IVF_STALENESS = f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    d AS (
+      SELECT c.vec_id, cent.cid,
+             {_sql_stale_dist2('ca', 'ce', 64)} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY {_sql_stale_dist2('ca', 'ce', 64)},
+                                         cent.cid) AS rn
+      FROM c CROSS JOIN cent
+    ),
+    a AS (
+      SELECT vec_id, cid AS cell,
+             CAST(FLOOR(d2 * {_STALE_Q} + 0.5) AS BIGINT) AS qd2
+      FROM d WHERE rn = 1
+    ),
+    t AS (SELECT cell, COUNT(*) AS n_t, SUM(qd2) AS sq_t
+          FROM a WHERE vec_id % 3 <> 0 GROUP BY cell),
+    n AS (SELECT cell, COUNT(*) AS n_n, SUM(qd2) AS sq_n
+          FROM a GROUP BY cell),
+    j AS (
+      SELECT COALESCE(n.cell, t.cell) AS cell,
+             COALESCE(t.n_t, 0) AS n_train, COALESCE(n.n_n, 0) AS n_now,
+             COALESCE(t.sq_t, 0) AS sq_train, COALESCE(n.sq_n, 0) AS sq_now
+      FROM n FULL OUTER JOIN t ON n.cell = t.cell
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_now AS BIGINT) AS n_now,
+           CAST(n_now - n_train AS BIGINT) AS n_appended,
+           CASE WHEN n_now > 0 THEN
+             CAST(n_now - n_train AS DOUBLE) / CAST(n_now AS DOUBLE)
+           END AS appended_frac,
+           CASE WHEN n_train > 0 THEN
+             CAST(sq_train AS DOUBLE) / CAST(n_train AS DOUBLE) / {_STALE_Q}
+           END AS mean_d2_train,
+           CASE WHEN n_now > 0 THEN
+             CAST(sq_now AS DOUBLE) / CAST(n_now AS DOUBLE) / {_STALE_Q}
+           END AS mean_d2_now,
+           CASE WHEN n_train > 0 AND n_now > 0 AND sq_train > 0 THEN
+             (CAST(sq_now AS DOUBLE) / CAST(n_now AS DOUBLE))
+             / (CAST(sq_train AS DOUBLE) / CAST(n_train AS DOUBLE))
+           END AS dist_ratio,
+           (COALESCE(CASE WHEN n_now > 0 THEN
+               CAST(n_now - n_train AS DOUBLE) / CAST(n_now AS DOUBLE)
+             END > 0.3, FALSE)
+            OR COALESCE(CASE WHEN n_train > 0 AND n_now > 0 AND sq_train > 0
+             THEN (CAST(sq_now AS DOUBLE) / CAST(n_now AS DOUBLE))
+                  / (CAST(sq_train AS DOUBLE) / CAST(n_train AS DOUBLE))
+             END > 1.05, FALSE)) AS retrain
+    FROM j ORDER BY cell
+"""
+
+
+def r12_embedding_ivf_staleness(spark, sf_dir):
+    """The when-to-retrain diagnostic under the value gate: the suite's
+    seeded centroids (``vec_id < 16``, the ``embedding_ivf_recall``
+    convention) are "trained" on the 2/3 slice ``vec_id % 3 != 0``; the
+    full corpus then plays the post-append population.
+    ``similarity.ivf_cell_ledger`` (additive quantized-BIGINT state,
+    the gram-ledger convention) captures both; ``similarity.
+    ivf_staleness`` joins them into per-cell appended fraction,
+    assigned-d² means, drift ratio and the retrain alarm bit.  The
+    thresholds (0.3 / 1.05) sit inside the observed spread so the flag
+    column is non-degenerate at every SF.
+
+    Scale shape: two corpus scans (train slice + full) each folding to
+    an n_cells-row ledger, then one broadcast join — the diagnostic
+    costs two ledger passes regardless of corpus size, which is why it
+    can run after EVERY append batch."""
+    from pdtable_spark.operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    train = emb.filter(F.col("vec_id") % 3 != 0)
+    led = similarity.ivf_cell_ledger(train, cents)
+    return similarity.ivf_staleness(
+        emb, cents, led, appended_frac_warn=0.3, dist_ratio_warn=1.05
+    )
+
+
+PENDING_R12["embedding_ivf_staleness"] = (
+    r12_embedding_ivf_staleness,
+    R12_SQL_IVF_STALENESS,
+)
+
+
+# ---------------------------------------------------------------------------
+# Typed drill-down after json_profile (VERDICT r10 task #4): compile a
+# profile-derived path→type plan into ONE from_json schema and aggregate
+# the typed columns — the VARIANT-shaped step the profile defers.
+# ---------------------------------------------------------------------------
+
+R12_SQL_JSON_EXTRACT_TYPED = """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CASE event_id % 3 WHEN 0 THEN 'ios' WHEN 1 THEN 'android'
+                  ELSE 'web' END AS device,
+             (user_id * 7919) % 181 AS lat,
+             (user_id * 104729) % 361 AS lon,
+             CASE WHEN event_id % 5 = 0 THEN
+               CAST(FLOOR(COALESCE(value, 0.0) * 100 + 0.5) AS BIGINT)
+             END AS amount_cents
+      FROM events
+    )
+    SELECT device,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(lat) AS BIGINT) AS sum_lat,
+           CAST(SUM(lon) AS BIGINT) AS sum_lon,
+           CAST(COUNT(amount_cents) AS BIGINT) AS n_priced,
+           CAST(SUM(amount_cents) AS BIGINT) AS sum_amount_cents
+    FROM e GROUP BY device ORDER BY device
+"""
+
+
+def r12_pipeline_json_extract_typed(spark, sf_dir):
+    """Typed extraction end-to-end under the value gate: each event is
+    re-serialized as a nested JSON document (the ``k`` from the real
+    ``props`` column, a derived device string, an integer-degree geo
+    object, an integer-cents amount present only on every fifth event —
+    integers throughout so serialization is engine-independent), then
+    ``monitor.json_extract_typed`` compiles the 5-path plan into ONE
+    ``from_json`` schema — one parse per document, not one per path —
+    and the typed columns aggregate per device.  The oracle recomputes
+    every value from the raw columns (plus DuckDB's own JSON extraction
+    for ``k``), so a wrong type coercion, a dropped nested field, or a
+    null-vs-absent confusion in the extraction shows up as a value
+    mismatch.
+
+    Scale shape: one scan, codegen JSON parse (no Python), one 3-group
+    aggregate."""
+    from pdtable_spark.operators.monitor import json_extract_typed
+
+    ev = load(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.from_json(F.col("props"), "map<string,string>")["k"]
+            .cast("long")
+            .alias("k"),
+            F.element_at(
+                F.array(F.lit("ios"), F.lit("android"), F.lit("web")),
+                (F.col("event_id") % 3 + 1).cast("int"),
+            ).alias("device"),
+            F.struct(
+                ((F.col("user_id") * 7919) % 181).alias("lat"),
+                ((F.col("user_id") * 104729) % 361).alias("lon"),
+            ).alias("geo"),
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5))
+                .cast("long"),
+            ).alias("amount_cents"),
+        ),
+        {"ignoreNullFields": "true"},
+    )
+    typed = json_extract_typed(
+        ev.select(doc.alias("j")),
+        "j",
+        {
+            "$.k": "long",
+            "$.device": "string",
+            "$.geo.lat": "long",
+            "$.geo.lon": "long",
+            "$.amount_cents": "long",
+        },
+    )
+    return (
+        typed.groupBy("device")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum("geo_lat").cast("long").alias("sum_lat"),
+            F.sum("geo_lon").cast("long").alias("sum_lon"),
+            F.count("amount_cents").cast("long").alias("n_priced"),
+            F.sum("amount_cents").cast("long").alias("sum_amount_cents"),
+        )
+        .orderBy("device")
+    )
+
+
+PENDING_R12["pipeline_json_extract_typed"] = (
+    r12_pipeline_json_extract_typed,
+    R12_SQL_JSON_EXTRACT_TYPED,
+)

@@ -2,8 +2,8 @@
 counterpart of scripts/check_oracles.py (which sweeps everything).
 
 Usage: python scripts/check_pending.py [sf_dir] [query ...]
-       (no query names = the round-10 block, queries/pending_r10.py, plus
-        the staged queries/pending_r11.py entries; any suite or staged
+       (no query names = the round-11 block, queries/pending_r11.py, plus
+        the staged queries/pending_r12.py entries; any suite or staged
         name can be passed explicitly)
 
 Runs each (spark_fn, duckdb_sql) pair side-by-side and compares
@@ -42,13 +42,13 @@ def _key_rows(cols, rows):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    from pdtable_spark.queries.pending_r10 import PENDING_R10
     from pdtable_spark.queries.pending_r11 import PENDING_R11
+    from pdtable_spark.queries.pending_r12 import PENDING_R12
     from pdtable_spark.queries.suite import ORACLES, QUERIES
 
-    # default: the newest registered block (r10, queries/pending_r10.py)
-    # plus the staged r11 entries — the rows most worth re-sweeping
-    names = sys.argv[2:] or (list(PENDING_R10) + list(PENDING_R11))
+    # default: the newest registered block (r11, queries/pending_r11.py)
+    # plus the staged r12 entries — the rows most worth re-sweeping
+    names = sys.argv[2:] or (list(PENDING_R11) + list(PENDING_R12))
     parts = os.environ.get("CHECK_ORACLES_PARTS", "8")
     spark = (
         SparkSession.builder.master("local[8]")
@@ -73,7 +73,7 @@ def main():
         if name in QUERIES:
             fn, sql = QUERIES[name], ORACLES[name]
         else:
-            fn, sql = PENDING_R11[name]
+            fn, sql = PENDING_R12[name]
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         s_cols = sdf.columns

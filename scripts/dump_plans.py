@@ -151,6 +151,10 @@ def main():
         "pipeline_json_profile",
         # (stream_gram_ledger / stream_upsert_changelog excluded per the
         # streaming policy above)
+        # round-12 staged queries (queries/pending_r12.py)
+        "lake_pruned_read",
+        "embedding_ivf_staleness",
+        "pipeline_json_extract_typed",
     ]
 
     out = [
@@ -163,10 +167,10 @@ def main():
         "|---|---|---|---|---|---|",
     ]
     from pdtable_spark.plans import plan_lint
-    from pdtable_spark.queries.pending_r11 import PENDING_R11
+    from pdtable_spark.queries.pending_r12 import PENDING_R12
 
     resolved = dict(QUERIES)
-    resolved.update({n: fn for n, (fn, _sql) in PENDING_R11.items()})
+    resolved.update({n: fn for n, (fn, _sql) in PENDING_R12.items()})
 
     details = []
     lint_errors = []

@@ -4934,3 +4934,104 @@ def test_video_meta_webm_ebml_walk(spark):
     assert out[6]["vid_width"] is None and out[6]["vid_height"] is None
     # duration stays decode-path NULL for webm
     assert all(out[i]["duration_ms"] is None for i in out)
+
+
+def test_ivf_cell_ledger_additive_and_staleness_flags(spark):
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators import similarity
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    # train: tight around both centroids
+    train_rows = [
+        (0, [0.1, 0.0]), (1, [0.0, 0.2]), (2, [9.9, 10.0]), (3, [10.0, 10.1]),
+    ]
+    # appended: cell 1 gains 3 drifted members far from its centroid
+    app_rows = [(4, [7.0, 7.0]), (5, [13.0, 13.0]), (6, [10.0, 14.0])]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "vec_id long, embedding array<double>"
+    )
+    train, app = mk(train_rows), mk(app_rows)
+
+    led_t = similarity.ivf_cell_ledger(train, cents)
+    led_a = similarity.ivf_cell_ledger(app, cents)
+    led_all = similarity.ivf_cell_ledger(train.unionByName(app), cents)
+    # additive: ledger(train) + ledger(app) == ledger(union), bit-identically
+    merged = (
+        led_t.unionByName(led_a)
+        .groupBy("cell")
+        .agg(F.sum("n").alias("n"), F.sum("sum_qd2").alias("sum_qd2"))
+    )
+    as_map = lambda df: {  # noqa: E731
+        r["cell"]: (r["n"], r["sum_qd2"]) for r in df.collect()
+    }
+    assert as_map(merged) == as_map(led_all)
+
+    st = {
+        r["cell"]: r
+        for r in similarity.ivf_staleness(
+            train.unionByName(app), cents, led_t
+        ).collect()
+    }
+    # cell 0: untouched — nothing appended, ratio 1, no alarm
+    assert st[0]["n_appended"] == 0 and st[0]["appended_frac"] == 0.0
+    assert abs(st[0]["dist_ratio"] - 1.0) < 1e-12 and not st[0]["retrain"]
+    # cell 1: 3 of 5 members appended and drifted -> both signals fire
+    assert st[1]["n_train"] == 2 and st[1]["n_now"] == 5
+    assert st[1]["appended_frac"] == 0.6
+    assert st[1]["dist_ratio"] > 10 and st[1]["retrain"]
+
+
+def test_json_extract_typed_compiles_one_schema(spark):
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.monitor import json_profile, json_extract_typed
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 7, "s": "x", "geo": {"lat": 55, "lon": 12}, "tags": [1,2]}'),
+            (2, '{"a": "not-a-number", "geo": {"lat": 56}}'),
+            (3, None),
+        ],
+        "id long, j string",
+    )
+    plan = {
+        "$.a": "long",
+        "$.s": "string",
+        "$.geo.lat": "long",
+        "$.geo.lon": "long",
+        "$.tags": "array<long>",
+    }
+    got = {r["id"]: r for r in json_extract_typed(df, "j", plan).collect()}
+    assert got[1]["a"] == 7 and got[1]["s"] == "x"
+    assert got[1]["geo_lat"] == 55 and got[1]["geo_lon"] == 12
+    assert got[1]["tags"] == [1, 2]
+    # non-parsing value and missing paths -> NULL, row survives
+    assert got[2]["a"] is None and got[2]["s"] is None
+    assert got[2]["geo_lat"] == 56 and got[2]["geo_lon"] is None
+    assert got[3]["a"] is None and got[3]["geo_lat"] is None
+    # source columns ride through; output names are path-derived
+    assert json_extract_typed(df, "j", plan).columns == [
+        "id", "j", "a", "s", "geo_lat", "geo_lon", "tags",
+    ]
+    # profile -> plan round trip: every scalar path the profile names is
+    # extractable (the documented drill-down pairing)
+    prof = json_profile(df.filter(F.col("j").isNotNull()), "j")
+    scalar_paths = [
+        r["path"] for r in prof.collect()
+        if r["kind"] == "scalar" and r["path"] != "$"
+    ]
+    assert "$.geo.lat" in scalar_paths
+    rt = json_extract_typed(df, "j", {p: "string" for p in scalar_paths})
+    assert rt.count() == 3
+
+    # loud compile errors: bad grammar, depth, scalar/object conflict
+    import pytest as _pt
+
+    for bad in ({}, {"a": "long"}, {"$.a.b.c": "long"}, {"$.": "long"}):
+        with _pt.raises(ValueError):
+            json_extract_typed(df, "j", bad) if bad else json_extract_typed(df, "j", bad)
+    with _pt.raises(ValueError, match="conflicts"):
+        json_extract_typed(df, "j", {"$.geo": "string", "$.geo.lat": "long"})
+    with _pt.raises(ValueError, match="conflicts"):
+        json_extract_typed(df, "j", {"$.geo.lat": "long", "$.geo": "string"})
