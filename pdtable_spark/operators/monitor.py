@@ -842,6 +842,14 @@ def json_extract_typed(
     malformed producer row cannot fail the batch (count the NULLs
     against the profile if you need the alarm).
 
+    Primitive leaves parse as STRING in the compiled schema and CAST to
+    the planned type afterwards: ``from_json`` itself is strictly typed
+    (a producer that quotes a number — ``"40"`` — nulls out a ``long``
+    field), while parse-then-cast accepts both spellings, matching the
+    lexical classification :func:`json_infer_plan` does.  Complex
+    planned types (``array<...>``, ``map<...>``) keep their type in the
+    schema directly.
+
     Depth is capped at 2 like the profile itself; a plan that names
     both ``$.a`` and ``$.a.b`` is contradictory (scalar AND object) and
     fails loudly at compile time, as does a path outside the ``$.``
@@ -878,23 +886,151 @@ def json_extract_typed(
                 )
             node[parts[1]] = plan[path]
 
+    def is_complex(typ: str) -> bool:
+        return "<" in typ
+
     def ddl(node: dict) -> str:
         fields = []
         for k in sorted(node):
             v = node[k]
-            typ = ddl(v) if isinstance(v, dict) else v
+            if isinstance(v, dict):
+                typ = ddl(v)
+            else:
+                # primitive leaves parse as string, cast later (see
+                # docstring); complex types must parse typed
+                typ = v if is_complex(v) else "string"
             fields.append(f"`{k}`:{typ}")
         return "struct<" + ",".join(fields) + ">"
 
     parsed = F.from_json(F.col(json_col), ddl(top))
     outs = []
-    for path in plan:
+    for path, typ in plan.items():
         parts = path[2:].split(".")
         col = parsed[parts[0]]
         if len(parts) == 2:
             col = col[parts[1]]
+        if not is_complex(typ) and typ != "string":
+            # try_cast, not cast: malformed values must NULL out, not
+            # fail the batch under ANSI mode
+            col = col.try_cast(typ)
         outs.append(col.alias(prefix + "_".join(parts)))
     return df.select("*", *outs)
+
+
+def json_infer_plan(
+    df: DataFrame, json_col: str, max_depth: int = 2
+) -> DataFrame:
+    """Close the profile→plan→extract loop: infer a TYPED extraction
+    plan for every scalar path in a JSON column — the step between
+    :func:`json_profile` (which names the paths) and
+    :func:`json_extract_typed` (which wants ``{path: type}``).
+
+    Per scalar path (depth ≤ ``max_depth``, the profile grammar):
+    classify each value as ``long`` / ``double`` / ``boolean`` /
+    ``string`` by shape (the map-typed reparse unquotes JSON strings,
+    so classification is lexical: an all-digits value infers ``long``
+    whether the producer wrote ``7`` or ``"7"`` — width, not quoting,
+    is what a typed schema needs), then promote along the standard
+    lattice: any string ⇒ ``string``; boolean mixed with numerics ⇒
+    ``string``; long mixed with double ⇒ ``double``.  Returns
+    ``(path, inferred_type, n_values, n_long, n_double, n_boolean,
+    n_string)`` — exact integer counts, so the whole frame (including
+    the CASE-derived type) is value-oracle-able.  Feed the result to
+    :func:`typed_plan` for the dict ``json_extract_typed`` takes.
+
+    Object/array/null values do not contribute rows (they are the
+    profile's business); a path whose values are ALL null-literals
+    infers ``string`` (no evidence → the widest type).  Scale shape:
+    identical to the profile — one scan, bounded per-level explodes,
+    one path-domain aggregate.
+    """
+    if max_depth not in (1, 2):
+        raise ValueError(
+            f"json_infer_plan: max_depth must be 1 or 2, got {max_depth}"
+        )
+    raw = F.col(json_col)
+    m1 = F.from_json(raw, "map<string,string>")
+    l1 = df.select(F.explode(m1).alias("k1", "v1")).select(
+        F.concat(F.lit("$."), F.col("k1")).alias("path"),
+        F.col("v1").alias("val"),
+        F.col("k1"),
+        F.col("v1"),
+    )
+    levels = [l1.select("path", "val")]
+    if max_depth >= 2:
+        m2 = F.from_json(F.col("v1"), "map<string,string>")
+        l2 = (
+            l1.filter(
+                F.col("v1").startswith("{") & m2.isNotNull()
+            )
+            .select(F.col("k1"), F.explode(m2).alias("k2", "v2"))
+            .select(
+                F.concat(
+                    F.lit("$."), F.col("k1"), F.lit("."), F.col("k2")
+                ).alias("path"),
+                F.col("v2").alias("val"),
+            )
+        )
+        levels.append(l2)
+    vals = levels[0]
+    for lv in levels[1:]:
+        vals = vals.unionByName(lv)
+    v = F.col("val")
+    is_obj = v.startswith("{") & F.from_json(v, "map<string,string>").isNotNull()
+    is_arr = v.startswith("[") & F.from_json(v, "array<string>").isNotNull()
+    scalar = vals.filter(v.isNotNull() & ~is_obj & ~is_arr)
+    cls = (
+        F.when(v == "null", F.lit("null"))
+        .when(v.rlike("^-?[0-9]+$"), F.lit("long"))
+        .when(
+            v.rlike(
+                "^-?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$"
+            ),
+            F.lit("double"),
+        )
+        .when(v.isin("true", "false"), F.lit("boolean"))
+        .otherwise(F.lit("string"))
+    )
+    counts = scalar.select("path", cls.alias("cls")).groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum((F.col("cls") == "long").cast("long")).alias("n_long"),
+        F.sum((F.col("cls") == "double").cast("long")).alias("n_double"),
+        F.sum((F.col("cls") == "boolean").cast("long")).alias("n_boolean"),
+        F.sum((F.col("cls") == "string").cast("long")).alias("n_string"),
+    )
+    nl, nd, nb, ns = (
+        F.col("n_long"), F.col("n_double"), F.col("n_boolean"),
+        F.col("n_string"),
+    )
+    inferred = (
+        F.when(ns > 0, F.lit("string"))
+        .when((nb > 0) & ((nl > 0) | (nd > 0)), F.lit("string"))
+        .when(nb > 0, F.lit("boolean"))
+        .when(nd > 0, F.lit("double"))
+        .when(nl > 0, F.lit("long"))
+        .otherwise(F.lit("string"))
+    )
+    return counts.select(
+        "path",
+        inferred.alias("inferred_type"),
+        "n_values",
+        "n_long",
+        "n_double",
+        "n_boolean",
+        "n_string",
+    ).orderBy("path")
+
+
+def typed_plan(infer_df: DataFrame) -> dict:
+    """Collect a :func:`json_infer_plan` frame into the ``{path: type}``
+    dict :func:`json_extract_typed` takes — path-domain-bounded, the
+    profile's own size cap.  Paths whose parent is itself extracted as
+    a scalar cannot coexist (the extract compiler rejects them); the
+    inference never produces that shape because a value classifies as
+    scalar or object, not both."""
+    return {
+        r["path"]: r["inferred_type"] for r in infer_df.collect()
+    }
 
 
 def filter_agreement(df: DataFrame, flag_cols: List[str]) -> DataFrame:

@@ -381,3 +381,92 @@ PENDING_R12["pipeline_json_extract_typed"] = (
     r12_pipeline_json_extract_typed,
     R12_SQL_JSON_EXTRACT_TYPED,
 )
+
+
+# ---------------------------------------------------------------------------
+# Plan inference closing the profile→plan→extract loop: json_infer_plan
+# classifies every scalar path's values lexically and promotes along the
+# standard lattice — the automation that turns an unknown feed into a
+# typed schema with no human in the loop.
+# ---------------------------------------------------------------------------
+
+R12_SQL_JSON_INFER_PLAN = """
+    WITH e AS (SELECT event_id FROM events),
+    n AS (SELECT COUNT(*) AS n_all FROM e),
+    thirds AS (SELECT COUNT(*) AS n_3 FROM e WHERE event_id % 3 = 0),
+    mixl AS (SELECT COUNT(*) AS n_ml FROM e WHERE event_id % 4 <> 3),
+    mixs AS (SELECT COUNT(*) AS n_ms FROM e WHERE event_id % 4 = 3)
+    SELECT path, inferred_type,
+           CAST(n_values AS BIGINT) AS n_values,
+           CAST(n_long AS BIGINT) AS n_long,
+           CAST(n_double AS BIGINT) AS n_double,
+           CAST(n_boolean AS BIGINT) AS n_boolean,
+           CAST(n_string AS BIGINT) AS n_string
+    FROM (
+      SELECT '$.id' AS path, 'long' AS inferred_type, n_all AS n_values,
+             n_all AS n_long, 0 AS n_double, 0 AS n_boolean, 0 AS n_string
+      FROM n
+      UNION ALL
+      SELECT '$.ratio', 'double', n_all, 0, n_all, 0, 0 FROM n
+      UNION ALL
+      SELECT '$.flag', 'boolean', n_all, 0, 0, n_all, 0 FROM n
+      UNION ALL
+      SELECT '$.mix', 'string', n_ml + n_ms, n_ml, 0, 0, n_ms
+      FROM mixl CROSS JOIN mixs
+      UNION ALL
+      SELECT '$.tag', 'string', n_all, 0, 0, 0, n_all FROM n
+      UNION ALL
+      SELECT '$.ctx.r', 'double', n_3, 0, n_3, 0, 0 FROM thirds
+      UNION ALL
+      SELECT '$.ctx.u', 'long', n_3, n_3, 0, 0, 0 FROM thirds
+    ) ORDER BY path
+"""
+
+
+def r12_pipeline_json_infer_plan(spark, sf_dir):
+    """Schema inference under the value gate: events re-serialize as
+    JSON documents carrying one path per primitive type — a long id, an
+    always-fractional double, a boolean, a pure string, a MIXED column
+    (numeric on 3 of 4 events, a word on the fourth — the promotion
+    case), and a nested object on every third event —
+    then ``monitor.json_infer_plan`` reconstructs (path, inferred_type,
+    per-class counts) from the values alone.  The oracle states every
+    count as event_id arithmetic and every inferred type as the lattice
+    answer, so a wrong classification regex, a missed promotion, or a
+    nested path leak shows up as a value mismatch.
+
+    Scale shape: identical to the profile — one scan, bounded explodes,
+    one path-domain aggregate."""
+    from pdtable_spark.operators.monitor import json_infer_plan
+
+    ev = load(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            # +0.5 keeps every value fractional so both engines agree
+            # the path is double-only without leaning on a serializer
+            (F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5))
+             / F.lit(2.0)).alias("ratio"),
+            (F.col("event_id") % 2 == 0).alias("flag"),
+            F.when(F.col("event_id") % 4 == 3, F.col("event_type"))
+            .otherwise((F.col("event_id") % 97).cast("string"))
+            .alias("mix"),
+            F.col("event_type").alias("tag"),
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.struct(
+                    F.col("user_id").alias("u"),
+                    ((F.col("user_id") % 7).cast("double") + F.lit(0.25))
+                    .alias("r"),
+                ),
+            ).alias("ctx"),
+        ),
+        {"ignoreNullFields": "true"},
+    )
+    return json_infer_plan(ev.select(doc.alias("j")), "j")
+
+
+PENDING_R12["pipeline_json_infer_plan"] = (
+    r12_pipeline_json_infer_plan,
+    R12_SQL_JSON_INFER_PLAN,
+)

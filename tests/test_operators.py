@@ -5035,3 +5035,51 @@ def test_json_extract_typed_compiles_one_schema(spark):
         json_extract_typed(df, "j", {"$.geo": "string", "$.geo.lat": "long"})
     with _pt.raises(ValueError, match="conflicts"):
         json_extract_typed(df, "j", {"$.geo.lat": "long", "$.geo": "string"})
+
+
+def test_json_infer_plan_types_and_promotion(spark):
+    from pdtable_spark.operators.monitor import (
+        json_extract_typed,
+        json_infer_plan,
+        typed_plan,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"i": 7, "d": 1.5, "b": true, "s": "x", "mix": 3, '
+                '"geo": {"lat": 55, "note": "home"}, "arr": [1,2]}'),
+            (2, '{"i": -12, "d": 2.0E-4, "b": false, "s": "7up", "mix": "n/a", '
+                '"geo": {"lat": 56, "note": "work"}}'),
+            (3, '{"i": "40", "d": 3, "quoted": "99"}'),
+        ],
+        "id long, j string",
+    )
+    inf = {r["path"]: r for r in json_infer_plan(df, "j").collect()}
+    # pure types
+    assert inf["$.i"]["inferred_type"] == "long"  # "40" unquotes to digits
+    assert inf["$.d"]["inferred_type"] == "double"  # long 3 promotes into double
+    assert inf["$.b"]["inferred_type"] == "boolean"
+    assert inf["$.s"]["inferred_type"] == "string"
+    assert inf["$.quoted"]["inferred_type"] == "long"
+    # promotion: long + string -> string
+    assert inf["$.mix"]["inferred_type"] == "string"
+    assert (inf["$.mix"]["n_long"], inf["$.mix"]["n_string"]) == (1, 1)
+    # nested scalars appear; objects/arrays contribute no rows
+    assert inf["$.geo.lat"]["inferred_type"] == "long"
+    assert inf["$.geo.note"]["inferred_type"] == "string"
+    assert "$.geo" not in inf and "$.arr" not in inf
+    # counts are exact
+    assert inf["$.i"]["n_values"] == 3 and inf["$.i"]["n_long"] == 3
+    assert (inf["$.d"]["n_double"], inf["$.d"]["n_long"]) == (2, 1)
+
+    # the loop closes: inferred plan drives typed extraction directly
+    plan = typed_plan(json_infer_plan(df, "j"))
+    got = {r["id"]: r for r in json_extract_typed(df, "j", plan).collect()}
+    assert got[1]["i"] == 7 and got[1]["geo_lat"] == 55 and got[1]["b"] is True
+    assert got[2]["d"] == 2.0e-4 and got[2]["mix"] == "n/a"
+    assert got[3]["i"] == 40 and got[3]["quoted"] == 99
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_depth"):
+        json_infer_plan(df, "j", max_depth=3)
