@@ -581,12 +581,35 @@ def ivf_staleness(
     members).  Cost: one corpus scan + one n_cells-row broadcast join.
     """
     now = ivf_cell_ledger(corpus, centroids, vec_col=vec_col, quantum=quantum)
+    return ivf_staleness_from_ledgers(
+        now,
+        train_ledger,
+        quantum=quantum,
+        appended_frac_warn=appended_frac_warn,
+        dist_ratio_warn=dist_ratio_warn,
+    )
+
+
+def ivf_staleness_from_ledgers(
+    now_ledger: DataFrame,
+    train_ledger: DataFrame,
+    quantum: float = 1e6,
+    appended_frac_warn: float = 0.5,
+    dist_ratio_warn: float = 1.25,
+) -> DataFrame:
+    """The ledger-join core of :func:`ivf_staleness`, exposed for
+    callers that already HOLD both ledgers — the streaming sibling
+    (``streaming.monitor.cell_ledger_stream``) accumulates the now-
+    ledger incrementally and re-joins the frozen train artifact per
+    micro-batch, paying n_cells rows per batch instead of a corpus
+    rescan.  Same column contract and exact-integer division order as
+    :func:`ivf_staleness`."""
     t = train_ledger.select(
         F.col("cell"),
         F.col("n").alias("__n_t"),
         F.col("sum_qd2").alias("__sq_t"),
     )
-    n = now.select(
+    n = now_ledger.select(
         F.col("cell"),
         F.col("n").alias("__n_n"),
         F.col("sum_qd2").alias("__sq_n"),

@@ -470,3 +470,134 @@ PENDING_R12["pipeline_json_infer_plan"] = (
     r12_pipeline_json_infer_plan,
     R12_SQL_JSON_INFER_PLAN,
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVF staleness: the cell ledger under the streaming gate —
+# the when-to-retrain alarm updating per append micro-batch with no
+# corpus rescan (extends the streaming ledger quartet to a quintet).
+# ---------------------------------------------------------------------------
+
+R12_SQL_STREAM_IVF_STALENESS = f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ca FROM embeddings),
+    cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    d AS (
+      SELECT c.vec_id, cent.cid,
+             {_sql_stale_dist2('ca', 'ce', 64)} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY {_sql_stale_dist2('ca', 'ce', 64)},
+                                         cent.cid) AS rn
+      FROM c CROSS JOIN cent
+    ),
+    a AS (
+      SELECT vec_id, cid AS cell,
+             CAST(FLOOR(d2 * {_STALE_Q} + 0.5) AS BIGINT) AS qd2
+      FROM d WHERE rn = 1
+    ),
+    t AS (SELECT cell, COUNT(*) AS n_t, SUM(qd2) AS sq_t
+          FROM a WHERE vec_id % 3 <> 0 GROUP BY cell),
+    waves AS (
+      SELECT 0 AS wave, cell, qd2 FROM a WHERE vec_id % 3 = 0
+      UNION ALL
+      SELECT 1, cell, qd2 FROM a WHERE vec_id % 4 = 0
+    ),
+    n AS (
+      SELECT bb.b AS batch_id, cell,
+             COUNT(*) AS n_n, SUM(qd2) AS sq_n
+      FROM (VALUES (0), (1)) AS bb(b), waves
+      WHERE waves.wave <= bb.b
+      GROUP BY bb.b, cell
+    ),
+    j AS (
+      SELECT n.batch_id, COALESCE(n.cell, t.cell) AS cell,
+             COALESCE(t.n_t, 0) AS n_train, COALESCE(n.n_n, 0) AS n_now,
+             COALESCE(t.sq_t, 0) AS sq_train, COALESCE(n.sq_n, 0) AS sq_now
+      FROM n LEFT JOIN t ON n.cell = t.cell
+      UNION ALL
+      SELECT bb.b, t.cell, t.n_t, 0, t.sq_t, 0
+      FROM (VALUES (0), (1)) AS bb(b), t
+      WHERE NOT EXISTS (SELECT 1 FROM n
+                        WHERE n.batch_id = bb.b AND n.cell = t.cell)
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(cell AS BIGINT) AS cell,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_now AS BIGINT) AS n_now,
+           CAST(n_now - n_train AS BIGINT) AS n_appended,
+           CASE WHEN n_now > 0 THEN
+             CAST(n_now - n_train AS DOUBLE) / CAST(n_now AS DOUBLE)
+           END AS appended_frac,
+           CASE WHEN n_train > 0 THEN
+             CAST(sq_train AS DOUBLE) / CAST(n_train AS DOUBLE) / {_STALE_Q}
+           END AS mean_d2_train,
+           CASE WHEN n_now > 0 THEN
+             CAST(sq_now AS DOUBLE) / CAST(n_now AS DOUBLE) / {_STALE_Q}
+           END AS mean_d2_now,
+           CASE WHEN n_train > 0 AND n_now > 0 AND sq_train > 0 THEN
+             (CAST(sq_now AS DOUBLE) / CAST(n_now AS DOUBLE))
+             / (CAST(sq_train AS DOUBLE) / CAST(n_train AS DOUBLE))
+           END AS dist_ratio,
+           (COALESCE(CASE WHEN n_now > 0 THEN
+               CAST(n_now - n_train AS DOUBLE) / CAST(n_now AS DOUBLE)
+             END > 0.3, FALSE)
+            OR COALESCE(CASE WHEN n_train > 0 AND n_now > 0 AND sq_train > 0
+             THEN (CAST(sq_now AS DOUBLE) / CAST(n_now AS DOUBLE))
+                  / (CAST(sq_train AS DOUBLE) / CAST(n_train AS DOUBLE))
+             END > 1.05, FALSE)) AS retrain
+    FROM j ORDER BY batch_id, cell
+"""
+
+
+def r12_stream_ivf_staleness(spark, sf_dir):
+    """The IVF cell ledger under the streaming gate: the train-time
+    ledger freezes over the 2/3 slice (``vec_id % 3 != 0``, the
+    ``embedding_ivf_staleness`` convention), then two append waves
+    (%3==0, then %4==0 — overlapping on %12==0 and counted twice: the
+    ledger tracks OBSERVATIONS) land through ONE checkpoint; per
+    micro-batch the RUNNING per-cell staleness report (appended
+    fraction, drift ratio, retrain bit vs the frozen artifact) lands
+    exactly-once against the accumulating integer state.  Cells the
+    stream has not reached yet still report (n_now = 0, NULL ratios,
+    no alarm) — the full-outer contract.  Full value oracle, no
+    tolerance pin."""
+    import tempfile
+
+    from pdtable_spark.operators.similarity import ivf_cell_ledger
+    from pdtable_spark.streaming.monitor import cell_ledger_stream
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    ]
+    d = tempfile.mkdtemp(prefix="pdtable_cellled_")
+    land, led, out = f"{d}/land", f"{d}/ledger", f"{d}/out"
+    train_led = ivf_cell_ledger(emb.filter(F.col("vec_id") % 3 != 0), cents)
+    train_led.write.parquet(f"{d}/train")
+    frozen = spark.read.parquet(f"{d}/train")
+    for wave_mod in (3, 4):
+        emb.filter(F.col("vec_id") % wave_mod == 0).write.parquet(
+            land, mode="append"
+        )
+        s = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(land)
+        cell_ledger_stream(
+            s, led, out, f"{d}/ckpt", frozen, cents,
+            appended_frac_warn=0.3, dist_ratio_warn=1.05,
+        )
+    return spark.read.parquet(out).select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "cell", "n_train", "n_now", "n_appended", "appended_frac",
+        "mean_d2_train", "mean_d2_now", "dist_ratio", "retrain",
+    )
+
+
+PENDING_R12["stream_ivf_staleness"] = (
+    r12_stream_ivf_staleness,
+    R12_SQL_STREAM_IVF_STALENESS,
+)

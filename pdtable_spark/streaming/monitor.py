@@ -595,3 +595,127 @@ def moment_ledger_stream(
         .start()
     )
     return await_or_raise(q, timeout, "moment_ledger_stream")
+
+
+def _cell_ledger_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    ledger_dir: str,
+    out_dir: str,
+    train_ledger: DataFrame,
+    centroids,
+    vec_col: str,
+    quantum: float,
+    appended_frac_warn: float,
+    dist_ratio_warn: float,
+) -> None:
+    """One micro-batch of the IVF cell ledger (split out for unit
+    tests).  Reads the cumulative per-cell (n, sum_qd2) state AS-OF the
+    previous batch, adds this batch's :func:`~pdtable_spark.operators.
+    similarity.ivf_cell_ledger` into it (both fields are additive
+    integers — the merge IS addition), writes the running staleness
+    report vs the FROZEN train ledger for this batch, then the advanced
+    cumulative state under this batch's partition."""
+    from pdtable_spark.operators.similarity import (
+        ivf_cell_ledger,
+        ivf_staleness_from_ledgers,
+    )
+
+    batch_led = ivf_cell_ledger(
+        batch_df, centroids, vec_col=vec_col, quantum=quantum
+    )
+    prev = batch_led.limit(0)
+    if _ledger_exists(spark, ledger_dir):
+        led_all = spark.read.parquet(ledger_dir).filter(
+            F.col("batch_id") < batch_id
+        )
+        mx = led_all.agg(F.max("batch_id")).collect()[0][0]
+        if mx is not None:
+            prev = led_all.filter(F.col("batch_id") == mx).select(
+                "cell", "n", "sum_qd2"
+            )
+    merged = (
+        prev.unionByName(batch_led)
+        .groupBy("cell")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_qd2").cast("long").alias("sum_qd2"),
+        )
+    )
+    (
+        ivf_staleness_from_ledgers(
+            merged,
+            train_ledger,
+            quantum=quantum,
+            appended_frac_warn=appended_frac_warn,
+            dist_ratio_warn=dist_ratio_warn,
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    (
+        merged.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(ledger_dir)
+    )
+
+
+def cell_ledger_stream(
+    stream_vecs: DataFrame,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    train_ledger: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    quantum: float = 1e6,
+    appended_frac_warn: float = 0.5,
+    dist_ratio_warn: float = 1.25,
+    timeout: Optional[int] = 120,
+):
+    """Running IVF staleness over a continuous embedding ingest, from
+    mergeable cell ledgers alone (:func:`~pdtable_spark.operators.
+    similarity.ivf_cell_ledger`): per micro-batch, the cumulative
+    per-cell appended fraction, assigned-d² drift ratio and retrain
+    alarm vs the FROZEN train-time ledger — the ``ivf_append``
+    when-to-retrain signal that updates while the append lands, with no
+    rescan of earlier batches.  Extends the streaming ledger quartet
+    (HLL novelty, histogram quantile, heavy-hitter, moment) to a
+    QUINTET.
+
+    State is a PARQUET LEDGER of cumulative per-cell (n, sum_qd2)
+    integer sums partitioned by ``batch_id`` (as-of-batch snapshots,
+    n_cells rows each).  Exactly-once without transactional storage
+    comes from the AS-OF read discipline alone (the ledger posture:
+    integer sums ADD, so a retried batch recomputing against
+    strictly-earlier state lands byte-identically).  The ledger counts
+    OBSERVATIONS — dedup upstream if re-ingested vectors must not
+    reweight the cells.  ``train_ledger`` is the artifact persisted at
+    train time next to the frozen centroids; it is never mutated here.
+
+    Output rows: (cell, n_train, n_now, n_appended, appended_frac,
+    mean_d2_train, mean_d2_now, dist_ratio, retrain, batch_id); state
+    rows: (cell, n, sum_qd2, batch_id).
+    """
+    spark = stream_vecs.sparkSession
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        _cell_ledger_batch(
+            spark, batch_df, batch_id, ledger_dir, out_dir, train_ledger,
+            centroids, vec_col, quantum, appended_frac_warn, dist_ratio_warn,
+        )
+
+    q = (
+        stream_vecs.writeStream.outputMode("append")
+        .foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return await_or_raise(q, timeout, "cell_ledger_stream")

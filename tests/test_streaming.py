@@ -820,3 +820,74 @@ def test_upsert_stream_end_to_end(spark, tmp_path):
     )
     assert log == [(0, 1, "added"), (0, 2, "added"),
                    (1, 2, "changed"), (1, 3, "added")]
+
+
+def test_cell_ledger_batch_retry_idempotent(spark, tmp_path):
+    """The IVF cell ledger's exactly-once story: batch 1's running
+    staleness report equals ivf_staleness over batch 0 + batch 1 as ONE
+    corpus BIT-FOR-BIT (additive integer state, shared ledger-join
+    finalize), and a RETRY of batch 1 recomputes against the
+    as-of-batch-0 ledger byte-identically — sums never double."""
+    import random
+
+    from pdtable_spark.operators.similarity import (
+        ivf_cell_ledger,
+        ivf_staleness,
+    )
+    from pdtable_spark.streaming.monitor import _cell_ledger_batch
+
+    rng = random.Random(7)
+    cents = [[0.0, 0.0], [10.0, 10.0], [0.0, 10.0]]
+    led, out = str(tmp_path / "ledger"), str(tmp_path / "out")
+    mk = lambda ids, cx, cy, r: spark.createDataFrame(  # noqa: E731
+        [
+            (i, [cx + rng.uniform(-r, r), cy + rng.uniform(-r, r)])
+            for i in ids
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    train = (
+        mk(range(30), 0.0, 0.0, 1.0)
+        .unionByName(mk(range(30, 60), 10.0, 10.0, 1.0))
+        .unionByName(mk(range(60, 70), 0.0, 10.0, 1.0))
+    )
+    frozen_path = str(tmp_path / "train")
+    ivf_cell_ledger(train, cents).write.parquet(frozen_path)
+    frozen = spark.read.parquet(frozen_path)
+
+    b0 = mk(range(100, 110), 0.0, 0.0, 1.0)
+    b1 = mk(range(110, 125), 10.0, 10.0, 4.0)  # drifted appends
+    args = (led, out, frozen, cents, "embedding", 1e6, 0.5, 1.25)
+    _cell_ledger_batch(spark, b0, 0, *args)
+    _cell_ledger_batch(spark, b1, 1, *args)
+
+    def snap(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    rep1, led1 = snap(out), snap(led)
+    running = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .filter(F.col("batch_id") == 1)
+            .drop("batch_id")
+            .collect(),
+        )
+    )
+    whole = sorted(
+        map(
+            tuple,
+            ivf_staleness(b0.unionByName(b1), cents, frozen).collect(),
+        )
+    )
+    assert running == whole  # bit-identical, not approximately equal
+
+    # a cell the stream never reached still reports: n_now = 0, NULL
+    # ratios, alarm off
+    by_cell = {r[0]: r for r in running}
+    assert by_cell[2][2] == 0 and by_cell[2][7] is None and not by_cell[2][8]
+    # the drifted cell fires the alarm
+    assert by_cell[1][8]
+
+    _cell_ledger_batch(spark, b1, 1, *args)
+    assert snap(out) == rep1 and snap(led) == led1
