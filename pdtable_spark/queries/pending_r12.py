@@ -601,3 +601,117 @@ PENDING_R12["stream_ivf_staleness"] = (
     r12_stream_ivf_staleness,
     R12_SQL_STREAM_IVF_STALENESS,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert clustering key under the value gate: lake_zorder_cells' sibling
+# for curve='hilbert' — until now the Hilbert walk was pinned only by the
+# python-parity/adjacency pytest; this puts the exact rotate-and-reflect
+# arithmetic under the cross-engine oracle too (an append written by a
+# different engine lands in the same curve position).
+# ---------------------------------------------------------------------------
+
+def _sql_hilbert_ctes(bits: int) -> str:
+    """Unroll maintenance.hilbert_key's xy→d walk into one CTE per level
+    (s = 2^(bits-1) … 1), each step pure integer CASE arithmetic —
+    exactly the fold the Spark column expression runs."""
+    ctes = []
+    for step in range(1, bits + 1):
+        s = 1 << (bits - step)
+        prev = "h0" if step == 1 else f"h{step - 1}"
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        quad = (
+            f"(CASE WHEN {rx} = 1 AND {ry} = 1 THEN 2 "
+            f"WHEN {rx} = 1 THEN 3 WHEN {ry} = 1 THEN 1 ELSE 0 END)"
+        )
+        fx = f"(CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END)"
+        fy = f"(CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END)"
+        ctes.append(
+            f"h{step} AS (SELECT cents,\n"
+            f"  CASE WHEN {ry} = 1 THEN x ELSE {fy} END AS x,\n"
+            f"  CASE WHEN {ry} = 1 THEN y ELSE {fx} END AS y,\n"
+            f"  d + {s * s} * {quad} AS d\n"
+            f"  FROM {prev})"
+        )
+    return ",\n    ".join(ctes)
+
+
+R12_SQL_LAKE_HILBERT = f"""
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT MIN(ck) AS lo1, MAX(ck) AS hi1,
+             MIN(cents) AS lo2, MAX(cents) AS hi2
+      FROM o
+    ),
+    k AS (
+      SELECT LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((ck - lo1) * {1 << _ZBITS}) / (hi1 - lo1 + 1.0))
+                    AS BIGINT))) AS b1,
+             LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((cents - lo2) * {1 << _ZBITS}) / (hi2 - lo2 + 1.0))
+                    AS BIGINT))) AS b2,
+             cents
+      FROM o CROSS JOIN b
+    ),
+    h0 AS (SELECT cents, b1 AS x, b2 AS y, CAST(0 AS BIGINT) AS d FROM k),
+    {_sql_hilbert_ctes(_ZBITS)}
+    SELECT d >> {_ZBITS} AS h_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(d) AS BIGINT) AS min_h,
+           CAST(MAX(d) AS BIGINT) AS max_h
+    FROM h{_ZBITS} GROUP BY h_cell ORDER BY h_cell
+"""
+
+
+def r12_lake_hilbert_cells(spark, sf_dir):
+    """The Hilbert clustering key under the value gate: same buckets as
+    ``lake_zorder_cells``, but the adjacency-preserving rotate-and-
+    reflect walk (``maintenance.hilbert_key`` — one bounded F.aggregate
+    fold, constant codegen) instead of the Morton interleave; the
+    oracle unrolls the identical walk level-by-level in DuckDB integer
+    CASE arithmetic.  Profiles the 64 coarse curve cells (count, cents
+    mass, key range) — and because the Hilbert curve never jumps, each
+    cell is one contiguous spatial run, the property that makes its
+    per-file boxes tighter than Z at the same file count.
+
+    Plan shape: one bounded min/max aggregate, one scan + codegen fold
+    + one 64-group aggregate — same as the Z sibling."""
+    from pdtable_spark.io import maintenance as mnt
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    row = o.agg(
+        F.min("ck"), F.max("ck"), F.min("cents"), F.max("cents")
+    ).collect()[0]
+    hk = mnt.hilbert_key(
+        mnt.int_bucket(F.col("ck"), int(row[0]), int(row[1]), _ZBITS),
+        mnt.int_bucket(F.col("cents"), int(row[2]), int(row[3]), _ZBITS),
+        _ZBITS,
+    )
+    return (
+        o.withColumn("hkey", hk)
+        .groupBy(F.shiftright(F.col("hkey"), _ZBITS).alias("h_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("hkey").alias("min_h"),
+            F.max("hkey").alias("max_h"),
+        )
+        .orderBy("h_cell")
+    )
+
+
+PENDING_R12["lake_hilbert_cells"] = (
+    r12_lake_hilbert_cells,
+    R12_SQL_LAKE_HILBERT,
+)
