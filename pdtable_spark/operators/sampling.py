@@ -14,7 +14,7 @@ run inside the scan's WholeStageCodegen projection.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -872,3 +872,93 @@ def cap_per_source_threshold(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def sample_ledger(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    by: Optional[str] = None,
+    salt: str = "",
+    hash_fn: str = "md5_60",
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Bounded uniform sample as MERGEABLE SET STATE: the ``k`` rows
+    with the smallest ``(hash(salt ‖ id), id)`` priority (per ``by``
+    group when given) — the priority-sampling identity that makes a
+    k-sample a ledger: because every row's priority is a pure function
+    of its id, ``sample(A ∪ B) == top_k(sample(A) ∪ sample(B))``, so
+    partitions, batches, or days sample independently and MERGE without
+    rescanning (:func:`merge_sample_ledgers`), and a re-delivered row
+    is absorbed by the distinct — set semantics, not observation
+    counts, which is what a training-data sample must be.
+
+    ``hash_fn``: the module convention — ``"xxhash64"`` (JVM codegen)
+    for production, ``"md5_60"`` for the cross-engine value-oracle
+    mode.  NULL ids fail loudly (:func:`_cap_hash_key`'s reasoning: a
+    content-stable sample of a NULL identity is meaningless).
+
+    Output: (``by``?, ``id_col``, ``keep_cols``..., ``priority``) —
+    keep ``priority`` in the persisted state so merges re-rank without
+    rehashing.  Scale: one scan, one distinct on (group, id) over the
+    candidate set, one window over groups; state is groups × k rows.
+    """
+    if k < 1:
+        raise ValueError(f"sample_ledger: k must be >= 1, got {k}")
+    if hash_fn not in ("xxhash64", "md5_60"):
+        raise ValueError(
+            f"sample_ledger: hash_fn must be 'xxhash64' or 'md5_60', "
+            f"got {hash_fn!r}"
+        )
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    prio = md5_60(key) if hash_fn == "md5_60" else F.xxhash64(key)
+    prio = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"sample_ledger: NULL in id column {id_col!r} — a "
+                "content-stable sample needs a non-null identity"
+            )
+        ).cast("long"),
+    ).otherwise(prio)
+    group = [by] if by is not None else []
+    cand = df.select(
+        *group, F.col(id_col), *[F.col(c) for c in keep_cols],
+        prio.alias("priority"),
+    ).dropDuplicates(group + [id_col])
+    return _sample_topk(cand, k, id_col, by)
+
+
+def _sample_topk(state: DataFrame, k: int, id_col: str, by: Optional[str]) -> DataFrame:
+    """Shared re-rank of (…, priority) candidate state: keep the k
+    smallest (priority, id) per group — the one total order both the
+    fresh sample and every merge use.  The global (no-group) case plans
+    as a TakeOrdered top-k, not a single-partition window."""
+    if by is None:
+        return state.orderBy(F.asc("priority"), F.asc(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(F.asc("priority"), F.asc(id_col))
+    return (
+        state.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def merge_sample_ledgers(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    by: Optional[str] = None,
+) -> DataFrame:
+    """Merge two :func:`sample_ledger` states into the state of the
+    union corpus: distinct-union on (group, id) — identical ids carry
+    identical priorities, so re-delivery cannot double — then re-top-k
+    by the stored priorities.  Associative and commutative, the ledger
+    contract; bit-equal to sampling the union in one pass (pinned in
+    pytest)."""
+    group = [by] if by is not None else []
+    cand = a.unionByName(b).dropDuplicates(group + [id_col])
+    return _sample_topk(cand, k, id_col, by)

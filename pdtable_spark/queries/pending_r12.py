@@ -715,3 +715,78 @@ PENDING_R12["lake_hilbert_cells"] = (
     r12_lake_hilbert_cells,
     R12_SQL_LAKE_HILBERT,
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming bounded sample: the sample ledger under the streaming gate —
+# a k-per-source representative slice of an unbounded feed that stays
+# valid as batches land (extends the streaming ledger family to a
+# sextet; SET semantics — redeliveries absorb).
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 5
+
+R12_SQL_STREAM_SAMPLE_LEDGER = f"""
+    WITH d AS (SELECT doc_id, source, lang FROM documents),
+    waves AS (
+      SELECT 0 AS wave, doc_id, source, lang FROM d WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 1, doc_id, source, lang FROM d WHERE doc_id % 4 = 0
+    ),
+    cand AS (
+      SELECT DISTINCT bb.b AS batch_id, doc_id, source, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS priority
+      FROM (VALUES (0), (1)) AS bb(b), waves
+      WHERE waves.wave <= bb.b
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY batch_id, source
+                                   ORDER BY priority, doc_id) AS rnk
+      FROM cand
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, source, doc_id, lang,
+           priority, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= {_SAMPLE_K}
+    ORDER BY batch_id, source, rank
+"""
+
+
+def r12_stream_sample_ledger(spark, sf_dir):
+    """The bounded-sample ledger under the streaming gate: two document
+    waves (doc_id%3==0, then %4==0 — overlapping on %12==0, ABSORBED
+    rather than double-counted: the sample is set-semantics, a row's
+    fate a pure function of its id) land through ONE checkpoint; per
+    micro-batch the running k-per-source sample (md5_60 priorities, the
+    cross-engine verification mode) lands exactly-once against the
+    bounded groups×k state.  The oracle recomputes each batch's sample
+    as the k smallest (md5_60(id), id) per source over the distinct ids
+    ingested so far — value-for-value including the priorities."""
+    import tempfile
+
+    from pdtable_spark.streaming.monitor import sample_ledger_stream
+
+    d = tempfile.mkdtemp(prefix="pdtable_sampled_")
+    land, led, out = f"{d}/land", f"{d}/ledger", f"{d}/out"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    for wave_mod in (3, 4):
+        docs.filter(F.col("doc_id") % wave_mod == 0).write.parquet(
+            land, mode="append"
+        )
+        s = spark.readStream.schema(
+            "doc_id long, source string, lang string"
+        ).parquet(land)
+        sample_ledger_stream(
+            s, led, out, f"{d}/ckpt", k=_SAMPLE_K, id_col="doc_id",
+            by="source", keep_cols=["lang"],
+        )
+    return spark.read.parquet(out).select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "source", "doc_id", "lang", "priority", "rank",
+    )
+
+
+PENDING_R12["stream_sample_ledger"] = (
+    r12_stream_sample_ledger,
+    R12_SQL_STREAM_SAMPLE_LEDGER,
+)

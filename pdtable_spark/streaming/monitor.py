@@ -719,3 +719,110 @@ def cell_ledger_stream(
         .start()
     )
     return await_or_raise(q, timeout, "cell_ledger_stream")
+
+
+def _sample_ledger_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    ledger_dir: str,
+    out_dir: str,
+    k: int,
+    id_col: str,
+    by,
+    salt: str,
+    hash_fn: str,
+    keep_cols,
+) -> None:
+    """One micro-batch of the streaming bounded sample (split out for
+    unit tests).  Samples THIS batch down to k per group, merges with
+    the as-of-previous-batch state via the set-semantics merge
+    (identical ids carry identical priorities, so a re-delivered or
+    re-sent row is absorbed, never double-counted), writes the running
+    sample with ranks for this batch, then the advanced state."""
+    from pdtable_spark.operators.sampling import (
+        merge_sample_ledgers,
+        sample_ledger,
+    )
+
+    batch_s = sample_ledger(
+        batch_df, k, id_col=id_col, by=by, salt=salt, hash_fn=hash_fn,
+        keep_cols=keep_cols,
+    )
+    prev = batch_s.limit(0)
+    if _ledger_exists(spark, ledger_dir):
+        led_all = spark.read.parquet(ledger_dir).filter(
+            F.col("batch_id") < batch_id
+        )
+        mx = led_all.agg(F.max("batch_id")).collect()[0][0]
+        if mx is not None:
+            prev = led_all.filter(F.col("batch_id") == mx).drop("batch_id")
+    merged = merge_sample_ledgers(prev, batch_s, k, id_col=id_col, by=by)
+    from pyspark.sql import Window
+
+    order = [F.asc("priority"), F.asc(id_col)]
+    w = (Window.partitionBy(by) if by is not None else Window.partitionBy(
+        F.lit(1)
+    )).orderBy(*order)
+    (
+        merged.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    (
+        merged.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(ledger_dir)
+    )
+
+
+def sample_ledger_stream(
+    stream_docs: DataFrame,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    by=None,
+    salt: str = "",
+    hash_fn: str = "md5_60",
+    keep_cols=(),
+    timeout: Optional[int] = 120,
+):
+    """Running bounded uniform sample over a continuous ingest, from
+    mergeable sample ledgers alone (:func:`~pdtable_spark.operators.
+    sampling.sample_ledger`): per micro-batch, the k-per-group sample
+    of EVERYTHING ingested so far — the "show me a representative slice
+    of this unbounded feed" answer that stays valid as batches land,
+    with no rescan and state bounded at groups × k rows.  Extends the
+    streaming ledger family (HLL novelty, quantile, heavy-hitter,
+    moment, IVF cell) to a SEXTET — and unlike the observation-counting
+    ledgers, this one is SET-semantics: a row's fate is a pure function
+    of its id, so overlapping redeliveries are absorbed by the merge
+    rather than needing the as-of recompute to cancel them (both nets
+    hold — as-of reads AND content-stable priorities).
+
+    Output rows: (``by``?, id, keep_cols..., priority, rank,
+    batch_id); state rows: the same minus rank.
+    """
+    spark = stream_docs.sparkSession
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        _sample_ledger_batch(
+            spark, batch_df, batch_id, ledger_dir, out_dir, k, id_col, by,
+            salt, hash_fn, keep_cols,
+        )
+
+    q = (
+        stream_docs.writeStream.outputMode("append")
+        .foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return await_or_raise(q, timeout, "sample_ledger_stream")

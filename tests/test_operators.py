@@ -5083,3 +5083,63 @@ def test_json_infer_plan_types_and_promotion(spark):
 
     with _pt.raises(ValueError, match="max_depth"):
         json_infer_plan(df, "j", max_depth=3)
+
+
+def test_sample_ledger_merge_identity(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators.sampling import (
+        merge_sample_ledgers,
+        sample_ledger,
+    )
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("source"),
+        (F.col("id") * 7 % 11).alias("meta"),
+    )
+    a = docs.filter(F.col("doc_id") < 300)
+    b = docs.filter(F.col("doc_id") >= 250)  # overlap 250-299 on purpose
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    whole = sample_ledger(docs, 7, by="source", keep_cols=["meta"])
+    merged = merge_sample_ledgers(
+        sample_ledger(a, 7, by="source", keep_cols=["meta"]),
+        sample_ledger(b, 7, by="source", keep_cols=["meta"]),
+        7, by="source",
+    )
+    # the ledger identity: sample(A ∪ B) == merge(sample(A), sample(B)),
+    # bit-for-bit, with the overlap absorbed by set semantics
+    assert rows(whole) == rows(merged)
+    assert whole.groupBy("source").count().agg(F.max("count")).collect()[0][0] == 7
+
+    # global (no-group) spelling plans as TakeOrdered and obeys k
+    g = sample_ledger(docs, 5)
+    assert g.count() == 5
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+
+    # determinism: the sample is a pure function of ids
+    assert rows(sample_ledger(docs, 7, by="source", keep_cols=["meta"])) == rows(whole)
+    # re-delivered rows are absorbed
+    dup = docs.unionByName(docs.filter(F.col("doc_id") % 2 == 0))
+    assert rows(sample_ledger(dup, 7, by="source", keep_cols=["meta"])) == rows(whole)
+
+    with _pt.raises(ValueError, match="k must be"):
+        sample_ledger(docs, 0)
+    with _pt.raises(Exception, match="NULL in id"):
+        sample_ledger(
+            docs.withColumn(
+                "doc_id",
+                F.when(F.col("doc_id") == 5, F.lit(None)).otherwise(
+                    F.col("doc_id")
+                ),
+            ),
+            3,
+        ).collect()

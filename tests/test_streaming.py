@@ -891,3 +891,51 @@ def test_cell_ledger_batch_retry_idempotent(spark, tmp_path):
 
     _cell_ledger_batch(spark, b1, 1, *args)
     assert snap(out) == rep1 and snap(led) == led1
+
+
+def test_sample_ledger_batch_retry_idempotent(spark, tmp_path):
+    """The sample ledger's exactly-once story: batch 1's running sample
+    equals sample_ledger over batch 0 + batch 1 as ONE corpus
+    BIT-FOR-BIT (set semantics, shared top-k), a batch overlapping
+    earlier ids is absorbed (not double-counted), and a RETRY of batch
+    1 recomputes against the as-of-batch-0 state byte-identically."""
+    from pdtable_spark.operators.sampling import sample_ledger
+    from pdtable_spark.streaming.monitor import _sample_ledger_batch
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b")), (F.col("id") % 2 + 1).cast("int")
+        ).alias("source"),
+    )
+    led, out = str(tmp_path / "ledger"), str(tmp_path / "out")
+    b0, b1 = mk(0, 60), mk(40, 100)  # 40-59 redelivered in batch 1
+    args = (led, out, 4, "doc_id", "source", "", "md5_60", ())
+    _sample_ledger_batch(spark, b0, 0, *args)
+    _sample_ledger_batch(spark, b1, 1, *args)
+
+    def snap(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    rep1, led1 = snap(out), snap(led)
+    running = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .filter(F.col("batch_id") == 1)
+            .drop("batch_id", "rank")
+            .collect(),
+        )
+    )
+    whole = sorted(
+        map(
+            tuple,
+            sample_ledger(
+                b0.unionByName(b1), 4, id_col="doc_id", by="source"
+            ).collect(),
+        )
+    )
+    assert running == whole  # bit-identical
+
+    _sample_ledger_batch(spark, b1, 1, *args)
+    assert snap(out) == rep1 and snap(led) == led1
