@@ -917,6 +917,62 @@ def json_extract_typed(
     return df.select("*", *outs)
 
 
+def json_profile_diff(prof_old: DataFrame, prof_new: DataFrame) -> DataFrame:
+    """The "did yesterday's producer change the schema" answer the
+    :func:`json_profile` docstring promises: diff two profiles per
+    (path, kind) — occurrence counts, per-document shares (normalized
+    by each profile's own root count, so a feed that doubled in volume
+    does not read as drift), the share delta, and a status:
+    ``added`` / ``removed`` / ``stable``.  A TYPE change surfaces as an
+    added/removed row PAIR on the same path (the profile keys kinds
+    separately — exactly what you want: "$.amount was scalar, now
+    arrives as an object" is two alarms, not a netted zero).
+
+    Exact integer counts; shares and deltas divide them in one fixed
+    order each, so the frame carries a full value oracle.  Cost: the
+    two path-domain-sized profiles full-outer-joined — KBs regardless
+    of corpus size.
+    """
+    tot_old = prof_old.filter(F.col("path") == "$").agg(
+        F.sum("n")
+    ).collect()[0][0]
+    tot_new = prof_new.filter(F.col("path") == "$").agg(
+        F.sum("n")
+    ).collect()[0][0]
+    if not tot_old or not tot_new:
+        raise ValueError(
+            "json_profile_diff: a profile has no root ('$') rows — diff "
+            "needs both sides' document counts to normalize shares"
+        )
+    o = prof_old.select(
+        "path", "kind", F.col("n").alias("__n_o")
+    )
+    n = prof_new.select(
+        "path", "kind", F.col("n").alias("__n_n")
+    )
+    j = o.join(n, ["path", "kind"], "full_outer").select(
+        "path",
+        "kind",
+        F.coalesce(F.col("__n_o"), F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce(F.col("__n_n"), F.lit(0)).cast("long").alias("n_new"),
+    )
+    share_old = F.col("n_old").cast("double") / F.lit(float(tot_old))
+    share_new = F.col("n_new").cast("double") / F.lit(float(tot_new))
+    return j.select(
+        "path",
+        "kind",
+        "n_old",
+        "n_new",
+        share_old.alias("share_old"),
+        share_new.alias("share_new"),
+        (share_new - share_old).alias("delta"),
+        F.when(F.col("n_old") == 0, F.lit("added"))
+        .when(F.col("n_new") == 0, F.lit("removed"))
+        .otherwise(F.lit("stable"))
+        .alias("status"),
+    ).orderBy("path", "kind")
+
+
 def json_infer_plan(
     df: DataFrame, json_col: str, max_depth: int = 2
 ) -> DataFrame:

@@ -790,3 +790,99 @@ PENDING_R12["stream_sample_ledger"] = (
     r12_stream_sample_ledger,
     R12_SQL_STREAM_SAMPLE_LEDGER,
 )
+
+
+# ---------------------------------------------------------------------------
+# JSON schema drift between two feed generations: json_profile_diff —
+# the "did yesterday's producer change the schema" alarm the profile
+# docstring promises, as one path-domain-sized report.
+# ---------------------------------------------------------------------------
+
+R12_SQL_JSON_PROFILE_DIFF = """
+    WITH n0 AS (SELECT COUNT(*) AS c FROM events WHERE event_id % 2 = 0),
+    n1 AS (SELECT COUNT(*) AS c FROM events WHERE event_id % 2 = 1),
+    v0 AS (SELECT COUNT(*) AS c FROM events
+           WHERE event_id % 2 = 0 AND event_id % 3 = 0),
+    rows_(path, kind, n_old, n_new) AS (
+      SELECT '$', 'object', (SELECT c FROM n0), (SELECT c FROM n1)
+      UNION ALL
+      SELECT '$.t', 'scalar', (SELECT c FROM n0), (SELECT c FROM n1)
+      UNION ALL
+      SELECT '$.v', 'scalar', (SELECT c FROM v0), 0
+      UNION ALL
+      SELECT '$.m', 'scalar', (SELECT c FROM n0), 0
+      UNION ALL
+      SELECT '$.m', 'object', 0, (SELECT c FROM n1)
+      UNION ALL
+      SELECT '$.m.x', 'scalar', 0, (SELECT c FROM n1)
+      UNION ALL
+      SELECT '$.m.y', 'scalar', 0, (SELECT c FROM n1)
+      UNION ALL
+      SELECT '$.fresh', 'scalar', 0, (SELECT c FROM n1)
+    )
+    SELECT path, kind,
+           CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_old AS DOUBLE) / CAST((SELECT c FROM n0) AS DOUBLE)
+             AS share_old,
+           CAST(n_new AS DOUBLE) / CAST((SELECT c FROM n1) AS DOUBLE)
+             AS share_new,
+           CAST(n_new AS DOUBLE) / CAST((SELECT c FROM n1) AS DOUBLE)
+             - CAST(n_old AS DOUBLE) / CAST((SELECT c FROM n0) AS DOUBLE)
+             AS delta,
+           CASE WHEN n_old = 0 THEN 'added'
+                WHEN n_new = 0 THEN 'removed'
+                ELSE 'stable' END AS status
+    FROM rows_ ORDER BY path, kind
+"""
+
+
+def r12_pipeline_json_profile_diff(spark, sf_dir):
+    """Schema drift under the value gate: the even-event feed plays
+    generation OLD (``t`` + an every-third ``v`` + a scalar ``m``), the
+    odd-event feed plays generation NEW (``t`` kept, ``v`` dropped,
+    ``m`` PROMOTED to an object with two children — the kind change the
+    diff must report as a removed/added pair, not a netted zero — and a
+    ``fresh`` field added); ``json_profile_diff`` reconstructs the per
+    (path, kind) report with shares normalized by each generation's own
+    document count (volume changes are not drift).  The oracle states
+    every count as event_id arithmetic and re-derives the shares with
+    the identical division order."""
+    from pdtable_spark.operators.monitor import json_profile, json_profile_diff
+
+    ev = load(spark, sf_dir, "events")
+    old_doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.coalesce(F.col("value"), F.lit(0.0)),
+            ).alias("v"),
+            (F.col("event_id") % 7).alias("m"),
+        ),
+        {"ignoreNullFields": "true"},
+    )
+    new_doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(
+                (F.col("event_id") % 5).alias("x"),
+                F.col("user_id").alias("y"),
+            ).alias("m"),
+            (F.col("event_id") % 2 == 1).alias("fresh"),
+        ),
+        {"ignoreNullFields": "true"},
+    )
+    prof_old = json_profile(
+        ev.filter(F.col("event_id") % 2 == 0).select(old_doc.alias("j")), "j"
+    )
+    prof_new = json_profile(
+        ev.filter(F.col("event_id") % 2 == 1).select(new_doc.alias("j")), "j"
+    )
+    return json_profile_diff(prof_old, prof_new)
+
+
+PENDING_R12["pipeline_json_profile_diff"] = (
+    r12_pipeline_json_profile_diff,
+    R12_SQL_JSON_PROFILE_DIFF,
+)

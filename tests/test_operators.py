@@ -5143,3 +5143,44 @@ def test_sample_ledger_merge_identity(spark):
             ),
             3,
         ).collect()
+
+
+def test_json_profile_diff_statuses(spark):
+    import pytest as _pt
+
+    from pdtable_spark.operators.monitor import json_profile, json_profile_diff
+
+    old = spark.createDataFrame(
+        [('{"t": "a", "gone": 1, "m": 5}',)] * 4
+        + [('{"t": "b", "m": 6}',)] * 4,
+        "j string",
+    )
+    new = spark.createDataFrame(
+        [('{"t": "a", "fresh": true, "m": {"x": 1}}',)] * 6,
+        "j string",
+    )
+    d = {
+        (r["path"], r["kind"]): r
+        for r in json_profile_diff(
+            json_profile(old, "j"), json_profile(new, "j")
+        ).collect()
+    }
+    assert d[("$.gone", "scalar")]["status"] == "removed"
+    assert d[("$.fresh", "scalar")]["status"] == "added"
+    # kind change = removed/added PAIR on the same path
+    assert d[("$.m", "scalar")]["status"] == "removed"
+    assert d[("$.m", "object")]["status"] == "added"
+    assert d[("$.m.x", "scalar")]["status"] == "added"
+    # stable path: shares normalize by each side's own doc count
+    t = d[("$.t", "scalar")]
+    assert t["status"] == "stable"
+    assert t["n_old"] == 8 and t["n_new"] == 6
+    assert t["share_old"] == 1.0 and t["share_new"] == 1.0 and t["delta"] == 0.0
+    g = d[("$.gone", "scalar")]
+    assert g["share_old"] == 0.5 and g["share_new"] == 0.0 and g["delta"] == -0.5
+
+    with _pt.raises(ValueError, match="root"):
+        json_profile_diff(
+            json_profile(old, "j").filter("path <> '$'"),
+            json_profile(new, "j"),
+        )
