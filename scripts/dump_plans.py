@@ -151,10 +151,15 @@ def main():
         "pipeline_json_profile",
         # (stream_gram_ledger / stream_upsert_changelog excluded per the
         # streaming policy above)
-        # round-12 staged queries (queries/pending_r12.py)
+        # round-12 staged queries (queries/pending_r12.py;
+        # stream_ivf_staleness / stream_sample_ledger excluded per the
+        # streaming policy above)
         "lake_pruned_read",
         "embedding_ivf_staleness",
         "pipeline_json_extract_typed",
+        "pipeline_json_infer_plan",
+        "lake_hilbert_cells",
+        "pipeline_json_profile_diff",
     ]
 
     out = [
