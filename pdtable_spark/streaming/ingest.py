@@ -196,3 +196,79 @@ def upsert_stream(
         .start()
     )
     return await_or_raise(q, timeout, "upsert_stream")
+
+
+def vacuum_versions(
+    spark: SparkSession,
+    table_dir: str,
+    keep_last: int = 2,
+    changelog_dir: Optional[str] = None,
+    changelog_keep_last: Optional[int] = None,
+) -> dict:
+    """Retention for the versioned table :func:`upsert_stream` writes:
+    drop full-version ``batch_id=N`` partitions older than the newest
+    ``keep_last`` — the documented "old versions are time travel and
+    are pruned by dropping their partitions" knob, as an operator with
+    guard rails instead of a hand-written ``rm``.
+
+    The changelog is retained INDEPENDENTLY (``changelog_keep_last``;
+    default: untouched): change rows are deltas consumers may replay
+    long after the full versions they derive from are gone, and
+    vacuuming old changelog batches never breaks the write-ordering
+    contract (consumers key off the changelog's MAX batch, which this
+    never removes — the newest ``keep_last ≥ 1`` table versions and the
+    newest changelog batch always survive).
+
+    All filesystem work goes through the Hadoop FS API (HDFS/S3A/local
+    alike — the ledger-state convention), and only ``batch_id=*``
+    directories are touched: a stray file or foreign directory under
+    the table root is left alone.  Returns ``{"table_removed": [...],
+    "changelog_removed": [...]}`` (sorted batch ids) for the caller's
+    audit log.  Idempotent: a retry sees the survivors and removes
+    nothing.
+    """
+    if keep_last < 1:
+        raise ValueError(
+            f"vacuum_versions: keep_last must be >= 1, got {keep_last}"
+        )
+    if changelog_keep_last is not None and changelog_keep_last < 1:
+        raise ValueError(
+            "vacuum_versions: changelog_keep_last must be >= 1, got "
+            f"{changelog_keep_last}"
+        )
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def batch_dirs(root: str):
+        jpath = jvm.org.apache.hadoop.fs.Path(root)
+        fs = jpath.getFileSystem(conf)
+        if not fs.exists(jpath):
+            return fs, {}
+        out = {}
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch_id="):
+                try:
+                    out[int(name.split("=", 1)[1])] = st.getPath()
+                except ValueError:
+                    pass  # foreign dir that merely looks similar
+        return fs, out
+
+    def drop_older(root: str, keep: int):
+        fs, dirs = batch_dirs(root)
+        survivors = sorted(dirs)[-keep:]
+        removed = []
+        for bid in sorted(dirs):
+            if bid not in survivors:
+                fs.delete(dirs[bid], True)
+                removed.append(bid)
+        return removed
+
+    report = {"table_removed": drop_older(table_dir, keep_last)}
+    report["changelog_removed"] = (
+        drop_older(changelog_dir, changelog_keep_last)
+        if changelog_dir is not None and changelog_keep_last is not None
+        else []
+    )
+    return report

@@ -939,3 +939,46 @@ def test_sample_ledger_batch_retry_idempotent(spark, tmp_path):
 
     _sample_ledger_batch(spark, b1, 1, *args)
     assert snap(out) == rep1 and snap(led) == led1
+
+
+def test_vacuum_versions_retention(spark, tmp_path):
+    """Version retention: only batch_id=* partitions older than the
+    newest keep_last go; the latest version, foreign files, and the
+    changelog (unless asked) all survive, and a re-run removes
+    nothing."""
+    import os
+
+    import pytest as _pt
+
+    from pdtable_spark.streaming.ingest import (
+        _upsert_batch,
+        read_table_version,
+        vacuum_versions,
+    )
+
+    tdir, cdir = str(tmp_path / "table"), str(tmp_path / "log")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    for i, rows in enumerate(
+        [[(1, "a"), (2, "b")], [(2, "B"), (3, "c")], [(4, "d")]]
+    ):
+        _upsert_batch(spark, mk(rows), i, tdir, cdir, ["k"], ["v"], None)
+    # a foreign file under the table root must survive any vacuum
+    with open(os.path.join(tdir, "_bounds.json"), "w") as f:
+        f.write("{}")
+
+    rep = vacuum_versions(spark, tdir, keep_last=1)
+    assert rep == {"table_removed": [0, 1], "changelog_removed": []}
+    assert sorted(os.listdir(tdir)) == ["_bounds.json", "batch_id=2"]
+    # the survivor is the full merged state
+    assert sorted(
+        map(tuple, read_table_version(spark, tdir).collect())
+    ) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    # changelog untouched by default; independent retention when asked
+    assert len(os.listdir(cdir)) == 3
+    rep2 = vacuum_versions(spark, tdir, keep_last=1, changelog_dir=cdir,
+                           changelog_keep_last=2)
+    assert rep2 == {"table_removed": [], "changelog_removed": [0]}
+    assert sorted(os.listdir(cdir)) == ["batch_id=1", "batch_id=2"]
+
+    with _pt.raises(ValueError, match="keep_last"):
+        vacuum_versions(spark, tdir, keep_last=0)
