@@ -433,6 +433,74 @@ def pruned_read(
     return df, report
 
 
+def pruned_semi_read(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys_df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    max_keys: int = 1_000_000,
+) -> tuple:
+    """Dynamic file pruning from a key SET — the plain-parquet spelling
+    of dynamic partition pruning for a star join: the dimension side's
+    join keys (``keys_df``, one column) decide which fact files can
+    contain a match BEFORE the scan.  A file is kept iff at least one
+    key falls inside its ``[min, max]`` footer range (binary search per
+    file over the sorted key set — file-count × log(keys), driver-side
+    over the file-count-bounded stats); the kept-file scan then
+    LEFT SEMI joins the broadcast key set as the exact residual.
+
+    Completes :func:`pruned_read` (conjunctive ranges) with the point-
+    set shape: on a lake clustered by the join key, a dimension slice
+    touching 2% of the key domain reads ~2% of the files — the join
+    never sees the rest.  Returns the same ``(df, report)`` contract.
+
+    Guards: the key set collects to the driver, bounded by ``max_keys``
+    (loud past it — at that size broadcast-join the unclustered scan
+    instead); NULL keys are dropped (an equi-join key of NULL matches
+    nothing); files with NULL stats are kept conservatively.
+    """
+    rows = (
+        keys_df.select(key_col).distinct().limit(max_keys + 1).collect()
+    )
+    if len(rows) > max_keys:
+        raise ValueError(
+            f"pruned_semi_read: key set exceeds max_keys={max_keys} — "
+            "at this size skip file pruning and broadcast-join the scan"
+        )
+    keys = sorted(r[0] for r in rows if r[0] is not None)
+    stats = clustering_stats(spark, path, [key_col]).collect()
+    import bisect
+
+    keep = []
+    for r in stats:
+        mn, mx = r[f"min_{key_col}"], r[f"max_{key_col}"]
+        if mn is None or mx is None:
+            keep.append(r["file"])
+            continue
+        i = bisect.bisect_left(keys, mn)
+        if i < len(keys) and keys[i] <= mx:
+            keep.append(r["file"])
+    report = {
+        "n_files_total": len(stats),
+        "n_files_read": len(keep),
+        "n_files_skipped": len(stats) - len(keep),
+        "n_keys": len(keys),
+    }
+    key_type = dict(keys_df.select(key_col).dtypes)[key_col]
+    if not keep:
+        df = spark.read.parquet(path).where(F.lit(False))
+    else:
+        df = spark.read.option("basePath", path).parquet(*keep)
+    kdf = spark.createDataFrame(
+        [(k,) for k in keys], f"`{key_col}` {key_type}"
+    )
+    df = df.join(F.broadcast(kdf), key_col, "left_semi")
+    if columns is not None:
+        df = df.select(*columns)
+    return df, report
+
+
 def lake_report(
     spark: SparkSession,
     path: str,

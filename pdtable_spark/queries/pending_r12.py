@@ -886,3 +886,114 @@ PENDING_R12["pipeline_json_profile_diff"] = (
     r12_pipeline_json_profile_diff,
     R12_SQL_JSON_PROFILE_DIFF,
 )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic file pruning from a dimension key set: pruned_semi_read — the
+# plain-parquet DPP shape for a star join on a key-clustered lake.
+# ---------------------------------------------------------------------------
+
+R12_SQL_LAKE_PRUNED_SEMI = f"""
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (SELECT MIN(ck) AS lo1, MAX(ck) AS hi1 FROM o),
+    f AS (
+      SELECT ck, cents,
+             LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((ck - lo1) * {1 << _ZBITS}) / (hi1 - lo1 + 1.0))
+                    AS BIGINT))) AS k_file
+      FROM o CROSS JOIN b
+    ),
+    keys AS (
+      SELECT DISTINCT c_custkey AS k FROM customer CROSS JOIN b
+      WHERE c_custkey >= hi1 - CAST(FLOOR((hi1 - lo1) * 5 / 100.0) AS BIGINT)
+    ),
+    fstats AS (
+      SELECT k_file, MIN(ck) AS min_ck, MAX(ck) AS max_ck
+      FROM f GROUP BY k_file
+    ),
+    kept AS (
+      SELECT k_file FROM fstats
+      WHERE EXISTS (SELECT 1 FROM keys
+                    WHERE keys.k BETWEEN fstats.min_ck AND fstats.max_ck)
+    ),
+    answer AS (
+      SELECT COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+      FROM f WHERE ck IN (SELECT k FROM keys)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM fstats) AS BIGINT) AS n_files_total,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_files_read,
+           CAST((SELECT COUNT(*) FROM fstats)
+                - (SELECT COUNT(*) FROM kept) AS BIGINT) AS n_files_skipped,
+           CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM answer
+"""
+
+
+def r12_lake_pruned_semi_read(spark, sf_dir):
+    """Dynamic file pruning under the value gate: orders live as a lake
+    clustered on customer key (one file per 2^6 key bucket, the
+    deterministic ``partitionBy``-on-bucket layout), the dimension side
+    is the NEWEST 5% of customers (monotone signup ids — the realistic
+    localized slice: "orders of recently-registered customers"), and
+    ``io.maintenance.pruned_semi_read`` turns that key set into the
+    file scan set BEFORE the join — binary search over footer ranges,
+    broadcast LEFT SEMI as the exact residual.  On this layout the 5%
+    key band touches a handful of files; the oracle recomputes file
+    membership, intersection and the joined aggregate from the same
+    bucket arithmetic.
+
+    Scale shape: one bounded min/max aggregate, one clustered write,
+    one file-count-bounded stats pass, a driver-side bisect over ≤
+    |dim| keys, then a scan of ONLY matching files into a broadcast
+    semi join — the DPP story without a transactional table format."""
+    import tempfile
+
+    from pdtable_spark.io import maintenance as mnt
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    row = o.agg(F.min("ck"), F.max("ck")).collect()[0]
+    lo1, hi1 = int(row[0]), int(row[1])
+    keyed = o.withColumn(
+        "k_file", mnt.int_bucket(F.col("ck"), lo1, hi1, _ZBITS)
+    )
+    d = tempfile.mkdtemp(prefix="pdtable_lakesemi_")
+    (
+        keyed.repartition(1 << _ZBITS, "k_file")
+        .write.mode("overwrite")
+        .partitionBy("k_file")
+        .parquet(d)
+    )
+    keys = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") >= hi1 - (hi1 - lo1) * 5 // 100)
+        .select(F.col("c_custkey").alias("ck"))
+    )
+    semi, rep = mnt.pruned_semi_read(spark, d, "ck", keys)
+    return semi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(
+        F.lit(rep["n_files_total"]).cast("long").alias("n_files_total"),
+        F.lit(rep["n_files_read"]).cast("long").alias("n_files_read"),
+        F.lit(rep["n_files_skipped"]).cast("long").alias("n_files_skipped"),
+        F.lit(rep["n_keys"]).cast("long").alias("n_keys"),
+        "n_orders",
+        "sum_cents",
+    )
+
+
+PENDING_R12["lake_pruned_semi_read"] = (
+    r12_lake_pruned_semi_read,
+    R12_SQL_LAKE_PRUNED_SEMI,
+)

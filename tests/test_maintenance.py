@@ -753,3 +753,44 @@ def test_pruned_read_scans_only_certificate_files(spark, tmp_path):
     # column pruning rides through
     proj, _ = maintenance.pruned_read(spark, zp, preds, columns=["payload"])
     assert proj.columns == ["payload"]
+
+
+def test_pruned_semi_read_dynamic_file_pruning(spark, tmp_path):
+    import pytest as _pt
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 4000).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    zp = str(tmp_path / "semi")
+    maintenance.write_sorted_parquet(df, zp, "k", partitions=16)
+
+    # a narrow key slice: 2% of the key domain -> few files
+    keys = spark.range(80).select((F.col("id") + 1000).alias("k"))
+    got, rep = maintenance.pruned_semi_read(spark, zp, "k", keys)
+    assert rep["n_keys"] == 80 and rep["n_files_total"] == 16
+    assert 0 < rep["n_files_read"] < 16
+    # the scan's file list is the pruned set
+    assert len({re.sub("^file:/+", "/", f) for f in got.inputFiles()}) == rep[
+        "n_files_read"
+    ]
+    # answer identity vs the naive broadcast semi join over the full scan
+    full = spark.read.parquet(zp).join(F.broadcast(keys), "k", "left_semi")
+    assert sorted(r["payload"] for r in got.collect()) == sorted(
+        r["payload"] for r in full.collect()
+    )
+    # duplicate + NULL keys: dedup and drop, same answer
+    messy = keys.unionByName(keys).unionByName(
+        spark.createDataFrame([(None,)], "k long")
+    )
+    got2, rep2 = maintenance.pruned_semi_read(spark, zp, "k", messy)
+    assert rep2["n_keys"] == 80
+    assert got2.count() == got.count()
+    # out-of-domain keys: zero files
+    far = spark.range(5).select((F.col("id") + 1_000_000).alias("k"))
+    empty, erep = maintenance.pruned_semi_read(spark, zp, "k", far)
+    assert erep["n_files_read"] == 0 and empty.count() == 0
+    # key-set bound is loud
+    with _pt.raises(ValueError, match="max_keys"):
+        maintenance.pruned_semi_read(spark, zp, "k", keys, max_keys=10)
