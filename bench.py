@@ -202,6 +202,22 @@ EXTENDED = [
     # (synthesize varying-shape docs, two bounded explodes, one
     # path-domain aggregate)
     "pipeline_json_profile",
+    # round-11 in-round additions (staged r12): the certificate-driven
+    # reads (range-predicate and dimension-key-set spellings — each
+    # prices a clustered write + stats pass + pruned scan), the IVF
+    # staleness diagnostic (two ledger passes + broadcast join), the
+    # typed-JSON trio (one-parse extraction, lexical inference, schema
+    # drift diff), and the Hilbert cell profile (bounded fold + 64-cell
+    # aggregate).  The streaming rows (stream_ivf_staleness,
+    # stream_sample_ledger) are NOT benched per the streaming policy —
+    # micro-batch fixed overhead would drown the trend signal.
+    "lake_pruned_read",
+    "lake_pruned_semi_read",
+    "embedding_ivf_staleness",
+    "pipeline_json_extract_typed",
+    "pipeline_json_infer_plan",
+    "pipeline_json_profile_diff",
+    "lake_hilbert_cells",
 ]
 
 

@@ -304,6 +304,7 @@ def optimize_zorder(
     out_path: Optional[str] = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     bounds: Optional[dict] = None,
+    curve: str = "z",
 ) -> tuple:
     """The OPTIMIZE job: compaction and Z-order clustering in ONE rewrite
     of the dataset at ``path`` — file count sized from on-disk bytes like
@@ -316,7 +317,8 @@ def optimize_zorder(
     ``out_path`` (default ``path + ".zordered"``), the atomic swap is the
     caller's rename.  Returns ``(out_path, bounds)`` — persist the bounds
     next to the data so later optimize runs keep appends on the same
-    curve.
+    curve.  ``curve="hilbert"`` (2-D only) rides through to the write —
+    the adjacency-preserving layout with the same one-copy cost.
     """
     size = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -333,6 +335,7 @@ def optimize_zorder(
         bits_per_col=bits_per_col,
         partitions=n_files,
         bounds=bounds,
+        curve=curve,
     )
     return out, got
 

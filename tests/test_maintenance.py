@@ -558,6 +558,28 @@ def test_optimize_zorder_compacts_and_clusters(spark, tmp_path):
     assert a == b
 
 
+def test_optimize_zorder_hilbert_curve_passthrough(spark, tmp_path):
+    # curve="hilbert" rides through optimize to the write: both columns
+    # cluster (per-file widths well under the domain), row identity holds
+    src = str(tmp_path / "src")
+    spark.range(20_000).select(
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") * 48271 + 11) % 100).alias("y"),
+    ).repartition(8).write.parquet(src)
+    out, bounds = maintenance.optimize_zorder(
+        spark, src, ["x", "y"], bits_per_col=6,
+        target_file_bytes=16 * 1024, curve="hilbert",
+    )
+    assert bounds == {"x": (0, 99), "y": (0, 99)}
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    st = maintenance.clustering_stats(spark, out, ["x", "y"]).collect()
+    assert len(st) > 2
+    wx = sum(r["max_x"] - r["min_x"] for r in st) / len(st)
+    wy = sum(r["max_y"] - r["min_y"] for r in st) / len(st)
+    assert wx < 80 and wy < 80
+
+
 def test_zorder_write_plan_single_range_exchange(spark, tmp_path):
     # plan contract: the layout job is ONE range shuffle on the key —
     # the bit interleave must not introduce its own exchange or a UDF
