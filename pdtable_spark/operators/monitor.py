@@ -902,6 +902,14 @@ def json_extract_typed(
             fields.append(f"`{k}`:{typ}")
         return "struct<" + ",".join(fields) + ">"
 
+    names = [prefix + "_".join(p[2:].split(".")) for p in plan]
+    dup = {n for n in names if names.count(n) > 1}
+    if dup:
+        raise ValueError(
+            "json_extract_typed: output name collision after '.' -> '_' "
+            f"flattening: {sorted(dup)} — rename or drop one of the "
+            "colliding paths (e.g. '$.a_b' vs '$.a.b')"
+        )
     parsed = F.from_json(F.col(json_col), ddl(top))
     outs = []
     for path, typ in plan.items():
@@ -929,27 +937,31 @@ def json_profile_diff(prof_old: DataFrame, prof_new: DataFrame) -> DataFrame:
     arrives as an object" is two alarms, not a netted zero).
 
     Exact integer counts; shares and deltas divide them in one fixed
-    order each, so the frame carries a full value oracle.  Cost: the
-    two path-domain-sized profiles full-outer-joined — KBs regardless
-    of corpus size.
+    order each, so the frame carries a full value oracle.  Cost: each
+    profile EVALUATES ONCE (collected — path-domain-sized, KBs) and the
+    diff joins the collected rows, so the corpus behind each side is
+    scanned exactly once.
     """
-    tot_old = prof_old.filter(F.col("path") == "$").agg(
-        F.sum("n")
-    ).collect()[0][0]
-    tot_new = prof_new.filter(F.col("path") == "$").agg(
-        F.sum("n")
-    ).collect()[0][0]
+    # collect each profile ONCE (path-domain-sized — KBs): the totals
+    # and the join both reuse the collected rows, so each side's corpus
+    # scan runs exactly once however the caller built the profile
+    spark = prof_old.sparkSession
+    rows_old = prof_old.select("path", "kind", "n").collect()
+    rows_new = prof_new.select("path", "kind", "n").collect()
+    tot_old = sum(r["n"] for r in rows_old if r["path"] == "$")
+    tot_new = sum(r["n"] for r in rows_new if r["path"] == "$")
     if not tot_old or not tot_new:
         raise ValueError(
             "json_profile_diff: a profile has no root ('$') rows — diff "
             "needs both sides' document counts to normalize shares"
         )
-    o = prof_old.select(
-        "path", "kind", F.col("n").alias("__n_o")
-    )
-    n = prof_new.select(
-        "path", "kind", F.col("n").alias("__n_n")
-    )
+    schema = "path string, kind string, n long"
+    o = spark.createDataFrame(
+        [(r["path"], r["kind"], r["n"]) for r in rows_old], schema
+    ).select("path", "kind", F.col("n").alias("__n_o"))
+    n = spark.createDataFrame(
+        [(r["path"], r["kind"], r["n"]) for r in rows_new], schema
+    ).select("path", "kind", F.col("n").alias("__n_n"))
     j = o.join(n, ["path", "kind"], "full_outer").select(
         "path",
         "kind",
@@ -1035,9 +1047,13 @@ def json_infer_plan(
     is_obj = v.startswith("{") & F.from_json(v, "map<string,string>").isNotNull()
     is_arr = v.startswith("[") & F.from_json(v, "array<string>").isNotNull()
     scalar = vals.filter(v.isNotNull() & ~is_obj & ~is_arr)
+    # NOTE no "null" branch: a real JSON null is SQL NULL after the
+    # map reparse (already excluded above), while a QUOTED "null" is a
+    # four-character string and must classify as string — a null branch
+    # here would suppress promotion and break the exact-counts
+    # invariant n_values == n_long + n_double + n_boolean + n_string.
     cls = (
-        F.when(v == "null", F.lit("null"))
-        .when(v.rlike("^-?[0-9]+$"), F.lit("long"))
+        F.when(v.rlike("^-?[0-9]+$"), F.lit("long"))
         .when(
             v.rlike(
                 "^-?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)([eE][+-]?[0-9]+)?$"

@@ -922,11 +922,40 @@ def sample_ledger(
         ).cast("long"),
     ).otherwise(prio)
     group = [by] if by is not None else []
-    cand = df.select(
-        *group, F.col(id_col), *[F.col(c) for c in keep_cols],
-        prio.alias("priority"),
-    ).dropDuplicates(group + [id_col])
+    cand = _dedup_deterministic(
+        df.select(
+            *group, F.col(id_col), *[F.col(c) for c in keep_cols],
+            prio.alias("priority"),
+        ),
+        group,
+        id_col,
+    )
     return _sample_topk(cand, k, id_col, by)
+
+
+def _dedup_deterministic(df: DataFrame, group, id_col: str) -> DataFrame:
+    """One row per (group, id) with a DETERMINISTIC winner: order the
+    candidates by every remaining column ascending (NULLs first) and
+    keep the first — a plain ``dropDuplicates`` picks an arbitrary
+    survivor, which would break the ledger's byte-identical merge/retry
+    contract the moment a re-delivered id carries DIFFERENT payload
+    values (same id, updated metadata).  With identical payloads the
+    window collapses to the dropDuplicates cost; with conflicts the
+    lowest-sorting payload wins on every engine, every retry."""
+    from pyspark.sql import Window
+
+    keys = list(group) + [id_col]
+    rest = [c for c in df.columns if c not in keys]
+    if not rest:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.asc_nulls_first(c) for c in rest]
+    )
+    return (
+        df.withColumn("__dd", F.row_number().over(w))
+        .filter(F.col("__dd") == 1)
+        .drop("__dd")
+    )
 
 
 def _sample_topk(state: DataFrame, k: int, id_col: str, by: Optional[str]) -> DataFrame:
@@ -955,10 +984,12 @@ def merge_sample_ledgers(
 ) -> DataFrame:
     """Merge two :func:`sample_ledger` states into the state of the
     union corpus: distinct-union on (group, id) — identical ids carry
-    identical priorities, so re-delivery cannot double — then re-top-k
+    identical priorities, so re-delivery cannot double, and a payload
+    CONFLICT (same id, different keep_cols values) resolves to the
+    deterministic lowest-sorting payload on every engine — then re-top-k
     by the stored priorities.  Associative and commutative, the ledger
     contract; bit-equal to sampling the union in one pass (pinned in
     pytest)."""
     group = [by] if by is not None else []
-    cand = a.unionByName(b).dropDuplicates(group + [id_col])
+    cand = _dedup_deterministic(a.unionByName(b), group, id_col)
     return _sample_topk(cand, k, id_col, by)

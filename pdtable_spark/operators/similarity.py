@@ -494,12 +494,20 @@ def ivf_append(
             not s.isDirectory() and s.getPath().getName().endswith(".parquet")
             for s in statuses
         )
-        if has_flat_parquet and not has_cell_dirs:
+        if has_flat_parquet:
+            # fail closed on flat AND already-mixed directories alike —
+            # any top-level parquet file means reads will see a physical
+            # ``cell`` column beside path-inferred partitions
+            kind = (
+                "a MIXED flat/partitioned layout"
+                if has_cell_dirs
+                else "NOT partitioned by cell (flat parquet files, no "
+                "cell=* directories)"
+            )
             raise ValueError(
-                f"ivf_append: existing index at {index_path!r} is NOT "
-                "partitioned by cell (flat parquet files, no cell=* "
-                "directories) — appending partitionBy('cell') would "
-                "produce a mixed layout; rebuild the index with "
+                f"ivf_append: existing index at {index_path!r} is {kind} "
+                "— appending partitionBy('cell') would grow a mixed "
+                "layout; rebuild the index with "
                 ".write.partitionBy('cell') first"
             )
     ivf_index(

@@ -5,10 +5,11 @@ discipline), registered under ``@q`` at the top of round 12.
 Round-12 window arithmetic (write it into ``__spark_entry__._PRIORITY``
 at registration time): after CORRECTNESS_r11 reports the r11 head-50,
 the evidence ages are r11: 50, r7: 7, r8: 50, r9: 50, r10: 50 — so the
-round-12 head-50 is the entries in this file + the 7 remaining
+round-12 head-50 is the NINE entries in this file + the 7 remaining
 r7-evidence rows (CORRECTNESS_r07 report order, starting after the r11
-window's last r7 row) + the oldest r8-evidence rows (CORRECTNESS_r08
-report order) to fill 50 exactly.
+window's last r7 row, i.e. at ``q_top_suppliers``) + the 34
+oldest r8-evidence rows (CORRECTNESS_r08 report order) = 50 exactly;
+the remaining 16 r8-evidence rows head the r13 window.
 
 Every entry here is ALREADY under the correctness gate:
 ``tests/test_env_contract.py::test_pending_r12_oracles`` runs each
@@ -25,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pdtable_spark.queries.pending_r11 import _ZBITS, _sql_interleave2
-from pdtable_spark.queries.suite import load
+from pdtable_spark.queries.suite import _IVF_CELLS, _sql_dist2, load
 
 #: name → (query fn, oracle sql): what round 12 registers.
 PENDING_R12 = {}
@@ -177,15 +178,7 @@ PENDING_R12["lake_pruned_read"] = (
 # minhash_estimate_error sketch-quality convention.
 # ---------------------------------------------------------------------------
 
-_IVF_CELLS = 16  # the suite's seeded-centroid convention (vec_id < 16)
 _STALE_Q = "1000000.0"  # quantum literal: 1e6, spelled once for both engines
-
-
-def _sql_stale_dist2(a: str, b: str, dim: int = 64) -> str:
-    return (
-        f"list_sum(list_transform(generate_series(1, {dim}), "
-        f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
-    )
 
 
 R12_SQL_IVF_STALENESS = f"""
@@ -194,9 +187,9 @@ R12_SQL_IVF_STALENESS = f"""
              FROM embeddings WHERE vec_id < {_IVF_CELLS}),
     d AS (
       SELECT c.vec_id, cent.cid,
-             {_sql_stale_dist2('ca', 'ce', 64)} AS d2,
+             {_sql_dist2('ca', 'ce', 64)} AS d2,
              ROW_NUMBER() OVER (PARTITION BY c.vec_id
-                                ORDER BY {_sql_stale_dist2('ca', 'ce', 64)},
+                                ORDER BY {_sql_dist2('ca', 'ce', 64)},
                                          cent.cid) AS rn
       FROM c CROSS JOIN cent
     ),
@@ -484,9 +477,9 @@ R12_SQL_STREAM_IVF_STALENESS = f"""
              FROM embeddings WHERE vec_id < {_IVF_CELLS}),
     d AS (
       SELECT c.vec_id, cent.cid,
-             {_sql_stale_dist2('ca', 'ce', 64)} AS d2,
+             {_sql_dist2('ca', 'ce', 64)} AS d2,
              ROW_NUMBER() OVER (PARTITION BY c.vec_id
-                                ORDER BY {_sql_stale_dist2('ca', 'ce', 64)},
+                                ORDER BY {_sql_dist2('ca', 'ce', 64)},
                                          cent.cid) AS rn
       FROM c CROSS JOIN cent
     ),

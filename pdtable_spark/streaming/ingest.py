@@ -236,6 +236,12 @@ def vacuum_versions(
             "vacuum_versions: changelog_keep_last must be >= 1, got "
             f"{changelog_keep_last}"
         )
+    if (changelog_dir is None) != (changelog_keep_last is None):
+        raise ValueError(
+            "vacuum_versions: pass changelog_dir AND changelog_keep_last "
+            "together — a half-specified changelog request would either "
+            "silently skip the vacuum or have nothing to vacuum"
+        )
 
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -5184,3 +5184,54 @@ def test_json_profile_diff_statuses(spark):
             json_profile(old, "j").filter("path <> '$'"),
             json_profile(new, "j"),
         )
+
+
+def test_review_fixes_round11(spark, tmp_path):
+    """Pinning the round-11 review fixes: mixed-layout append guard,
+    quoted-"null" classification, flattened-name collision error, and
+    deterministic payload-conflict resolution in the sample merge."""
+    import pytest as _pt
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # 1. ivf_append fails closed on an ALREADY-MIXED index directory
+    from pdtable_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0.0, 0.0], [2.0, 0.0]]
+    mixed = str(tmp_path / "mixed")
+    similarity.ivf_index(emb, cents).write.parquet(mixed)  # flat files
+    similarity.ivf_index(emb, cents).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(mixed)  # now ALSO cell=* dirs
+    with _pt.raises(ValueError, match="MIXED"):
+        similarity.ivf_append(mixed, emb, cents)
+
+    # 2. a QUOTED "null" is a string and promotes the path to string
+    from pdtable_spark.operators.monitor import json_extract_typed, json_infer_plan
+
+    df = spark.createDataFrame(
+        [('{"a": "null"}',), ('{"a": 7}',), ('{"a": 8}',)], "j string"
+    )
+    row = {r["path"]: r for r in json_infer_plan(df, "j").collect()}["$.a"]
+    assert row["inferred_type"] == "string"
+    assert row["n_values"] == row["n_long"] + row["n_string"] == 3
+
+    # 3. flattened-name collision fails loudly at compile time
+    with _pt.raises(ValueError, match="collision"):
+        json_extract_typed(df, "j", {"$.a_b": "long", "$.a.b": "string"})
+
+    # 4. payload conflict on a re-delivered id resolves deterministically
+    from pdtable_spark.operators.sampling import merge_sample_ledgers, sample_ledger
+
+    a = spark.createDataFrame([(5, "en"), (6, "fr")], "doc_id long, lang string")
+    b = spark.createDataFrame([(5, "de"), (7, "it")], "doc_id long, lang string")
+    sa = sample_ledger(a, 10, keep_cols=["lang"])
+    sb = sample_ledger(b, 10, keep_cols=["lang"])
+    m1 = sorted(map(tuple, merge_sample_ledgers(sa, sb, 10).collect()))
+    m2 = sorted(map(tuple, merge_sample_ledgers(sb, sa, 10).collect()))
+    assert m1 == m2  # commutative even under the conflict
+    lang5 = [r for r in m1 if r[0] == 5][0][1]
+    assert lang5 == "de"  # lowest-sorting payload wins, every time

@@ -982,3 +982,20 @@ def test_vacuum_versions_retention(spark, tmp_path):
 
     with _pt.raises(ValueError, match="keep_last"):
         vacuum_versions(spark, tdir, keep_last=0)
+
+
+def test_vacuum_versions_half_specified_changelog_is_loud(spark, tmp_path):
+    import pytest as _pt
+
+    from pdtable_spark.streaming.ingest import _upsert_batch, vacuum_versions
+
+    tdir, cdir = str(tmp_path / "t"), str(tmp_path / "c")
+    _upsert_batch(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        0, tdir, cdir, ["k"], ["v"], None,
+    )
+    with _pt.raises(ValueError, match="together"):
+        vacuum_versions(spark, tdir, keep_last=1, changelog_dir=cdir)
+    with _pt.raises(ValueError, match="together"):
+        vacuum_versions(spark, tdir, keep_last=1, changelog_keep_last=2)
