@@ -1273,9 +1273,21 @@ def _ebml_dims_walk(payload, max_steps: int = 32):
     marker, an oversized dim payload (> 8 bytes) or ``max_steps``
     exhausted → NULL dims, never garbage.
 
-    Returns the fold struct (fields ``w``, ``h``; pos/st bookkeeping
-    rides along) — ONE copy of the aggregate tree, the
-    :func:`_wav_chunk_walk` plan-size discipline.
+    Plan-size discipline, one level beyond the one-fold-copy rule: each
+    element is processed in THREE micro-phases (decode id → decode size
+    → transition), with the decoded values LANDING IN THE ACCUMULATOR
+    between phases.  The single-phase spelling inlined ``idv`` /
+    ``sizev`` / ``p3`` wherever they were consumed, and since each
+    contains the vint-length CASE chains (which themselves copy the
+    first-byte decode 4-8 times), the step tree multiplied into ~2 s of
+    driver-side Catalyst analysis per fresh plan.  Field references
+    into the accumulator are leaf nodes, so the three small branches
+    keep every decode expression in the plan exactly once; the fold
+    runs ``3 * max_steps`` interpreted iterations — per-row work that
+    no plan ever sees.
+
+    Returns the fold struct (fields ``w``, ``h``; pos/vint bookkeeping
+    rides along).
     """
     def be(pos, n):
         return F.conv(F.hex(F.substring(payload, pos, n)), 16, 10).cast("long")
@@ -1291,40 +1303,76 @@ def _ebml_dims_walk(payload, max_steps: int = 32):
             expr = expr.when(b >= (1 << (8 - i)), F.lit(i))
         return expr.otherwise(out).cast("long")
 
-    def mk(pos, w, h, st):
+    def mk(pos, w, h, st, idv=None, sv=None, p3=None, unk=None):
         none = F.lit(None).cast("long")
         stc = F.lit(st) if isinstance(st, int) else st
+        def lng(x):
+            return (x if x is not None else none).cast("long")
         return F.struct(
             pos.cast("long").alias("pos"),
-            (w if w is not None else none).cast("long").alias("w"),
-            (h if h is not None else none).cast("long").alias("h"),
+            lng(w).alias("w"),
+            lng(h).alias("h"),
             stc.cast("int").alias("st"),
+            lng(idv).alias("idv"),
+            lng(sv).alias("sv"),
+            lng(p3).alias("p3"),
+            (unk if unk is not None else F.lit(False)).alias("unk"),
         )
 
-    def step(acc, _):
+    def carry(acc, **overrides):
+        fields = {k: acc[k] for k in ("pos", "w", "h", "st", "idv", "sv", "p3", "unk")}
+        fields.update(overrides)
+        return mk(
+            fields["pos"], fields["w"], fields["h"], fields["st"],
+            fields["idv"], fields["sv"], fields["p3"], fields["unk"],
+        )
+
+    def phase_id(acc):
+        # decode the id vint at pos; park idv and the size-vint position
+        # (in the p3 slot) in the accumulator
         pos = acc["pos"]
         id_len = vlen(be(pos, F.lit(1)), 4)
-        idv = be(pos, id_len)
-        p2 = pos + id_len
+        fail = carry(acc, st=F.lit(2))
+        return (
+            F.when(pos > plen, fail)  # ran off the end
+            .when(id_len.isNull(), fail)
+            .otherwise(
+                carry(acc, idv=be(pos, id_len), p3=pos + id_len)
+            )
+        )
+
+    def phase_size(acc):
+        # decode the size vint at the parked position; land sizev, the
+        # content position p3, and the unknown-size flag
+        p2 = acc["p3"]
         size_len = vlen(be(p2, F.lit(1)), 8)
         raw = be(p2, size_len)
         sizev = raw - F.pow(F.lit(2.0), size_len * 7).cast("long")
-        unknown = sizev == F.pow(F.lit(2.0), size_len * 7).cast("long") - 1
+        # all-ones field (marker + 7*len value bits) == 2^(7len+1) - 1:
+        # spelled off ``raw`` so the test does not re-embed ``sizev``
+        # (which itself embeds ``raw`` + the length chain)
+        unknown = raw == F.pow(F.lit(2.0), size_len * 7 + 1).cast("long") - 1
         p3 = p2 + size_len
-        is_master = idv.isin([F.lit(x) for x in _EBML_MASTERS])
-        is_dim = idv.isin(F.lit(0xB0), F.lit(0xBA))
+        fail = carry(acc, st=F.lit(2))
+        return (
+            F.when(size_len.isNull(), fail)
+            .when(p3 - 1 > plen, fail)  # vints themselves truncated
+            .otherwise(carry(acc, sv=sizev, p3=p3, unk=unknown))
+        )
+
+    def phase_transition(acc):
+        # everything decoded — field references only, no re-derivation
+        idv, sizev, p3 = acc["idv"], acc["sv"], acc["p3"]
+        is_master = idv.isin(_EBML_MASTERS)
+        is_dim = idv.isin(0xB0, 0xBA)
         dim_ok = (sizev >= 1) & (sizev <= 8) & (p3 + sizev - 1 <= plen)
         dim_val = be(p3, sizev)
         new_w = F.when(idv == 0xB0, dim_val).otherwise(acc["w"])
         new_h = F.when(idv == 0xBA, dim_val).otherwise(acc["h"])
         done = new_w.isNotNull() & new_h.isNotNull()
-        fail = mk(pos, acc["w"], acc["h"], 2)
+        fail = mk(acc["pos"], acc["w"], acc["h"], 2)
         return (
-            F.when(acc["st"] != 0, acc)  # found or failed: carry
-            .when(pos > plen, fail)  # ran off the end
-            .when(id_len.isNull() | size_len.isNull(), fail)
-            .when(p3 - 1 > plen, fail)  # vints themselves truncated
-            .when(
+            F.when(
                 is_dim,
                 F.when(
                     dim_ok,
@@ -1332,12 +1380,20 @@ def _ebml_dims_walk(payload, max_steps: int = 32):
                 ).otherwise(fail),
             )
             .when(is_master, mk(p3, acc["w"], acc["h"], 0))  # descend
-            .when(unknown, fail)  # unknown size on a SKIP element
+            .when(acc["unk"], fail)  # unknown size on a SKIP element
             .otherwise(mk(p3 + sizev, acc["w"], acc["h"], 0))  # skip
         )
 
+    def step(acc, i):
+        return (
+            F.when(acc["st"] != 0, acc)  # found or failed: carry
+            .when(i % 3 == 0, phase_id(acc))
+            .when(i % 3 == 1, phase_size(acc))
+            .otherwise(phase_transition(acc))
+        )
+
     final = F.aggregate(
-        F.sequence(F.lit(1), F.lit(int(max_steps))),
+        F.sequence(F.lit(0), F.lit(3 * int(max_steps) - 1)),
         mk(F.lit(1), None, None, 0),
         step,
     )
