@@ -385,11 +385,135 @@ def prunable_files(stats: DataFrame, predicates: dict) -> DataFrame:
     return out
 
 
+def _zone_map_dir(path: str) -> str:
+    """The sidecar location: an underscore-prefixed subdirectory, which
+    every Spark/Hadoop file index treats as hidden — data reads of the
+    lake never see it, and it travels with the dataset on a rename."""
+    return path.rstrip("/") + "/_zone_map"
+
+
+def write_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> int:
+    """Persist the pruning certificate: compute :func:`clustering_stats`
+    for ``cols`` ONCE at write/optimize time and store the per-file
+    min/max rows as a sidecar under ``{path}/_zone_map`` — the plain-
+    parquet spelling of an Iceberg/Delta stats manifest.  Repeated
+    :func:`pruned_read` / :func:`pruned_semi_read` calls then consult
+    the KB-sized sidecar instead of re-scanning the predicate columns
+    of the whole lake (which, on a 100 TB dataset read many times,
+    would spend the pruning win on building the certificate).
+
+    Returns the number of files covered.  Re-run (or
+    :func:`refresh_zone_map`) after appends/compactions — readers
+    validate coverage and fail loudly on a stale sidecar rather than
+    silently pruning against it.
+    """
+    stats = clustering_stats(spark, path, list(cols))
+    rows = stats.collect()
+    spark.createDataFrame(rows, stats.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_zone_map_dir(path))
+    return len(rows)
+
+
+def _norm_file(f: str) -> str:
+    """One spelling for a local/remote file URI: ``inputFiles()`` and
+    ``_metadata.file_path`` disagree on the scheme/slash count for the
+    same file (``/x`` vs ``file:/x`` vs ``file:///x``)."""
+    import re
+
+    return re.sub("^file:/+", "/", f)
+
+
+def _data_files(spark: SparkSession, path: str) -> set:
+    """The lake's current data-file set (FileIndex listing — hidden
+    ``_zone_map`` and ``_SUCCESS`` style entries are already excluded),
+    normalized via :func:`_norm_file`."""
+    return {_norm_file(f) for f in spark.read.parquet(path).inputFiles()}
+
+
+def refresh_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> dict:
+    """Incremental sidecar maintenance: stat ONLY files the sidecar does
+    not cover yet (appends), drop rows for files that no longer exist
+    (compaction/vacuum), keep everything else untouched — so keeping
+    the certificate fresh costs one scan of the NEW data, not the lake.
+    Builds from scratch when no sidecar exists.  Returns
+    ``{"n_added", "n_removed", "n_files"}``.
+    """
+    cols = list(cols)
+    zdir = _zone_map_dir(path)
+    current = _data_files(spark, path)
+    jvm = spark._jvm
+    zpath = jvm.org.apache.hadoop.fs.Path(zdir)
+    fs = zpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(zpath):
+        n = write_zone_map(spark, path, cols)
+        return {"n_added": n, "n_removed": 0, "n_files": n}
+    old = spark.read.parquet(zdir).collect()
+    keep = [r for r in old if _norm_file(r["file"]) in current]
+    known = {_norm_file(r["file"]) for r in keep}
+    new_files = sorted(current - known)
+    added = []
+    if new_files:
+        df = spark.read.option("basePath", path).parquet(*new_files).select(
+            F.col("_metadata.file_path").alias("file"), *cols
+        )
+        added = (
+            df.groupBy("file")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                *[F.min(c).alias(f"min_{c}") for c in cols],
+                *[F.max(c).alias(f"max_{c}") for c in cols],
+            )
+            .collect()
+        )
+    schema = spark.read.parquet(zdir).schema
+    spark.createDataFrame(keep + added, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(zdir + ".new")
+    fs.delete(zpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(zdir + ".new"), zpath)
+    return {
+        "n_added": len(added),
+        "n_removed": len(old) - len(keep),
+        "n_files": len(keep) + len(added),
+    }
+
+
+def zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> DataFrame:
+    """Load the persisted certificate for use as ``stats=`` in
+    :func:`pruned_read` / :func:`pruned_semi_read`, VALIDATED against
+    the lake's current file listing: a sidecar that misses data files
+    (post-append) or names vanished ones (post-compaction) raises
+    loudly with the refresh instruction — pruning against stale stats
+    would silently skip files that now contain matches.
+    """
+    cols = list(cols)
+    zdir = _zone_map_dir(path)
+    stats = spark.read.parquet(zdir)
+    missing = [c for c in cols if f"min_{c}" not in stats.columns]
+    if missing:
+        raise ValueError(
+            f"zone_map: sidecar at {zdir!r} has no stats for {missing} — "
+            "rebuild with write_zone_map(spark, path, cols)"
+        )
+    covered = {_norm_file(r["file"]) for r in stats.select("file").collect()}
+    current = _data_files(spark, path)
+    if covered != current:
+        raise ValueError(
+            f"zone_map: sidecar at {zdir!r} is STALE "
+            f"({len(current - covered)} uncovered data file(s), "
+            f"{len(covered - current)} vanished) — run "
+            "refresh_zone_map(spark, path, cols) first"
+        )
+    return stats
+
+
 def pruned_read(
     spark: SparkSession,
     path: str,
     predicates: dict,
     columns: Optional[Sequence[str]] = None,
+    stats: Optional[DataFrame] = None,
 ) -> tuple:
     """The READ side of the clustering certificate: scan ONLY the files
     :func:`prunable_files` keeps under the conjunctive range
@@ -411,12 +535,16 @@ def pruned_read(
     Scale posture: the stats pass reads just the predicate columns and
     aggregates to ONE ROW PER FILE, and only that file-count-bounded
     frame is collected (run per partition directory at 100 TB, like
-    every maintenance op here); the pruning logic itself runs through
+    every maintenance op here).  On a lake read MANY times, pass
+    ``stats=zone_map(spark, path, cols)`` — the persisted sidecar from
+    :func:`write_zone_map` — and no data column is scanned at all to
+    decide the file set.  The pruning logic itself runs through
     :func:`prunable_files` on the collected rows — one code path for
     certificate and read, no drift between what the test proves and
     what the reader does.
     """
-    stats = clustering_stats(spark, path, list(predicates))
+    if stats is None:
+        stats = clustering_stats(spark, path, list(predicates))
     rows = stats.collect()
     local = spark.createDataFrame(rows, stats.schema)
     keep = [r["file"] for r in prunable_files(local, predicates).collect()]
@@ -443,6 +571,7 @@ def pruned_semi_read(
     keys_df: DataFrame,
     columns: Optional[Sequence[str]] = None,
     max_keys: int = 1_000_000,
+    stats: Optional[DataFrame] = None,
 ) -> tuple:
     """Dynamic file pruning from a key SET — the plain-parquet spelling
     of dynamic partition pruning for a star join: the dimension side's
@@ -472,7 +601,9 @@ def pruned_semi_read(
             "at this size skip file pruning and broadcast-join the scan"
         )
     keys = sorted(r[0] for r in rows if r[0] is not None)
-    stats = clustering_stats(spark, path, [key_col]).collect()
+    if stats is None:
+        stats = clustering_stats(spark, path, [key_col])
+    stats = stats.collect()
     import bisect
 
     keep = []

@@ -816,3 +816,70 @@ def test_pruned_semi_read_dynamic_file_pruning(spark, tmp_path):
     # key-set bound is loud
     with _pt.raises(ValueError, match="max_keys"):
         maintenance.pruned_semi_read(spark, zp, "k", keys, max_keys=10)
+
+
+def test_zone_map_sidecar_lifecycle(spark, tmp_path):
+    """The persisted pruning certificate: write once, read many (no
+    data-column scan to decide the file set), validated loudly when
+    stale, refreshed incrementally (only new files stated, vanished
+    rows dropped), and invisible to plain data reads."""
+    import pytest as _pt
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 48271 + 11) % 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zp = str(tmp_path / "zm")
+    maintenance.write_zordered_parquet(df, zp, ["x", "y"], bits_per_col=8,
+                                       partitions=16)
+    n = maintenance.write_zone_map(spark, zp, ["x", "y"])
+    assert n == 16
+    # the sidecar is hidden from data reads
+    assert spark.read.parquet(zp).columns == ["x", "y", "payload"]
+    assert spark.read.parquet(zp).count() == 40_000
+
+    # sidecar-driven pruned read == stats-scan pruned read, same report
+    preds = {"x": (10, 20), "y": (80, 90)}
+    zm = maintenance.zone_map(spark, zp, ["x", "y"])
+    got_zm, rep_zm = maintenance.pruned_read(spark, zp, preds, stats=zm)
+    got_scan, rep_scan = maintenance.pruned_read(spark, zp, preds)
+    assert rep_zm == rep_scan and rep_zm["n_files_skipped"] > 0
+    assert sorted(r["payload"] for r in got_zm.collect()) == sorted(
+        r["payload"] for r in got_scan.collect()
+    )
+    # column-subset validation is loud
+    with _pt.raises(ValueError, match="no stats for"):
+        maintenance.zone_map(spark, zp, ["x", "payload"])
+
+    # an append makes the sidecar STALE: loud, then incrementally fixed
+    df.limit(500).withColumn("x", F.lit(1000)).write.mode("append").parquet(zp)
+    with _pt.raises(ValueError, match="STALE"):
+        maintenance.zone_map(spark, zp, ["x", "y"])
+    rep = maintenance.refresh_zone_map(spark, zp, ["x", "y"])
+    assert rep["n_added"] >= 1 and rep["n_removed"] == 0
+    assert rep["n_files"] == 16 + rep["n_added"]
+    zm2 = maintenance.zone_map(spark, zp, ["x", "y"])
+    # the appended out-of-band x=1000 rows live in the NEW files only;
+    # a predicate on them must now read exactly those files
+    got3, rep3 = maintenance.pruned_read(
+        spark, zp, {"x": (1000, 1000)}, stats=zm2
+    )
+    assert rep3["n_files_read"] == rep["n_added"]
+    assert got3.count() == 500
+
+    # pruned_semi_read takes the sidecar too
+    keys = spark.range(5).select((F.col("id") + 1000).alias("x"))
+    semi, srep = maintenance.pruned_semi_read(
+        spark, zp, "x", keys, stats=zm2.select(
+            "file", "n_rows", "min_x", "max_x"
+        )
+    )
+    assert srep["n_files_read"] == rep["n_added"]
+    assert semi.count() == 500
+
+    # refresh from scratch when no sidecar exists
+    import shutil
+    shutil.rmtree(zp + "/_zone_map")
+    rep0 = maintenance.refresh_zone_map(spark, zp, ["x", "y"])
+    assert rep0["n_removed"] == 0 and rep0["n_files"] == rep["n_files"]
