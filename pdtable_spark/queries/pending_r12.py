@@ -107,8 +107,11 @@ def r12_lake_pruned_read(spark, sf_dir):
     per-file min/max footer stats ARE per-cell min/max and the oracle
     can restate the whole certificate as curve arithmetic.  A
     conjunctive range predicate (a 15%x20% band of the bounds) then
-    reads through :func:`pdtable_spark.io.maintenance.pruned_read`:
-    files-total/read/skipped come from the CERTIFICATE-driven scan (the
+    reads through :func:`pdtable_spark.io.maintenance.pruned_read`,
+    with the certificate coming from the PERSISTED zone-map sidecar
+    (``write_zone_map`` → validated ``zone_map`` load — the stats
+    manifest, so the read scans no data column to decide its file set):
+    files-total/read/skipped come from the certificate-driven scan (the
     frame's FileIndex holds exactly the kept files), and
     (n_orders, sum_cents) is the residual-filtered answer off that
     pruned scan — if pruning dropped a file it shouldn't have, the
@@ -152,7 +155,13 @@ def r12_lake_pruned_read(spark, sf_dir):
         "ck": (lo1 + (hi1 - lo1) * 30 // 100, lo1 + (hi1 - lo1) * 45 // 100),
         "cents": (lo2 + (hi2 - lo2) * 40 // 100, lo2 + (hi2 - lo2) * 60 // 100),
     }
-    pruned, rep = mnt.pruned_read(spark, d, preds)
+    # the full manifest path: persist the certificate as the hidden
+    # zone-map sidecar, load it VALIDATED, and prune from it — the read
+    # decides its file set without scanning a single data column
+    mnt.write_zone_map(spark, d, ["ck", "cents"])
+    pruned, rep = mnt.pruned_read(
+        spark, d, preds, stats=mnt.zone_map(spark, d, ["ck", "cents"])
+    )
     return pruned.agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("sum_cents"),
