@@ -508,6 +508,129 @@ def zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> DataFrame:
     return stats
 
 
+def write_bloom_sidecar(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    num_hashes: int = 3,
+    num_bits: int = 1 << 20,
+) -> int:
+    """Per-file Bloom sidecar for POINT lookups on a key the layout does
+    NOT cluster: zone maps (:func:`write_zone_map`) prune by [min, max]
+    ranges, which is useless for a high-cardinality key scattered
+    uniformly across files — every file spans the whole domain.  This
+    stores, per file, the DISTINCT Bloom bit positions of the key
+    column (the relational filter spelling of ``dedup.bloom_build``:
+    md5-based positions, so the sidecar is engine-reproducible and
+    probes are hash JOINS, not per-row array scans), under the hidden
+    ``{path}/_bloom_{key_col}`` directory.
+
+    A probe key the file does not contain misses at least one of its
+    ``num_hashes`` positions with probability ``1 - fill^k`` — size
+    ``num_bits`` so the per-file fill ratio (distinct keys per file ×
+    k / num_bits) stays well under ~20%.  False positives only ever
+    OVER-read (the residual semi join keeps answers exact).  Returns
+    the number of files covered.
+    """
+    from pdtable_spark.operators.dedup import bloom_positions
+
+    df = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    pos = (
+        df.select(
+            "file",
+            F.explode(
+                bloom_positions(F.col("__k"), num_hashes, num_bits)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    out = path.rstrip("/") + f"/_bloom_{key_col}"
+    pos.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).select("file").distinct().count()
+
+
+def bloom_pruned_read(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys_df: DataFrame,
+    num_hashes: int = 3,
+    num_bits: int = 1 << 20,
+    columns: Optional[Sequence[str]] = None,
+    max_keys: int = 1_000_000,
+) -> tuple:
+    """Point-lookup file pruning from the :func:`write_bloom_sidecar`
+    artifact: a file is read iff at least ONE probe key hits ALL its
+    ``num_hashes`` positions in that file's filter — computed as one
+    broadcast hash join between the exploded key positions and the
+    sidecar, never a per-row filter scan.  The kept-file scan then
+    LEFT SEMI joins the broadcast key set, so Bloom false positives
+    cost I/O, never wrong rows.
+
+    The zone-map/:func:`pruned_semi_read` contract: returns
+    ``(df, report)`` with files total/read/skipped and ``n_keys``.
+    Parameters must match the sidecar's build (``num_hashes`` /
+    ``num_bits``) — a mismatch produces garbage positions, so pick them
+    once per lake and record them next to the data.
+    """
+    from pdtable_spark.operators.dedup import bloom_positions
+
+    rows = keys_df.select(key_col).distinct().limit(max_keys + 1).collect()
+    if len(rows) > max_keys:
+        raise ValueError(
+            f"bloom_pruned_read: key set exceeds max_keys={max_keys} — "
+            "at this size broadcast-join the unpruned scan instead"
+        )
+    keys = sorted(r[0] for r in rows if r[0] is not None)
+    key_type = dict(keys_df.select(key_col).dtypes)[key_col]
+    kdf = spark.createDataFrame([(k,) for k in keys], f"`{key_col}` {key_type}")
+    kpos = kdf.select(
+        key_col,
+        F.explode(
+            bloom_positions(F.col(key_col).cast("string"), num_hashes, num_bits)
+        ).alias("pos"),
+    )
+    sidecar = spark.read.parquet(path.rstrip("/") + f"/_bloom_{key_col}")
+    all_files = {
+        _norm_file(r["file"])
+        for r in sidecar.select("file").distinct().collect()
+    }
+    current = _data_files(spark, path)
+    if all_files != current:
+        raise ValueError(
+            f"bloom_pruned_read: sidecar for {key_col!r} is STALE "
+            f"({len(current - all_files)} uncovered data file(s), "
+            f"{len(all_files - current)} vanished) — rebuild with "
+            "write_bloom_sidecar first"
+        )
+    hits = (
+        sidecar.join(F.broadcast(kpos), "pos")
+        .groupBy("file", key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == num_hashes)
+        .select("file")
+        .distinct()
+    )
+    keep = sorted(_norm_file(r["file"]) for r in hits.collect())
+    report = {
+        "n_files_total": len(all_files),
+        "n_files_read": len(keep),
+        "n_files_skipped": len(all_files) - len(keep),
+        "n_keys": len(keys),
+    }
+    if not keep:
+        df = spark.read.parquet(path).where(F.lit(False))
+    else:
+        df = spark.read.option("basePath", path).parquet(*keep)
+    df = df.join(F.broadcast(kdf), key_col, "left_semi")
+    if columns is not None:
+        df = df.select(*columns)
+    return df, report
+
+
 def pruned_read(
     spark: SparkSession,
     path: str,

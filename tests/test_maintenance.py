@@ -883,3 +883,70 @@ def test_zone_map_sidecar_lifecycle(spark, tmp_path):
     shutil.rmtree(zp + "/_zone_map")
     rep0 = maintenance.refresh_zone_map(spark, zp, ["x", "y"])
     assert rep0["n_removed"] == 0 and rep0["n_files"] == rep["n_files"]
+
+
+def test_bloom_sidecar_point_lookup_pruning(spark, tmp_path):
+    """Point lookups on an UNCLUSTERED key: the per-file Bloom sidecar
+    prunes files a zone map cannot (every file spans the key domain),
+    the residual semi join keeps answers exact under false positives,
+    and staleness fails loudly."""
+    import pytest as _pt
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # layout clustered by ORDER id; the lookup key k is scattered
+    df = spark.range(40_000).select(
+        F.col("id").alias("okey"),
+        (F.col("id") * 48271 % 9973).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    zp = str(tmp_path / "bl")
+    maintenance.write_sorted_parquet(df, zp, "okey", partitions=16)
+    n = maintenance.write_bloom_sidecar(spark, zp, "k", num_hashes=3,
+                                        num_bits=1 << 18)
+    assert n == 16
+    # sidecar hidden from data reads
+    assert spark.read.parquet(zp).columns == ["okey", "k", "payload"]
+
+    # zone map on k is USELESS here: every file spans ~the whole domain
+    st = maintenance.clustering_stats(spark, zp, ["k"]).collect()
+    assert all(r["max_k"] - r["min_k"] > 9000 for r in st)
+
+    # a single probe key: k values repeat ~4x, rows cluster by okey, so
+    # the 4 hits live in at most 4 files — bloom reads only those
+    keys = spark.createDataFrame([(4242,)], "k long")
+    got, rep = maintenance.bloom_pruned_read(
+        spark, zp, "k", keys, num_hashes=3, num_bits=1 << 18
+    )
+    assert rep["n_files_total"] == 16 and rep["n_keys"] == 1
+    assert rep["n_files_read"] < 16  # pruning happened
+    full = spark.read.parquet(zp).filter(F.col("k") == 4242)
+    assert sorted(r["payload"] for r in got.collect()) == sorted(
+        r["payload"] for r in full.collect()
+    )
+    assert got.count() > 0
+
+    # multiple keys: still exact vs the broadcast semi join
+    keys3 = spark.createDataFrame([(4242,), (17,), (9000,)], "k long")
+    got3, rep3 = maintenance.bloom_pruned_read(
+        spark, zp, "k", keys3, num_hashes=3, num_bits=1 << 18
+    )
+    full3 = spark.read.parquet(zp).join(F.broadcast(keys3), "k", "left_semi")
+    assert sorted(r["payload"] for r in got3.collect()) == sorted(
+        r["payload"] for r in full3.collect()
+    )
+    assert rep3["n_files_read"] >= rep["n_files_read"]
+
+    # a key absent from the data: zero rows (possibly >0 files — FPs
+    # cost I/O, never rows)
+    miss, mrep = maintenance.bloom_pruned_read(
+        spark, zp, "k", spark.createDataFrame([(999_999,)], "k long"),
+        num_hashes=3, num_bits=1 << 18,
+    )
+    assert miss.count() == 0
+
+    # append -> stale sidecar is loud
+    df.limit(10).write.mode("append").parquet(zp)
+    with _pt.raises(ValueError, match="STALE"):
+        maintenance.bloom_pruned_read(
+            spark, zp, "k", keys, num_hashes=3, num_bits=1 << 18
+        )
