@@ -213,6 +213,7 @@ EXTENDED = [
     # micro-batch fixed overhead would drown the trend signal.
     "lake_pruned_read",
     "lake_pruned_semi_read",
+    "lake_bloom_pruned_read",
     "embedding_ivf_staleness",
     "pipeline_json_extract_typed",
     "pipeline_json_infer_plan",

@@ -999,3 +999,164 @@ PENDING_R12["lake_pruned_semi_read"] = (
     r12_lake_pruned_semi_read,
     R12_SQL_LAKE_PRUNED_SEMI,
 )
+
+
+# ---------------------------------------------------------------------------
+# Point-lookup file pruning from the per-file Bloom sidecar: the lookup
+# shape zone maps cannot serve — a scattered high-cardinality key where
+# every file spans the whole domain.
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 3
+_BLOOM_M = 1 << 20
+
+
+def _sql_bpos(expr: str, i: int) -> str:
+    # DuckDB spelling of operators/dedup.py::bloom_positions slot i at
+    # the sidecar's num_bits (suite_r8._sql_bloom_pos is pinned to its
+    # own 2^16 screen)
+    return (
+        f"(CAST('0x' || substr(md5({expr} || ':{i}'), 1, 15) AS BIGINT)"
+        f" % {_BLOOM_M})"
+    )
+
+
+R12_SQL_LAKE_BLOOM_PRUNED = f"""
+    WITH o AS (
+      SELECT o_orderkey AS okey, o_custkey AS ck,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT MIN(okey) AS lo_k, MAX(okey) AS hi_k,
+             MIN(ck) AS lo_c, MAX(ck) AS hi_c
+      FROM o
+    ),
+    f AS (
+      SELECT okey, ck, cents,
+             LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((okey - lo_k) * {1 << _ZBITS}) / (hi_k - lo_k + 1.0))
+                    AS BIGINT))) AS b_file
+      FROM o CROSS JOIN b
+    ),
+    keys AS (
+      SELECT ck FROM (
+        SELECT DISTINCT c_custkey AS ck FROM customer CROSS JOIN b
+        WHERE c_custkey >= lo_c + CAST(FLOOR((hi_c - lo_c) * 37 / 100.0)
+                                       AS BIGINT)
+      ) ORDER BY ck LIMIT 5
+    ),
+    fk AS (SELECT DISTINCT b_file, ck FROM f),
+    sidecar AS (
+      SELECT DISTINCT b_file, pos FROM (
+        SELECT b_file, {_sql_bpos("CAST(ck AS VARCHAR)", 0)} AS pos FROM fk
+        UNION ALL
+        SELECT b_file, {_sql_bpos("CAST(ck AS VARCHAR)", 1)} FROM fk
+        UNION ALL
+        SELECT b_file, {_sql_bpos("CAST(ck AS VARCHAR)", 2)} FROM fk
+      )
+    ),
+    kpos AS (
+      SELECT ck, {_sql_bpos("CAST(ck AS VARCHAR)", 0)} AS pos FROM keys
+      UNION ALL
+      SELECT ck, {_sql_bpos("CAST(ck AS VARCHAR)", 1)} FROM keys
+      UNION ALL
+      SELECT ck, {_sql_bpos("CAST(ck AS VARCHAR)", 2)} FROM keys
+    ),
+    kept AS (
+      SELECT DISTINCT b_file FROM (
+        SELECT s.b_file, kpos.ck
+        FROM sidecar s JOIN kpos ON s.pos = kpos.pos
+        GROUP BY s.b_file, kpos.ck
+        HAVING COUNT(*) = {_BLOOM_K}
+      )
+    ),
+    answer AS (
+      SELECT COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+      FROM f WHERE ck IN (SELECT ck FROM keys)
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT b_file) FROM f) AS BIGINT)
+             AS n_files_total,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_files_read,
+           CAST((SELECT COUNT(DISTINCT b_file) FROM f)
+                - (SELECT COUNT(*) FROM kept) AS BIGINT) AS n_files_skipped,
+           CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM answer
+"""
+
+
+def r12_lake_bloom_pruned_read(spark, sf_dir):
+    """Bloom point-lookup pruning under the value gate: orders live
+    bucketed by ORDER key (one file per 2^6 bucket — so each customer's
+    handful of orders scatter across files and a zone map on the
+    customer key cannot prune anything), the probe set is the first
+    FIVE custkeys past a bounds-derived offset, and ``io.maintenance.bloom_pruned_read`` decides the
+    file set from the persisted per-file Bloom sidecar — one broadcast
+    hash join, exact answers via the residual semi join.  The oracle
+    recomputes every md5 position, the per-file position sets, the
+    all-k-positions containment (false positives included — the oracle
+    models the FILTER, not the ideal), and the joined aggregate.
+
+    Scale shape: sidecar build is one scan + a per-file distinct;
+    probing costs a broadcast join against a KB key set; the data scan
+    opens only hit files.  The unclusterable-key complement of
+    ``lake_pruned_semi_read``."""
+    import tempfile
+
+    from pdtable_spark.io import maintenance as mnt
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    row = o.agg(
+        F.min("okey"), F.max("okey"), F.min("ck"), F.max("ck")
+    ).collect()[0]
+    lo_k, hi_k, lo_c, hi_c = (int(v) for v in row)
+    keyed = o.withColumn(
+        "b_file", mnt.int_bucket(F.col("okey"), lo_k, hi_k, _ZBITS)
+    )
+    d = tempfile.mkdtemp(prefix="pdtable_lakebloom_")
+    (
+        keyed.repartition(1 << _ZBITS, "b_file")
+        .write.mode("overwrite")
+        .partitionBy("b_file")
+        .parquet(d)
+    )
+    mnt.write_bloom_sidecar(
+        spark, d, "ck", num_hashes=_BLOOM_K, num_bits=_BLOOM_M
+    )
+    off = lo_c + (hi_c - lo_c) * 37 // 100
+    keys = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") >= off)
+        .select(F.col("c_custkey").alias("ck"))
+        .distinct()
+        .orderBy("ck")
+        .limit(5)
+    )
+    got, rep = mnt.bloom_pruned_read(
+        spark, d, "ck", keys, num_hashes=_BLOOM_K, num_bits=_BLOOM_M
+    )
+    return got.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(
+        F.lit(rep["n_files_total"]).cast("long").alias("n_files_total"),
+        F.lit(rep["n_files_read"]).cast("long").alias("n_files_read"),
+        F.lit(rep["n_files_skipped"]).cast("long").alias("n_files_skipped"),
+        F.lit(rep["n_keys"]).cast("long").alias("n_keys"),
+        "n_orders",
+        "sum_cents",
+    )
+
+
+PENDING_R12["lake_bloom_pruned_read"] = (
+    r12_lake_bloom_pruned_read,
+    R12_SQL_LAKE_BLOOM_PRUNED,
+)

@@ -160,6 +160,8 @@ def main():
         "pipeline_json_infer_plan",
         "lake_hilbert_cells",
         "pipeline_json_profile_diff",
+        "lake_pruned_semi_read",
+        "lake_bloom_pruned_read",
     ]
 
     out = [
