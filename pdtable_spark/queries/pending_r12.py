@@ -5,11 +5,11 @@ discipline), registered under ``@q`` at the top of round 12.
 Round-12 window arithmetic (write it into ``__spark_entry__._PRIORITY``
 at registration time): after CORRECTNESS_r11 reports the r11 head-50,
 the evidence ages are r11: 50, r7: 7, r8: 50, r9: 50, r10: 50 — so the
-round-12 head-50 is the NINE entries in this file + the 7 remaining
+round-12 head-50 is the TEN entries in this file + the 7 remaining
 r7-evidence rows (CORRECTNESS_r07 report order, starting after the r11
-window's last r7 row, i.e. at ``q_top_suppliers``) + the 34
+window's last r7 row, i.e. at ``q_top_suppliers``) + the 33
 oldest r8-evidence rows (CORRECTNESS_r08 report order) = 50 exactly;
-the remaining 16 r8-evidence rows head the r13 window.
+the remaining 17 r8-evidence rows head the r13 window.
 
 Every entry here is ALREADY under the correctness gate:
 ``tests/test_env_contract.py::test_pending_r12_oracles`` runs each
