@@ -853,7 +853,9 @@ def test_zone_map_sidecar_lifecycle(spark, tmp_path):
         maintenance.zone_map(spark, zp, ["x", "payload"])
 
     # an append makes the sidecar STALE: loud, then incrementally fixed
-    df.limit(500).withColumn("x", F.lit(1000)).write.mode("append").parquet(zp)
+    df.limit(500).withColumn("x", F.lit(1000).cast("long")).write.mode(
+        "append"
+    ).parquet(zp)
     with _pt.raises(ValueError, match="STALE"):
         maintenance.zone_map(spark, zp, ["x", "y"])
     rep = maintenance.refresh_zone_map(spark, zp, ["x", "y"])
@@ -950,3 +952,36 @@ def test_bloom_sidecar_point_lookup_pruning(spark, tmp_path):
         maintenance.bloom_pruned_read(
             spark, zp, "k", keys, num_hashes=3, num_bits=1 << 18
         )
+
+
+def test_stats_row_intersects_parity_with_prunable_files(spark, tmp_path):
+    """The driver-side keep test and the DataFrame certificate must give
+    identical answers — including NULL-stats conservatism."""
+    df = spark.range(20_000).select(
+        (F.col("id") % 100).alias("x"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 50).alias("y"),  # NULLs
+    )
+    zp = str(tmp_path / "par")
+    maintenance.write_zordered_parquet(
+        df.fillna({"y": 0}).withColumn(
+            "y", F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(F.col("y"))
+        ) if False else df,
+        zp, ["x"], bits_per_col=6, partitions=8,
+    )
+    st = maintenance.clustering_stats(spark, zp, ["x", "y"])
+    rows = st.collect()
+    for preds in (
+        {"x": (10, 30)},
+        {"x": (10, 30), "y": (5, 9)},
+        {"y": (1000, 2000)},
+        {"x": (0, 99)},
+    ):
+        via_df = sorted(
+            r["file"] for r in maintenance.prunable_files(st, preds).collect()
+        )
+        via_py = sorted(
+            r["file"]
+            for r in rows
+            if maintenance._stats_row_intersects(r, preds)
+        )
+        assert via_df == via_py, preds
