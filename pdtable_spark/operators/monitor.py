@@ -927,8 +927,8 @@ def json_extract_typed(
 
 def json_profile_diff(prof_old: DataFrame, prof_new: DataFrame) -> DataFrame:
     """The "did yesterday's producer change the schema" answer the
-    :func:`json_profile` docstring promises: diff two profiles per
-    (path, kind) — occurrence counts, per-document shares (normalized
+    :func:`json_profile` docstring promises: diff two collected
+    profiles per (path, kind) — occurrence counts, per-document shares (normalized
     by each profile's own root count, so a feed that doubled in volume
     does not read as drift), the share delta, and a status:
     ``added`` / ``removed`` / ``stable``.  A TYPE change surfaces as an
@@ -938,13 +938,16 @@ def json_profile_diff(prof_old: DataFrame, prof_new: DataFrame) -> DataFrame:
 
     Exact integer counts; shares and deltas divide them in one fixed
     order each, so the frame carries a full value oracle.  Cost: each
-    profile EVALUATES ONCE (collected — path-domain-sized, KBs) and the
-    diff joins the collected rows, so the corpus behind each side is
-    scanned exactly once.
+    profile EVALUATES ONCE (collected — path-domain-sized, KBs), the
+    diff runs driver-side over those rows, and ONE local result frame
+    comes back — the corpus behind each side is scanned exactly once
+    and no Python-RDD relation feeds downstream plans.
     """
-    # collect each profile ONCE (path-domain-sized — KBs): the totals
-    # and the join both reuse the collected rows, so each side's corpus
-    # scan runs exactly once however the caller built the profile
+    # collect each profile ONCE (path-domain-sized — KBs), diff in
+    # plain Python, and return ONE local result frame: every extra
+    # Python-local DataFrame costs a Python worker per task downstream
+    # (the write_zone_map lesson), and the totals + join need nothing
+    # Spark-shaped at this size
     spark = prof_old.sparkSession
     rows_old = prof_old.select("path", "kind", "n").collect()
     rows_new = prof_new.select("path", "kind", "n").collect()
@@ -955,34 +958,25 @@ def json_profile_diff(prof_old: DataFrame, prof_new: DataFrame) -> DataFrame:
             "json_profile_diff: a profile has no root ('$') rows — diff "
             "needs both sides' document counts to normalize shares"
         )
-    schema = "path string, kind string, n long"
-    o = spark.createDataFrame(
-        [(r["path"], r["kind"], r["n"]) for r in rows_old], schema
-    ).select("path", "kind", F.col("n").alias("__n_o"))
-    n = spark.createDataFrame(
-        [(r["path"], r["kind"], r["n"]) for r in rows_new], schema
-    ).select("path", "kind", F.col("n").alias("__n_n"))
-    j = o.join(n, ["path", "kind"], "full_outer").select(
-        "path",
-        "kind",
-        F.coalesce(F.col("__n_o"), F.lit(0)).cast("long").alias("n_old"),
-        F.coalesce(F.col("__n_n"), F.lit(0)).cast("long").alias("n_new"),
+    o = {(r["path"], r["kind"]): r["n"] for r in rows_old}
+    n = {(r["path"], r["kind"]): r["n"] for r in rows_new}
+    out = []
+    for key in sorted(set(o) | set(n)):
+        n_old, n_new = o.get(key, 0), n.get(key, 0)
+        share_old = float(n_old) / float(tot_old)
+        share_new = float(n_new) / float(tot_new)
+        status = (
+            "added" if n_old == 0 else "removed" if n_new == 0 else "stable"
+        )
+        out.append(
+            (key[0], key[1], n_old, n_new, share_old, share_new,
+             share_new - share_old, status)
+        )
+    return spark.createDataFrame(
+        out,
+        "path string, kind string, n_old long, n_new long, "
+        "share_old double, share_new double, delta double, status string",
     )
-    share_old = F.col("n_old").cast("double") / F.lit(float(tot_old))
-    share_new = F.col("n_new").cast("double") / F.lit(float(tot_new))
-    return j.select(
-        "path",
-        "kind",
-        "n_old",
-        "n_new",
-        share_old.alias("share_old"),
-        share_new.alias("share_new"),
-        (share_new - share_old).alias("delta"),
-        F.when(F.col("n_old") == 0, F.lit("added"))
-        .when(F.col("n_new") == 0, F.lit("removed"))
-        .otherwise(F.lit("stable"))
-        .alias("status"),
-    ).orderBy("path", "kind")
 
 
 def json_infer_plan(
