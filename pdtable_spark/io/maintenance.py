@@ -476,8 +476,28 @@ def refresh_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> dic
         )
         merged = merged.unionByName(added)
     merged.coalesce(1).write.mode("overwrite").parquet(zdir + ".new")
-    fs.delete(zpath, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(zdir + ".new"), zpath)
+    # crash-safe swap: one valid sidecar exists at every instant — the
+    # live dir moves ASIDE (not deleted) before .new moves in, and both
+    # renames are CHECKED (Hadoop rename reports failure by boolean,
+    # never by raising; an unchecked delete-then-rename could destroy
+    # the zone map on a failed rename or a crash in the window)
+    newp = jvm.org.apache.hadoop.fs.Path(zdir + ".new")
+    oldp = jvm.org.apache.hadoop.fs.Path(zdir + ".old")
+    fs.delete(oldp, True)
+    if not fs.rename(zpath, oldp):
+        raise IOError(
+            f"refresh_zone_map: could not move the live sidecar aside "
+            f"({zdir!r} -> .old); the refreshed sidecar is intact at "
+            f"{zdir + '.new'!r}"
+        )
+    if not fs.rename(newp, zpath):
+        fs.rename(oldp, zpath)  # restore the previous sidecar
+        raise IOError(
+            f"refresh_zone_map: could not move the refreshed sidecar "
+            f"into place ({zdir + '.new'!r} -> {zdir!r}); the previous "
+            "sidecar was restored"
+        )
+    fs.delete(oldp, True)
     n_total = spark.read.parquet(zdir).count()
     return {
         "n_added": n_total - len(keep_files),
@@ -553,6 +573,12 @@ def write_bloom_sidecar(
             ).alias("pos"),
         )
         .distinct()
+        # the build parameters travel WITH the sidecar (constant
+        # columns): a probe run with different k/m would compute
+        # positions in a different space and silently prune files that
+        # hold true matches — the reader validates instead
+        .withColumn("num_hashes", F.lit(int(num_hashes)))
+        .withColumn("num_bits", F.lit(int(num_bits)))
     )
     out = path.rstrip("/") + f"/_bloom_{key_col}"
     pos.write.mode("overwrite").parquet(out)
@@ -585,22 +611,36 @@ def bloom_pruned_read(
     """
     from pdtable_spark.operators.dedup import bloom_positions
 
-    rows = keys_df.select(key_col).distinct().limit(max_keys + 1).collect()
+    kset = keys_df.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
+    rows = kset.limit(max_keys + 1).collect()
     if len(rows) > max_keys:
         raise ValueError(
             f"bloom_pruned_read: key set exceeds max_keys={max_keys} — "
             "at this size broadcast-join the unpruned scan instead"
         )
-    keys = sorted(r[0] for r in rows if r[0] is not None)
-    key_type = dict(keys_df.select(key_col).dtypes)[key_col]
-    kdf = spark.createDataFrame([(k,) for k in keys], f"`{key_col}` {key_type}")
-    kpos = kdf.select(
+    keys = sorted(r[0] for r in rows)
+    sidecar = spark.read.parquet(path.rstrip("/") + f"/_bloom_{key_col}")
+    if "num_hashes" in sidecar.columns:
+        prm = sidecar.select("num_hashes", "num_bits").first()
+        if (prm["num_hashes"], prm["num_bits"]) != (num_hashes, num_bits):
+            raise ValueError(
+                f"bloom_pruned_read: sidecar was built with num_hashes="
+                f"{prm['num_hashes']}, num_bits={prm['num_bits']} but the "
+                f"probe asked for {num_hashes}/{num_bits} — positions "
+                "would land in a different space and silently prune "
+                "files holding true matches"
+            )
+        sidecar = sidecar.drop("num_hashes", "num_bits")
+    # kset stays a JVM lineage: a driver round-trip through
+    # createDataFrame would put a Python-RDD relation inside the
+    # RETURNED plan, re-launching Python workers on every downstream
+    # action (the write_zone_map lesson)
+    kpos = kset.select(
         key_col,
         F.explode(
             bloom_positions(F.col(key_col).cast("string"), num_hashes, num_bits)
         ).alias("pos"),
     )
-    sidecar = spark.read.parquet(path.rstrip("/") + f"/_bloom_{key_col}")
     all_files = {
         _norm_file(r["file"])
         for r in sidecar.select("file").distinct().collect()
@@ -632,7 +672,7 @@ def bloom_pruned_read(
         df = spark.read.parquet(path).where(F.lit(False))
     else:
         df = spark.read.option("basePath", path).parquet(*keep)
-    df = df.join(F.broadcast(kdf), key_col, "left_semi")
+    df = df.join(F.broadcast(kset), key_col, "left_semi")
     if columns is not None:
         df = df.select(*columns)
     return df, report
@@ -647,9 +687,10 @@ def _stats_row_intersects(row, predicates: dict) -> bool:
     with ``prunable_files`` is pinned in pytest."""
     for c, (lo, hi) in predicates.items():
         mn, mx = row[f"min_{c}"], row[f"max_{c}"]
-        if mn is None or mx is None:
-            continue
-        if mx < lo or mn > hi:
+        # SQL three-valued parity: a KNOWN bound can prove a miss even
+        # when the other side is NULL (OR(TRUE, NULL) is TRUE); only a
+        # row where neither comparison resolves TRUE survives
+        if (mx is not None and mx < lo) or (mn is not None and mn > hi):
             return False
     return True
 

@@ -940,8 +940,9 @@ def json_profile_diff(prof_old: DataFrame, prof_new: DataFrame) -> DataFrame:
     order each, so the frame carries a full value oracle.  Cost: each
     profile EVALUATES ONCE (collected — path-domain-sized, KBs), the
     diff runs driver-side over those rows, and ONE local result frame
-    comes back — the corpus behind each side is scanned exactly once
-    and no Python-RDD relation feeds downstream plans.
+    comes back — the corpus behind each side is scanned exactly once.
+    The result itself IS a Python-local relation (path-domain-sized):
+    collect or write it; persist first if it must feed a hot plan.
     """
     # collect each profile ONCE (path-domain-sized — KBs), diff in
     # plain Python, and return ONE local result frame: every extra

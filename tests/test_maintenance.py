@@ -956,32 +956,82 @@ def test_bloom_sidecar_point_lookup_pruning(spark, tmp_path):
 
 def test_stats_row_intersects_parity_with_prunable_files(spark, tmp_path):
     """The driver-side keep test and the DataFrame certificate must give
-    identical answers — including NULL-stats conservatism."""
+    identical answers — including every NULL-stats shape (two-sided
+    NULL: conservative keep; ONE-sided NULL: a known bound can still
+    prove a miss, SQL three-valued OR semantics)."""
     df = spark.range(20_000).select(
         (F.col("id") % 100).alias("x"),
-        F.when(F.col("id") % 3 == 0, F.col("id") % 50).alias("y"),  # NULLs
+        F.when(F.col("id") % 3 == 0, F.col("id") % 50).alias("y"),
     )
     zp = str(tmp_path / "par")
-    maintenance.write_zordered_parquet(
-        df.fillna({"y": 0}).withColumn(
-            "y", F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(F.col("y"))
-        ) if False else df,
-        zp, ["x"], bits_per_col=6, partitions=8,
-    )
+    maintenance.write_zordered_parquet(df, zp, ["x"], bits_per_col=6,
+                                       partitions=8)
     st = maintenance.clustering_stats(spark, zp, ["x", "y"])
-    rows = st.collect()
-    for preds in (
-        {"x": (10, 30)},
-        {"x": (10, 30), "y": (5, 9)},
-        {"y": (1000, 2000)},
-        {"x": (0, 99)},
-    ):
-        via_df = sorted(
-            r["file"] for r in maintenance.prunable_files(st, preds).collect()
+    # hand-built rows drive the NULL shapes the real layout cannot
+    # produce: two-sided NULL, and one-sided NULLs on either bound
+    hand = spark.createDataFrame(
+        [
+            ("f_null_both", 1, None, None, None, None),
+            ("f_null_min", 1, None, 5, 0, 99),
+            ("f_null_max", 1, 50, None, 0, 99),
+            ("f_plain", 1, 10, 20, 10, 20),
+        ],
+        "file string, n_rows long, min_x long, max_x long, "
+        "min_y long, max_y long",
+    )
+    for stats in (st, hand):
+        rows = stats.collect()
+        for preds in (
+            {"x": (10, 30)},
+            {"x": (10, 30), "y": (5, 9)},
+            {"y": (1000, 2000)},
+            {"x": (0, 99)},
+            {"x": (40, 45)},
+        ):
+            via_df = sorted(
+                r["file"]
+                for r in maintenance.prunable_files(stats, preds).collect()
+            )
+            via_py = sorted(
+                r["file"]
+                for r in rows
+                if maintenance._stats_row_intersects(r, preds)
+            )
+            assert via_df == via_py, preds
+    # the one-sided shapes actually diverge between keep and miss:
+    # max_x=5 proves a miss for x>=10 even with min_x NULL
+    assert not maintenance._stats_row_intersects(
+        {"min_x": None, "max_x": 5}, {"x": (10, 30)}
+    )
+    assert maintenance._stats_row_intersects(
+        {"min_x": None, "max_x": None}, {"x": (10, 30)}
+    )
+
+
+def test_bloom_sidecar_param_mismatch_is_loud(spark, tmp_path):
+    import pytest as _pt
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("okey"), (F.col("id") % 97).alias("k")
+    )
+    zp = str(tmp_path / "bp")
+    maintenance.write_sorted_parquet(df, zp, "okey", partitions=4)
+    maintenance.write_bloom_sidecar(spark, zp, "k", num_hashes=3,
+                                    num_bits=1 << 16)
+    keys = spark.createDataFrame([(7,)], "k long")
+    # matching params work
+    got, rep = maintenance.bloom_pruned_read(
+        spark, zp, "k", keys, num_hashes=3, num_bits=1 << 16
+    )
+    assert got.count() > 0
+    # a k or m mismatch would compute positions in a different space
+    # and silently prune true matches — must be loud instead
+    with _pt.raises(ValueError, match="built with"):
+        maintenance.bloom_pruned_read(
+            spark, zp, "k", keys, num_hashes=3, num_bits=1 << 20
         )
-        via_py = sorted(
-            r["file"]
-            for r in rows
-            if maintenance._stats_row_intersects(r, preds)
+    with _pt.raises(ValueError, match="built with"):
+        maintenance.bloom_pruned_read(
+            spark, zp, "k", keys, num_hashes=5, num_bits=1 << 16
         )
-        assert via_df == via_py, preds
