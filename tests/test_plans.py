@@ -933,3 +933,41 @@ def test_plan_lint_execute_reads_final_adaptive_plan(spark):
             conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
             conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_adapt)
+
+
+def test_certificate_read_paths_plan_clean(spark, tmp_path):
+    """The returned frames of the certificate-driven reads carry no
+    scale red flags: no Python stages (the sidecars and key sets stay
+    JVM lineages), no cartesians, nothing unpushed — the lint gate over
+    exactly what a caller would embed in a bigger plan."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.io import maintenance as mnt
+    from pdtable_spark.plans import assert_clean
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") * 48271 + 11) % 100).alias("y"),
+        (F.col("id") % 997).alias("k"),
+    )
+    zp = str(tmp_path / "lint_lake")
+    mnt.write_zordered_parquet(df, zp, ["x", "y"], bits_per_col=6,
+                               partitions=8)
+    mnt.write_zone_map(spark, zp, ["x", "y"])
+    mnt.write_bloom_sidecar(spark, zp, "k", num_hashes=3, num_bits=1 << 16)
+
+    zm = mnt.zone_map(spark, zp, ["x", "y"])
+    pruned, _ = mnt.pruned_read(spark, zp, {"x": (10, 20), "y": (30, 60)},
+                                stats=zm)
+    assert_clean(pruned)
+
+    keys = spark.range(5).select((F.col("id") + 10).alias("x"))
+    semi, _ = mnt.pruned_semi_read(spark, zp, "x", keys)
+    # the key set is a driver-built broadcast frame: its Python-local
+    # relation is bounded and sanctioned (arrow/batch eval is info-level)
+    assert_clean(semi)
+
+    bkeys = spark.range(3).select((F.col("id") + 7).alias("k"))
+    bl, _ = mnt.bloom_pruned_read(spark, zp, "k", bkeys, num_hashes=3,
+                                  num_bits=1 << 16)
+    assert_clean(bl)
