@@ -22,76 +22,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-row rotation (the driver reports exactly the first 50 queries).
-#: Policy: OLDEST correctness evidence first, every round.  Round-11
-#: head-50 (the executed round-10 runbook, VERDICT r10 task #1) = the
-#: NINE queries registered this round from queries/pending_r11.py
-#: (staged r10 with full oracles + sf0.001/0.01/1 MATCH evidence), plus
-#: the 41 oldest r7-evidence rows (CORRECTNESS_r07 report order,
-#: starting at pipeline_score_calibration — r7 rows 0-1 were refreshed
-#: in the r10 window) — 50 exactly.  The tail is the same policy
-#: continued: the remaining 7 r7-evidence rows, then the r8 block, then
-#: the r9 block, then the r10 block, each in report order.
+#: Policy: OLDEST correctness evidence first, every round.  Round-12
+#: head-50 (the executed round-11 runbook, VERDICT r11 task #1) = the
+#: TEN queries registered this round from queries/pending_r12.py
+#: (staged r11 with full oracles + sf0.001/0.01 MATCH evidence), plus
+#: the 7 remaining r7-evidence rows (CORRECTNESS_r07 report order,
+#: starting at q_top_suppliers), plus the 33 oldest r8-evidence rows
+#: (CORRECTNESS_r08 report order) — 50 exactly.  The tail is the same
+#: policy continued: the remaining 17 r8-evidence rows, then the r9
+#: block, the r10 block, and the r11 block, each in report order.
 #:
-#: Honest cycle arithmetic: 207 registered queries through a 50-row
-#: window is a ceil(207/50) = FIVE-round steady-state cycle, so a
+#: Honest cycle arithmetic: 217 registered queries through a 50-row
+#: window is a ceil(217/50) = FIVE-round steady-state cycle, so a
 #: query's driver evidence can be up to 4 rounds old by the time its
-#: row rotates back in (at r11 close: 50 r11 / 7 r7 / 50 r8 / 50 r9 /
-#: 50 r10; the 7 remaining r7-evidence rows HEAD the r12 window).
-#: The local gate is tighter than the driver window: scripts/
-#: verify_all.sh sweeps ALL registered oracles twice per round
+#: row rotates back in (at r12 close: 10+7+33=50 r12 / 17 r8 / 50 r9 /
+#: 50 r10 / 50 r11; the 17 remaining r8-evidence rows HEAD the r13
+#: window).  The local gate is tighter than the driver window:
+#: scripts/verify_all.sh sweeps ALL registered oracles twice per round
 #: (default + partitions=7 layouts), so a rotted query is caught the
 #: round it rots, not the round its driver row comes up.
 _PRIORITY = [
-    "pipeline_model_quality_recipe",
-    "multimodal_audio_meta",
-    "multimodal_video_meta",
-    "embedding_gram_ledger",
-    "stream_gram_ledger",
-    "lake_zorder_cells",
-    "pipeline_column_profile",
-    "stream_upsert_changelog",
-    "pipeline_json_profile",
-    "pipeline_score_calibration",
-    "stream_drift_monitor",
-    "dedup_incremental",
-    "embedding_ivf_topk",
-    "embedding_lsh_topk",
-    "pipeline_corpus_shuffle",
-    "pipeline_length_buckets",
-    "q10_returned_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_volume",
-    "q6_forecast_revenue",
-    "q_big_spenders_having",
-    "q_both_status_customers",
-    "q_cube_returns",
-    "q_customers_without_orders",
-    "q_distinct_ship_modes",
-    "q_events_hourly",
-    "q_events_sliding",
-    "q_idle_customers",
-    "q_math_funcs",
-    "q_min_price_supplier",
-    "q_nation_customer_counts",
-    "q_order_gaps",
-    "q_orders_by_month",
-    "q_part_brand_stats",
-    "q_pivot_order_status",
-    "q_range_frame_spend",
-    "q_rollup_returns",
-    "q_running_spend",
-    "q_sql_grouping_sets",
-    "q_string_funcs",
-    "q_table_facade_units",
-    "q_top_orders_per_customer",
+    "lake_pruned_read",
+    "embedding_ivf_staleness",
+    "pipeline_json_extract_typed",
+    "pipeline_json_infer_plan",
+    "stream_ivf_staleness",
+    "lake_hilbert_cells",
+    "stream_sample_ledger",
+    "pipeline_json_profile_diff",
+    "lake_pruned_semi_read",
+    "lake_bloom_pruned_read",
     "q_top_suppliers",
     "q_unpivot_measures",
     "stream_attribution",
@@ -249,6 +209,56 @@ _PRIORITY = [
     "pipeline_modern_recipe",
     "embedding_pq_refined",
     "embedding_pq_recall",
+    "pipeline_model_quality_recipe",
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
+    "embedding_gram_ledger",
+    "stream_gram_ledger",
+    "lake_zorder_cells",
+    "pipeline_column_profile",
+    "stream_upsert_changelog",
+    "pipeline_json_profile",
+    "pipeline_score_calibration",
+    "stream_drift_monitor",
+    "dedup_incremental",
+    "embedding_ivf_topk",
+    "embedding_lsh_topk",
+    "pipeline_corpus_shuffle",
+    "pipeline_length_buckets",
+    "q10_returned_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "q_big_spenders_having",
+    "q_both_status_customers",
+    "q_cube_returns",
+    "q_customers_without_orders",
+    "q_distinct_ship_modes",
+    "q_events_hourly",
+    "q_events_sliding",
+    "q_idle_customers",
+    "q_math_funcs",
+    "q_min_price_supplier",
+    "q_nation_customer_counts",
+    "q_order_gaps",
+    "q_orders_by_month",
+    "q_part_brand_stats",
+    "q_pivot_order_status",
+    "q_range_frame_spend",
+    "q_rollup_returns",
+    "q_running_spend",
+    "q_sql_grouping_sets",
+    "q_string_funcs",
+    "q_table_facade_units",
+    "q_top_orders_per_customer",
 ]
 
 

@@ -1160,3 +1160,15 @@ PENDING_R12["lake_bloom_pruned_read"] = (
     r12_lake_bloom_pruned_read,
     R12_SQL_LAKE_BLOOM_PRUNED,
 )
+
+
+# ---------------------------------------------------------------------------
+# Registration: the @q decoration for the whole block (executed round-12
+# runbook — VERDICT r11 task #1).  suite.py imports this module at the
+# end of its body, so suite.QUERIES / suite.ORACLES — the single registry
+# the driver contract, bench, and oracle sweeps read — contain these 10
+# entries exactly like any inline @q query.
+from pdtable_spark.queries.suite import q as _q
+
+for _name, (_fn, _sql) in PENDING_R12.items():
+    _q(_name, _sql)(_fn)
