@@ -407,14 +407,20 @@ def write_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> int:
     validate coverage and fail loudly on a stale sidecar rather than
     silently pruning against it.
     """
-    stats = clustering_stats(spark, path, list(cols))
+    cols = list(cols)
+    zdir = _zone_map_dir(path)
+    stats = clustering_stats(spark, path, cols)
     # write the DISTRIBUTED frame directly: a driver round-trip
     # (collect + createDataFrame) would back the write with a
     # Python-RDD relation, which launches a Python worker per task —
     # measured ~4 s of pure overhead for a 64-row sidecar vs ~0.2 s
     # for the JVM lineage
-    stats.coalesce(1).write.mode("overwrite").parquet(_zone_map_dir(path))
-    return spark.read.parquet(_zone_map_dir(path)).count()
+    stats.coalesce(1).write.mode("overwrite").parquet(zdir + ".new")
+    _append_empty_file_rows(
+        spark, zdir + ".new", _data_files(spark, path), {"n_rows": 0}
+    )
+    _promote_sidecar(spark, zdir, "write_zone_map")
+    return spark.read.parquet(zdir).count()
 
 
 def _norm_file(f: str) -> str:
@@ -431,6 +437,68 @@ def _data_files(spark: SparkSession, path: str) -> set:
     ``_zone_map`` and ``_SUCCESS`` style entries are already excluded),
     normalized via :func:`_norm_file`."""
     return {_norm_file(f) for f in spark.read.parquet(path).inputFiles()}
+
+
+def _promote_sidecar(spark: SparkSession, live_dir: str, fn_name: str) -> None:
+    """Crash-safe swap of ``{live_dir}.new`` into place: one valid
+    sidecar exists at every instant — the live dir (if any) moves ASIDE
+    (not deleted) before ``.new`` moves in, and both renames are
+    CHECKED (Hadoop rename reports failure by boolean, never by
+    raising; an unchecked delete-then-rename could destroy the sidecar
+    on a failed rename or a crash in the window).  Shared by every
+    sidecar writer (zone map build/refresh, Bloom build/refresh)."""
+    jvm = spark._jvm
+    livep = jvm.org.apache.hadoop.fs.Path(live_dir)
+    fs = livep.getFileSystem(spark._jsc.hadoopConfiguration())
+    newp = jvm.org.apache.hadoop.fs.Path(live_dir + ".new")
+    oldp = jvm.org.apache.hadoop.fs.Path(live_dir + ".old")
+    fs.delete(oldp, True)
+    if fs.exists(livep):
+        if not fs.rename(livep, oldp):
+            raise IOError(
+                f"{fn_name}: could not move the live sidecar aside "
+                f"({live_dir!r} -> .old); the rebuilt sidecar is intact "
+                f"at {live_dir + '.new'!r}"
+            )
+    if not fs.rename(newp, livep):
+        if fs.exists(oldp):
+            fs.rename(oldp, livep)  # restore the previous sidecar
+        raise IOError(
+            f"{fn_name}: could not move the rebuilt sidecar into place "
+            f"({live_dir + '.new'!r} -> {live_dir!r}); the previous "
+            "sidecar (if any) was restored"
+        )
+    fs.delete(oldp, True)
+
+
+def _append_empty_file_rows(
+    spark: SparkSession, new_dir: str, current: set, fill: dict
+) -> int:
+    """Record data files the stats/positions pass could not see — a
+    ZERO-ROW part-file (e.g. written by an empty-frame overwrite)
+    appears in the FileIndex listing but yields no aggregate row, so
+    without a sentinel the coverage validation in :func:`zone_map` /
+    :func:`bloom_pruned_read` would report STALE forever and no refresh
+    could repair it.  Appends one row per uncovered file to the
+    pre-promotion ``.new`` sidecar: ``fill`` gives the non-file column
+    values (NULL stats / NULL position — conservative for range pruning,
+    never-matching for Bloom probes, correct either way for a file that
+    holds no rows).  Returns the number of sentinel rows added; the
+    driver-side frame is bounded by the count of EMPTY files (normally
+    zero, so the common case adds no job at all)."""
+    sidecar = spark.read.parquet(new_dir)
+    covered = {_norm_file(r["file"]) for r in sidecar.select("file").collect()}
+    missing = sorted(current - covered)
+    if not missing:
+        return 0
+    rows = [
+        tuple(f if c == "file" else fill.get(c) for c in sidecar.columns)
+        for f in missing
+    ]
+    spark.createDataFrame(rows, sidecar.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(new_dir)
+    return len(missing)
 
 
 def refresh_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> dict:
@@ -476,28 +544,10 @@ def refresh_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> dic
         )
         merged = merged.unionByName(added)
     merged.coalesce(1).write.mode("overwrite").parquet(zdir + ".new")
-    # crash-safe swap: one valid sidecar exists at every instant — the
-    # live dir moves ASIDE (not deleted) before .new moves in, and both
-    # renames are CHECKED (Hadoop rename reports failure by boolean,
-    # never by raising; an unchecked delete-then-rename could destroy
-    # the zone map on a failed rename or a crash in the window)
-    newp = jvm.org.apache.hadoop.fs.Path(zdir + ".new")
-    oldp = jvm.org.apache.hadoop.fs.Path(zdir + ".old")
-    fs.delete(oldp, True)
-    if not fs.rename(zpath, oldp):
-        raise IOError(
-            f"refresh_zone_map: could not move the live sidecar aside "
-            f"({zdir!r} -> .old); the refreshed sidecar is intact at "
-            f"{zdir + '.new'!r}"
-        )
-    if not fs.rename(newp, zpath):
-        fs.rename(oldp, zpath)  # restore the previous sidecar
-        raise IOError(
-            f"refresh_zone_map: could not move the refreshed sidecar "
-            f"into place ({zdir + '.new'!r} -> {zdir!r}); the previous "
-            "sidecar was restored"
-        )
-    fs.delete(oldp, True)
+    # zero-row appends never produce a stats row — sentinel them so the
+    # coverage validation in zone_map() stays exact (see helper)
+    _append_empty_file_rows(spark, zdir + ".new", current, {"n_rows": 0})
+    _promote_sidecar(spark, zdir, "refresh_zone_map")
     n_total = spark.read.parquet(zdir).count()
     return {
         "n_added": n_total - len(keep_files),
@@ -557,15 +607,50 @@ def write_bloom_sidecar(
     ``num_bits`` so the per-file fill ratio (distinct keys per file ×
     k / num_bits) stays well under ~20%.  False positives only ever
     OVER-read (the residual semi join keeps answers exact).  Returns
-    the number of files covered.
+    the number of files covered.  The rebuild goes through the same
+    crash-safe ``.new`` → swap as the zone map (one valid sidecar at
+    every instant); after appends prefer :func:`refresh_bloom_sidecar`,
+    which hashes only the new files.
     """
+    out = _bloom_dir(path, key_col)
+    pos = _bloom_position_rows(spark, path, None, key_col, num_hashes, num_bits)
+    pos.write.mode("overwrite").parquet(out + ".new")
+    _append_empty_file_rows(
+        spark,
+        out + ".new",
+        _data_files(spark, path),
+        {"num_hashes": int(num_hashes), "num_bits": int(num_bits)},
+    )
+    _promote_sidecar(spark, out, "write_bloom_sidecar")
+    return spark.read.parquet(out).select("file").distinct().count()
+
+
+def _bloom_dir(path: str, key_col: str) -> str:
+    """Hidden sidecar location — same convention as :func:`_zone_map_dir`."""
+    return path.rstrip("/") + f"/_bloom_{key_col}"
+
+
+def _bloom_position_rows(
+    spark: SparkSession,
+    path: str,
+    files,
+    key_col: str,
+    num_hashes: int,
+    num_bits: int,
+) -> DataFrame:
+    """The Bloom sidecar's content lineage for the given files (all of
+    the lake when ``files`` is None): per-file DISTINCT positions plus
+    the build-parameter stamp columns — a probe run with different k/m
+    would compute positions in a different space and silently prune
+    files that hold true matches, so the reader validates the stamps."""
     from pdtable_spark.operators.dedup import bloom_positions
 
-    df = spark.read.parquet(path).select(
+    rd = spark.read.option("basePath", path)
+    df = (rd.parquet(path) if files is None else rd.parquet(*files)).select(
         F.col("_metadata.file_path").alias("file"),
         F.col(key_col).cast("string").alias("__k"),
     )
-    pos = (
+    return (
         df.select(
             "file",
             F.explode(
@@ -573,16 +658,81 @@ def write_bloom_sidecar(
             ).alias("pos"),
         )
         .distinct()
-        # the build parameters travel WITH the sidecar (constant
-        # columns): a probe run with different k/m would compute
-        # positions in a different space and silently prune files that
-        # hold true matches — the reader validates instead
         .withColumn("num_hashes", F.lit(int(num_hashes)))
         .withColumn("num_bits", F.lit(int(num_bits)))
     )
-    out = path.rstrip("/") + f"/_bloom_{key_col}"
-    pos.write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out).select("file").distinct().count()
+
+
+def refresh_bloom_sidecar(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    num_hashes: int = 3,
+    num_bits: int = 1 << 20,
+) -> dict:
+    """Incremental Bloom-sidecar maintenance — the
+    :func:`refresh_zone_map` lifecycle for the point-lookup artifact:
+    hash ONLY files the sidecar does not cover yet (appends), drop
+    position rows for files that no longer exist (compaction/vacuum),
+    keep everything else untouched, and promote via the crash-safe
+    ``.new`` → swap — so keeping the filter fresh costs one scan of the
+    NEW data, not a full-lake rebuild per append.  Builds from scratch
+    when no sidecar exists.
+
+    The requested ``num_hashes`` / ``num_bits`` must match the existing
+    sidecar's parameter stamp: merging positions computed in a
+    different (k, m) space would silently prune files holding true
+    matches, so a mismatch raises with the full-rebuild instruction.
+    Returns ``{"n_added_files", "n_removed_files", "n_files"}``.
+    """
+    out = _bloom_dir(path, key_col)
+    current = _data_files(spark, path)
+    jvm = spark._jvm
+    bpath = jvm.org.apache.hadoop.fs.Path(out)
+    fs = bpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(bpath):
+        n = write_bloom_sidecar(spark, path, key_col, num_hashes, num_bits)
+        return {"n_added_files": n, "n_removed_files": 0, "n_files": n}
+    sidecar = spark.read.parquet(out)
+    prm = sidecar.select("num_hashes", "num_bits").first()
+    if (prm["num_hashes"], prm["num_bits"]) != (int(num_hashes), int(num_bits)):
+        raise ValueError(
+            f"refresh_bloom_sidecar: sidecar was built with num_hashes="
+            f"{prm['num_hashes']}, num_bits={prm['num_bits']} but the "
+            f"refresh asked for {num_hashes}/{num_bits} — positions from "
+            "different spaces cannot be merged; rebuild with "
+            "write_bloom_sidecar(spark, path, key_col, ...) instead"
+        )
+    old_files = [
+        r["file"] for r in sidecar.select("file").distinct().collect()
+    ]
+    keep_files = [f for f in old_files if _norm_file(f) in current]
+    known = {_norm_file(f) for f in keep_files}
+    new_files = sorted(current - known)
+    # both sides stay JVM lineages (the write_zone_map lesson)
+    merged = sidecar.filter(
+        F.col("file").isin(keep_files) if keep_files else F.lit(False)
+    )
+    if new_files:
+        merged = merged.unionByName(
+            _bloom_position_rows(
+                spark, path, new_files, key_col, num_hashes, num_bits
+            )
+        )
+    merged.write.mode("overwrite").parquet(out + ".new")
+    _append_empty_file_rows(
+        spark,
+        out + ".new",
+        current,
+        {"num_hashes": int(num_hashes), "num_bits": int(num_bits)},
+    )
+    _promote_sidecar(spark, out, "refresh_bloom_sidecar")
+    n_total = spark.read.parquet(out).select("file").distinct().count()
+    return {
+        "n_added_files": n_total - len(keep_files),
+        "n_removed_files": len(old_files) - len(keep_files),
+        "n_files": n_total,
+    }
 
 
 def bloom_pruned_read(
@@ -650,8 +800,8 @@ def bloom_pruned_read(
         raise ValueError(
             f"bloom_pruned_read: sidecar for {key_col!r} is STALE "
             f"({len(current - all_files)} uncovered data file(s), "
-            f"{len(all_files - current)} vanished) — rebuild with "
-            "write_bloom_sidecar first"
+            f"{len(all_files - current)} vanished) — run "
+            "refresh_bloom_sidecar(spark, path, key_col, ...) first"
         )
     hits = (
         sidecar.join(F.broadcast(kpos), "pos")
@@ -809,14 +959,16 @@ def pruned_semi_read(
         "n_files_skipped": len(stats) - len(keep),
         "n_keys": len(keys),
     }
-    key_type = dict(keys_df.select(key_col).dtypes)[key_col]
     if not keep:
         df = spark.read.parquet(path).where(F.lit(False))
     else:
         df = spark.read.option("basePath", path).parquet(*keep)
-    kdf = spark.createDataFrame(
-        [(k,) for k in keys], f"`{key_col}` {key_type}"
-    )
+    # the residual semi side reuses the caller's JVM lineage: rebuilding
+    # it from the collected keys via createDataFrame would embed a
+    # Python-local relation in the RETURNED plan, re-launching a Python
+    # worker per task on every downstream action (the write_zone_map
+    # lesson; bloom_pruned_read handles its kset the same way)
+    kdf = keys_df.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
     df = df.join(F.broadcast(kdf), key_col, "left_semi")
     if columns is not None:
         df = df.select(*columns)

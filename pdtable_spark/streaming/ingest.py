@@ -211,12 +211,21 @@ def vacuum_versions(
     are pruned by dropping their partitions" knob, as an operator with
     guard rails instead of a hand-written ``rm``.
 
+    ``keep_last`` must be **at least 2**: a micro-batch that crashed
+    AFTER its table write (version N exists) but BEFORE its checkpoint
+    commit is retried by Structured Streaming, and the retry's MERGE
+    reads state as-of batch N-1 (the retry-idempotence contract of
+    :func:`_upsert_batch`).  Vacuuming down to only version N would
+    delete N-1, so the retry would rebuild version N from the batch
+    rows alone and silently drop every previously-merged key — keeping
+    the two newest versions preserves the in-flight retry window.
+
     The changelog is retained INDEPENDENTLY (``changelog_keep_last``;
     default: untouched): change rows are deltas consumers may replay
     long after the full versions they derive from are gone, and
     vacuuming old changelog batches never breaks the write-ordering
     contract (consumers key off the changelog's MAX batch, which this
-    never removes — the newest ``keep_last ≥ 1`` table versions and the
+    never removes — the newest ``keep_last ≥ 2`` table versions and the
     newest changelog batch always survive).
 
     All filesystem work goes through the Hadoop FS API (HDFS/S3A/local
@@ -227,9 +236,12 @@ def vacuum_versions(
     audit log.  Idempotent: a retry sees the survivors and removes
     nothing.
     """
-    if keep_last < 1:
+    if keep_last < 2:
         raise ValueError(
-            f"vacuum_versions: keep_last must be >= 1, got {keep_last}"
+            f"vacuum_versions: keep_last must be >= 2, got {keep_last} — "
+            "a crashed-then-retried micro-batch re-merges against "
+            "version N-1, so the newest version alone is not a safe "
+            "restore point (see docstring)"
         )
     if changelog_keep_last is not None and changelog_keep_last < 1:
         raise ValueError(

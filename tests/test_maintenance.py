@@ -1035,3 +1035,123 @@ def test_bloom_sidecar_param_mismatch_is_loud(spark, tmp_path):
         maintenance.bloom_pruned_read(
             spark, zp, "k", keys, num_hashes=5, num_bits=1 << 16
         )
+
+
+def test_bloom_sidecar_refresh_lifecycle(spark, tmp_path):
+    """The Bloom sidecar gets the zone map's lifecycle (VERDICT r11 task
+    #2): append → refresh (hashes only the NEW files) → pruned read ≡
+    full-rebuild read; a parameter-stamp mismatch on refresh raises;
+    refresh builds from scratch when no sidecar exists."""
+    import pytest as _pt
+
+    df = spark.range(40_000).select(
+        F.col("id").alias("okey"),
+        (F.col("id") * 48271 % 9973).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    zp = str(tmp_path / "blr")
+    maintenance.write_sorted_parquet(df, zp, "okey", partitions=16)
+
+    # refresh from scratch == full build
+    rep0 = maintenance.refresh_bloom_sidecar(spark, zp, "k", num_hashes=3,
+                                             num_bits=1 << 18)
+    assert rep0 == {"n_added_files": 16, "n_removed_files": 0, "n_files": 16}
+
+    # append rows whose k values are brand new → STALE, then refreshed
+    extra = spark.range(40_000, 40_500).select(
+        F.col("id").alias("okey"),
+        (F.col("id") + 100_000).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    extra.coalesce(2).write.mode("append").parquet(zp)
+    keys = spark.createDataFrame([(4242,), (140_250,)], "k long")
+    with _pt.raises(ValueError, match="STALE"):
+        maintenance.bloom_pruned_read(spark, zp, "k", keys, num_hashes=3,
+                                      num_bits=1 << 18)
+    rep = maintenance.refresh_bloom_sidecar(spark, zp, "k", num_hashes=3,
+                                            num_bits=1 << 18)
+    assert rep["n_added_files"] == 2 and rep["n_removed_files"] == 0
+    assert rep["n_files"] == 18
+
+    got, prep = maintenance.bloom_pruned_read(
+        spark, zp, "k", keys, num_hashes=3, num_bits=1 << 18
+    )
+    refreshed = sorted(r["payload"] for r in got.collect())
+    refreshed_rep = dict(prep)
+
+    # the refreshed sidecar answers exactly like a full rebuild
+    assert maintenance.write_bloom_sidecar(spark, zp, "k", num_hashes=3,
+                                           num_bits=1 << 18) == 18
+    got2, prep2 = maintenance.bloom_pruned_read(
+        spark, zp, "k", keys, num_hashes=3, num_bits=1 << 18
+    )
+    assert sorted(r["payload"] for r in got2.collect()) == refreshed
+    assert dict(prep2) == refreshed_rep
+    # and it matches the unpruned truth
+    full = spark.read.parquet(zp).join(F.broadcast(keys), "k", "left_semi")
+    assert refreshed == sorted(r["payload"] for r in full.collect())
+    assert len(refreshed) > 0
+
+    # a (k, m) stamp mismatch on refresh is loud — positions from
+    # different spaces must never be merged
+    with _pt.raises(ValueError, match="num_hashes"):
+        maintenance.refresh_bloom_sidecar(spark, zp, "k", num_hashes=4,
+                                          num_bits=1 << 18)
+    with _pt.raises(ValueError, match="num_bits"):
+        maintenance.refresh_bloom_sidecar(spark, zp, "k", num_hashes=3,
+                                          num_bits=1 << 17)
+
+
+def test_sidecars_tolerate_zero_row_files(spark, tmp_path):
+    """A zero-row part-file (e.g. from an empty-frame append) appears in
+    the FileIndex listing but yields no stats/position row — without
+    sentinel rows the coverage validation would report STALE forever
+    and no refresh could repair it (ADVICE r11).  Both sidecars must
+    cover it, validate clean, and prune correctly around it."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") % 997).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    zp = str(tmp_path / "zrf")
+    maintenance.write_sorted_parquet(df, zp, "x", partitions=4)
+    # drop a genuinely empty parquet file into the lake
+    schema = pa.schema([("x", pa.int64()), ("k", pa.int64()),
+                        ("payload", pa.int64())])
+    _pq.write_table(schema.empty_table(), os.path.join(zp, "part-empty.parquet"))
+    assert spark.read.parquet(zp).count() == 10_000
+
+    # zone map: build-from-scratch covers the empty file...
+    n = maintenance.write_zone_map(spark, zp, ["x"])
+    assert n == 5
+    zm = maintenance.zone_map(spark, zp, ["x"])  # validation passes
+    got, rep = maintenance.pruned_read(spark, zp, {"x": (10, 20)}, stats=zm)
+    assert rep["n_files_total"] == 5
+    assert got.count() == df.filter(F.col("x").between(10, 20)).count()
+    # ...and so does an incremental refresh meeting a NEW empty file
+    _pq.write_table(schema.empty_table(), os.path.join(zp, "part-empty2.parquet"))
+    rep2 = maintenance.refresh_zone_map(spark, zp, ["x"])
+    assert rep2["n_added"] == 1 and rep2["n_files"] == 6
+    maintenance.zone_map(spark, zp, ["x"])  # still validates clean
+
+    # bloom: same contract; the sentinel NULL position never matches a
+    # probe, so the empty file is always skipped
+    maintenance.write_bloom_sidecar(spark, zp, "k", num_hashes=3,
+                                    num_bits=1 << 16)
+    keys = spark.createDataFrame([(17,)], "k long")
+    bgot, brep = maintenance.bloom_pruned_read(spark, zp, "k", keys,
+                                               num_hashes=3, num_bits=1 << 16)
+    assert brep["n_files_total"] == 6
+    assert bgot.count() == df.filter(F.col("k") == 17).count()
+    _pq.write_table(schema.empty_table(), os.path.join(zp, "part-empty3.parquet"))
+    rep3 = maintenance.refresh_bloom_sidecar(spark, zp, "k", num_hashes=3,
+                                             num_bits=1 << 16)
+    assert rep3["n_added_files"] == 1 and rep3["n_files"] == 7
+    bgot2, brep2 = maintenance.bloom_pruned_read(spark, zp, "k", keys,
+                                                 num_hashes=3,
+                                                 num_bits=1 << 16)
+    assert brep2["n_files_total"] == 7
+    assert bgot2.count() == bgot.count()

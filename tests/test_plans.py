@@ -963,9 +963,11 @@ def test_certificate_read_paths_plan_clean(spark, tmp_path):
 
     keys = spark.range(5).select((F.col("id") + 10).alias("x"))
     semi, _ = mnt.pruned_semi_read(spark, zp, "x", keys)
-    # the key set is a driver-built broadcast frame: its Python-local
-    # relation is bounded and sanctioned (arrow/batch eval is info-level)
     assert_clean(semi)
+    # the residual semi side reuses the caller's JVM lineage — no
+    # Python-local relation may hide in the returned plan (ADVICE r11)
+    semi_plan = semi._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in semi_plan and "PythonRDD" not in semi_plan
 
     bkeys = spark.range(3).select((F.col("id") + 7).alias("k"))
     bl, _ = mnt.bloom_pruned_read(spark, zp, "k", bkeys, num_hashes=3,

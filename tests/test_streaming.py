@@ -966,22 +966,29 @@ def test_vacuum_versions_retention(spark, tmp_path):
     with open(os.path.join(tdir, "_bounds.json"), "w") as f:
         f.write("{}")
 
-    rep = vacuum_versions(spark, tdir, keep_last=1)
-    assert rep == {"table_removed": [0, 1], "changelog_removed": []}
-    assert sorted(os.listdir(tdir)) == ["_bounds.json", "batch_id=2"]
-    # the survivor is the full merged state
+    rep = vacuum_versions(spark, tdir, keep_last=2)
+    assert rep == {"table_removed": [0], "changelog_removed": []}
+    # the newest TWO versions survive — version N-1 is the restore
+    # point a crashed-then-retried micro-batch merges against
+    assert sorted(os.listdir(tdir)) == [
+        "_bounds.json", "batch_id=1", "batch_id=2",
+    ]
+    # the latest survivor is the full merged state
     assert sorted(
         map(tuple, read_table_version(spark, tdir).collect())
     ) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
     # changelog untouched by default; independent retention when asked
     assert len(os.listdir(cdir)) == 3
-    rep2 = vacuum_versions(spark, tdir, keep_last=1, changelog_dir=cdir,
+    rep2 = vacuum_versions(spark, tdir, keep_last=2, changelog_dir=cdir,
                            changelog_keep_last=2)
     assert rep2 == {"table_removed": [], "changelog_removed": [0]}
     assert sorted(os.listdir(cdir)) == ["batch_id=1", "batch_id=2"]
 
     with _pt.raises(ValueError, match="keep_last"):
         vacuum_versions(spark, tdir, keep_last=0)
+    # keep_last=1 would delete the in-flight retry window (ADVICE r11)
+    with _pt.raises(ValueError, match="retried"):
+        vacuum_versions(spark, tdir, keep_last=1)
 
 
 def test_vacuum_versions_half_specified_changelog_is_loud(spark, tmp_path):
@@ -996,6 +1003,6 @@ def test_vacuum_versions_half_specified_changelog_is_loud(spark, tmp_path):
         0, tdir, cdir, ["k"], ["v"], None,
     )
     with _pt.raises(ValueError, match="together"):
-        vacuum_versions(spark, tdir, keep_last=1, changelog_dir=cdir)
+        vacuum_versions(spark, tdir, keep_last=2, changelog_dir=cdir)
     with _pt.raises(ValueError, match="together"):
-        vacuum_versions(spark, tdir, keep_last=1, changelog_keep_last=2)
+        vacuum_versions(spark, tdir, keep_last=2, changelog_keep_last=2)
