@@ -51,6 +51,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: Optional[int] = 100_000,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
@@ -58,6 +59,11 @@ def cosine_topk(
     the corpus is scanned once, partition-local, and only k rows per query
     per partition survive into the final shuffle (Spark's TakeOrdered within
     the window agg).  Ties break on corpus id for determinism.
+    ``max_queries`` makes an unbounded query side fail loudly BEFORE the
+    broadcast (early-terminating limit+count probe) instead of OOMing the
+    driver/executors — at corpus-scale query sides use the persisted-index
+    spellings (:func:`ivf_topk` / :func:`lsh_topk`) or shard the queries
+    and pass ``None`` to own the bound.
 
     Squared norms are computed ONCE per side before the pair expansion —
     the naive per-pair ``cosine()`` refolds dot(c,c) once per QUERY (3
@@ -65,6 +71,12 @@ def cosine_topk(
     queries x 20k vectors.  Values are bit-identical: same folds, same
     ``sqrt(q2 * c2)`` multiply order.
     """
+    _bounded_broadcast_side(
+        queries.select(F.col(query_id_col)),
+        max_queries,
+        "cosine_topk",
+        "queries",
+    )
     q = queries.select(
         F.col(query_id_col), _as_double(F.col(vec_col)).alias("q_vec")
     ).select(
@@ -1571,6 +1583,7 @@ def truncated_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: Optional[int] = 100_000,
 ) -> DataFrame:
     """Matryoshka-style truncated-dimension retrieval: exact cosine top-k
     over only the FIRST ``dim`` components of both sides (MRL embeddings
@@ -1590,6 +1603,7 @@ def truncated_topk(
         id_col=id_col,
         vec_col=vec_col,
         query_id_col=query_id_col,
+        max_queries=max_queries,
     )
 
 

@@ -2699,11 +2699,19 @@ def test_broadcast_miner_bounds_fail_loudly(spark):
         similarity.knn_label_propagation(df, F.col("vec_id") < 10, k=2, max_queries=4)
     with pytest.raises(ValueError, match=">= 1 or None"):
         similarity.hard_negatives(df, F.lit(True), k=2, max_anchors=0)
+    # cosine_topk / truncated_topk guard their broadcast query side too
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="more than 4 rows"):
+        similarity.cosine_topk(df, queries, k=2, max_queries=4)
+    with pytest.raises(ValueError, match="more than 4 rows"):
+        similarity.truncated_topk(df, queries, dim=1, k=2, max_queries=4)
     # disabled bound and in-limit side both build + run
     assert similarity.hard_negatives(df, F.lit(True), k=1, max_anchors=None).count() > 0
     assert (
         similarity.knn_label_propagation(df, F.col("vec_id") == 0, k=3).count() == 1
     )
+    assert similarity.cosine_topk(df, queries, k=1, max_queries=None).count() == 12
+    assert similarity.cosine_topk(df, queries.limit(2), k=1).count() == 2
 
 
 def test_perceptual_hash_brightness_invariant_and_near_dups(spark):
