@@ -219,6 +219,12 @@ EXTENDED = [
     "pipeline_json_infer_plan",
     "pipeline_json_profile_diff",
     "lake_hilbert_cells",
+    # round-12 in-round addition (staged r13): the composed curation DAG
+    # (Gopher gate -> exact dedup -> LSH greedy -> semantic prune ->
+    # source cap -> chunk -> pack -> shard accounting) in ONE lineage —
+    # prices cross-operator plan-size/driver-latency, the regression class
+    # the per-stage rows cannot see (the multimodal_audio_meta lesson)
+    "pipeline_e2e_curation",
 ]
 
 
@@ -508,6 +514,13 @@ def main():
     from pdtable_spark.queries.pending_r12 import PENDING_R12 as _PENDING_R12
 
     for _name, (_fn, _sql) in _PENDING_R12.items():
+        BENCH_QUERIES.setdefault(_name, _fn)
+
+    # staged round-13 queries (queries/pending_r13.py) — benched
+    # pre-registration so their perf trend starts now, same discipline
+    from pdtable_spark.queries.pending_r13 import PENDING_R13 as _PENDING_R13
+
+    for _name, (_fn, _sql) in _PENDING_R13.items():
         BENCH_QUERIES.setdefault(_name, _fn)
 
     # the suite's containment row runs EXACT mode (no df-cut — the oracle

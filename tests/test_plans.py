@@ -973,3 +973,21 @@ def test_certificate_read_paths_plan_clean(spark, tmp_path):
     bl, _ = mnt.bloom_pruned_read(spark, zp, "k", bkeys, num_hashes=3,
                                   num_bits=1 << 16)
     assert_clean(bl)
+
+
+def test_e2e_curation_composed_plan_clean(spark):
+    """The composed curation DAG (staged r13) stays lint-clean end to
+    end: no Python row stages, no cartesians, no unpushed filters — the
+    only sanctioned warn is the pack stage's documented global
+    running-sum window (pipeline_pack_budget's scale note: shard by key
+    at 100 TB)."""
+    from pdtable_spark.plans import assert_clean
+    from pdtable_spark.queries.pending_r13 import PENDING_R13
+
+    fn, _sql = PENDING_R13["pipeline_e2e_curation"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    try:
+        assert_clean(df, allow=["single-partition-exchange"])
+    finally:
+        df.e2e_survivors_index.unpersist()
+        df.e2e_band_index.unpersist()
