@@ -239,3 +239,303 @@ PENDING_R13["pipeline_e2e_curation"] = (
     r13_pipeline_e2e_curation,
     R13_SQL_E2E_CURATION,
 )
+
+
+# ---------------------------------------------------------------------------
+# Sidecar REFRESH lifecycles under the value gate (round-12 engineering:
+# refresh_bloom_sidecar + crash-safe swaps): the r12 rows prove the
+# build→read leg; these prove the append→INCREMENTAL-refresh→read leg —
+# the posture a 100 TB lake with append cadence actually runs.  Layout
+# and oracle construction follow lake_pruned_read / lake_bloom_pruned_read
+# (pending_r12), with the lake written in TWO phases so each (bucket,
+# phase) pair is one deterministic file and the oracle can restate the
+# refreshed sidecar as arithmetic.
+# ---------------------------------------------------------------------------
+
+from pdtable_spark.queries.pending_r11 import _ZBITS, _sql_interleave2  # noqa: E402
+from pdtable_spark.queries.pending_r12 import _BLOOM_K, _BLOOM_M, _sql_bpos  # noqa: E402
+
+R13_SQL_LAKE_ZONE_REFRESH = f"""
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey % 2 AS phase
+      FROM orders
+    ),
+    b AS (
+      SELECT MIN(ck) AS lo1, MAX(ck) AS hi1,
+             MIN(cents) AS lo2, MAX(cents) AS hi2
+      FROM o
+    ),
+    k AS (
+      SELECT ck, cents, phase,
+             LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((ck - lo1) * {1 << _ZBITS}) / (hi1 - lo1 + 1.0))
+                    AS BIGINT))) AS b1,
+             LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((cents - lo2) * {1 << _ZBITS}) / (hi2 - lo2 + 1.0))
+                    AS BIGINT))) AS b2
+      FROM o CROSS JOIN b
+    ),
+    z AS (
+      SELECT ck, cents, phase,
+             ({_sql_interleave2('b1', 'b2', _ZBITS)}) >> {_ZBITS} AS z_file
+      FROM k
+    ),
+    p AS (
+      SELECT lo1 + CAST(FLOOR((hi1 - lo1) * 30 / 100.0) AS BIGINT) AS ck_lo,
+             lo1 + CAST(FLOOR((hi1 - lo1) * 45 / 100.0) AS BIGINT) AS ck_hi,
+             lo2 + CAST(FLOOR((hi2 - lo2) * 40 / 100.0) AS BIGINT) AS ce_lo,
+             lo2 + CAST(FLOOR((hi2 - lo2) * 60 / 100.0) AS BIGINT) AS ce_hi
+      FROM b
+    ),
+    fstats AS (
+      SELECT z_file, phase, MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+             MIN(cents) AS min_ce, MAX(cents) AS max_ce
+      FROM z GROUP BY z_file, phase
+    ),
+    kept AS (
+      SELECT z_file, phase FROM fstats CROSS JOIN p
+      WHERE NOT (max_ck < ck_lo OR min_ck > ck_hi)
+        AND NOT (max_ce < ce_lo OR min_ce > ce_hi)
+    ),
+    answer AS (
+      SELECT COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+      FROM z CROSS JOIN p
+      WHERE ck BETWEEN ck_lo AND ck_hi AND cents BETWEEN ce_lo AND ce_hi
+    )
+    SELECT CAST((SELECT COUNT(*) FROM fstats) AS BIGINT) AS n_files_total,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_files_read,
+           CAST((SELECT COUNT(*) FROM fstats)
+                - (SELECT COUNT(*) FROM kept) AS BIGINT) AS n_files_skipped,
+           CAST((SELECT COUNT(*) FROM fstats WHERE phase = 1) AS BIGINT)
+             AS n_files_added,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM answer
+"""
+
+
+def r13_lake_zone_refresh_read(spark, sf_dir):
+    """The zone map's APPEND lifecycle end-to-end under the value gate:
+    phase-0 orders land as the clustered lake and get the full
+    certificate build (``write_zone_map``); phase-1 orders APPEND into
+    the same cell directories (one new file per populated cell); then
+    ``refresh_zone_map`` stats ONLY the new files (n_added travels in
+    the oracled row — a refresh that rescanned or missed files shows up
+    as a wrong count), the refreshed sidecar loads VALIDATED, and
+    ``pruned_read`` answers a conjunctive range predicate with
+    files-total/read/skipped accounting.  A refresh that produced wrong
+    stats for any file moves n_files_read or the residual aggregate and
+    fails the hash."""
+    import tempfile
+
+    from pdtable_spark.io import maintenance as mnt
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderkey") % 2).alias("phase"),
+    )
+    row = o.agg(
+        F.min("ck"), F.max("ck"), F.min("cents"), F.max("cents")
+    ).collect()[0]
+    lo1, hi1, lo2, hi2 = (int(v) for v in row)
+    z = mnt.zorder_key(
+        [
+            mnt.int_bucket(F.col("ck"), lo1, hi1, _ZBITS),
+            mnt.int_bucket(F.col("cents"), lo2, hi2, _ZBITS),
+        ],
+        _ZBITS,
+    )
+    keyed = o.withColumn("z_file", F.shiftright(z, _ZBITS))
+    d = tempfile.mkdtemp(prefix="pdtable_lakezref_")
+    for phase, mode in ((0, "overwrite"), (1, "append")):
+        (
+            keyed.filter(F.col("phase") == phase)
+            .drop("phase")
+            .repartition(1 << _ZBITS, "z_file")
+            .write.mode(mode)
+            .partitionBy("z_file")
+            .parquet(d)
+        )
+        if phase == 0:
+            mnt.write_zone_map(spark, d, ["ck", "cents"])
+    rrep = mnt.refresh_zone_map(spark, d, ["ck", "cents"])
+    preds = {
+        "ck": (lo1 + (hi1 - lo1) * 30 // 100, lo1 + (hi1 - lo1) * 45 // 100),
+        "cents": (lo2 + (hi2 - lo2) * 40 // 100, lo2 + (hi2 - lo2) * 60 // 100),
+    }
+    pruned, rep = mnt.pruned_read(
+        spark, d, preds, stats=mnt.zone_map(spark, d, ["ck", "cents"])
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(
+        F.lit(rep["n_files_total"]).cast("long").alias("n_files_total"),
+        F.lit(rep["n_files_read"]).cast("long").alias("n_files_read"),
+        F.lit(rep["n_files_skipped"]).cast("long").alias("n_files_skipped"),
+        F.lit(rrep["n_added"]).cast("long").alias("n_files_added"),
+        "n_orders",
+        "sum_cents",
+    )
+
+
+PENDING_R13["lake_zone_refresh_read"] = (
+    r13_lake_zone_refresh_read,
+    R13_SQL_LAKE_ZONE_REFRESH,
+)
+
+
+R13_SQL_LAKE_BLOOM_REFRESH = f"""
+    WITH o AS (
+      SELECT o_orderkey AS okey, o_custkey AS ck,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey % 2 AS phase
+      FROM orders
+    ),
+    b AS (
+      SELECT MIN(okey) AS lo_k, MAX(okey) AS hi_k,
+             MIN(ck) AS lo_c, MAX(ck) AS hi_c
+      FROM o
+    ),
+    f AS (
+      SELECT okey, ck, cents, phase,
+             LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((okey - lo_k) * {1 << _ZBITS}) / (hi_k - lo_k + 1.0))
+                    AS BIGINT))) AS b_file
+      FROM o CROSS JOIN b
+    ),
+    keys AS (
+      SELECT ck FROM (
+        SELECT DISTINCT c_custkey AS ck FROM customer CROSS JOIN b
+        WHERE c_custkey >= lo_c + CAST(FLOOR((hi_c - lo_c) * 37 / 100.0)
+                                       AS BIGINT)
+      ) ORDER BY ck LIMIT 5
+    ),
+    fk AS (SELECT DISTINCT b_file, phase, ck FROM f),
+    sidecar AS (
+      SELECT DISTINCT b_file, phase, pos FROM (
+        SELECT b_file, phase, {_sql_bpos("CAST(ck AS VARCHAR)", 0)} AS pos
+        FROM fk
+        UNION ALL
+        SELECT b_file, phase, {_sql_bpos("CAST(ck AS VARCHAR)", 1)} FROM fk
+        UNION ALL
+        SELECT b_file, phase, {_sql_bpos("CAST(ck AS VARCHAR)", 2)} FROM fk
+      )
+    ),
+    kpos AS (
+      SELECT ck, {_sql_bpos("CAST(ck AS VARCHAR)", 0)} AS pos FROM keys
+      UNION ALL
+      SELECT ck, {_sql_bpos("CAST(ck AS VARCHAR)", 1)} FROM keys
+      UNION ALL
+      SELECT ck, {_sql_bpos("CAST(ck AS VARCHAR)", 2)} FROM keys
+    ),
+    kept AS (
+      SELECT DISTINCT b_file, phase FROM (
+        SELECT s.b_file, s.phase, kpos.ck
+        FROM sidecar s JOIN kpos ON s.pos = kpos.pos
+        GROUP BY s.b_file, s.phase, kpos.ck
+        HAVING COUNT(*) = {_BLOOM_K}
+      )
+    ),
+    answer AS (
+      SELECT COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+      FROM f WHERE ck IN (SELECT ck FROM keys)
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT (b_file, phase)) FROM f) AS BIGINT)
+             AS n_files_total,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_files_read,
+           CAST((SELECT COUNT(DISTINCT (b_file, phase)) FROM f)
+                - (SELECT COUNT(*) FROM kept) AS BIGINT) AS n_files_skipped,
+           CAST((SELECT COUNT(DISTINCT b_file) FROM f WHERE phase = 1)
+                AS BIGINT) AS n_files_added,
+           CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM answer
+"""
+
+
+def r13_lake_bloom_refresh_read(spark, sf_dir):
+    """The Bloom sidecar's APPEND lifecycle end-to-end under the value
+    gate (the round-12 refresh_bloom_sidecar, in the
+    lake_bloom_pruned_read layout): phase-0 orders land bucketed by
+    ORDER key with the full sidecar build; phase-1 orders APPEND one
+    new file per populated bucket; ``refresh_bloom_sidecar`` hashes
+    ONLY the new files (n_files_added travels in the oracled row),
+    and ``bloom_pruned_read`` probes five custkeys against the
+    refreshed sidecar — the oracle recomputes every md5 position per
+    (bucket, phase) FILE, the all-k containment (false positives
+    modeled, not idealized), the file accounting, and the residual
+    aggregate.  A refresh that merged wrong positions or missed a file
+    moves n_files_read or the answer and fails the hash."""
+    import tempfile
+
+    from pdtable_spark.io import maintenance as mnt
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderkey") % 2).alias("phase"),
+    )
+    row = o.agg(
+        F.min("okey"), F.max("okey"), F.min("ck"), F.max("ck")
+    ).collect()[0]
+    lo_k, hi_k, lo_c, hi_c = (int(v) for v in row)
+    keyed = o.withColumn(
+        "b_file", mnt.int_bucket(F.col("okey"), lo_k, hi_k, _ZBITS)
+    )
+    d = tempfile.mkdtemp(prefix="pdtable_lakebref_")
+    for phase, mode in ((0, "overwrite"), (1, "append")):
+        (
+            keyed.filter(F.col("phase") == phase)
+            .drop("phase")
+            .repartition(1 << _ZBITS, "b_file")
+            .write.mode(mode)
+            .partitionBy("b_file")
+            .parquet(d)
+        )
+        if phase == 0:
+            mnt.write_bloom_sidecar(
+                spark, d, "ck", num_hashes=_BLOOM_K, num_bits=_BLOOM_M
+            )
+    rrep = mnt.refresh_bloom_sidecar(
+        spark, d, "ck", num_hashes=_BLOOM_K, num_bits=_BLOOM_M
+    )
+    off = lo_c + (hi_c - lo_c) * 37 // 100
+    keys = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") >= off)
+        .select(F.col("c_custkey").alias("ck"))
+        .distinct()
+        .orderBy("ck")
+        .limit(5)
+    )
+    got, rep = mnt.bloom_pruned_read(
+        spark, d, "ck", keys, num_hashes=_BLOOM_K, num_bits=_BLOOM_M
+    )
+    return got.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(
+        F.lit(rep["n_files_total"]).cast("long").alias("n_files_total"),
+        F.lit(rep["n_files_read"]).cast("long").alias("n_files_read"),
+        F.lit(rep["n_files_skipped"]).cast("long").alias("n_files_skipped"),
+        F.lit(rrep["n_added_files"]).cast("long").alias("n_files_added"),
+        F.lit(rep["n_keys"]).cast("long").alias("n_keys"),
+        "n_orders",
+        "sum_cents",
+    )
+
+
+PENDING_R13["lake_bloom_refresh_read"] = (
+    r13_lake_bloom_refresh_read,
+    R13_SQL_LAKE_BLOOM_REFRESH,
+)

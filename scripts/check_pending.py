@@ -47,8 +47,12 @@ def main():
     from pdtable_spark.queries.suite import ORACLES, QUERIES
 
     # default: the newest registered block (r11, queries/pending_r11.py)
-    # plus the staged r12 entries — the rows most worth re-sweeping
-    names = sys.argv[2:] or (list(PENDING_R11) + list(PENDING_R12))
+    # plus the staged r13 entries — the rows most worth re-sweeping
+    from pdtable_spark.queries.pending_r13 import PENDING_R13
+
+    names = sys.argv[2:] or (
+        list(PENDING_R11) + list(PENDING_R12) + list(PENDING_R13)
+    )
     parts = os.environ.get("CHECK_ORACLES_PARTS", "8")
     spark = (
         SparkSession.builder.master("local[8]")
@@ -72,6 +76,8 @@ def main():
     for name in names:
         if name in QUERIES:
             fn, sql = QUERIES[name], ORACLES[name]
+        elif name in PENDING_R13:
+            fn, sql = PENDING_R13[name]
         else:
             fn, sql = PENDING_R12[name]
         t0 = time.time()
