@@ -539,3 +539,98 @@ PENDING_R13["lake_bloom_refresh_read"] = (
     r13_lake_bloom_refresh_read,
     R13_SQL_LAKE_BLOOM_REFRESH,
 )
+
+
+# ---------------------------------------------------------------------------
+# CDC vacuum under the value gate: three MERGE waves build versions
+# 0/1/2, vacuum_versions(keep_last=2) drops exactly version 0 (the
+# crashed-retry window keeps N-1 — the round-12 ADVICE fix), and the
+# AS-OF-latest read must still be the full last-writer-wins state.  A
+# vacuum that removed the wrong partition, damaged the survivors, or
+# miscounted shows up in the merged rows or the removed-count column.
+# ---------------------------------------------------------------------------
+
+R13_SQL_STREAM_UPSERT_VACUUM = """
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    present AS (
+      SELECT DISTINCT k FROM o
+      WHERE k % 3 IN (0, 1) OR k % 4 = 0
+         OR (k % 3 = 2 AND k % 5 = 0 AND k % 4 <> 0)
+    )
+    SELECT o.k AS o_orderkey,
+           CASE WHEN o.k % 4 = 0 THEN 'V'
+                WHEN o.k % 6 = 0 THEN 'X'
+                ELSE o.s END AS o_orderstatus,
+           CASE WHEN o.k % 4 = 0 THEN o.cents + 2
+                WHEN o.k % 6 = 0 THEN o.cents + 1
+                ELSE o.cents END AS cents,
+           CAST(1 AS BIGINT) AS n_versions_removed
+    FROM o JOIN present USING (k)
+"""
+
+
+def r13_stream_upsert_vacuum(spark, sf_dir):
+    """Versioned-table retention end-to-end: wave 1 seeds k%3==0; wave 2
+    changes k%6==0 (status 'X', cents+1) and adds k%3==1; wave 3
+    changes/adds every k%4==0 (status 'V', cents+2 — the LAST writer,
+    overriding wave 2 where both touched a key) plus a disjoint add set
+    (k%3==2 ∧ k%5==0 ∧ k%4≠0).  Each wave is one ``availableNow``
+    micro-batch over a shared checkpoint, so the table carries versions
+    0/1/2; ``vacuum_versions(keep_last=2)`` must remove exactly
+    version 0 (n_versions_removed travels in every oracled row) and the
+    latest-version read must be the full three-wave last-writer-wins
+    merge, stated by the oracle as pure CASE arithmetic over orders."""
+    import tempfile
+
+    from pdtable_spark.streaming.ingest import (
+        read_table_version,
+        upsert_stream,
+        vacuum_versions,
+    )
+
+    d = tempfile.mkdtemp(prefix="pdtable_vac_")
+    land, tdir, cdir = f"{d}/land", f"{d}/table", f"{d}/log"
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    w1 = o.filter(k % 3 == 0)
+    w2 = (
+        o.filter(k % 6 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("cents", F.col("cents") + 1)
+        .unionByName(o.filter(k % 3 == 1))
+    )
+    w3 = (
+        o.filter(k % 4 == 0)
+        .withColumn("o_orderstatus", F.lit("V"))
+        .withColumn("cents", F.col("cents") + 2)
+        .unionByName(o.filter((k % 3 == 2) & (k % 5 == 0) & (k % 4 != 0)))
+    )
+    for w in (w1, w2, w3):
+        w.write.parquet(land, mode="append")
+        s = spark.readStream.schema(
+            "o_orderkey long, o_orderstatus string, cents long"
+        ).parquet(land)
+        upsert_stream(s, tdir, cdir, f"{d}/ckpt", "o_orderkey")
+    rep = vacuum_versions(spark, tdir, keep_last=2)
+    return read_table_version(spark, tdir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "cents",
+        F.lit(len(rep["table_removed"])).cast("long").alias("n_versions_removed"),
+    )
+
+
+PENDING_R13["stream_upsert_vacuum"] = (
+    r13_stream_upsert_vacuum,
+    R13_SQL_STREAM_UPSERT_VACUUM,
+)
