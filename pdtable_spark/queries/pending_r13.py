@@ -634,3 +634,76 @@ PENDING_R13["stream_upsert_vacuum"] = (
     r13_stream_upsert_vacuum,
     R13_SQL_STREAM_UPSERT_VACUUM,
 )
+
+
+# ---------------------------------------------------------------------------
+# The LSH hot-bucket guard's CORRECTNESS on a skewed corpus (the load
+# side is BENCH_SCALE.md's round-12 skew table): a derived corpus where
+# 5% of documents are ONE identical boilerplate text puts every such doc
+# in the same bucket per band; with max_bucket forced low, the hot
+# buckets take the per-bucket self-join path while organic buckets take
+# the collect_list path — and the emitted pair set must be EXACTLY the
+# bucket-cohabitation closure either way.
+# ---------------------------------------------------------------------------
+
+_SKEW_BOILERPLATE = (
+    "standard boilerplate navigation header terms privacy cookie notice"
+)
+_SKEW_DERIVED_SQL = (
+    f"CASE WHEN doc_id % 20 = 0 THEN '{_SKEW_BOILERPLATE}' ELSE text END"
+)
+
+R13_SQL_SKEWED_BUCKETS = f"""
+    WITH documents AS (
+      SELECT doc_id, {_SKEW_DERIVED_SQL} AS text FROM main.documents
+    ),
+    {_sql_band_index(16, 4)},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN id_a % 20 = 0 AND id_b % 20 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_pairs,
+           CAST(MIN(id_a) AS BIGINT) AS min_id_a,
+           CAST(MAX(id_b) AS BIGINT) AS max_id_b
+    FROM pairs
+"""
+
+
+def r13_dedup_skewed_buckets(spark, sf_dir):
+    """Hot-bucket guard correctness under deliberate skew: 5% of the
+    corpus becomes ONE boilerplate text (all four bands collide), and
+    ``minhash_lsh_candidates`` runs with ``max_bucket=16`` so the
+    boilerplate buckets exceed the guard at every SF and stream through
+    the per-bucket self-join while organic buckets stay on the
+    collect_list fast path.  The oracle computes the full bucket-
+    cohabitation closure with a plain join — the guard must change
+    WHERE the k² expansion runs, never WHAT it emits.  n_hot_pairs
+    pins the skew shape itself (h·(h−1)/2 for the boilerplate key)."""
+    from pdtable_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0, F.lit(_SKEW_BOILERPLATE)
+        ).otherwise(F.col("text")),
+    )
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, hash_fn="md5_60", max_bucket=16
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            ((F.col("id_a") % 20 == 0) & (F.col("id_b") % 20 == 0)).cast("int")
+        ).cast("long").alias("n_hot_pairs"),
+        F.min("id_a").cast("long").alias("min_id_a"),
+        F.max("id_b").cast("long").alias("max_id_b"),
+    )
+
+
+PENDING_R13["dedup_skewed_buckets"] = (
+    r13_dedup_skewed_buckets,
+    R13_SQL_SKEWED_BUCKETS,
+)
