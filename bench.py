@@ -225,6 +225,13 @@ EXTENDED = [
     # prices cross-operator plan-size/driver-latency, the regression class
     # the per-stage rows cannot see (the multimodal_audio_meta lesson)
     "pipeline_e2e_curation",
+    # round-12 in-round additions (staged r13): the sidecar REFRESH
+    # lifecycles (two-phase write + incremental refresh + certificate
+    # read) and the hot-bucket guard on a deliberately skewed corpus
+    # (stream_upsert_vacuum excluded per the streaming policy)
+    "lake_zone_refresh_read",
+    "lake_bloom_refresh_read",
+    "dedup_skewed_buckets",
 ]
 
 

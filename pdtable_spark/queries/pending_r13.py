@@ -194,16 +194,20 @@ def r13_pipeline_e2e_curation(spark, sf_dir):
         .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
         .collect()
     ]
+    embedded = emb.join(
+        lsh.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
     surv = similarity.semantic_dedup(
-        emb.join(
-            lsh.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
-        ),
-        cents,
-        threshold=_SEMDEDUP_THRESHOLD,
+        embedded, cents, threshold=_SEMDEDUP_THRESHOLD
     )
-    sem = lsh.join(
-        surv.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi"
+    # docs WITHOUT an embedding row pass through: you cannot semantically
+    # dedup what you did not embed (and the embeddings table need not
+    # cover every doc — it doesn't at sf1).  The drop set is embedded
+    # minus survivors, anti-joined back, exactly the oracle's NOT IN.
+    dropped = embedded.select(F.col("vec_id").alias("doc_id")).join(
+        surv.select(F.col("vec_id").alias("doc_id")), "doc_id", "anti"
     )
+    sem = lsh.join(dropped, "doc_id", "anti")
 
     mix = sampling.cap_per_source(
         sem.select(

@@ -162,6 +162,12 @@ def main():
         "pipeline_json_profile_diff",
         "lake_pruned_semi_read",
         "lake_bloom_pruned_read",
+        # round-13 staged queries (queries/pending_r13.py;
+        # stream_upsert_vacuum excluded per the streaming policy)
+        "pipeline_e2e_curation",
+        "lake_zone_refresh_read",
+        "lake_bloom_refresh_read",
+        "dedup_skewed_buckets",
     ]
 
     out = [
@@ -175,9 +181,11 @@ def main():
     ]
     from pdtable_spark.plans import plan_lint
     from pdtable_spark.queries.pending_r12 import PENDING_R12
+    from pdtable_spark.queries.pending_r13 import PENDING_R13
 
     resolved = dict(QUERIES)
     resolved.update({n: fn for n, (fn, _sql) in PENDING_R12.items()})
+    resolved.update({n: fn for n, (fn, _sql) in PENDING_R13.items()})
 
     details = []
     lint_errors = []
