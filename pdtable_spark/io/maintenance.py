@@ -416,11 +416,11 @@ def write_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> int:
     # measured ~4 s of pure overhead for a 64-row sidecar vs ~0.2 s
     # for the JVM lineage
     stats.coalesce(1).write.mode("overwrite").parquet(zdir + ".new")
-    _append_empty_file_rows(
+    n_cov, n_add = _append_empty_file_rows(
         spark, zdir + ".new", _data_files(spark, path), {"n_rows": 0}
     )
     _promote_sidecar(spark, zdir, "write_zone_map")
-    return spark.read.parquet(zdir).count()
+    return n_cov + n_add
 
 
 def _norm_file(f: str) -> str:
@@ -483,22 +483,28 @@ def _append_empty_file_rows(
     pre-promotion ``.new`` sidecar: ``fill`` gives the non-file column
     values (NULL stats / NULL position — conservative for range pruning,
     never-matching for Bloom probes, correct either way for a file that
-    holds no rows).  Returns the number of sentinel rows added; the
-    driver-side frame is bounded by the count of EMPTY files (normally
-    zero, so the common case adds no job at all)."""
+    holds no rows).  Returns ``(n_covered, n_added)`` so callers reuse
+    this scan as their file count instead of re-reading the sidecar; the
+    driver-side sentinel frame is bounded by the count of EMPTY files
+    (normally zero, so the common case adds no extra write job)."""
     sidecar = spark.read.parquet(new_dir)
-    covered = {_norm_file(r["file"]) for r in sidecar.select("file").collect()}
+    # distinct BEFORE the collect: the Bloom sidecar holds one row per
+    # (file, position) — collecting the raw column would pull the whole
+    # position relation to the driver, not the file-count-bounded list
+    covered = {
+        _norm_file(r["file"])
+        for r in sidecar.select("file").distinct().collect()
+    }
     missing = sorted(current - covered)
-    if not missing:
-        return 0
-    rows = [
-        tuple(f if c == "file" else fill.get(c) for c in sidecar.columns)
-        for f in missing
-    ]
-    spark.createDataFrame(rows, sidecar.schema).coalesce(1).write.mode(
-        "append"
-    ).parquet(new_dir)
-    return len(missing)
+    if missing:
+        rows = [
+            tuple(f if c == "file" else fill.get(c) for c in sidecar.columns)
+            for f in missing
+        ]
+        spark.createDataFrame(rows, sidecar.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(new_dir)
+    return len(covered), len(missing)
 
 
 def refresh_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> dict:
@@ -546,9 +552,11 @@ def refresh_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> dic
     merged.coalesce(1).write.mode("overwrite").parquet(zdir + ".new")
     # zero-row appends never produce a stats row — sentinel them so the
     # coverage validation in zone_map() stays exact (see helper)
-    _append_empty_file_rows(spark, zdir + ".new", current, {"n_rows": 0})
+    n_cov, n_add = _append_empty_file_rows(
+        spark, zdir + ".new", current, {"n_rows": 0}
+    )
     _promote_sidecar(spark, zdir, "refresh_zone_map")
-    n_total = spark.read.parquet(zdir).count()
+    n_total = n_cov + n_add
     return {
         "n_added": n_total - len(keep_files),
         "n_removed": len(old_files) - len(keep_files),
@@ -615,14 +623,14 @@ def write_bloom_sidecar(
     out = _bloom_dir(path, key_col)
     pos = _bloom_position_rows(spark, path, None, key_col, num_hashes, num_bits)
     pos.write.mode("overwrite").parquet(out + ".new")
-    _append_empty_file_rows(
+    n_cov, n_add = _append_empty_file_rows(
         spark,
         out + ".new",
         _data_files(spark, path),
         {"num_hashes": int(num_hashes), "num_bits": int(num_bits)},
     )
     _promote_sidecar(spark, out, "write_bloom_sidecar")
-    return spark.read.parquet(out).select("file").distinct().count()
+    return n_cov + n_add
 
 
 def _bloom_dir(path: str, key_col: str) -> str:
@@ -720,14 +728,14 @@ def refresh_bloom_sidecar(
             )
         )
     merged.write.mode("overwrite").parquet(out + ".new")
-    _append_empty_file_rows(
+    n_cov, n_add = _append_empty_file_rows(
         spark,
         out + ".new",
         current,
         {"num_hashes": int(num_hashes), "num_bits": int(num_bits)},
     )
     _promote_sidecar(spark, out, "refresh_bloom_sidecar")
-    n_total = spark.read.parquet(out).select("file").distinct().count()
+    n_total = n_cov + n_add
     return {
         "n_added_files": n_total - len(keep_files),
         "n_removed_files": len(old_files) - len(keep_files),
