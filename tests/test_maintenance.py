@@ -1155,3 +1155,59 @@ def test_sidecars_tolerate_zero_row_files(spark, tmp_path):
                                                  num_bits=1 << 16)
     assert brep2["n_files_total"] == 7
     assert bgot2.count() == bgot.count()
+
+
+def test_sidecar_promote_tolerates_crash_artifacts(spark, tmp_path):
+    """The crash-safe swap's window states are recoverable: leftover
+    ``.new``/``.old`` directories from a crashed earlier build must not
+    corrupt the next build (they are overwritten/cleared), and a crash
+    BETWEEN the two renames (live dir moved aside, process died) leaves
+    a loudly-failing reader plus a rebuild path that recovers."""
+    import shutil
+
+    import pytest as _pt
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 50).alias("x"), (F.col("id") % 997).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    zp = str(tmp_path / "swap")
+    maintenance.write_sorted_parquet(df, zp, "x", partitions=4)
+
+    # crash artifacts BEFORE a build: junk .new and .old must be swept
+    zdir = zp + "/_zone_map"
+    for suffix in (".new", ".old"):
+        os.makedirs(zdir + suffix, exist_ok=True)
+        with open(os.path.join(zdir + suffix, "junk.txt"), "w") as f:
+            f.write("crashed run leftovers")
+    n = maintenance.write_zone_map(spark, zp, ["x"])
+    assert n == 4
+    assert not os.path.exists(zdir + ".new") and not os.path.exists(zdir + ".old")
+    zm = maintenance.zone_map(spark, zp, ["x"])
+    got, rep = maintenance.pruned_read(spark, zp, {"x": (10, 12)}, stats=zm)
+    assert got.count() == df.filter(F.col("x").between(10, 12)).count()
+
+    # crash BETWEEN the renames: live moved aside, .new staged, process
+    # died.  The reader fails loudly (no silent stale answer) and a
+    # rebuild recovers to a correct certificate.
+    shutil.move(zdir, zdir + ".old")
+    shutil.copytree(zdir + ".old", zdir + ".new")
+    with _pt.raises(Exception):
+        maintenance.zone_map(spark, zp, ["x"])
+    n2 = maintenance.write_zone_map(spark, zp, ["x"])
+    assert n2 == 4
+    maintenance.zone_map(spark, zp, ["x"])  # validates clean again
+
+    # same sweep discipline on the Bloom side
+    bdir = zp + "/_bloom_k"
+    os.makedirs(bdir + ".new", exist_ok=True)
+    with open(os.path.join(bdir + ".new", "junk.txt"), "w") as f:
+        f.write("crashed run leftovers")
+    nb = maintenance.write_bloom_sidecar(spark, zp, "k", num_hashes=3,
+                                         num_bits=1 << 16)
+    assert nb == 4
+    assert not os.path.exists(bdir + ".new") and not os.path.exists(bdir + ".old")
+    keys = spark.createDataFrame([(17,)], "k long")
+    got2, rep2 = maintenance.bloom_pruned_read(spark, zp, "k", keys,
+                                               num_hashes=3, num_bits=1 << 16)
+    assert got2.count() == df.filter(F.col("k") == 17).count()
