@@ -231,6 +231,7 @@ EXTENDED = [
     # (stream_upsert_vacuum excluded per the streaming policy)
     "lake_zone_refresh_read",
     "lake_bloom_refresh_read",
+    "lake_compact_refresh_read",
     "dedup_skewed_buckets",
 ]
 

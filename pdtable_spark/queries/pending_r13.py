@@ -711,3 +711,163 @@ PENDING_R13["dedup_skewed_buckets"] = (
     r13_dedup_skewed_buckets,
     R13_SQL_SKEWED_BUCKETS,
 )
+
+
+# ---------------------------------------------------------------------------
+# The COMPACTION leg of the refresh lifecycle (vanished files): the
+# append leg is lake_zone_refresh_read; this one rewrites the 64-cell
+# fine layout into 16 coarse files (cells offset past the fine id
+# domain so both layouts are addressable in one partition column),
+# deletes the fine directories, refreshes — n_removed/n_added travel in
+# the oracled row — and answers the same predicate band off the coarse
+# certificate.
+# ---------------------------------------------------------------------------
+
+R13_SQL_LAKE_COMPACT_REFRESH = f"""
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT MIN(ck) AS lo1, MAX(ck) AS hi1,
+             MIN(cents) AS lo2, MAX(cents) AS hi2
+      FROM o
+    ),
+    k AS (
+      SELECT ck, cents,
+             LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((ck - lo1) * {1 << _ZBITS}) / (hi1 - lo1 + 1.0))
+                    AS BIGINT))) AS b1,
+             LEAST({(1 << _ZBITS) - 1}, GREATEST(0,
+               CAST(FLOOR(((cents - lo2) * {1 << _ZBITS}) / (hi2 - lo2 + 1.0))
+                    AS BIGINT))) AS b2
+      FROM o CROSS JOIN b
+    ),
+    z AS (
+      SELECT ck, cents,
+             ({_sql_interleave2('b1', 'b2', _ZBITS)}) >> {_ZBITS} AS z_fine
+      FROM k
+    ),
+    zc AS (SELECT ck, cents, {1 << _ZBITS} + (z_fine >> 2) AS z_file FROM z),
+    p AS (
+      SELECT lo1 + CAST(FLOOR((hi1 - lo1) * 30 / 100.0) AS BIGINT) AS ck_lo,
+             lo1 + CAST(FLOOR((hi1 - lo1) * 45 / 100.0) AS BIGINT) AS ck_hi,
+             lo2 + CAST(FLOOR((hi2 - lo2) * 40 / 100.0) AS BIGINT) AS ce_lo,
+             lo2 + CAST(FLOOR((hi2 - lo2) * 60 / 100.0) AS BIGINT) AS ce_hi
+      FROM b
+    ),
+    fstats AS (
+      SELECT z_file, MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+             MIN(cents) AS min_ce, MAX(cents) AS max_ce
+      FROM zc GROUP BY z_file
+    ),
+    kept AS (
+      SELECT z_file FROM fstats CROSS JOIN p
+      WHERE NOT (max_ck < ck_lo OR min_ck > ck_hi)
+        AND NOT (max_ce < ce_lo OR min_ce > ce_hi)
+    ),
+    answer AS (
+      SELECT COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+      FROM zc CROSS JOIN p
+      WHERE ck BETWEEN ck_lo AND ck_hi AND cents BETWEEN ce_lo AND ce_hi
+    )
+    SELECT CAST((SELECT COUNT(*) FROM fstats) AS BIGINT) AS n_files_total,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_files_read,
+           CAST((SELECT COUNT(*) FROM fstats)
+                - (SELECT COUNT(*) FROM kept) AS BIGINT) AS n_files_skipped,
+           CAST((SELECT COUNT(DISTINCT z_fine) FROM z) AS BIGINT)
+             AS n_files_removed,
+           CAST((SELECT COUNT(*) FROM fstats) AS BIGINT) AS n_files_added,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(sum_cents AS BIGINT) AS sum_cents
+    FROM answer
+"""
+
+
+def r13_lake_compact_refresh_read(spark, sf_dir):
+    """The zone map's COMPACTION lifecycle under the value gate (the
+    vanished-files complement of lake_zone_refresh_read): the 64-cell
+    fine layout gets the full certificate build, then compaction
+    rewrites the SAME rows into 16 coarse files (``64 + (z_fine >> 2)``
+    — offset past the fine id domain) and deletes the fine directories;
+    ``refresh_zone_map`` must drop all 64 vanished rows and stat only
+    the 16 new files (both counts travel in the oracled row), and the
+    refreshed certificate answers the same predicate band exactly.  A
+    refresh that kept a vanished row or missed a coarse file moves the
+    accounting or the residual aggregate and fails the hash."""
+    import shutil
+    import tempfile
+
+    from pdtable_spark.io import maintenance as mnt
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    row = o.agg(
+        F.min("ck"), F.max("ck"), F.min("cents"), F.max("cents")
+    ).collect()[0]
+    lo1, hi1, lo2, hi2 = (int(v) for v in row)
+    z = mnt.zorder_key(
+        [
+            mnt.int_bucket(F.col("ck"), lo1, hi1, _ZBITS),
+            mnt.int_bucket(F.col("cents"), lo2, hi2, _ZBITS),
+        ],
+        _ZBITS,
+    )
+    fine = o.withColumn("z_file", F.shiftright(z, _ZBITS))
+    d = tempfile.mkdtemp(prefix="pdtable_lakecompact_")
+    (
+        fine.repartition(1 << _ZBITS, "z_file")
+        .write.mode("overwrite")
+        .partitionBy("z_file")
+        .parquet(d)
+    )
+    mnt.write_zone_map(spark, d, ["ck", "cents"])
+    # compaction: rewrite the same rows into 16 coarse files (ids offset
+    # past the fine domain), then drop the fine directories — the local
+    # spelling of a rewrite-then-swap OPTIMIZE; object stores go through
+    # the Hadoop FS API exactly like vacuum_versions
+    coarse = fine.withColumn(
+        "z_file", F.lit(1 << _ZBITS) + F.shiftright(F.col("z_file"), 2)
+    )
+    (
+        coarse.repartition((1 << _ZBITS) >> 2, "z_file")
+        .write.mode("append")
+        .partitionBy("z_file")
+        .parquet(d)
+    )
+    import os as _os
+
+    for name in _os.listdir(d):
+        if name.startswith("z_file=") and int(name.split("=")[1]) < (1 << _ZBITS):
+            shutil.rmtree(_os.path.join(d, name))
+    rrep = mnt.refresh_zone_map(spark, d, ["ck", "cents"])
+    preds = {
+        "ck": (lo1 + (hi1 - lo1) * 30 // 100, lo1 + (hi1 - lo1) * 45 // 100),
+        "cents": (lo2 + (hi2 - lo2) * 40 // 100, lo2 + (hi2 - lo2) * 60 // 100),
+    }
+    pruned, rep = mnt.pruned_read(
+        spark, d, preds, stats=mnt.zone_map(spark, d, ["ck", "cents"])
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(
+        F.lit(rep["n_files_total"]).cast("long").alias("n_files_total"),
+        F.lit(rep["n_files_read"]).cast("long").alias("n_files_read"),
+        F.lit(rep["n_files_skipped"]).cast("long").alias("n_files_skipped"),
+        F.lit(rrep["n_removed"]).cast("long").alias("n_files_removed"),
+        F.lit(rrep["n_added"]).cast("long").alias("n_files_added"),
+        "n_orders",
+        "sum_cents",
+    )
+
+
+PENDING_R13["lake_compact_refresh_read"] = (
+    r13_lake_compact_refresh_read,
+    R13_SQL_LAKE_COMPACT_REFRESH,
+)

@@ -167,6 +167,7 @@ def main():
         "pipeline_e2e_curation",
         "lake_zone_refresh_read",
         "lake_bloom_refresh_read",
+        "lake_compact_refresh_read",
         "dedup_skewed_buckets",
     ]
 
