@@ -233,6 +233,7 @@ EXTENDED = [
     "lake_bloom_refresh_read",
     "lake_compact_refresh_read",
     "dedup_skewed_buckets",
+    "pipeline_shard_export",
 ]
 
 

@@ -1100,6 +1100,7 @@ def write_training_shards(
     num_shards: int = 32,
     max_records_per_file: Optional[int] = None,
     salt: str = "",
+    assignment: str = "range",
 ) -> DataFrame:
     """Export the final training corpus as deterministically-shuffled,
     size-balanced shards, and return the shard MANIFEST (shard, n_docs,
@@ -1121,26 +1122,59 @@ def write_training_shards(
     ``_shard_manifest.json`` (local paths via ``open``; remote schemes via
     the Hadoop FileSystem API, same exact filename either way).
 
-    Determinism note: the row→shard-file PERMUTATION is reproducible (it
-    follows the content-stable ``__shuffle_key`` order), but the shard
-    BOUNDARIES are not bit-stable across runs — ``repartitionByRange``
-    samples the key distribution to pick range splits, so per-shard row
-    counts can vary slightly between runs on identical input.  Epoch
-    planning must read the manifest of the run it trains on, never a
-    manifest from an earlier write.
+    Determinism note (``assignment="range"``, the default): the
+    row→shard-file PERMUTATION is reproducible (it follows the
+    content-stable ``__shuffle_key`` order), but the shard BOUNDARIES
+    are not bit-stable across runs — ``repartitionByRange`` samples the
+    key distribution to pick range splits, so per-shard row counts can
+    vary slightly between runs on identical input.  Epoch planning must
+    read the manifest of the run it trains on, never a manifest from an
+    earlier write.
+
+    ``assignment="hash"`` trades that last wobble away: shard membership
+    becomes ``md5_60(salt‖key) % num_shards`` — a pure function of the
+    row, bit-stable across runs, engines and parallelism (the manifest
+    is value-oracle-able), written as ``shard=N/`` partition directories
+    the loader can address directly.  Balance is binomial (±√(n/shards))
+    instead of the range writer's near-exact split — the right default
+    when reproducible membership matters more than the last few percent
+    of balance (resumable epoch plans, cross-run diffing, legal holds).
     """
     import json as _json
 
+    if assignment not in ("range", "hash"):
+        raise ValueError(
+            f"write_training_shards: assignment must be 'range' or 'hash', "
+            f"got {assignment!r}"
+        )
     keyed = df.withColumn(
         "__shuffle_key",
         F.md5(F.concat(F.lit(salt), F.col(shuffle_col).cast("string"))),
     )
-    writer = (
-        keyed.repartitionByRange(num_shards, "__shuffle_key")
-        .sortWithinPartitions("__shuffle_key")
-        .drop("__shuffle_key")
-        .write.mode("overwrite")
-    )
+    if assignment == "hash":
+        from pdtable_spark.operators.dedup import md5_60
+
+        keyed = keyed.withColumn(
+            "shard",
+            (
+                md5_60(F.concat(F.lit(salt), F.col(shuffle_col).cast("string")))
+                % num_shards
+            ).cast("int"),
+        )
+        writer = (
+            keyed.repartition(num_shards, "shard")
+            .sortWithinPartitions("shard", "__shuffle_key")
+            .drop("__shuffle_key")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+        )
+    else:
+        writer = (
+            keyed.repartitionByRange(num_shards, "__shuffle_key")
+            .sortWithinPartitions("__shuffle_key")
+            .drop("__shuffle_key")
+            .write.mode("overwrite")
+        )
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
@@ -1149,8 +1183,13 @@ def write_training_shards(
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if "n_tokens" in back.columns:
         aggs.append(F.sum("n_tokens").alias("n_tokens"))
+    shard_col = (
+        F.col("shard").cast("string")
+        if assignment == "hash"
+        else F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
     manifest = (
-        back.withColumn("shard", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        back.withColumn("shard", shard_col)
         .groupBy("shard")
         .agg(*aggs)
         .orderBy("shard")

@@ -871,3 +871,64 @@ PENDING_R13["lake_compact_refresh_read"] = (
     r13_lake_compact_refresh_read,
     R13_SQL_LAKE_COMPACT_REFRESH,
 )
+
+
+# ---------------------------------------------------------------------------
+# The shard-EXPORT leg under the value gate: write_training_shards'
+# default range assignment balances well but its boundaries are not
+# bit-stable (repartitionByRange samples), so it could never carry a
+# value oracle.  assignment="hash" (new, round 12) makes shard
+# membership a pure md5_60 function of the row — the manifest every
+# training job reads becomes cross-engine checkable.
+# ---------------------------------------------------------------------------
+
+_SHARD_N = 8
+
+R13_SQL_SHARD_EXPORT = f"""
+    SELECT CAST((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT)) % {_SHARD_N} AS VARCHAR) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1
+"""
+
+
+def r13_pipeline_shard_export(spark, sf_dir):
+    """Deterministic training-shard export end-to-end: every document
+    lands in shard ``md5_60(doc_id) % {n}`` — bit-stable across runs,
+    engines and parallelism — written as ``shard=N/`` partition
+    directories with one content-stable-shuffled file each, and the
+    returned manifest (what the training job's loader reads for epoch
+    planning) is recomputed by the oracle as pure md5 arithmetic over
+    the source table.  A wrong shard route, a dropped row, or a
+    miscounted token total all move the manifest and fail the hash.
+
+    Scale shape: one scan + one num_shards-way shuffle for the write,
+    one read-back aggregate for the manifest; balance is binomial
+    (±√(n/shards)) — the documented trade against the range writer's
+    near-exact split when reproducible membership matters more."""
+    import tempfile
+
+    from pdtable_spark.io.maintenance import write_training_shards
+    from pdtable_spark.operators import text
+
+    d = tempfile.mkdtemp(prefix="pdtable_shards_")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    manifest = write_training_shards(
+        docs, d, num_shards=_SHARD_N, assignment="hash"
+    )
+    return manifest.select(
+        "shard",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+PENDING_R13["pipeline_shard_export"] = (
+    r13_pipeline_shard_export,
+    R13_SQL_SHARD_EXPORT,
+)

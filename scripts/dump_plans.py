@@ -169,6 +169,7 @@ def main():
         "lake_bloom_refresh_read",
         "lake_compact_refresh_read",
         "dedup_skewed_buckets",
+        "pipeline_shard_export",
     ]
 
     out = [

@@ -1211,3 +1211,42 @@ def test_sidecar_promote_tolerates_crash_artifacts(spark, tmp_path):
     got2, rep2 = maintenance.bloom_pruned_read(spark, zp, "k", keys,
                                                num_hashes=3, num_bits=1 << 16)
     assert got2.count() == df.filter(F.col("k") == 17).count()
+
+
+def test_training_shards_hash_assignment_deterministic(spark, tmp_path):
+    """assignment="hash": shard membership is a pure md5_60 function of
+    the row — identical manifests across runs and layouts, shard=N/
+    partition dirs, and a loud error on an unknown assignment."""
+    import pytest as _pt
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = maintenance.write_training_shards(df, p1, num_shards=4,
+                                           assignment="hash")
+    # different input partitioning, same rows -> byte-identical manifest
+    m2 = maintenance.write_training_shards(df.repartition(13), p2,
+                                           num_shards=4, assignment="hash")
+    r1 = sorted(map(tuple, m1.collect()))
+    r2 = sorted(map(tuple, m2.collect()))
+    assert r1 == r2 and len(r1) == 4
+    assert sum(r["n_docs"] for r in m1.collect()) == 2_000
+    # partition-dir layout the loader can address directly
+    assert sorted(
+        d for d in os.listdir(p1) if d.startswith("shard=")
+    ) == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    # membership is row-stable: re-writing a SUBSET routes rows the same
+    sub = df.filter(F.col("doc_id") < 500)
+    m3 = maintenance.write_training_shards(sub, str(tmp_path / "s3"),
+                                           num_shards=4, assignment="hash")
+    back_full = spark.read.parquet(p1).filter(F.col("doc_id") < 500)
+    full_counts = {
+        r["shard"]: r["n"]
+        for r in back_full.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sub_counts = {int(r["shard"]): r["n_docs"] for r in m3.collect()}
+    assert {int(k): v for k, v in full_counts.items()} == sub_counts
+    with _pt.raises(ValueError, match="assignment"):
+        maintenance.write_training_shards(df, str(tmp_path / "s4"),
+                                          assignment="zip")
