@@ -1250,3 +1250,47 @@ def test_training_shards_hash_assignment_deterministic(spark, tmp_path):
     with _pt.raises(ValueError, match="assignment"):
         maintenance.write_training_shards(df, str(tmp_path / "s4"),
                                           assignment="zip")
+
+
+def test_erasure_then_certificate_refresh_lifecycle(spark, tmp_path):
+    """Cross-feature integration: a right-to-erasure sweep rewrites
+    partitions, which makes the persisted zone map STALE (loud, never a
+    silent prune against pre-erasure stats); refresh repairs it and the
+    certificate-driven read serves the post-erasure lake — erased keys
+    gone, accounting consistent."""
+    import shutil
+
+    import pytest as _pt
+
+    df = spark.range(8_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 8).alias("part"),
+        (F.col("id") % 100).alias("x"),
+    )
+    zp = str(tmp_path / "lake")
+    df.repartition(8, "part").write.partitionBy("part").parquet(zp)
+    maintenance.write_zone_map(spark, zp, ["x"])
+    maintenance.zone_map(spark, zp, ["x"])  # validates clean
+
+    keys = spark.createDataFrame([(16,), (24,), (4000,)], "doc_id long")
+    cert = maintenance.forget_keys(spark, zp, keys, partition_col="part")
+    rows = {r["part"]: (r["n_forgotten"], r["n_kept"]) for r in cert.collect()}
+    assert rows == {0: (3, 997)}  # 16/24/4000 all live in part=0
+    # caller-side swap of the rewritten partition (the documented
+    # copy-on-write convention)
+    shutil.rmtree(os.path.join(zp, "part=0"))
+    shutil.move(os.path.join(zp + ".forget", "part=0"),
+                os.path.join(zp, "part=0"))
+
+    # pre-erasure certificate must refuse to serve the new layout
+    with _pt.raises(ValueError, match="STALE"):
+        maintenance.zone_map(spark, zp, ["x"])
+    rep = maintenance.refresh_zone_map(spark, zp, ["x"])
+    assert rep["n_removed"] >= 1 and rep["n_added"] >= 1
+
+    got, prep = maintenance.pruned_read(
+        spark, zp, {"x": (0, 99)}, stats=maintenance.zone_map(spark, zp, ["x"])
+    )
+    ids = {r["doc_id"] for r in got.collect()}
+    assert len(ids) == 8_000 - 3
+    assert ids.isdisjoint({16, 24, 4000})
