@@ -461,19 +461,24 @@ def _promote_sidecar(spark: SparkSession, live_dir: str, fn_name: str) -> None:
                 f"at {live_dir + '.new'!r}"
             )
     if not fs.rename(newp, livep):
-        if fs.exists(oldp):
-            fs.rename(oldp, livep)  # restore the previous sidecar
+        restored = fs.exists(oldp) and fs.rename(oldp, livep)
         raise IOError(
             f"{fn_name}: could not move the rebuilt sidecar into place "
             f"({live_dir + '.new'!r} -> {live_dir!r}); the previous "
-            "sidecar (if any) was restored"
+            "sidecar "
+            + (
+                "was restored"
+                if restored
+                else f"could NOT be restored — recover manually from "
+                f"{live_dir + '.old'!r} / {live_dir + '.new'!r}"
+            )
         )
     fs.delete(oldp, True)
 
 
 def _append_empty_file_rows(
     spark: SparkSession, new_dir: str, current: set, fill: dict
-) -> int:
+) -> tuple:
     """Record data files the stats/positions pass could not see — a
     ZERO-ROW part-file (e.g. written by an empty-frame overwrite)
     appears in the FileIndex listing but yields no aggregate row, so
@@ -702,7 +707,18 @@ def refresh_bloom_sidecar(
         n = write_bloom_sidecar(spark, path, key_col, num_hashes, num_bits)
         return {"n_added_files": n, "n_removed_files": 0, "n_files": n}
     sidecar = spark.read.parquet(out)
+    if "num_hashes" not in sidecar.columns or "num_bits" not in sidecar.columns:
+        raise ValueError(
+            f"refresh_bloom_sidecar: sidecar at {out!r} carries no "
+            "parameter stamps (legacy build?) — positions from an unknown "
+            "(k, m) space cannot be merged; rebuild with "
+            "write_bloom_sidecar(spark, path, key_col, ...)"
+        )
     prm = sidecar.select("num_hashes", "num_bits").first()
+    if prm is None:
+        # an empty sidecar covers nothing — a refresh IS a full build
+        n = write_bloom_sidecar(spark, path, key_col, num_hashes, num_bits)
+        return {"n_added_files": n, "n_removed_files": 0, "n_files": n}
     if (prm["num_hashes"], prm["num_bits"]) != (int(num_hashes), int(num_bits)):
         raise ValueError(
             f"refresh_bloom_sidecar: sidecar was built with num_hashes="
@@ -830,7 +846,12 @@ def bloom_pruned_read(
         df = spark.read.parquet(path).where(F.lit(False))
     else:
         df = spark.read.option("basePath", path).parquet(*keep)
-    df = df.join(F.broadcast(kset), key_col, "left_semi")
+    # residual filter from the COLLECTED key snapshot as an InSet literal:
+    # pure JVM (no Python relation — the write_zone_map lesson), and
+    # frozen at call time, so a mutable/non-deterministic keys_df cannot
+    # diverge from the file set this call pruned on (the file decision
+    # and the residual always describe the same snapshot)
+    df = df.filter(F.col(key_col).isin(keys))
     if columns is not None:
         df = df.select(*columns)
     return df, report
@@ -971,13 +992,14 @@ def pruned_semi_read(
         df = spark.read.parquet(path).where(F.lit(False))
     else:
         df = spark.read.option("basePath", path).parquet(*keep)
-    # the residual semi side reuses the caller's JVM lineage: rebuilding
-    # it from the collected keys via createDataFrame would embed a
-    # Python-local relation in the RETURNED plan, re-launching a Python
-    # worker per task on every downstream action (the write_zone_map
-    # lesson; bloom_pruned_read handles its kset the same way)
-    kdf = keys_df.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
-    df = df.join(F.broadcast(kdf), key_col, "left_semi")
+    # residual filter from the COLLECTED key snapshot as an InSet
+    # literal: pure JVM (a createDataFrame round-trip would embed a
+    # Python-local relation that launches a Python worker per task —
+    # the write_zone_map lesson), and frozen at call time, so a mutable
+    # or non-deterministic keys_df cannot diverge from the file set
+    # this call pruned on (bloom_pruned_read handles its keys the same
+    # way); max_keys bounds the literal set
+    df = df.filter(F.col(key_col).isin(keys))
     if columns is not None:
         df = df.select(*columns)
     return df, report

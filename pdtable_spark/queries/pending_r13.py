@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pdtable_spark.queries.suite import (
+    _GOPHER_MIN_WORDS,
     _IVF_CELLS,
     _SEMDEDUP_THRESHOLD,
     _SQL_TOKS,
@@ -55,6 +56,14 @@ PENDING_R13 = {}
 
 _E2E_CAP = 40  # per-source mixture cap (keep each source's best 40 by n_chars)
 _E2E_SHARDS = 4  # logical shard fan-out of the packed work units
+
+#: cache handles of the LAST e2e invocation: harness callers (bench
+#: loops, oracle sweeps, the driver) call the query fn repeatedly and
+#: never touch the result's unpersist attributes, so each call evicts
+#: its predecessor's persisted intermediates here — the session never
+#: holds more than one generation (a prior result still in flight just
+#: recomputes; correctness is unaffected).
+_E2E_LAST_HANDLES: list = []
 
 R13_SQL_E2E_CURATION = f"""
     WITH {_sql_band_index(16, 4)},
@@ -157,7 +166,7 @@ def r13_pipeline_e2e_curation(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
 
-    flags = text.gopher_quality_flags(docs, min_words=20)
+    flags = text.gopher_quality_flags(docs, min_words=_GOPHER_MIN_WORDS)
     ok = docs.join(
         flags.filter(F.col("pass_all") == 1).select("doc_id"), "doc_id", "semi"
     )
@@ -168,7 +177,10 @@ def r13_pipeline_e2e_curation(spark, sf_dir):
     # lineage per branch (the semantic_dedup persist-index idiom; measured
     # 13.5 s → ~5 s warm at sf0.1).  Lifecycle: exposed on the result as
     # ``e2e_survivors_index`` / ``e2e_band_index`` for the caller to
-    # unpersist.
+    # unpersist; repeated harness calls evict the previous generation via
+    # _E2E_LAST_HANDLES so the cache footprint is bounded at one run.
+    while _E2E_LAST_HANDLES:
+        _E2E_LAST_HANDLES.pop().unpersist()
     ex = dedup.exact_dedup_keep_first(ok).persist(StorageLevel.MEMORY_AND_DISK)
 
     bb = dedup.band_buckets(ex, num_hashes=16, bands=4, hash_fn="md5_60").persist(
@@ -236,6 +248,7 @@ def r13_pipeline_e2e_curation(spark, sf_dir):
     )
     result.e2e_survivors_index = ex
     result.e2e_band_index = bb
+    _E2E_LAST_HANDLES.extend([ex, bb])
     return result
 
 

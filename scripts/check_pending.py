@@ -46,7 +46,7 @@ def main():
     from pdtable_spark.queries.pending_r12 import PENDING_R12
     from pdtable_spark.queries.suite import ORACLES, QUERIES
 
-    # default: the newest registered block (r11, queries/pending_r11.py)
+    # default: the newest registered blocks (r11/r12, now in QUERIES)
     # plus the staged r13 entries — the rows most worth re-sweeping
     from pdtable_spark.queries.pending_r13 import PENDING_R13
 
@@ -78,8 +78,13 @@ def main():
             fn, sql = QUERIES[name], ORACLES[name]
         elif name in PENDING_R13:
             fn, sql = PENDING_R13[name]
-        else:
+        elif name in PENDING_R12:
             fn, sql = PENDING_R12[name]
+        else:
+            sys.exit(
+                f"unknown query {name!r}: not registered and not staged "
+                "in pending_r12/pending_r13"
+            )
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         s_cols = sdf.columns

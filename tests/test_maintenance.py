@@ -1294,3 +1294,29 @@ def test_erasure_then_certificate_refresh_lifecycle(spark, tmp_path):
     ids = {r["doc_id"] for r in got.collect()}
     assert len(ids) == 8_000 - 3
     assert ids.isdisjoint({16, 24, 4000})
+
+
+def test_pruned_semi_read_snapshot_consistent_keys(spark, tmp_path):
+    """The returned frame's residual filter is frozen from the key
+    snapshot that decided file pruning: a mutation of the keys SOURCE
+    between the call and the action must not leak new keys into the
+    result (which would be neither the old nor the new snapshot — the
+    kept-file set was decided for the old keys)."""
+    df = spark.range(4_000).select(
+        (F.col("id") % 400).alias("k"), F.col("id").alias("payload")
+    )
+    zp = str(tmp_path / "lake")
+    maintenance.write_sorted_parquet(df, zp, "k", partitions=8)
+    kdir = str(tmp_path / "keys")
+    spark.createDataFrame([(10,), (20,)], "k long").write.parquet(kdir)
+
+    keys = spark.read.parquet(kdir)
+    got, rep = maintenance.pruned_semi_read(spark, zp, "k", keys)
+    # mutate the keys source AFTER the call, BEFORE the action
+    spark.createDataFrame([(390,)], "k long").write.mode("append").parquet(kdir)
+    ks = {r["k"] for r in got.collect()}
+    assert ks == {10, 20}  # the snapshot, not the mutated source
+    # a fresh call sees the new source
+    got2, _ = maintenance.pruned_semi_read(spark, zp, "k",
+                                           spark.read.parquet(kdir))
+    assert {r["k"] for r in got2.collect()} == {10, 20, 390}
