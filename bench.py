@@ -234,6 +234,7 @@ EXTENDED = [
     "lake_compact_refresh_read",
     "dedup_skewed_buckets",
     "pipeline_shard_export",
+    "q_bucketed_colocated_join",
 ]
 
 

@@ -35,6 +35,22 @@ def write_bucketed(
     bucket ≈ a comfortable task (100-500 MB at scale).
     """
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    if mode == "overwrite":
+        # an in-memory catalog (fresh session) forgets the table while its
+        # managed LOCATION survives in the warehouse dir — saveAsTable then
+        # fails with LOCATION_ALREADY_EXISTS even in overwrite mode.  Drop
+        # the registration and clear a stale unregistered location so
+        # overwrite means overwrite across sessions too.
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        loc = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).rstrip("/") + "/" + table_name.split(".")[-1].lower()
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
     w = df.write.mode(mode).format(format).bucketBy(num_buckets, *bucket_cols)
     if sort_cols is not None:
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)

@@ -945,3 +945,77 @@ PENDING_R13["pipeline_shard_export"] = (
     r13_pipeline_shard_export,
     R13_SQL_SHARD_EXPORT,
 )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join under the value gate: "pay the shuffle once
+# at write time" is a core 100 TB lever (repeated fact⋈fact joins stop
+# re-shuffling the same data) — until now only pytest pinned it.  The
+# query writes both sides bucketed on the join key, joins through the
+# bucket path (broadcast off, merge hint) and aggregates; the plan pin
+# (zero exchanges on the join) lives in the plan-contract test, the
+# VALUES here.
+# ---------------------------------------------------------------------------
+
+R13_SQL_BUCKETED_JOIN = """
+    SELECT l.l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_returnflag
+"""
+
+
+def r13_q_bucketed_colocated_join(spark, sf_dir):
+    """The pay-the-shuffle-once join: orders and lineitem persist as
+    same-bucketed catalog tables on the order key (16 buckets), and the
+    fact⋈fact join runs through the bucket path — broadcast disabled by
+    the merge hint so the planner must prove co-location from catalog
+    metadata; zero exchanges on either join side is plan-contract-pinned
+    (tests/test_plans.py).  The values — per-returnflag item counts,
+    integer-cents price totals, distinct customers — come out of the
+    bucketed tables, so a bucketing bug that dropped/duplicated rows on
+    the write fails the hash, not just the plan shape.
+
+    At 100 TB: bucket count scales with data (one bucket ≈ 100-500 MB),
+    and every later join/aggregation on the key reuses the layout —
+    the write's one shuffle amortizes across the query fleet."""
+    from pdtable_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    write_bucketed(
+        o.select("o_orderkey", "o_custkey"),
+        "r13_bucketed_orders",
+        "o_orderkey",
+        num_buckets=16,
+    )
+    write_bucketed(
+        li.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        ),
+        "r13_bucketed_lineitem",
+        "o_orderkey",
+        num_buckets=16,
+    )
+    j = bucketed_join(
+        spark, "r13_bucketed_orders", "r13_bucketed_lineitem", on="o_orderkey"
+    )
+    return j.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("price_cents").cast("long").alias("sum_price_cents"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+    )
+
+
+PENDING_R13["q_bucketed_colocated_join"] = (
+    r13_q_bucketed_colocated_join,
+    R13_SQL_BUCKETED_JOIN,
+)

@@ -170,6 +170,7 @@ def main():
         "lake_compact_refresh_read",
         "dedup_skewed_buckets",
         "pipeline_shard_export",
+        "q_bucketed_colocated_join",
     ]
 
     out = [
