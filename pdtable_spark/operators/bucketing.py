@@ -38,19 +38,31 @@ def write_bucketed(
     if mode == "overwrite":
         # an in-memory catalog (fresh session) forgets the table while its
         # managed LOCATION survives in the warehouse dir — saveAsTable then
-        # fails with LOCATION_ALREADY_EXISTS even in overwrite mode.  Drop
-        # the registration and clear a stale unregistered location so
-        # overwrite means overwrite across sessions too.
+        # fails with LOCATION_ALREADY_EXISTS even in overwrite mode.
         spark = df.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        loc = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).rstrip("/") + "/" + table_name.split(".")[-1].lower()
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(loc)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
+        if spark.catalog.tableExists(table_name):
+            # dropping a MANAGED table removes its data directory too
+            spark.sql(f"DROP TABLE {table_name}")
+        else:
+            # orphaned location only: derive the managed path FROM THE
+            # CATALOG (database location + bare name), never by string-
+            # concatenating spark.sql.warehouse.dir — a guessed path could
+            # recursively delete an unrelated table's live data and still
+            # miss the real stale dir for a database-qualified name
+            parts = table_name.split(".")
+            db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+            try:
+                db_loc = spark.catalog.getDatabase(db).locationUri
+            except Exception:
+                db_loc = None  # unknown database: let saveAsTable report it
+            if db_loc:
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(
+                    db_loc.rstrip("/") + "/" + parts[-1].lower()
+                )
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                if fs.exists(jpath):
+                    fs.delete(jpath, True)
     w = df.write.mode(mode).format(format).bucketBy(num_buckets, *bucket_cols)
     if sort_cols is not None:
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)

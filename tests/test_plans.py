@@ -997,18 +997,20 @@ def test_bucketed_join_query_plan_no_exchange_on_join(spark):
     """The staged q_bucketed_colocated_join must actually take the
     bucket path: no shuffle exchange feeding either join side (the
     whole point of paying the write-time shuffle once)."""
-    import re as _re
-
     from pdtable_spark.queries.pending_r13 import PENDING_R13
 
     fn, _sql = PENDING_R13["q_bucketed_colocated_join"]
     df = fn(spark, "/root/testdata/sf0.001")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    join_idx = plan.find("SortMergeJoin")
-    assert join_idx >= 0, plan
-    # exchanges may exist ABOVE the join (the final aggregate shuffles on
-    # returnflag) but none may feed the join's children: every Exchange
-    # in the plan string must appear BEFORE the join node (higher in the
-    # tree), never after it
-    below = plan[join_idx:]
-    assert "Exchange hashpartitioning" not in below, below[:2000]
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_idx = plan.find("SortMergeJoin")
+        assert join_idx >= 0, plan
+        # exchanges may exist ABOVE the join (the final aggregate shuffles
+        # on returnflag) but none may feed the join's children: every
+        # Exchange in the plan string must appear BEFORE the join node
+        # (higher in the tree), never after it
+        below = plan[join_idx:]
+        assert "Exchange hashpartitioning" not in below, below[:2000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r13_bucketed_orders")
+        spark.sql("DROP TABLE IF EXISTS r13_bucketed_lineitem")
