@@ -1019,3 +1019,69 @@ PENDING_R13["q_bucketed_colocated_join"] = (
     r13_q_bucketed_colocated_join,
     R13_SQL_BUCKETED_JOIN,
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming shard manifest — the export leg's streaming sibling: same
+# deterministic hash assignment as pipeline_shard_export, maintained as
+# a mergeable additive ledger while ingest waves land.
+# ---------------------------------------------------------------------------
+
+R13_SQL_STREAM_SHARD_LEDGER = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS nt,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT)) % {_SHARD_N} AS shard,
+             doc_id % 2 AS wave
+      FROM documents
+    )
+    SELECT b.batch_id, d.shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM d, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) b(batch_id)
+    WHERE d.wave <= b.batch_id
+    GROUP BY b.batch_id, d.shard
+"""
+
+
+def r13_stream_shard_ledger(spark, sf_dir):
+    """The running training-shard manifest under the value gate: two
+    ingest waves (even doc_ids, then odd) land through one checkpoint;
+    each batch's ledger row set is the CUMULATIVE per-shard
+    (n_docs, n_tokens) under the deterministic md5_60 assignment — so
+    batch 0 is the even-docs manifest and batch 1 equals the full batch
+    export's manifest, both stated by the oracle as pure md5 arithmetic
+    (the novelty/quantile/heavy-hitter/moment/cell/sample ledger
+    discipline, seventh of the septet)."""
+    import tempfile
+
+    from pdtable_spark.operators import text
+    from pdtable_spark.streaming.monitor import shard_ledger_stream
+
+    d = tempfile.mkdtemp(prefix="pdtable_shardled_")
+    land, led = f"{d}/land", f"{d}/ledger"
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    for wave in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == wave).write.parquet(
+            land, mode="append"
+        )
+        s = spark.readStream.schema("doc_id long, n_tokens long").parquet(land)
+        shard_ledger_stream(
+            s, led, f"{d}/ckpt", num_shards=_SHARD_N
+        )
+    return spark.read.parquet(led).select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "n_tokens",
+    )
+
+
+PENDING_R13["stream_shard_ledger"] = (
+    r13_stream_shard_ledger,
+    R13_SQL_STREAM_SHARD_LEDGER,
+)

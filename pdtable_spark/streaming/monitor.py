@@ -826,3 +826,102 @@ def sample_ledger_stream(
         .start()
     )
     return await_or_raise(q, timeout, "sample_ledger_stream")
+
+
+def _shard_ledger_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    ledger_dir: str,
+    key_col: str,
+    token_col: Optional[str],
+    num_shards: int,
+    salt: str,
+) -> None:
+    """One micro-batch of the shard-manifest ledger (split out for unit
+    tests).  Shard membership is the deterministic hash assignment of
+    ``io.maintenance.write_training_shards(assignment="hash")`` —
+    ``md5_60(salt‖key) % num_shards``, a pure function of the row — so
+    the running per-shard (n_docs, n_tokens) manifest of everything
+    ingested so far is exact and engine-reproducible.  Additive-integer
+    state under the AS-OF read discipline: a retried batch recomputes
+    against strictly-earlier state and lands byte-identically."""
+    from pdtable_spark.operators.dedup import md5_60
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
+    batch_led = (
+        batch_df.withColumn(
+            "shard",
+            (
+                md5_60(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+                % num_shards
+            ).cast("long"),
+        )
+        .groupBy("shard")
+        .agg(*aggs)
+    )
+    prev = batch_led.limit(0)
+    if _ledger_exists(spark, ledger_dir):
+        led_all = spark.read.parquet(ledger_dir).filter(
+            F.col("batch_id") < batch_id
+        )
+        mx = led_all.agg(F.max("batch_id")).collect()[0][0]
+        if mx is not None:
+            prev = led_all.filter(F.col("batch_id") == mx).drop("batch_id")
+    sums = [F.sum("n_docs").cast("long").alias("n_docs")]
+    if token_col is not None:
+        sums.append(F.sum("n_tokens").cast("long").alias("n_tokens"))
+    merged = prev.unionByName(batch_led).groupBy("shard").agg(*sums)
+    (
+        merged.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(ledger_dir)
+    )
+
+
+def shard_ledger_stream(
+    stream_docs: DataFrame,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    token_col: Optional[str] = "n_tokens",
+    num_shards: int = 32,
+    salt: str = "",
+    timeout: Optional[int] = 120,
+):
+    """Running training-shard manifest over a continuous document
+    ingest: per micro-batch, the cumulative per-shard (n_docs,
+    n_tokens) of everything ingested so far, under the SAME
+    deterministic hash assignment the batch exporter uses
+    (``write_training_shards(assignment="hash")``) — so the epoch
+    planner's manifest is always current while batches land, and the
+    final ledger row equals the batch export's manifest bit-for-bit.
+
+    State is a parquet ledger partitioned by ``batch_id`` (as-of-batch
+    snapshots, ``num_shards`` rows each); exactly-once comes from the
+    AS-OF read discipline alone (additive integers — the
+    novelty/quantile/heavy-hitter/moment/cell/sample posture, making
+    this the SEPTET's seventh ledger stream).
+
+    Ledger rows: (shard, n_docs[, n_tokens], batch_id).
+    """
+    spark = stream_docs.sparkSession
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        _shard_ledger_batch(
+            spark, batch_df, batch_id, ledger_dir, key_col, token_col,
+            num_shards, salt,
+        )
+
+    q = (
+        stream_docs.writeStream.outputMode("append")
+        .foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return await_or_raise(q, timeout, "shard_ledger_stream")

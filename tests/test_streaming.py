@@ -1006,3 +1006,45 @@ def test_vacuum_versions_half_specified_changelog_is_loud(spark, tmp_path):
         vacuum_versions(spark, tdir, keep_last=2, changelog_dir=cdir)
     with _pt.raises(ValueError, match="together"):
         vacuum_versions(spark, tdir, keep_last=2, changelog_keep_last=2)
+
+
+def test_shard_ledger_batch_retry_idempotent(spark, tmp_path):
+    """The shard ledger's exactly-once story: batch 1's running manifest
+    equals the deterministic hash assignment over batch 0 + batch 1 as
+    ONE corpus, and a RETRY of batch 1 recomputes against the
+    as-of-batch-0 state byte-identically (additive integers)."""
+    from pdtable_spark.operators.dedup import md5_60
+    from pdtable_spark.streaming.monitor import _shard_ledger_batch
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    led = str(tmp_path / "ledger")
+    b0, b1 = mk(0, 300), mk(300, 700)
+    args = (led, "doc_id", "n_tokens", 4, "")
+    _shard_ledger_batch(spark, b0, 0, *args)
+    _shard_ledger_batch(spark, b1, 1, *args)
+
+    def snap():
+        return sorted(map(tuple, spark.read.parquet(led).collect()))
+
+    led1 = snap()
+    running = {
+        (r["shard"], r["n_docs"], r["n_tokens"])
+        for r in spark.read.parquet(led).filter(F.col("batch_id") == 1).collect()
+    }
+    whole = {
+        (r["shard"], r["n_docs"], r["n_tokens"])
+        for r in b0.unionByName(b1)
+        .withColumn("shard", (md5_60(F.col("doc_id").cast("string")) % 4).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    assert running == whole and len(running) == 4
+    # retried batch lands byte-identically
+    _shard_ledger_batch(spark, b1, 1, *args)
+    assert snap() == led1
