@@ -5,10 +5,12 @@ discipline), registered under ``@q`` at the top of round 13.
 Round-13 window arithmetic (write it into ``__spark_entry__._PRIORITY``
 at registration time): after CORRECTNESS_r12 reports the r12 head-50,
 the evidence ages are r12: 50, r8: 17, r9: 50, r10: 50, r11: 50 — so
-the round-13 head-50 is the entries in this file + the 17 remaining
-r8-evidence rows (CORRECTNESS_r08 report order, starting at
-``pipeline_snapshot_diff``) + the oldest r9-evidence rows
-(CORRECTNESS_r09 report order) filling to 50 exactly.
+the round-13 head-50 is the NINE entries in this file + the 17
+remaining r8-evidence rows (CORRECTNESS_r08 report order, starting at
+``pipeline_snapshot_diff``) + the 24 oldest r9-evidence rows
+(CORRECTNESS_r09 report order) = 50 exactly; mechanically, new
+``_PRIORITY`` = [9 new] + current ``_PRIORITY[50:]`` + current
+``_PRIORITY[:50]`` (the r12-window rows rotate to the tail), total 226.
 
 Every entry here is ALREADY under the correctness gate:
 ``tests/test_env_contract.py::test_pending_r13_oracles`` runs each
