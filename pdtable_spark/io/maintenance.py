@@ -1174,14 +1174,10 @@ def write_training_shards(
         F.md5(F.concat(F.lit(salt), F.col(shuffle_col).cast("string"))),
     )
     if assignment == "hash":
-        from pdtable_spark.operators.dedup import md5_60
+        from pdtable_spark.operators.dedup import shard_of
 
         keyed = keyed.withColumn(
-            "shard",
-            (
-                md5_60(F.concat(F.lit(salt), F.col(shuffle_col).cast("string")))
-                % num_shards
-            ).cast("int"),
+            "shard", shard_of(F.col(shuffle_col), num_shards, salt).cast("int")
         )
         writer = (
             keyed.repartition(num_shards, "shard")

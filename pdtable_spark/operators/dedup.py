@@ -36,6 +36,18 @@ def md5_60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def shard_of(key: Column, num_shards: int, salt: str = "") -> Column:
+    """Deterministic shard id: ``md5_60(salt‖key) % num_shards`` — the
+    ONE definition shared by ``io.maintenance.write_training_shards``
+    (``assignment="hash"``) and ``streaming.monitor.shard_ledger_stream``,
+    so the stream-equals-batch manifest invariant cannot drift.  DuckDB
+    spelling: ``CAST('0x' || substr(md5(salt || CAST(k AS VARCHAR)), 1,
+    15) AS BIGINT) % n``."""
+    return (
+        md5_60(F.concat(F.lit(salt), key.cast("string"))) % num_shards
+    ).cast("long")
+
+
 def _pair_combos(entries: Column) -> Column:
     """All unordered pairs (ea, eb) of a sorted entry array, in-row."""
     return F.flatten(

@@ -1035,7 +1035,7 @@ R13_SQL_STREAM_SHARD_LEDGER = f"""
              CAST(len({_SQL_TOKS}) AS BIGINT) AS nt,
              (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                    AS BIGINT)) % {_SHARD_N} AS shard,
-             doc_id % 2 AS wave
+             ((doc_id % 2) + 2) % 2 AS wave
       FROM documents
     )
     SELECT b.batch_id, d.shard,
@@ -1068,7 +1068,7 @@ def r13_stream_shard_ledger(spark, sf_dir):
         F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
     for wave in (0, 1):
-        docs.filter(F.col("doc_id") % 2 == wave).write.parquet(
+        docs.filter(F.pmod(F.col("doc_id"), 2) == wave).write.parquet(
             land, mode="append"
         )
         s = spark.readStream.schema("doc_id long, n_tokens long").parquet(land)

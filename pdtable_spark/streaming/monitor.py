@@ -846,21 +846,18 @@ def _shard_ledger_batch(
     ingested so far is exact and engine-reproducible.  Additive-integer
     state under the AS-OF read discipline: a retried batch recomputes
     against strictly-earlier state and lands byte-identically."""
-    from pdtable_spark.operators.dedup import md5_60
+    from pdtable_spark.operators.dedup import shard_of
 
     aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
     if token_col is not None:
         aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
     batch_led = (
-        batch_df.withColumn(
-            "shard",
-            (
-                md5_60(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-                % num_shards
-            ).cast("long"),
-        )
+        batch_df.withColumn("shard", shard_of(F.col(key_col), num_shards, salt))
         .groupBy("shard")
         .agg(*aggs)
+    )
+    state_cols = ["shard", "n_docs"] + (
+        ["n_tokens"] if token_col is not None else []
     )
     prev = batch_led.limit(0)
     if _ledger_exists(spark, ledger_dir):
@@ -869,7 +866,10 @@ def _shard_ledger_batch(
         )
         mx = led_all.agg(F.max("batch_id")).collect()[0][0]
         if mx is not None:
-            prev = led_all.filter(F.col("batch_id") == mx).drop("batch_id")
+            # explicit column select (the sibling-ledger convention): a
+            # token_col change across the ledger's lifetime fails with a
+            # clear missing-column message, not a mid-union mismatch
+            prev = led_all.filter(F.col("batch_id") == mx).select(*state_cols)
     sums = [F.sum("n_docs").cast("long").alias("n_docs")]
     if token_col is not None:
         sums.append(F.sum("n_tokens").cast("long").alias("n_tokens"))
