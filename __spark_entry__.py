@@ -22,76 +22,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-row rotation (the driver reports exactly the first 50 queries).
-#: Policy: OLDEST correctness evidence first, every round.  Round-12
-#: head-50 (the executed round-11 runbook, VERDICT r11 task #1) = the
-#: TEN queries registered this round from queries/pending_r12.py
-#: (staged r11 with full oracles + sf0.001/0.01 MATCH evidence), plus
-#: the 7 remaining r7-evidence rows (CORRECTNESS_r07 report order,
-#: starting at q_top_suppliers), plus the 33 oldest r8-evidence rows
-#: (CORRECTNESS_r08 report order) — 50 exactly.  The tail is the same
-#: policy continued: the remaining 17 r8-evidence rows, then the r9
-#: block, the r10 block, and the r11 block, each in report order.
+#: Policy: OLDEST correctness evidence first, every round.  Round-13
+#: head-50 (the executed round-12 runbook, VERDICT r12 task #1) = the
+#: NINE queries registered this round from queries/pending_r13.py
+#: (staged r12 with full oracles + sf0.001/0.01/sf1 MATCH evidence),
+#: plus the 17 remaining r8-evidence rows (CORRECTNESS_r08 report
+#: order, starting at pipeline_snapshot_diff), plus the 24 oldest
+#: r9-evidence rows (CORRECTNESS_r09 report order) — 50 exactly.
+#: Mechanically: new _PRIORITY = [9 new] + old[50:] + old[:50] (the
+#: r12-window rows rotate to the tail), total 226.
 #:
-#: Honest cycle arithmetic: 217 registered queries through a 50-row
-#: window is a ceil(217/50) = FIVE-round steady-state cycle, so a
+#: Honest cycle arithmetic: 226 registered queries through a 50-row
+#: window is a ceil(226/50) = FIVE-round steady-state cycle, so a
 #: query's driver evidence can be up to 4 rounds old by the time its
-#: row rotates back in (at r12 close: 10+7+33=50 r12 / 17 r8 / 50 r9 /
-#: 50 r10 / 50 r11; the 17 remaining r8-evidence rows HEAD the r13
-#: window).  The local gate is tighter than the driver window:
+#: row rotates back in (at r13 close: 9+17+24=50 r13 / 26 r9 / 50 r10 /
+#: 50 r11 / 50 r12; oldest remaining driver evidence = r9).  The local
+#: gate is tighter than the driver window:
 #: scripts/verify_all.sh sweeps ALL registered oracles twice per round
 #: (default + partitions=7 layouts), so a rotted query is caught the
 #: round it rots, not the round its driver row comes up.
 _PRIORITY = [
-    "lake_pruned_read",
-    "embedding_ivf_staleness",
-    "pipeline_json_extract_typed",
-    "pipeline_json_infer_plan",
-    "stream_ivf_staleness",
-    "lake_hilbert_cells",
-    "stream_sample_ledger",
-    "pipeline_json_profile_diff",
-    "lake_pruned_semi_read",
-    "lake_bloom_pruned_read",
-    "q_top_suppliers",
-    "q_unpivot_measures",
-    "stream_attribution",
-    "stream_dedup",
-    "stream_funnel_stateful",
-    "stream_hourly_counts",
-    "stream_session_windows",
-    "stream_sessionize_stateful",
-    "stream_sliding_counts",
-    "text_bm25_topk",
-    "pipeline_drift_psi",
-    "pipeline_numeric_drift",
-    "hybrid_rrf_topk",
-    "pipeline_dsir_weights",
-    "text_char_entropy",
-    "text_line_dedup",
-    "text_common_lines",
-    "pipeline_threshold_sweep",
-    "embedding_cluster_profile",
-    "embedding_cluster_sample",
-    "embedding_cluster_drift",
-    "pipeline_curation_funnel",
-    "pipeline_bloom_screen",
-    "embedding_hard_negatives",
-    "embedding_label_propagation",
-    "embedding_truncation_recall",
-    "embedding_hard_negative_recall",
-    "pipeline_decon_funnel",
-    "stream_bloom_screen",
-    "multimodal_phash_dups",
-    "pipeline_epochs_plan",
-    "pipeline_semantic_pack",
-    "pipeline_uncertainty_sample",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "pipeline_source_cap",
-    "text_vocab_coverage",
-    "pipeline_k_anonymize",
-    "pipeline_anonymity_report",
-    "dedup_containment_pairs",
+    "pipeline_e2e_curation",
+    "lake_zone_refresh_read",
+    "lake_bloom_refresh_read",
+    "stream_upsert_vacuum",
+    "dedup_skewed_buckets",
+    "lake_compact_refresh_read",
+    "pipeline_shard_export",
+    "q_bucketed_colocated_join",
+    "stream_shard_ledger",
     "pipeline_snapshot_diff",
     "pipeline_facade_ops",
     "text_vocab_drift",
@@ -259,6 +218,56 @@ _PRIORITY = [
     "q_string_funcs",
     "q_table_facade_units",
     "q_top_orders_per_customer",
+    "lake_pruned_read",
+    "embedding_ivf_staleness",
+    "pipeline_json_extract_typed",
+    "pipeline_json_infer_plan",
+    "stream_ivf_staleness",
+    "lake_hilbert_cells",
+    "stream_sample_ledger",
+    "pipeline_json_profile_diff",
+    "lake_pruned_semi_read",
+    "lake_bloom_pruned_read",
+    "q_top_suppliers",
+    "q_unpivot_measures",
+    "stream_attribution",
+    "stream_dedup",
+    "stream_funnel_stateful",
+    "stream_hourly_counts",
+    "stream_session_windows",
+    "stream_sessionize_stateful",
+    "stream_sliding_counts",
+    "text_bm25_topk",
+    "pipeline_drift_psi",
+    "pipeline_numeric_drift",
+    "hybrid_rrf_topk",
+    "pipeline_dsir_weights",
+    "text_char_entropy",
+    "text_line_dedup",
+    "text_common_lines",
+    "pipeline_threshold_sweep",
+    "embedding_cluster_profile",
+    "embedding_cluster_sample",
+    "embedding_cluster_drift",
+    "pipeline_curation_funnel",
+    "pipeline_bloom_screen",
+    "embedding_hard_negatives",
+    "embedding_label_propagation",
+    "embedding_truncation_recall",
+    "embedding_hard_negative_recall",
+    "pipeline_decon_funnel",
+    "stream_bloom_screen",
+    "multimodal_phash_dups",
+    "pipeline_epochs_plan",
+    "pipeline_semantic_pack",
+    "pipeline_uncertainty_sample",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "pipeline_source_cap",
+    "text_vocab_coverage",
+    "pipeline_k_anonymize",
+    "pipeline_anonymity_report",
+    "dedup_containment_pairs",
 ]
 
 

@@ -1087,3 +1087,15 @@ PENDING_R13["stream_shard_ledger"] = (
     r13_stream_shard_ledger,
     R13_SQL_STREAM_SHARD_LEDGER,
 )
+
+
+# ---------------------------------------------------------------------------
+# Registration: the @q decoration for the whole block (executed round-13
+# runbook — VERDICT r12 task #1).  suite.py imports this module at the
+# end of its body, so suite.QUERIES / suite.ORACLES — the single registry
+# the driver contract, bench, and oracle sweeps read — contain these 9
+# entries exactly like any inline @q query.
+from pdtable_spark.queries.suite import q as _q
+
+for _name, (_fn, _sql) in PENDING_R13.items():
+    _q(_name, _sql)(_fn)

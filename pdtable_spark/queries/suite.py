@@ -5943,3 +5943,4 @@ from pdtable_spark.queries import pending_r9  # noqa: E402,F401
 from pdtable_spark.queries import pending_r10  # noqa: E402,F401
 from pdtable_spark.queries import pending_r11  # noqa: E402,F401
 from pdtable_spark.queries import pending_r12  # noqa: E402,F401
+from pdtable_spark.queries import pending_r13  # noqa: E402,F401
