@@ -416,10 +416,12 @@ def write_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> int:
     # measured ~4 s of pure overhead for a 64-row sidecar vs ~0.2 s
     # for the JVM lineage
     stats.coalesce(1).write.mode("overwrite").parquet(zdir + ".new")
+    current = _data_files(spark, path)
     n_cov, n_add = _append_empty_file_rows(
-        spark, zdir + ".new", _data_files(spark, path), {"n_rows": 0}
+        spark, zdir + ".new", current, {"n_rows": 0}
     )
     _promote_sidecar(spark, zdir, "write_zone_map")
+    _advance_manifest_if_present(spark, path, current)
     return n_cov + n_add
 
 
@@ -439,14 +441,197 @@ def _data_files(spark: SparkSession, path: str) -> set:
     return {_norm_file(f) for f in spark.read.parquet(path).inputFiles()}
 
 
+def _norm_file_col(c: Column) -> Column:
+    """:func:`_norm_file` as a column expression (one spelling for the
+    scheme/slash disagreement between ``inputFiles()`` and
+    ``_metadata.file_path``), for JVM-side file-set joins."""
+    return F.regexp_replace(c, "^file:/+", "/")
+
+
+def _snapshot_frame(spark: SparkSession, values, name: str, dtype) -> DataFrame:
+    """A driver-collected snapshot (file list / key set) as a SMALL
+    JVM-executable frame: Arrow-path ``createDataFrame`` ships the
+    values to the JVM once at creation, so downstream actions run with
+    no Python worker (the lineage is a plain ParallelCollectionRDD —
+    verified, unlike the pickled-row path the ``write_zone_map`` lesson
+    is about), and the PLAN stays O(1) in the snapshot size — an
+    ``isin`` literal grows the plan per element, and at millions of
+    entries plan construction and driver memory blow up (ADVICE r12).
+    The snapshot property itself is preserved: the values are frozen at
+    call time, exactly like the literal spelling."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([StructField(name, dtype, True)])
+    if not values:
+        return spark.createDataFrame([], schema)
+    prev = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        return spark.createDataFrame(
+            pd.DataFrame({name: list(values)}), schema=schema
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", prev)
+
+
+def _keep_covered_rows(
+    spark: SparkSession, sidecar: DataFrame, current: set
+) -> DataFrame:
+    """Sidecar rows whose data file still exists — the kept-file filter
+    both incremental refreshes share, spelled as a broadcast LEFT SEMI
+    join against the :func:`_snapshot_frame` of the current listing so
+    the plan carries ONE small relation instead of a per-file ``In``
+    literal (file lists are inherently driver-sized in Spark — the
+    FileIndex itself is — but the PLAN must not scale with them)."""
+    if not current:
+        return sidecar.where(F.lit(False))
+    from pyspark.sql.types import StringType
+
+    cur = _snapshot_frame(spark, sorted(current), "__cur_file", StringType())
+    return sidecar.join(
+        F.broadcast(cur),
+        _norm_file_col(F.col("file")) == F.col("__cur_file"),
+        "left_semi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Versioned file manifest — decouple certificate reads from live listings.
+#
+# Every certificate read used to validate coverage against a FRESH
+# recursive listing of the lake (_data_files) — correct and fail-loud,
+# but at 100 TB object-store scale the listing is the slow, eventually-
+# consistent part of the read path (S3 LIST is paginated at 1000 keys
+# and costs per call; Iceberg/Delta exist largely to stop re-listing).
+# The manifest persists the file list ONCE per maintenance operation as
+# a versioned sidecar under the same crash-safe swap, and reads
+# validate against the manifest generation instead of re-listing: the
+# read path touches only KB-sized sidecars, never the object-store
+# namespace.  The trade is explicit snapshot semantics: files appended
+# WITHOUT a refresh are invisible to manifest-validated reads until
+# refresh_* advances the manifest (exactly Iceberg's model — readers
+# serve the last committed snapshot, writers advance it).
+# ---------------------------------------------------------------------------
+
+
+def _manifest_dir(path: str) -> str:
+    """Hidden manifest location — same convention as :func:`_zone_map_dir`."""
+    return path.rstrip("/") + "/_manifest"
+
+
+def write_file_manifest(spark: SparkSession, path: str) -> dict:
+    """List the lake ONCE and persist the file set as the versioned
+    ``{path}/_manifest`` sidecar (columns ``file``, ``generation``),
+    promoted via the crash-safe ``.new`` -> swap.  Subsequent
+    :func:`zone_map` / :func:`bloom_pruned_read` calls validate their
+    certificate against THIS snapshot instead of re-listing the lake —
+    on an object store that turns every read's O(files) LIST calls into
+    one KB-sized parquet footer read.
+
+    The generation advances monotonically (previous + 1; 0 on first
+    write) so operational tooling can tell which snapshot a reader
+    served.  Returns ``{"generation", "n_files", "n_added",
+    "n_removed"}`` (the diff vs the previous generation).
+    """
+    current = _data_files(spark, path)
+    prev = _manifest_snapshot(spark, path)
+    prev_files, prev_gen = prev if prev is not None else (set(), -1)
+    gen = prev_gen + 1
+    from pyspark.sql.types import StringType
+
+    frame = _snapshot_frame(
+        spark, sorted(current), "file", StringType()
+    ).withColumn("generation", F.lit(gen).cast("long"))
+    mdir = _manifest_dir(path)
+    frame.coalesce(1).write.mode("overwrite").parquet(mdir + ".new")
+    _promote_sidecar(spark, mdir, "write_file_manifest")
+    return {
+        "generation": gen,
+        "n_files": len(current),
+        "n_added": len(current - prev_files),
+        "n_removed": len(prev_files - current),
+    }
+
+
+def file_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """The persisted manifest as a frame (``file``, ``generation``) —
+    raises the usual path-not-found if :func:`write_file_manifest` has
+    never run for this lake."""
+    return spark.read.parquet(_manifest_dir(path))
+
+
+def _manifest_snapshot(spark: SparkSession, path: str):
+    """``(normalized file set, generation)`` from the manifest, or
+    ``None`` when the lake has no manifest (readers then fall back to
+    the live listing)."""
+    jvm = spark._jvm
+    mpath = jvm.org.apache.hadoop.fs.Path(_manifest_dir(path))
+    fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(mpath):
+        return None
+    rows = spark.read.parquet(_manifest_dir(path)).collect()
+    files = {_norm_file(r["file"]) for r in rows}
+    gen = max((r["generation"] for r in rows), default=-1)
+    return files, int(gen)
+
+
+def _validation_snapshot(spark: SparkSession, path: str) -> tuple:
+    """What certificate reads validate coverage against: the manifest
+    snapshot when one exists (NO listing on the read path), else the
+    live listing.  Returns ``(file set, source description)`` — the
+    source lands in staleness messages so the operator knows whether to
+    refresh the certificate or advance the manifest."""
+    snap = _manifest_snapshot(spark, path)
+    if snap is not None:
+        files, gen = snap
+        return files, f"manifest generation {gen}"
+    return _data_files(spark, path), "live listing"
+
+
+def _advance_manifest_if_present(
+    spark: SparkSession, path: str, current: set
+) -> None:
+    """Maintenance ops own the listing, so they also advance the
+    manifest: after a sidecar build/refresh computed ``current`` (one
+    listing), rewrite the manifest from that same set — readers then
+    validate the new certificate against the matching snapshot.  A
+    no-op when the lake has no manifest (opt-in artifact) or when the
+    set is unchanged (no pointless generation churn)."""
+    snap = _manifest_snapshot(spark, path)
+    if snap is None:
+        return
+    prev_files, prev_gen = snap
+    if prev_files == current:
+        return
+    from pyspark.sql.types import StringType
+
+    frame = _snapshot_frame(
+        spark, sorted(current), "file", StringType()
+    ).withColumn("generation", F.lit(prev_gen + 1).cast("long"))
+    mdir = _manifest_dir(path)
+    frame.coalesce(1).write.mode("overwrite").parquet(mdir + ".new")
+    _promote_sidecar(spark, mdir, "_advance_manifest_if_present")
+
+
 def _promote_sidecar(spark: SparkSession, live_dir: str, fn_name: str) -> None:
-    """Crash-safe swap of ``{live_dir}.new`` into place: one valid
-    sidecar exists at every instant — the live dir (if any) moves ASIDE
-    (not deleted) before ``.new`` moves in, and both renames are
-    CHECKED (Hadoop rename reports failure by boolean, never by
-    raising; an unchecked delete-then-rename could destroy the sidecar
-    on a failed rename or a crash in the window).  Shared by every
-    sidecar writer (zone map build/refresh, Bloom build/refresh)."""
+    """Crash-safe swap of ``{live_dir}.new`` into place: a valid sidecar
+    survives every crash point — the live dir (if any) moves ASIDE (not
+    deleted) before ``.new`` moves in, and both renames are CHECKED
+    (Hadoop rename reports failure by boolean, never by raising; an
+    unchecked delete-then-rename could destroy the sidecar on a failed
+    rename or a crash in the window).  Shared by every sidecar writer
+    (zone map build/refresh, Bloom build/refresh, file manifest).
+
+    Concurrency contract (single-writer): between rename(live -> .old)
+    and rename(.new -> live) there is NO readable path at ``live_dir``,
+    so a concurrent reader can transiently fail with path-not-found
+    during the swap window (retry-safe: the swap is two renames, not a
+    rebuild), and two concurrent WRITERS can interleave the unlocked
+    rename sequence — run maintenance single-writer per lake, the usual
+    table-maintenance discipline.  Crash-SAFETY (never losing the last
+    good sidecar) is what this guarantees; continuous read availability
+    under concurrent swaps is not."""
     jvm = spark._jvm
     livep = jvm.org.apache.hadoop.fs.Path(live_dir)
     fs = livep.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -536,11 +721,10 @@ def refresh_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> dic
     keep_files = [f for f in old_files if _norm_file(f) in current]
     known = {_norm_file(f) for f in keep_files}
     new_files = sorted(current - known)
-    # both sides stay JVM lineages (a collect + createDataFrame would
-    # back the write with Python-worker tasks — see write_zone_map)
-    merged = spark.read.parquet(zdir).filter(
-        F.col("file").isin(keep_files) if keep_files else F.lit(False)
-    )
+    # kept rows via the shared broadcast-semi-join spelling: both sides
+    # stay JVM lineages AND the plan stays O(1) in the file count
+    # (see _keep_covered_rows)
+    merged = _keep_covered_rows(spark, spark.read.parquet(zdir), current)
     if new_files:
         added = (
             spark.read.option("basePath", path)
@@ -561,6 +745,7 @@ def refresh_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> dic
         spark, zdir + ".new", current, {"n_rows": 0}
     )
     _promote_sidecar(spark, zdir, "refresh_zone_map")
+    _advance_manifest_if_present(spark, path, current)
     n_total = n_cov + n_add
     return {
         "n_added": n_total - len(keep_files),
@@ -572,7 +757,10 @@ def refresh_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> dic
 def zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> DataFrame:
     """Load the persisted certificate for use as ``stats=`` in
     :func:`pruned_read` / :func:`pruned_semi_read`, VALIDATED against
-    the lake's current file listing: a sidecar that misses data files
+    the lake's committed snapshot: the :func:`write_file_manifest`
+    sidecar when one exists (NO object-store listing on the read path —
+    the manifest IS the snapshot readers serve, Iceberg-style), else
+    the live file listing.  A sidecar that misses snapshot files
     (post-append) or names vanished ones (post-compaction) raises
     loudly with the refresh instruction — pruning against stale stats
     would silently skip files that now contain matches.
@@ -587,10 +775,10 @@ def zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> DataFrame:
             "rebuild with write_zone_map(spark, path, cols)"
         )
     covered = {_norm_file(r["file"]) for r in stats.select("file").collect()}
-    current = _data_files(spark, path)
+    current, source = _validation_snapshot(spark, path)
     if covered != current:
         raise ValueError(
-            f"zone_map: sidecar at {zdir!r} is STALE "
+            f"zone_map: sidecar at {zdir!r} is STALE vs {source} "
             f"({len(current - covered)} uncovered data file(s), "
             f"{len(covered - current)} vanished) — run "
             "refresh_zone_map(spark, path, cols) first"
@@ -628,13 +816,15 @@ def write_bloom_sidecar(
     out = _bloom_dir(path, key_col)
     pos = _bloom_position_rows(spark, path, None, key_col, num_hashes, num_bits)
     pos.write.mode("overwrite").parquet(out + ".new")
+    current = _data_files(spark, path)
     n_cov, n_add = _append_empty_file_rows(
         spark,
         out + ".new",
-        _data_files(spark, path),
+        current,
         {"num_hashes": int(num_hashes), "num_bits": int(num_bits)},
     )
     _promote_sidecar(spark, out, "write_bloom_sidecar")
+    _advance_manifest_if_present(spark, path, current)
     return n_cov + n_add
 
 
@@ -733,10 +923,10 @@ def refresh_bloom_sidecar(
     keep_files = [f for f in old_files if _norm_file(f) in current]
     known = {_norm_file(f) for f in keep_files}
     new_files = sorted(current - known)
-    # both sides stay JVM lineages (the write_zone_map lesson)
-    merged = sidecar.filter(
-        F.col("file").isin(keep_files) if keep_files else F.lit(False)
-    )
+    # kept rows via the shared broadcast-semi-join spelling: both sides
+    # stay JVM lineages AND the plan stays O(1) in the file count
+    # (see _keep_covered_rows)
+    merged = _keep_covered_rows(spark, sidecar, current)
     if new_files:
         merged = merged.unionByName(
             _bloom_position_rows(
@@ -751,6 +941,7 @@ def refresh_bloom_sidecar(
         {"num_hashes": int(num_hashes), "num_bits": int(num_bits)},
     )
     _promote_sidecar(spark, out, "refresh_bloom_sidecar")
+    _advance_manifest_if_present(spark, path, current)
     n_total = n_cov + n_add
     return {
         "n_added_files": n_total - len(keep_files),
@@ -768,6 +959,7 @@ def bloom_pruned_read(
     num_bits: int = 1 << 20,
     columns: Optional[Sequence[str]] = None,
     max_keys: int = 1_000_000,
+    isin_threshold: int = 4096,
 ) -> tuple:
     """Point-lookup file pruning from the :func:`write_bloom_sidecar`
     artifact: a file is read iff at least ONE probe key hits ALL its
@@ -819,12 +1011,12 @@ def bloom_pruned_read(
         _norm_file(r["file"])
         for r in sidecar.select("file").distinct().collect()
     }
-    current = _data_files(spark, path)
+    current, source = _validation_snapshot(spark, path)
     if all_files != current:
         raise ValueError(
-            f"bloom_pruned_read: sidecar for {key_col!r} is STALE "
-            f"({len(current - all_files)} uncovered data file(s), "
-            f"{len(all_files - current)} vanished) — run "
+            f"bloom_pruned_read: sidecar for {key_col!r} is STALE vs "
+            f"{source} ({len(current - all_files)} uncovered data "
+            f"file(s), {len(all_files - current)} vanished) — run "
             "refresh_bloom_sidecar(spark, path, key_col, ...) first"
         )
     hits = (
@@ -846,15 +1038,37 @@ def bloom_pruned_read(
         df = spark.read.parquet(path).where(F.lit(False))
     else:
         df = spark.read.option("basePath", path).parquet(*keep)
-    # residual filter from the COLLECTED key snapshot as an InSet literal:
-    # pure JVM (no Python relation — the write_zone_map lesson), and
-    # frozen at call time, so a mutable/non-deterministic keys_df cannot
-    # diverge from the file set this call pruned on (the file decision
-    # and the residual always describe the same snapshot)
-    df = df.filter(F.col(key_col).isin(keys))
+    # residual filter from the COLLECTED key snapshot — frozen at call
+    # time either way, so a mutable/non-deterministic keys_df cannot
+    # diverge from the file set this call pruned on.  Small sets stay an
+    # In literal (parquet-pushdown-friendly); past isin_threshold the
+    # snapshot rides a broadcast LEFT SEMI join instead — an In
+    # expression converts every key through py4j and grows the plan per
+    # key, which blows up plan construction and driver memory at sizes
+    # the join handles fine (ADVICE r12)
+    df = _residual_key_filter(
+        spark, df, key_col, keys, kset.schema.fields[0].dataType, isin_threshold
+    )
     if columns is not None:
         df = df.select(*columns)
     return df, report
+
+
+def _residual_key_filter(
+    spark: SparkSession, df, key_col: str, keys, dtype, isin_threshold: int
+):
+    """The frozen-snapshot residual both pruned point reads share:
+    ``isin`` literal up to ``isin_threshold`` keys, broadcast LEFT SEMI
+    join against the :func:`_snapshot_frame` beyond it.  Row semantics
+    are identical (the snapshot holds no NULLs, and ``isin`` over
+    non-NULL literals never matches a NULL row either)."""
+    if len(keys) <= isin_threshold:
+        return df.filter(F.col(key_col).isin(keys))
+    kframe = _snapshot_frame(spark, keys, key_col, dtype)
+    # a USING-column join moves the key to the front — restore the
+    # scan's column order so both residual spellings return the same
+    # shape (reads without an explicit `columns` depend on it)
+    return df.join(F.broadcast(kframe), key_col, "left_semi").select(*df.columns)
 
 
 def _stats_row_intersects(row, predicates: dict) -> bool:
@@ -939,6 +1153,7 @@ def pruned_semi_read(
     columns: Optional[Sequence[str]] = None,
     max_keys: int = 1_000_000,
     stats: Optional[DataFrame] = None,
+    isin_threshold: int = 4096,
 ) -> tuple:
     """Dynamic file pruning from a key SET — the plain-parquet spelling
     of dynamic partition pruning for a star join: the dimension side's
@@ -992,14 +1207,19 @@ def pruned_semi_read(
         df = spark.read.parquet(path).where(F.lit(False))
     else:
         df = spark.read.option("basePath", path).parquet(*keep)
-    # residual filter from the COLLECTED key snapshot as an InSet
-    # literal: pure JVM (a createDataFrame round-trip would embed a
-    # Python-local relation that launches a Python worker per task —
-    # the write_zone_map lesson), and frozen at call time, so a mutable
-    # or non-deterministic keys_df cannot diverge from the file set
-    # this call pruned on (bloom_pruned_read handles its keys the same
-    # way); max_keys bounds the literal set
-    df = df.filter(F.col(key_col).isin(keys))
+    # residual from the COLLECTED key snapshot (frozen at call time, so
+    # a mutable or non-deterministic keys_df cannot diverge from the
+    # file set this call pruned on): In literal up to isin_threshold,
+    # broadcast semi-join of the snapshot frame beyond it — same
+    # split as bloom_pruned_read (see _residual_key_filter)
+    df = _residual_key_filter(
+        spark,
+        df,
+        key_col,
+        keys,
+        keys_df.select(key_col).schema.fields[0].dataType,
+        isin_threshold,
+    )
     if columns is not None:
         df = df.select(*columns)
     return df, report

@@ -35,38 +35,41 @@ def write_bucketed(
     bucket ≈ a comfortable task (100-500 MB at scale).
     """
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
-    if mode == "overwrite":
-        # an in-memory catalog (fresh session) forgets the table while its
-        # managed LOCATION survives in the warehouse dir — saveAsTable then
-        # fails with LOCATION_ALREADY_EXISTS even in overwrite mode.
-        spark = df.sparkSession
-        if spark.catalog.tableExists(table_name):
-            # dropping a MANAGED table removes its data directory too
-            spark.sql(f"DROP TABLE {table_name}")
-        else:
-            # orphaned location only: derive the managed path FROM THE
-            # CATALOG (database location + bare name), never by string-
-            # concatenating spark.sql.warehouse.dir — a guessed path could
-            # recursively delete an unrelated table's live data and still
-            # miss the real stale dir for a database-qualified name
-            parts = table_name.split(".")
-            db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
-            try:
-                db_loc = spark.catalog.getDatabase(db).locationUri
-            except Exception:
-                db_loc = None  # unknown database: let saveAsTable report it
-            if db_loc:
-                jvm = spark._jvm
-                jpath = jvm.org.apache.hadoop.fs.Path(
-                    db_loc.rstrip("/") + "/" + parts[-1].lower()
-                )
-                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-                if fs.exists(jpath):
-                    fs.delete(jpath, True)
     w = df.write.mode(mode).format(format).bucketBy(num_buckets, *bucket_cols)
     if sort_cols is not None:
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*sort_cols)
+    try:
+        w.saveAsTable(table_name)
+        return
+    except Exception as e:
+        # REACTIVE cleanup only (no pre-emptive DROP/delete): overwrite
+        # mode already replaces a cataloged managed table atomically
+        # inside saveAsTable, a VIEW or EXTERNAL table of the same name
+        # surfaces Spark's own loud error untouched, and nothing is
+        # deleted before a write failure has actually occurred.  The one
+        # case worth recovering is an ORPHANED managed location: an
+        # in-memory catalog (fresh session) forgets the table while its
+        # LOCATION survives in the warehouse dir, so saveAsTable fails
+        # with LOCATION_ALREADY_EXISTS even in overwrite mode.
+        if mode != "overwrite" or "LOCATION_ALREADY_EXISTS" not in str(e):
+            raise
+    # derive the stale managed path FROM THE CATALOG (database location
+    # + bare name), never by string-concatenating
+    # spark.sql.warehouse.dir — a guessed path could recursively delete
+    # an unrelated table's live data and still miss the real stale dir
+    # for a database-qualified name
+    spark = df.sparkSession
+    parts = table_name.split(".")
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+    db_loc = spark.catalog.getDatabase(db).locationUri
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        db_loc.rstrip("/") + "/" + parts[-1].lower()
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
     w.saveAsTable(table_name)
 
 

@@ -1320,3 +1320,161 @@ def test_pruned_semi_read_snapshot_consistent_keys(spark, tmp_path):
     got2, _ = maintenance.pruned_semi_read(spark, zp, "k",
                                            spark.read.parquet(kdir))
     assert {r["k"] for r in got2.collect()} == {10, 20, 390}
+
+
+def test_file_manifest_reads_skip_listing(spark, tmp_path, monkeypatch):
+    """With a manifest present, certificate reads validate against the
+    persisted snapshot and never touch the object-store namespace — at
+    100 TB the recursive listing is the slow, eventually-consistent
+    part of the read path (VERDICT r12 task #3)."""
+    lake = str(tmp_path / "lake")
+    spark.range(0, 4000).withColumn(
+        "k", (F.col("id") % 97).cast("long")
+    ).repartition(6).write.parquet(lake)
+    assert maintenance.write_zone_map(spark, lake, ["k"]) == 6
+    maintenance.write_bloom_sidecar(spark, lake, "k", 3, 1 << 16)
+    rep = maintenance.write_file_manifest(spark, lake)
+    assert rep == {"generation": 0, "n_files": 6, "n_added": 6, "n_removed": 0}
+
+    def _no_listing(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("read path listed the lake despite a manifest")
+
+    monkeypatch.setattr(maintenance, "_data_files", _no_listing)
+    stats = maintenance.zone_map(spark, lake, ["k"])
+    assert stats.count() == 6
+    keys = spark.range(0, 5).select(F.col("id").alias("k"))
+    df, brep = maintenance.bloom_pruned_read(spark, lake, "k", keys, 3, 1 << 16)
+    assert brep["n_files_total"] == 6 and df.count() > 0
+
+
+def test_stale_manifest_fails_loud_and_refresh_repairs(spark, tmp_path):
+    """Manifest generation advanced past the certificate -> the read
+    names the manifest generation in its STALE error; refresh_* repairs
+    the certificate AND advances the manifest to the same listing."""
+    import pytest
+
+    lake = str(tmp_path / "lake")
+    spark.range(0, 2000).withColumn(
+        "k", (F.col("id") % 53).cast("long")
+    ).repartition(4).write.parquet(lake)
+    maintenance.write_zone_map(spark, lake, ["k"])
+    maintenance.write_file_manifest(spark, lake)
+    # append without refreshing the certificate, then advance the
+    # manifest: the sidecar is now provably stale vs the snapshot
+    spark.range(2000, 3000).withColumn(
+        "k", (F.col("id") % 53).cast("long")
+    ).write.mode("append").parquet(lake)
+    rep = maintenance.write_file_manifest(spark, lake)
+    assert rep["generation"] == 1 and rep["n_added"] >= 1
+    with pytest.raises(ValueError, match="manifest generation 1"):
+        maintenance.zone_map(spark, lake, ["k"])
+    maintenance.refresh_zone_map(spark, lake, ["k"])
+    # refresh reconciled certificate and manifest: read is green and the
+    # manifest set equals the certificate's coverage
+    stats = maintenance.zone_map(spark, lake, ["k"])
+    files, gen = maintenance._manifest_snapshot(spark, lake)
+    covered = {
+        maintenance._norm_file(r["file"])
+        for r in stats.select("file").collect()
+    }
+    assert covered == files
+
+
+def test_manifest_snapshot_read_ignores_unrefreshed_append(spark, tmp_path):
+    """Iceberg-style snapshot semantics: files appended WITHOUT any
+    refresh are invisible to manifest-validated reads — the read serves
+    the committed snapshot instead of failing on every uncoordinated
+    writer (the documented trade vs live-listing validation)."""
+    lake = str(tmp_path / "lake")
+    spark.range(0, 1000).withColumn(
+        "k", (F.col("id") % 7).cast("long")
+    ).repartition(2).write.parquet(lake)
+    maintenance.write_zone_map(spark, lake, ["k"])
+    maintenance.write_file_manifest(spark, lake)
+    spark.range(1000, 1500).withColumn(
+        "k", (F.col("id") % 7).cast("long")
+    ).write.mode("append").parquet(lake)
+    stats = maintenance.zone_map(spark, lake, ["k"])  # no raise
+    assert stats.count() == 2  # the committed snapshot, not the append
+
+
+def test_keep_covered_rows_plan_constant_in_file_count(spark):
+    """The refresh kept-file filter must not grow the PLAN with the
+    file count: 512 covered files ride ONE broadcast semi-join relation
+    — an In literal spells all 512 paths into the plan (and at millions
+    of files blows up plan construction / driver memory, ADVICE r12)."""
+    files = [f"/lake/part-{i:05d}.parquet" for i in range(512)]
+    sidecar = spark.range(512).selectExpr(
+        "concat('/lake/part-', lpad(cast(id as string), 5, '0'), "
+        "'.parquet') as file",
+        "id as n_rows",
+    )
+    kept = maintenance._keep_covered_rows(spark, sidecar, set(files[:400]))
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "part-00399" not in plan  # no per-file literal in the plan
+    isin_plan = (
+        sidecar.filter(F.col("file").isin(files[:400]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(plan) < len(isin_plan)  # the literal spelling DOES grow
+    assert kept.count() == 400
+    # empty current set: nothing survives, still no literal
+    assert maintenance._keep_covered_rows(spark, sidecar, set()).count() == 0
+
+
+def test_refresh_zone_map_many_files_equals_rebuild(spark, tmp_path):
+    """refresh == rebuild at a many-file layout (the semi-join kept-file
+    spelling changes the PLAN, never the sidecar content)."""
+    lake = str(tmp_path / "lake")
+    spark.range(0, 51_200).withColumn(
+        "k", (F.col("id") % 211).cast("long")
+    ).repartition(512).write.parquet(lake)
+    maintenance.write_zone_map(spark, lake, ["k"])
+    spark.range(51_200, 52_000).withColumn(
+        "k", (F.col("id") % 211).cast("long")
+    ).repartition(3).write.mode("append").parquet(lake)
+    rep = maintenance.refresh_zone_map(spark, lake, ["k"])
+    assert rep["n_added"] == 3 and rep["n_removed"] == 0
+    refreshed = sorted(
+        map(tuple, spark.read.parquet(lake + "/_zone_map").collect())
+    )
+    maintenance.write_zone_map(spark, lake, ["k"])  # full rebuild
+    rebuilt = sorted(
+        map(tuple, spark.read.parquet(lake + "/_zone_map").collect())
+    )
+    assert refreshed == rebuilt and len(rebuilt) == 515
+
+
+def test_residual_key_filter_join_path_matches_isin(spark, tmp_path):
+    """Past isin_threshold the residual rides a broadcast LEFT SEMI join
+    — identical rows to the literal spelling, plan O(1) in the key
+    count (the ADVICE r12 medium: a million-key Column.isin converts
+    every key through py4j and bloats the plan)."""
+    lake = str(tmp_path / "lake")
+    spark.range(0, 5000).withColumn(
+        "k", (F.col("id") % 997).cast("long")
+    ).repartition(4).write.parquet(lake)
+    maintenance.write_bloom_sidecar(spark, lake, "k", 3, 1 << 16)
+    keys = spark.range(0, 300).select(F.col("id").alias("k"))
+    via_isin, _ = maintenance.bloom_pruned_read(
+        spark, lake, "k", keys, 3, 1 << 16, isin_threshold=4096
+    )
+    via_join, _ = maintenance.bloom_pruned_read(
+        spark, lake, "k", keys, 3, 1 << 16, isin_threshold=0
+    )
+    assert sorted(map(tuple, via_isin.collect())) == sorted(
+        map(tuple, via_join.collect())
+    )
+    plan = via_join._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and " IN " not in plan
+    # pruned_semi_read shares the same split
+    s_isin, _ = maintenance.pruned_semi_read(spark, lake, "k", keys)
+    s_join, _ = maintenance.pruned_semi_read(
+        spark, lake, "k", keys, isin_threshold=0
+    )
+    assert sorted(map(tuple, s_isin.collect())) == sorted(
+        map(tuple, s_join.collect())
+    )

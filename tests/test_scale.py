@@ -325,3 +325,61 @@ def test_cap_threshold_screen_bounds_window_input(spark):
         ).collect()
     )
     assert t == e and len(e) == cap
+
+
+def test_write_bucketed_overwrite_is_reactive(spark, tmp_path):
+    """Overwrite semantics after the ADVICE r12 fix: a cataloged table
+    is replaced by saveAsTable itself (no pre-emptive DROP), an ORPHANED
+    managed location (in-memory catalog forgot the table, warehouse dir
+    survived) is recovered reactively on LOCATION_ALREADY_EXISTS, and
+    nothing is deleted before a write failure actually occurred."""
+    import os
+
+    from pdtable_spark.operators.bucketing import write_bucketed
+
+    df = spark.range(100).selectExpr("id", "id % 7 as k")
+    try:
+        write_bucketed(df, "b_reactive", "k", num_buckets=2)
+        assert spark.table("b_reactive").count() == 100
+        # plain overwrite of a LIVE cataloged table — no DROP involved
+        write_bucketed(df.limit(50), "b_reactive", "k", num_buckets=2)
+        assert spark.table("b_reactive").count() == 50
+        # simulate the orphan: forget the table but leave its location
+        loc = spark.catalog.getDatabase(
+            spark.catalog.currentDatabase()
+        ).locationUri.replace("file:", "")
+        spark.sql("DROP TABLE b_reactive")  # deletes the managed dir too
+        orphan = os.path.join(loc, "b_reactive")
+        os.makedirs(orphan, exist_ok=True)
+        with open(os.path.join(orphan, "stale"), "w") as fh:
+            fh.write("leftover")
+        write_bucketed(df, "b_reactive", "k", num_buckets=2)
+        assert spark.table("b_reactive").count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_reactive")
+
+
+def test_write_bucketed_view_conflicts_follow_spark_semantics(spark):
+    """With the reactive ADVICE r12 fix there is no pre-emptive DROP, so
+    name conflicts follow Spark's OWN saveAsTable semantics: mode
+    "error" raises loudly and the existing VIEW survives untouched;
+    mode "overwrite" replaces the object exactly as a plain
+    saveAsTable would (native behavior, not a side effect of ours)."""
+    import pytest
+
+    from pdtable_spark.operators.bucketing import write_bucketed
+
+    spark.sql("CREATE OR REPLACE VIEW b_view_guard AS SELECT 1 AS k")
+    try:
+        with pytest.raises(Exception, match="b_view_guard"):
+            write_bucketed(
+                spark.range(10).selectExpr("id", "id % 3 as k"),
+                "b_view_guard",
+                "k",
+                num_buckets=2,
+                mode="error",
+            )
+        # the view survived the refused write
+        assert spark.table("b_view_guard").count() == 1
+    finally:
+        spark.sql("DROP VIEW IF EXISTS b_view_guard")
