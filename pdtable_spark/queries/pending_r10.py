@@ -33,6 +33,7 @@ from pdtable_spark.queries.suite import (
     _sql_cos,
     _sql_dist2,
     load,
+    scratch_dir,
 )
 
 #: name → (query fn, oracle sql): what round 10 registers.
@@ -434,13 +435,12 @@ def r10_stream_heavy_hitters(spark, sf_dir):
     accumulating truncated-count state.  Exact integer arithmetic
     end-to-end — the est_lo/est_hi bounds carry the FULL value oracle,
     no tolerance pin."""
-    import tempfile
 
     from pdtable_spark.io.jsonl import read_jsonl_stream
     from pdtable_spark.operators.text import tokens
     from pdtable_spark.streaming.monitor import heavy_hitter_stream
 
-    d = tempfile.mkdtemp(prefix="pdtable_hh_")
+    d = scratch_dir("hh")
     land, led, out = f"{d}/land", f"{d}/ledger", f"{d}/out"
     docs = load(spark, sf_dir, "documents")
     for wave_mod in (3, 4):

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pdtable_spark.queries.suite import load
+from pdtable_spark.queries.suite import load, scratch_dir
 
 #: name → (query fn, oracle sql): what round 11 registers.
 PENDING_R11 = {}
@@ -619,11 +619,10 @@ def r11_stream_gram_ledger(spark, sf_dir):
     across the 1e-6 quantization boundary and break the bit-exact
     oracle; parquet preserves the bytes.  Full value oracle, no
     tolerance pin."""
-    import tempfile
 
     from pdtable_spark.streaming.monitor import moment_ledger_stream
 
-    d = tempfile.mkdtemp(prefix="pdtable_gramled_")
+    d = scratch_dir("gramled")
     land, led, out = f"{d}/land", f"{d}/ledger", f"{d}/out"
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     for wave_mod in (3, 4):
@@ -845,11 +844,10 @@ def r11_stream_upsert_changelog(spark, sf_dir):
     idempotency are all value-gated.  The table versions land as
     integer cents (exact), and the final version is separately pinned
     by the pytest retry/merge suite."""
-    import tempfile
 
     from pdtable_spark.streaming.ingest import upsert_stream
 
-    d = tempfile.mkdtemp(prefix="pdtable_upsert_")
+    d = scratch_dir("upsert")
     land, tdir, cdir = f"{d}/land", f"{d}/table", f"{d}/log"
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey"),

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pdtable_spark.queries.pending_r11 import _ZBITS, _sql_interleave2
-from pdtable_spark.queries.suite import _IVF_CELLS, _sql_dist2, load
+from pdtable_spark.queries.suite import _IVF_CELLS, _sql_dist2, load, scratch_dir
 
 #: name → (query fn, oracle sql): what round 12 registers.
 PENDING_R12 = {}
@@ -122,7 +122,6 @@ def r12_lake_pruned_read(spark, sf_dir):
     a scan that opens ONLY intersecting files — the 100 TB story where
     a selective predicate touches a handful of files, not the lake.
     """
-    import tempfile
 
     from pdtable_spark.io import maintenance as mnt
 
@@ -144,7 +143,7 @@ def r12_lake_pruned_read(spark, sf_dir):
         _ZBITS,
     )
     keyed = o.withColumn("z_file", F.shiftright(z, _ZBITS))
-    d = tempfile.mkdtemp(prefix="pdtable_lakeread_")
+    d = scratch_dir("lakeread")
     (
         keyed.repartition(1 << _ZBITS, "z_file")
         .write.mode("overwrite")
@@ -563,7 +562,6 @@ def r12_stream_ivf_staleness(spark, sf_dir):
     stream has not reached yet still report (n_now = 0, NULL ratios,
     no alarm) — the full-outer contract.  Full value oracle, no
     tolerance pin."""
-    import tempfile
 
     from pdtable_spark.operators.similarity import ivf_cell_ledger
     from pdtable_spark.streaming.monitor import cell_ledger_stream
@@ -576,7 +574,7 @@ def r12_stream_ivf_staleness(spark, sf_dir):
         .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
         .collect()
     ]
-    d = tempfile.mkdtemp(prefix="pdtable_cellled_")
+    d = scratch_dir("cellled")
     land, led, out = f"{d}/land", f"{d}/ledger", f"{d}/out"
     train_led = ivf_cell_ledger(emb.filter(F.col("vec_id") % 3 != 0), cents)
     train_led.write.parquet(f"{d}/train")
@@ -764,11 +762,10 @@ def r12_stream_sample_ledger(spark, sf_dir):
     bounded groups×k state.  The oracle recomputes each batch's sample
     as the k smallest (md5_60(id), id) per source over the distinct ids
     ingested so far — value-for-value including the priorities."""
-    import tempfile
 
     from pdtable_spark.streaming.monitor import sample_ledger_stream
 
-    d = tempfile.mkdtemp(prefix="pdtable_sampled_")
+    d = scratch_dir("sampled")
     land, led, out = f"{d}/land", f"{d}/ledger", f"{d}/out"
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     for wave_mod in (3, 4):
@@ -954,7 +951,6 @@ def r12_lake_pruned_semi_read(spark, sf_dir):
     one file-count-bounded stats pass, a driver-side bisect over ≤
     |dim| keys, then a scan of ONLY matching files into a broadcast
     semi join — the DPP story without a transactional table format."""
-    import tempfile
 
     from pdtable_spark.io import maintenance as mnt
 
@@ -969,7 +965,7 @@ def r12_lake_pruned_semi_read(spark, sf_dir):
     keyed = o.withColumn(
         "k_file", mnt.int_bucket(F.col("ck"), lo1, hi1, _ZBITS)
     )
-    d = tempfile.mkdtemp(prefix="pdtable_lakesemi_")
+    d = scratch_dir("lakesemi")
     (
         keyed.repartition(1 << _ZBITS, "k_file")
         .write.mode("overwrite")
@@ -1103,7 +1099,6 @@ def r12_lake_bloom_pruned_read(spark, sf_dir):
     probing costs a broadcast join against a KB key set; the data scan
     opens only hit files.  The unclusterable-key complement of
     ``lake_pruned_semi_read``."""
-    import tempfile
 
     from pdtable_spark.io import maintenance as mnt
 
@@ -1121,7 +1116,7 @@ def r12_lake_bloom_pruned_read(spark, sf_dir):
     keyed = o.withColumn(
         "b_file", mnt.int_bucket(F.col("okey"), lo_k, hi_k, _ZBITS)
     )
-    d = tempfile.mkdtemp(prefix="pdtable_lakebloom_")
+    d = scratch_dir("lakebloom")
     (
         keyed.repartition(1 << _ZBITS, "b_file")
         .write.mode("overwrite")

@@ -36,6 +36,7 @@ from pdtable_spark.queries.suite import (
     _sql_dist2,
     _sql_gopher_ok,
     load,
+    scratch_dir,
 )
 
 #: name → (query fn, oracle sql): what round 13 registers.
@@ -347,7 +348,6 @@ def r13_lake_zone_refresh_read(spark, sf_dir):
     files-total/read/skipped accounting.  A refresh that produced wrong
     stats for any file moves n_files_read or the residual aggregate and
     fails the hash."""
-    import tempfile
 
     from pdtable_spark.io import maintenance as mnt
 
@@ -370,7 +370,7 @@ def r13_lake_zone_refresh_read(spark, sf_dir):
         _ZBITS,
     )
     keyed = o.withColumn("z_file", F.shiftright(z, _ZBITS))
-    d = tempfile.mkdtemp(prefix="pdtable_lakezref_")
+    d = scratch_dir("lakezref")
     for phase, mode in ((0, "overwrite"), (1, "append")):
         (
             keyed.filter(F.col("phase") == phase)
@@ -492,7 +492,6 @@ def r13_lake_bloom_refresh_read(spark, sf_dir):
     modeled, not idealized), the file accounting, and the residual
     aggregate.  A refresh that merged wrong positions or missed a file
     moves n_files_read or the answer and fails the hash."""
-    import tempfile
 
     from pdtable_spark.io import maintenance as mnt
 
@@ -511,7 +510,7 @@ def r13_lake_bloom_refresh_read(spark, sf_dir):
     keyed = o.withColumn(
         "b_file", mnt.int_bucket(F.col("okey"), lo_k, hi_k, _ZBITS)
     )
-    d = tempfile.mkdtemp(prefix="pdtable_lakebref_")
+    d = scratch_dir("lakebref")
     for phase, mode in ((0, "overwrite"), (1, "append")):
         (
             keyed.filter(F.col("phase") == phase)
@@ -603,7 +602,6 @@ def r13_stream_upsert_vacuum(spark, sf_dir):
     version 0 (n_versions_removed travels in every oracled row) and the
     latest-version read must be the full three-wave last-writer-wins
     merge, stated by the oracle as pure CASE arithmetic over orders."""
-    import tempfile
 
     from pdtable_spark.streaming.ingest import (
         read_table_version,
@@ -611,7 +609,7 @@ def r13_stream_upsert_vacuum(spark, sf_dir):
         vacuum_versions,
     )
 
-    d = tempfile.mkdtemp(prefix="pdtable_vac_")
+    d = scratch_dir("vac")
     land, tdir, cdir = f"{d}/land", f"{d}/table", f"{d}/log"
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey"),
@@ -812,7 +810,6 @@ def r13_lake_compact_refresh_read(spark, sf_dir):
     refresh that kept a vanished row or missed a coarse file moves the
     accounting or the residual aggregate and fails the hash."""
     import shutil
-    import tempfile
 
     from pdtable_spark.io import maintenance as mnt
 
@@ -834,7 +831,7 @@ def r13_lake_compact_refresh_read(spark, sf_dir):
         _ZBITS,
     )
     fine = o.withColumn("z_file", F.shiftright(z, _ZBITS))
-    d = tempfile.mkdtemp(prefix="pdtable_lakecompact_")
+    d = scratch_dir("lakecompact")
     (
         fine.repartition(1 << _ZBITS, "z_file")
         .write.mode("overwrite")
@@ -923,12 +920,11 @@ def r13_pipeline_shard_export(spark, sf_dir):
     one read-back aggregate for the manifest; balance is binomial
     (±√(n/shards)) — the documented trade against the range writer's
     near-exact split when reproducible membership matters more."""
-    import tempfile
 
     from pdtable_spark.io.maintenance import write_training_shards
     from pdtable_spark.operators import text
 
-    d = tempfile.mkdtemp(prefix="pdtable_shards_")
+    d = scratch_dir("shards")
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
@@ -1056,12 +1052,11 @@ def r13_stream_shard_ledger(spark, sf_dir):
     export's manifest, both stated by the oracle as pure md5 arithmetic
     (the novelty/quantile/heavy-hitter/moment/cell/sample ledger
     discipline, seventh of the septet)."""
-    import tempfile
 
     from pdtable_spark.operators import text
     from pdtable_spark.streaming.monitor import shard_ledger_stream
 
-    d = tempfile.mkdtemp(prefix="pdtable_shardled_")
+    d = scratch_dir("shardled")
     land, led = f"{d}/land", f"{d}/ledger"
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",

@@ -32,6 +32,7 @@ from pdtable_spark.queries.suite import (
     _sql_cos,
     _sql_dist2,
     load,
+    scratch_dir,
 )
 
 #: name → (query fn, oracle sql): what round 9 registers.
@@ -257,12 +258,11 @@ def r9_stream_novelty_ledger(spark, sf_dir):
     ``sketch_ok`` pins both estimates within max(2, 2%) of exact
     (lgk=16 — the batch sibling's difference-of-estimates precision
     argument; 0.12% worst measured error at sf1 vs the 2% pin)."""
-    import tempfile
 
     from pdtable_spark.io.jsonl import read_jsonl_stream
     from pdtable_spark.streaming.monitor import novelty_ledger_stream
 
-    d = tempfile.mkdtemp(prefix="pdtable_novelty_")
+    d = scratch_dir("novelty")
     land, led, out = f"{d}/land", f"{d}/ledger", f"{d}/out"
     docs = load(spark, sf_dir, "documents")
     for wave_mod in (3, 4):
@@ -624,12 +624,11 @@ def r9_stream_quantile_ledger(spark, sf_dir):
     source the RUNNING n_chars quantiles land exactly-once against the
     accumulating bin-count ledger.  Counts are exact integers, so every
     estimate carries the full value oracle — no tolerance pin."""
-    import tempfile
 
     from pdtable_spark.io.jsonl import read_jsonl_stream
     from pdtable_spark.streaming.monitor import quantile_ledger_stream
 
-    d = tempfile.mkdtemp(prefix="pdtable_qledger_")
+    d = scratch_dir("qledger")
     land, led, out = f"{d}/land", f"{d}/ledger", f"{d}/out"
     docs = load(spark, sf_dir, "documents")
     for wave_mod in (3, 4):
@@ -786,11 +785,10 @@ def r9_pipeline_forget_audit(spark, sf_dir):
     result — n_forgotten/n_kept per touched source.  Disk-level effects
     (untouched dirs absent from out, fully-erased dirs write nothing)
     are pinned in tests/test_maintenance.py."""
-    import tempfile
 
     from pdtable_spark.io.maintenance import forget_keys
 
-    d = tempfile.mkdtemp(prefix="pdtable_forget_")
+    d = scratch_dir("forget")
     docs = load(spark, sf_dir, "documents")
     docs.write.partitionBy("source").mode("overwrite").parquet(f"{d}/lake")
     # (doc_id%97)%9: ~6%% of docs, decorrelated from the round-robin

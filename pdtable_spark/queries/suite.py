@@ -61,6 +61,34 @@ def q(name: str, oracle: str = None):
     return reg
 
 
+#: Lazily-created root for per-query scratch dirs (see scratch_dir).
+_SCRATCH_ROOT: list = []
+
+
+def scratch_dir(name: str) -> str:
+    """Session-scoped scratch directory for query ``name``, REUSED
+    across invocations: one ``mkdtemp`` root per interpreter (removed
+    at exit via atexit), one subdir per query wiped clean at each call
+    — so repeated bench/oracle-sweep invocations of the lake/ledger/
+    stream queries overwrite their own scratch instead of leaking a
+    fresh mkdtemp of lake data per call (ADVICE r12).  Wiping at entry
+    also guarantees the empty-landing-dir precondition the streaming
+    wave queries rely on."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="pdtable_scratch_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_ROOT.append(root)
+    d = os.path.join(_SCRATCH_ROOT[0], name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS); the ns→µs handling
@@ -2398,11 +2426,10 @@ _STREAM_SEQ = [0]
 
 def _events_stream(spark, sf_dir):
     import shutil
-    import tempfile
 
     from pdtable_spark.streaming import read_events_stream
 
-    d = tempfile.mkdtemp(prefix="pdtable_stream_")
+    d = scratch_dir("stream")
     shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
     return read_events_stream(spark, d)
 
@@ -2600,11 +2627,10 @@ def stream_dedup_q(spark, sf_dir):
     deduped stream must equal the single copy — watermark-bounded state, the
     streaming analog of ``dedup_exact``."""
     import shutil
-    import tempfile
 
     from pdtable_spark.streaming import read_events_stream, run_to_memory, stream_dedup
 
-    d = tempfile.mkdtemp(prefix="pdtable_stream_dup_")
+    d = scratch_dir("stream_dup")
     shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-000.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-001.parquet")
     _STREAM_SEQ[0] += 1
@@ -5669,12 +5695,11 @@ def stream_curate_survivors(spark, sf_dir):
     explicitly (batch-2 survivors = gopher-pass ∧ intra-batch keep-min ∧
     no band collision with batch-1 survivors).  ``hash_fn="md5_60"`` so
     DuckDB rebuilds identical bucket identities."""
-    import tempfile
 
     from pdtable_spark.io.jsonl import read_jsonl_stream
     from pdtable_spark.streaming.curate import curate_stream
 
-    d = tempfile.mkdtemp(prefix="pdtable_curate_")
+    d = scratch_dir("curate")
     land, out = f"{d}/land", f"{d}/out"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     for wave in (0, 1):
@@ -5903,12 +5928,11 @@ def stream_drift_monitor(spark, sf_dir):
     the pinned even-doc_id reference, with the quantized per-batch tvd
     attached and landed exactly-once as a batch_id-partitioned dynamic
     overwrite."""
-    import tempfile
 
     from pdtable_spark.io.jsonl import read_jsonl_stream
     from pdtable_spark.streaming.monitor import drift_monitor_stream
 
-    d = tempfile.mkdtemp(prefix="pdtable_drift_")
+    d = scratch_dir("drift")
     land, out = f"{d}/land", f"{d}/out"
     docs = load(spark, sf_dir, "documents")
     # (doc_id %% 97) decorrelates the split from the fixtures' round-robin

@@ -37,7 +37,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pdtable_spark.queries.suite import _SQL_DRIFT_REPORT, _SQL_SHINGLES, load
+from pdtable_spark.queries.suite import (
+    _SQL_DRIFT_REPORT,
+    _SQL_SHINGLES,
+    load,
+    scratch_dir,
+)
 
 #: BM25 query terms for the staged retrieval query: one rare term
 #: ('dup' — df 25 of 500 docs at sf0.01) and two common ones, so idf
@@ -1193,13 +1198,12 @@ def r8_stream_bloom_screen(spark, sf_dir):
     against the Bloom filter of the src0 eval set (built and persisted
     once), landed exactly-once as a batch_id-partitioned dynamic
     overwrite."""
-    import tempfile
 
     from pdtable_spark.io.jsonl import read_jsonl_stream
     from pdtable_spark.operators.dedup import bloom_build
     from pdtable_spark.streaming.screen import bloom_screen_stream
 
-    d = tempfile.mkdtemp(prefix="pdtable_bloomscreen_")
+    d = scratch_dir("bloomscreen")
     land, out = f"{d}/land", f"{d}/out"
     docs = load(spark, sf_dir, "documents")
     bloom = bloom_build(
