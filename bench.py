@@ -235,6 +235,52 @@ EXTENDED = [
     "dedup_skewed_buckets",
     "pipeline_shard_export",
     "q_bucketed_colocated_join",
+    # round-13 in-round additions (staged r14): the partitioned pack
+    # spelling (one shuffle on the shard key), the manifest-validated
+    # read lifecycles (listing-free certificate reads), and the
+    # snapshot-frame residual semi read (stream_upsert_hotkey excluded
+    # per the streaming policy)
+    "pipeline_pack_partitioned",
+    "lake_manifest_read",
+    "lake_manifest_bloom_read",
+    "lake_semi_snapshot_keys",
+]
+
+#: Tiered capture (VERDICT r12 task #5): the full 100+-row extended map
+#: at ~2 min/capture x 4 closing captures is where the documented ~1.3x
+#: host swing bites (post-sweep contention).  SPARK_GRAFT_BENCH_TIER=core
+#: times only the headline-16 plus the lifecycle/serving rows below —
+#: the rows whose code actually moves round to round — so the closing
+#: bracket costs minutes, not hours.  The default stays "full" (the
+#: driver's per-round artifact keeps every cell; the long tail is
+#: re-priced there and on-touch).
+CORE_EXTENDED = [
+    # serving / incremental steady-state rows
+    "dedup_incremental",
+    "dedup_incremental_verified",
+    "ann_query_served",
+    "ivf_query_served",
+    "pq_query_served",
+    "label_prop_ivf_served",
+    "margin_mining_ivf_served",
+    # lake layout + certificate lifecycles
+    "lake_pruned_read",
+    "lake_pruned_semi_read",
+    "lake_bloom_pruned_read",
+    "lake_zone_refresh_read",
+    "lake_bloom_refresh_read",
+    "lake_compact_refresh_read",
+    "lake_manifest_read",
+    "lake_manifest_bloom_read",
+    "lake_semi_snapshot_keys",
+    "lake_zorder_cells",
+    "lake_hilbert_cells",
+    # composed DAG + skew guard + shard export + co-located join
+    "pipeline_e2e_curation",
+    "dedup_skewed_buckets",
+    "pipeline_shard_export",
+    "q_bucketed_colocated_join",
+    "pipeline_pack_partitioned",
 ]
 
 
@@ -526,11 +572,12 @@ def main():
     for _name, (_fn, _sql) in _PENDING_R12.items():
         BENCH_QUERIES.setdefault(_name, _fn)
 
-    # staged round-13 queries (queries/pending_r13.py) — benched
+    # staged round-14 queries (queries/pending_r14.py) — benched
     # pre-registration so their perf trend starts now, same discipline
-    from pdtable_spark.queries.pending_r13 import PENDING_R13 as _PENDING_R13
+    # (the r13 block is registered now and rides dict(QUERIES))
+    from pdtable_spark.queries.pending_r14 import PENDING_R14 as _PENDING_R14
 
-    for _name, (_fn, _sql) in _PENDING_R13.items():
+    for _name, (_fn, _sql) in _PENDING_R14.items():
         BENCH_QUERIES.setdefault(_name, _fn)
 
     # the suite's containment row runs EXACT mode (no df-cut — the oracle
@@ -546,10 +593,16 @@ def main():
     # steady state (measured: the same tfidf plan goes 6.4 s cold → 0.86 s
     # warm in one session), and compilation threads compete with the 32
     # worker threads — timing a cold run measures the JIT, not the engine.
+    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "full")
+    ext_names = (
+        EXTENDED
+        if tier == "full"
+        else [n for n in EXTENDED if n in set(CORE_EXTENDED)]
+    )
     spark.range(64).repartition(int(cpus)).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
-    for name in HEADLINE + EXTENDED:
+    for name in HEADLINE + ext_names:
         BENCH_QUERIES[name](spark, sf_dir).count()
 
     def time_query(name):
@@ -564,7 +617,7 @@ def main():
         return round(best, 3)
 
     timings = {name: time_query(name) for name in HEADLINE}
-    extended = {name: time_query(name) for name in EXTENDED}
+    extended = {name: time_query(name) for name in ext_names}
     # Second headline pass: one more chance (~10 s) to dodge a transient
     # burst that hit the first pass.  ADVICE r8: min-merging this INTO the
     # series silently turned the r08 headline into min-of-6 while
@@ -589,6 +642,7 @@ def main():
         "headline16_total": total,
         "headline16_total_min6": round(sum(timings_min6.values()), 3),
         "extended_total": round(sum(extended.values()), 3),
+        "tier": tier,
         "ambient": ambient,
         # second probe AFTER the timed region: contention that
         # arrives mid-run is adjudicable from the artifact too

@@ -42,16 +42,16 @@ def _key_rows(cols, rows):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    from pdtable_spark.queries.pending_r11 import PENDING_R11
     from pdtable_spark.queries.pending_r12 import PENDING_R12
     from pdtable_spark.queries.suite import ORACLES, QUERIES
 
-    # default: the newest registered blocks (r11/r12, now in QUERIES)
-    # plus the staged r13 entries — the rows most worth re-sweeping
+    # default: the newest registered blocks (r12/r13, now in QUERIES)
+    # plus the staged r14 entries — the rows most worth re-sweeping
     from pdtable_spark.queries.pending_r13 import PENDING_R13
+    from pdtable_spark.queries.pending_r14 import PENDING_R14
 
     names = sys.argv[2:] or (
-        list(PENDING_R11) + list(PENDING_R12) + list(PENDING_R13)
+        list(PENDING_R12) + list(PENDING_R13) + list(PENDING_R14)
     )
     parts = os.environ.get("CHECK_ORACLES_PARTS", "8")
     spark = (
@@ -76,14 +76,14 @@ def main():
     for name in names:
         if name in QUERIES:
             fn, sql = QUERIES[name], ORACLES[name]
+        elif name in PENDING_R14:
+            fn, sql = PENDING_R14[name]
         elif name in PENDING_R13:
             fn, sql = PENDING_R13[name]
-        elif name in PENDING_R12:
-            fn, sql = PENDING_R12[name]
         else:
             sys.exit(
                 f"unknown query {name!r}: not registered and not staged "
-                "in pending_r12/pending_r13"
+                "in pending_r13/pending_r14"
             )
         t0 = time.time()
         sdf = fn(spark, sf_dir)

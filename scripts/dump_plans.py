@@ -171,6 +171,12 @@ def main():
         "dedup_skewed_buckets",
         "pipeline_shard_export",
         "q_bucketed_colocated_join",
+        # round-14 staged queries (queries/pending_r14.py;
+        # stream_upsert_hotkey excluded per the streaming policy)
+        "pipeline_pack_partitioned",
+        "lake_manifest_read",
+        "lake_manifest_bloom_read",
+        "lake_semi_snapshot_keys",
     ]
 
     out = [
@@ -183,12 +189,10 @@ def main():
         "|---|---|---|---|---|---|",
     ]
     from pdtable_spark.plans import plan_lint
-    from pdtable_spark.queries.pending_r12 import PENDING_R12
-    from pdtable_spark.queries.pending_r13 import PENDING_R13
+    from pdtable_spark.queries.pending_r14 import PENDING_R14
 
     resolved = dict(QUERIES)
-    resolved.update({n: fn for n, (fn, _sql) in PENDING_R12.items()})
-    resolved.update({n: fn for n, (fn, _sql) in PENDING_R13.items()})
+    resolved.update({n: fn for n, (fn, _sql) in PENDING_R14.items()})
 
     details = []
     lint_errors = []

@@ -264,6 +264,27 @@ def test_pending_r13_oracles(spark):
     _oracle_pair_gate(spark, con, PENDING_R13)
 
 
+def test_pending_r14_oracles(spark):
+    """The staged round-14 queries are under the correctness gate BEFORE
+    registration (the suite_r8…pending_r13 staging discipline): each
+    (spark, oracle) pair runs side-by-side at sf0.001 in pytest, so
+    staged queries cannot rot between rounds."""
+    import duckdb
+
+    from pdtable_spark.queries.pending_r14 import PENDING_R14
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    _oracle_pair_gate(spark, con, PENDING_R14)
+
+
 def _oracle_pair_gate(spark, con, entries):
     from scripts.check_oracles import oracle_dtype_problems, spark_dtype_problems
 
