@@ -73,16 +73,22 @@ def _upsert_batch(
     if seq_col:
         # last-writer-wins WITHIN the batch, deterministically: highest
         # seq, ties to the lexicographically-greatest compared values
-        # (a total order, so a retried batch picks the same winner)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*keys).orderBy(
-            F.desc(seq_col), *[F.desc(c) for c in comps]
-        )
+        # (a total order, so a retried batch picks the same winner).
+        # Spelled as max(struct(seq, comps...)) — lexicographic struct
+        # max IS that winner — rather than a row_number window: the
+        # aggregate partial-combines map-side, so a HOT merge key (many
+        # updates to one key per batch) shrinks before the shuffle
+        # instead of concentrating every duplicate into one window task
+        # (sf1 hot-key load evidence in BENCH_SCALE.md; AQE cannot split
+        # a window partition, but it never needs to split an aggregate)
         b = (
-            b.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(*cols)
+            b.groupBy(*keys)
+            .agg(
+                F.max(
+                    F.struct(F.col(seq_col), *[F.col(c) for c in comps])
+                ).alias("__w")
+            )
+            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in comps])
         )
     else:
         # without a sequence column the batch must already be key-unique
