@@ -5,12 +5,12 @@ discipline), registered under ``@q`` at the top of round 14.
 Round-14 window arithmetic (write it into ``__spark_entry__._PRIORITY``
 at registration time): after CORRECTNESS_r13 reports the r13 head-50,
 the evidence ages are r13: 50, r9: 26, r10: 50, r11: 50, r12: 50 — so
-the round-14 head-50 is the FIVE entries in this file + the 26
-remaining r9-evidence rows (CORRECTNESS_r09 report order) + the 19
+the round-14 head-50 is the SIX entries in this file + the 26
+remaining r9-evidence rows (CORRECTNESS_r09 report order) + the 18
 oldest r10-evidence rows (CORRECTNESS_r10 report order) = 50 exactly;
-mechanically, new ``_PRIORITY`` = [5 new] + current ``_PRIORITY[50:]``
+mechanically, new ``_PRIORITY`` = [6 new] + current ``_PRIORITY[50:]``
 + current ``_PRIORITY[:50]`` (the r13-window rows rotate to the tail),
-total 231.
+total 232.
 
 Every entry here is ALREADY under the correctness gate:
 ``tests/test_env_contract.py::test_pending_r14_oracles`` runs each
@@ -631,4 +631,94 @@ def r14_stream_upsert_hotkey(spark, sf_dir):
 PENDING_R14["stream_upsert_hotkey"] = (
     r14_stream_upsert_hotkey,
     R14_SQL_UPSERT_HOTKEY,
+)
+
+
+# ---------------------------------------------------------------------------
+# The manifest WRITE-path diff under the value gate: generation 0 over
+# the initial layout, then a dynamic partition overwrite replaces ONE
+# bucket's file — the next manifest write must report exactly (1 added,
+# 1 removed) at generation 1 with the total unchanged, and the lake
+# aggregate reflects the rewritten bucket.  Covers the removal arm the
+# append-only lifecycles never exercise.
+# ---------------------------------------------------------------------------
+
+R14_SQL_MANIFEST_DIFF = """
+    WITH c AS (
+      SELECT c_custkey AS k, c_custkey % 8 AS bucket,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    after AS (
+      SELECT * FROM c WHERE bucket <> 3 OR k % 3 = 0
+    )
+    SELECT CAST(0 AS BIGINT) AS gen_0,
+           CAST(8 AS BIGINT) AS n_files_0,
+           CAST(1 AS BIGINT) AS gen_1,
+           CAST(1 AS BIGINT) AS n_added_1,
+           CAST(1 AS BIGINT) AS n_removed_1,
+           CAST(8 AS BIGINT) AS n_files_1,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM after
+"""
+
+
+def r14_lake_manifest_diff(spark, sf_dir):
+    """The manifest write path's diff accounting under the value gate:
+    customers land one file per ``c_custkey % 8`` bucket (8 files —
+    the deterministic repartition-then-partitionBy layout), manifest
+    generation 0 commits; a DYNAMIC partition overwrite then replaces
+    only bucket 3 (its k%3==0 keys survive — one new file, the old one
+    gone), and the next ``write_file_manifest`` must report exactly
+    (1 added, 1 removed) at generation 1 with 8 files total.  The
+    post-rewrite lake aggregate ties the file bookkeeping to the data:
+    a manifest that kept the stale file or missed the new one cannot
+    produce these counts AND this sum."""
+
+    from pdtable_spark.io import maintenance as mnt
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") % 8).alias("bucket"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    d = scratch_dir("lakemdiff")
+    (
+        c.repartition(8, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(d)
+    )
+    m0 = mnt.write_file_manifest(spark, d)
+    (
+        c.filter((F.col("bucket") == 3) & (F.col("k") % 3 == 0))
+        .repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(d)
+    )
+    m1 = mnt.write_file_manifest(spark, d)
+    lake = spark.read.parquet(d)
+    return lake.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).select(
+        F.lit(m0["generation"]).cast("long").alias("gen_0"),
+        F.lit(m0["n_files"]).cast("long").alias("n_files_0"),
+        F.lit(m1["generation"]).cast("long").alias("gen_1"),
+        F.lit(m1["n_added"]).cast("long").alias("n_added_1"),
+        F.lit(m1["n_removed"]).cast("long").alias("n_removed_1"),
+        F.lit(m1["n_files"]).cast("long").alias("n_files_1"),
+        "n_rows",
+        "sum_cents",
+    )
+
+
+PENDING_R14["lake_manifest_diff"] = (
+    r14_lake_manifest_diff,
+    R14_SQL_MANIFEST_DIFF,
 )

@@ -177,6 +177,7 @@ def main():
         "lake_manifest_read",
         "lake_manifest_bloom_read",
         "lake_semi_snapshot_keys",
+        "lake_manifest_diff",
     ]
 
     out = [
