@@ -245,6 +245,7 @@ EXTENDED = [
     "lake_manifest_bloom_read",
     "lake_semi_snapshot_keys",
     "lake_manifest_diff",
+    "pipeline_curriculum",
 ]
 
 #: Tiered capture (VERDICT r12 task #5): the full 100+-row extended map
@@ -275,6 +276,7 @@ CORE_EXTENDED = [
     "lake_manifest_bloom_read",
     "lake_semi_snapshot_keys",
     "lake_manifest_diff",
+    "pipeline_curriculum",
     "lake_zorder_cells",
     "lake_hilbert_cells",
     # composed DAG + skew guard + shard export + co-located join

@@ -993,3 +993,75 @@ def merge_sample_ledgers(
     group = [by] if by is not None else []
     cand = _dedup_deterministic(a.unionByName(b), group, id_col)
     return _sample_topk(cand, k, id_col, by)
+
+
+def curriculum_phases(
+    df: DataFrame,
+    score_col: str,
+    n_phases: int = 4,
+) -> DataFrame:
+    """Curriculum-learning phase assignment: split the corpus into
+    ``n_phases`` difficulty tiers by exact interpolated percentiles of
+    ``score_col`` (easy -> hard as the score grows — classic
+    length/perplexity curricula; Bengio et al. 2009), WITHOUT a global
+    sort: row ``phase`` (0-based) = how many of the ``n_phases - 1``
+    quantile thresholds the score strictly exceeds.
+
+    Scale posture: ONE map-side-combinable percentile aggregate over
+    the corpus (a single result row, collected — the bounded-artifact
+    pattern the lake queries use), then a scan-local comparison against
+    the broadcast threshold literals.  No window, no shuffle of the
+    data itself, no NTILE (a global NTILE is exactly the
+    every-row-through-one-task shape this avoids).  Phase populations
+    are near-equal rather than exactly equal — ties on a threshold all
+    land in the same phase, which is what a curriculum wants (equal
+    difficulty never splits across phases).
+
+    Thresholds are exact interpolated percentiles (``percentile``, the
+    DuckDB ``quantile_cont`` formula), so the assignment is engine-
+    reproducible and value-oracle-able.
+    """
+    if n_phases < 2:
+        raise ValueError(f"curriculum_phases: n_phases must be >= 2, got {n_phases}")
+    qs = ", ".join(f"{i}D / {n_phases}D" for i in range(1, n_phases))
+    row = df.agg(
+        F.expr(f"percentile({score_col}, array({qs}))").alias("t")
+    ).collect()[0]
+    if row["t"] is None or any(t is None for t in row["t"]):
+        raise ValueError(
+            f"curriculum_phases: {score_col!r} has no non-NULL values — "
+            "cannot place thresholds"
+        )
+    thresholds = list(row["t"])
+    phase = None
+    for t in thresholds:
+        step = (F.col(score_col) > F.lit(float(t))).cast("int")
+        phase = step if phase is None else phase + step
+    return df.withColumn("phase", phase.cast("long"))
+
+
+def curriculum_schedule(
+    df: DataFrame,
+    score_col: str,
+    n_phases: int = 4,
+    token_col: Optional[str] = None,
+) -> DataFrame:
+    """The per-phase training schedule for :func:`curriculum_phases`:
+    one row per phase with (n_docs, n_tokens, min/max score) — the
+    bounded artifact a trainer consumes to size each curriculum stage
+    before any data moves.  ``token_col`` defaults to the score column
+    (the length-curriculum case, where the difficulty proxy IS the
+    token count).  One percentile aggregate + one phase-domain
+    aggregate; nothing row-sized leaves the executors."""
+    tok = F.col(token_col if token_col is not None else score_col).cast("long")
+    return (
+        curriculum_phases(df, score_col, n_phases)
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(tok).alias("n_tokens"),
+            F.min(F.col(score_col)).cast("long").alias("min_score"),
+            F.max(F.col(score_col)).cast("long").alias("max_score"),
+        )
+        .orderBy("phase")
+    )

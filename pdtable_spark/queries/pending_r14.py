@@ -5,12 +5,12 @@ discipline), registered under ``@q`` at the top of round 14.
 Round-14 window arithmetic (write it into ``__spark_entry__._PRIORITY``
 at registration time): after CORRECTNESS_r13 reports the r13 head-50,
 the evidence ages are r13: 50, r9: 26, r10: 50, r11: 50, r12: 50 — so
-the round-14 head-50 is the SIX entries in this file + the 26
-remaining r9-evidence rows (CORRECTNESS_r09 report order) + the 18
+the round-14 head-50 is the SEVEN entries in this file + the 26
+remaining r9-evidence rows (CORRECTNESS_r09 report order) + the 17
 oldest r10-evidence rows (CORRECTNESS_r10 report order) = 50 exactly;
-mechanically, new ``_PRIORITY`` = [6 new] + current ``_PRIORITY[50:]``
+mechanically, new ``_PRIORITY`` = [7 new] + current ``_PRIORITY[50:]``
 + current ``_PRIORITY[:50]`` (the r13-window rows rotate to the tail),
-total 232.
+total 233.
 
 Every entry here is ALREADY under the correctness gate:
 ``tests/test_env_contract.py::test_pending_r14_oracles`` runs each
@@ -721,4 +721,64 @@ def r14_lake_manifest_diff(spark, sf_dir):
 PENDING_R14["lake_manifest_diff"] = (
     r14_lake_manifest_diff,
     R14_SQL_MANIFEST_DIFF,
+)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum-learning data ordering under the value gate: phase = how
+# many exact interpolated quantile thresholds of the difficulty score
+# the row strictly exceeds — NO global NTILE/sort (the every-row-
+# through-one-task shape), one percentile aggregate + a scan-local
+# comparison.  The oracle restates thresholds with quantile_cont (the
+# identical interpolation formula, parity proven since
+# q_quantity_percentiles) and the same strict comparison.
+# ---------------------------------------------------------------------------
+
+R14_SQL_CURRICULUM = f"""
+    WITH s AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS score
+      FROM documents
+    ),
+    t AS (
+      SELECT quantile_cont(score, 0.25) AS q1,
+             quantile_cont(score, 0.50) AS q2,
+             quantile_cont(score, 0.75) AS q3
+      FROM s
+    ),
+    p AS (
+      SELECT doc_id, score,
+             CAST(score > q1 AS INT) + CAST(score > q2 AS INT)
+               + CAST(score > q3 AS INT) AS phase
+      FROM s CROSS JOIN t
+    )
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score) AS BIGINT) AS n_tokens,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM p GROUP BY phase ORDER BY phase
+"""
+
+
+def r14_pipeline_curriculum(spark, sf_dir):
+    """The length-curriculum schedule under the value gate: documents
+    tier into four difficulty phases by whitespace token count
+    (``curriculum_phases`` — exact interpolated quantile thresholds,
+    strict-exceed counting, no global sort), and
+    ``curriculum_schedule`` reduces each phase to the (n_docs,
+    n_tokens, score range) row a trainer sizes its stages from.  A
+    threshold computed wrong, a boundary row phased differently, or a
+    leaked comparison all move a phase population and fail the hash."""
+    from pdtable_spark.operators.sampling import curriculum_schedule
+    from pdtable_spark.operators.text import token_count
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("score")
+    )
+    return curriculum_schedule(d, "score", n_phases=4)
+
+
+PENDING_R14["pipeline_curriculum"] = (
+    r14_pipeline_curriculum,
+    R14_SQL_CURRICULUM,
 )

@@ -178,6 +178,7 @@ def main():
         "lake_manifest_bloom_read",
         "lake_semi_snapshot_keys",
         "lake_manifest_diff",
+        "pipeline_curriculum",
     ]
 
     out = [

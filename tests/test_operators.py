@@ -5243,3 +5243,37 @@ def test_review_fixes_round11(spark, tmp_path):
     assert m1 == m2  # commutative even under the conflict
     lang5 = [r for r in m1 if r[0] == 5][0][1]
     assert lang5 == "de"  # lowest-sorting payload wins, every time
+
+
+def test_curriculum_phases_thresholds_and_ties(spark):
+    """Phase = strict-exceed count over exact interpolated quantile
+    thresholds: ties on a threshold stay in the SAME phase (a
+    curriculum never splits equal difficulty), populations are
+    near-equal, and no global sort/NTILE is involved."""
+    import pytest
+
+    from pdtable_spark.operators.sampling import (
+        curriculum_phases,
+        curriculum_schedule,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([10, 10, 10, 10, 20, 20, 30, 40])],
+        ["doc_id", "score"],
+    )
+    # thresholds at p25/p50/p75 of [10x4, 20x2, 30, 40] = 10, 15, 22.5;
+    # the four ties at 10 all stay in phase 0, both 20s exceed q1 and q2
+    # -> phase 2, and phase 1 is EMPTY (no score lands in (10, 15]) —
+    # heavy ties may leave a phase unpopulated rather than split a tie
+    got = {r["doc_id"]: r["phase"] for r in curriculum_phases(df, "score").collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 2, 5: 2, 6: 3, 7: 3}
+    sched = curriculum_schedule(df, "score", n_phases=4).collect()
+    assert [(r["phase"], r["n_docs"], r["n_tokens"]) for r in sched] == [
+        (0, 4, 40), (2, 2, 40), (3, 2, 70),
+    ]
+    assert sched[0]["min_score"] == 10 and sched[-1]["max_score"] == 40
+    with pytest.raises(ValueError, match="n_phases"):
+        curriculum_phases(df, "score", n_phases=1)
+    allnull = spark.createDataFrame([(1, None)], "doc_id long, score double")
+    with pytest.raises(ValueError, match="non-NULL"):
+        curriculum_phases(allnull, "score")
