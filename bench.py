@@ -598,6 +598,10 @@ def main():
     # warm in one session), and compilation threads compete with the 32
     # worker threads — timing a cold run measures the JIT, not the engine.
     tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "full")
+    if tier not in ("full", "core"):
+        # fail LOUD on a typo: a silent fallback would drop ~80 priced
+        # rows from the round's driver-comparable full map
+        sys.exit(f"SPARK_GRAFT_BENCH_TIER must be 'full' or 'core', got {tier!r}")
     ext_names = (
         EXTENDED
         if tier == "full"

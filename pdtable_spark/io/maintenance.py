@@ -459,20 +459,25 @@ def _snapshot_frame(spark: SparkSession, values, name: str, dtype) -> DataFrame:
     entries plan construction and driver memory blow up (ADVICE r12).
     The snapshot property itself is preserved: the values are frozen at
     call time, exactly like the literal spelling."""
-    import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType([StructField(name, dtype, True)])
     if not values:
         return spark.createDataFrame([], schema)
-    prev = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     try:
-        return spark.createDataFrame(
-            pd.DataFrame({name: list(values)}), schema=schema
-        )
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", prev)
+        # the pyarrow.Table path serializes via Arrow REGARDLESS of the
+        # session's arrow conf (verified: ParallelCollectionRDD lineage
+        # with the conf off) — no mutation of shared session state, so
+        # concurrent createDataFrame calls on other threads are never
+        # raced onto a different conversion path
+        import pyarrow as pa
+
+        return spark.createDataFrame(pa.table({name: list(values)}), schema=schema)
+    except Exception:
+        # exotic value types pyarrow cannot infer: fall back to the
+        # row-list path (correct for any Spark type; slower — fine for
+        # the rare case)
+        return spark.createDataFrame([(v,) for v in values], schema)
 
 
 def _keep_covered_rows(
@@ -538,20 +543,30 @@ def write_file_manifest(spark: SparkSession, path: str) -> dict:
     prev = _manifest_snapshot(spark, path)
     prev_files, prev_gen = prev if prev is not None else (set(), -1)
     gen = prev_gen + 1
-    from pyspark.sql.types import StringType
-
-    frame = _snapshot_frame(
-        spark, sorted(current), "file", StringType()
-    ).withColumn("generation", F.lit(gen).cast("long"))
-    mdir = _manifest_dir(path)
-    frame.coalesce(1).write.mode("overwrite").parquet(mdir + ".new")
-    _promote_sidecar(spark, mdir, "write_file_manifest")
+    _write_manifest(spark, path, current, gen)
     return {
         "generation": gen,
         "n_files": len(current),
         "n_added": len(current - prev_files),
         "n_removed": len(prev_files - current),
     }
+
+
+def _write_manifest(
+    spark: SparkSession, path: str, files: set, generation: int
+) -> None:
+    """The one manifest write path (shared by :func:`write_file_manifest`
+    and the maintenance-op advance, so the two can never drift): build
+    the snapshot frame, stamp the generation, land under ``.new`` and
+    promote via the crash-safe swap."""
+    from pyspark.sql.types import StringType
+
+    frame = _snapshot_frame(
+        spark, sorted(files), "file", StringType()
+    ).withColumn("generation", F.lit(generation).cast("long"))
+    mdir = _manifest_dir(path)
+    frame.coalesce(1).write.mode("overwrite").parquet(mdir + ".new")
+    _promote_sidecar(spark, mdir, "_write_manifest")
 
 
 def file_manifest(spark: SparkSession, path: str) -> DataFrame:
@@ -604,14 +619,7 @@ def _advance_manifest_if_present(
     prev_files, prev_gen = snap
     if prev_files == current:
         return
-    from pyspark.sql.types import StringType
-
-    frame = _snapshot_frame(
-        spark, sorted(current), "file", StringType()
-    ).withColumn("generation", F.lit(prev_gen + 1).cast("long"))
-    mdir = _manifest_dir(path)
-    frame.coalesce(1).write.mode("overwrite").parquet(mdir + ".new")
-    _promote_sidecar(spark, mdir, "_advance_manifest_if_present")
+    _write_manifest(spark, path, current, prev_gen + 1)
 
 
 def _promote_sidecar(spark: SparkSession, live_dir: str, fn_name: str) -> None:

@@ -52,7 +52,20 @@ def write_bucketed(
         # in-memory catalog (fresh session) forgets the table while its
         # LOCATION survives in the warehouse dir, so saveAsTable fails
         # with LOCATION_ALREADY_EXISTS even in overwrite mode.
-        if mode != "overwrite" or "LOCATION_ALREADY_EXISTS" not in str(e):
+        # prefer the structured error class (Spark >= 3.4; this repo
+        # targets 4.x) with the message substring as the fallback for
+        # builds whose legacy error format drops the class tag
+        err_class = None
+        get_cls = getattr(e, "getErrorClass", None)
+        if callable(get_cls):
+            try:
+                err_class = get_cls()
+            except Exception:
+                err_class = None
+        if mode != "overwrite" or (
+            err_class != "LOCATION_ALREADY_EXISTS"
+            and "LOCATION_ALREADY_EXISTS" not in str(e)
+        ):
             raise
     # derive the stale managed path FROM THE CATALOG (database location
     # + bare name), never by string-concatenating

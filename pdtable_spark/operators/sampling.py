@@ -1024,13 +1024,25 @@ def curriculum_phases(
     if n_phases < 2:
         raise ValueError(f"curriculum_phases: n_phases must be >= 2, got {n_phases}")
     qs = ", ".join(f"{i}D / {n_phases}D" for i in range(1, n_phases))
+    # thresholds + the NULL census in the SAME single aggregate job: a
+    # NULL score cannot be phased (percentile silently ignores it when
+    # placing thresholds, so the partition would be incomplete with no
+    # signal) — fail loud, the repo's value-gate discipline
     row = df.agg(
-        F.expr(f"percentile({score_col}, array({qs}))").alias("t")
+        F.expr(f"percentile({score_col}, array({qs}))").alias("t"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(score_col).alias("n_scored"),
     ).collect()[0]
     if row["t"] is None or any(t is None for t in row["t"]):
         raise ValueError(
             f"curriculum_phases: {score_col!r} has no non-NULL values — "
             "cannot place thresholds"
+        )
+    if row["n_scored"] < row["n"]:
+        raise ValueError(
+            f"curriculum_phases: {row['n'] - row['n_scored']} row(s) have "
+            f"NULL {score_col!r} — a NULL difficulty cannot be phased; "
+            "filter or impute them first"
         )
     thresholds = list(row["t"])
     phase = None
@@ -1051,17 +1063,25 @@ def curriculum_schedule(
     bounded artifact a trainer consumes to size each curriculum stage
     before any data moves.  ``token_col`` defaults to the score column
     (the length-curriculum case, where the difficulty proxy IS the
-    token count).  One percentile aggregate + one phase-domain
-    aggregate; nothing row-sized leaves the executors."""
-    tok = F.col(token_col if token_col is not None else score_col).cast("long")
+    token count).  ``min_score``/``max_score`` keep the score column's
+    OWN type — a float difficulty (perplexity, loss) must not be
+    silently truncated to integers (r13 review catch); only the token
+    sum is integral, and only when an integral ``token_col`` names it.
+    One percentile aggregate + one phase-domain aggregate; nothing
+    row-sized leaves the executors."""
+    tok = (
+        F.col(token_col).cast("long")
+        if token_col is not None
+        else F.col(score_col)
+    )
     return (
         curriculum_phases(df, score_col, n_phases)
         .groupBy("phase")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(tok).alias("n_tokens"),
-            F.min(F.col(score_col)).cast("long").alias("min_score"),
-            F.max(F.col(score_col)).cast("long").alias("max_score"),
+            F.min(F.col(score_col)).alias("min_score"),
+            F.max(F.col(score_col)).alias("max_score"),
         )
         .orderBy("phase")
     )

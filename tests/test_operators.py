@@ -5277,3 +5277,18 @@ def test_curriculum_phases_thresholds_and_ties(spark):
     allnull = spark.createDataFrame([(1, None)], "doc_id long, score double")
     with pytest.raises(ValueError, match="non-NULL"):
         curriculum_phases(allnull, "score")
+    # PARTIAL NULLs fail loud too: percentile would silently ignore the
+    # NULL row when placing thresholds, leaving it unphased (r13 review)
+    partial = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 20.0)], "doc_id long, score double"
+    )
+    with pytest.raises(ValueError, match="NULL 'score'"):
+        curriculum_phases(partial, "score")
+    # float difficulty scores keep their type in the schedule — no
+    # silent integer truncation of perplexity-style scores (r13 review)
+    fl = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([1.5, 1.8, 2.1, 2.4])],
+        "doc_id long, score double",
+    )
+    fs = curriculum_schedule(fl, "score", n_phases=2).collect()
+    assert fs[0]["min_score"] == 1.5 and abs(fs[0]["n_tokens"] - 3.3) < 1e-9
