@@ -246,6 +246,7 @@ EXTENDED = [
     "lake_semi_snapshot_keys",
     "lake_manifest_diff",
     "pipeline_curriculum",
+    "pipeline_curriculum_by_source",
 ]
 
 #: Tiered capture (VERDICT r12 task #5): the full 100+-row extended map
@@ -277,6 +278,7 @@ CORE_EXTENDED = [
     "lake_semi_snapshot_keys",
     "lake_manifest_diff",
     "pipeline_curriculum",
+    "pipeline_curriculum_by_source",
     "lake_zorder_cells",
     "lake_hilbert_cells",
     # composed DAG + skew guard + shard export + co-located join

@@ -1085,3 +1085,51 @@ def curriculum_schedule(
         )
         .orderBy("phase")
     )
+
+
+def curriculum_phases_by(
+    df: DataFrame,
+    score_col: str,
+    by: str,
+    n_phases: int = 4,
+) -> DataFrame:
+    """Per-GROUP curriculum phases — the production shape: each group
+    (language, source, domain) gets its OWN quantile thresholds, so a
+    verbose source does not push every document of a terse one into the
+    easy phases (thresholds computed jointly would encode inter-source
+    length differences, not intra-source difficulty).
+
+    Same contract as :func:`curriculum_phases` (strict-exceed counting
+    over exact interpolated percentiles, ties stay together, loud on
+    NULL scores), spelled for scale: ONE group-domain percentile
+    aggregate (rows = |groups|, never corpus-sized) broadcast-joined
+    back onto the scan — no window, no per-group collect loop.
+    """
+    if n_phases < 2:
+        raise ValueError(
+            f"curriculum_phases_by: n_phases must be >= 2, got {n_phases}"
+        )
+    qs = ", ".join(f"{i}D / {n_phases}D" for i in range(1, n_phases))
+    th = df.groupBy(by).agg(
+        F.expr(f"percentile({score_col}, array({qs}))").alias("__t"),
+        F.count(F.lit(1)).alias("__n"),
+        F.count(score_col).alias("__n_scored"),
+    )
+    bad = th.filter(
+        F.col("__t").isNull() | (F.col("__n_scored") < F.col("__n"))
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"curriculum_phases_by: group {bad[0][by]!r} has NULL "
+            f"{score_col!r} values — a NULL difficulty cannot be phased; "
+            "filter or impute them first"
+        )
+    phase = None
+    for i in range(n_phases - 1):
+        step = (F.col(score_col) > F.col("__t")[i]).cast("int")
+        phase = step if phase is None else phase + step
+    return (
+        df.join(F.broadcast(th.select(by, "__t")), by)
+        .withColumn("phase", phase.cast("long"))
+        .drop("__t")
+    )

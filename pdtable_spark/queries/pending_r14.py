@@ -5,12 +5,12 @@ discipline), registered under ``@q`` at the top of round 14.
 Round-14 window arithmetic (write it into ``__spark_entry__._PRIORITY``
 at registration time): after CORRECTNESS_r13 reports the r13 head-50,
 the evidence ages are r13: 50, r9: 26, r10: 50, r11: 50, r12: 50 — so
-the round-14 head-50 is the SEVEN entries in this file + the 26
-remaining r9-evidence rows (CORRECTNESS_r09 report order) + the 17
+the round-14 head-50 is the EIGHT entries in this file + the 26
+remaining r9-evidence rows (CORRECTNESS_r09 report order) + the 16
 oldest r10-evidence rows (CORRECTNESS_r10 report order) = 50 exactly;
-mechanically, new ``_PRIORITY`` = [7 new] + current ``_PRIORITY[50:]``
+mechanically, new ``_PRIORITY`` = [8 new] + current ``_PRIORITY[50:]``
 + current ``_PRIORITY[:50]`` (the r13-window rows rotate to the tail),
-total 233.
+total 234.
 
 Every entry here is ALREADY under the correctness gate:
 ``tests/test_env_contract.py::test_pending_r14_oracles`` runs each
@@ -781,4 +781,69 @@ def r14_pipeline_curriculum(spark, sf_dir):
 PENDING_R14["pipeline_curriculum"] = (
     r14_pipeline_curriculum,
     R14_SQL_CURRICULUM,
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-SOURCE curriculum under the value gate — the production shape
+# (per-language/per-domain curricula): each source phases against its
+# OWN quantile thresholds via one group-domain percentile aggregate
+# broadcast back onto the scan.  The oracle restates the per-source
+# thresholds with quantile_cont and the same strict-exceed counting.
+# ---------------------------------------------------------------------------
+
+R14_SQL_CURRICULUM_BY = f"""
+    WITH s AS (
+      SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS score
+      FROM documents
+    ),
+    t AS (
+      SELECT source,
+             quantile_cont(score, 0.25) AS q1,
+             quantile_cont(score, 0.50) AS q2,
+             quantile_cont(score, 0.75) AS q3
+      FROM s GROUP BY source
+    ),
+    p AS (
+      SELECT s.source, doc_id, score,
+             CAST(score > q1 AS INT) + CAST(score > q2 AS INT)
+               + CAST(score > q3 AS INT) AS phase
+      FROM s JOIN t USING (source)
+    )
+    SELECT source, CAST(phase AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score) AS BIGINT) AS n_tokens
+    FROM p GROUP BY source, phase ORDER BY source, phase
+"""
+
+
+def r14_pipeline_curriculum_by_source(spark, sf_dir):
+    """Per-source length curricula under the value gate: every source
+    tiers its documents against its OWN interpolated quantile
+    thresholds (``curriculum_phases_by`` — one |sources|-row percentile
+    aggregate broadcast onto the scan; a verbose source cannot crowd a
+    terse one out of its hard phases), reduced to the per-(source,
+    phase) schedule.  A joint-threshold bug, a group mix-up in the
+    broadcast join, or a boundary-row drift all move a population."""
+    from pdtable_spark.operators.sampling import curriculum_phases_by
+    from pdtable_spark.operators.text import token_count
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        token_count(F.col("text")).cast("long").alias("score"),
+    )
+    return (
+        curriculum_phases_by(d, "score", "source", n_phases=4)
+        .groupBy("source", "phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("score").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "phase")
+    )
+
+
+PENDING_R14["pipeline_curriculum_by_source"] = (
+    r14_pipeline_curriculum_by_source,
+    R14_SQL_CURRICULUM_BY,
 )

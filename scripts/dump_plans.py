@@ -179,6 +179,7 @@ def main():
         "lake_semi_snapshot_keys",
         "lake_manifest_diff",
         "pipeline_curriculum",
+        "pipeline_curriculum_by_source",
     ]
 
     out = [

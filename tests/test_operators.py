@@ -5292,3 +5292,28 @@ def test_curriculum_phases_thresholds_and_ties(spark):
     )
     fs = curriculum_schedule(fl, "score", n_phases=2).collect()
     assert fs[0]["min_score"] == 1.5 and abs(fs[0]["n_tokens"] - 3.3) < 1e-9
+
+
+def test_curriculum_phases_by_group_thresholds(spark):
+    """Per-group curricula: each group phases against its OWN quantiles
+    (a verbose source must not crowd a terse one out of its hard
+    phases), and partially-NULL groups fail loud naming the group."""
+    import pytest
+
+    from pdtable_spark.operators.sampling import curriculum_phases_by
+
+    rows = [("a", i, float(s)) for i, s in enumerate([10, 20, 30, 40])] + [
+        ("b", i + 10, float(s)) for i, s in enumerate([1000, 2000, 3000, 4000])
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, score double")
+    got = {
+        r["doc_id"]: r["phase"]
+        for r in curriculum_phases_by(df, "score", "src").collect()
+    }
+    # both groups span all four phases despite the 100x scale gap
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 10: 0, 11: 1, 12: 2, 13: 3}
+    withnull = spark.createDataFrame(
+        rows + [("b", 99, None)], "src string, doc_id long, score double"
+    )
+    with pytest.raises(ValueError, match="group 'b'"):
+        curriculum_phases_by(withnull, "score", "src")
