@@ -53,8 +53,10 @@ def write_bucketed(
         # LOCATION survives in the warehouse dir, so saveAsTable fails
         # with LOCATION_ALREADY_EXISTS even in overwrite mode.
         # prefer the structured error class (Spark >= 3.4; this repo
-        # targets 4.x) with the message substring as the fallback for
-        # builds whose legacy error format drops the class tag
+        # targets 4.x); the message-substring fallback applies ONLY when
+        # no error class is retrievable — a wrapped/unrelated failure
+        # whose message merely mentions the token must not trigger the
+        # recovery delete (ADVICE r13)
         err_class = None
         get_cls = getattr(e, "getErrorClass", None)
         if callable(get_cls):
@@ -62,11 +64,14 @@ def write_bucketed(
                 err_class = get_cls()
             except Exception:
                 err_class = None
-        if mode != "overwrite" or (
-            err_class != "LOCATION_ALREADY_EXISTS"
-            and "LOCATION_ALREADY_EXISTS" not in str(e)
-        ):
+        matched = (
+            err_class == "LOCATION_ALREADY_EXISTS"
+            if err_class is not None
+            else "LOCATION_ALREADY_EXISTS" in str(e)
+        )
+        if mode != "overwrite" or not matched:
             raise
+        orig_err = e  # `e` is unbound past the except clause (PEP 3110)
     # derive the stale managed path FROM THE CATALOG (database location
     # + bare name), never by string-concatenating
     # spark.sql.warehouse.dir — a guessed path could recursively delete
@@ -75,7 +80,12 @@ def write_bucketed(
     spark = df.sparkSession
     parts = table_name.split(".")
     db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
-    db_loc = spark.catalog.getDatabase(db).locationUri
+    try:
+        db_loc = spark.catalog.getDatabase(db).locationUri
+    except Exception:
+        # an odd catalog state must surface the ORIGINAL saveAsTable
+        # failure, not a confusing secondary lookup error (ADVICE r13)
+        raise orig_err
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(
         db_loc.rstrip("/") + "/" + parts[-1].lower()

@@ -48,16 +48,17 @@ def shard_of(key: Column, num_shards: int, salt: str = "") -> Column:
     ).cast("long")
 
 
-def _pair_combos(entries: Column) -> Column:
-    """All unordered pairs (ea, eb) of a sorted entry array, in-row."""
-    return F.flatten(
-        F.transform(
-            entries,
-            lambda x, i: F.transform(
-                F.slice(entries, i + F.lit(2), F.greatest(F.size(entries) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("ea"), y.alias("eb")),
-            ),
-        )
+def _pair_combos(entries_name: str) -> Column:
+    """All unordered pairs (ea, eb) of a sorted entry array column (by
+    name), in-row.  One JVM-parsed SQL expression: the nested-lambda
+    ``F.transform`` spelling costs ~20 py4j round-trips to build per call
+    (r14 builder-cost note on ``_signature_exprs``); the tree and the
+    values are identical."""
+    e = f"`{entries_name}`"
+    return F.expr(
+        f"flatten(transform({e}, (x, i) -> "
+        f"transform(slice({e}, i + 2, greatest(size({e}) - i - 1, 0)), "
+        f"y -> struct(x AS ea, y AS eb))))"
     )
 
 
@@ -99,7 +100,7 @@ def bucket_pairs(
             .groupBy(*key_cols)
             .agg(F.sort_array(F.collect_list("e")).alias("entries"))
             .filter(F.size("entries") > 1)
-            .select(F.explode(_pair_combos(F.col("entries"))).alias("p"))
+            .select(F.explode(_pair_combos("entries")).alias("p"))
             .select(F.col("p.ea").alias("ea"), F.col("p.eb").alias("eb"))
         )
     w = Window.partitionBy(*key_cols)
@@ -110,7 +111,7 @@ def bucket_pairs(
         base.filter((F.col("__bsz") <= max_bucket) & (F.col("__bsz") > 1))
         .groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list("e")).alias("entries"))
-        .select(F.explode(_pair_combos(F.col("entries"))).alias("p"))
+        .select(F.explode(_pair_combos("entries")).alias("p"))
         .select(F.col("p.ea").alias("ea"), F.col("p.eb").alias("eb"))
     )
     big = base.filter(F.col("__bsz") > max_bucket)
@@ -152,8 +153,8 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = 
 # ---------------------------------------------------------------------------
 
 
-def _signature_cols(sh_col, num_hashes: int, hash_fn: str = "xxhash64"):
-    """MinHash signature as per-row array expressions: for each seed,
+def _signature_exprs(sh_name: str, num_hashes: int, hash_fn: str = "xxhash64"):
+    """MinHash signature as per-row array expressions, one per seed:
     ``array_min(transform(shingle_hashes, h -> xxhash64(seed, h)))``.
 
     Pure narrow JVM expressions — NO explode, NO groupBy: the naive
@@ -161,31 +162,47 @@ def _signature_cols(sh_col, num_hashes: int, hash_fn: str = "xxhash64"):
     that shuffle is larger than the corpus); this computes the same minima
     inside the row.
 
-    ``hash_fn="xxhash64"`` (production): ``sh_col`` holds 64-bit shingle
+    ``hash_fn="xxhash64"`` (production): ``sh_name`` holds 64-bit shingle
     hashes (not strings) — the per-seed rehash is a fixed-width hash, so
     seed passes cost long-ops, not string scans.
-    ``hash_fn="md5_60"`` (verification): ``sh_col`` holds shingle STRINGS.
-    Two md5-based base hashes per shingle (projected ONCE — see
-    ``_md5_hash_pairs``) combine per seed as ``(h1 + seed·h2) mod 2⁶⁰`` —
-    the Kirsch-Mitzenmacher double-hashing family, byte-reproducible in
-    DuckDB SQL, so MinHash gets a full value oracle at ~2 string hashes per
-    shingle instead of ``num_hashes``."""
+    ``hash_fn="md5_60"`` (verification): ``sh_name`` holds per-shingle
+    (h1, h2) structs (see ``_md5_hash_pairs``) that combine per seed as
+    ``(h1 + seed·h2) mod 2⁶⁰`` — the Kirsch-Mitzenmacher double-hashing
+    family, byte-reproducible in DuckDB SQL, so MinHash gets a full value
+    oracle at ~2 string hashes per shingle instead of ``num_hashes``.
+
+    Returned as SQL strings parsed JVM-side in ONE ``selectExpr`` (see
+    :func:`_signature_frame`): the Python-lambda ``F.transform`` spelling
+    costs ~10 py4j round-trips per seed to build, which measured ~150 ms
+    of driver time per call at ``num_hashes=16`` vs ~15 ms for one
+    ``selectExpr`` — identical expression tree, identical values (r14
+    optimization; seeds are INT literals in both spellings, so the hashes
+    are bit-equal)."""
+    sh = f"`{sh_name}`"
     if hash_fn == "md5_60":
         return [
-            F.array_min(
-                F.transform(
-                    sh_col,
-                    lambda p: (p["h1"] + F.lit(seed) * p["h2"]) % F.lit(1 << 60),
-                )
-            ).alias(f"mh_{seed}")
+            f"array_min(transform({sh}, p -> (p.h1 + {seed} * p.h2) % {1 << 60}))"
+            f" AS mh_{seed}"
             for seed in range(num_hashes)
         ]
     return [
-        F.array_min(F.transform(sh_col, lambda h: F.xxhash64(F.lit(seed), h))).alias(
-            f"mh_{seed}"
-        )
+        f"array_min(transform({sh}, h -> xxhash64({seed}, h))) AS mh_{seed}"
         for seed in range(num_hashes)
     ]
+
+
+def _signature_frame(
+    sets_df: DataFrame,
+    id_col: str,
+    sh_name: str,
+    num_hashes: int,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) from a shingle-set frame in ONE ``selectExpr``
+    (builder-cost note on :func:`_signature_cols`)."""
+    return sets_df.selectExpr(
+        f"`{id_col}`", *_signature_exprs(sh_name, num_hashes, hash_fn)
+    )
 
 
 def _md5_hash_pairs(sh_strings: Column) -> Column:
@@ -206,9 +223,11 @@ def _md5_hash_pairs(sh_strings: Column) -> Column:
 
 def _shingle_sets(df, text_col: str, id_col: str, shingle_n: int, hash_fn: str, out: str):
     """Per-doc shingle set — 64-bit hash identities in production, gram
-    strings in md5_60 verification mode (what DuckDB can rebuild)."""
+    strings in md5_60 verification mode (what DuckDB can rebuild).
+    Column-NAME form of the shingle builders = one JVM-side expression
+    parse (r14 builder-cost note in operators/text.py)."""
     mk = shingles if hash_fn == "md5_60" else shingle_hashes
-    return df.select(F.col(id_col), mk(F.col(text_col), shingle_n).alias(out))
+    return df.select(F.col(id_col), mk(text_col, shingle_n).alias(out))
 
 
 def minhash_signatures(
@@ -221,7 +240,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: for each seed, min(hash(seed, shingle)).
 
-    Shuffle-free (see ``_signature_cols``); signature width is
+    Shuffle-free (see ``_signature_exprs``); signature width is
     ``num_hashes``×8 bytes.  The shingle array is projected in its own
     step so codegen evaluates the tokenize pipeline ONCE per row — inlining
     it into each of the ``num_hashes`` lambdas re-tokenizes per seed (measured
@@ -229,7 +248,7 @@ def minhash_signatures(
     sets_ = _shingle_sets(df, text_col, id_col, shingle_n, hash_fn, "__sh")
     if hash_fn == "md5_60":
         sets_ = sets_.select(F.col(id_col), _md5_hash_pairs(F.col("__sh")).alias("__sh"))
-    return sets_.select(F.col(id_col), *_signature_cols(F.col("__sh"), num_hashes, hash_fn))
+    return _signature_frame(sets_, id_col, "__sh", num_hashes, hash_fn)
 
 
 def minhash_lsh_candidates(
@@ -287,21 +306,23 @@ def _band_bucket_frame(
     sig: DataFrame, id_col: str, num_hashes: int, bands: int, hash_fn: str
 ) -> DataFrame:
     """(id, band, bucket) rows from a signature frame — the LSH index
-    relation (see :func:`_lsh_candidate_pairs` for bucket-identity notes)."""
+    relation (see :func:`_lsh_candidate_pairs` for bucket-identity notes).
+    SQL-string spelling (r14 builder-cost note on ``_signature_exprs``)."""
     rows_per_band = num_hashes // bands
 
     def band_key(b):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
         if hash_fn == "md5_60":
-            return F.concat_ws(",", *[c.cast("string") for c in cols])
-        return F.xxhash64(*cols).cast("string")
+            args = ", ".join(f"CAST({c} AS STRING)" for c in cols)
+            return f"concat_ws(',', {args})"
+        return f"CAST(xxhash64({', '.join(cols)}) AS STRING)"
 
-    band_cols = [
-        F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket")) for b in range(bands)
-    ]
-    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    bb = ", ".join(
+        f"struct({b} AS band, {band_key(b)} AS bucket)" for b in range(bands)
     )
+    return sig.selectExpr(
+        f"`{id_col}`", f"explode(array({bb})) AS bb"
+    ).selectExpr(f"`{id_col}`", "bb.band AS band", "bb.bucket AS bucket")
 
 
 def band_buckets(
@@ -404,9 +425,9 @@ def incremental_dedup(
     new_sets = _shingle_sets(new_df, text_col, id_col, shingle_n, hash_fn, "sh")
     if hash_fn == "md5_60":
         sig_in = new_sets.select(F.col(id_col), _md5_hash_pairs(F.col("sh")).alias("__hp"))
-        sig = sig_in.select(F.col(id_col), *_signature_cols(F.col("__hp"), num_hashes, hash_fn))
+        sig = _signature_frame(sig_in, id_col, "__hp", num_hashes, hash_fn)
     else:
-        sig = new_sets.select(F.col(id_col), *_signature_cols(F.col("sh"), num_hashes, hash_fn))
+        sig = _signature_frame(new_sets, id_col, "sh", num_hashes, hash_fn)
     new_buckets = _band_bucket_frame(sig, id_col, num_hashes, bands, hash_fn)
     cand = (
         new_buckets.join(
@@ -458,16 +479,44 @@ def minhash_dedup(
     sets_ = _shingle_sets(df, text_col, id_col, shingle_n, hash_fn, "sh")
     if hash_fn == "md5_60":
         sig_in = sets_.select(F.col(id_col), _md5_hash_pairs(F.col("sh")).alias("__hp"))
-        sig = sig_in.select(F.col(id_col), *_signature_cols(F.col("__hp"), num_hashes, hash_fn))
+        sig = _signature_frame(sig_in, id_col, "__hp", num_hashes, hash_fn)
     else:
-        sig = sets_.select(F.col(id_col), *_signature_cols(F.col("sh"), num_hashes, hash_fn))
+        sig = _signature_frame(sets_, id_col, "sh", num_hashes, hash_fn)
     cand = _lsh_candidate_pairs(sig, id_col, num_hashes, bands, hash_fn, max_bucket)
     if jaccard_threshold is None:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
+    # Verify with ONE pass over the shingle relation: melt each candidate
+    # pair into two (pair, id) rows, join the sets relation ONCE, and
+    # regroup.  The two-join spelling (sets_ ⋈ id_a, sets_ ⋈ id_b)
+    # re-evaluates the whole scan+tokenize+hash lineage per side — a 3rd
+    # and 4th-equivalent corpus pass at bench scale, and at 100 TB either
+    # two extra corpus scans (candidates broadcastable) or two corpus
+    # shuffles (not).  Here the corpus is tokenized TWICE total (once
+    # under the candidate generation, once here) and the only new shuffle
+    # is candidate-pair-sized (guide §2.4/§8: decide with light rows,
+    # re-attach payloads once).  first(ignorenulls) is deterministic:
+    # exactly one non-null value exists per (pair, side).
+    melted = cand.select(
+        "id_a",
+        "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col),
+    )
+    pair_sets = (
+        melted.join(sets_, id_col)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col(id_col) == F.col("id_a"), F.col("sh")), ignorenulls=True
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col(id_col) == F.col("id_b"), F.col("sh")), ignorenulls=True
+            ).alias("sh_b"),
+        )
+    )
     j = (
-        cand.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+        pair_sets.withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        )
         # |A∪B| = |A|+|B|−|A∩B| exactly (shingle sets are array_distinct),
         # skipping array_union's per-pair array BUILD — same trick as the
         # incremental verify above
@@ -624,7 +673,7 @@ def contamination_report(
     base = df.select(
         F.col(id_col), F.col(text_col), bench_pred.alias("__is_bench")
     ).select(
-        id_col, "__is_bench", shingles(F.col(text_col), shingle_n).alias("sh")
+        id_col, "__is_bench", shingles(text_col, shingle_n).alias("sh")
     )
     bench = base.filter(F.col("__is_bench")).select(
         F.col(id_col).alias("bench_id"), F.size("sh").alias("bench_size"), F.explode("sh").alias("g")
@@ -787,7 +836,7 @@ def _shingle_pair_intersections(
     base = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
+        shingles(text_col, shingle_n).alias("sh"),
     ).withColumn("sh_size", F.size("sh"))
     posts = base.select(
         id_col, "sh_size", *([block_col] if block_col else []), F.explode("sh").alias("g")
@@ -1099,13 +1148,9 @@ def minhash_estimate_report(
     sets_ = _shingle_sets(df, text_col, id_col, shingle_n, hash_fn, "sh")
     if hash_fn == "md5_60":
         sig_in = sets_.select(F.col(id_col), _md5_hash_pairs(F.col("sh")).alias("__hp"))
-        sig = sig_in.select(
-            F.col(id_col), *_signature_cols(F.col("__hp"), num_hashes, hash_fn)
-        )
+        sig = _signature_frame(sig_in, id_col, "__hp", num_hashes, hash_fn)
     else:
-        sig = sets_.select(
-            F.col(id_col), *_signature_cols(F.col("sh"), num_hashes, hash_fn)
-        )
+        sig = _signature_frame(sets_, id_col, "sh", num_hashes, hash_fn)
     cand = _lsh_candidate_pairs(sig, id_col, num_hashes, bands, hash_fn, max_bucket)
     sig_arr = sig.select(
         F.col(id_col),
@@ -1191,7 +1236,7 @@ def bloom_build(
     size — at the default 2^16 that is ≤ 0.5 MB broadcast.
     """
     return (
-        df.select(F.explode(shingles(F.col(text_col), shingle_n)).alias("g"))
+        df.select(F.explode(shingles(text_col, shingle_n)).alias("g"))
         .select(F.explode(bloom_positions(F.col("g"), num_hashes, num_bits)).alias("pos"))
         .distinct()
     )
@@ -1258,7 +1303,7 @@ def bloom_decontaminate(
     base = df.select(
         F.col(id_col), text_guarded.alias(text_col), pred_guarded.alias("__is_bench")
     ).select(
-        id_col, "__is_bench", shingles(F.col(text_col), shingle_n).alias("sh")
+        id_col, "__is_bench", shingles(text_col, shingle_n).alias("sh")
     )
     if bloom is None:
         bloom = (

