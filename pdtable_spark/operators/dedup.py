@@ -54,6 +54,10 @@ def _pair_combos(entries_name: str) -> Column:
     ``F.transform`` spelling costs ~20 py4j round-trips to build per call
     (r14 builder-cost note on ``_signature_exprs``); the tree and the
     values are identical."""
+    if not isinstance(entries_name, str):
+        raise TypeError(
+            f"_pair_combos takes a column NAME, got {type(entries_name).__name__}"
+        )
     e = f"`{entries_name}`"
     return F.expr(
         f"flatten(transform({e}, (x, i) -> "
@@ -730,7 +734,7 @@ def source_overlap(
     )
     pairs = (
         per_g.filter(F.size("srcs") > 1)
-        .select(F.explode(_pair_combos(F.col("srcs"))).alias("p"))
+        .select(F.explode(_pair_combos("srcs")).alias("p"))
         .select(F.col("p.ea").alias("source_a"), F.col("p.eb").alias("source_b"))
     )
     common = pairs.groupBy("source_a", "source_b").agg(

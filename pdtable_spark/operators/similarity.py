@@ -21,6 +21,8 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pdtable_spark.operators.scanfan import fanout_small_scan
+
 
 def dot(a, b):
     """Dot product of two array<double|float> columns (JVM fold)."""
@@ -82,7 +84,7 @@ def cosine_topk(
     ).select(
         query_id_col, "q_vec", dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2")
     )
-    c = corpus.select(
+    c = fanout_small_scan(corpus).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")
     ).select(id_col, "c_vec", dot(F.col("c_vec"), F.col("c_vec")).alias("__c_n2"))
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -1782,7 +1784,7 @@ def margin_mining(
     ).select(
         "left_id", "q_vec", dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2")
     )
-    r = right.select(
+    r = fanout_small_scan(right).select(
         F.col(id_col).alias("right_id"), _as_double(F.col(vec_col)).alias("c_vec")
     ).select(
         "right_id", "c_vec", dot(F.col("c_vec"), F.col("c_vec")).alias("__c_n2")
@@ -2140,6 +2142,7 @@ def gram_ledger(
     not per snapshot — quantize governs the end state)."""
     from pdtable_spark.operators.text import _let
 
+    corpus = fanout_small_scan(corpus)
     q = F.lit(float(quantize))
     qv = F.transform(
         _as_double(F.col(vec_col)),
