@@ -418,7 +418,7 @@ def write_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> int:
     stats.coalesce(1).write.mode("overwrite").parquet(zdir + ".new")
     current = _data_files(spark, path)
     n_cov, n_add = _append_empty_file_rows(
-        spark, zdir + ".new", current, {"n_rows": 0}
+        spark, zdir + ".new", current, {"n_rows": 0}, schema=stats.schema
     )
     _promote_sidecar(spark, zdir, "write_zone_map")
     _advance_manifest_if_present(spark, path, current)
@@ -692,7 +692,7 @@ def _promote_sidecar(spark: SparkSession, live_dir: str, fn_name: str) -> None:
 
 
 def _append_empty_file_rows(
-    spark: SparkSession, new_dir: str, current: set, fill: dict
+    spark: SparkSession, new_dir: str, current: set, fill: dict, schema=None
 ) -> tuple:
     """Record data files the stats/positions pass could not see — a
     ZERO-ROW part-file (e.g. written by an empty-frame overwrite)
@@ -706,8 +706,14 @@ def _append_empty_file_rows(
     holds no rows).  Returns ``(n_covered, n_added)`` so callers reuse
     this scan as their file count instead of re-reading the sidecar; the
     driver-side sentinel frame is bounded by the count of EMPTY files
-    (normally zero, so the common case adds no extra write job)."""
-    sidecar = spark.read.parquet(new_dir)
+    (normally zero, so the common case adds no extra write job).
+
+    ``schema``: every caller just WROTE ``new_dir`` and holds its frame,
+    so passing that frame's schema skips the footer/schema-inference
+    step of the relation build here (~100 ms per maintenance op at
+    local scale — r14, guide §6 file-listing/driver costs)."""
+    rd = spark.read.schema(schema) if schema is not None else spark.read
+    sidecar = rd.parquet(new_dir)
     # distinct BEFORE the collect: the Bloom sidecar holds one row per
     # (file, position) — collecting the raw column would pull the whole
     # position relation to the driver, not the file-count-bounded list
@@ -770,7 +776,7 @@ def refresh_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> dic
     # zero-row appends never produce a stats row — sentinel them so the
     # coverage validation in zone_map() stays exact (see helper)
     n_cov, n_add = _append_empty_file_rows(
-        spark, zdir + ".new", current, {"n_rows": 0}
+        spark, zdir + ".new", current, {"n_rows": 0}, schema=merged.schema
     )
     _promote_sidecar(spark, zdir, "refresh_zone_map")
     _advance_manifest_if_present(spark, path, current)
@@ -850,6 +856,7 @@ def write_bloom_sidecar(
         out + ".new",
         current,
         {"num_hashes": int(num_hashes), "num_bits": int(num_bits)},
+        schema=pos.schema,
     )
     _promote_sidecar(spark, out, "write_bloom_sidecar")
     _advance_manifest_if_present(spark, path, current)
@@ -932,7 +939,18 @@ def refresh_bloom_sidecar(
             "(k, m) space cannot be merged; rebuild with "
             "write_bloom_sidecar(spark, path, key_col, ...)"
         )
-    prm = sidecar.select("num_hashes", "num_bits").first()
+    # ONE job returns both the parameter stamp and the covered-file list
+    # (the file-count-bounded aggregate) — previously two separate
+    # actions over the same sidecar (r14, guide §1.2 fewer passes)
+    cov_rows = (
+        sidecar.groupBy("file")
+        .agg(
+            F.first("num_hashes").alias("num_hashes"),
+            F.first("num_bits").alias("num_bits"),
+        )
+        .collect()
+    )
+    prm = cov_rows[0] if cov_rows else None
     if prm is None:
         # an empty sidecar covers nothing — a refresh IS a full build
         n = write_bloom_sidecar(spark, path, key_col, num_hashes, num_bits)
@@ -945,9 +963,7 @@ def refresh_bloom_sidecar(
             "different spaces cannot be merged; rebuild with "
             "write_bloom_sidecar(spark, path, key_col, ...) instead"
         )
-    old_files = [
-        r["file"] for r in sidecar.select("file").distinct().collect()
-    ]
+    old_files = [r["file"] for r in cov_rows]
     keep_files = [f for f in old_files if _norm_file(f) in current]
     known = {_norm_file(f) for f in keep_files}
     new_files = sorted(current - known)
@@ -967,6 +983,7 @@ def refresh_bloom_sidecar(
         out + ".new",
         current,
         {"num_hashes": int(num_hashes), "num_bits": int(num_bits)},
+        schema=merged.schema,
     )
     _promote_sidecar(spark, out, "refresh_bloom_sidecar")
     _advance_manifest_if_present(spark, path, current)
