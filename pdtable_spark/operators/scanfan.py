@@ -56,11 +56,34 @@ def fanout_small_scan(df: DataFrame, per_core_bytes: int = PER_CORE_BYTES) -> Da
             total += os.path.getsize(p)
         if total > per_core_bytes * cores:
             return df
-        # provably tiny: only now is the (plan-materializing) partition
-        # probe paid — skip the exchange when the scan already fans out
-        if df.rdd.getNumPartitions() >= cores:
+        # provably tiny: estimate the scan's split count from the
+        # session's file-packing parameters instead of materializing the
+        # physical plan — ``df.rdd.getNumPartitions()`` forces full
+        # analysis+optimization of the lineage, measured ~0.8 s of
+        # driver time when the input feeds a derived tree (sq_query's
+        # decode corpus).  ``ceil((bytes + n*openCost)/maxSplit)`` is a
+        # LOWER bound on FilePartition packing, so "est >= cores" only
+        # ever skips when the scan truly already fans out; when it
+        # underestimates we add one exchange of provably tiny data.
+        if _est_scan_tasks(spark, total, len(files)) >= cores:
             return df
         return df.repartition(cores)
     except Exception:
         # multi-source plans / exotic relations: leave the scan alone
         return df
+
+
+def _est_scan_tasks(spark, total_bytes: int, n_files: int) -> int:
+    """Lower bound on the FileSourceScan task count for ``n_files``
+    totalling ``total_bytes``, from the same quantities Spark's
+    ``FilePartition.maxSplitBytes`` uses (driver-only, no plan walk)."""
+    try:
+        c = spark._jsparkSession.sessionState().conf()
+        mpb = int(c.filesMaxPartitionBytes())
+        open_cost = int(c.filesOpenCostInBytes())
+    except Exception:
+        mpb, open_cost = 128 << 20, 4 << 20
+    cores = spark.sparkContext.defaultParallelism
+    padded = total_bytes + n_files * open_cost
+    max_split = min(mpb, max(open_cost, padded // max(cores, 1) + 1))
+    return -(-padded // max(max_split, 1))

@@ -2007,8 +2007,15 @@ def sq_index(
         # grid stamp: decoding at a different `levels` is silently-wrong
         # arithmetic — sq_query asserts this column in one bounded
         # pre-check (RLE'd to nothing in parquet, a min/max agg at
-        # query-build time)
-        F.lit(int(levels)).cast("int").alias("sq_levels"),
+        # query-build time).  The value ALSO rides the column's schema
+        # metadata (Spark persists it through parquet round-trips), so
+        # sq_query validates driver-side with ZERO jobs on any index
+        # this builder produced (r14 — the distinct job cost 0.65 s of
+        # the sq_recall cell per call); the row stamp stays as the
+        # fallback for indexes whose metadata a foreign writer dropped.
+        F.lit(int(levels))
+        .cast("int")
+        .alias("sq_levels", metadata={"sq_levels": int(levels)}),
     )
 
 
@@ -2049,16 +2056,30 @@ def sq_query(
         # pass here, never a second encode (review r9); on a written
         # index the RLE'd constant reads next to nothing.  Replaces the
         # per-row when/raise_error branch (VERDICT r8 #4): same loud
-        # failure, zero per-row decode cost.
-        got = sorted(
-            r["sq_levels"] for r in index.select("sq_levels").distinct().collect()
-        )
-        if got and got != [int(levels)]:
-            stamp = str(got[0]) if len(got) == 1 else f"{got[0]}..{got[-1]}"
-            raise ValueError(
-                f"sq_query: index encoded at levels={stamp}, "
-                f"decode requested levels={int(levels)}"
+        # failure, zero per-row decode cost.  Fast path (r14): every
+        # index sq_index builds carries the stamp in the column's schema
+        # metadata too (survives parquet round-trips), so the common
+        # case is a driver-side compare with NO job; the row-level
+        # distinct check remains for stamps without metadata.
+        md = index.schema["sq_levels"].metadata or {}
+        stamp_md = md.get("sq_levels")
+        if stamp_md is not None:
+            if int(stamp_md) != int(levels):
+                raise ValueError(
+                    f"sq_query: index encoded at levels={int(stamp_md)}, "
+                    f"decode requested levels={int(levels)}"
+                )
+        else:
+            got = sorted(
+                r["sq_levels"]
+                for r in index.select("sq_levels").distinct().collect()
             )
+            if got and got != [int(levels)]:
+                stamp = str(got[0]) if len(got) == 1 else f"{got[0]}..{got[-1]}"
+                raise ValueError(
+                    f"sq_query: index encoded at levels={stamp}, "
+                    f"decode requested levels={int(levels)}"
+                )
     corpus = _sq_lo_hi(index, bounds).select(F.col(id_col), dq.alias(vec_col))
     return cosine_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
