@@ -415,14 +415,36 @@ def write_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> int:
     # Python-RDD relation, which launches a Python worker per task —
     # measured ~4 s of pure overhead for a 64-row sidecar vs ~0.2 s
     # for the JVM lineage
-    stats.coalesce(1).write.mode("overwrite").parquet(zdir + ".new")
+    covered = _observed_sidecar_write(stats, zdir + ".new", coalesce=True)
     current = _data_files(spark, path)
     n_cov, n_add = _append_empty_file_rows(
-        spark, zdir + ".new", current, {"n_rows": 0}, schema=stats.schema
+        spark,
+        zdir + ".new",
+        current,
+        {"n_rows": 0},
+        schema=stats.schema,
+        covered=covered,
     )
     _promote_sidecar(spark, zdir, "write_zone_map")
     _advance_manifest_if_present(spark, path, current)
     return n_cov + n_add
+
+
+def _observed_sidecar_write(df: DataFrame, new_dir: str, coalesce: bool = False):
+    """Write a sidecar frame to ``new_dir`` while collecting its DISTINCT
+    ``file`` values inside the SAME job (``Observation`` +
+    ``collect_set`` — an aggregate whose state is file-count-bounded,
+    the same bound the read-back census relied on).  Returns the covered
+    file list, sparing every sidecar writer one read-back job over the
+    artifact it just wrote (r14, guide §1.2 fewer passes)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(obs, F.collect_set("file").alias("files"))
+    if coalesce:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").parquet(new_dir)
+    return obs.get["files"]
 
 
 def _norm_file(f: str) -> str:
@@ -692,7 +714,12 @@ def _promote_sidecar(spark: SparkSession, live_dir: str, fn_name: str) -> None:
 
 
 def _append_empty_file_rows(
-    spark: SparkSession, new_dir: str, current: set, fill: dict, schema=None
+    spark: SparkSession,
+    new_dir: str,
+    current: set,
+    fill: dict,
+    schema=None,
+    covered=None,
 ) -> tuple:
     """Record data files the stats/positions pass could not see — a
     ZERO-ROW part-file (e.g. written by an empty-frame overwrite)
@@ -711,23 +738,36 @@ def _append_empty_file_rows(
     ``schema``: every caller just WROTE ``new_dir`` and holds its frame,
     so passing that frame's schema skips the footer/schema-inference
     step of the relation build here (~100 ms per maintenance op at
-    local scale — r14, guide §6 file-listing/driver costs)."""
-    rd = spark.read.schema(schema) if schema is not None else spark.read
-    sidecar = rd.parquet(new_dir)
-    # distinct BEFORE the collect: the Bloom sidecar holds one row per
-    # (file, position) — collecting the raw column would pull the whole
-    # position relation to the driver, not the file-count-bounded list
-    covered = {
-        _norm_file(r["file"])
-        for r in sidecar.select("file").distinct().collect()
-    }
+    local scale — r14, guide §6 file-listing/driver costs).
+
+    ``covered``: the caller can hand over the covered-file list it
+    already collected DURING the write job via ``Observation`` +
+    ``collect_set(file)`` (see the four sidecar writers) — then this
+    helper launches NO job at all in the common no-missing-files case
+    (was: one read-back job over the just-written sidecar, ~0.25 s per
+    maintenance op at local scale — r14, guide §1.2 fewer passes).  The
+    set is file-count-bounded either way: the read-back path distincts
+    before collecting for exactly that reason."""
+    if covered is None:
+        rd = spark.read.schema(schema) if schema is not None else spark.read
+        sidecar = rd.parquet(new_dir)
+        schema = sidecar.schema
+        # distinct BEFORE the collect: the Bloom sidecar holds one row
+        # per (file, position) — collecting the raw column would pull
+        # the whole position relation to the driver, not the
+        # file-count-bounded list
+        covered = [
+            r["file"] for r in sidecar.select("file").distinct().collect()
+        ]
+    covered = {_norm_file(f) for f in covered}
     missing = sorted(current - covered)
     if missing:
+        cols = [f.name for f in schema.fields]
         rows = [
-            tuple(f if c == "file" else fill.get(c) for c in sidecar.columns)
+            tuple(f if c == "file" else fill.get(c) for c in cols)
             for f in missing
         ]
-        spark.createDataFrame(rows, sidecar.schema).coalesce(1).write.mode(
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "append"
         ).parquet(new_dir)
     return len(covered), len(missing)
@@ -772,11 +812,16 @@ def refresh_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> dic
             )
         )
         merged = merged.unionByName(added)
-    merged.coalesce(1).write.mode("overwrite").parquet(zdir + ".new")
+    covered = _observed_sidecar_write(merged, zdir + ".new", coalesce=True)
     # zero-row appends never produce a stats row — sentinel them so the
     # coverage validation in zone_map() stays exact (see helper)
     n_cov, n_add = _append_empty_file_rows(
-        spark, zdir + ".new", current, {"n_rows": 0}, schema=merged.schema
+        spark,
+        zdir + ".new",
+        current,
+        {"n_rows": 0},
+        schema=merged.schema,
+        covered=covered,
     )
     _promote_sidecar(spark, zdir, "refresh_zone_map")
     _advance_manifest_if_present(spark, path, current)
@@ -849,7 +894,7 @@ def write_bloom_sidecar(
     """
     out = _bloom_dir(path, key_col)
     pos = _bloom_position_rows(spark, path, None, key_col, num_hashes, num_bits)
-    pos.write.mode("overwrite").parquet(out + ".new")
+    covered = _observed_sidecar_write(pos, out + ".new")
     current = _data_files(spark, path)
     n_cov, n_add = _append_empty_file_rows(
         spark,
@@ -857,6 +902,7 @@ def write_bloom_sidecar(
         current,
         {"num_hashes": int(num_hashes), "num_bits": int(num_bits)},
         schema=pos.schema,
+        covered=covered,
     )
     _promote_sidecar(spark, out, "write_bloom_sidecar")
     _advance_manifest_if_present(spark, path, current)
@@ -977,13 +1023,14 @@ def refresh_bloom_sidecar(
                 spark, path, new_files, key_col, num_hashes, num_bits
             )
         )
-    merged.write.mode("overwrite").parquet(out + ".new")
+    covered = _observed_sidecar_write(merged, out + ".new")
     n_cov, n_add = _append_empty_file_rows(
         spark,
         out + ".new",
         current,
         {"num_hashes": int(num_hashes), "num_bits": int(num_bits)},
         schema=merged.schema,
+        covered=covered,
     )
     _promote_sidecar(spark, out, "refresh_bloom_sidecar")
     _advance_manifest_if_present(spark, path, current)
