@@ -277,6 +277,53 @@ def chunk_documents(
     )
 
 
+def chunk_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """:func:`chunk_documents` minus the chunk text: (id, chunk_idx,
+    chunk_n_tokens) with IDENTICAL values for identical parameters — the
+    spelling for packing/accounting pipelines that never read
+    ``chunk_text``.  Chunk boundaries depend only on the token COUNT, so
+    this skips the per-chunk ``slice``+``concat_ws`` entirely (measured
+    1.6 s of single-task CPU in the e2e curation chain at sf0.1, all
+    spent building text nobody consumed: Catalyst cannot prune a struct
+    field out of a ``transform`` lambda).  At 100 TB the difference is a
+    full pass over the corpus bytes versus a pass over token counts.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def counts(toks):
+        n_tok = F.size(toks)
+        n_chunks = F.lit(1) + F.floor(
+            (F.greatest(n_tok - chunk_tokens, F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.least(n_tok - i * stride, F.lit(chunk_tokens))
+                .cast("long")
+                .alias("chunk_n_tokens"),
+            ),
+        )
+
+    return (
+        df.select(F.col(id_col), _let(tokens(F.col(text_col)), counts).alias("__c"))
+        .select(F.col(id_col), F.explode("__c").alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_n_tokens").alias("chunk_n_tokens"),
+        )
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -805,7 +852,87 @@ def gopher_quality_flags(
     Python; at 100 TB the failing rows die inside the scan's codegen
     stage when this feeds a filter.
     """
-    txt = F.col(text_col)
+    m = _gopher_metric_exprs(F.col(text_col))
+    out = df.select(
+        F.col(id_col),
+        m["n_words"].alias("n_words"),
+        m["mean_len"].alias("mean_word_len"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        m["n_stop"].alias("n_stopwords"),
+        m["symbol_ratio"].alias("symbol_word_ratio"),
+        m["bullet_frac"].alias("bullet_line_frac"),
+        m["ellipsis_frac"].alias("ellipsis_line_frac"),
+        m["dup_frac"].alias("dup_line_frac"),
+    )
+    p_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    p_ml = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    p_ar = F.col("alpha_ratio") >= min_alpha_ratio
+    p_sw = F.col("n_stopwords") >= min_stopwords
+    p_sy = F.col("symbol_word_ratio") <= max_symbol_word_ratio
+    p_bl = F.col("bullet_line_frac") <= max_bullet_line_frac
+    p_el = F.col("ellipsis_line_frac") <= max_ellipsis_line_frac
+    p_dl = F.col("dup_line_frac") <= max_dup_line_frac
+    return out.select(
+        "*",
+        p_wc.cast("int").alias("pass_word_count"),
+        p_ml.cast("int").alias("pass_mean_word_len"),
+        p_ar.cast("int").alias("pass_alpha_ratio"),
+        p_sw.cast("int").alias("pass_stopwords"),
+        p_sy.cast("int").alias("pass_symbol_ratio"),
+        p_bl.cast("int").alias("pass_bullet_lines"),
+        p_el.cast("int").alias("pass_ellipsis_lines"),
+        p_dl.cast("int").alias("pass_dup_lines"),
+        (p_wc & p_ml & p_ar & p_sw & p_sy & p_bl & p_el & p_dl)
+        .cast("int")
+        .alias("pass_all"),
+    )
+
+
+def gopher_pass_all(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+):
+    """The :func:`gopher_quality_flags` ``pass_all`` rule as ONE inline
+    predicate Column over ``text_col`` — for pipelines that only need the
+    surviving rows.  ``df.filter(gopher_pass_all(...))`` keeps exactly the
+    rows whose ``pass_all`` flag the operator would set (identical metric
+    expressions, identical comparisons), but in a single scan with no
+    flags-frame join — the shape that lets the gate run inside the scan's
+    codegen stage at 100 TB instead of paying a second corpus pass plus a
+    doc_id shuffle/join.
+    """
+    m = _gopher_metric_exprs(F.col(text_col))
+    return (
+        (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words)
+        & (m["mean_len"] >= min_mean_word_len)
+        & (m["mean_len"] <= max_mean_word_len)
+        & (m["alpha_ratio"] >= min_alpha_ratio)
+        & (m["n_stop"] >= min_stopwords)
+        & (m["symbol_ratio"] <= max_symbol_word_ratio)
+        & (m["bullet_frac"] <= max_bullet_line_frac)
+        & (m["ellipsis_frac"] <= max_ellipsis_line_frac)
+        & (m["dup_frac"] <= max_dup_line_frac)
+    )
+
+
+def _gopher_metric_exprs(txt):
+    """The nine Gopher quality metrics as a dict of named column
+    expressions over ``txt`` — the single construction site shared by
+    :func:`gopher_quality_flags` (metrics + flags frame) and
+    :func:`gopher_pass_all` (inline filter predicate), so the two
+    spellings cannot drift."""
     ws = tokens(txt)
     n_words = F.size(ws).cast("long")
     n_chars = F.length(F.regexp_replace(txt, r"\s+", ""))
@@ -844,41 +971,16 @@ def gopher_quality_flags(
         (n_nl - F.size(F.array_distinct(norm_lines))).cast("double") / n_nl.cast("double"),
     ).otherwise(F.lit(0.0))
 
-    out = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        alpha_ratio.alias("alpha_ratio"),
-        n_stop.alias("n_stopwords"),
-        symbol_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        dup_frac.alias("dup_line_frac"),
-    )
-    p_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
-    p_ml = (F.col("mean_word_len") >= min_mean_word_len) & (
-        F.col("mean_word_len") <= max_mean_word_len
-    )
-    p_ar = F.col("alpha_ratio") >= min_alpha_ratio
-    p_sw = F.col("n_stopwords") >= min_stopwords
-    p_sy = F.col("symbol_word_ratio") <= max_symbol_word_ratio
-    p_bl = F.col("bullet_line_frac") <= max_bullet_line_frac
-    p_el = F.col("ellipsis_line_frac") <= max_ellipsis_line_frac
-    p_dl = F.col("dup_line_frac") <= max_dup_line_frac
-    return out.select(
-        "*",
-        p_wc.cast("int").alias("pass_word_count"),
-        p_ml.cast("int").alias("pass_mean_word_len"),
-        p_ar.cast("int").alias("pass_alpha_ratio"),
-        p_sw.cast("int").alias("pass_stopwords"),
-        p_sy.cast("int").alias("pass_symbol_ratio"),
-        p_bl.cast("int").alias("pass_bullet_lines"),
-        p_el.cast("int").alias("pass_ellipsis_lines"),
-        p_dl.cast("int").alias("pass_dup_lines"),
-        (p_wc & p_ml & p_ar & p_sw & p_sy & p_bl & p_el & p_dl)
-        .cast("int")
-        .alias("pass_all"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_len": mean_len,
+        "alpha_ratio": alpha_ratio,
+        "n_stop": n_stop,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "dup_frac": dup_frac,
+    }
 
 
 def _blocklist_hits(txt, terms: List[str]):
@@ -1046,22 +1148,21 @@ def curate_recipe(
         "n_kept_lines",
         F.col("clean_text"),
     )
-    # the gate frame carries ONLY (id, text): a passthrough column named
-    # "text" (caller keeping the raw text beside the cleaned text) must
-    # not collide with the renamed clean_text
-    gate = clean.select(F.col(id_col), F.col("clean_text").alias("text"))
+    # r14 opt: both gates are per-row predicates over the SAME cleaned
+    # text, so they apply as ONE inline filter on the cleaned frame
+    # (identical metric expressions via :func:`gopher_pass_all`) — the
+    # previous flags-frame semi join re-derived the cleaned projection a
+    # second time and paid an id-keyed join for rows a filter decides
+    # locally.  Same survivors, one corpus scan, zero joins.
+    gate_pred = gopher_pass_all(
+        text_col="clean_text", min_words=min_words, min_stopwords=min_stopwords
+    )
     if blocklist:
-        # both gates are per-row predicates over the SAME cleaned text, so
-        # order is immaterial — apply the cheap array test first and let
-        # Catalyst collapse it into the Gopher projection's scan stage
-        gate = gate.filter(
-            F.size(_blocklist_hits(F.col("text"), list(blocklist))) <= 0
-        )
-    gop = gopher_quality_flags(
-        gate, text_col="text", id_col=id_col,
-        min_words=min_words, min_stopwords=min_stopwords,
-    ).filter(F.col("pass_all") == 1)
-    return clean.join(gop.select(id_col), id_col, "semi")
+        # cheap array test first; Catalyst collapses both into the scan
+        gate_pred = (
+            F.size(_blocklist_hits(F.col("clean_text"), list(blocklist))) <= 0
+        ) & gate_pred
+    return clean.filter(gate_pred)
 
 
 def repetition_signals(

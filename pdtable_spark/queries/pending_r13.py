@@ -169,10 +169,10 @@ def r13_pipeline_e2e_curation(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
 
-    flags = text.gopher_quality_flags(docs, min_words=_GOPHER_MIN_WORDS)
-    ok = docs.join(
-        flags.filter(F.col("pass_all") == 1).select("doc_id"), "doc_id", "semi"
-    )
+    # r14 opt: the gate is an inline predicate (identical metric
+    # expressions via text.gopher_pass_all), not a flags-frame semi join —
+    # one corpus scan instead of two plus a doc_id join, same survivors
+    ok = docs.filter(text.gopher_pass_all(min_words=_GOPHER_MIN_WORDS))
     # the exact-dedup survivors and the band index are each referenced by
     # MULTIPLE downstream branches (the LSH self-join's two sides, the
     # embedding semi join, the post-semantic outer side) — persist the two
@@ -231,9 +231,9 @@ def r13_pipeline_e2e_curation(spark, sf_dir):
         _E2E_CAP,
         score_col="score",
     )
-    chunks = text.chunk_documents(mix, chunk_tokens=50, overlap=10).select(
-        "doc_id", "chunk_idx", "chunk_n_tokens"
-    )
+    # r14 opt: counts-only chunk spelling (identical rows; chunk_text was
+    # built per chunk and immediately dropped — 1.6 s single-task CPU)
+    chunks = text.chunk_counts(mix, chunk_tokens=50, overlap=10)
     packed = text.pack_budget(
         chunks, capacity=200, order_cols=("doc_id", "chunk_idx")
     )

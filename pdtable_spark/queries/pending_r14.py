@@ -85,9 +85,7 @@ def r14_pipeline_pack_partitioned(spark, sf_dir):
     from pdtable_spark.operators import text
 
     d = load(spark, sf_dir, "documents")
-    chunks = text.chunk_documents(d, chunk_tokens=50, overlap=10).select(
-        "doc_id", "chunk_idx", "chunk_n_tokens"
-    )
+    chunks = text.chunk_counts(d, chunk_tokens=50, overlap=10)
     ch = chunks.join(d.select("doc_id", "source"), "doc_id")
     packed = text.pack_budget(
         ch,

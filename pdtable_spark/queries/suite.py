@@ -3745,9 +3745,7 @@ def pipeline_pack_budget(spark, sf_dir):
     order — deterministic; see pack_budget's docstring for the global-window
     scale note (shard by key at 100 TB)."""
     d = load(spark, sf_dir, "documents")
-    chunks = text.chunk_documents(d, chunk_tokens=50, overlap=10).select(
-        "doc_id", "chunk_idx", "chunk_n_tokens"
-    )
+    chunks = text.chunk_counts(d, chunk_tokens=50, overlap=10)
     return text.pack_budget(chunks, capacity=200, order_cols=("doc_id", "chunk_idx"))
 
 

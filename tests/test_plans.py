@@ -310,9 +310,10 @@ def test_drift_report_one_scan_per_side(spark):
 
 
 def test_curate_recipe_blocklist_adds_no_scan(spark):
-    """The term blocklist is fused into the Gopher gate frame as a filter,
-    not a second gate branch: enabling it must not re-derive the cleaned
-    projection (scan count and semi-join count stay flat)."""
+    """The gates (Gopher rules + optional term blocklist) are ONE inline
+    filter over the cleaned frame (r14): a single corpus scan, no
+    flags-frame semi join, and enabling the blocklist must not re-derive
+    the cleaned projection."""
     from pdtable_spark.operators import text
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -324,7 +325,7 @@ def test_curate_recipe_blocklist_adds_no_scan(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         return n_scans(plan), plan.count("LeftSemi")
 
-    assert shape(None) == shape(["window"]) == (2, 1)
+    assert shape(None) == shape(["window"]) == (1, 0)
 
 
 def test_bm25_no_postings_shuffle(spark):
