@@ -455,7 +455,11 @@ def ivf_index(
     assignments.  ``metadata_cols`` ride along for filtered search /
     label-aware mining (same contract as :func:`ann_index`)."""
     cents = [[float(x) for x in c] for c in centroids]
-    c = corpus.select(
+    # r14 opt: the nearest-cell assignment folds dim doubles per centroid
+    # per row — compute-dense over a byte-tiny scan (guide §2.5); fan a
+    # provably tiny local corpus to the core count first (identity at
+    # scale / on derived multi-source lineage)
+    c = fanout_small_scan(corpus).select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("vec"),
         *[F.col(m) for m in metadata_cols],
@@ -1465,7 +1469,7 @@ def hard_negatives(
         "__a_label",
         dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2"),
     )
-    cand = corpus.select(
+    cand = fanout_small_scan(corpus).select(
         F.col(id_col).alias("neg_id"),
         _as_double(F.col(vec_col)).alias("c_vec"),
         F.col(label_col).alias("neg_label"),
@@ -1556,7 +1560,7 @@ def knn_label_propagation(
     ).select(
         "query_id", "q_vec", dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2")
     )
-    labeled = corpus.filter(~query_pred).select(
+    labeled = fanout_small_scan(corpus.filter(~query_pred)).select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("c_vec"),
         F.col(label_col).alias("__nl"),
