@@ -1078,9 +1078,24 @@ def bloom_pruned_read(
         )
     keys = sorted(r[0] for r in rows)
     sidecar = spark.read.parquet(path.rstrip("/") + f"/_bloom_{key_col}")
+    cov_rows = None
     if "num_hashes" in sidecar.columns:
-        prm = sidecar.select("num_hashes", "num_bits").first()
-        if (prm["num_hashes"], prm["num_bits"]) != (num_hashes, num_bits):
+        # ONE job returns both the parameter stamp and the covered-file
+        # census (r14 — the refresh's fused-aggregate trick; previously a
+        # first() job plus a separate distinct-collect job)
+        cov_rows = (
+            sidecar.groupBy("file")
+            .agg(
+                F.first("num_hashes").alias("num_hashes"),
+                F.first("num_bits").alias("num_bits"),
+            )
+            .collect()
+        )
+        prm = cov_rows[0] if cov_rows else None
+        if prm is not None and (prm["num_hashes"], prm["num_bits"]) != (
+            num_hashes,
+            num_bits,
+        ):
             raise ValueError(
                 f"bloom_pruned_read: sidecar was built with num_hashes="
                 f"{prm['num_hashes']}, num_bits={prm['num_bits']} but the "
@@ -1099,10 +1114,14 @@ def bloom_pruned_read(
             bloom_positions(F.col(key_col).cast("string"), num_hashes, num_bits)
         ).alias("pos"),
     )
-    all_files = {
-        _norm_file(r["file"])
-        for r in sidecar.select("file").distinct().collect()
-    }
+    all_files = (
+        {_norm_file(r["file"]) for r in cov_rows}
+        if cov_rows is not None
+        else {
+            _norm_file(r["file"])
+            for r in sidecar.select("file").distinct().collect()
+        }
+    )
     current, source = _validation_snapshot(spark, path)
     if all_files != current:
         raise ValueError(
