@@ -634,6 +634,38 @@ def _le_uint(payload, pos: int, n: int):
     return out
 
 
+#: session-lifetime memo of built walk Columns, keyed on (builder name,
+#: payload column NAME, bound parameters) — see :func:`_memo_walk`.
+_WALK_MEMO: dict = {}
+
+
+def _memo_walk(fn):
+    """Memoize a header-walk builder's Column expression (r14, guide §7.3
+    — driver/plan-build time).  Each walk constructs hundreds of
+    expression nodes through py4j (~0.2-0.4 s per call, measured); the
+    tree depends ONLY on the payload column NAME and the bound
+    parameters, so when the caller passes the column as a *string name*
+    the built (unresolved) Column is reused across calls and plans.
+    Catalyst treats expression trees functionally and re-resolves them
+    per plan, so sharing the fragment is semantics-free: no data, no
+    results, nothing session-bound is cached — the same discipline as
+    the suite's lazy load-handle memo.  Passing a Column still builds
+    fresh (arbitrary payload expressions are not memoizable by name).
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(payload, *a, **k):
+        if isinstance(payload, str):
+            key = (fn.__name__, payload, a, tuple(sorted(k.items())))
+            if key not in _WALK_MEMO:
+                _WALK_MEMO[key] = fn(F.col(payload), *a, **k)
+            return _WALK_MEMO[key]
+        return fn(payload, *a, **k)
+
+    return wrap
+
+
 #: SOF markers that carry frame dimensions: C0-CF minus DHT (C4), the
 #: reserved JPG extension (C8) and DAC (CC) — baseline, progressive,
 #: lossless and the arithmetic-coded variants all included.
@@ -643,6 +675,7 @@ _JPEG_SOF_MARKERS = [
 ]
 
 
+@_memo_walk
 def _jpeg_sof_walk(payload, max_segments: int = 64):
     """Frame dimensions from a JPEG payload's SOF marker as ONE pure-JVM
     expression: a bounded fold (``F.aggregate`` over a constant sequence
@@ -718,6 +751,7 @@ def _jpeg_sof_walk(payload, max_segments: int = 64):
     )
 
 
+@_memo_walk
 def _tiff_ifd_walk(payload, le: bool, max_entries: int = 32):
     """ImageWidth/ImageLength from a TIFF payload's first IFD as ONE
     pure-JVM expression, for a FIXED endianness (the caller picks the
@@ -881,16 +915,16 @@ def image_meta(
         "__jpeg_walk",
         F.when(
             F.substring(p, 1, 3) == F.lit(bytes([0xFF, 0xD8, 0xFF])),
-            _jpeg_sof_walk(p, jpeg_max_segments),
+            _jpeg_sof_walk(payload_col, jpeg_max_segments),
         ),
     ).withColumn(
         "__tiff_walk",
         F.when(
             F.substring(p, 1, 4) == F.lit(bytes([0x49, 0x49, 0x2A, 0x00])),
-            _tiff_ifd_walk(p, le=True),
+            _tiff_ifd_walk(payload_col, le=True),
         ).when(
             F.substring(p, 1, 4) == F.lit(bytes([0x4D, 0x4D, 0x00, 0x2A])),
-            _tiff_ifd_walk(p, le=False),
+            _tiff_ifd_walk(payload_col, le=False),
         ),
     )
     jd, td = F.col("__jpeg_walk"), F.col("__tiff_walk")
@@ -918,6 +952,7 @@ def image_meta(
     ).drop("__jpeg_walk", "__tiff_walk")
 
 
+@_memo_walk
 def _wav_chunk_walk(payload, max_chunks: int = 64):
     """``fmt `` + ``data`` fields from a RIFF/WAVE payload's chunk list as
     ONE pure-JVM expression — the audio sibling of :func:`_jpeg_sof_walk`
@@ -1079,7 +1114,7 @@ def audio_meta(
     # guard rides on the column (CaseWhen is lazy), so non-WAV rows skip
     # the fold and field access on the NULL struct degrades to NULL.
     assets = assets.withColumn(
-        "__wav_walk", F.when(is_wav, _wav_chunk_walk(p, max_chunks))
+        "__wav_walk", F.when(is_wav, _wav_chunk_walk(payload_col, max_chunks))
     )
     w = F.col("__wav_walk")
     # ADTS AAC: a bare stream starts at the first frame header — 12-bit
@@ -1253,6 +1288,7 @@ def audio_meta(
 _EBML_MASTERS = [0x18538067, 0x1654AE6B, 0xAE, 0xE0]
 
 
+@_memo_walk
 def _ebml_dims_walk(payload, max_steps: int = 32):
     """PixelWidth/PixelHeight from a WebM/Matroska payload as ONE
     pure-JVM expression — the EBML arm of the bounded-fold family:
@@ -1400,6 +1436,7 @@ def _ebml_dims_walk(payload, max_steps: int = 32):
     return final
 
 
+@_memo_walk
 def _avi_header_walk(payload, max_chunks: int = 16):
     """``avih`` main-header fields from a RIFF/AVI payload as ONE
     pure-JVM expression — the video arm of the bounded-fold family
@@ -1510,10 +1547,10 @@ def video_meta(
     # one materialized, format-guarded copy of each walk — the
     # audio_meta/image_meta plan-size discipline (see _wav_chunk_walk)
     assets = assets.withColumn(
-        "__avi_walk", F.when(is_avi, _avi_header_walk(p, max_chunks))
-    ).withColumn("__mvhd_walk", F.when(is_mp4, _mp4_mvhd_walk(p))).withColumn(
-        "__ebml_walk", F.when(is_ebml, _ebml_dims_walk(p))
-    )
+        "__avi_walk", F.when(is_avi, _avi_header_walk(payload_col, max_chunks))
+    ).withColumn(
+        "__mvhd_walk", F.when(is_mp4, _mp4_mvhd_walk(payload_col))
+    ).withColumn("__ebml_walk", F.when(is_ebml, _ebml_dims_walk(payload_col)))
     av, eb = F.col("__avi_walk"), F.col("__ebml_walk")
     fmt = (
         F.when(is_avi, F.lit("avi"))
@@ -1543,6 +1580,7 @@ def video_meta(
     ).drop("__avi_walk", "__mvhd_walk", "__ebml_walk")
 
 
+@_memo_walk
 def _mp4_mvhd_walk(payload, max_boxes: int = 24):
     """``mvhd`` timescale + duration from an MP4/MOV payload as ONE
     pure-JVM expression — the ISO-BMFF arm of the bounded-fold family:
