@@ -950,8 +950,20 @@ def json_profile_diff(prof_old: DataFrame, prof_new: DataFrame) -> DataFrame:
     # (the write_zone_map lesson), and the totals + join need nothing
     # Spark-shaped at this size
     spark = prof_old.sparkSession
-    rows_old = prof_old.select("path", "kind", "n").collect()
-    rows_new = prof_new.select("path", "kind", "n").collect()
+    # ONE action for both sides (r14): the tagged union collects both
+    # profiles in a single job, so the two corpus scans run as
+    # concurrent stages instead of two sequential driver round-trips
+    # (two collects measured 1.7 s of the diff's 2.0 s cell at sf0.1,
+    # ~half of it the second job waiting on the first)
+    both = (
+        prof_old.select("path", "kind", "n").withColumn("__side", F.lit(0))
+        .unionByName(
+            prof_new.select("path", "kind", "n").withColumn("__side", F.lit(1))
+        )
+        .collect()
+    )
+    rows_old = [r for r in both if r["__side"] == 0]
+    rows_new = [r for r in both if r["__side"] == 1]
     tot_old = sum(r["n"] for r in rows_old if r["path"] == "$")
     tot_new = sum(r["n"] for r in rows_new if r["path"] == "$")
     if not tot_old or not tot_new:

@@ -490,10 +490,15 @@ def dsir_log_importance(
     """
     import math
 
+    from pdtable_spark.operators.scanfan import fanout_small_scan
     from pdtable_spark.operators.similarity import _matrix_frame
 
     if buckets <= 0:
         raise ValueError("dsir_log_importance: buckets must be positive")
+    # r14 opt: every pass explodes + hashes the full gram stream —
+    # compute-dense over a byte-tiny scan; fan a provably tiny local
+    # corpus to the core count (identity at scale)
+    df = fanout_small_scan(df)
     if hash_fn not in ("xxhash64", "md5_60"):
         raise ValueError(f"dsir_log_importance: unknown hash_fn {hash_fn!r}")
     if (target is None) == (target_pred is None):
