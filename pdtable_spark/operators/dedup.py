@@ -24,6 +24,7 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pdtable_spark.operators.scanfan import fanout_small_scan
 from pdtable_spark.operators.text import shingle_hashes, shingles, tokens
 
 
@@ -231,7 +232,12 @@ def _shingle_sets(df, text_col: str, id_col: str, shingle_n: int, hash_fn: str, 
     Column-NAME form of the shingle builders = one JVM-side expression
     parse (r14 builder-cost note in operators/text.py)."""
     mk = shingles if hash_fn == "md5_60" else shingle_hashes
-    return df.select(F.col(id_col), mk(text_col, shingle_n).alias(out))
+    # r14 opt: tokenize+hash is compute-dense over a byte-tiny scan —
+    # fan a provably small local input to the core count (identity at
+    # scale; see operators/scanfan.py)
+    return fanout_small_scan(df).select(
+        F.col(id_col), mk(text_col, shingle_n).alias(out)
+    )
 
 
 def minhash_signatures(
@@ -837,7 +843,7 @@ def _shingle_pair_intersections(
     candidate pair — the similarity projection on top is the only thing
     the two operators disagree about.  The k²-candidate scale guard
     (``max_doc_freq`` df-cut) lives HERE so a fix applies to both."""
-    base = df.select(
+    base = fanout_small_scan(df).select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         shingles(text_col, shingle_n).alias("sh"),
@@ -1440,7 +1446,8 @@ def winnow_fingerprints(
         _positional_gram_hashes(F.col(text_col), gram_n, hash_fn), pick
     )
     return (
-        df.select(F.col(id_col), F.explode(sels).alias("s"))
+        fanout_small_scan(df)
+        .select(F.col(id_col), F.explode(sels).alias("s"))
         .select(id_col, F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
     )
 
