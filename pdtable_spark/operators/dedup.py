@@ -680,7 +680,7 @@ def contamination_report(
     the training corpus is scanned once and only shingle matches shuffle.
     Returns (train_id, bench_id, n_common, containment >= min_containment).
     """
-    base = df.select(
+    base = fanout_small_scan(df).select(
         F.col(id_col), F.col(text_col), bench_pred.alias("__is_bench")
     ).select(
         id_col, "__is_bench", shingles(text_col, shingle_n).alias("sh")
@@ -1310,7 +1310,7 @@ def bloom_decontaminate(
             )
         ).cast("boolean"),
     ).otherwise(bench_pred)
-    base = df.select(
+    base = fanout_small_scan(df).select(
         F.col(id_col), text_guarded.alias(text_col), pred_guarded.alias("__is_bench")
     ).select(
         id_col, "__is_bench", shingles(text_col, shingle_n).alias("sh")

@@ -20,6 +20,8 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pdtable_spark.operators.scanfan import fanout_small_scan
+
 
 def corpus_drift_report(
     df_old: DataFrame,
@@ -785,6 +787,7 @@ def json_profile(
 
     raw = F.col(json_col)
     m1 = F.from_json(raw, "map<string,string>")
+    df = fanout_small_scan(df)
     root = df.select(
         F.lit("$").alias("path"),
         F.when(raw.isNotNull() & raw.startswith("{") & m1.isNotNull(),
@@ -1025,7 +1028,7 @@ def json_infer_plan(
         )
     raw = F.col(json_col)
     m1 = F.from_json(raw, "map<string,string>")
-    l1 = df.select(F.explode(m1).alias("k1", "v1")).select(
+    l1 = fanout_small_scan(df).select(F.explode(m1).alias("k1", "v1")).select(
         F.concat(F.lit("$."), F.col("k1")).alias("path"),
         F.col("v1").alias("val"),
         F.col("k1"),

@@ -16,6 +16,8 @@ from typing import Dict, Iterable, List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pdtable_spark.operators.scanfan import fanout_small_scan
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization as an array column."""
@@ -387,7 +389,9 @@ def tfidf_keywords(
 
     if df_mode not in ("window", "aggregate"):
         raise ValueError(f"df_mode must be 'window' or 'aggregate', got {df_mode!r}")
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    toks = fanout_small_scan(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     if df_mode == "window":
@@ -423,7 +427,8 @@ def ngram_doc_freq(
     COUNT after the explode IS the document frequency.  One explode + one
     count shuffle + TakeOrdered top-k — no joins, no full sort."""
     return (
-        df.select(F.explode(shingles(text_col, n)).alias("ngram"))
+        fanout_small_scan(df)
+        .select(F.explode(shingles(text_col, n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("ngram"))
@@ -1080,7 +1085,7 @@ def c4_quality(
     has_lorem = F.contains(F.lower(txt), F.lit("lorem ipsum"))
     has_brace = F.contains(txt, F.lit("{"))
     extra = [F.col(c) for c in (passthrough or [])]
-    out = df.select(
+    out = fanout_small_scan(df).select(
         F.col(id_col),
         *extra,
         clean.alias("clean_text"),
@@ -2110,7 +2115,8 @@ def collocations(
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     counts = (
-        df.select(F.explode(pairs).alias("p"))
+        fanout_small_scan(df)
+        .select(F.explode(pairs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))

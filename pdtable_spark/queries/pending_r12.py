@@ -698,8 +698,10 @@ def r12_lake_hilbert_cells(spark, sf_dir):
         mnt.int_bucket(F.col("cents"), int(row[2]), int(row[3]), _ZBITS),
         _ZBITS,
     )
+    from pdtable_spark.operators.scanfan import fanout_small_scan
+
     return (
-        o.withColumn("hkey", hk)
+        fanout_small_scan(o).withColumn("hkey", hk)
         .groupBy(F.shiftright(F.col("hkey"), _ZBITS).alias("h_cell"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
