@@ -22,6 +22,26 @@ DEFAULT = [
     "minhash_candidates",
     "text_fingerprint",
     "dedup_skewed_buckets",
+    "pipeline_e2e_curation",
+    "pipeline_modern_recipe",
+    "pipeline_pack_budget",
+    "embedding_margin_agreement",
+    "embedding_label_propagation",
+    "embedding_hard_negatives",
+    "embedding_semantic_dedup",
+    "embedding_topk",
+    "embedding_gram_ledger",
+    "embedding_margin_mining",
+    "multimodal_image_meta",
+    "multimodal_video_meta",
+    "pipeline_bloom_screen",
+    "pipeline_json_profile",
+    "lake_hilbert_cells",
+    "text_collocations",
+    "text_tfidf_keywords",
+    "dedup_winnow_pairs",
+    "dedup_containment_pairs",
+    "pipeline_dsir_weights",
 ]
 
 
@@ -43,10 +63,18 @@ def main():
     Q["minhash_candidates"] = lambda s, d: dedup.minhash_dedup(
         load(s, d, "documents"), num_hashes=16, bands=4, jaccard_threshold=0.5
     )
-    for mod in ("pending_r12", "pending_r14"):
-        m = __import__(f"pdtable_spark.queries.{mod}", fromlist=["*"])
-        for name, (fn, _sql) in getattr(m, f"PENDING_{mod[-3:].upper()}", {}).items():
-            Q.setdefault(name, fn)
+    for mod in ("pending_r9", "pending_r10", "pending_r11", "pending_r12",
+                "pending_r13", "pending_r14"):
+        try:
+            m = __import__(f"pdtable_spark.queries.{mod}", fromlist=["*"])
+        except Exception:
+            continue
+        key = "PENDING_" + mod.split("_r")[-1].upper().replace("R", "R")
+        for attr in dir(m):
+            if attr.startswith("PENDING_") or attr.endswith("_QUERIES"):
+                for name, val in getattr(m, attr, {}).items():
+                    fn = val[0] if isinstance(val, tuple) else val
+                    Q.setdefault(name, fn)
 
     for name in names:
         df = Q[name](spark, SF_DIR)
