@@ -456,17 +456,58 @@ def _norm_file(f: str) -> str:
     return re.sub("^file:/+", "/", f)
 
 
+def _is_local_path(path: str) -> bool:
+    """True when ``path`` is served by the local filesystem — a bare path
+    or an explicit ``file:`` URI.  Gates the driver-side fast paths below
+    (``os.scandir`` listings, pyarrow sidecar reads): on remote schemes
+    (hdfs/s3/...) everything falls back to the Hadoop-FS / Spark
+    spellings unchanged."""
+    return "://" not in path or path.startswith("file:")
+
+
+def _should_hide(name: str) -> bool:
+    """Spark's ``shouldFilterOutPathName`` hiding rule, mirrored exactly
+    (ADVICE r14): underscore-prefixed names are hidden ONLY when they
+    carry no ``=`` (so partition-style ``_foo=1`` directories stay
+    visible, as they are to ``spark.read``), dot-prefixed names and
+    ``*._COPYING_`` temp files are always hidden.  The hand-rolled
+    ``startswith('_')`` rule diverged on both counts, so the sidecar
+    census could disagree with what Spark actually scans."""
+    return (
+        (name.startswith("_") and "=" not in name)
+        or name.startswith(".")
+        or name.endswith("._COPYING_")
+    )
+
+
 def _data_files(spark: SparkSession, path: str) -> set:
     """The lake's current data-file set, normalized via :func:`_norm_file`.
 
-    Pure Hadoop-FS recursive listing with the FileIndex hiding rule
-    (names starting with ``_`` or ``.`` are skipped at every level, so
-    ``_zone_map``/``_manifest``/``_SUCCESS`` style entries are excluded)
-    — the same file set ``spark.read.parquet(path).inputFiles()``
-    returns (equivalence measured on the 64-dir lifecycle lakes), minus
-    that spelling's per-call relation build + parquet footer/schema read
-    (measured 277 ms → 108 ms per listing; maintenance ops list 2-4
-    times each — r14 optimization, guide §6)."""
+    Recursive listing with Spark's FileIndex hiding rule
+    (:func:`_should_hide`, so ``_zone_map``/``_manifest``/``_SUCCESS``
+    style entries are excluded) — the same file set
+    ``spark.read.parquet(path).inputFiles()`` returns (equivalence
+    measured on the 64-dir lifecycle lakes), minus that spelling's
+    per-call relation build + parquet footer/schema read (r14, guide
+    §6).  Local paths walk via ``os.scandir`` — the Hadoop-FS spelling
+    costs ~4 py4j round-trips per directory entry, measured ~0.9 s for
+    a 16-file lifecycle lake vs ~1 ms here (r15, guide §7.3 driver
+    work); remote schemes keep the Hadoop-FS walk."""
+    if _is_local_path(path):
+        root = _norm_file(path)
+        out = set()
+        stack = [root]
+        while stack:
+            p = stack.pop()
+            with os.scandir(p) as entries:
+                for e in entries:
+                    if _should_hide(e.name):
+                        continue
+                    if e.is_dir(follow_symlinks=True):
+                        stack.append(e.path)
+                    else:
+                        out.add(e.path)
+        return out
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -476,13 +517,35 @@ def _data_files(spark: SparkSession, path: str) -> set:
         p = stack.pop()
         for st in fs.listStatus(p):
             name = st.getPath().getName()
-            if name.startswith("_") or name.startswith("."):
+            if _should_hide(name):
                 continue
             if st.isDirectory():
                 stack.append(st.getPath())
             else:
                 out.add(_norm_file(st.getPath().toString()))
     return out
+
+
+def _local_sidecar_rows(spark: SparkSession, sidecar_dir: str):
+    """Driver-side read of a FILE-COUNT-BOUNDED local sidecar (zone map /
+    manifest — one row per data file by construction) as a list of
+    ``{column: value}`` dicts, or ``None`` when the fast path does not
+    apply (remote scheme, pyarrow missing/failed — callers then run the
+    usual Spark collect).  A KB-sized artifact does not need a Spark
+    job to reach the driver: the collect it replaces cost a relation
+    build (footer/schema inference) plus 1-2 scheduler round-trips per
+    certificate read (r15, guide §7.3 driver work).  Values are read
+    from the SAME parquet bytes the Spark collect would scan — nothing
+    is cached; every call re-reads the artifact.  NOT for the Bloom
+    sidecar, whose row count is position-, not file-bounded."""
+    if not _is_local_path(sidecar_dir):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_table(_norm_file(sidecar_dir)).to_pylist()
+    except Exception:
+        return None
 
 
 def _norm_file_col(c: Column) -> Column:
@@ -602,13 +665,44 @@ def _write_manifest(
     """The one manifest write path (shared by :func:`write_file_manifest`
     and the maintenance-op advance, so the two can never drift): build
     the snapshot frame, stamp the generation, land under ``.new`` and
-    promote via the crash-safe swap."""
+    promote via the crash-safe swap.
+
+    Local lakes write the KB-sized artifact driver-side through pyarrow
+    (identical columns/types: ``file`` string, ``generation`` long,
+    rows sorted like the frame spelling) — a Spark write job for a
+    driver-held file list is pure scheduler latency (r15, guide §7.3);
+    the crash-safe ``.new`` → swap is byte-for-byte the same.  Remote
+    schemes keep the Spark write."""
+    mdir = _manifest_dir(path)
+    if _is_local_path(mdir):
+        try:
+            import shutil
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            new_dir = _norm_file(mdir) + ".new"
+            shutil.rmtree(new_dir, ignore_errors=True)
+            os.makedirs(new_dir, exist_ok=True)
+            ordered = sorted(files)
+            table = pa.table(
+                {
+                    "file": pa.array(ordered, pa.string()),
+                    "generation": pa.array(
+                        [int(generation)] * len(ordered), pa.int64()
+                    ),
+                }
+            )
+            pq.write_table(table, os.path.join(new_dir, "part-00000.parquet"))
+            _promote_sidecar(spark, mdir, "_write_manifest")
+            return
+        except ImportError:
+            pass  # no pyarrow: fall through to the Spark write
     from pyspark.sql.types import StringType
 
     frame = _snapshot_frame(
         spark, sorted(files), "file", StringType()
     ).withColumn("generation", F.lit(generation).cast("long"))
-    mdir = _manifest_dir(path)
     frame.coalesce(1).write.mode("overwrite").parquet(mdir + ".new")
     _promote_sidecar(spark, mdir, "_write_manifest")
 
@@ -623,13 +717,28 @@ def file_manifest(spark: SparkSession, path: str) -> DataFrame:
 def _manifest_snapshot(spark: SparkSession, path: str):
     """``(normalized file set, generation)`` from the manifest, or
     ``None`` when the lake has no manifest (readers then fall back to
-    the live listing)."""
+    the live listing).
+
+    Local manifests read driver-side (pyarrow — the artifact is
+    file-count-bounded KBs; the Spark collect it replaces cost a
+    relation build + 1-2 jobs per certificate read, r15 guide §7.3);
+    remote schemes keep the Spark read.  Either way every call re-reads
+    the persisted artifact — no snapshot is cached."""
+    mdir = _manifest_dir(path)
+    if _is_local_path(mdir):
+        if not os.path.isdir(_norm_file(mdir)):
+            return None
+        rows = _local_sidecar_rows(spark, mdir)
+        if rows is not None:
+            files = {_norm_file(r["file"]) for r in rows}
+            gen = max((r["generation"] for r in rows), default=-1)
+            return files, int(gen)
     jvm = spark._jvm
-    mpath = jvm.org.apache.hadoop.fs.Path(_manifest_dir(path))
+    mpath = jvm.org.apache.hadoop.fs.Path(mdir)
     fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(mpath):
         return None
-    rows = spark.read.parquet(_manifest_dir(path)).collect()
+    rows = spark.read.parquet(mdir).collect()
     files = {_norm_file(r["file"]) for r in rows}
     gen = max((r["generation"] for r in rows), default=-1)
     return files, int(gen)
@@ -791,7 +900,12 @@ def refresh_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> dic
         n = write_zone_map(spark, path, cols)
         return {"n_added": n, "n_removed": 0, "n_files": n}
     sidecar = spark.read.parquet(zdir)  # ONE relation: reused below
-    old_files = [r["file"] for r in sidecar.select("file").collect()]
+    # file census driver-side on local lakes (file-count-bounded rows;
+    # replaces a collect job per refresh — r15, guide §7.3)
+    _rows = _local_sidecar_rows(spark, zdir)
+    if _rows is None:
+        _rows = sidecar.select("file").collect()
+    old_files = [r["file"] for r in _rows]
     keep_files = [f for f in old_files if _norm_file(f) in current]
     known = {_norm_file(f) for f in keep_files}
     new_files = sorted(current - known)
@@ -853,7 +967,18 @@ def zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> DataFrame:
             f"zone_map: sidecar at {zdir!r} has no stats for {missing} — "
             "rebuild with write_zone_map(spark, path, cols)"
         )
-    covered = {_norm_file(r["file"]) for r in stats.select("file").collect()}
+    # the sidecar is file-count-bounded by construction, so its rows are
+    # pulled ONCE here (driver-side pyarrow on local lakes, a collect
+    # otherwise), validate coverage, and ride the returned frame as
+    # ``_pdtable_stats_rows`` — pruned_read/pruned_semi_read reuse them
+    # instead of re-collecting the same artifact (r15, guide §1.2 fewer
+    # passes: one certificate read used to cost two collects plus this
+    # validation's own).  The lazy parquet relation is still what is
+    # returned, so any other consumer sees the unchanged frame.
+    rows = _local_sidecar_rows(spark, zdir)
+    if rows is None:
+        rows = stats.collect()
+    covered = {_norm_file(r["file"]) for r in rows}
     current, source = _validation_snapshot(spark, path)
     if covered != current:
         raise ValueError(
@@ -862,6 +987,7 @@ def zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> DataFrame:
             f"{len(covered - current)} vanished) — run "
             "refresh_zone_map(spark, path, cols) first"
         )
+    stats._pdtable_stats_rows = rows
     return stats
 
 
@@ -1070,40 +1196,10 @@ def bloom_pruned_read(
     from pdtable_spark.operators.dedup import bloom_positions
 
     kset = keys_df.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
-    rows = kset.limit(max_keys + 1).collect()
-    if len(rows) > max_keys:
-        raise ValueError(
-            f"bloom_pruned_read: key set exceeds max_keys={max_keys} — "
-            "at this size broadcast-join the unpruned scan instead"
-        )
-    keys = sorted(r[0] for r in rows)
+    ktype = kset.schema.fields[0].dataType
     sidecar = spark.read.parquet(path.rstrip("/") + f"/_bloom_{key_col}")
-    cov_rows = None
-    if "num_hashes" in sidecar.columns:
-        # ONE job returns both the parameter stamp and the covered-file
-        # census (r14 — the refresh's fused-aggregate trick; previously a
-        # first() job plus a separate distinct-collect job)
-        cov_rows = (
-            sidecar.groupBy("file")
-            .agg(
-                F.first("num_hashes").alias("num_hashes"),
-                F.first("num_bits").alias("num_bits"),
-            )
-            .collect()
-        )
-        prm = cov_rows[0] if cov_rows else None
-        if prm is not None and (prm["num_hashes"], prm["num_bits"]) != (
-            num_hashes,
-            num_bits,
-        ):
-            raise ValueError(
-                f"bloom_pruned_read: sidecar was built with num_hashes="
-                f"{prm['num_hashes']}, num_bits={prm['num_bits']} but the "
-                f"probe asked for {num_hashes}/{num_bits} — positions "
-                "would land in a different space and silently prune "
-                "files holding true matches"
-            )
-        sidecar = sidecar.drop("num_hashes", "num_bits")
+    has_stamps = "num_hashes" in sidecar.columns
+    body = sidecar.drop("num_hashes", "num_bits") if has_stamps else sidecar
     # kset stays a JVM lineage: a driver round-trip through
     # createDataFrame would put a Python-RDD relation inside the
     # RETURNED plan, re-launching Python workers on every downstream
@@ -1114,14 +1210,77 @@ def bloom_pruned_read(
             bloom_positions(F.col(key_col).cast("string"), num_hashes, num_bits)
         ).alias("pos"),
     )
-    all_files = (
-        {_norm_file(r["file"]) for r in cov_rows}
-        if cov_rows is not None
-        else {
-            _norm_file(r["file"])
-            for r in sidecar.select("file").distinct().collect()
-        }
+    if has_stamps:
+        # one aggregate returns both the parameter stamp and the
+        # covered-file census (file-count-bounded, the r14 fused shape)
+        census = sidecar.groupBy("file").agg(
+            F.first("num_hashes").alias("__nh"),
+            F.first("num_bits").alias("__nb"),
+        )
+    else:
+        census = sidecar.select("file").distinct().select(
+            "file",
+            F.lit(None).cast("int").alias("__nh"),
+            F.lit(None).cast("int").alias("__nb"),
+        )
+    hits = (
+        body.join(F.broadcast(kpos), "pos")
+        .groupBy("file", key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == num_hashes)
+        .select("file")
+        .distinct()
     )
+
+    def _nulli(n):
+        return F.lit(None).cast("int").alias(n)
+
+    nullk = F.lit(None).cast(ktype).alias("__key")
+    # ONE driver action for all three bounded legs — the stamp+census
+    # aggregate, the Bloom hit set, and the probe-key snapshot — as a
+    # tagged union whose branches run as concurrent stages of a single
+    # job (r15, guide §1.2/§2.6; previously three sequential collects,
+    # each paying its own plan build + scheduler round-trip).  Every leg
+    # is bounded exactly as before: census/hits by the file count, keys
+    # by ``limit(max_keys + 1)``.
+    fused = (
+        census.select(F.lit("census").alias("__src"), "file", "__nh", "__nb", nullk)
+        .unionByName(
+            hits.select(
+                F.lit("hits").alias("__src"), "file", _nulli("__nh"),
+                _nulli("__nb"), nullk,
+            )
+        )
+        .unionByName(
+            kset.limit(max_keys + 1).select(
+                F.lit("keys").alias("__src"),
+                F.lit(None).cast("string").alias("file"),
+                _nulli("__nh"),
+                _nulli("__nb"),
+                F.col(key_col).alias("__key"),
+            )
+        )
+    )
+    rows = fused.collect()
+    key_rows = [r["__key"] for r in rows if r["__src"] == "keys"]
+    if len(key_rows) > max_keys:
+        raise ValueError(
+            f"bloom_pruned_read: key set exceeds max_keys={max_keys} — "
+            "at this size broadcast-join the unpruned scan instead"
+        )
+    keys = sorted(key_rows)
+    cov = [r for r in rows if r["__src"] == "census"]
+    if has_stamps and cov:
+        prm = cov[0]
+        if (prm["__nh"], prm["__nb"]) != (num_hashes, num_bits):
+            raise ValueError(
+                f"bloom_pruned_read: sidecar was built with num_hashes="
+                f"{prm['__nh']}, num_bits={prm['__nb']} but the "
+                f"probe asked for {num_hashes}/{num_bits} — positions "
+                "would land in a different space and silently prune "
+                "files holding true matches"
+            )
+    all_files = {_norm_file(r["file"]) for r in cov}
     current, source = _validation_snapshot(spark, path)
     if all_files != current:
         raise ValueError(
@@ -1130,15 +1289,9 @@ def bloom_pruned_read(
             f"file(s), {len(all_files - current)} vanished) — run "
             "refresh_bloom_sidecar(spark, path, key_col, ...) first"
         )
-    hits = (
-        sidecar.join(F.broadcast(kpos), "pos")
-        .groupBy("file", key_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") == num_hashes)
-        .select("file")
-        .distinct()
+    keep = sorted(
+        _norm_file(r["file"]) for r in rows if r["__src"] == "hits"
     )
-    keep = sorted(_norm_file(r["file"]) for r in hits.collect())
     report = {
         "n_files_total": len(all_files),
         "n_files_read": len(keep),
@@ -1236,7 +1389,12 @@ def pruned_read(
     """
     if stats is None:
         stats = clustering_stats(spark, path, list(predicates))
-    rows = stats.collect()
+    # zone_map() already pulled the file-count-bounded rows while
+    # validating coverage — reuse them instead of a second collect of
+    # the same artifact (r15); any other stats frame collects as before
+    rows = getattr(stats, "_pdtable_stats_rows", None)
+    if rows is None:
+        rows = stats.collect()
     keep = [
         r["file"] for r in rows if _stats_row_intersects(r, predicates)
     ]
@@ -1296,7 +1454,9 @@ def pruned_semi_read(
     keys = sorted(r[0] for r in rows if r[0] is not None)
     if stats is None:
         stats = clustering_stats(spark, path, [key_col])
-    stats = stats.collect()
+    # reuse zone_map()'s already-pulled rows (see pruned_read)
+    cached = getattr(stats, "_pdtable_stats_rows", None)
+    stats = cached if cached is not None else stats.collect()
     import bisect
 
     keep = []
