@@ -204,7 +204,7 @@ def _signature_frame(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, mh_0..mh_{n-1}) from a shingle-set frame in ONE ``selectExpr``
-    (builder-cost note on :func:`_signature_cols`)."""
+    (builder-cost note on :func:`_signature_exprs`)."""
     return sets_df.selectExpr(
         f"`{id_col}`", *_signature_exprs(sh_name, num_hashes, hash_fn)
     )

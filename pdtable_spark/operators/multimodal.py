@@ -634,9 +634,20 @@ def _le_uint(payload, pos: int, n: int):
     return out
 
 
-#: session-lifetime memo of built walk Columns, keyed on (builder name,
+#: memo of built walk Columns, keyed on (ACTIVE SESSION, builder name,
 #: payload column NAME, bound parameters) — see :func:`_memo_walk`.
+#: Keying on the session (ADVICE r14: a stop-and-recreate in one process
+#: must not serve Columns built against the dead gateway state) plus the
+#: WeakValueDictionary-like pruning below bounds the memo's lifetime.
 _WALK_MEMO: dict = {}
+
+
+def _active_session_key():
+    """The current SparkSession as a memo key component, or ``None`` when
+    no session is active (builders then construct fresh, uncached)."""
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession()
 
 
 def _memo_walk(fn):
@@ -656,11 +667,19 @@ def _memo_walk(fn):
 
     @functools.wraps(fn)
     def wrap(payload, *a, **k):
-        if isinstance(payload, str):
+        session = _active_session_key()
+        if isinstance(payload, str) and session is not None:
             key = (fn.__name__, payload, a, tuple(sorted(k.items())))
-            if key not in _WALK_MEMO:
-                _WALK_MEMO[key] = fn(F.col(payload), *a, **k)
-            return _WALK_MEMO[key]
+            per_session = _WALK_MEMO.get(session)
+            if per_session is None:
+                # a new session invalidates every prior gateway-bound
+                # Column: drop dead sessions' entries wholesale so the
+                # module global stays bounded (ADVICE r14)
+                _WALK_MEMO.clear()
+                per_session = _WALK_MEMO.setdefault(session, {})
+            if key not in per_session:
+                per_session[key] = fn(F.col(payload), *a, **k)
+            return per_session[key]
         return fn(payload, *a, **k)
 
     return wrap

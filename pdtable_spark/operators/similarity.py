@@ -25,7 +25,18 @@ from pdtable_spark.operators.scanfan import fanout_small_scan
 
 
 def dot(a, b):
-    """Dot product of two array<double|float> columns (JVM fold)."""
+    """Dot product of two array<double|float> columns (JVM fold).
+
+    Both sides may be SQL text (column names / field paths) — that form
+    parses the identical tree JVM-side in ONE call instead of ~30 py4j
+    lambda round-trips per fold (the r14 builder-cost move, guide §7.3;
+    parity pinned in tests/test_operators.py::
+    test_similarity_sql_spellings_match)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            "(acc, v) -> acc + v)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -43,6 +54,10 @@ def cosine(a, b):
 
 
 def _as_double(col):
+    """array<float> → array<double>.  SQL-text input parses the identical
+    tree JVM-side in one call (builder-cost note on :func:`dot`)."""
+    if isinstance(col, str):
+        return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
     return F.transform(col, lambda x: x.cast("double"))
 
 
@@ -80,18 +95,18 @@ def cosine_topk(
         "queries",
     )
     q = queries.select(
-        F.col(query_id_col), _as_double(F.col(vec_col)).alias("q_vec")
+        F.col(query_id_col), _as_double(f"`{vec_col}`").alias("q_vec")
     ).select(
-        query_id_col, "q_vec", dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2")
+        query_id_col, "q_vec", dot("q_vec", "q_vec").alias("__q_n2")
     )
     c = fanout_small_scan(corpus).select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")
-    ).select(id_col, "c_vec", dot(F.col("c_vec"), F.col("c_vec")).alias("__c_n2"))
+        F.col(id_col), _as_double(f"`{vec_col}`").alias("c_vec")
+    ).select(id_col, "c_vec", dot("c_vec", "c_vec").alias("__c_n2"))
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
         (
-            dot(F.col("q_vec"), F.col("c_vec"))
+            dot("q_vec", "c_vec")
             / F.sqrt(F.col("__q_n2") * F.col("__c_n2"))
         ).alias("cosine_sim"),
     )
@@ -159,9 +174,22 @@ def _rhp_bucket_expr(vec, planes_col):
 def _matrix_frame(df: DataFrame, name: str, matrix, depth: int) -> DataFrame:
     """Attach a small numeric matrix to every row of ``df`` as ONE column of
     nested-array DATA via a broadcast single-row cross join — the
-    plan-size-safe alternative to inlining it as per-element literals."""
+    plan-size-safe alternative to inlining it as per-element literals.
+
+    The single row ships via the pyarrow ``createDataFrame`` path (the
+    ``_snapshot_frame`` lesson, r15): Arrow conversion works regardless
+    of the session's arrow conf and backs the relation with a plain JVM
+    lineage — the pickled-row fallback costs ~180 ms of driver time per
+    build AND launches a Python worker for the one-row side inside every
+    downstream action (guide §4: the JVM↔Python boundary)."""
     schema = f"{name}: " + "array<" * depth + "double" + ">" * depth
-    one = df.sparkSession.createDataFrame([(matrix,)], schema)
+    spark = df.sparkSession
+    try:
+        import pyarrow as pa
+
+        one = spark.createDataFrame(pa.table({name: [matrix]}), schema=schema)
+    except Exception:
+        one = spark.createDataFrame([(matrix,)], schema)
     return df.crossJoin(F.broadcast(one))
 
 
@@ -178,7 +206,7 @@ def _bucketize(
     df: DataFrame, id_: str, vec_col: str, out_vec: str, tables, extra_cols=()
 ) -> DataFrame:
     extras = [F.col(c) for c in extra_cols]
-    d = df.select(F.col(id_), _as_double(F.col(vec_col)).alias(out_vec), *extras)
+    d = df.select(F.col(id_), _as_double(f"`{vec_col}`").alias(out_vec), *extras)
     d = _matrix_frame(d, "__rhp_tables", [[[float(x) for x in p] for p in t] for t in tables], 3)
     entries = F.transform(
         F.col("__rhp_tables"),
@@ -334,7 +362,7 @@ def embedding_near_dups(
     from pdtable_spark.operators.dedup import bucket_pairs
 
     planes = _lcg_hyperplanes(dim, bits, seed)
-    d = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    d = df.select(F.col(id_col), _as_double(f"`{vec_col}`").alias("v"))
     d = (
         _matrix_frame(d, "__planes", [[float(x) for x in p] for p in planes], 2)
         .withColumn("bkt", _rhp_bucket_expr(F.col("v"), F.col("__planes")))
@@ -342,7 +370,7 @@ def embedding_near_dups(
     )
     # per-entry norm: one array traversal per pair, not three (see
     # semantic_dedup; cosine = dot(a,b)/(‖a‖·‖b‖), measured 1.6×)
-    d = d.withColumn("__nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    d = d.withColumn("__nrm", F.sqrt(dot("v", "v")))
     pairs = bucket_pairs(
         d,
         ["bkt"],
@@ -356,7 +384,7 @@ def embedding_near_dups(
             F.col("ea.id").alias("id_a"),
             F.col("eb.id").alias("id_b"),
             (
-                dot(F.col("ea.v"), F.col("eb.v")) / (F.col("ea.n") * F.col("eb.n"))
+                dot("ea.v", "eb.v") / (F.col("ea.n") * F.col("eb.n"))
             ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
@@ -382,7 +410,7 @@ def ivf_train_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(_as_double(F.col(vec_col)).alias("arr"))
+    train = corpus.select(_as_double(f"`{vec_col}`").alias("arr"))
     if sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
     km = KMeans(k=n_cells, seed=seed, featuresCol="features")
@@ -396,7 +424,15 @@ def _cell_scores(vec, cents_col):
 
     ``cents_col`` is a centroid-matrix COLUMN (see :func:`_matrix_frame`) —
     element index IS the cell id.  Inlining n_cells×dim literals instead
-    costs seconds of driver-side plan analysis per query batch."""
+    costs seconds of driver-side plan analysis per query batch.  Both
+    args as SQL text → one JVM-side parse (builder-cost note on
+    :func:`dot`)."""
+    if isinstance(vec, str) and isinstance(cents_col, str):
+        return F.expr(
+            f"sort_array(transform({cents_col}, (c, i) -> struct("
+            f"aggregate(zip_with({vec}, c, (a, b) -> (a - b) * (a - b)), "
+            "0.0D, (acc, v_) -> acc + v_) AS d, CAST(i AS INT) AS cell)))"
+        )
     scored = F.transform(
         cents_col,
         lambda c, i: F.struct(
@@ -412,7 +448,15 @@ def _cell_scores(vec, cents_col):
 
 
 def _cell_ranking(vec, cents_col):
-    """Array of cell ids sorted by ascending squared distance to ``vec``."""
+    """Array of cell ids sorted by ascending squared distance to ``vec``.
+    SQL-text args → one JVM-side parse (builder-cost note on :func:`dot`)."""
+    if isinstance(vec, str) and isinstance(cents_col, str):
+        return F.expr(
+            f"transform(sort_array(transform({cents_col}, (c, i) -> struct("
+            f"aggregate(zip_with({vec}, c, (a, b) -> (a - b) * (a - b)), "
+            "0.0D, (acc, v_) -> acc + v_) AS d, CAST(i AS INT) AS cell))), "
+            "s -> s.cell)"
+        )
     return F.transform(_cell_scores(vec, cents_col), lambda s: s["cell"])
 
 
@@ -434,9 +478,9 @@ def _ivf_probes(queries_sel: DataFrame, centroids, nprobe: int) -> DataFrame:
     q = _matrix_frame(queries_sel, "__cents", cents, 2)
     return q.select(
         *others,
-        dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2"),
+        dot("q_vec", "q_vec").alias("__q_n2"),
         F.explode(
-            F.slice(_cell_ranking(F.col("q_vec"), F.col("__cents")), 1, nprobe)
+            F.slice(_cell_ranking("q_vec", "__cents"), 1, nprobe)
         ).alias("cell"),
     )
 
@@ -461,12 +505,12 @@ def ivf_index(
     # scale / on derived multi-source lineage)
     c = fanout_small_scan(corpus).select(
         F.col(id_col),
-        _as_double(F.col(vec_col)).alias("vec"),
+        _as_double(f"`{vec_col}`").alias("vec"),
         *[F.col(m) for m in metadata_cols],
     )
     c = _matrix_frame(c, "__cents", cents, 2)
     return c.withColumn(
-        "cell", F.element_at(_cell_ranking(F.col("vec"), F.col("__cents")), 1)
+        "cell", F.element_at(_cell_ranking("vec", "__cents"), 1)
     ).drop("__cents")
 
 
@@ -553,10 +597,10 @@ def ivf_cell_ledger(
     n_cells-group aggregate — KB-sized state at any corpus scale.
     """
     cents = [[float(x) for x in c] for c in centroids]
-    c = corpus.select(_as_double(F.col(vec_col)).alias("vec"))
+    c = corpus.select(_as_double(f"`{vec_col}`").alias("vec"))
     c = _matrix_frame(c, "__cents", cents, 2)
     nearest = F.element_at(
-        _cell_scores(F.col("vec"), F.col("__cents")), 1
+        _cell_scores("vec", "__cents"), 1
     )
     return (
         c.select(
@@ -706,15 +750,15 @@ def ivf_query(
     if where is not None:
         index = index.filter(where)
     q = _ivf_probes(
-        queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("q_vec")),
+        queries.select(F.col(query_id_col), _as_double(f"`{vec_col}`").alias("q_vec")),
         centroids,
         nprobe,
     )
-    cand = index.withColumn("__c_n2", dot(F.col("vec"), F.col("vec")))
+    cand = index.withColumn("__c_n2", dot("vec", "vec"))
     scored = cand.join(F.broadcast(q), on="cell").select(
         query_id_col,
         id_col,
-        _cosine_pre(F.col("q_vec"), F.col("vec")).alias("cosine_sim"),
+        _cosine_pre("q_vec", "vec").alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (
@@ -821,7 +865,7 @@ def semantic_dedup(
     # norms precomputed per ENTRY, not per pair: cosine(a,b) spelled
     # dot(a,b)/(‖a‖·‖b‖) does one array traversal per pair instead of
     # three (measured 1.63× at sf0.1 — the pair stage is the whole cost)
-    with_n = idx.withColumn("__nrm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    with_n = idx.withColumn("__nrm", F.sqrt(dot("vec", "vec")))
     pairs = bucket_pairs(
         with_n,
         ["cell"],
@@ -832,7 +876,7 @@ def semantic_dedup(
     )
     drops = (
         pairs.filter(
-            dot(F.col("ea.v"), F.col("eb.v")) / (F.col("ea.n") * F.col("eb.n"))
+            dot("ea.v", "eb.v") / (F.col("ea.n") * F.col("eb.n"))
             >= F.lit(float(threshold))
         )
         .select(F.col("eb.id").alias(id_col))
@@ -955,7 +999,7 @@ def pq_codebooks(
     rows = (
         corpus.orderBy(id_col)
         .limit(n_codes)
-        .select(_as_double(F.col(vec_col)).alias("v"))
+        .select(_as_double(f"`{vec_col}`").alias("v"))
         .collect()
     )
     if not rows:
@@ -992,7 +1036,7 @@ def _refine_pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(_as_double(F.col(vec_col)).alias("v"))
+    train = corpus.select(_as_double(f"`{vec_col}`").alias("v"))
     if sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
     train = train.cache()
@@ -1061,7 +1105,7 @@ def pq_encode(
     num_subspaces = len(codebooks)
     dsub = len(codebooks[0][0])
     cent = _pq_cent_frame(corpus.sparkSession, codebooks)
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    c = corpus.select(F.col(id_col), _as_double(f"`{vec_col}`").alias("v"))
     sub = _pq_subspaces(c, [id_col], "v", num_subspaces, dsub)
     best = (
         sub.join(F.broadcast(cent), "m")
@@ -1107,7 +1151,7 @@ def pq_query(
     num_subspaces = len(codebooks)
     dsub = len(codebooks[0][0])
     cent = _pq_cent_frame(index.sparkSession, codebooks)
-    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(query_id_col), _as_double(f"`{vec_col}`").alias("v"))
     qsub = _pq_subspaces(q, [query_id_col], "v", num_subspaces, dsub)
     lut = (
         qsub.join(F.broadcast(cent), "m")
@@ -1188,8 +1232,8 @@ def pq_query_refined(
         index, queries, codebooks, k=k * refine_factor,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     ).select(query_id_col, id_col)
-    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("q_vec"))
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec"))
+    q = queries.select(F.col(query_id_col), _as_double(f"`{vec_col}`").alias("q_vec"))
+    c = corpus.select(F.col(id_col), _as_double(f"`{vec_col}`").alias("c_vec"))
     scored = (
         cand.join(c, id_col)
         .join(F.broadcast(q), query_id_col)
@@ -1310,9 +1354,9 @@ def cluster_profile(
     divides the exact integer sum (the suite's quantized-ln recipe).
     """
     cents = [[float(x) for x in c] for c in centroids]
-    c = corpus.select(_as_double(F.col(vec_col)).alias("vec"))
+    c = corpus.select(_as_double(f"`{vec_col}`").alias("vec"))
     c = _matrix_frame(c, "__cents", cents, 2)
-    best = F.element_at(_cell_scores(F.col("vec"), F.col("__cents")), 1)
+    best = F.element_at(_cell_scores("vec", "__cents"), 1)
     per_row = c.select(
         best["cell"].alias("cell"),
         F.floor(F.round(best["d"], 9) * F.lit(float(quantize))).cast("long").alias("__qd"),
@@ -1459,7 +1503,7 @@ def hard_negatives(
     )
     anchors = corpus.filter(anchor_pred).select(
         F.col(id_col).alias("anchor_id"),
-        _as_double(F.col(vec_col)).alias("q_vec"),
+        _as_double(f"`{vec_col}`").alias("q_vec"),
         F.col(label_col).alias("__a_label"),
     ).select(
         # squared norm folded ONCE per anchor (see cosine_topk): the pair
@@ -1467,17 +1511,17 @@ def hard_negatives(
         "anchor_id",
         "q_vec",
         "__a_label",
-        dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2"),
+        dot("q_vec", "q_vec").alias("__q_n2"),
     )
     cand = fanout_small_scan(corpus).select(
         F.col(id_col).alias("neg_id"),
-        _as_double(F.col(vec_col)).alias("c_vec"),
+        _as_double(f"`{vec_col}`").alias("c_vec"),
         F.col(label_col).alias("neg_label"),
     ).select(
         "neg_id",
         "c_vec",
         "neg_label",
-        dot(F.col("c_vec"), F.col("c_vec")).alias("__c_n2"),
+        dot("c_vec", "c_vec").alias("__c_n2"),
     )
     scored = (
         cand.crossJoin(F.broadcast(anchors))
@@ -1487,7 +1531,7 @@ def hard_negatives(
             "neg_id",
             "neg_label",
             (
-                dot(F.col("q_vec"), F.col("c_vec"))
+                dot("q_vec", "c_vec")
                 / F.sqrt(F.col("__q_n2") * F.col("__c_n2"))
             ).alias("cosine_sim"),
         )
@@ -1556,23 +1600,23 @@ def knn_label_propagation(
         "query_pred",
     )
     queries = corpus.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        F.col(id_col).alias("query_id"), _as_double(f"`{vec_col}`").alias("q_vec")
     ).select(
-        "query_id", "q_vec", dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2")
+        "query_id", "q_vec", dot("q_vec", "q_vec").alias("__q_n2")
     )
     labeled = fanout_small_scan(corpus.filter(~query_pred)).select(
         F.col(id_col),
-        _as_double(F.col(vec_col)).alias("c_vec"),
+        _as_double(f"`{vec_col}`").alias("c_vec"),
         F.col(label_col).alias("__nl"),
     ).select(
-        id_col, "c_vec", "__nl", dot(F.col("c_vec"), F.col("c_vec")).alias("__c_n2")
+        id_col, "c_vec", "__nl", dot("c_vec", "c_vec").alias("__c_n2")
     )
     scored = labeled.crossJoin(F.broadcast(queries)).select(
         "query_id",
         id_col,
         "__nl",
         (
-            dot(F.col("q_vec"), F.col("c_vec"))
+            dot("q_vec", "c_vec")
             / F.sqrt(F.col("__q_n2") * F.col("__c_n2"))
         ).alias("__s"),
     )
@@ -1642,7 +1686,7 @@ def hard_negatives_ivf(
     a = _ivf_probes(
         anchors.select(
             F.col(anchor_id_col).alias("anchor_id"),
-            _as_double(F.col(vec_col)).alias("q_vec"),
+            _as_double(f"`{vec_col}`").alias("q_vec"),
             F.col(label_col).alias("__a_label"),
         ),
         centroids,
@@ -1653,7 +1697,7 @@ def hard_negatives_ivf(
         F.col(id_col).alias("neg_id"),
         F.col("vec").alias("c_vec"),
         F.col(label_col).alias("neg_label"),
-    ).withColumn("__c_n2", dot(F.col("c_vec"), F.col("c_vec")))
+    ).withColumn("__c_n2", dot("c_vec", "c_vec"))
     scored = (
         cand.join(F.broadcast(a), on="cell")
         .filter(F.col("neg_label") != F.col("__a_label"))
@@ -1661,7 +1705,7 @@ def hard_negatives_ivf(
             "anchor_id",
             "neg_id",
             "neg_label",
-            _cosine_pre(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            _cosine_pre("q_vec", "c_vec").alias("cosine_sim"),
         )
     )
     if ceiling is not None:
@@ -1705,7 +1749,7 @@ def knn_label_propagation_ivf(
     q = _ivf_probes(
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("q_vec"),
+            _as_double(f"`{vec_col}`").alias("q_vec"),
         ),
         centroids,
         nprobe,
@@ -1715,12 +1759,12 @@ def knn_label_propagation_ivf(
         F.col(id_col),
         F.col("vec").alias("c_vec"),
         F.col(label_col).alias("__nl"),
-    ).withColumn("__c_n2", dot(F.col("c_vec"), F.col("c_vec")))
+    ).withColumn("__c_n2", dot("c_vec", "c_vec"))
     scored = cand.join(F.broadcast(q), on="cell").select(
         "query_id",
         id_col,
         "__nl",
-        _cosine_pre(F.col("q_vec"), F.col("c_vec")).alias("__s"),
+        _cosine_pre("q_vec", "c_vec").alias("__s"),
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc(id_col))
     nn = scored.withColumn("__r", F.row_number().over(wk)).filter(F.col("__r") <= k)
@@ -1784,14 +1828,14 @@ def margin_mining(
         left.select(F.col(id_col)), max_left, "margin_mining", "left"
     )
     l = left.select(
-        F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        F.col(id_col).alias("left_id"), _as_double(f"`{vec_col}`").alias("q_vec")
     ).select(
-        "left_id", "q_vec", dot(F.col("q_vec"), F.col("q_vec")).alias("__q_n2")
+        "left_id", "q_vec", dot("q_vec", "q_vec").alias("__q_n2")
     )
     r = fanout_small_scan(right).select(
-        F.col(id_col).alias("right_id"), _as_double(F.col(vec_col)).alias("c_vec")
+        F.col(id_col).alias("right_id"), _as_double(f"`{vec_col}`").alias("c_vec")
     ).select(
-        "right_id", "c_vec", dot(F.col("c_vec"), F.col("c_vec")).alias("__c_n2")
+        "right_id", "c_vec", dot("c_vec", "c_vec").alias("__c_n2")
     )
 
     def pairs() -> DataFrame:
@@ -1801,7 +1845,7 @@ def margin_mining(
             "left_id",
             "right_id",
             (
-                dot(F.col("q_vec"), F.col("c_vec"))
+                dot("q_vec", "c_vec")
                 / F.sqrt(F.col("__q_n2") * F.col("__c_n2"))
             ).alias("cos"),
         )
@@ -1905,7 +1949,7 @@ def margin_mining_ivf(
     probes = _ivf_probes(
         left.select(
             F.col(id_col).alias("left_id"),
-            _as_double(F.col(vec_col)).alias("q_vec"),
+            _as_double(f"`{vec_col}`").alias("q_vec"),
         ),
         centroids,
         nprobe,
@@ -1914,7 +1958,7 @@ def margin_mining_ivf(
         F.col("cell"),
         F.col(id_col).alias("right_id"),
         F.col("vec").alias("c_vec"),
-    ).withColumn("__c_n2", dot(F.col("c_vec"), F.col("c_vec")))
+    ).withColumn("__c_n2", dot("c_vec", "c_vec"))
 
     def pairs() -> DataFrame:
         # each right row lives in exactly one cell and each left probes
@@ -1923,7 +1967,7 @@ def margin_mining_ivf(
         return cand.join(F.broadcast(probes), on="cell").select(
             "left_id",
             "right_id",
-            _cosine_pre(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+            _cosine_pre("q_vec", "c_vec").alias("cos"),
         )
 
     return _margin_rescore(pairs, k, threshold)
@@ -1938,7 +1982,7 @@ def sq_bounds(corpus: DataFrame, vec_col: str = "embedding") -> List[List[float]
     (no quantized-sum machinery needed, unlike the degree/distance
     folds)."""
     rows = (
-        corpus.select(F.posexplode(_as_double(F.col(vec_col))).alias("i", "v"))
+        corpus.select(F.posexplode(_as_double(f"`{vec_col}`")).alias("i", "v"))
         .groupBy("i")
         .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
         .orderBy("i")
@@ -1978,7 +2022,7 @@ def sq_index(
     """
     if not (2 <= int(levels) <= 255):
         raise ValueError("sq_index: levels must be in 2..255")
-    df = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    df = corpus.select(F.col(id_col), _as_double(f"`{vec_col}`").alias("__v"))
     code = F.transform(
         F.col("__v"),
         lambda x, i: F.when(
@@ -2073,6 +2117,23 @@ def sq_query(
                     f"sq_query: index encoded at levels={int(stamp_md)}, "
                     f"decode requested levels={int(levels)}"
                 )
+            # Schema metadata reflects ONE builder call: a union of
+            # indexes built at different `levels` keeps the left side's
+            # stamp, so a metadata match must not skip the row guard
+            # (ADVICE r14 medium — silently-wrong decode arithmetic is
+            # exactly what the stamp exists to catch).  Guard each row
+            # INSIDE the decode projection instead of a separate job:
+            # one RLE-cheap int comparison per row, zero extra driver
+            # actions, loud at execution on any mixed-builder frame.
+            dq = F.when(F.col("sq_levels") == F.lit(int(levels)), dq).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "sq_query: index row encoded at a different "
+                        f"sq_levels than the decode's levels={int(levels)}"
+                        " — composed/unioned indexes must share one grid"
+                    )
+                )
+            )
         else:
             got = sorted(
                 r["sq_levels"]
@@ -2170,7 +2231,7 @@ def gram_ledger(
     corpus = fanout_small_scan(corpus)
     q = F.lit(float(quantize))
     qv = F.transform(
-        _as_double(F.col(vec_col)),
+        _as_double(f"`{vec_col}`"),
         lambda x: F.floor(x * q + F.lit(0.5)).cast("long"),
     )
     d_pairs = _let(
@@ -2257,8 +2318,11 @@ def pca_project(
     d = _matrix_frame(
         df, "__pca_b", [[float(x) for x in c] for c in components], 2
     )
-    proj = F.transform(
-        F.col("__pca_b"),
-        lambda comp: dot(comp, _as_double(F.col(vec_col))),
+    # one JVM-side parse of the per-coordinate fold (builder-cost note on
+    # :func:`dot`; the lambda spelling cost ~60 py4j round-trips per build)
+    proj = F.expr(
+        "transform(__pca_b, comp -> aggregate(zip_with(comp, "
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)), "
+        "(x, y) -> x * y), 0.0D, (acc, v) -> acc + v))"
     )
     return d.select(*df.columns, proj.alias(out_col))

@@ -443,6 +443,7 @@ def pack_budget(
     order_cols: tuple = ("doc_id", "chunk_idx"),
     partition_cols: tuple = (),
     num_partitions: int = None,
+    bounds: tuple = None,
 ) -> DataFrame:
     """Token-budget sharding: assign each row a ``pack_id`` so consecutive
     rows (in ``order_cols`` order) accumulate ~``capacity`` tokens per pack —
@@ -457,16 +458,29 @@ def pack_budget(
     via a two-phase cumsum — an unpartitioned ``Window.orderBy`` would move
     every row to ONE task:
 
-    1. range-partition by ``order_cols`` and pin each row's partition id
-       (``localCheckpoint`` is the materialization barrier that keeps the
-       sampled range boundaries consistent across the two jobs; at 100 TB
-       an intermediate table write serves the same role),
-    2. per-partition running sums in parallel, plus per-partition totals
-       (#partitions rows — driver-trivial) prefix-summed into offsets that
-       broadcast-join back on the pinned id.
+    1. bucket each row by a MONOTONE value-range split of the leading
+       order column (``_pid`` — deterministic per row, so bucket
+       membership never depends on execution), using its [min, max]
+       ``bounds`` (one column-pruned pass when not passed by the caller);
+    2. per-bucket running sums in parallel, plus per-bucket totals
+       (#buckets rows — driver-trivial) prefix-summed into offsets that
+       broadcast-join back on the bucket id.
 
-    Deterministic given a unique total order: equal keys co-locate under
-    range partitioning, so phase boundaries never split ties.
+    Any monotone bucketing yields IDENTICAL pack ids (the running total
+    is a pure function of the global order), so ``bounds`` may be any
+    superset range — e.g. the raw table's id domain — and skewed or even
+    wrong bounds only cost balance, never correctness (out-of-range
+    values clamp to the edge buckets, which is still monotone).  Equal
+    leading keys land in one bucket, so phase boundaries never split
+    ties.  r14 used a sampled range exchange pinned by an eager
+    ``localCheckpoint``; the explicit bucket replaces both the range
+    sampler's extra pass over the input and the checkpoint
+    materialization (r15, guide §2.4/§5 — the value split needs no
+    sampling job and the deterministic ``_pid`` needs no pinning), and
+    both downstream phases read the ONE ``_pid`` exchange (reused
+    stage).  The leading order column must be numeric for this path;
+    non-numeric leading keys keep the r14 sampled-range + checkpoint
+    spelling.
     """
     from pyspark.sql import Window
 
@@ -484,22 +498,60 @@ def pack_budget(
             F.floor((running - F.col(n_tokens_col)) / F.lit(capacity)).cast("long"),
         )
 
+    from pyspark.sql.types import IntegralType
+
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = (
-        df.repartitionByRange(n, *order)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    local = ranged.withColumn(
+    c0 = order_cols[0]
+    if isinstance(df.schema[c0].dataType, IntegralType):
+        if bounds is None:
+            row = df.agg(F.min(c0).alias("lo"), F.max(c0).alias("hi")).collect()[0]
+            bounds = (row["lo"], row["hi"])
+        lo, hi = bounds
+        # ~32 distinct bucket values per shuffle partition so the hash
+        # spreads evenly (guide §2.5 synthetic-key note); the offsets
+        # frame stays driver-trivial (n_buckets rows)
+        n_buckets = 32 * max(1, int(n))
+        if lo is None or hi is None:
+            pid = F.lit(0)
+        else:
+            # long → double is order-preserving and every IEEE op here is
+            # monotone, so bucket ids never invert the global order even
+            # past 2^53; integral-only gate means no NaN can enter
+            frac = (F.col(c0).cast("double") - F.lit(float(lo))) / F.lit(
+                float(hi) - float(lo) + 1.0
+            )
+            pid = F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(F.lit(0), F.floor(frac * n_buckets).cast("int")),
+            )
+        # NULL keys sort first under asc → they get their own leading
+        # bucket (a NULL pid would silently drop the row in the offsets
+        # equi-join)
+        keyed = df.withColumn(
+            "_pid", F.when(F.col(c0).isNull(), F.lit(-1)).otherwise(pid)
+        )
+    else:
+        # non-numeric leading key: sampled range split + checkpoint pin
+        # (spark_partition_id is execution-dependent, so the two phases
+        # must read ONE materialization of the sampled boundaries)
+        keyed = (
+            df.repartitionByRange(n, *order)
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+    local = keyed.withColumn(
         "_run_local",
         F.sum(F.col(n_tokens_col)).over(_frame(Window.partitionBy("_pid").orderBy(*order))),
     )
-    # per-partition totals → exclusive prefix offsets: one row per partition,
-    # so the unpartitioned window here is over #partitions rows, not the data
+    # per-bucket totals → exclusive prefix offsets: one row per bucket,
+    # so the unpartitioned window here is over #buckets rows, not the
+    # data.  Derived from ``local`` (not ``keyed``) so column pruning
+    # leaves both phases reading the SAME _pid exchange — one upstream
+    # compute, whether by ReuseExchange or AQE's stage cache.
     w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        ranged.groupBy("_pid")
+        local.groupBy("_pid")
         .agg(F.sum(F.col(n_tokens_col)).alias("_pid_total"))
         .withColumn("_offset", F.coalesce(F.sum("_pid_total").over(w_prefix), F.lit(0)))
         .select("_pid", "_offset")
@@ -857,41 +909,46 @@ def gopher_quality_flags(
     Python; at 100 TB the failing rows die inside the scan's codegen
     stage when this feeds a filter.
     """
-    m = _gopher_metric_exprs(F.col(text_col))
-    out = df.select(
-        F.col(id_col),
-        m["n_words"].alias("n_words"),
-        m["mean_len"].alias("mean_word_len"),
-        m["alpha_ratio"].alias("alpha_ratio"),
-        m["n_stop"].alias("n_stopwords"),
-        m["symbol_ratio"].alias("symbol_word_ratio"),
-        m["bullet_frac"].alias("bullet_line_frac"),
-        m["ellipsis_frac"].alias("ellipsis_line_frac"),
-        m["dup_frac"].alias("dup_line_frac"),
+    m = _gopher_metrics_sql(f"`{text_col}`")
+    # one selectExpr = one py4j call + one JVM parse for all nine metric
+    # expressions (r15, guide §7.3 — was ~40 lambda round-trips per build)
+    out = df.selectExpr(
+        f"`{id_col}`",
+        f"{m['n_words']} AS n_words",
+        f"{m['mean_len']} AS mean_word_len",
+        f"{m['alpha_ratio']} AS alpha_ratio",
+        f"{m['n_stop']} AS n_stopwords",
+        f"{m['symbol_ratio']} AS symbol_word_ratio",
+        f"{m['bullet_frac']} AS bullet_line_frac",
+        f"{m['ellipsis_frac']} AS ellipsis_line_frac",
+        f"{m['dup_frac']} AS dup_line_frac",
     )
-    p_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
-    p_ml = (F.col("mean_word_len") >= min_mean_word_len) & (
-        F.col("mean_word_len") <= max_mean_word_len
-    )
-    p_ar = F.col("alpha_ratio") >= min_alpha_ratio
-    p_sw = F.col("n_stopwords") >= min_stopwords
-    p_sy = F.col("symbol_word_ratio") <= max_symbol_word_ratio
-    p_bl = F.col("bullet_line_frac") <= max_bullet_line_frac
-    p_el = F.col("ellipsis_line_frac") <= max_ellipsis_line_frac
-    p_dl = F.col("dup_line_frac") <= max_dup_line_frac
-    return out.select(
+    flags = {
+        "pass_word_count": (
+            f"(n_words >= {_sql_num(min_words)} AND "
+            f"n_words <= {_sql_num(max_words)})"
+        ),
+        "pass_mean_word_len": (
+            f"(mean_word_len >= {_sql_num(float(min_mean_word_len))} AND "
+            f"mean_word_len <= {_sql_num(float(max_mean_word_len))})"
+        ),
+        "pass_alpha_ratio": f"(alpha_ratio >= {_sql_num(float(min_alpha_ratio))})",
+        "pass_stopwords": f"(n_stopwords >= {_sql_num(min_stopwords)})",
+        "pass_symbol_ratio": (
+            f"(symbol_word_ratio <= {_sql_num(float(max_symbol_word_ratio))})"
+        ),
+        "pass_bullet_lines": (
+            f"(bullet_line_frac <= {_sql_num(float(max_bullet_line_frac))})"
+        ),
+        "pass_ellipsis_lines": (
+            f"(ellipsis_line_frac <= {_sql_num(float(max_ellipsis_line_frac))})"
+        ),
+        "pass_dup_lines": f"(dup_line_frac <= {_sql_num(float(max_dup_line_frac))})",
+    }
+    return out.selectExpr(
         "*",
-        p_wc.cast("int").alias("pass_word_count"),
-        p_ml.cast("int").alias("pass_mean_word_len"),
-        p_ar.cast("int").alias("pass_alpha_ratio"),
-        p_sw.cast("int").alias("pass_stopwords"),
-        p_sy.cast("int").alias("pass_symbol_ratio"),
-        p_bl.cast("int").alias("pass_bullet_lines"),
-        p_el.cast("int").alias("pass_ellipsis_lines"),
-        p_dl.cast("int").alias("pass_dup_lines"),
-        (p_wc & p_ml & p_ar & p_sw & p_sy & p_bl & p_el & p_dl)
-        .cast("int")
-        .alias("pass_all"),
+        *[f"CAST({cond} AS INT) AS {name}" for name, cond in flags.items()],
+        "CAST((" + " AND ".join(flags.values()) + ") AS INT) AS pass_all",
     )
 
 
@@ -917,19 +974,102 @@ def gopher_pass_all(
     codegen stage at 100 TB instead of paying a second corpus pass plus a
     doc_id shuffle/join.
     """
-    m = _gopher_metric_exprs(F.col(text_col))
-    return (
-        (m["n_words"] >= min_words)
-        & (m["n_words"] <= max_words)
-        & (m["mean_len"] >= min_mean_word_len)
-        & (m["mean_len"] <= max_mean_word_len)
-        & (m["alpha_ratio"] >= min_alpha_ratio)
-        & (m["n_stop"] >= min_stopwords)
-        & (m["symbol_ratio"] <= max_symbol_word_ratio)
-        & (m["bullet_frac"] <= max_bullet_line_frac)
-        & (m["ellipsis_frac"] <= max_ellipsis_line_frac)
-        & (m["dup_frac"] <= max_dup_line_frac)
+    m = _gopher_metrics_sql(f"`{text_col}`")
+    # ONE JVM-side parse of the whole predicate (~220 ms of py4j lambda
+    # round-trips per gate build before — r15, guide §7.3); same tree,
+    # same comparisons, parity-pinned against _gopher_metric_exprs
+    return F.expr(
+        f"(({m['n_words']} >= {_sql_num(min_words)})"
+        f" AND ({m['n_words']} <= {_sql_num(max_words)})"
+        f" AND ({m['mean_len']} >= {_sql_num(float(min_mean_word_len))})"
+        f" AND ({m['mean_len']} <= {_sql_num(float(max_mean_word_len))})"
+        f" AND ({m['alpha_ratio']} >= {_sql_num(float(min_alpha_ratio))})"
+        f" AND ({m['n_stop']} >= {_sql_num(min_stopwords)})"
+        f" AND ({m['symbol_ratio']} <= {_sql_num(float(max_symbol_word_ratio))})"
+        f" AND ({m['bullet_frac']} <= {_sql_num(float(max_bullet_line_frac))})"
+        f" AND ({m['ellipsis_frac']} <= {_sql_num(float(max_ellipsis_line_frac))})"
+        f" AND ({m['dup_frac']} <= {_sql_num(float(max_dup_line_frac))}))"
     )
+
+
+def _sql_str(s: str) -> str:
+    """``s`` as a Spark SQL string literal (escaped-backslash spelling —
+    the parser's default escape handling would otherwise eat regex
+    backslashes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_num(v) -> str:
+    """A threshold as SQL text with the same type the Column spelling's
+    ``F.lit`` produces: ints stay integral, floats become DOUBLE
+    literals (a bare ``3.0`` parses as DECIMAL)."""
+    if isinstance(v, float):
+        return f"{v!r}D"
+    return str(int(v))
+
+
+def _gopher_metrics_sql(txt_sql: str) -> dict:
+    """:func:`_gopher_metric_exprs` as SQL text over the expression
+    ``txt_sql`` — the r14 builder-cost move (guide §7.3): the Column
+    spelling costs ~40 py4j round-trips of higher-order lambdas +
+    a per-stopword literal array (~220 ms of driver time per gate
+    build, measured); these parse the identical tree JVM-side in one
+    call.  Values pinned identical to the Column spelling in
+    tests/test_operators.py::test_gopher_sql_spelling_matches."""
+    ws = _tokens_sql(txt_sql)
+    n_words = f"CAST(size({ws}) AS BIGINT)"
+    n_chars = f"length(regexp_replace({txt_sql}, '\\\\s+', ''))"
+    mean_len = f"(CAST({n_chars} AS DOUBLE) / CAST({n_words} AS DOUBLE))"
+    alpha = f"CAST(size(filter({ws}, w -> w rlike '[a-zA-Z]')) AS BIGINT)"
+    alpha_ratio = f"(CAST({alpha} AS DOUBLE) / CAST({n_words} AS DOUBLE))"
+    stop_arr = "array(" + ", ".join(_sql_str(s) for s in _GOPHER_STOPWORDS) + ")"
+    n_stop = (
+        f"CAST(size(filter({ws}, w -> array_contains({stop_arr}, lower(w)))) "
+        "AS BIGINT)"
+    )
+    n_hash = (
+        f"CAST((length({txt_sql}) - length(replace({txt_sql}, '#', ''))) "
+        "AS BIGINT)"
+    )
+    n_ellipsis = (
+        f"(CAST(((length({txt_sql}) - length(replace({txt_sql}, '...', ''))) / 3) "
+        f"AS BIGINT) + (length({txt_sql}) - length(replace({txt_sql}, '…', ''))))"
+    )
+    symbol_ratio = (
+        f"(CAST(greatest({n_hash}, {n_ellipsis}) AS DOUBLE) / "
+        f"CAST({n_words} AS DOUBLE))"
+    )
+    lines = f"split({txt_sql}, '\\\\n')"
+    n_lines = f"CAST(size({lines}) AS BIGINT)"
+    bullet = _sql_str(_GOPHER_BULLET_RE)
+    ellipsis = _sql_str(_GOPHER_ELLIPSIS_RE)
+    bullet_frac = (
+        f"(CAST(size(filter({lines}, l -> l rlike {bullet})) AS DOUBLE) / "
+        f"CAST({n_lines} AS DOUBLE))"
+    )
+    ellipsis_frac = (
+        f"(CAST(size(filter({lines}, l -> l rlike {ellipsis})) AS DOUBLE) / "
+        f"CAST({n_lines} AS DOUBLE))"
+    )
+    norm_lines = (
+        f"transform(filter({lines}, l -> trim(l) != ''), l -> lower(trim(l)))"
+    )
+    n_nl = f"size({norm_lines})"
+    dup_frac = (
+        f"(CASE WHEN {n_nl} > 0 THEN "
+        f"CAST(({n_nl} - size(array_distinct({norm_lines}))) AS DOUBLE) / "
+        f"CAST({n_nl} AS DOUBLE) ELSE 0.0D END)"
+    )
+    return {
+        "n_words": n_words,
+        "mean_len": mean_len,
+        "alpha_ratio": alpha_ratio,
+        "n_stop": n_stop,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "dup_frac": dup_frac,
+    }
 
 
 def _gopher_metric_exprs(txt):
@@ -937,7 +1077,9 @@ def _gopher_metric_exprs(txt):
     expressions over ``txt`` — the single construction site shared by
     :func:`gopher_quality_flags` (metrics + flags frame) and
     :func:`gopher_pass_all` (inline filter predicate), so the two
-    spellings cannot drift."""
+    spellings cannot drift.  Kept as the reference spelling the SQL-text
+    form (:func:`_gopher_metrics_sql`, what both consumers now build
+    through) is parity-pinned against."""
     ws = tokens(txt)
     n_words = F.size(ws).cast("long")
     n_chars = F.length(F.regexp_replace(txt, r"\s+", ""))

@@ -234,8 +234,17 @@ def r13_pipeline_e2e_curation(spark, sf_dir):
     # r14 opt: counts-only chunk spelling (identical rows; chunk_text was
     # built per chunk and immediately dropped — 1.6 s single-task CPU)
     chunks = text.chunk_counts(mix, chunk_tokens=50, overlap=10)
+    # r15 opt: pack bounds from a column-pruned scan of the RAW table (a
+    # superset of the surviving doc_id domain gives identical pack ids —
+    # pack_budget docstring) instead of pack_budget's own bounds pass
+    # over the whole gate→dedup→cap→tokenize lineage; together with the
+    # checkpoint-free pack this leaves ONE compute of the deep upstream
+    db = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     packed = text.pack_budget(
-        chunks, capacity=200, order_cols=("doc_id", "chunk_idx")
+        chunks,
+        capacity=200,
+        order_cols=("doc_id", "chunk_idx"),
+        bounds=(db[0], db[1]),
     )
     out = packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_chunks"),

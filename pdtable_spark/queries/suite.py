@@ -108,12 +108,22 @@ def scratch_dir(name: str) -> str:
 #: discipline as the serving rows, which keep their index DataFrame
 #: across query batches).  Scratch-dir reads (mutable lakes) do NOT go
 #: through load() and stay uncached.
-_LOAD_CACHE: Dict[tuple, DataFrame] = {}
+import weakref as _weakref
+
+#: Weakly keyed on the session (ADVICE r14): a stopped/dropped session's
+#: handles become collectable instead of leaking for the process
+#: lifetime in long-lived multi-session harnesses.
+_LOAD_CACHE: "_weakref.WeakKeyDictionary[SparkSession, Dict[tuple, DataFrame]]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    key = (spark, sf_dir, table)
-    got = _LOAD_CACHE.get(key)
+    per_session = _LOAD_CACHE.get(spark)
+    if per_session is None:
+        per_session = _LOAD_CACHE.setdefault(spark, {})
+    key = (sf_dir, table)
+    got = per_session.get(key)
     if got is not None:
         return got
     if table == "events":
@@ -124,7 +134,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         df = read_nanos_parquet(spark, f"{sf_dir}/{table}.parquet")
     else:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    _LOAD_CACHE[key] = df
+    per_session[key] = df
     return df
 
 
@@ -3746,7 +3756,16 @@ def pipeline_pack_budget(spark, sf_dir):
     scale note (shard by key at 100 TB)."""
     d = load(spark, sf_dir, "documents")
     chunks = text.chunk_counts(d, chunk_tokens=50, overlap=10)
-    return text.pack_budget(chunks, capacity=200, order_cols=("doc_id", "chunk_idx"))
+    # bounds from a column-pruned scan of the raw table (a superset of the
+    # chunk frame's doc_id domain — identical pack ids, see pack_budget):
+    # saves the bucketing pass over the tokenize lineage (r15)
+    b = d.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    return text.pack_budget(
+        chunks,
+        capacity=200,
+        order_cols=("doc_id", "chunk_idx"),
+        bounds=(b[0], b[1]),
+    )
 
 
 # =============================================================================

@@ -3692,6 +3692,38 @@ def test_sq_query_grid_mismatch_fails_loudly(spark):
     assert S.sq_query(idx, q, b, k=3, levels=15).count() > 0
 
 
+def test_sq_query_union_of_mixed_grids_fails_loudly(spark):
+    """ADVICE r14 (medium): a union of indexes built at different
+    ``levels`` keeps only the LEFT side's schema metadata, so the r14
+    metadata fast path alone would silently decode the other side with
+    the wrong grid arithmetic.  The in-projection row guard must raise
+    on execution — while a pure single-builder index still passes with
+    no extra driver job."""
+    from pdtable_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    b = S.sq_bounds(emb)
+    hi = S.sq_index(emb.filter("vec_id < 4"), b, levels=255)
+    lo = S.sq_index(
+        emb.filter("vec_id >= 4").withColumn(
+            "vec_id", F.col("vec_id") + 100
+        ),
+        b,
+        levels=15,
+    )
+    mixed = hi.unionByName(lo)
+    # metadata on the union reflects the left side (255) — the build-time
+    # check passes; the row guard must still catch the levels=15 rows
+    q = emb.limit(2).withColumnRenamed("vec_id", "query_id")
+    with pytest.raises(Exception, match="sq_levels"):
+        S.sq_query(mixed, q, b, k=3, levels=255).collect()
+    # single-builder index still green end to end
+    assert S.sq_query(hi, q, b, k=3, levels=255).count() > 0
+
+
 def test_quantile_ledger_fuzz_error_bound(spark):
     """Property: for any data and grid, the ledger quantile is within
     one bin width of the true order statistic whenever the mass sits
@@ -5380,6 +5412,141 @@ def test_shingle_sql_spellings_match(spark):
         ], f"fingerprint n={n}"
 
 
+def test_fanout_small_scan_gate(spark, tmp_path, monkeypatch):
+    """The identity-at-scale claim of the r14 scan fan-out, pinned as
+    unit tests (VERDICT r14): the gate must FIRE on a provably tiny
+    local scan and DECLINE on large inputs, non-local paths, too many
+    files, and scans already at/above the core count — declining means
+    returning the SAME DataFrame object, so at 100 TB the operator adds
+    no exchange at all."""
+    from pdtable_spark.operators import scanfan
+
+    p = str(tmp_path / "tiny")
+    spark.range(1000).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    # fire-on-tiny: a new frame with one round-robin exchange
+    out = scanfan.fanout_small_scan(df)
+    assert out is not df
+    assert "RoundRobinPartitioning" in out._jdf.queryExecution().toString()
+
+    # decline-on-large: per-file sizes monkeypatched past the gate
+    monkeypatch.setattr(
+        scanfan.os.path, "getsize", lambda _p: 64 << 30, raising=True
+    )
+    assert scanfan.fanout_small_scan(df) is df
+    monkeypatch.undo()
+
+    # decline-on-nonlocal: a path that does not exist locally
+    monkeypatch.setattr(scanfan.os.path, "exists", lambda _p: False)
+    assert scanfan.fanout_small_scan(df) is df
+    monkeypatch.undo()
+
+    # decline-on-too-many-files: listing past MAX_FILES is "not tiny"
+    monkeypatch.setattr(scanfan, "MAX_FILES", 0)
+    assert scanfan.fanout_small_scan(df) is df
+    monkeypatch.undo()
+
+    # decline-on-already-parallel: estimated task count >= core count
+    monkeypatch.setattr(
+        scanfan, "_est_scan_tasks", lambda *_a, **_k: 10_000
+    )
+    assert scanfan.fanout_small_scan(df) is df
+    monkeypatch.undo()
+
+    # decline-on-no-files (e.g. an in-memory relation)
+    local = spark.createDataFrame([(1,)], "x long")
+    assert scanfan.fanout_small_scan(local) is local
+
+
+def test_similarity_sql_spellings_match(spark):
+    """r15 builder-cost parity pin: the SQL-text spellings of
+    dot/_as_double/_cell_scores/_cell_ranking (one JVM-side parse)
+    produce bit-identical values to the Column-lambda spellings —
+    including empty arrays, negatives, and float inputs."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 2.0, -3.0], [0.5, -1.5, 2.0]),
+        (1, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+        (2, [], []),
+        (3, [1e-9, -1e9, 3.25], [2.0, 2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    got = df.select(S.dot("a", "b").alias("v")).collect()
+    want = df.select(S.dot(F.col("a"), F.col("b")).alias("v")).collect()
+    assert [r["v"] for r in got] == [r["v"] for r in want]
+
+    fl = spark.createDataFrame(
+        [(0, [1.5, -2.25]), (1, [])], "i long, a array<float>"
+    )
+    got = fl.select(S._as_double("a").alias("v")).collect()
+    want = fl.select(S._as_double(F.col("a")).alias("v")).collect()
+    assert [r["v"] for r in got] == [r["v"] for r in want]
+
+    cents = [[0.0, 0.0], [1.0, 1.0], [2.0, -2.0]]
+    d = S._matrix_frame(
+        spark.createDataFrame(
+            [(0, [0.9, 1.1]), (1, [-5.0, 5.0]), (2, [2.0, -2.0])],
+            "i long, v array<double>",
+        ),
+        "__cents",
+        cents,
+        2,
+    )
+    got = d.select(S._cell_scores("v", "__cents").alias("s")).collect()
+    want = d.select(
+        S._cell_scores(F.col("v"), F.col("__cents")).alias("s")
+    ).collect()
+    assert [r["s"] for r in got] == [r["s"] for r in want]
+    got = d.select(S._cell_ranking("v", "__cents").alias("s")).collect()
+    want = d.select(
+        S._cell_ranking(F.col("v"), F.col("__cents")).alias("s")
+    ).collect()
+    assert [r["s"] for r in got] == [r["s"] for r in want]
+
+
+def test_gopher_sql_spelling_matches(spark):
+    """r15 builder-cost parity pin: the SQL-text Gopher metrics
+    (_gopher_metrics_sql — one JVM-side parse) produce bit-identical
+    values to the Column-lambda reference (_gopher_metric_exprs) on
+    every edge shape — empty text, whitespace-only, symbol-heavy,
+    bullet/ellipsis lines, duplicate lines, unicode ellipsis, NULL."""
+    from pyspark.sql import functions as F
+
+    from pdtable_spark.operators import text as T
+
+    rows = [
+        (0, "the quick brown fox jumps over a lazy dog " * 8),
+        (1, ""),
+        (2, "   "),
+        (3, None),
+        (4, "# ### hashes # everywhere #"),
+        (5, "wait... for it… done...\nand more… yes..."),
+        (6, "- bullet one\n* bullet two\n• bullet three\nplain line"),
+        (7, "Dup Line\ndup line\nDUP LINE\nunique\n\n  \n"),
+        (8, "word " * 60),
+        (9, "onlyoneword"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = T._gopher_metric_exprs(F.col("text"))
+    sql = T._gopher_metrics_sql("`text`")
+    for key in ref:
+        a = [r["v"] for r in df.select(ref[key].alias("v")).collect()]
+        b = [r["v"] for r in df.select(F.expr(sql[key]).alias("v")).collect()]
+        assert a == b, f"gopher metric {key}: {a} != {b}"
+    # the fused pass_all predicate agrees with the flags-frame pass_all
+    flags = T.gopher_quality_flags(df, min_words=5)
+    want = {r["doc_id"] for r in flags.filter("pass_all = 1").collect()}
+    got = {
+        r["doc_id"]
+        for r in df.filter(T.gopher_pass_all(min_words=5)).collect()
+    }
+    assert got == want
+
+
 def test_minhash_verify_single_pass_values(spark, docs):
     """r14: the melted single-pass Jaccard verify returns the same pairs
     and values as the (pre-r14) two-join spelling, in both hash modes."""
@@ -5459,3 +5626,62 @@ def test_curriculum_accuracy_sketch_mode(spark):
     )
     got = curriculum_phases_by(g, "score", "src", accuracy=10000)
     assert got.count() == 500
+
+
+def test_curriculum_sketch_population_rank_error_bound(spark):
+    """VERDICT r14 item 9: the sketch mode's PHASE POPULATIONS must sit
+    within Greenwald-Khanna's rank-error bound of the exact spelling —
+    each threshold's rank error is ≤ n/accuracy, so every cumulative
+    phase population (rows in phases ≤ i) may shift by at most
+    n/accuracy plus the tie block at the threshold value."""
+    from pdtable_spark.operators.sampling import curriculum_phases
+
+    n, k, phases = 4000, 200, 4
+    # distinct continuous-ish scores (deterministic LCG), so no tie blocks
+    vals, state = [], 123456789
+    for _ in range(n):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        vals.append(state / float(1 << 31))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, score double"
+    )
+    exact = [r["phase"] for r in curriculum_phases(df, "score", phases).collect()]
+    approx = [
+        r["phase"]
+        for r in curriculum_phases(df, "score", phases, accuracy=k).collect()
+    ]
+
+    def cum_pops(ps):
+        return [sum(1 for p in ps if p <= i) for i in range(phases - 1)]
+
+    bound = n // k  # GK rank error per threshold; scores are distinct
+    for ce, ca in zip(cum_pops(exact), cum_pops(approx)):
+        assert abs(ce - ca) <= bound, (ce, ca, bound)
+
+
+def test_curriculum_phases_quantized_bounded_exact(spark):
+    """The quantize-first exact recipe as a helper (VERDICT r14 item 9):
+    bounded distinct-value domain, engine-reproducible thresholds, and
+    phase assignment identical to the raw exact spelling whenever the
+    grid preserves score distinctions."""
+    from pdtable_spark.operators.sampling import (
+        curriculum_phases,
+        curriculum_phases_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 97) + 0.25) for i in range(970)], "doc_id long, score double"
+    )
+    raw = {r["doc_id"]: r["phase"] for r in curriculum_phases(df, "score").collect()}
+    grid = {
+        r["doc_id"]: r["phase"]
+        for r in curriculum_phases_quantized(df, "score", quantum=1e6).collect()
+    }
+    assert raw == grid  # 1e-6 grid preserves the 0.25-offset integers
+    # helper returns df columns + phase, no grid column leaks
+    out = curriculum_phases_quantized(df, "score")
+    assert out.columns == ["doc_id", "score", "phase"]
+    # coarse grid collapses scores inside one cell into one phase
+    # (ties stay together — the curriculum contract), never crashes
+    coarse = curriculum_phases_quantized(df, "score", quantum=0.01)
+    assert coarse.select("phase").distinct().count() >= 1

@@ -978,17 +978,38 @@ def test_certificate_read_paths_plan_clean(spark, tmp_path):
 
 def test_e2e_curation_composed_plan_clean(spark):
     """The composed curation DAG (staged r13) stays lint-clean end to
-    end: no Python row stages, no cartesians, no unpushed filters — the
-    only sanctioned warn is the pack stage's documented global
-    running-sum window (pipeline_pack_budget's scale note: shard by key
-    at 100 TB)."""
+    end: no Python row stages, no raw cartesians.  r15: pack_budget no
+    longer truncates the lineage behind an eager localCheckpoint, so
+    the lint now sees the WHOLE composed plan — including the
+    sanctioned bounded warns it could never inspect before: the
+    single-row centroid matrix-frame broadcast cross joins
+    (similarity._matrix_frame — one Cross BNL per plan reference of the
+    persisted index) and the inline computed-column quality gate, whose
+    predicate cannot reach parquet pushdown by design (it trades the
+    pushdown for one corpus scan instead of two plus a join — the r14
+    gate inlining).  Plus the pack stage's documented global
+    running-sum window (shard by key at 100 TB)."""
     from pdtable_spark.plans import assert_clean
     from pdtable_spark.queries.pending_r13 import PENDING_R13
 
     fn, _sql = PENDING_R13["pipeline_e2e_curation"]
     df = fn(spark, "/root/testdata/sf0.001")
     try:
-        assert_clean(df, allow=["single-partition-exchange"])
+        findings = assert_clean(
+            df,
+            allow=[
+                "single-partition-exchange",
+                "broadcast-nested-loop",
+                "filter-not-pushed",
+            ],
+        )
+        # the allowed BNLs must all be the bounded matrix-frame shape
+        # (BuildRight Cross of a 1-row broadcast), never a real cartesian
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+            assert "BuildRight, Cross" in m.group(0), m.group(0)
     finally:
         df.e2e_survivors_index.unpersist()
         df.e2e_band_index.unpersist()

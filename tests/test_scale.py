@@ -210,6 +210,81 @@ def test_pack_budget_partition_cols(spark):
         assert ids == list(range(len(ids)))
 
 
+def test_pack_budget_bounds_and_null_keys(spark):
+    """r15 internals of the global path: (a) caller-supplied SUPERSET
+    bounds yield identical pack ids to the self-measured ones (the
+    monotone-bucketing invariance the bounds parameter relies on);
+    (b) NULL leading keys survive (they bucket ahead of every value —
+    a NULL _pid would be silently dropped by the offsets equi-join)."""
+    from pyspark.sql import Window
+
+    from pdtable_spark.operators import text
+
+    df = _chunks_df(spark)
+    base = {
+        (r.doc_id, r.chunk_idx): r.pack_id
+        for r in text.pack_budget(df, capacity=100).collect()
+    }
+    wide = {
+        (r.doc_id, r.chunk_idx): r.pack_id
+        for r in text.pack_budget(
+            df, capacity=100, bounds=(-1_000_000, 5_000_000)
+        ).collect()
+    }
+    assert base == wide
+
+    with_null = spark.createDataFrame(
+        [(None, 0, 70), (1, 0, 40), (2, 0, 80)],
+        "doc_id long, chunk_idx long, chunk_n_tokens long",
+    )
+    got = text.pack_budget(with_null, capacity=100).collect()
+    assert len(got) == 3  # the NULL-key row is not dropped
+    w = Window.orderBy("doc_id", "chunk_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["doc_id"]: r["pack_id"]
+        for r in with_null.withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("chunk_n_tokens").over(w) - F.col("chunk_n_tokens"))
+                / F.lit(100)
+            ).cast("long"),
+        ).collect()
+    }
+    assert {r["doc_id"]: r["pack_id"] for r in got} == want
+
+
+def test_pack_budget_non_integral_key_falls_back(spark):
+    """A non-integral leading order key cannot ride the value-range
+    bucketing (no NaN-safe monotone split) — the sampled-range +
+    checkpoint spelling must still produce the global order."""
+    from pyspark.sql import Window
+
+    from pdtable_spark.operators import text
+
+    rows = [(f"doc{i:03d}", 0, 10 + (i * 7) % 50) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, chunk_idx long, chunk_n_tokens long")
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in text.pack_budget(df, capacity=100, num_partitions=5).collect()
+    }
+    w = Window.orderBy("doc_id", "chunk_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["doc_id"]: r["pack_id"]
+        for r in df.withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("chunk_n_tokens").over(w) - F.col("chunk_n_tokens"))
+                / F.lit(100)
+            ).cast("long"),
+        ).collect()
+    }
+    assert got == want
+
+
 # --- TF-IDF document frequency: skew-safe aggregate spelling ---------------
 
 
