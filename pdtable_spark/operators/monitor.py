@@ -299,42 +299,52 @@ def threshold_sweep(
     if not thresholds:
         raise ValueError("threshold_sweep: thresholds must be non-empty")
     ts = sorted({float(t) for t in thresholds})
-    from pdtable_spark.operators.text import token_count
 
+    # SQL-text spellings throughout (r15, guide §7.3): the Column form
+    # built ~12 aggregate exprs + T five-field structs through py4j
+    # (~0.4 s of driver time per sweep build); the same trees parse
+    # JVM-side in a handful of calls.
     by = list(by or [])
-    cols = [*[F.col(c) for c in by], F.col(score_col).alias("__s")]
+    cols = [*[f"`{c}`" for c in by], f"`{score_col}` AS __s"]
     if text_col is not None:
-        cols.append(token_count(F.col(text_col)).cast("long").alias("__tok"))
-    base = df.select(*cols)
-    aggs = [F.count(F.lit(1)).alias("__n")]
+        cols.append(
+            f"CAST(size(split(trim(`{text_col}`), '\\\\s+')) AS BIGINT) AS __tok"
+        )
+    base = df.selectExpr(*cols)
+    aggs = ["count(1) AS __n"]
     if text_col is not None:
-        aggs.append(F.sum("__tok").alias("__tk"))
+        aggs.append("sum(__tok) AS __tk")
     for i, t in enumerate(ts):
-        keep = (F.col("__s") >= F.lit(t)).cast("long")
-        aggs.append(F.sum(keep).alias(f"__k{i}"))
+        keep = f"CAST((__s >= {t!r}D) AS BIGINT)"
+        aggs.append(f"sum({keep}) AS __k{i}")
         if text_col is not None:
-            aggs.append(F.sum(keep * F.col("__tok")).alias(f"__t{i}"))
-    row = base.groupBy(*by).agg(*aggs) if by else base.agg(*aggs)
+            aggs.append(f"sum({keep} * __tok) AS __t{i}")
+    agg_cols = [F.expr(a) for a in aggs]
+    row = base.groupBy(*by).agg(*agg_cols) if by else base.agg(*agg_cols)
 
     def share(num, den):
-        return F.when(
-            den > 0, num.cast("double") / den.cast("double")
-        ).otherwise(F.lit(0.0))
+        return (
+            f"CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / "
+            f"CAST({den} AS DOUBLE) ELSE 0.0D END"
+        )
 
     entries = []
     for i, t in enumerate(ts):
         fields = [
-            F.lit(t).alias("threshold"),
-            F.coalesce(F.col(f"__k{i}"), F.lit(0)).cast("long").alias("n_kept"),
-            share(F.col(f"__k{i}"), F.col("__n")).alias("share_kept"),
+            f"{t!r}D AS threshold",
+            f"CAST(coalesce(__k{i}, 0) AS BIGINT) AS n_kept",
+            share(f"__k{i}", "__n") + " AS share_kept",
         ]
         if text_col is not None:
             fields += [
-                F.coalesce(F.col(f"__t{i}"), F.lit(0)).cast("long").alias("tokens_kept"),
-                share(F.col(f"__t{i}"), F.col("__tk")).alias("token_share"),
+                f"CAST(coalesce(__t{i}, 0) AS BIGINT) AS tokens_kept",
+                share(f"__t{i}", "__tk") + " AS token_share",
             ]
-        entries.append(F.struct(*fields))
-    return row.select(*by, F.inline(F.array(*entries)))
+        entries.append("struct(" + ", ".join(fields) + ")")
+    return row.selectExpr(
+        *[f"`{c}`" for c in by],
+        "inline(array(" + ", ".join(entries) + "))",
+    )
 
 
 def cluster_drift(

@@ -2349,7 +2349,11 @@ def ngram_lm_nll(
             "ngram_lm_nll: need 0.0 <= lam < 1.0 — the finiteness guarantee "
             "requires a strictly positive unigram interpolation share"
         )
-    toks = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    toks_sql = (
+        f"coalesce({_tokens_sql(f'`{text_col}`')}, "
+        "CAST(array() AS array<string>))"
+    )
+    toks = F.expr(toks_sql)
 
     def window_pairs():
         # (ctx, w) per full window: ctx = the previous order−1 tokens
@@ -2359,19 +2363,21 @@ def ngram_lm_nll(
         # so ('a\x1fb','c') and ('a','b\x1fc') would conflate — review
         # r9).  For order 2 the ctx is the bare token, so the bigram
         # spelling is byte-identical to the registered r9 oracle.
-        return F.when(
-            F.size(toks) >= order,
-            F.transform(
-                _windows_of(toks, order),
-                lambda s: F.struct(
-                    F.concat_ws(
-                        " ", *[s[str(i)] for i in range(order - 1)]
-                    ).alias("cx"),
-                    s[str(order - 1)].alias("w"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<cx:string,w:string>>"))
+        # One JVM-side parse (r15, guide §7.3 — the _windows_of lambda
+        # spelling cost ~0.3 s of py4j per reference of this builder,
+        # and it is referenced twice).
+        parts = ", ".join(f"s.`{i}`" for i in range(order - 1))
+        body = f"struct(concat_ws(' ', {parts}) AS cx, s.`{order - 1}` AS w)"
+        return F.expr(
+            f"CASE WHEN size({toks_sql}) >= {order} THEN "
+            f"{_windows_sql(toks_sql, order, body)} "
+            "ELSE CAST(array() AS array<struct<cx:string,w:string>>) END"
+        )
 
+    # tokenize + window-build is compute-dense over a byte-tiny scan at
+    # bench scale — fan a provably tiny local corpus to the core count
+    # (identity at scale; r15, guide §2.5)
+    df = fanout_small_scan(df)
     ref = df.filter(ref_pred)
     rtoks = ref.select(F.explode(toks).alias("w"))
     uni = rtoks.groupBy(F.col("w").alias("u_w")).agg(F.count(F.lit(1)).alias("cu"))
