@@ -2226,33 +2226,25 @@ def gram_ledger(
     Same one-scan shape and BIGINT-headroom arithmetic as
     :func:`gram_matrix` (its docstring's bounds apply per MERGED total,
     not per snapshot — quantize governs the end state)."""
-    from pdtable_spark.operators.text import _let
-
     corpus = fanout_small_scan(corpus)
-    q = F.lit(float(quantize))
-    qv = F.transform(
-        _as_double(f"`{vec_col}`"),
-        lambda x: F.floor(x * q + F.lit(0.5)).cast("long"),
+    # the whole quantize → upper-triangle pair-product expansion as ONE
+    # JVM-parsed SQL string (r15, guide §7.3): the 4-deep nested-lambda
+    # Column spelling cost ~40 py4j round-trips per build.  Identical
+    # tree — same _let binding (element_at(transform(array(...)), 1)),
+    # same casts, same struct fields; values pinned by the gram oracles.
+    q = float(quantize)
+    qv_sql = (
+        f"transform(transform(`{vec_col}`, x -> CAST(x AS DOUBLE)), "
+        f"x -> CAST(floor(x * {q!r}D + 0.5D) AS BIGINT))"
     )
-    d_pairs = _let(
-        qv,
-        lambda v: F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda i: F.transform(
-                    F.sequence(i, F.size(v) - 1),
-                    lambda j: F.struct(
-                        i.cast("int").alias("i"),
-                        j.cast("int").alias("j"),
-                        (F.element_at(v, i + 1) * F.element_at(v, j + 1)).alias(
-                            "p"
-                        ),
-                        F.element_at(v, i + 1).alias("vi"),
-                        F.element_at(v, j + 1).alias("vj"),
-                    ),
-                ),
-            )
-        ),
+    d_pairs = F.expr(
+        f"element_at(transform(array({qv_sql}), v -> flatten("
+        "transform(sequence(0, size(v) - 1), i -> "
+        "transform(sequence(i, size(v) - 1), j -> struct("
+        "CAST(i AS INT) AS i, CAST(j AS INT) AS j, "
+        "(element_at(v, i + 1) * element_at(v, j + 1)) AS p, "
+        "element_at(v, i + 1) AS vi, "
+        "element_at(v, j + 1) AS vj))))), 1)"
     )
     return (
         corpus.select(F.explode(d_pairs).alias("e"))
